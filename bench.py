@@ -1,0 +1,84 @@
+"""Benchmark harness — runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the `noop` sink (full execution,
+no collect/IO overhead on the measurement).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_energy_tracker_spark.queries import catalog  # noqa: E402
+from etl_energy_tracker_spark.session import get_spark  # noqa: E402
+
+# Heavy-path subset: core TPC-H shapes, the big shuffles (dedup, agg,
+# windows), and the LLM-pipeline operators. Cheap parse/filter queries
+# are correctness-only — benching them would measure session overhead.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "dup_row_aggregation",
+    "keep_last_dedup",
+    "session_differencing",
+    "rolling_avg_24",
+    "hourly_rollup",
+    "topk_per_group",
+    "linking_hash_match",
+    "exact_dedup_docs",
+    "ngram_jaccard_pairs",
+    "text_fingerprint",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    qs = catalog.queries()
+
+    # warm the JVM + parquet footers once so per-query numbers measure
+    # execution, not first-touch session costs.
+    qs["q6_forecast_revenue"](spark, sf_dir).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

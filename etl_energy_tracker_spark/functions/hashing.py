@@ -1,0 +1,52 @@
+"""Engine-portable deterministic hashing expressions.
+
+Spark's ``hash``/``xxhash64`` and DuckDB's ``hash`` are different
+functions, so any operator whose *output* contains hash values (doc
+fingerprints, minhash signatures, simhash bits) needs a hash both
+engines can compute identically. We use a polynomial fold over
+code points:
+
+    h(s) = fold(c in s) acc -> (acc*31 + codepoint(c)) mod 1_000_000_007
+
+expressed with ``aggregate``/``transform`` on the Spark side and
+``list_reduce``/``list_transform`` on the DuckDB side — pure
+column expressions, JVM-evaluated, no Python UDFs.
+
+Scale note: higher-order functions evaluate outside whole-stage
+codegen but stay on the JVM executor; for 100 TB-scale fingerprinting
+the same fold is also available over tokens instead of chars (cheaper)
+and the operator is embarrassingly parallel (no shuffle).
+"""
+
+from __future__ import annotations
+
+MOD = 1_000_000_007
+
+
+def spark_charhash(expr: str, seed: int = 7) -> str:
+    """Spark SQL string: polynomial hash of the string expression."""
+    return (
+        f"aggregate(transform(sequence(1, length({expr})), "
+        f"i -> ascii(substr({expr}, CAST(i AS INT), 1))), "
+        f"CAST({seed} AS BIGINT), (acc, x) -> (acc*31 + x) % {MOD})"
+    )
+
+
+def duckdb_charhash(expr: str, seed: int = 7) -> str:
+    """DuckDB SQL string computing the identical polynomial hash."""
+    return (
+        f"list_reduce(list_prepend(CAST({seed} AS BIGINT), "
+        f"list_transform(range(1, length({expr})+1), "
+        f"i -> CAST(ascii(substr({expr}, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"(acc, x) -> (acc*31 + x) % {MOD})"
+    )
+
+
+# minhash permutation family: hash_i(x) = (a_i*h(x) + b_i) mod MOD with
+# fixed odd multipliers — identical constants on both engines.
+def perm_a(i: int) -> int:
+    return 2 * i + 1
+
+
+def perm_b(i: int) -> int:
+    return (i + 1) * 7919

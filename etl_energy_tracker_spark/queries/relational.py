@@ -1,0 +1,608 @@
+"""Relational operator surface — one oracle-checked query per operator
+family from SURVEY.md §2 (filters F1-F10, joins J1-J10, aggregations
+A1-A10, windows W1-W4, sorts/set-ops §2.6, reshaping §2.8), mapped
+onto the driver's testdata tables.
+
+Each docstring cites the reference operator it re-expresses
+(path:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.stable import stable_avg, stable_avg_expr, stable_sum, stable_sum_expr
+from ..sources.registry import load_table
+from .catalog import register
+
+# ---------------------------------------------------------------------------
+# Filters (F1-F10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_date_between",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    WHERE o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00'
+                          AND TIMESTAMP '1995-12-31 23:59:59'
+    """,
+    tags=("filter",),
+    doc="F1 'multiple' mode date-range filter (transform/esios_transform.py:38-111).",
+)
+def filter_date_between(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "orders", sf_dir)
+        .where(
+            F.col("o_orderdate").between(
+                F.lit("1995-01-01 00:00:00").cast("timestamp"),
+                F.lit("1995-12-31 23:59:59").cast("timestamp"),
+            )
+        )
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@register(
+    "filter_latest_day",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    WHERE CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)
+    """,
+    tags=("filter", "window"),
+    doc="F1/W2 'latest' mode: rows on the max date (esios_transform.py:67-75). "
+    "Implemented as broadcast join against a 1-row agg, not a global window "
+    "— no single-partition bottleneck at scale.",
+)
+def filter_latest_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    latest = ev.agg(F.max(F.to_date("ts")).alias("_latest"))
+    return (
+        ev.join(F.broadcast(latest), F.to_date(ev.ts) == F.col("_latest"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+@register(
+    "filter_conditional",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE (event_type NOT IN ('purchase', 'refund')) OR (value > 100.0)
+    """,
+    tags=("filter",),
+    doc="F2 conditional mask — filter applies only to a subset of rows "
+    "(geo filter, _procesador_esios.py:100-132).",
+)
+def filter_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.where(
+        (~F.col("event_type").isin("purchase", "refund")) | (F.col("value") > 100.0)
+    ).select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "filter_isin",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity
+    FROM lineitem
+    WHERE l_returnflag IN ('A', 'R') AND l_linestatus = 'F'
+    """,
+    tags=("filter",),
+    doc="F3/F4 sentido + redespacho list membership (_procesador_i90.py:89-104).",
+)
+def filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "lineitem", sf_dir)
+        .where(F.col("l_returnflag").isin("A", "R") & (F.col("l_linestatus") == "F"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus", "l_quantity")
+    )
+
+
+@register(
+    "filter_nonzero_notnull",
+    oracle="""
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE value IS NOT NULL AND value <> 0.0
+    """,
+    tags=("filter",),
+    doc="F7 zero/NA drop before hashing (_linking_algorithm.py:117-120).",
+)
+def filter_nonzero_notnull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, "events", sf_dir)
+        .where(F.col("value").isNotNull() & (F.col("value") != 0.0))
+        .select("event_id", "user_id", "value")
+    )
+
+
+@register(
+    "semi_join_dim",
+    oracle="""
+    SELECT c_custkey, c_name, c_nationkey
+    FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey <= 1)
+    """,
+    tags=("filter", "join"),
+    doc="F6 technology semi-join filter (_procesador_i3.py:37-57) as a "
+    "broadcast left-semi join against the dim table.",
+)
+def semi_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).where(F.col("n_regionkey") <= 1)
+    return (
+        cust.join(
+            F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "left_semi"
+        ).select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+@register(
+    "anti_join_errors",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey NOT IN (
+        SELECT c_custkey FROM customer WHERE c_acctbal < 0
+    )
+    """,
+    tags=("filter", "join"),
+    doc="F10 error-sheet exclusion (_descargador_i90.py:306-337) as a "
+    "broadcast left-anti join against the error dim.",
+)
+def anti_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    bad = load_table(spark, "customer", sf_dir).where(F.col("c_acctbal") < 0)
+    return (
+        orders.join(
+            F.broadcast(bad), orders.o_custkey == bad.c_custkey, "left_anti"
+        ).select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "classify_when_otherwise",
+    oracle="""
+    SELECT event_id, event_type,
+           CASE WHEN event_type IN ('purchase', 'refund') THEN 'R1'
+                WHEN event_type IN ('click', 'view') THEN 'R5'
+                ELSE NULL END AS rtx
+    FROM events
+    WHERE CASE WHEN event_type IN ('purchase', 'refund') THEN 'R1'
+               WHEN event_type IN ('click', 'view') THEN 'R5'
+               ELSE NULL END IS NOT NULL
+    """,
+    tags=("filter", "project"),
+    doc="F9 curtailment RTx classifier: two-list when/otherwise then drop "
+    "unmatched (_procesador_curtailments.py:28-59).",
+)
+def classify_when_otherwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    rtx = (
+        F.when(F.col("event_type").isin("purchase", "refund"), F.lit("R1"))
+        .when(F.col("event_type").isin("click", "view"), F.lit("R5"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return (
+        ev.withColumn("rtx", rtx)
+        .where(F.col("rtx").isNotNull())
+        .select("event_id", "event_type", "rtx")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J1-J10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "broadcast_dim_join",
+    oracle="""
+    SELECT s_suppkey, s_name, n_name, r_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+    tags=("join",),
+    doc="J1 indicator→market mapping as broadcast hash equi-join to dim "
+    "(_procesador_esios.py:159-188).",
+)
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "tracking_set_diff",
+    oracle="""
+    WITH cur AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+    ), prev AS (
+        SELECT DISTINCT o_custkey FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_custkey AS entity_id, 'new' AS change FROM cur
+    WHERE o_custkey NOT IN (SELECT o_custkey FROM prev)
+    UNION ALL
+    SELECT o_custkey AS entity_id, 'obsolete' AS change FROM prev
+    WHERE o_custkey NOT IN (SELECT o_custkey FROM cur)
+    """,
+    tags=("join", "setops"),
+    doc="J8 tracking new/obsolete entity detection via left-anti joins in "
+    "both directions (tracking/UP_tracking.py:282-320).",
+)
+def tracking_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cutoff = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    cur = orders.where(F.col("o_orderdate") >= cutoff).select("o_custkey").distinct()
+    prev = orders.where(F.col("o_orderdate") < cutoff).select("o_custkey").distinct()
+    new = cur.join(prev, "o_custkey", "left_anti").withColumn("change", F.lit("new"))
+    obsolete = prev.join(cur, "o_custkey", "left_anti").withColumn(
+        "change", F.lit("obsolete")
+    )
+    return new.unionByName(obsolete).withColumnRenamed("o_custkey", "entity_id")
+
+
+# ---------------------------------------------------------------------------
+# Windows (W1-W4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_differencing",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           value - lag(value, 1, 0.0) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS delta
+    FROM events
+    """,
+    tags=("window",),
+    doc="W1/J4 intra-session cumulative→incremental differencing: "
+    "lag per entity ordered by session, missing previous → 0 "
+    "(_procesador_i90.py:504-553). Window shuffles once on the "
+    "partition key; no self-join needed.",
+)
+def session_differencing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        (F.col("value") - F.lag("value", 1, 0.0).over(w)).alias("delta"),
+    )
+
+
+@register(
+    "keep_last_dedup",
+    oracle="""
+    SELECT event_id, user_id, event_type, ts, value FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, event_type
+            ORDER BY ts DESC, event_id DESC
+        ) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("window", "dedup"),
+    doc="W3/A7 keyed keep-last dedup via row_number over explicit arrival "
+    "order (processed_file_utils.py:51-67) — Spark has no stable row "
+    "order, so the ordering column is explicit.",
+)
+def keep_last_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+
+
+@register(
+    "rolling_avg_24",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+                 / COUNT(value) OVER w, 6) AS rolling_avg
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN 23 PRECEDING AND CURRENT ROW
+    )
+    """,
+    tags=("window",),
+    doc="W4 24-row rolling average per entity "
+    "(natlanguage_duckdb_queries.py:246-252). Decimal-exact numerator "
+    "so the hash is shuffle-order independent.",
+)
+def rolling_avg_24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-23, W.currentRow)
+    )
+    rolling = F.round(
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+        / F.count("value").over(w),
+        6,
+    )
+    return ev.select("event_id", "user_id", "ts", rolling.alias("rolling_avg"))
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        ) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+    doc="Top-K per group (§2.6): row_number window, deterministic tie-break.",
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1-A10)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "group_agg_sum_first",
+    oracle=f"""
+    SELECT user_id, event_type,
+           {stable_sum_expr('value')} AS total_value,
+           COUNT(*) AS n_events,
+           MIN(ts) AS first_ts
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    tags=("aggregate",),
+    doc="A1/A2 grouped sum + first (OMIE volume agg _procesador_omie.py:699-724; "
+    "'first' expressed as deterministic MIN over the ordering column).",
+)
+def group_agg_sum_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy("user_id", "event_type").agg(
+        stable_sum("value", "total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+    )
+
+
+@register(
+    "dup_row_aggregation",
+    oracle=f"""
+    SELECT l_orderkey, l_partkey, l_suppkey,
+           {stable_sum_expr('l_quantity')} AS sum_qty,
+           {stable_avg_expr('l_extendedprice')} AS avg_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_orderkey, l_partkey, l_suppkey
+    """,
+    tags=("aggregate",),
+    doc="A6 intra-duplicate aggregation: group on id columns, energy→sum, "
+    "price→mean (_descargador_omie.py:417-443).",
+)
+def dup_row_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_orderkey", "l_partkey", "l_suppkey").agg(
+        stable_sum("l_quantity", "sum_qty"),
+        stable_avg("l_extendedprice", "avg_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "exact_row_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    tags=("dedup", "aggregate"),
+    doc="A8 exact dedup (raw_file_utils.py:28-49) — order-insensitive "
+    "projection dedup is plain DISTINCT.",
+)
+def exact_row_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "events", sf_dir).select("user_id", "event_type").distinct()
+
+
+@register(
+    "value_quality_stats",
+    oracle="""
+    WITH s AS (
+        SELECT ROUND(AVG(l_extendedprice), 4) AS mean_v,
+               ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_v
+        FROM lineitem
+    )
+    SELECT COUNT(*) AS n_rows,
+           ROUND(MIN(l_extendedprice), 2) AS min_v,
+           ROUND(MAX(l_extendedprice), 2) AS max_v,
+           (SELECT mean_v FROM s) AS mean_v,
+           (SELECT std_v FROM s) AS std_v,
+           COUNT(*) FILTER (WHERE l_extendedprice IS NULL) AS n_null,
+           COUNT(*) FILTER (WHERE l_extendedprice < 0) AS n_negative,
+           COUNT(*) FILTER (WHERE l_extendedprice = 0) AS n_zero,
+           COUNT(*) FILTER (
+               WHERE ABS(l_extendedprice - (SELECT mean_v FROM s))
+                     > 3 * (SELECT std_v FROM s)
+           ) AS n_outlier
+    FROM lineitem
+    """,
+    tags=("aggregate", "stats"),
+    doc="A9 price quality stats incl. 3σ outlier count "
+    "(_procesador_esios.py:37-83). Two-pass: tiny stats row broadcast "
+    "back over the fact scan.",
+)
+def value_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select(
+        F.col("l_extendedprice").alias("v")
+    )
+    stats = li.agg(
+        F.round(F.avg("v"), 4).alias("mean_v"),
+        F.round(F.stddev_samp("v"), 4).alias("std_v"),
+    )
+    joined = li.crossJoin(F.broadcast(stats))
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.min("v"), 2).alias("min_v"),
+        F.round(F.max("v"), 2).alias("max_v"),
+        F.first("mean_v").alias("mean_v"),
+        F.first("std_v").alias("std_v"),
+        F.count(F.when(F.col("v").isNull(), 1)).alias("n_null"),
+        F.count(F.when(F.col("v") < 0, 1)).alias("n_negative"),
+        F.count(F.when(F.col("v") == 0, 1)).alias("n_zero"),
+        F.count(
+            F.when(F.abs(F.col("v") - F.col("mean_v")) > 3 * F.col("std_v"), 1)
+        ).alias("n_outlier"),
+    )
+
+
+@register(
+    "cube_rollup_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {stable_sum_expr('l_quantity')} AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate",),
+    doc="CUBE grouping sets (§2.4 note: free via Spark SQL; the reference's "
+    "NL prompt suggests ROLLUP to DuckDB).",
+)
+def cube_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        stable_sum("l_quantity", "sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection / sign / set ops / reshaping (P*, C9, §2.6, §2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sign_multiplier",
+    oracle=f"""
+    SELECT l_linestatus,
+           {stable_sum_expr("CASE WHEN l_returnflag = 'R' THEN -l_quantity ELSE l_quantity END")}
+               AS net_qty
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("project", "aggregate"),
+    doc="C9 buy/sell sign multiplier (_procesador_omie.py:147-154): "
+    "conditional negation then net aggregation.",
+)
+def sign_multiplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    signed = F.when(F.col("l_returnflag") == "R", -F.col("l_quantity")).otherwise(
+        F.col("l_quantity")
+    )
+    return li.groupBy("l_linestatus").agg(stable_sum(signed, "net_qty"))
+
+
+@register(
+    "union_by_name",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, NULL AS o_orderpriority
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, NULL AS o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+    tags=("setops",),
+    doc="§2.6 unions: pd.concat → unionByName(allowMissingColumns=True) "
+    "(esios_transform.py:460).",
+)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    a = orders.where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = orders.where(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
+@register(
+    "unpivot_measures",
+    oracle=f"""
+    SELECT measure, {stable_sum_expr('val')} AS total
+    FROM (
+        SELECT 'quantity' AS measure, l_quantity AS val FROM lineitem
+        UNION ALL
+        SELECT 'extendedprice' AS measure, l_extendedprice AS val FROM lineitem
+    )
+    GROUP BY measure
+    """,
+    tags=("reshape",),
+    doc="§2.8 melt wide→long (I90 hour columns, _descargador_i90.py:260-266) "
+    "via native unpivot, then aggregate.",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).withColumn(
+        "measure",
+        F.when(F.col("measure") == "l_quantity", "quantity").otherwise("extendedprice"),
+    )
+    return long.groupBy("measure").agg(stable_sum("val", "total"))
+
+
+@register(
+    "pivot_status",
+    oracle=f"""
+    SELECT l_returnflag,
+           {stable_sum_expr("CASE WHEN l_linestatus = 'F' THEN l_quantity END")} AS qty_F,
+           {stable_sum_expr("CASE WHEN l_linestatus = 'O' THEN l_quantity END")} AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("reshape",),
+    doc="§2.8 pivot long→wide (inverse of the I90 melt): Spark pivot with "
+    "pinned value list (no extra distinct-scan at scale).",
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(stable_sum("l_quantity"))
+        .withColumnRenamed("F", "qty_F")
+        .withColumnRenamed("O", "qty_O")
+    )

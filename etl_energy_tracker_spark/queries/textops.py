@@ -1,0 +1,266 @@
+"""Text-analysis operator surface over the `documents` table —
+the beyond-reference training-data-pipeline operators (BASELINE.json
+north star): token counting, quality scoring, language-ID heuristic,
+document fingerprinting, and n-gram-Jaccard near-dup detection.
+
+All operators are pure column expressions (split/regexp/higher-order
+array functions) — no Python UDFs — so they run JVM-side and scale
+linearly with document count (no shuffle except where pairs are
+formed, which is shingle-bucketed, never a cross join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duckdb_charhash, spark_charhash
+from ..sources.registry import load_table
+from .catalog import register
+
+_STOPWORDS = "'the', 'a', 'and', 'of', 'to', 'in', 'is'"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           len(tokens) AS n_tokens,
+           length(text) AS n_chars,
+           ROUND(length(replace(text, ' ', '')) * 1.0 / len(tokens), 6)
+               AS avg_token_len,
+           ROUND(len(list_filter(tokens, x -> x IN ({_STOPWORDS}))) * 1.0
+                 / len(tokens), 6) AS stopword_ratio,
+           ROUND(length(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+                 / length(text), 6) AS digit_ratio
+    FROM t
+    """,
+    tags=("text",),
+    doc="Token counting + quality ratios (length/stopword/digit) — the "
+    "quality-scoring primitives for corpus filtering, whitespace "
+    "tokenizer variant.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tokens = F.split(F.trim("text"), r"\s+")
+    d = docs.withColumn("tokens", tokens)
+    n_tokens = F.size("tokens")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) * 1.0 / n_tokens, 6
+        ).alias("avg_token_len"),
+        F.round(
+            F.size(F.expr(f"filter(tokens, x -> x IN ({_STOPWORDS}))")) * 1.0 / n_tokens,
+            6,
+        ).alias("stopword_ratio"),
+        F.round(
+            F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")) * 1.0
+            / F.length("text"),
+            6,
+        ).alias("digit_ratio"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS tokens,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(
+             LEAST(len(tokens) / 100.0, 1.0) * 0.4
+             + LEAST(len(list_filter(tokens, x -> x IN ({_STOPWORDS}))) * 5.0
+                     / len(tokens), 1.0) * 0.4
+             + CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 0.2 ELSE 0.0 END,
+           6) AS quality_score
+    FROM t
+    """,
+    tags=("text",),
+    doc="Composite document quality score (length band + stopword density "
+    "+ token count) — standard pre-training corpus filter shape.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.withColumn("tokens", F.split(F.trim("text"), r"\s+"))
+    n_tokens = F.size("tokens")
+    stop_n = F.size(F.expr(f"filter(tokens, x -> x IN ({_STOPWORDS}))"))
+    n_chars = F.length("text")
+    score = F.round(
+        F.least(n_tokens / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_n * 5.0 / n_tokens, F.lit(1.0)) * 0.4
+        + F.when(n_chars.between(50, 5000), 0.2).otherwise(0.0),
+        6,
+    )
+    return d.select("doc_id", score.alias("quality_score"))
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    SELECT doc_id, lang AS lang_label,
+           CASE
+             WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+             WHEN length(regexp_replace(lower(text), '[^àâçéèêëîïôûùüÿœ]', '', 'g')) > 2 THEN 'fr'
+             WHEN length(regexp_replace(lower(text), '[^áéíóúñ¿¡]', '', 'g')) > 2 THEN 'es'
+             WHEN length(regexp_replace(lower(text), '[^äöüß]', '', 'g')) > 2 THEN 'de'
+             WHEN len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                      x -> x IN ('the', 'a', 'and', 'of', 'to', 'is'))) > 0 THEN 'en'
+             ELSE 'unknown'
+           END AS lang_pred
+    FROM documents
+    """,
+    tags=("text",),
+    doc="Language-ID heuristic: CJK/diacritic character classes then "
+    "English stopword evidence — the n-gram-heuristic family, as a "
+    "single codegen'd CASE expression.",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    low = F.lower(F.col("text"))
+    n_match = lambda cls: F.length(F.regexp_replace(low, f"[^{cls}]", ""))  # noqa: E731
+    stop_hits = F.size(
+        F.expr(
+            "filter(split(trim(lower(text)), '\\\\s+'),"
+            " x -> x IN ('the', 'a', 'and', 'of', 'to', 'is'))"
+        )
+    )
+    pred = (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(n_match("àâçéèêëîïôûùüÿœ") > 2, "fr")
+        .when(n_match("áéíóúñ¿¡") > 2, "es")
+        .when(n_match("äöüß") > 2, "de")
+        .when(stop_hits > 0, "en")
+        .otherwise("unknown")
+    )
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_label"), pred.alias("lang_pred")
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           {duckdb_charhash("lower(trim(text))")} AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "hash"),
+    doc="Document fingerprint: engine-portable polynomial rolling hash of "
+    "the normalized text (functions/hashing.py). Embarrassingly "
+    "parallel — no shuffle.",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id", F.expr(spark_charhash("lower(trim(text))")).alias("fingerprint")
+    )
+
+
+@register(
+    "exact_dedup_docs",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("text", "dedup"),
+    doc="Exact deduplication: hash-groupBy on content, deterministic "
+    "keeper (min doc_id). At 100 TB this is one shuffle on the 128-bit "
+    "content hash, never on the text itself.",
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.md5(F.col("text")).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(tokens) - 2, 0) + 1),
+                       i -> tokens[CAST(i AS INT)] || ' ' ||
+                            tokens[CAST(i AS INT) + 1] || ' ' ||
+                            tokens[CAST(i AS INT) + 2])) AS shingle
+            FROM (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+                FROM documents
+            )
+        )
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
+    """,
+    tags=("text", "dedup", "join"),
+    doc="n-gram (word-3-gram) Jaccard near-dup pairs: shingle → explode → "
+    "bucket-join on shingle → intersection counts → Jaccard ≥ 0.5. "
+    "The join is on the shingle key (shuffle-bounded by shingle "
+    "frequency), never an O(n²) cross join; at 100 TB the MinHash-LSH "
+    "variant bounds candidate pairs before the exact verify.",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tokens"))
+    shingles = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+                    "i -> concat(tokens[i-1], ' ', tokens[i], ' ', tokens[i+1]))"
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+    counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
+    cb = counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
+    jac = F.col("n_inter") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

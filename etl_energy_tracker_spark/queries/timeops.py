@@ -1,0 +1,281 @@
+"""Time-grid and parsing operator surface (SURVEY §2.7 scalar
+functions C1-C9 and §2.4 A3/A4 granularity conversions).
+
+The reference spends ~600 lines on Madrid DST time algebra
+(etl_date_utils.py). Here each kernel is a *native column
+expression* — regexp/arithmetic/timezone primitives that Catalyst
+codegens — demonstrated as an oracle-checked round trip on the
+testdata `events`/`orders` tables. The market-shaped end-to-end
+pipelines reuse the same expressions from ``timegrid.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.stable import stable_avg, stable_avg_expr, stable_sum, stable_sum_expr
+from ..sources.registry import load_table
+from .catalog import register
+
+
+@register(
+    "hourly_rollup",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS hour_ts,
+           event_type,
+           {stable_avg_expr('value')} AS avg_value,
+           {stable_sum_expr('value')} AS sum_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    tags=("time", "aggregate"),
+    doc="A3 15min→hourly rollup: truncate to hour, numeric→mean "
+    "(etl_date_utils.py:866-937).",
+)
+def hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_ts"), F.col("event_type")
+        ).agg(
+            stable_avg("value", "avg_value"),
+            stable_sum("value", "sum_value"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "expand_hourly_to_15min",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS hour_ts,
+               {stable_sum_expr('value')} AS hour_value
+        FROM events
+        GROUP BY date_trunc('hour', ts)
+    )
+    SELECT hour_ts + to_minutes(off) AS datetime_15min,
+           hour_value / 4 AS value_15min
+    FROM hourly
+    CROSS JOIN (VALUES (0), (15), (30), (45)) AS offsets(off)
+    """,
+    tags=("time", "reshape"),
+    doc="A4 hourly→15-min expansion: each hourly row ×4 with +0/15/30/45 "
+    "offsets, volumes ÷4 (etl_date_utils.py:826-863). explode() keeps it "
+    "fully distributed — no driver loop.",
+)
+def expand_hourly_to_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hour_ts")).agg(
+        stable_sum("value", "hour_value")
+    )
+    return (
+        hourly.withColumn("off", F.explode(F.array(F.lit(0), F.lit(15), F.lit(30), F.lit(45))))
+        .select(
+            F.expr("hour_ts + make_interval(0, 0, 0, 0, 0, off, 0)").alias(
+                "datetime_15min"
+            ),
+            (F.col("hour_value") / 4).alias("value_15min"),
+        )
+    )
+
+
+@register(
+    "parse_hour_range",
+    oracle=r"""
+    WITH synth AS (
+        SELECT event_id,
+               lpad(CAST(EXTRACT(hour FROM ts) AS VARCHAR), 2, '0')
+               || '-'
+               || lpad(CAST((EXTRACT(hour FROM ts) + 1) % 24 AS VARCHAR), 2, '0')
+               || CASE WHEN event_id % 7 = 0 THEN 'a'
+                       WHEN event_id % 11 = 0 THEN 'b'
+                       ELSE '' END AS hora
+        FROM events
+    )
+    SELECT event_id, hora,
+           CAST(regexp_extract(hora, '^(\d{1,2})', 1) AS INTEGER) AS hour_base,
+           regexp_extract(hora, '([ab])$', 1) AS dst_suffix
+    FROM synth
+    """,
+    tags=("time", "parse"),
+    doc="C2 hour-range + DST suffix parse: '02-03a'/'02-03b' → base hour + "
+    "ambiguity flag via regexp (etl_date_utils.py:241-296). Synthesised "
+    "round trip over events.",
+)
+def parse_hour_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hour = F.hour("ts")
+    hora = F.concat(
+        F.lpad(hour.cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(((hour + 1) % 24).cast("string"), 2, "0"),
+        F.when(F.col("event_id") % 7 == 0, F.lit("a"))
+        .when(F.col("event_id") % 11 == 0, F.lit("b"))
+        .otherwise(F.lit("")),
+    )
+    return ev.select("event_id", hora.alias("hora")).select(
+        "event_id",
+        "hora",
+        F.regexp_extract("hora", r"^(\d{1,2})", 1).cast("int").alias("hour_base"),
+        F.regexp_extract("hora", r"([ab])$", 1).alias("dst_suffix"),
+    )
+
+
+@register(
+    "parse_quarter_period",
+    oracle=r"""
+    WITH synth AS (
+        SELECT event_id,
+               'H' || CAST(EXTRACT(hour FROM ts) + 1 AS VARCHAR)
+               || 'Q' || CAST(CAST(EXTRACT(minute FROM ts) AS INTEGER) // 15 + 1 AS VARCHAR)
+                   AS periodo
+        FROM events
+    )
+    SELECT event_id, periodo,
+           (CAST(regexp_extract(periodo, 'H(\d+)Q(\d+)', 1) AS INTEGER) - 1) * 4
+             + CAST(regexp_extract(periodo, 'H(\d+)Q(\d+)', 2) AS INTEGER)
+               AS idx_15min
+    FROM synth
+    """,
+    tags=("time", "parse"),
+    doc="C4 OMIE 'HxQy' period → 15-min index (h-1)*4+q "
+    "(_procesador_omie.py:277-296).",
+)
+def parse_quarter_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    periodo = F.concat(
+        F.lit("H"),
+        (F.hour("ts") + 1).cast("string"),
+        F.lit("Q"),
+        (F.floor(F.minute("ts") / 15) + 1).cast("string"),
+    )
+    parsed = (
+        (F.regexp_extract("periodo", r"H(\d+)Q(\d+)", 1).cast("int") - 1) * 4
+        + F.regexp_extract("periodo", r"H(\d+)Q(\d+)", 2).cast("int")
+    )
+    return ev.select("event_id", periodo.alias("periodo")).select(
+        "event_id", "periodo", parsed.alias("idx_15min")
+    )
+
+
+@register(
+    "parse_european_decimal",
+    oracle="""
+    WITH synth AS (
+        SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS s
+        FROM orders
+    ), parts AS (
+        SELECT o_orderkey,
+               reverse(split_part(s, '.', 1)) AS rev,
+               split_part(s, '.', 2) AS frac
+        FROM synth
+    ), euro_t AS (
+        SELECT o_orderkey,
+               reverse(array_to_string(list_transform(
+                   range(1, CAST(ceil(length(rev) / 3.0) AS INT) + 1),
+                   i -> substr(rev, CAST((i-1)*3+1 AS INT), 3)), '.'))
+               || ',' || frac AS euro
+        FROM parts
+    )
+    SELECT o_orderkey, euro,
+           CAST(replace(replace(euro, '.', ''), ',', '.') AS DOUBLE) AS parsed
+    FROM euro_t
+    """,
+    tags=("parse",),
+    doc="C1 European decimal parse: '1.234,56' → 1234.56 via two "
+    "regexp-free replaces (_procesador_omie.py:112-123). The euro-format "
+    "input is synthesised from o_totalprice (reverse/chunk-3/join "
+    "thousands grouping) so the parse is a verified round trip.",
+)
+def parse_european_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    synth = orders.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string").alias("s"),
+    ).select(
+        "o_orderkey",
+        F.reverse(F.split_part(F.col("s"), F.lit("."), F.lit(1))).alias("rev"),
+        F.split_part(F.col("s"), F.lit("."), F.lit(2)).alias("frac"),
+    )
+    euro = F.concat(
+        F.reverse(
+            F.expr(
+                "concat_ws('.', transform("
+                "sequence(1, CAST(ceil(length(rev) / 3.0) AS INT)), "
+                "i -> substr(rev, CAST((i-1)*3+1 AS INT), 3)))"
+            )
+        ),
+        F.lit(","),
+        F.col("frac"),
+    )
+    return synth.select("o_orderkey", euro.alias("euro")).select(
+        "o_orderkey",
+        "euro",
+        F.replace(F.replace(F.col("euro"), F.lit("."), F.lit("")), F.lit(","), F.lit("."))
+        .cast("double")
+        .alias("parsed"),
+    )
+
+
+@register(
+    "parse_contract_code",
+    oracle="""
+    WITH synth AS (
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y%m%d') || ' '
+               || lpad(CAST(EXTRACT(hour FROM o_orderdate) + 1 AS VARCHAR), 2, '0')
+                   AS contrato
+        FROM orders
+    )
+    SELECT o_orderkey, contrato,
+           CAST(strptime(substr(contrato, 1, 8), '%Y%m%d') AS DATE) AS delivery_date,
+           CAST(substr(contrato, 10, 2) AS INTEGER) AS delivery_hour
+    FROM synth
+    """,
+    tags=("parse", "time"),
+    doc="C5 MIC contract parse: chars 1-8 = delivery date, 10-11 = hour "
+    "(_procesador_omie.py:258-273).",
+)
+def parse_contract_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    contrato = F.concat(
+        F.date_format("o_orderdate", "yyyyMMdd"),
+        F.lit(" "),
+        F.lpad((F.hour("o_orderdate") + 1).cast("string"), 2, "0"),
+    )
+    return orders.select("o_orderkey", contrato.alias("contrato")).select(
+        "o_orderkey",
+        "contrato",
+        F.to_date(F.substring("contrato", 1, 8), "yyyyMMdd").alias("delivery_date"),
+        F.substring("contrato", 10, 2).cast("int").alias("delivery_hour"),
+    )
+
+
+@register(
+    "madrid_local_to_utc",
+    oracle="""
+    SELECT event_id, ts AS local_ts,
+           make_timestamp(epoch_us(timezone('Europe/Madrid', ts))) AS utc_ts
+    FROM events
+    WHERE EXTRACT(hour FROM ts) NOT IN (2, 3)
+    """,
+    tags=("time",),
+    doc="C6 Europe/Madrid local→UTC conversion (etl_date_utils.py:579-822) "
+    "as a native to_utc_timestamp expression. Hours 2-3 excluded: DST "
+    "ambiguous/nonexistent local times are resolved by the explicit "
+    "transition-dim path in timegrid.py, not engine defaults.",
+)
+def madrid_local_to_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.where(~F.hour("ts").isin(2, 3))
+        .select(
+            "event_id",
+            F.col("ts").alias("local_ts"),
+            F.to_utc_timestamp(F.col("ts"), "Europe/Madrid").alias("utc_ts"),
+        )
+    )

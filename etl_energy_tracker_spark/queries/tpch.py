@@ -1,0 +1,173 @@
+"""Headline analytical queries (TPC-H-shaped) over the testdata star
+schema. These exercise the engine's core relational path: scan →
+pushdown filter → (broadcast) join → hash aggregate → order/limit.
+
+Scale notes (100 TB): every query here is expressed declaratively so
+Catalyst pushes filters/projections into the parquet scan; dimension
+joins (region/nation/supplier/customer at TPC-H proportions) are
+explicitly broadcast; fact-fact joins shuffle on the join key and
+benefit from AQE skew handling. No driver-side collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.stable import stable_avg, stable_avg_expr, stable_sum, stable_sum_expr
+from ..sources.registry import load_table
+from .catalog import register
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {stable_sum_expr('l_quantity')} AS sum_qty,
+           {stable_sum_expr('l_extendedprice')} AS sum_base_price,
+           {stable_sum_expr('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {stable_sum_expr('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {stable_avg_expr('l_quantity')} AS avg_qty,
+           {stable_avg_expr('l_extendedprice')} AS avg_price,
+           {stable_avg_expr('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("tpch", "aggregate"),
+    doc="TPC-H Q1 pricing summary: 2-key hash agg with 8 aggregates. SURVEY §2.4 A1/A2 analog.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            stable_sum("l_quantity", "sum_qty"),
+            stable_sum("l_extendedprice", "sum_base_price"),
+            stable_sum(disc_price, "sum_disc_price"),
+            stable_sum(charge, "sum_charge"),
+            stable_avg("l_quantity", "avg_qty"),
+            stable_avg("l_extendedprice", "avg_price"),
+            stable_avg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {stable_sum_expr('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    tags=("tpch", "join", "topk"),
+    doc="TPC-H Q3: fact-fact join + broadcast customer filter + top-10. SURVEY §2.3 J10 analog.",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).where(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # customer (dim-sized after segment filter) broadcasts; orders⋈lineitem
+    # is fact-fact and shuffles on orderkey — the scale-correct shape.
+    filtered_orders = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    return (
+        li.join(filtered_orders, li.l_orderkey == filtered_orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(stable_sum(disc_price, "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           {stable_sum_expr('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("tpch", "join"),
+    doc="TPC-H Q5: 6-way join with broadcast dims + agg. SURVEY §2.3 J1/J9 analog.",
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir).where(F.col("r_name") == "ASIA")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # nation/region are constant-size dims → always broadcast; orders/
+    # customer/supplier scale with SF → shuffle joins, with AQE free to
+    # demote to broadcast at small SF. Date filter on orders prunes the
+    # fact side before the big shuffle.
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(stable_sum(disc_price, "revenue"))
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {stable_sum_expr('l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "filter"),
+    doc="TPC-H Q6: pure pushdown-filter scan + scalar agg (tests predicate pushdown to parquet).",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(stable_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )

@@ -1,0 +1,124 @@
+"""Similarity search over the `embeddings` table (array<float>, 64-d).
+
+Brute-force cosine top-k is the exactness baseline: O(Q·N) dot
+products as pure higher-order column expressions (zip_with +
+aggregate), fully JVM-side, query side broadcast. The LSH-bucketed
+variant (operators/similarity.py) is the 100 TB scale path — bucket
+join instead of cross join; its recall is data-dependent so it gets a
+rows-only check, while the math kernel is oracle-verified here.
+
+Scores are rounded to 6 decimals on both engines before ranking so
+float fold-order ulps cannot flip the hash or the top-k cut; ties
+break on vec_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .catalog import register
+
+_N_QUERIES = 5
+_TOP_K = 10
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id, embedding AS cv
+        FROM embeddings WHERE vec_id >= {_N_QUERIES}
+    ),
+    scored AS (
+        SELECT query_id, vec_id,
+               ROUND(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(qv[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(cv[CAST(i AS INT)] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(qv[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(qv[CAST(i AS INT)] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(cv[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(cv[CAST(i AS INT)] AS DOUBLE))))),
+               6) AS cosine
+        FROM q CROSS JOIN c
+    )
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id
+        ) AS rn FROM scored
+    ) WHERE rn <= {_TOP_K}
+    """,
+    tags=("vector", "topk"),
+    doc="Brute-force cosine top-k: query set broadcast against the corpus, "
+    "zip_with/aggregate dot products, per-query row_number cut.",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.where(F.col("vec_id") >= _N_QUERIES).select(
+        "vec_id", F.col("embedding").alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                ),
+                6,
+            ),
+        )
+        .select("query_id", "vec_id", "cosine")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _TOP_K)
+        .select("query_id", "vec_id", "cosine")
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           ROUND(AVG(sqrt(list_sum(list_transform(range(1, 65),
+               i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                    * CAST(embedding[CAST(i AS INT)] AS DOUBLE))))), 4)
+               AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+    tags=("vector", "aggregate"),
+    doc="Per-label embedding L2-norm statistics — vector column health "
+    "check (aggregate over array<float> without exploding).",
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(norm), 4).alias("avg_norm"),
+    )

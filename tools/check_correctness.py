@@ -1,0 +1,132 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every catalog query on Spark and its oracle on DuckDB over the
+same parquet tables, then compares row count, column names, and an
+order-insensitive value hash (rows sorted, columns sorted by name,
+values normalized to strings).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+import time
+import traceback
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from etl_energy_tracker_spark.queries import catalog  # noqa: E402
+from etl_energy_tracker_spark.session import get_spark  # noqa: E402
+from etl_energy_tracker_spark.sources.registry import TABLES  # noqa: E402
+
+
+def _norm_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(round(v, 9))
+    if isinstance(v, bool):
+        return str(int(v))
+    # datetime/date → isoformat; Decimal → normalized float-ish
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if type(v).__name__ == "Decimal":
+        f = float(v)
+        return _norm_cell(f)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def frame_digest(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted(
+        "\x1f".join(_norm_cell(r[i]) for i in order) for r in rows
+    )
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    spark = get_spark("correctness-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    qs = catalog.queries()
+    oracles = catalog.oracle_sql()
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: SPARK ERROR")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        if name not in oracles:
+            status = "ROWS-ONLY"
+            ok = len(srows) >= 0
+            n_rows_only += 1
+            print(f"{status:9s} {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            rel = con.sql(oracles[name])
+            ocols = [c for c in rel.columns]
+            orows = rel.fetchall()
+        except Exception:
+            print(f"FAIL {name}: ORACLE ERROR")
+            traceback.print_exc()
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(orows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
+        if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
+            problems.append(f"columns spark={sorted(scols)} duckdb={sorted(ocols)}")
+        if not problems:
+            sh = frame_digest(scols, srows)
+            oh = frame_digest(ocols, orows)
+            if sh != oh:
+                problems.append(f"hash spark={sh} duckdb={oh}")
+                # show a few diffs
+                sset = {tuple(_norm_cell(v) for v in r) for r in srows}
+                oset = {tuple(_norm_cell(v) for v in r) for r in orows}
+                for r in list(sset - oset)[:3]:
+                    print(f"    spark-only: {r}")
+                for r in list(oset - sset)[:3]:
+                    print(f"    duck-only:  {r}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)}  ({time.time()-t0:.1f}s)")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(srows)} rows  ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass / {n_fail} fail / {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
