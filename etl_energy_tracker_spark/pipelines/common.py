@@ -1,0 +1,87 @@
+"""Shared pipeline steps (SURVEY §2.2): date-filter modes, zero/NA
+drops, and the mixed-granularity datetime standardization every source
+goes through. All are `df.transform(step)`-composable pure functions —
+the Spark analog of the reference's `pipeline = [(func, kwargs), ...]`
+loops (_procesador_esios.py:318-349)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import timegrid as tg
+
+
+def filter_date_mode(
+    df: DataFrame,
+    date_col: str,
+    mode: str,
+    start: str | None = None,
+    end: str | None = None,
+) -> DataFrame:
+    """F1 three-mode date filter (esios_transform.py:38-111):
+    'latest' = rows on the max date, 'single' = one date,
+    'multiple' = inclusive range. 'latest' is a broadcast join against
+    a 1-row agg — no global window, no driver round-trip."""
+    d = F.to_date(date_col)
+    if mode == "latest":
+        mx = df.agg(F.max(d).alias("_mx"))
+        return df.join(F.broadcast(mx), d == F.col("_mx")).drop("_mx")
+    if mode == "single":
+        if not start:
+            raise ValueError("single mode needs start")
+        return df.where(d == F.to_date(F.lit(start)))
+    if mode == "multiple":
+        if not (start and end):
+            raise ValueError("multiple mode needs start and end")
+        return df.where(d.between(F.to_date(F.lit(start)), F.to_date(F.lit(end))))
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def drop_zero_na(df: DataFrame, col: str) -> DataFrame:
+    """F7 (_descargador_i90.py:286-292)."""
+    return df.where(F.col(col).isNotNull() & (F.col(col) != 0))
+
+
+def drop_empty_rows(df: DataFrame, required: tuple[str, ...]) -> DataFrame:
+    """F8 (_procesador_omie.py:34-63): drop rows NaN in all required cols."""
+    return df.na.drop(how="all", subset=list(required))
+
+
+def standardize_datetime(
+    df: DataFrame,
+    dim: DataFrame,
+    fecha: str = "fecha",
+    hora: str = "hora",
+    granularity: str = "granularity",
+    value_col: str | None = None,
+    value_is_volume: bool = True,
+) -> DataFrame:
+    """Mixed-granularity (fecha, hora) → canonical 15-min UTC grid.
+
+    Rows tagged hourly ('Hora') parse as DST-suffixed hour labels and
+    expand ×4 (volumes ÷4, prices replicate — etl_date_utils.py:826-863);
+    rows tagged 15-min parse as 1-based quarter indices. Both paths are
+    one expression tree over a broadcast dim join; Catalyst handles the
+    split via `when`, no row-wise Python (the reference's fast/slow-path
+    trick at etl_date_utils.py:96-134 is unnecessary)."""
+    is_hourly = F.col(granularity) == "Hora"
+
+    hourly = df.where(is_hourly)
+    hourly = tg.with_utc_from_hourly(hourly, dim, fecha=fecha, hora=hora)
+    divide = (value_col,) if (value_col and value_is_volume) else ()
+    hourly = tg.expand_hourly_to_15min(hourly, divide_cols=divide)
+
+    quarter = df.where(~is_hourly)
+    quarter = tg.with_utc_from_quarter(
+        quarter, dim, fecha=fecha, quarter_idx=tg.parse_quarter_label(F.col(hora))
+    )
+    return hourly.unionByName(quarter)
+
+
+def parse_european_number(col: F.Column) -> F.Column:
+    """C1 (_procesador_omie.py:112-123): '1.234,56' → 1234.56."""
+    return (
+        F.replace(F.replace(col, F.lit("."), F.lit("")), F.lit(","), F.lit("."))
+        .cast("double")
+    )

@@ -1,0 +1,98 @@
+"""Dedup suite + similarity search operator tests on synthetic docs
+and vectors with planted near-duplicates."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import functions as F
+
+from etl_energy_tracker_spark.operators import dedup, similarity
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    near = base.replace("runs", "walks")  # 1-word change → high jaccard
+    other = "completely different content about spark engines and data lakes here"
+    rows = [(1, base), (2, base), (3, near), (4, other)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = dedup.exact_dedup(_docs(spark), "text", "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 3, 4]
+
+
+def test_keep_last(spark):
+    df = spark.createDataFrame(
+        [(1, "k", 10), (2, "k", 20), (3, "j", 5)], "id long, key string, seq int"
+    )
+    out = dedup.keep_last(df, ["key"], "seq")
+    assert sorted(r["id"] for r in out.collect()) == [2, 3]
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    out = dedup.minhash_dedup_pairs(_docs(spark), "doc_id", "text", threshold=0.5)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0  # near dup
+    assert not any(4 in p for p in pairs)  # unrelated doc never pairs
+
+
+def test_simhash(spark):
+    sh = dedup.with_simhash(_docs(spark), "text").collect()
+    vals = {r["doc_id"]: r["simhash"] for r in sh}
+    assert vals[1] == vals[2]  # identical docs → identical fingerprint
+    assert vals[1] != vals[4]
+    ham13 = bin(vals[1] ^ vals[3]).count("1")
+    ham14 = bin(vals[1] ^ vals[4]).count("1")
+    assert ham13 < ham14  # near dup closer than unrelated
+
+    pairs = dedup.simhash_near_pairs(_docs(spark), "doc_id", "text", max_hamming=ham13)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def _vectors(spark, n=50, dim=8, seed=7):
+    rnd = random.Random(seed)
+    rows = []
+    for i in range(n):
+        v = [rnd.gauss(0, 1) for _ in range(dim)]
+        rows.append((i, v))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_matches_python(spark):
+    df = _vectors(spark)
+    q = df.where(F.col("vec_id") < 2)
+    c = df.where(F.col("vec_id") >= 2)
+    out = similarity.brute_force_topk(q, c, "vec_id", "vec_id", k=5)
+    got = {(r["query_id"], r["corpus_id"]) for r in out.collect()}
+
+    data = {r["vec_id"]: r["embedding"] for r in df.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    for qid in (0, 1):
+        scored = sorted(
+            ((round(cos(data[qid], data[cid]), 6), cid) for cid in data if cid >= 2),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        assert {(qid, cid) for _, cid in scored} == {p for p in got if p[0] == qid}
+
+
+def test_lsh_topk_recall(spark):
+    df = _vectors(spark, n=100)
+    q = df.where(F.col("vec_id") < 3)
+    c = df.where(F.col("vec_id") >= 3)
+    exact = similarity.brute_force_topk(q, c, "vec_id", "vec_id", k=3)
+    approx = similarity.lsh_topk(q, c, "vec_id", "vec_id", k=3, n_planes=4)
+    e = {(r["query_id"], r["corpus_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["corpus_id"]) for r in approx.collect()}
+    # approximate search must return *some* of the true neighbors
+    assert len(e & a) >= len(e) // 3
+    # every returned neighbor shares the query's bucket by construction
+    assert all(p[0] in (0, 1, 2) for p in a)

@@ -1,0 +1,95 @@
+"""Lake upsert semantics (FIXTURES.md §4.4): same partition written
+twice with overlapping keys → keep-last wins; untouched partitions
+survive; reader prunes by date/market."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_energy_tracker_spark.lake import Lake
+
+
+def _precios(spark, rows):
+    return spark.createDataFrame(
+        rows, "datetime_utc timestamp, id_mercado int, precio double"
+    )
+
+
+@pytest.fixture()
+def lake(spark, tmp_path):
+    return Lake(spark, str(tmp_path / "lake"))
+
+
+T0 = dt.datetime(2024, 1, 15, 10)
+T1 = dt.datetime(2024, 1, 15, 11)
+T2 = dt.datetime(2024, 2, 2, 9)
+
+
+def test_upsert_keep_last(spark, lake):
+    lake.upsert_processed(_precios(spark, [(T0, 1, 50.0), (T1, 1, 60.0), (T2, 1, 70.0)]), "precios")
+    first = lake.read_processed("precios")
+    assert first.count() == 3
+
+    # re-ingest January with a corrected price for T0 — precios dedup
+    # key is (datetime_utc, id_mercado, precio), so a *changed* price is
+    # a new row (reference semantics: keys include the value column) and
+    # an identical row dedups to one.
+    lake.upsert_processed(_precios(spark, [(T0, 1, 50.0), (T1, 1, 61.0)]), "precios")
+    out = lake.read_processed("precios")
+    rows = {(r["datetime_utc"], r["precio"]) for r in out.collect()}
+    assert (T0, 50.0) in rows  # identical re-ingest deduped
+    assert (T1, 60.0) in rows and (T1, 61.0) in rows  # changed price adds a row
+    assert (T2, 70.0) in rows  # February untouched by January upsert
+    assert out.count() == 4
+
+
+def test_upsert_keep_last_on_keyed_dataset(spark, lake):
+    # volumenes_i90 keys include volumenes; a true keep-last case is an
+    # identical key row arriving twice — latest _ingest_seq wins and
+    # count stays 1.
+    df = spark.createDataFrame(
+        [(T0, "ABO3", 10.0, 1)],
+        "datetime_utc timestamp, up string, volumenes double, id_mercado int",
+    )
+    lake.upsert_processed(df, "volumenes_i90")
+    lake.upsert_processed(df, "volumenes_i90")
+    out = lake.read_processed("volumenes_i90")
+    assert out.count() == 1
+
+
+def test_mic_no_dedup(spark, lake):
+    df = spark.createDataFrame(
+        [(T0, "UOF1", 5.0, 45.1, 21, "2024-01-15")] * 2,
+        "datetime_utc timestamp, uof string, volumenes double, precio double, "
+        "id_mercado int, fecha_fichero string",
+    )
+    lake.upsert_processed(df, "volumenes_mic")
+    assert lake.read_processed("volumenes_mic").count() == 2
+
+
+def test_reader_prunes(spark, lake):
+    lake.upsert_processed(
+        _precios(spark, [(T0, 1, 50.0), (T2, 2, 70.0)]), "precios"
+    )
+    jan = lake.read_processed("precios", start="2024-01-01", end="2024-01-31 23:59:59")
+    assert jan.count() == 1
+    only2 = lake.read_processed("precios", mercado_ids=[2])
+    assert only2.count() == 1
+    cols = lake.read_processed("precios", columns=["datetime_utc", "precio"])
+    assert cols.columns == ["datetime_utc", "precio"]
+    # partition filters must reach the scan (pruning, not post-filter)
+    plan = jan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_raw_append_dedup(spark, lake):
+    df = spark.createDataFrame(
+        [("2024-01-15", "00-01", 10.0, 2024, 1)],
+        "fecha string, hora string, volumenes double, year int, month int",
+    )
+    lake.write_raw(df, "diario", "volumenes_i90")
+    lake.write_raw(df, "diario", "volumenes_i90")  # exact re-ingest dedups
+    assert lake.read_raw("diario", "volumenes_i90").count() == 1
