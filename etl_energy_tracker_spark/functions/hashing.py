@@ -27,7 +27,7 @@ def spark_charhash(expr: str, seed: int = 7) -> str:
     """Spark SQL string: polynomial hash of the string expression."""
     return (
         f"aggregate(transform(sequence(1, length({expr})), "
-        f"i -> ascii(substr({expr}, CAST(i AS INT), 1))), "
+        f"_ci -> ascii(substr({expr}, CAST(_ci AS INT), 1))), "
         f"CAST({seed} AS BIGINT), (acc, x) -> (acc*31 + x) % {MOD})"
     )
 
@@ -37,7 +37,7 @@ def duckdb_charhash(expr: str, seed: int = 7) -> str:
     return (
         f"list_reduce(list_prepend(CAST({seed} AS BIGINT), "
         f"list_transform(range(1, length({expr})+1), "
-        f"i -> CAST(ascii(substr({expr}, CAST(i AS INT), 1)) AS BIGINT))), "
+        f"_ci -> CAST(ascii(substr({expr}, CAST(_ci AS INT), 1)) AS BIGINT))), "
         f"(acc, x) -> (acc*31 + x) % {MOD})"
     )
 

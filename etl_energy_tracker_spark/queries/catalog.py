@@ -56,6 +56,8 @@ def _load_all() -> None:
     from . import textops  # noqa: F401
     from . import vectorops  # noqa: F401
     from . import linkingops  # noqa: F401
+    from . import dedupops  # noqa: F401
+    from . import streamops  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,139 @@
+"""Scale-path dedup operators as oracle-checked queries: MinHash+LSH
+near-dup pairs and SimHash fingerprints over `documents`.
+
+Both engines compute the *identical* signatures via the portable
+polynomial hash (functions/hashing.py), so even the approximate
+pipeline is bit-for-bit verifiable — LSH banding, est-Jaccard from
+signature agreement, and the exact-Jaccard verify on candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MOD, duckdb_charhash, perm_a, perm_b
+from ..operators import dedup
+from ..sources.registry import load_table
+from .catalog import register
+
+_K = 16
+_BANDS = 4
+_ROWS = _K // _BANDS
+
+_DUCK_SHINGLES = r"""
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(len(tokens) - 2, 0) + 1),
+               i -> array_to_string(tokens[CAST(i AS INT):CAST(i AS INT)+2], ' ')))
+               AS shingles
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tokens
+          FROM documents)
+"""
+
+_DUCK_HASH_S = duckdb_charhash("s")
+
+_DUCK_SIG = f"""
+    SELECT doc_id,
+           list_transform(range(0, {_K}), p ->
+               list_min(list_transform(shingles,
+                   s -> ((2*p+1) * ({_DUCK_HASH_S}) + (p+1)*7919) % {MOD})))
+               AS sig
+    FROM ({_DUCK_SHINGLES})
+    WHERE len(shingles) > 0
+"""
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    SELECT doc_id, array_to_string(sig, ',') AS signature
+    FROM ({_DUCK_SIG})
+    """,
+    tags=("dedup", "hash", "text"),
+    doc="MinHash signature build (k=16 permutations over word-3-gram "
+    "shingles): map-only array expressions, no shuffle; the 100 TB "
+    "dedup entry point.",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sh = dedup.with_shingles(docs.select("doc_id", "text"), "text")
+    sig = dedup.with_minhash_signature(
+        sh.where(F.size("shingles") > 0), k=_K
+    )
+    return sig.select(
+        "doc_id", F.concat_ws(",", F.col("signature").cast("array<string>")).alias("signature")
+    )
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH sig AS ({_DUCK_SIG}),
+    banded AS (
+        SELECT doc_id, sig, b,
+               array_to_string(sig[b*{_ROWS}+1 : b*{_ROWS}+{_ROWS}], ',') AS bhash
+        FROM sig, (SELECT unnest(range(0, {_BANDS})) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, o.doc_id AS id_b
+        FROM banded a JOIN banded o
+          ON a.b = o.b AND a.bhash = o.bhash AND a.doc_id < o.doc_id
+    ),
+    sh AS ({_DUCK_SHINGLES}),
+    verified AS (
+        SELECT id_a, id_b,
+               ROUND(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2]))
+                     / {_K}.0, 6) AS est_jaccard,
+               ROUND(len(list_intersect(ha.shingles, hb.shingles)) * 1.0 /
+                     len(list_distinct(list_concat(ha.shingles, hb.shingles))), 6)
+                   AS jaccard
+        FROM cand
+        JOIN sig sa ON sa.doc_id = id_a
+        JOIN sig sb ON sb.doc_id = id_b
+        JOIN sh ha ON ha.doc_id = id_a
+        JOIN sh hb ON hb.doc_id = id_b
+    )
+    SELECT id_a, id_b, est_jaccard, jaccard
+    FROM verified WHERE jaccard >= 0.5
+    """,
+    tags=("dedup", "hash", "join", "text"),
+    doc="Full MinHash-LSH near-dup pipeline: banded signature buckets "
+    "generate candidates (join bounded by bucket collisions, never "
+    "O(n²)), exact Jaccard verifies candidates only. The canonical "
+    "100 TB dedup shape.",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.5, k=_K, bands=_BANDS
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+@register(
+    "simhash_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           list_sum(list_transform(range(0, 32), b ->
+               CASE WHEN list_sum(list_transform(toks,
+                        tk -> (({duckdb_charhash("tk")}) // (1::BIGINT << CAST(b AS INT))) % 2 * 2 - 1)) > 0
+                    THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END))
+               AS simhash
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents)
+    """,
+    tags=("dedup", "hash", "text"),
+    doc="32-bit SimHash fingerprint (±1 bit votes per token hash) — "
+    "near-dups land within small Hamming distance; map-only.",
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return dedup.with_simhash(docs.select("doc_id", "text"), "text").select(
+        "doc_id", "simhash"
+    )

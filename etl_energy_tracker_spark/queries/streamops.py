@@ -1,0 +1,118 @@
+"""Streaming + sessionization + multimodal operator surface.
+
+`streaming_hourly_agg` actually drives a Structured Streaming query
+(watermark + tumbling window + memory sink) and returns its result —
+the oracle is the equivalent batch SQL, which must match exactly
+because the stream is driven to completion (Trigger-equivalent
+processAllAvailable) before the compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MOD
+from ..sources.multimodal import as_blob_table, extract_features
+from ..sources.registry import load_table
+from .catalog import register
+
+
+@register(
+    "streaming_hourly_agg",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS hour_ts,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    tags=("streaming", "time", "aggregate"),
+    doc="Structured Streaming tumbling-window aggregation (watermark + "
+    "1-hour window, complete mode) driven to completion — result is "
+    "batch-equivalent, so the batch SQL is its oracle. SURVEY §2.9: the "
+    "reference has no streams; this is the engine's incremental upgrade "
+    "of the daily batch.",
+)
+def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import hourly_event_agg_stream
+
+    return hourly_event_agg_stream(spark, sf_dir)
+
+
+@register(
+    "sessionization",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM gaps
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "window", "aggregate"),
+    doc="Sessionization (30-min inactivity gap): lag + cumulative-sum "
+    "windows — the batch formulation of session_window(ts, gap). One "
+    "shuffle on user_id covers both windows and the final aggregate.",
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-exact gap on both engines (unix_timestamp truncates)
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        gap.isNull() | (gap > 1_800_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    wcum = (
+        W.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn("session_id", F.sum("new_session").over(wcum))
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text) + 1),
+                   i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+               (acc, x) -> (acc + x) % {MOD}) AS checksum,
+           'text' AS modality,
+           FALSE AS decoded_ok
+    FROM documents
+    """,
+    tags=("multimodal",),
+    doc="Multimodal plumbing end-to-end: text wrapped as binary payload "
+    "+ typed metadata, features extracted via Arrow-batched mapInPandas "
+    "(byte length + additive checksum; decode kernel stubbed — no "
+    "codecs in this container). Payload bytes never shuffle; only the "
+    "extracted features move. Oracle works because the docs are ASCII "
+    "(byte values == code points).",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    blobs = as_blob_table(docs, "doc_id", "text")
+    return extract_features(blobs)

@@ -99,6 +99,81 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_N_PLANES = 8
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH planes AS (
+        SELECT p, d,
+               (list_reduce(list_prepend(CAST(7 AS BIGINT),
+                   list_transform(range(1, length('p' || p || 'd' || d) + 1),
+                       i -> CAST(ascii(substr('p' || p || 'd' || d, CAST(i AS INT), 1)) AS BIGINT))),
+                   (acc, x) -> (acc*31 + x) % 1000000007) % 2001) - 1000 AS w
+        FROM (SELECT unnest(range(0, {_N_PLANES})) AS p),
+             (SELECT unnest(range(0, 64)) AS d)
+    ),
+    proj AS (
+        SELECT vec_id, p,
+               SUM(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * w) AS s
+        FROM embeddings CROSS JOIN planes
+        GROUP BY vec_id, p
+    ),
+    buckets AS (
+        SELECT vec_id,
+               SUM(CASE WHEN s >= 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id
+    ),
+    q AS (
+        SELECT b.vec_id AS query_id, bucket, embedding AS qv
+        FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+        WHERE b.vec_id < {_N_QUERIES}
+    ),
+    c AS (
+        SELECT b.vec_id, bucket, embedding AS cv
+        FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+        WHERE b.vec_id >= {_N_QUERIES}
+    ),
+    scored AS (
+        SELECT query_id, c.vec_id,
+               ROUND(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(qv[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(cv[CAST(i AS INT)] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(qv[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(qv[CAST(i AS INT)] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(cv[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(cv[CAST(i AS INT)] AS DOUBLE))))),
+               6) AS cosine
+        FROM q JOIN c USING (bucket)
+    )
+    SELECT query_id, vec_id, cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, vec_id
+        ) AS rn FROM scored
+    ) WHERE rn <= {_TOP_K}
+    """,
+    tags=("vector", "topk", "hash"),
+    doc="LSH-bucketed approximate top-k — the 100 TB scale path: "
+    "deterministic hyperplanes from the portable hash (no RNG state to "
+    "broadcast), sign-pattern bucket join instead of a cross join, "
+    "exact cosine rescoring within buckets. Bit-for-bit oracle-checked "
+    "because the planes are engine-portable.",
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") < _N_QUERIES)
+    c = emb.where(F.col("vec_id") >= _N_QUERIES)
+    return lsh_topk(
+        q, c, "vec_id", "vec_id", k=_TOP_K, n_planes=_N_PLANES
+    ).withColumnRenamed("corpus_id", "vec_id")
+
+
 @register(
     "embedding_norm_stats",
     oracle="""
