@@ -40,6 +40,14 @@ HEADLINE = [
     "ngram_jaccard_pairs",
     "text_fingerprint",
     "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "minhash_lsh_pairs",
+    "simhash_fingerprint",
+    "streaming_hourly_agg",
+    "sessionization",
+    "asof_join_last_click",
+    "pipeline_esios_e2e",
+    "multimodal_features",
 ]
 
 

@@ -24,10 +24,14 @@ MOD = 1_000_000_007
 
 
 def spark_charhash(expr: str, seed: int = 7) -> str:
-    """Spark SQL string: polynomial hash of the string expression."""
+    """Spark SQL string: polynomial hash of the string expression.
+
+    Splits to a codepoint array once, then folds — O(n), vs the naive
+    per-position substr fold which is O(n²) on long strings (substr on
+    UTF-8 walks from the start every call). Verified byte-identical to
+    the DuckDB rendering including non-ASCII codepoints."""
     return (
-        f"aggregate(transform(sequence(1, length({expr})), "
-        f"_ci -> ascii(substr({expr}, CAST(_ci AS INT), 1))), "
+        f"aggregate(transform(split({expr}, ''), c -> ascii(c)), "
         f"CAST({seed} AS BIGINT), (acc, x) -> (acc*31 + x) % {MOD})"
     )
 
@@ -36,8 +40,8 @@ def duckdb_charhash(expr: str, seed: int = 7) -> str:
     """DuckDB SQL string computing the identical polynomial hash."""
     return (
         f"list_reduce(list_prepend(CAST({seed} AS BIGINT), "
-        f"list_transform(range(1, length({expr})+1), "
-        f"_ci -> CAST(ascii(substr({expr}, CAST(_ci AS INT), 1)) AS BIGINT))), "
+        f"list_transform(string_split({expr}, ''), "
+        f"c -> CAST(ascii(c) AS BIGINT))), "
         f"(acc, x) -> (acc*31 + x) % {MOD})"
     )
 

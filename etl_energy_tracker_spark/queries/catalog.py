@@ -58,6 +58,7 @@ def _load_all() -> None:
     from . import linkingops  # noqa: F401
     from . import dedupops  # noqa: F401
     from . import streamops  # noqa: F401
+    from . import parity  # noqa: F401
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

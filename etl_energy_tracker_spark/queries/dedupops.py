@@ -56,7 +56,9 @@ _DUCK_SIG = f"""
     "dedup entry point.",
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sh = dedup.with_shingles(docs.select("doc_id", "text"), "text")
     sig = dedup.with_minhash_signature(
         sh.where(F.size("shingles") > 0), k=_K
@@ -104,7 +106,9 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "100 TB dedup shape.",
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     pairs = dedup.minhash_dedup_pairs(
         docs, "doc_id", "text", threshold=0.5, k=_K, bands=_BANDS
     )
@@ -133,7 +137,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "near-dups land within small Hamming distance; map-only.",
 )
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return dedup.with_simhash(docs.select("doc_id", "text"), "text").select(
         "doc_id", "simhash"
     )

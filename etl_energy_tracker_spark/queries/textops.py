@@ -162,7 +162,11 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "parallel — no shuffle.",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    # small single-file input reads as one partition; spread the
+    # map-heavy fold across cores (at scale the input is already split)
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return docs.select(
         "doc_id", F.expr(spark_charhash("lower(trim(text))")).alias("fingerprint")
     )
