@@ -1,0 +1,123 @@
+"""Extract connectors (offline payload parsing), load facade status
+dicts, job entry points, readers, and the NL→SQL surface."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_energy_tracker_spark.extract import esios_source, i90_source, omie_source
+from etl_energy_tracker_spark.jobs import run_esios_precios_etl
+from etl_energy_tracker_spark.lake import Lake
+from etl_energy_tracker_spark.load.loader import DataLakeLoader
+from etl_energy_tracker_spark.read.nl2sql import NLQueryGenerator, build_system_prompt
+from etl_energy_tracker_spark.read.readers import PreciosReader, register_lake_tables
+
+
+def test_esios_parse_and_indicator_selection(spark):
+    payload = {
+        "indicator": {
+            "values": [
+                {"datetime_utc": "2024-01-15T10:00:00Z", "value": 42.5, "geo_name": "España"},
+                {"datetime_utc": "2024-01-15T10:15:00Z", "value": 43.0, "geo_name": "España"},
+            ]
+        }
+    }
+    df = esios_source.parse_indicator_payload(spark, payload, 600)
+    rows = df.collect()
+    assert len(rows) == 2
+    assert rows[0]["indicador_id"] == "600"
+    assert rows[0]["granularidad"] == "Quince minutos"
+    # regulatory switch: terciaria → 2197 after 2024-12-10
+    assert esios_source.select_indicator("Terciaria a subir", "2024-12-09") == 677
+    assert esios_source.select_indicator("Terciaria a subir", "2024-12-11") == 2197
+    assert esios_source.select_indicator("Diario", "2025-01-01") == 600
+    fetched = []
+
+    def fake_fetch(url, headers):
+        fetched.append(url)
+        return payload
+
+    out = esios_source.download_range(spark, fake_fetch, "Diario", "2024-01-15", "2024-01-16")
+    assert out.count() == 4 and len(fetched) == 2
+    assert "indicators/600" in fetched[0]
+
+
+def test_i90_melt(spark):
+    grid = [
+        ["I90DIA v1", None, None, None, None],
+        ["Unidad de Programación", "Sentido", "Total", "1", "2"],
+        ["ABO3", "Subir", "30", "10", "20"],
+        ["TERE", "Bajar", "5", "5", "0"],  # hour-2 zero drops at ingest
+    ]
+    out = i90_source.sheet_to_raw(spark, grid, "2024-01-15", "03")
+    rows = {(r["Unidad de Programación"], r["hora"]): r["volumenes"] for r in out.collect()}
+    assert rows == {("ABO3", "1"): 10.0, ("ABO3", "2"): 20.0, ("TERE", "1"): 5.0}
+    assert out.select("granularity").first()[0] == "Hora"
+    assert out.select("fecha").first()[0] == "2024-01-15"
+    # 96-column variant tags 15-min granularity
+    wide_header = ["Unidad de Programación", "Total"] + [str(i) for i in range(1, 97)]
+    wide_row = ["UPX", "96"] + ["1"] * 96
+    out96 = i90_source.sheet_to_raw(spark, [wide_header, wide_row], "2024-01-15", "03")
+    assert out96.select("granularity").first()[0] == "Quince minutos"
+    assert out96.count() == 96
+
+
+def test_omie_lines(spark):
+    lines = [
+        "Fecha;Hora;Unidad;Energía Compra/Venta;Ofertada (O)/Casada (C);Tipo Oferta",
+        "15/01/2024;11;UOF1;1.234,56;C;V",
+        "15/01/2024;11;UOF2;10,00;O;C",
+        "*EOF",
+    ]
+    df = omie_source.csv_lines_to_df(spark, lines, "PDBC_STOTA_20240115.2")
+    rows = df.collect()
+    assert len(rows) == 2
+    assert rows[0]["Fecha"] == "2024-01-15"
+    assert rows[0]["id_mercado"] == 3  # session 2 → Intra 2 → id 3
+    assert omie_source.session_from_filename("x_20240115") is None
+    assert omie_source.member_in_range("PDBC_20240115.1", "2024-01-01", "2024-01-31")
+    assert not omie_source.member_in_range("PDBC_20240215.1", "2024-01-01", "2024-01-31")
+
+
+def test_loader_status_and_job(spark, tmp_path):
+    lake = Lake(spark, str(tmp_path / "lake"))
+    raw = spark.createDataFrame(
+        [("2024-01-15T10:00:00Z", 42.0, "600", "España", "Hora"),
+         ("2024-01-16T10:00:00Z", 44.0, "600", "España", "Hora")],
+        "datetime_utc string, value double, indicador_id string, geo_name string, granularidad string",
+    )
+    status = run_esios_precios_etl(spark, lake, raw, mode="latest")
+    assert status["success"] is True
+    assert status["details"]["markets_processed"] == [0]
+    # latest mode kept only the 2024-01-16 rows (×4 expansion)
+    assert lake.read_processed("precios").count() == 4
+
+    # failure path: malformed frame yields success=False, not an exception
+    bad = spark.createDataFrame([(1,)], "x int")
+    st = DataLakeLoader(lake).load_transformed_data({7: bad}, "precios")
+    assert st["success"] is False and 7 in st["details"]["markets_failed"]
+
+    # readers + validation
+    pr = PreciosReader(lake)
+    assert pr.read(mercado_ids=[1]).count() == 4
+    with pytest.raises(ValueError):
+        pr.read(mercado_ids=[99])
+    assert "precios" in register_lake_tables(spark, lake)
+    assert spark.sql("SELECT count(*) FROM precios").first()[0] == 4
+
+
+def test_nl2sql_surface(spark):
+    prompt = build_system_prompt()
+    assert "precios" in prompt and "id 21: Intra Continuo" in prompt
+
+    gen = NLQueryGenerator(spark, llm=lambda p: "```sql\nSELECT 1 AS one;\n```")
+    assert gen.generate_sql("anything") == "SELECT 1 AS one"
+    assert gen.execute_query("anything").first()["one"] == 1
+
+    with pytest.raises(ValueError):
+        NLQueryGenerator.postprocess("DROP TABLE precios")
+    with pytest.raises(ValueError):
+        NLQueryGenerator.postprocess("SELECT 1; SELECT 2")
+    with pytest.raises(NotImplementedError):
+        NLQueryGenerator(spark).generate_sql("no llm configured")
