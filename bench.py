@@ -29,6 +29,9 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q18_large_volume_customers",
     "dup_row_aggregation",
     "keep_last_dedup",
     "session_differencing",

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..functions.hashing import MOD, spark_charhash
+from ..functions.hashing import MOD
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -57,25 +57,37 @@ def brute_force_topk(
     )
 
 
-def _plane_weight_expr(plane: int, dim_expr: str) -> str:
+def plane_weight(plane: int, dim: int) -> int:
     """Deterministic pseudo-random weight in [-1000, 1000] for
-    (plane, dimension) from the portable polynomial hash — every
-    executor derives the identical hyperplanes with no broadcast
-    state."""
-    h = spark_charhash(f"concat('p', {plane}, 'd', CAST({dim_expr} AS STRING))")
-    return f"(({h}) % 2001) - 1000"
+    (plane, dimension): the portable polynomial hash of 'p{plane}d{dim}'
+    — the DuckDB oracle derives the identical values with its SQL fold,
+    so the hyperplanes are engine-portable with no RNG state."""
+    acc = 7
+    for ch in f"p{plane}d{dim}":
+        acc = (acc * 31 + ord(ch)) % MOD
+    return (acc % 2001) - 1000
 
 
 def with_lsh_bucket(
-    df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, out: str = "bucket"
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    out: str = "bucket",
+    dim: int = 64,
 ) -> DataFrame:
-    """Sign pattern of n_planes hyperplane projections → bucket id."""
+    """Sign pattern of n_planes hyperplane projections → bucket id.
+
+    Plane weights are precomputed on the driver and embedded as array
+    literals (constant-folded into codegen) — re-deriving the hash per
+    row per dimension would cost ~n_planes·dim fold evaluations per
+    vector for values that never change."""
     terms = []
     for p in range(n_planes):
-        w = _plane_weight_expr(p, "i")
+        ws = ", ".join(f"{plane_weight(p, d)}.0D" for d in range(dim))
+        # slice to the vector's size so shorter embeddings zip cleanly
         proj = (
-            f"aggregate(zip_with({vec_col}, sequence(0, size({vec_col}) - 1), "
-            f"(x, i) -> CAST(x AS DOUBLE) * ({w})), 0.0D, (acc, v) -> acc + v)"
+            f"aggregate(zip_with({vec_col}, slice(array({ws}), 1, size({vec_col})), "
+            f"(x, w) -> CAST(x AS DOUBLE) * w), 0.0D, (acc, v) -> acc + v)"
         )
         terms.append(f"CASE WHEN ({proj}) >= 0 THEN shiftleft(1L, {p}) ELSE 0L END")
     bucket = " + ".join(terms)
