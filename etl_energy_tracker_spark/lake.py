@@ -201,3 +201,23 @@ class Lake:
             .option("compression", "zstd")
             .parquet(path)
         )
+
+
+def latest_raw_period(lake: Lake, mercado: str, dataset: str) -> tuple[int, int] | None:
+    """S6 raw folder discovery (raw_file_utils.py:316-419): the most
+    recent (year, month) present in the raw zone — from partition
+    values, no data scan."""
+    import pyspark.sql.functions as F
+
+    path = lake.raw_path(mercado, dataset)
+    if not lake._exists(path):
+        return None
+    row = (
+        lake.spark.read.parquet(path)
+        .select("year", "month")
+        .groupBy("year", "month")
+        .count()
+        .orderBy(F.desc("year"), F.desc("month"))
+        .first()
+    )
+    return (row["year"], row["month"]) if row else None

@@ -85,3 +85,24 @@ def parse_european_number(col: F.Column) -> F.Column:
         F.replace(F.replace(col, F.lit("."), F.lit("")), F.lit(","), F.lit("."))
         .cast("double")
     )
+
+
+# P4 rename normalization for upstream schema drift
+# (extract/omie_extractor.py:372-403: post-2025-03 OMIE renames
+# Periodo→Hora and Potencia→Energía Compra/Venta; _descargador_i90.py:547-550:
+# post-SRS I90 renames Participante del Mercado→Unidad de Programación).
+SCHEMA_DRIFT_RENAMES: dict[str, str] = {
+    "Periodo": "Hora",
+    "Potencia Compra/Venta": "Energía Compra/Venta",
+    "Participante del Mercado": "Unidad de Programación",
+}
+
+
+def normalize_schema_drift(df: DataFrame) -> DataFrame:
+    """Apply the known upstream renames so downstream pipelines see one
+    schema regardless of file vintage. Conditional: only renames when
+    the old name is present and the new one is not."""
+    for old, new in SCHEMA_DRIFT_RENAMES.items():
+        if old in df.columns and new not in df.columns:
+            df = df.withColumnRenamed(old, new)
+    return df
