@@ -61,22 +61,38 @@ def standardize_datetime(
 
     Rows tagged hourly ('Hora') parse as DST-suffixed hour labels and
     expand ×4 (volumes ÷4, prices replicate — etl_date_utils.py:826-863);
-    rows tagged 15-min parse as 1-based quarter indices. Both paths are
-    one expression tree over a broadcast dim join; Catalyst handles the
-    split via `when`, no row-wise Python (the reference's fast/slow-path
+    rows tagged 15-min parse as 1-based quarter indices.
+
+    Single-pass: one broadcast dim join, one conditional explode, one
+    expression tree — no filter-into-branches-and-union (that scans the
+    source twice), no row-wise Python (the reference's fast/slow-path
     trick at etl_date_utils.py:96-134 is unnecessary)."""
     is_hourly = F.col(granularity) == "Hora"
+    base_h, suffix = tg.parse_hour_label(F.col(hora))
 
-    hourly = df.where(is_hourly)
-    hourly = tg.with_utc_from_hourly(hourly, dim, fecha=fecha, hora=hora)
-    divide = (value_col,) if (value_col and value_is_volume) else ()
-    hourly = tg.expand_hourly_to_15min(hourly, divide_cols=divide)
-
-    quarter = df.where(~is_hourly)
-    quarter = tg.with_utc_from_quarter(
-        quarter, dim, fecha=fecha, quarter_idx=tg.parse_quarter_label(F.col(hora))
+    d = dim.select(F.col("fecha").alias("_dim_fecha"), "day_type", "day_start_offset")
+    joined = df.withColumn("_fecha_d", F.to_date(fecha)).join(
+        F.broadcast(d), F.col("_fecha_d") == F.col("_dim_fecha"), "left"
     )
-    return hourly.unionByName(quarter)
+
+    offs = F.when(
+        is_hourly, F.array(F.lit(0), F.lit(15), F.lit(30), F.lit(45))
+    ).otherwise(F.array(F.lit(0)))
+    elapsed_min = F.when(
+        is_hourly,
+        tg.elapsed_hours(F.col("day_type"), base_h, suffix) * 60 + F.col("_off"),
+    ).otherwise((tg.parse_quarter_label(F.col(hora)) - 1) * 15)
+    utc = F.to_timestamp(F.col("_fecha_d")) + F.make_interval(
+        mins=elapsed_min - F.col("day_start_offset") * 60
+    )
+
+    out = joined.withColumn("_off", F.explode(offs)).withColumn("datetime_utc", utc)
+    if value_col and value_is_volume:
+        out = out.withColumn(
+            value_col,
+            F.when(is_hourly, F.col(value_col) / 4).otherwise(F.col(value_col)),
+        )
+    return out.drop("_off", "_fecha_d", "_dim_fecha", "day_type", "day_start_offset")
 
 
 def parse_european_number(col: F.Column) -> F.Column:

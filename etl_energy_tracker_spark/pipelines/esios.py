@@ -42,12 +42,23 @@ def map_market_id(df: DataFrame, spark: SparkSession) -> DataFrame:
 def harmonize_granularity(df: DataFrame) -> DataFrame:
     """Hourly price rows expand ×4 onto the 15-min grid (prices
     replicate, never divide — _procesador_esios.py:190-231); native
-    15-min rows pass through."""
-    hourly = tg.expand_hourly_to_15min(
-        df.where(F.col("granularidad") == "Hora"), ts_col="datetime_utc"
+    15-min rows pass through.
+
+    Single-pass: a conditional offsets array + one explode, instead of
+    filtering into two branches and unioning (which scans the source
+    twice — the union formulation doubled this pipeline's input I/O)."""
+    offs = F.when(
+        F.col("granularidad") == "Hora",
+        F.array(F.lit(0), F.lit(15), F.lit(30), F.lit(45)),
+    ).otherwise(F.array(F.lit(0)))
+    return (
+        df.withColumn("_off", F.explode(offs))
+        .withColumn(
+            "datetime_utc",
+            F.col("datetime_utc") + F.make_interval(mins=F.col("_off")),
+        )
+        .drop("_off")
     )
-    quarter = df.where(F.col("granularidad") != "Hora")
-    return hourly.unionByName(quarter)
 
 
 def transform_price_data(spark: SparkSession, raw: DataFrame) -> DataFrame:
