@@ -287,3 +287,122 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
         .agg(stable_sum("l_quantity", "total_qty"))
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+    WITH avg_qty AS (
+        SELECT l_partkey AS pk, 0.5 * AVG(l_quantity) AS threshold
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {stable_sum_expr('l_extendedprice')} AS total_price,
+           COUNT(*) AS n_rows
+    FROM lineitem JOIN avg_qty ON l_partkey = pk
+    WHERE l_quantity < threshold
+    """,
+    tags=("tpch", "join", "subquery"),
+    doc="TPC-H Q17 shape (small-quantity orders): correlated scalar "
+    "subquery avg(l_quantity) per part, decorrelated into an aggregate "
+    "+ self-join — the plan Catalyst produces for the correlated form, "
+    "written explicitly.",
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    avg_qty = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (0.5 * F.avg("l_quantity")).alias("threshold")
+    )
+    return (
+        li.join(avg_qty, li.l_partkey == avg_qty.pk)
+        .where(F.col("l_quantity") < F.col("threshold"))
+        .agg(
+            stable_sum("l_extendedprice", "total_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle=f"""
+    WITH avg_bal AS (
+        SELECT AVG(c_acctbal) AS a FROM customer WHERE c_acctbal > 0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS n_custs,
+           {stable_sum_expr('c_acctbal')} AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT a FROM avg_bal)
+      AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY c_nationkey
+    """,
+    tags=("tpch", "join", "subquery"),
+    doc="TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS "
+    "(anti-join) + aggregate. The scalar subquery broadcasts a 1-row "
+    "result; the anti-join shuffles on custkey.",
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a"))
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("a"))
+        .join(
+            orders.where(
+                F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+            ).select("o_custkey"),
+            cust.c_custkey == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            stable_sum("c_acctbal", "total_bal"),
+        )
+    )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+        SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name,
+               MIN(s_acctbal) OVER (PARTITION BY p_partkey) AS min_bal
+        FROM part
+        JOIN supplier ON p_partkey % 10 = s_suppkey % 10
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_size <= 15
+    )
+    SELECT p_partkey, s_suppkey, s_name, ROUND(s_acctbal, 2) AS s_acctbal, n_name
+    FROM costs WHERE s_acctbal = min_bal
+    """,
+    tags=("tpch", "join", "subquery", "window"),
+    doc="TPC-H Q2 shape (min-cost supplier per part): the correlated "
+    "min() subquery as a window-min + equality filter — one pass, no "
+    "re-aggregation join. (partsupp doesn't exist in the testdata "
+    "star; the part↔supplier association is synthesised by key hash.)",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    part = load_table(spark, "part", sf_dir).where(F.col("p_size") <= 15)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    joined = (
+        part.join(supp, part.p_partkey % 10 == supp.s_suppkey % 10)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        joined.withColumn("min_bal", F.min("s_acctbal").over(w))
+        .where(F.col("s_acctbal") == F.col("min_bal"))
+        .select(
+            "p_partkey",
+            "s_suppkey",
+            "s_name",
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "n_name",
+        )
+    )
