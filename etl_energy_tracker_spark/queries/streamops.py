@@ -116,3 +116,25 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     blobs = as_blob_table(docs, "doc_id", "text")
     return extract_features(blobs)
+
+
+@register(
+    "stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("streaming", "stateful", "aggregate"),
+    doc="Custom stateful streaming operator (applyInPandasWithState): "
+    "per-user running totals in explicit GroupState, integer-cent "
+    "accumulation for exactness, driven to completion with "
+    "availableNow. Over a static source the final state equals the "
+    "batch aggregate — the oracle.",
+)
+def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import stateful_user_totals_stream
+
+    return stateful_user_totals_stream(spark, sf_dir)

@@ -101,3 +101,72 @@ def incremental_upsert_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running totals kept in explicit GroupState across
+    micro-batches (the applyInPandasWithState slot the reference's
+    batch-only design never needed — this is the engine's stateful
+    upgrade path for continuously-arriving market data).
+
+    Driven with availableNow + update-mode memory sink; over a static
+    source this is batch-equivalent, so the batch aggregate is its
+    oracle."""
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # decimal-exact accumulation: value has 2dp, sum in cents
+            total += int(round(pdf["value"].mul(100).sum()))
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [total / 100.0]}
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, sum_value double",
+        stateStructType="n long, total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stateful_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+    # update mode appends one row per (user, batch); keep the final state
+    from pyspark.sql import Window as W
+
+    res = spark.table(name)
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        res.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
