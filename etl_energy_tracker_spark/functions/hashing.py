@@ -30,8 +30,11 @@ def spark_charhash(expr: str, seed: int = 7) -> str:
     per-position substr fold which is O(n²) on long strings (substr on
     UTF-8 walks from the start every call). Verified byte-identical to
     the DuckDB rendering including non-ASCII codepoints."""
+    # filter out the '' element Spark's split produces for empty input,
+    # so hash('') == seed on every engine (found by hypothesis).
     return (
-        f"aggregate(transform(split({expr}, ''), c -> ascii(c)), "
+        f"aggregate(transform(filter(split({expr}, ''), c -> c <> ''), "
+        f"c -> ascii(c)), "
         f"CAST({seed} AS BIGINT), (acc, x) -> (acc*31 + x) % {MOD})"
     )
 
@@ -40,7 +43,7 @@ def duckdb_charhash(expr: str, seed: int = 7) -> str:
     """DuckDB SQL string computing the identical polynomial hash."""
     return (
         f"list_reduce(list_prepend(CAST({seed} AS BIGINT), "
-        f"list_transform(string_split({expr}, ''), "
+        f"list_transform(list_filter(string_split({expr}, ''), c -> c <> ''), "
         f"c -> CAST(ascii(c) AS BIGINT))), "
         f"(acc, x) -> (acc*31 + x) % {MOD})"
     )

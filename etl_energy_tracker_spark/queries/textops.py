@@ -268,3 +268,31 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "text_bpe_token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS n_bpe_tokens,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens
+    FROM documents
+    """,
+    tags=("text",),
+    doc="BPE-ish token counting: a GPT-2-style pre-tokenizer regex "
+    "(letter runs | single digits | punctuation runs) counted "
+    "alongside whitespace tokens — the cheap proxy for corpus token "
+    "budgeting; pure regexp, codegen'd.",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    bpe = F.size(
+        F.expr(
+            r"regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]+', 0)"
+        )
+    )
+    ws = F.size(F.split(F.trim("text"), r"\s+"))
+    return docs.select(
+        "doc_id", bpe.alias("n_bpe_tokens"), ws.alias("n_ws_tokens")
+    )

@@ -197,3 +197,74 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg(norm), 4).alias("avg_norm"),
     )
+
+
+@register(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+    WITH planes AS (
+        SELECT p, d,
+               (list_reduce(list_prepend(CAST(7 AS BIGINT),
+                   list_transform(string_split('p' || p || 'd' || d, ''),
+                       c -> CAST(ascii(c) AS BIGINT))),
+                   (acc, x) -> (acc*31 + x) % 1000000007) % 2001) - 1000 AS w
+        FROM (SELECT unnest(range(0, {_N_PLANES})) AS p),
+             (SELECT unnest(range(0, 64)) AS d)
+    ),
+    proj AS (
+        SELECT vec_id, p,
+               SUM(CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) * w) AS s
+        FROM embeddings CROSS JOIN planes
+        GROUP BY vec_id, p
+    ),
+    buckets AS (
+        SELECT vec_id,
+               SUM(CASE WHEN s >= 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id
+    ),
+    v AS (
+        SELECT b.vec_id, bucket, embedding AS ev
+        FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, o.vec_id AS id_b,
+               ROUND(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(a.ev[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(o.ev[CAST(i AS INT)] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(a.ev[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(a.ev[CAST(i AS INT)] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                     i -> CAST(o.ev[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(o.ev[CAST(i AS INT)] AS DOUBLE))))),
+               6) AS cosine
+        FROM v a JOIN v o ON a.bucket = o.bucket AND a.vec_id < o.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.45
+    """,
+    tags=("vector", "dedup", "hash"),
+    doc="Embedding-cosine near-dup detection — the vector-space member "
+    "of the dedup suite: LSH sign-pattern buckets bound the candidate "
+    "pairs (no O(n²) cross join), exact cosine ≥ threshold within "
+    "buckets. Deterministic hyperplanes make even this approximate "
+    "pipeline bit-for-bit oracle-checkable.",
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine, with_lsh_bucket
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").alias("ev")
+    )
+    b = with_lsh_bucket(emb, "ev", _N_PLANES)
+    a, o = b.alias("a"), b.alias("b")
+    pairs = a.join(
+        o,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"),
+        F.col("b.vec_id").alias("id_b"),
+        F.round(cosine(F.col("a.ev"), F.col("b.ev")), 6).alias("cosine"),
+    )
+    return pairs.where(F.col("cosine") >= 0.45)

@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis): the DST kernel against zoneinfo
+over arbitrary dates, European-decimal round trips, and three-way
+portable-hash parity (Python fold / Spark expr / DuckDB fold).
+
+Each example generates a *batch* of cases and runs one Spark job, so
+max_examples stays small while case coverage stays wide."""
+
+from __future__ import annotations
+
+import datetime as dt
+from zoneinfo import ZoneInfo
+
+import duckdb
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from etl_energy_tracker_spark import timegrid as tg
+from etl_energy_tracker_spark.functions.hashing import (
+    MOD,
+    duckdb_charhash,
+    spark_charhash,
+)
+from etl_energy_tracker_spark.pipelines.common import parse_european_number
+
+MAD = ZoneInfo("Europe/Madrid")
+UTC = ZoneInfo("UTC")
+
+dates = st.dates(min_value=dt.date(2001, 1, 1), max_value=dt.date(2034, 12, 31))
+
+
+def _expected_utc(d: dt.date, hour: int, suffix: str) -> dt.datetime:
+    """zoneinfo ground truth: fold=1 selects the second (post-fallback)
+    occurrence for the 'b' label."""
+    local = dt.datetime(d.year, d.month, d.day, hour, fold=1 if suffix == "b" else 0, tzinfo=MAD)
+    return local.astimezone(UTC).replace(tzinfo=None)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(st.tuples(dates, st.integers(0, 23)), min_size=1, max_size=40))
+def test_hourly_kernel_matches_zoneinfo(spark, cases):
+    trans = dict(tg.madrid_transitions(2000, 2035))
+    rows, expected = [], {}
+    for d, h in cases:
+        day_type = trans.get(d, tg.DAY_NORMAL)
+        if day_type == tg.DAY_SPRING_FWD and h == 2:
+            continue  # nonexistent local hour
+        suffixes = ("a", "b") if (day_type == tg.DAY_FALL_BACK and h == 2) else ("",)
+        for s in suffixes:
+            label = f"{h:02d}-{(h + 1) % 24:02d}{s}"
+            rows.append((d.isoformat(), label))
+            expected[(d.isoformat(), label)] = _expected_utc(d, h, s)
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "fecha string, hora string")
+    dim = tg.dst_dim(spark, 2000, 2035)
+    got = {
+        (r["fecha"], r["hora"]): r["datetime_utc"]
+        for r in tg.with_utc_from_hourly(df, dim).collect()
+    }
+    assert got == expected
+
+
+amounts = st.decimals(
+    min_value="0.01", max_value="99999999.99", places=2, allow_nan=False
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(amounts, min_size=1, max_size=50))
+def test_european_decimal_round_trip(spark, vals):
+    def euro(x) -> str:
+        intpart, frac = f"{x:.2f}".split(".")
+        grouped = ""
+        while len(intpart) > 3:
+            grouped = "." + intpart[-3:] + grouped
+            intpart = intpart[:-3]
+        return intpart + grouped + "," + frac
+
+    rows = [(i, euro(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i int, s string")
+    out = {
+        r["i"]: r["parsed"]
+        for r in df.select(
+            "i", parse_european_number(F.col("s")).alias("parsed")
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        assert out[i] == float(v), (vals[i], euro(v))
+
+
+texts = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x24F), max_size=60
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(texts, min_size=1, max_size=30))
+def test_charhash_three_way_parity(spark, strings):
+    def pyhash(s: str) -> int:
+        acc = 7
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % MOD
+        return acc
+
+    rows = [(i, s) for i, s in enumerate(strings)]
+    df = spark.createDataFrame(rows, "i int, s string")
+    got_spark = {
+        r["i"]: r["h"]
+        for r in df.select("i", F.expr(spark_charhash("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in rows:
+        expected = pyhash(s)
+        assert got_spark[i] == expected, (s,)
+        duck = con.sql(
+            f"SELECT {duckdb_charhash('?')}", params=[s]
+        ).fetchone()[0]
+        assert duck == expected, (s,)
