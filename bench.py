@@ -50,6 +50,9 @@ HEADLINE = [
     "sessionization",
     "asof_join_last_click",
     "pipeline_esios_e2e",
+    "pipeline_omie_e2e",
+    "stateful_user_totals",
+    "embedding_near_dup_pairs",
     "multimodal_features",
 ]
 

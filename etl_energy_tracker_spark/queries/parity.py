@@ -376,3 +376,150 @@ def zero_padded_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_size", F.lpad(F.col("p_size").cast("string"), 2, "0").alias("sheet_code")
     ).distinct()
+
+
+@register(
+    "pipeline_omie_e2e",
+    oracle="""
+    WITH raw AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS fecha,
+               EXTRACT(hour FROM ts) + 1 AS h,
+               'U' || CAST(user_id AS VARCHAR) AS unidad,
+               replace(CAST(CAST(value AS DECIMAL(12,2)) AS VARCHAR), '.', ',') AS energia,
+               CASE WHEN event_id % 11 = 0 THEN 'O' ELSE 'C' END AS casada,
+               CASE WHEN event_type = 'purchase' THEN 'C' ELSE 'V' END AS tipo,
+               1 AS id_mercado
+        FROM events
+    ),
+    parsed AS (
+        -- C1 + C9: euro parse, buys negate; F5: matched only
+        SELECT fecha, h, unidad, id_mercado,
+               CASE WHEN tipo = 'C' THEN -1 ELSE 1 END
+                 * CAST(replace(replace(energia, '.', ''), ',', '.') AS DOUBLE) AS vol
+        FROM raw WHERE casada = 'C'
+    ),
+    expanded AS (
+        -- 1-based hour index → elapsed (h-1); events are all January
+        -- (winter, day-start offset 1h); ×4 expansion ÷4
+        SELECT CAST(fecha AS TIMESTAMP)
+                 + to_minutes((h - 1) * 60 - 60 + off) AS datetime_utc,
+               unidad AS uof, vol / 4 AS vol, id_mercado
+        FROM parsed CROSS JOIN (VALUES (0), (15), (30), (45)) AS o(off)
+    )
+    SELECT datetime_utc, uof,
+           CAST(CAST(SUM(CAST(vol AS DECIMAL(38,6))) AS DOUBLE) AS FLOAT) AS volumenes,
+           CAST(id_mercado AS SMALLINT) AS id_mercado
+    FROM expanded
+    GROUP BY datetime_utc, uof, id_mercado
+    """,
+    tags=("pipeline", "parity"),
+    doc="The real OMIE pipeline (pipelines/omie.transform_volumenes: "
+    "matched filter → European decimal parse → buy/sell sign → 1-based "
+    "hour index through the DST kernel → ×4 expansion → duplicate "
+    "aggregation → schema validate) on events-derived raw rows; oracle "
+    "re-derives the semantics independently (offset pinned to the "
+    "events' winter month).",
+)
+def pipeline_omie_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import timegrid as tg
+    from ..pipelines import omie
+
+    ev = load_table(spark, "events", sf_dir)
+    raw = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("Fecha"),
+        (F.hour("ts") + 1).cast("string").alias("Hora"),
+        F.concat(F.lit("U"), F.col("user_id").cast("string")).alias("Unidad"),
+        F.replace(
+            F.col("value").cast("decimal(12,2)").cast("string"),
+            F.lit("."),
+            F.lit(","),
+        ).alias("Energía Compra/Venta"),
+        F.when(F.col("event_id") % 11 == 0, "O").otherwise("C").alias(
+            "Ofertada (O)/Casada (C)"
+        ),
+        F.when(F.col("event_type") == "purchase", "C").otherwise("V").alias(
+            "Tipo Oferta"
+        ),
+        F.lit(1).alias("id_mercado"),
+    )
+    dim = tg.dst_dim(spark, 2023, 2026)
+    out = omie.transform_volumenes(raw, dim)
+    # float sum in the pipeline is partition-order dependent; re-sum
+    # decimal-exact for the oracle compare (the lake stores float32)
+    return (
+        out.groupBy("datetime_utc", "uof", "id_mercado")
+        .agg(
+            F.sum(F.col("volumenes").cast("decimal(38,6)"))
+            .cast("double")
+            .cast("float")
+            .alias("volumenes")
+        )
+        .select("datetime_utc", "uof", "volumenes", "id_mercado")
+    )
+
+
+@register(
+    "pipeline_curtailments_e2e",
+    oracle="""
+    WITH raw AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS fecha,
+               EXTRACT(hour FROM ts) AS h,
+               'U' || CAST(user_id AS VARCHAR) AS up,
+               value AS volumenes,
+               CASE WHEN user_id % 2 = 0 THEN 'Bajar' ELSE 'Subir' END AS sentido,
+               CASE event_type WHEN 'purchase' THEN 'UPLPVPV'
+                    WHEN 'click' THEN 'Restricciones Técnicas'
+                    WHEN 'view' THEN 'ECO'
+                    WHEN 'signup' THEN 'UPLPVPCBN'
+                    ELSE 'Indisponibilidad' END AS redespacho
+        FROM events
+    ),
+    classified AS (
+        SELECT *, CASE WHEN redespacho IN ('UPLPVPV', 'UPLPVPCBN') THEN 'R1'
+                       WHEN redespacho = 'Restricciones Técnicas' THEN 'R5'
+                       ELSE NULL END AS rtx
+        FROM raw
+        WHERE sentido = 'Bajar' AND volumenes IS NOT NULL AND volumenes <> 0
+    )
+    SELECT CAST(fecha AS TIMESTAMP) + to_minutes(h * 60 - 60 + off) AS datetime_utc,
+           up, rtx AS RTx, redespacho AS tipo,
+           CAST(volumenes / 4 AS FLOAT) AS volumenes,
+           CAST(13 AS SMALLINT) AS id_mercado
+    FROM classified CROSS JOIN (VALUES (0), (15), (30), (45)) AS o(off)
+    WHERE rtx IS NOT NULL
+    """,
+    tags=("pipeline", "parity"),
+    doc="The real curtailment pipeline (pipelines/curtailments.transform: "
+    "Bajar prefilter → RTx classification from the redespacho lists → "
+    "DST standardization → ×4 expansion → id_mercado=13) on "
+    "events-derived raw rows; oracle re-derives independently (winter "
+    "offset pinned).",
+)
+def pipeline_curtailments_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .. import timegrid as tg
+    from ..pipelines import curtailments
+
+    ev = load_table(spark, "events", sf_dir)
+    hour = F.hour("ts")
+    raw = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("fecha"),
+        F.concat(
+            F.lpad(hour.cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad(((hour + 1) % 24).cast("string"), 2, "0"),
+        ).alias("hora"),
+        F.lit("Hora").alias("granularity"),
+        F.col("value").alias("volumenes"),
+        F.concat(F.lit("U"), F.col("user_id").cast("string")).alias(
+            "Unidad de Programación"
+        ),
+        F.when(F.col("user_id") % 2 == 0, "Bajar").otherwise("Subir").alias("Sentido"),
+        F.when(F.col("event_type") == "purchase", "UPLPVPV")
+        .when(F.col("event_type") == "click", "Restricciones Técnicas")
+        .when(F.col("event_type") == "view", "ECO")
+        .when(F.col("event_type") == "signup", "UPLPVPCBN")
+        .otherwise("Indisponibilidad")
+        .alias("Redespacho"),
+    )
+    dim = tg.dst_dim(spark, 2023, 2026)
+    return curtailments.transform(raw, dim)
