@@ -606,3 +606,71 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("F", "qty_F")
         .withColumnRenamed("O", "qty_O")
     )
+
+
+@register(
+    "ntile_quartiles",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ntile(4) OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice DESC, o_orderkey) AS quartile,
+           ROUND(percent_rank() OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice DESC, o_orderkey), 6) AS pct_rank
+    FROM orders
+    """,
+    tags=("window",),
+    doc="Distribution windows: ntile quartiles + percent_rank per "
+    "status, deterministic tie-breaks (§2.5 beyond-reference: the NL "
+    "surface advertises window functions).",
+)
+def ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = W.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+@register(
+    "sql_api_revenue_report",
+    oracle=f"""
+    SELECT n_name,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           {stable_sum_expr('o_totalprice')} AS monthly_revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name, CAST(date_trunc('month', o_orderdate) AS DATE)
+    """,
+    tags=("sql", "join", "aggregate"),
+    doc="The spark.sql surface: the same catalog contract served from a "
+    "pure SQL string over registered views (Catalyst produces the same "
+    "plan as the DataFrame API — this entry proves the SQL entry point "
+    "end-to-end, the path the NL→SQL generator executes through).",
+)
+def sql_api_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.registry import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                   AS monthly_revenue,
+               COUNT(*) AS n_orders
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name, CAST(date_trunc('month', o_orderdate) AS DATE)
+        """
+    )

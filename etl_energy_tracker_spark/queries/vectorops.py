@@ -251,12 +251,13 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline bit-for-bit oracle-checkable.",
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine, with_lsh_bucket
+    from ..operators.similarity import dot, with_lsh_bucket, with_norm
 
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", F.col("embedding").alias("ev")
     )
-    b = with_lsh_bucket(emb, "ev", _N_PLANES)
+    # norm precomputed per vector: pair scoring is one dot fold, not three
+    b = with_norm(with_lsh_bucket(emb, "ev", _N_PLANES), "ev", "n")
     a, o = b.alias("a"), b.alias("b")
     pairs = a.join(
         o,
@@ -265,6 +266,8 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.vec_id").alias("id_a"),
         F.col("b.vec_id").alias("id_b"),
-        F.round(cosine(F.col("a.ev"), F.col("b.ev")), 6).alias("cosine"),
+        F.round(
+            dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.n") * F.col("b.n")), 6
+        ).alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= 0.45)
