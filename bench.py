@@ -44,6 +44,7 @@ HEADLINE = [
     "text_fingerprint",
     "ann_cosine_topk",
     "ann_lsh_bucketed",
+    "ann_ivf_topk",
     "minhash_lsh_pairs",
     "simhash_fingerprint",
     "streaming_hourly_agg",

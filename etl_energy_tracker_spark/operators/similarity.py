@@ -147,3 +147,73 @@ def lsh_topk(
         .where(F.col("_rn") <= k)
         .select("query_id", "corpus_id", "cosine")
     )
+
+
+def with_ivf_cell(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_probe: int = 1,
+    out: str = "cell",
+) -> DataFrame:
+    """IVF cell assignment: nearest ``n_probe`` centroids by cosine.
+
+    ``centroids`` is the codebook (centroid_id, cv) — small, broadcast.
+    In a production IVF the codebook comes from k-means over a sample;
+    the operator is agnostic to how it was trained. Returns one row per
+    (input row, probed cell): n_probe=1 for indexing the corpus,
+    n_probe>1 for multi-probe query expansion."""
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "_sim",
+        F.round(
+            dot(F.col(vec_col), F.col("cv"))
+            / (
+                F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+                * F.sqrt(dot(F.col("cv"), F.col("cv")))
+            ),
+            6,
+        ),
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("_sim"), "centroid_id")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_probe)
+        .withColumn(out, F.col("centroid_id"))
+        .drop("cv", "_sim", "_rk", "centroid_id")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k: corpus indexed into cells (nearest
+    centroid), queries probe their n_probe nearest cells, exact cosine
+    rescoring within the probed cells only. Same bucket-then-rescore
+    shape as LSH, but with a data-derived codebook — better recall on
+    clustered corpora; needs the (cheap, sampled) training pass."""
+    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(corpus_id).alias("corpus_id"), F.col(vec_col).alias("ev"))
+    q_cells = with_ivf_cell(q, centroids, "qv", "query_id", n_probe=n_probe)
+    c_cells = with_norm(
+        with_ivf_cell(c, centroids, "ev", "corpus_id", n_probe=1), "ev", "cn"
+    )
+    q_cells = with_norm(q_cells, "qv", "qn")
+    scored = c_cells.join(F.broadcast(q_cells), "cell").withColumn(
+        "cosine",
+        F.round(dot(F.col("qv"), F.col("ev")) / (F.col("qn") * F.col("cn")), 6),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("query_id", "corpus_id", "cosine")
+        .dropDuplicates(["query_id", "corpus_id"])
+    )

@@ -271,3 +271,77 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cosine"),
     )
     return pairs.where(F.col("cosine") >= 0.45)
+
+
+_COS64 = """ROUND(
+    list_sum(list_transform(range(1, 65),
+        i -> CAST({a}[CAST(i AS INT)] AS DOUBLE) * CAST({b}[CAST(i AS INT)] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, 65),
+        i -> CAST({a}[CAST(i AS INT)] AS DOUBLE) * CAST({a}[CAST(i AS INT)] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, 65),
+        i -> CAST({b}[CAST(i AS INT)] AS DOUBLE) * CAST({b}[CAST(i AS INT)] AS DOUBLE))))),
+    6)"""
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cv
+        FROM embeddings WHERE vec_id >= 100 AND vec_id < 116
+    ),
+    corpus AS (
+        SELECT vec_id AS corpus_id, embedding AS ev
+        FROM embeddings WHERE vec_id >= {_N_QUERIES}
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    c_cells AS (
+        SELECT corpus_id, ev, centroid_id AS cell FROM (
+            SELECT corpus_id, ev, centroid_id,
+                   row_number() OVER (PARTITION BY corpus_id
+                       ORDER BY {_COS64.format(a='ev', b='cv')} DESC, centroid_id) AS rk
+            FROM corpus CROSS JOIN cent
+        ) WHERE rk = 1
+    ),
+    q_cells AS (
+        SELECT query_id, qv, centroid_id AS cell FROM (
+            SELECT query_id, qv, centroid_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_COS64.format(a='qv', b='cv')} DESC, centroid_id) AS rk
+            FROM queries CROSS JOIN cent
+        ) WHERE rk <= 2
+    ),
+    scored AS (
+        SELECT query_id, corpus_id,
+               {_COS64.format(a='qv', b='ev')} AS cosine
+        FROM q_cells JOIN c_cells USING (cell)
+    )
+    SELECT query_id, corpus_id AS vec_id, cosine FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, corpus_id
+        ) AS rn FROM scored
+    ) WHERE rn <= {_TOP_K}
+    """,
+    tags=("vector", "topk"),
+    doc="IVF approximate top-k — the codebook scale path beside LSH: "
+    "corpus indexed to its nearest centroid (codebook = a deterministic "
+    "16-vector subset standing in for a sampled k-means training pass), "
+    "queries multi-probe their 2 nearest cells, exact cosine rescoring "
+    "within probed cells. Bucket-then-rescore with a data-derived "
+    "partition — oracle-checked end to end.",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cent = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 116)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    q = emb.where(F.col("vec_id") < _N_QUERIES)
+    c = emb.where(F.col("vec_id") >= _N_QUERIES)
+    return ivf_topk(q, c, cent, "vec_id", "vec_id", k=_TOP_K, n_probe=2).withColumnRenamed(
+        "corpus_id", "vec_id"
+    )

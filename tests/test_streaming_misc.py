@@ -70,3 +70,61 @@ def test_latest_raw_period(spark, tmp_path):
     )
     lake.write_raw(df, "diario", "volumenes_i90")
     assert latest_raw_period(lake, "diario", "volumenes_i90") == (2024, 3)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a watermark: a second micro-batch
+    carrying an event far behind the advanced watermark is excluded
+    from its (already finalized) window."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "stream_src")
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    schema = "ts timestamp, v double"
+    # batch 1: events at 10:00 and 13:00 → watermark advances to 12:50
+    spark.createDataFrame([(base, 1.0), (base + dt.timedelta(hours=3), 1.0)], schema)\
+        .coalesce(1).write.mode("append").parquet(src)
+
+    name = f"wm_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("w"), "n")
+    )
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+        # batch 2: one on-time event (14:00) and one LATE event back at
+        # 10:30 — behind the 12:50 watermark, must be dropped
+        spark.createDataFrame(
+            [(base + dt.timedelta(hours=4), 1.0), (base + dt.timedelta(minutes=30), 1.0)],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {r["w"]: r["n"] for r in spark.table(name).collect()}
+    # the 10:00 window was finalized with n=1; the late 10:30 event never
+    # re-opened it (no second emission for that window in append mode)
+    assert rows.get(base) == 1
+    assert sum(n for w, n in rows.items() if w == base) == 1
+
+
+def test_validate_strict_nulls(spark):
+    import pytest as _pytest
+
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame(
+        [(None, 1, 50.0)], "datetime_utc timestamp, id_mercado int, precio double"
+    )
+    ok = validate(df, "precios")  # lazy, no guard → nulls pass through
+    assert ok.count() == 1
+    guarded = validate(df, "precios", strict_nulls=("datetime_utc",))
+    with _pytest.raises(Exception) as e:
+        guarded.collect()
+    assert "null in required column datetime_utc" in str(e.value)
