@@ -82,3 +82,49 @@ def run_curtailment_etl(
         )
     except Exception as e:  # noqa: BLE001
         return {"success": False, "details": {"error": f"{type(e).__name__}: {e}"}}
+
+
+def run_omie_volumenes_etl(
+    spark: SparkSession,
+    lake: Lake,
+    raw: DataFrame,
+    mode: str = "latest",
+    start: str | None = None,
+    end: str | None = None,
+) -> dict:
+    from .pipelines import omie as omie_pipeline
+    from .pipelines.common import normalize_schema_drift
+
+    try:
+        dim = tg.dst_dim(spark)
+        filtered = filter_date_mode(
+            normalize_schema_drift(raw), "Fecha", mode, start, end
+        )
+        processed = omie_pipeline.transform_volumenes(filtered, dim)
+        return DataLakeLoader(lake).load_transformed_data(
+            {0: processed}, "volumenes_omie"
+        )
+    except Exception as e:  # noqa: BLE001
+        return {"success": False, "details": {"error": f"{type(e).__name__}: {e}"}}
+
+
+def run_i3_volumenes_etl(
+    spark: SparkSession,
+    lake: Lake,
+    raw: DataFrame,
+    market_id: int | None = None,
+    mode: str = "latest",
+    start: str | None = None,
+    end: str | None = None,
+) -> dict:
+    from .pipelines import i3 as i3_pipeline
+
+    try:
+        dim = tg.dst_dim(spark)
+        filtered = filter_date_mode(raw, "fecha", mode, start, end)
+        processed = i3_pipeline.transform_volumenes(spark, filtered, dim, market_id)
+        return DataLakeLoader(lake).load_transformed_data(
+            {market_id or 0: processed}, "volumenes_i3"
+        )
+    except Exception as e:  # noqa: BLE001
+        return {"success": False, "details": {"error": f"{type(e).__name__}: {e}"}}

@@ -221,3 +221,31 @@ def latest_raw_period(lake: Lake, mercado: str, dataset: str) -> tuple[int, int]
         .first()
     )
     return (row["year"], row["month"]) if row else None
+
+
+def compact_processed(lake: Lake, dataset: str, target_files_per_partition: int = 1) -> int:
+    """Small-file compaction for the processed zone.
+
+    Daily upserts leave one file batch per run in each touched
+    partition; over months a (mercado, id, year, month) leaf
+    accumulates many small files, degrading scan parallelism math and
+    footer-read overhead at scale. Compaction rewrites each leaf to
+    ``target_files_per_partition`` time-sorted files via the same
+    dynamic-overwrite path the upsert uses. Returns the number of rows
+    rewritten. Run it as a low-priority maintenance job — the rewrite
+    touches every partition, so schedule off-peak (at 100 TB: compact
+    only leaves whose file count exceeds a threshold)."""
+    import pyspark.sql.functions as F
+
+    path = lake.processed_path(dataset)
+    df = lake.spark.read.parquet(path)
+    n = df.count()
+    compacted = (
+        df.repartition(
+            target_files_per_partition, "mercado", "id_mercado", "year", "month"
+        )
+        .sortWithinPartitions("datetime_utc")
+        .localCheckpoint(eager=True)  # sever the self-read before overwrite
+    )
+    lake._dyn_overwrite(compacted, path, ["mercado", "id_mercado", "year", "month"])
+    return n

@@ -473,3 +473,65 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return j.where(pred).agg(stable_sum(disc_price, "revenue"))
+
+
+@register(
+    "q21_waiting_orders",
+    oracle="""
+    WITH li AS (
+        SELECT l_orderkey, l_suppkey,
+               l_shipdate > o_orderdate + INTERVAL 60 DAY AS is_late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM li l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE l1.is_late
+      AND EXISTS (SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.is_late)
+    GROUP BY s_name
+    """,
+    tags=("tpch", "join", "subquery", "window"),
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): the "
+    "EXISTS / NOT-EXISTS pair decorrelated into per-order window "
+    "counts (distinct suppliers, distinct late suppliers) — one "
+    "shuffle on orderkey replaces two correlated self-joins. Oracle "
+    "keeps the EXISTS formulation, so two independent shapes must "
+    "agree. Lateness = shipped >60 days after order date (no "
+    "commit/receipt dates in this star).",
+)
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, "lineitem", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).where(F.col("o_orderstatus") == "F")
+    supp = load_table(spark, "supplier", sf_dir)
+    base = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")).alias(
+            "is_late"
+        ),
+    )
+    w = W.partitionBy("l_orderkey")
+    flagged = base.withColumn(
+        "n_supps", F.size(F.collect_set("l_suppkey").over(w))
+    ).withColumn(
+        "n_late_supps",
+        F.size(
+            F.collect_set(F.when(F.col("is_late"), F.col("l_suppkey"))).over(w)
+        ),
+    )
+    culprits = flagged.where(
+        F.col("is_late") & (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)
+    )
+    return (
+        culprits.join(F.broadcast(supp), culprits.l_suppkey == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

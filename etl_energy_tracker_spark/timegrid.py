@@ -221,3 +221,50 @@ def rollup_15min_to_hourly(
         df.groupBy(F.date_trunc("hour", ts_col).alias(ts_col), *group_cols)
         .agg(*aggs)
     )
+
+
+def with_local_labels(
+    df: DataFrame,
+    dim: DataFrame,
+    ts_col: str = "datetime_utc",
+) -> DataFrame:
+    """Inverse kernel: UTC instant → Madrid local (fecha, hourly label
+    with DST suffix, 1-based quarter index) — what a writer producing
+    reference-shaped raw files needs (the exact inverse of
+    with_utc_from_hourly / with_utc_from_quarter).
+
+    Fall-back days label the repeated local hour 2 as '02-03a' (first
+    occurrence, CEST) or '02-03b' (second, CET), disambiguated by the
+    UTC hour; all other labels follow directly from the local wall
+    clock. The quarter index is elapsed time since local midnight."""
+    local = F.from_utc_timestamp(F.col(ts_col), "Europe/Madrid")
+    d = dim.select(
+        F.col("fecha").alias("_dim_fecha"), "day_type", "day_start_offset"
+    )
+    out = df.withColumn("_local", local).withColumn(
+        "fecha", F.to_date("_local")
+    ).join(F.broadcast(d), F.col("fecha") == F.col("_dim_fecha"), "left")
+
+    h = F.hour("_local")
+    ambiguous = (F.col("day_type") == DAY_FALL_BACK) & (h == 2)
+    suffix = F.when(
+        ambiguous, F.when(F.hour(ts_col) == 0, F.lit("a")).otherwise(F.lit("b"))
+    ).otherwise(F.lit(""))
+    hora = F.concat(
+        F.lpad(h.cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(((h + 1) % 24).cast("string"), 2, "0"),
+        suffix,
+    )
+    local_midnight_utc = F.to_timestamp(F.col("fecha")) - F.make_interval(
+        hours=F.col("day_start_offset")
+    )
+    quarter_idx = (
+        (F.unix_micros(F.col(ts_col)) - F.unix_micros(local_midnight_utc))
+        / 900_000_000
+    ).cast("int") + 1
+    return (
+        out.withColumn("hora", hora)
+        .withColumn("quarter_idx", quarter_idx)
+        .drop("_local", "_dim_fecha", "day_type", "day_start_offset")
+    )

@@ -93,3 +93,41 @@ def test_raw_append_dedup(spark, lake):
     lake.write_raw(df, "diario", "volumenes_i90")
     lake.write_raw(df, "diario", "volumenes_i90")  # exact re-ingest dedups
     assert lake.read_raw("diario", "volumenes_i90").count() == 1
+
+
+def test_compaction(spark, lake):
+    from etl_energy_tracker_spark.lake import compact_processed
+
+    # three upserts → three file batches in the January partition
+    for precio in (50.0, 51.0, 52.0):
+        lake.upsert_processed(_precios(spark, [(T0, 1, precio)]), "precios")
+    before = lake.read_processed("precios").count()
+    n = compact_processed(lake, "precios")
+    assert n == before
+    after = lake.read_processed("precios")
+    assert after.count() == before
+    assert {r["precio"] for r in after.collect()} == {50.0, 51.0, 52.0}
+
+
+def test_omie_i3_jobs(spark, tmp_path):
+    import etl_energy_tracker_spark.jobs as jobs
+    from etl_energy_tracker_spark.lake import Lake
+
+    lake = Lake(spark, str(tmp_path / "lake2"))
+    raw_omie = spark.createDataFrame(
+        [("2024-01-15", "11", "UOF1", "100,00", "C", "V", 1)],
+        "Fecha string, Hora string, Unidad string, `Energía Compra/Venta` string, "
+        "`Ofertada (O)/Casada (C)` string, `Tipo Oferta` string, id_mercado int",
+    )
+    st = jobs.run_omie_volumenes_etl(spark, lake, raw_omie, mode="latest")
+    assert st["success"], st
+    assert lake.read_processed("volumenes_omie").count() == 4
+
+    raw_i3 = spark.createDataFrame(
+        [("2024-01-15", "41", "Quince minutos", 12.0, "Eólica", "PHF-2")],
+        "fecha string, hora string, granularity string, volumenes double, "
+        "Concepto string, Programa string",
+    )
+    st = jobs.run_i3_volumenes_etl(spark, lake, raw_i3, mode="latest")
+    assert st["success"], st
+    assert lake.read_processed("volumenes_i3").count() == 1

@@ -162,3 +162,41 @@ def test_round_trip_expand_rollup(spark, dim):
     a = {r["datetime_utc"]: r["precio"] for r in hourly.collect()}
     b = {r["datetime_utc"]: r["precio"] for r in back.collect()}
     assert a == b and len(a) == 6
+
+
+def test_inverse_labels_round_trip(spark, dim):
+    """UTC → local labels → UTC must be the identity across normal and
+    both DST days, for every hour and quarter of each day."""
+    days = ["2024-01-15", "2024-07-15", "2024-03-31", "2024-10-27"]
+    lengths = {"2024-01-15": 24, "2024-07-15": 24, "2024-03-31": 23, "2024-10-27": 25}
+    rows = []
+    for f in days:
+        d = dt.date.fromisoformat(f)
+        # local midnight UTC then every 15 min of the local day
+        start = dt.datetime(d.year, d.month, d.day, 0, tzinfo=MAD).astimezone(UTC).replace(tzinfo=None)
+        for q in range(lengths[f] * 4):
+            rows.append((start + dt.timedelta(minutes=15 * q),))
+    df = spark.createDataFrame(rows, "datetime_utc timestamp")
+    labeled = tg.with_local_labels(df, dim)
+
+    # quarter round trip
+    back_q = tg.with_utc_from_quarter(
+        labeled.select("datetime_utc", "fecha", "quarter_idx"),
+        dim,
+        fecha="fecha",
+        quarter_idx=F.col("quarter_idx"),
+        out="utc_back",
+    )
+    mismatch = back_q.where(F.col("utc_back") != F.col("datetime_utc")).count()
+    assert mismatch == 0
+
+    # hourly round trip on the on-the-hour rows
+    hourly = labeled.where(F.minute("datetime_utc").isin(0) & (F.minute(F.from_utc_timestamp("datetime_utc", "Europe/Madrid")) == 0))
+    back_h = tg.with_utc_from_hourly(
+        hourly.select("datetime_utc", "fecha", "hora"), dim, out="utc_back"
+    )
+    assert back_h.where(F.col("utc_back") != F.col("datetime_utc")).count() == 0
+
+    # the fall-back day carries both suffix labels
+    labels = {r["hora"] for r in labeled.where(F.col("fecha") == dt.date(2024, 10, 27)).collect()}
+    assert "02-03a" in labels and "02-03b" in labels
