@@ -1,3 +1,11 @@
-from . import dedup, linking, similarity, tracking  # noqa: F401
+from . import bucketing, dedup, linking, merge, similarity, skew, tracking  # noqa: F401
 
-__all__ = ["dedup", "linking", "similarity", "tracking"]
+__all__ = [
+    "bucketing",
+    "dedup",
+    "linking",
+    "merge",
+    "similarity",
+    "skew",
+    "tracking",
+]

@@ -69,3 +69,56 @@ def test_bucketed_join_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_left")
         spark.sql("DROP TABLE IF EXISTS t_right")
+
+
+def test_merge_into(spark):
+    from etl_energy_tracker_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, name string, v double"
+    )
+    source = spark.createDataFrame(
+        [(2, "b2", 25.0), (4, "d", 40.0)], "k int, name string, v double"
+    )
+    out = {r["k"]: (r["name"], r["v"]) for r in merge_into(target, source, ["k"]).collect()}
+    assert out == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+    full = {r["k"] for r in merge_into(target, source, ["k"], delete_missing=True).collect()}
+    assert full == {2, 4}
+
+
+def test_scd2_apply(spark):
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_energy_tracker_spark.operators.merge import scd2_apply
+
+    d0 = dt.date(2024, 1, 1)
+    dim = spark.createDataFrame(
+        [
+            ("UP1", "Eólica", d0, None, True),
+            ("UP2", "Solar fotovoltaica", d0, None, True),
+            ("UP3", "Carbón", d0, dt.date(2024, 6, 1), False),  # history row
+            ("UP3", "Ciclo combinado", dt.date(2024, 6, 1), None, True),
+        ],
+        "up string, tecnologia string, valid_from date, valid_to date, is_current boolean",
+    )
+    changes = spark.createDataFrame(
+        [("UP1", "Hidráulica"), ("UP2", "Solar fotovoltaica"), ("UP4", "Biomasa")],
+        "up string, tecnologia string",
+    )
+    out = scd2_apply(dim, changes, "up", ["tecnologia"])
+    rows = [(r["up"], r["tecnologia"], r["is_current"], r["valid_to"] is None) for r in out.collect()]
+    by_up = {}
+    for r in rows:
+        by_up.setdefault(r[0], []).append(r)
+    # UP1 changed: old version closed, new current version opened
+    assert sorted(by_up["UP1"]) == sorted(
+        [("UP1", "Eólica", False, False), ("UP1", "Hidráulica", True, True)]
+    )
+    # UP2 unchanged: single current row survives untouched
+    assert by_up["UP2"] == [("UP2", "Solar fotovoltaica", True, True)]
+    # UP3 history + current intact
+    assert len(by_up["UP3"]) == 2
+    # UP4 brand new
+    assert by_up["UP4"] == [("UP4", "Biomasa", True, True)]
