@@ -523,3 +523,26 @@ def pipeline_curtailments_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dim = tg.dst_dim(spark, 2023, 2026)
     return curtailments.transform(raw, dim)
+
+
+@register(
+    "json_map_explode",
+    oracle="""
+    WITH kv AS (
+        SELECT event_id, unnest(json_keys(props)) AS prop_key, props
+        FROM events
+    )
+    SELECT event_id, prop_key,
+           CAST(json_extract(props, '$.' || prop_key) AS INTEGER) AS prop_value
+    FROM kv
+    """,
+    tags=("parse", "reshape"),
+    doc="Semi-structured map handling: props parsed to map<string,int> "
+    "via from_json and exploded to (key, value) rows — the MapType "
+    "path the reference never needed (SURVEY §1.1: no maps) but a "
+    "lake engine must have. Oracle unnests json_keys then extracts per key.",
+)
+def json_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    m = F.from_json(F.col("props"), "map<string,int>")
+    return ev.select("event_id", F.explode(m).alias("prop_key", "prop_value"))
