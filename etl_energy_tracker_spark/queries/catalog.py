@@ -59,13 +59,44 @@ def _load_all() -> None:
     from . import dedupops  # noqa: F401
     from . import streamops  # noqa: F401
     from . import parity  # noqa: F401
+    from . import trackingops  # noqa: F401
+
+
+# Queries already driver-verified green in CORRECTNESS_r01.json. Emitted LAST
+# so that, if the harness caps the per-round query count, the not-yet-verified
+# entries (linking, dedup/ANN/text, streaming, e2e parity, new round-2 ops)
+# get checked first.
+_R1_VERIFIED: frozenset[str] = frozenset({
+    "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
+    "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "q10_returned_items", "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_disjunctive_predicates",
+    "q20_potential_promotion", "q21_waiting_orders", "q22_global_sales_opportunity",
+    "filter_date_between", "filter_latest_day", "filter_conditional",
+    "filter_isin", "filter_nonzero_notnull", "semi_join_dim", "anti_join_errors",
+    "classify_when_otherwise", "broadcast_dim_join", "tracking_set_diff",
+    "session_differencing", "keep_last_dedup", "rolling_avg_24",
+    "topk_per_group", "group_agg_sum_first", "dup_row_aggregation",
+    "exact_row_dedup", "value_quality_stats", "cube_rollup_agg",
+    "sign_multiplier", "union_by_name", "unpivot_measures", "pivot_status",
+    "ntile_quartiles", "sql_api_revenue_report", "hourly_rollup",
+    "expand_hourly_to_15min", "parse_hour_range", "parse_quarter_period",
+    "parse_european_decimal",
+})
+
+
+def _ordered() -> list[str]:
+    names = list(CATALOG)
+    return [n for n in names if n not in _R1_VERIFIED] + [n for n in names if n in _R1_VERIFIED]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return {name: e.fn for name, e in CATALOG.items()}
+    return {name: CATALOG[name].fn for name in _ordered()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_all()
-    return {name: e.oracle for name, e in CATALOG.items() if e.oracle is not None}
+    return {name: CATALOG[name].oracle for name in _ordered() if CATALOG[name].oracle is not None}
