@@ -143,3 +143,48 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.with_simhash(docs.select("doc_id", "text"), "text").select(
         "doc_id", "simhash"
     )
+
+
+_SIMHASH_SQL = f"""
+    SELECT doc_id,
+           list_sum(list_transform(range(0, 32), b ->
+               CASE WHEN list_sum(list_transform(toks,
+                        tk -> (({duckdb_charhash("tk")}) // (1::BIGINT << CAST(b AS INT))) % 2 * 2 - 1)) > 0
+                    THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END))
+               AS simhash
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents)
+"""
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=f"""
+    WITH sh AS ({_SIMHASH_SQL}),
+    segs AS (
+        SELECT doc_id, simhash, s AS seg,
+               (simhash // (1::BIGINT << CAST(s * 8 AS INT))) % 256 AS bucket
+        FROM sh, (SELECT unnest(range(0, 4)) AS s)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, o.doc_id AS id_b,
+               a.simhash AS sh_a, o.simhash AS sh_b
+        FROM segs a JOIN segs o
+          ON a.seg = o.seg AND a.bucket = o.bucket AND a.doc_id < o.doc_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+    tags=("dedup", "hash", "join", "text"),
+    doc="SimHash near-dup pairs with pigeonhole segment bucketing: 4 "
+    "8-bit segments guarantee any pair within Hamming distance 3 shares "
+    "at least one exact segment — full recall with a bucket-bounded "
+    "join, never O(n²). (Round-1's upper-half bucket had a recall "
+    "cliff; this is the standard Manku-et-al. shape.)",
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))

@@ -199,16 +199,25 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NEAR_DUP_BANDS = 2
+
+
 @register(
     "embedding_near_dup_pairs",
     oracle=f"""
-    WITH planes AS (
+    WITH params AS (
+        SELECT CASE WHEN COUNT(*) <= 500 THEN 8
+               ELSE GREATEST(8, CAST(ceil(log2(COUNT(*) / 500.0)) AS BIGINT))
+               END AS np
+        FROM embeddings
+    ),
+    planes AS (
         SELECT p, d,
                (list_reduce(list_prepend(CAST(7 AS BIGINT),
                    list_transform(string_split('p' || p || 'd' || d, ''),
                        c -> CAST(ascii(c) AS BIGINT))),
                    (acc, x) -> (acc*31 + x) % 1000000007) % 2001) - 1000 AS w
-        FROM (SELECT unnest(range(0, {_N_PLANES})) AS p),
+        FROM (SELECT unnest(range(0, {_NEAR_DUP_BANDS}*np)) AS p FROM params),
              (SELECT unnest(range(0, 64)) AS d)
     ),
     proj AS (
@@ -218,59 +227,52 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY vec_id, p
     ),
     buckets AS (
-        SELECT vec_id,
-               SUM(CASE WHEN s >= 0 THEN (1::BIGINT << CAST(p AS INT)) ELSE 0 END) AS bucket
-        FROM proj GROUP BY vec_id
+        SELECT vec_id, p // np AS band,
+               SUM(CASE WHEN s >= 0 THEN (1::BIGINT << CAST(p % np AS INT)) ELSE 0 END) AS bucket
+        FROM proj CROSS JOIN params
+        GROUP BY vec_id, p // np
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS id_a, o.vec_id AS id_b
+        FROM buckets a JOIN buckets o
+          ON a.band = o.band AND a.bucket = o.bucket AND a.vec_id < o.vec_id
     ),
     v AS (
-        SELECT b.vec_id, bucket, embedding AS ev
-        FROM buckets b JOIN embeddings e ON e.vec_id = b.vec_id
+        SELECT vec_id, embedding AS ev,
+               sqrt(list_sum(list_transform(range(1, 65),
+                   i -> CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                        * CAST(embedding[CAST(i AS INT)] AS DOUBLE)))) AS n
+        FROM embeddings
     ),
     pairs AS (
-        SELECT a.vec_id AS id_a, o.vec_id AS id_b,
-               ROUND(
-                 list_sum(list_transform(range(1, 65),
-                     i -> CAST(a.ev[CAST(i AS INT)] AS DOUBLE)
-                          * CAST(o.ev[CAST(i AS INT)] AS DOUBLE)))
-                 / (sqrt(list_sum(list_transform(range(1, 65),
-                     i -> CAST(a.ev[CAST(i AS INT)] AS DOUBLE)
-                          * CAST(a.ev[CAST(i AS INT)] AS DOUBLE))))
-                  * sqrt(list_sum(list_transform(range(1, 65),
-                     i -> CAST(o.ev[CAST(i AS INT)] AS DOUBLE)
-                          * CAST(o.ev[CAST(i AS INT)] AS DOUBLE))))),
-               6) AS cosine
-        FROM v a JOIN v o ON a.bucket = o.bucket AND a.vec_id < o.vec_id
+        SELECT id_a, id_b,
+               ROUND(list_sum(list_transform(range(1, 65),
+                   i -> CAST(a.ev[CAST(i AS INT)] AS DOUBLE)
+                        * CAST(o.ev[CAST(i AS INT)] AS DOUBLE)))
+                   / (a.n * o.n), 6) AS cosine
+        FROM cand JOIN v a ON a.vec_id = id_a JOIN v o ON o.vec_id = id_b
     )
     SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.45
     """,
     tags=("vector", "dedup", "hash"),
-    doc="Embedding-cosine near-dup detection — the vector-space member "
-    "of the dedup suite: LSH sign-pattern buckets bound the candidate "
-    "pairs (no O(n²) cross join), exact cosine ≥ threshold within "
-    "buckets. Deterministic hyperplanes make even this approximate "
-    "pipeline bit-for-bit oracle-checkable.",
+    doc="Embedding-cosine near-dup detection, scale-safe: bucket count "
+    "scales with corpus size (2^planes per band, planes = "
+    "max(8, ceil(log2(N/500))) — candidates stay near-linear instead of "
+    "O(N²/256)), two independent plane-set bands recover recall, exact "
+    "cosine (Arrow numpy kernel) only on candidates. Deterministic "
+    "hyperplanes keep the approximate pipeline bit-for-bit "
+    "oracle-checkable.",
 )
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import dot, with_lsh_bucket, with_norm
+    from ..operators.similarity import near_dup_pairs
 
-    emb = load_table(spark, "embeddings", sf_dir).select(
-        "vec_id", F.col("embedding").alias("ev")
-    )
-    # norm precomputed per vector: pair scoring is one dot fold, not three
-    b = with_norm(with_lsh_bucket(emb, "ev", _N_PLANES), "ev", "n")
-    a, o = b.alias("a"), b.alias("b")
-    pairs = a.join(
-        o,
-        (F.col("a.bucket") == F.col("b.bucket"))
-        & (F.col("a.vec_id") < F.col("b.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("id_a"),
-        F.col("b.vec_id").alias("id_b"),
-        F.round(
-            dot(F.col("a.ev"), F.col("b.ev")) / (F.col("a.n") * F.col("b.n")), 6
-        ).alias("cosine"),
-    )
-    return pairs.where(F.col("cosine") >= 0.45)
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    # at scale this count comes from table statistics; a columnar
+    # count(*) is metadata-cheap either way
+    n = emb.count()
+    return near_dup_pairs(
+        emb, "vec_id", "embedding", 0.45, n, n_bands=_NEAR_DUP_BANDS
+    ).select("id_a", "id_b", "cosine")
 
 
 _COS64 = """ROUND(
