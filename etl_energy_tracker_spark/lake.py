@@ -223,29 +223,109 @@ def latest_raw_period(lake: Lake, mercado: str, dataset: str) -> tuple[int, int]
     return (row["year"], row["month"]) if row else None
 
 
-def compact_processed(lake: Lake, dataset: str, target_files_per_partition: int = 1) -> int:
+_PARTITION_COLS = ["mercado", "id_mercado", "year", "month"]
+# on-disk zstd parquet re-expands roughly this much as in-flight rows;
+# used only to size the rewrite's shuffle partitions, so a rough factor
+# is fine (AQE coalesces the remainder).
+_DECOMPRESS_FACTOR = 3
+
+
+def _fragmented_leaves(
+    path: str, min_files_per_leaf: int
+) -> tuple[list[str], int]:
+    """Driver-side leaf discovery: (over-fragmented leaf dirs, their
+    total on-disk bytes). O(#files) metadata listing, never a data
+    scan. At 100 TB this listing comes from the table format's manifest
+    instead — the selection logic is identical."""
+    todo: list[str] = []
+    total = 0
+    for dirpath, _dirnames, filenames in os.walk(path):
+        files = [f for f in filenames if f.endswith(".parquet")]
+        if len(files) >= min_files_per_leaf:
+            todo.append(dirpath)
+            total += sum(
+                os.path.getsize(os.path.join(dirpath, f)) for f in files
+            )
+    return todo, total
+
+
+def compaction_plan(
+    lake: Lake,
+    dataset: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_per_leaf: int = 2,
+) -> tuple[DataFrame, list[str]] | None:
+    """Build the compaction rewrite plan (without executing it).
+
+    Reads ONLY the over-fragmented leaves (the leaf dirs are passed as
+    load paths under ``basePath``, so untouched leaves are never
+    scanned), then range-partitions by (partition cols, datetime_utc)
+    with a partition count computed from the leaves' byte size — at
+    least one task per leaf, more when a leaf outgrows the target file
+    size. Rows of one leaf stay contiguous in the range order, so each
+    shuffle partition writes whole time-sorted file spans; there is no
+    single-partition exchange anywhere (the round-1 version funneled
+    the entire table through ``repartition(1, cols)``).
+
+    Returns ``(df, leaf_dirs)`` or ``None`` when nothing is fragmented.
+    """
+    path = lake.processed_path(dataset)
+    todo, total_bytes = _fragmented_leaves(path, min_files_per_leaf)
+    if not todo:
+        return None
+    n_parts = max(
+        len(todo), -(-total_bytes * _DECOMPRESS_FACTOR // target_file_bytes)
+    )
+    df = lake.spark.read.option("basePath", path).parquet(*todo)
+    compacted = df.repartitionByRange(
+        int(n_parts), *[F.col(c) for c in _PARTITION_COLS], F.col("datetime_utc")
+    ).sortWithinPartitions(*_PARTITION_COLS, "datetime_utc")
+    return compacted, todo
+
+
+def compact_processed(
+    lake: Lake,
+    dataset: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_per_leaf: int = 2,
+) -> int:
     """Small-file compaction for the processed zone.
 
     Daily upserts leave one file batch per run in each touched
     partition; over months a (mercado, id, year, month) leaf
-    accumulates many small files, degrading scan parallelism math and
-    footer-read overhead at scale. Compaction rewrites each leaf to
-    ``target_files_per_partition`` time-sorted files via the same
-    dynamic-overwrite path the upsert uses. Returns the number of rows
-    rewritten. Run it as a low-priority maintenance job — the rewrite
-    touches every partition, so schedule off-peak (at 100 TB: compact
-    only leaves whose file count exceeds a threshold)."""
-    import pyspark.sql.functions as F
+    accumulates many small files, degrading scan parallelism and
+    footer-read overhead. Only leaves with ``min_files_per_leaf`` or
+    more files are rewritten; the new files land in a ``_compact_tmp``
+    staging dir (invisible to readers — underscore-prefixed) and are
+    swapped in per leaf, so the live table is readable throughout and
+    the job never checkpoints or re-counts the table. On an object
+    store / HDFS the swap step is the table-format commit (Iceberg,
+    Delta); the planning and rewrite are identical.
 
+    Returns the number of leaf partitions rewritten."""
+    import shutil
+
+    plan = compaction_plan(lake, dataset, target_file_bytes, min_files_per_leaf)
+    if plan is None:
+        return 0
+    compacted, leaf_dirs = plan
     path = lake.processed_path(dataset)
-    df = lake.spark.read.parquet(path)
-    n = df.count()
-    compacted = (
-        df.repartition(
-            target_files_per_partition, "mercado", "id_mercado", "year", "month"
-        )
-        .sortWithinPartitions("datetime_utc")
-        .localCheckpoint(eager=True)  # sever the self-read before overwrite
+    tmp = f"{path}/_compact_tmp"
+    (
+        compacted.write.mode("overwrite")
+        .partitionBy(*_PARTITION_COLS)
+        .option("compression", "zstd")
+        .parquet(tmp)
     )
-    lake._dyn_overwrite(compacted, path, ["mercado", "id_mercado", "year", "month"])
-    return n
+    # per-leaf swap: retire the old leaf, move the rewrite into place
+    for leaf in leaf_dirs:
+        rel = os.path.relpath(leaf, path)
+        new_leaf = os.path.join(tmp, rel)
+        if not os.path.isdir(new_leaf):  # pragma: no cover — empty leaf
+            continue
+        old = leaf + "__old"
+        os.rename(leaf, old)
+        os.rename(new_leaf, leaf)
+        shutil.rmtree(old)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return len(leaf_dirs)

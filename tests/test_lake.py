@@ -95,18 +95,86 @@ def test_raw_append_dedup(spark, lake):
     assert lake.read_raw("diario", "volumenes_i90").count() == 1
 
 
+def _leaf_file_counts(root):
+    import os
+
+    counts = {}
+    for dirpath, _dirs, files in os.walk(root):
+        pq = [f for f in files if f.endswith(".parquet")]
+        if pq:
+            counts[os.path.relpath(dirpath, root)] = len(pq)
+    return counts
+
+
+def _fragment_leaf(root, leaf, copies=2):
+    """Simulate the small files a multi-task append run leaves behind by
+    duplicating the leaf's parquet file."""
+    import glob
+    import os
+    import shutil
+
+    src = glob.glob(os.path.join(root, leaf, "*.parquet"))[0]
+    for i in range(copies):
+        shutil.copy(src, os.path.join(root, leaf, f"copy{i}-{os.path.basename(src)}"))
+
+
 def test_compaction(spark, lake):
     from etl_energy_tracker_spark.lake import compact_processed
 
-    # three upserts → three file batches in the January partition
-    for precio in (50.0, 51.0, 52.0):
-        lake.upsert_processed(_precios(spark, [(T0, 1, precio)]), "precios")
+    lake.upsert_processed(
+        _precios(spark, [(T0, 1, 50.0), (T1, 1, 51.0)]), "precios"
+    )
+    lake.upsert_processed(_precios(spark, [(T2, 1, 70.0)]), "precios")
+    root = lake.processed_path("precios")
+    jan = next(l for l in _leaf_file_counts(root) if "month=1" in l)
+    _fragment_leaf(root, jan, copies=2)  # January: 3 files; February: 1
+
+    pre = _leaf_file_counts(root)
+    assert pre[jan] == 3
     before = lake.read_processed("precios").count()
+
     n = compact_processed(lake, "precios")
-    assert n == before
+    assert n == sum(1 for c in pre.values() if c >= 2) == 1
+    post = _leaf_file_counts(root)
+    # fragmented leaves collapse to one file; clean leaves untouched
+    for leaf, c in pre.items():
+        assert post[leaf] == (1 if c >= 2 else c)
     after = lake.read_processed("precios")
     assert after.count() == before
-    assert {r["precio"] for r in after.collect()} == {50.0, 51.0, 52.0}
+    assert {r["precio"] for r in after.collect()} == {50.0, 51.0, 70.0}
+    # idempotent: nothing fragmented remains
+    assert compact_processed(lake, "precios") == 0
+
+
+def test_compaction_plan_parallelism(spark, lake):
+    """The rewrite plan must parallelize across leaves — at least one
+    task per fragmented leaf, and no single-partition exchange (the
+    round-1 bug funneled the whole table through numPartitions=1)."""
+    from etl_energy_tracker_spark.lake import compaction_plan
+
+    lake.upsert_processed(
+        _precios(spark, [(T0, 1, 50.0), (T2, 2, 51.0)]), "precios"
+    )
+    root = lake.processed_path("precios")
+    for leaf in _leaf_file_counts(root):
+        _fragment_leaf(root, leaf, copies=1)  # both leaves: 2 files
+    plan = compaction_plan(lake, "precios")
+    assert plan is not None
+    df, leaves = plan
+    assert len(leaves) == 2
+    # each leaf maps to its own shuffle partition (range partitioning
+    # keys lead with the partition columns)
+    per_leaf = (
+        df.withColumn("pid", F.spark_partition_id())
+        .groupBy("mercado", "id_mercado", "year", "month")
+        .agg(F.countDistinct("pid").alias("n_tasks"))
+        .collect()
+    )
+    assert len(per_leaf) == 2
+    assert all(r["n_tasks"] >= 1 for r in per_leaf)
+    assert df.rdd.getNumPartitions() >= len(leaves)
+    plan_str = df._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan_str
 
 
 def test_omie_i3_jobs(spark, tmp_path):
