@@ -35,22 +35,26 @@ def signed_energy(df: DataFrame) -> DataFrame:
 
 def with_datetime(df: DataFrame, dim: DataFrame) -> DataFrame:
     """Hora is either a 1-based local hour index ('1'..'25') or 'HxQy'.
-    Hour rows → quarter index (h−1)*4+1 then expand ×4 (÷4 volumes);
-    HxQy rows are already quarters (_procesador_omie.py:277-296)."""
+    Single pass over the source (the round-1 version filtered into two
+    branches and unioned — two scans): hour rows conditionally explode
+    ×4 into their quarter offsets (volumes ÷4), HxQy rows explode ×1,
+    and one broadcast dim join computes UTC for both via the shared
+    elapsed-time kernel (_procesador_omie.py:277-296). Hour labels are
+    *positions* in the local day, so quarter index (h−1)*4+1+off is
+    exactly the elapsed-quarter grid on DST days too."""
     is_hq = F.col("Hora").rlike("^H\\d+Q\\d+$")
-    hourly = df.where(~is_hq)
-    hourly = tg.with_utc_from_quarter(
-        hourly,
-        dim,
-        fecha="Fecha",
-        quarter_idx=(F.col("Hora").cast("int") - 1) * 4 + 1,
+    offs = F.when(is_hq, F.array(F.lit(0))).otherwise(
+        F.array(F.lit(0), F.lit(1), F.lit(2), F.lit(3))
     )
-    hourly = tg.expand_hourly_to_15min(hourly, divide_cols=("volumenes",))
-    quarter = df.where(is_hq)
-    quarter = tg.with_utc_from_quarter(
-        quarter, dim, fecha="Fecha", quarter_idx=tg.parse_omie_period(F.col("Hora"))
+    df = df.withColumn("_qoff", F.explode(offs))
+    qidx = F.when(is_hq, tg.parse_omie_period(F.col("Hora"))).otherwise(
+        (F.col("Hora").cast("int") - 1) * 4 + 1 + F.col("_qoff")
     )
-    return hourly.unionByName(quarter)
+    df = tg.with_utc_from_quarter(df, dim, fecha="Fecha", quarter_idx=qidx)
+    return df.withColumn(
+        "volumenes",
+        F.when(is_hq, F.col("volumenes")).otherwise(F.col("volumenes") / 4),
+    ).drop("_qoff")
 
 
 def aggregate_volumes(df: DataFrame) -> DataFrame:
