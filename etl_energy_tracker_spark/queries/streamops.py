@@ -38,7 +38,11 @@ from .catalog import register
 def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import hourly_event_agg_stream
 
-    return hourly_event_agg_stream(spark, sf_dir)
+    # `complete` is the synchronous oracle drive over a bounded source:
+    # the final in-progress windows must be visible for the
+    # batch-equivalence check. Production default is `append` (bounded
+    # state; see streaming/jobs.py + test_streaming append test).
+    return hourly_event_agg_stream(spark, sf_dir, output_mode="complete")
 
 
 @register(

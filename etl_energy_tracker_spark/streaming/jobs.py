@@ -22,15 +22,44 @@ from pyspark.sql import functions as F
 from ..lake import Lake
 
 
+class _scoped_shuffle_partitions:
+    """Bounded stream drives don't need the session's full shuffle
+    width — every extra shuffle partition is another state-store
+    instance to create, snapshot, and commit per micro-batch, which
+    dominates runtime on small backlogs. Production (unbounded) jobs
+    pass ``None`` and keep the session setting."""
+
+    def __init__(self, spark: SparkSession, n: int | None):
+        self.spark, self.n = spark, n
+
+    def __enter__(self):
+        if self.n is not None:
+            self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        if self.n is not None:
+            self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
 def hourly_event_agg_stream(
-    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+    spark: SparkSession,
+    sf_dir: str,
+    watermark: str = "2 hours",
+    output_mode: str = "append",
+    shuffle_partitions: int | None = 8,
 ) -> DataFrame:
     """Tumbling 1-hour window aggregation over the events table read as
-    a stream; returns the final (batch-equivalent) result DataFrame.
+    a stream; returns the emitted rows as a DataFrame.
 
-    Late data handling: event-time watermark bounds state; `complete`
-    output to a memory sink makes the synchronous drive deterministic
-    (every window emitted once all files are processed)."""
+    Late data handling: the event-time watermark bounds state. In
+    ``append`` mode (the production default) a window is emitted once —
+    when the watermark passes its end — and its state is then evicted,
+    so state stays bounded on an unbounded stream. ``complete`` mode
+    re-emits everything and never ages state out; it exists for the
+    synchronous oracle drive over a bounded source, where the final
+    in-progress windows (still inside the watermark) must be visible
+    for the batch-equivalence check."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = (
@@ -60,16 +89,17 @@ def hourly_event_agg_stream(
         )
     )
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -103,7 +133,9 @@ def incremental_upsert_stream(
     q.awaitTermination()
 
 
-def stateful_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stateful_user_totals_stream(
+    spark: SparkSession, sf_dir: str, shuffle_partitions: int | None = 8
+) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running totals kept in explicit GroupState across
     micro-batches (the applyInPandasWithState slot the reference's
@@ -149,17 +181,18 @@ def stateful_user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     name = f"stateful_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
     # update mode appends one row per (user, batch); keep the final state
     from pyspark.sql import Window as W
 

@@ -114,6 +114,30 @@ def test_watermark_drops_late_data(spark, tmp_path):
     assert sum(n for w, n in rows.items() if w == base) == 1
 
 
+def test_hourly_agg_append_vs_complete(spark):
+    """Production path is append mode: each window is emitted once when
+    the watermark passes it and its state is evicted — so over a bounded
+    source, append emits every window except the final in-progress ones
+    still inside the watermark, while the complete-mode oracle drive
+    shows all of them."""
+    from etl_energy_tracker_spark.streaming.jobs import hourly_event_agg_stream
+
+    sf = "/root/testdata/sf0.001"
+    complete = hourly_event_agg_stream(spark, sf, output_mode="complete")
+    appended = hourly_event_agg_stream(
+        spark, sf, watermark="0 seconds", output_mode="append"
+    )
+    n_complete, n_append = complete.count(), appended.count()
+    assert 0 < n_append < n_complete
+    # the append rows are exactly the finalized (watermark-passed)
+    # subset of the complete result
+    missing = complete.join(
+        appended.select("hour_ts", "event_type"), ["hour_ts", "event_type"], "left_anti"
+    )
+    max_hour = complete.agg(F.max("hour_ts")).first()[0]
+    assert all(r["hour_ts"] == max_hour for r in missing.collect())
+
+
 def test_validate_strict_nulls(spark):
     import pytest as _pytest
 
