@@ -117,3 +117,80 @@ def test_tracking_changes(spark):
     updated = tracking.apply_changes(incoming, dim, "up")
     rows = {r["up"]: r["obsoleta"] for r in updated.collect()}
     assert rows == {"A": 0, "B": 0, "C": 0, "D": 1}
+
+
+# ---------------------------------------------------------------------------
+# ZR/BSP regulation-zone tracking (reference tracking/ZR_tracking.py,
+# scenarios per tracking/__tests__/tracking_UP_UOF_ZR.py)
+# ---------------------------------------------------------------------------
+
+
+def _zr_fixture(spark):
+    from etl_energy_tracker_spark.operators import zr
+
+    # UP export: zone A (two generation UPs), zone B (one), zone E (new,
+    # one) — plus a consumption UP in a zone that must NOT appear
+    up = spark.createDataFrame(
+        [
+            ("ZONA_A ", "1.000,50", "Generación"),
+            ("ZONA_A", "99,50", "Generación"),
+            ("ZONA_B", "200,00", "Generación"),
+            ("ZONA_E", "10,00", "Generación"),
+            ("ZONA_X", "500,00", "Consumo"),
+        ],
+        "`Zona de Regulación` string, `Potencia máxima MW` string, `Tipo de UP` string",
+    )
+    esios = zr.esios_zone_aggregate(up)
+    # dim: A active (power will drift 1000.00 -> 1100.00), B active with
+    # no i90 (backfill), C active but gone from ESIOS (obsolete), D
+    # already obsolete (untouched even though absent)
+    dim = spark.createDataFrame(
+        [
+            ("ZONA_A", "ZRA", 0, 1000.00),
+            ("ZONA_B", None, 0, 200.00),
+            ("ZONA_C", "ZRC", 0, 300.00),
+            ("ZONA_D", "ZRD", 1, 400.00),
+        ],
+        "esios_id string, i90_id string, obsoleta int, potencia double",
+    )
+    bsp = spark.createDataFrame(
+        [(" ZONA_A", "ZRA"), ("ZONA_B ", "ZRB"), ("ZONA_E", "ZRE")],
+        "`Descripción corta BSP-aFRR` string, `Código BSP-aFRR` string",
+    )
+    return zr, esios, dim, zr.bsp_mapping(bsp)
+
+
+def test_zr_zone_aggregate(spark):
+    zr, esios, _, _ = _zr_fixture(spark)
+    rows = {r["esios_id"]: r["potencia"] for r in esios.collect()}
+    # trimmed zones, euro decimals parsed, generation only, summed
+    assert rows == {"ZONA_A": 1100.0, "ZONA_B": 200.0, "ZONA_E": 10.0}
+
+
+def test_zr_change_log(spark):
+    zr, esios, dim, mapping = _zr_fixture(spark)
+    log = zr.zr_change_log(dim, esios, mapping, "2026-08-13").collect()
+    by_kind = {(r["esios_id"], r["field_changed"]): r for r in log}
+    assert set(by_kind) == {
+        ("ZONA_E", "habilitada"),   # new zone
+        ("ZONA_A", "potencia"),     # 1000.00 -> 1100.00
+        ("ZONA_B", "i90_id"),       # NULL backfilled from BSP
+    }
+    pot = by_kind[("ZONA_A", "potencia")]
+    assert (pot["old_num"], pot["new_num"]) == (1000.0, 1100.0)
+    assert by_kind[("ZONA_B", "i90_id")]["new_str"] == "ZRB"
+    # obsolete flagging (ZONA_C) is intentionally unlogged, as in the
+    # reference; already-obsolete ZONA_D produces nothing
+    assert all(r["esios_id"] not in ("ZONA_C", "ZONA_D") for r in log)
+
+
+def test_zr_apply_changes(spark):
+    zr, esios, dim, mapping = _zr_fixture(spark)
+    out = {r["esios_id"]: r for r in zr.zr_apply_changes(dim, esios, mapping).collect()}
+    assert set(out) == {"ZONA_A", "ZONA_B", "ZONA_C", "ZONA_D", "ZONA_E"}
+    assert out["ZONA_A"]["potencia"] == 1100.0 and out["ZONA_A"]["obsoleta"] == 0
+    assert out["ZONA_B"]["i90_id"] == "ZRB"          # backfilled
+    assert out["ZONA_C"]["obsoleta"] == 1            # newly obsolete
+    # already-obsolete zone passes through untouched, not revived
+    assert out["ZONA_D"]["obsoleta"] == 1 and out["ZONA_D"]["potencia"] == 400.0
+    assert out["ZONA_E"]["obsoleta"] == 0 and out["ZONA_E"]["i90_id"] == "ZRE"
