@@ -137,6 +137,33 @@ REGULATORY_DATES: dict[str, str] = {
 }
 
 
+# F10: known-bad (fecha, sheet) pairs from the reference's
+# `Errores_i90_OMIE` table (configs/i90_config.py:196-215 reads it with
+# fuente_error='i90'; _descargador_i90.py:77-86 skips those sheets for
+# those days). Config-as-data seed — a deployment loads this from the
+# tracking DB via sources/jdbc and passes it to the i90 transforms.
+@dataclass(frozen=True)
+class I90Error:
+    fecha: str  # 'YYYY-MM-DD' the file/sheet is known bad for
+    tipo_error: str  # zero-padded sheet number ('03', '08', ...)
+    fuente_error: str = "i90"
+
+
+I90_ERRORS: tuple[I90Error, ...] = ()
+
+
+def i90_errores_df(
+    spark: SparkSession, errors: tuple[I90Error, ...] | None = None
+) -> DataFrame:
+    """The error table as a broadcastable dimension (fecha, tipo_error)."""
+    rows = [
+        (e.fecha, e.tipo_error)
+        for e in (I90_ERRORS if errors is None else errors)
+        if e.fuente_error == "i90"
+    ]
+    return spark.createDataFrame(rows, "fecha string, tipo_error string")
+
+
 def markets_df(spark: SparkSession) -> DataFrame:
     """The `mercados_mapping` dimension as a broadcastable DataFrame."""
     rows = [

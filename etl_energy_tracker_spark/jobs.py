@@ -48,15 +48,24 @@ def run_i90_volumenes_etl(
     mode: str = "latest",
     start: str | None = None,
     end: str | None = None,
+    error_list: DataFrame | None = None,
 ) -> dict:
-    """Per-market I90 volume job (transform/i90_transform.py routing)."""
+    """Per-market I90 volume job (transform/i90_transform.py routing).
+    ``error_list`` defaults to the config seed (F10: known-bad
+    (fecha, sheet) pairs are excluded during ingest)."""
+    from .config.market_config import i90_errores_df
+
     dim = tg.dst_dim(spark)
+    if error_list is None:
+        error_list = i90_errores_df(spark)
     frames: dict[int, DataFrame] = {}
     errors: dict[int, str] = {}
     filtered = filter_date_mode(raw, "fecha", mode, start, end)
     for mid in market_ids:
         try:
-            frames[mid] = i90_pipeline.transform_volumenes(filtered, mid, dim)
+            frames[mid] = i90_pipeline.transform_volumenes(
+                filtered, mid, dim, errors=error_list
+            )
         except Exception as e:  # noqa: BLE001
             errors[mid] = f"{type(e).__name__}: {e}"
     status = DataLakeLoader(lake).load_transformed_data(frames, "volumenes_i90")

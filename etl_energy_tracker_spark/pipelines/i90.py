@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
-from ..config.market_config import REDESPACHO_FILTERS, SENTIDO_FILTERS
+from ..config.market_config import MARKET_BY_ID, REDESPACHO_FILTERS, SENTIDO_FILTERS
 from ..schemas import validate
 from .common import drop_zero_na, standardize_datetime
 
@@ -50,10 +50,41 @@ def finalize_columns(df: DataFrame, market_id: int, value_col: str) -> DataFrame
     return df.select(*cols)
 
 
-def transform_volumenes(raw: DataFrame, market_id: int, dim: DataFrame) -> DataFrame:
+def exclude_error_dates(
+    df: DataFrame,
+    errors: DataFrame | None,
+    sheet: str | None,
+    fecha_col: str = "fecha",
+) -> DataFrame:
+    """F10 wired into the ingest path (_descargador_i90.py:77-86,
+    306-337; configs/i90_config.py:196-215): drop every row whose fecha
+    appears in the error table for this market's sheet — known-bad
+    publications must not silently enter the lake. Broadcast anti-join
+    against the (tiny) error dimension; at scale the fecha predicate
+    also prunes partitions when fecha is a partition column."""
+    if errors is None or sheet is None:
+        return df
+    bad = (
+        errors.where(F.col("tipo_error") == sheet)
+        .select(F.to_date("fecha").alias("_bad_fecha"))
+        .distinct()
+    )
+    return df.join(
+        F.broadcast(bad), F.to_date(F.col(fecha_col)) == F.col("_bad_fecha"), "left_anti"
+    )
+
+
+def transform_volumenes(
+    raw: DataFrame,
+    market_id: int,
+    dim: DataFrame,
+    errors: DataFrame | None = None,
+) -> DataFrame:
     """raw_volumenes_i90 → processed volumenes_i90 for one market."""
+    sheet = (m := MARKET_BY_ID.get(market_id)) and m.sheet_i90_volumenes
     df = (
-        raw.transform(lambda d: apply_market_filters(d, market_id))
+        raw.transform(lambda d: exclude_error_dates(d, errors, sheet))
+        .transform(lambda d: apply_market_filters(d, market_id))
         .transform(lambda d: drop_zero_na(d, "volumenes"))
         .transform(
             lambda d: standardize_datetime(
@@ -66,9 +97,16 @@ def transform_volumenes(raw: DataFrame, market_id: int, dim: DataFrame) -> DataF
     return validate(df, dataset)
 
 
-def transform_precios(raw: DataFrame, market_id: int, dim: DataFrame) -> DataFrame:
+def transform_precios(
+    raw: DataFrame,
+    market_id: int,
+    dim: DataFrame,
+    errors: DataFrame | None = None,
+) -> DataFrame:
+    sheet = (m := MARKET_BY_ID.get(market_id)) and m.sheet_i90_precios
     df = (
-        raw.transform(lambda d: apply_market_filters(d, market_id))
+        raw.transform(lambda d: exclude_error_dates(d, errors, sheet))
+        .transform(lambda d: apply_market_filters(d, market_id))
         .transform(
             lambda d: standardize_datetime(
                 d, dim, value_col="precios", value_is_volume=False

@@ -84,6 +84,62 @@ def pipeline_esios_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_i90_errors_e2e",
+    oracle="""
+    WITH raw AS (
+        SELECT '2024-01-' || lpad(CAST(day(ts) AS VARCHAR), 2, '0') AS fecha,
+               hour(ts) * 4 + minute(ts) // 15 + 1 AS q,
+               value,
+               user_id
+        FROM events
+    )
+    SELECT CAST(fecha AS TIMESTAMP) + to_minutes((q - 1) * 15 - 60) AS datetime_utc,
+           'UP' || CAST(user_id % 50 AS VARCHAR) AS up,
+           CAST(value AS FLOAT) AS volumenes,
+           CAST(9 AS SMALLINT) AS id_mercado
+    FROM raw
+    WHERE user_id % 2 = 0           -- Sentido = 'Subir' (market 9)
+      AND user_id % 3 = 0           -- Redespacho in the ECO list
+      AND value IS NOT NULL AND value != 0
+      AND fecha != '2024-01-05'     -- F10: known-bad sheet 03 date
+    """,
+    tags=("pipeline", "parity"),
+    doc="The real I90 volume pipeline for market 9 (Restricciones MD a "
+    "subir) with the F10 error-sheet exclusion wired in: a known-bad "
+    "(fecha='2024-01-05', sheet='03') entry in the Errores_i90_OMIE-"
+    "shaped config removes that day's rows during ingest "
+    "(_descargador_i90.py:77-86, configs/i90_config.py:196-215), then "
+    "sentido/redespacho filters, zero/NA drop, and 15-min-grid "
+    "standardization (January dates → fixed CET offset, so the oracle "
+    "needs no DST table; the DST kernel itself is oracle-checked by "
+    "madrid_local_to_utc).",
+)
+def pipeline_i90_errors_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..config.market_config import I90Error, i90_errores_df
+
+    ev = load_table(spark, "events", sf_dir)
+    raw = ev.select(
+        F.concat(
+            F.lit("2024-01-"), F.lpad(F.dayofmonth("ts").cast("string"), 2, "0")
+        ).alias("fecha"),
+        (F.hour("ts") * 4 + (F.minute("ts") / 15).cast("int") + 1)
+        .cast("string")
+        .alias("hora"),
+        F.lit("Quince minutos").alias("granularity"),
+        F.col("value").alias("volumenes"),
+        F.concat(F.lit("UP"), (F.col("user_id") % 50).cast("string")).alias(
+            "Unidad de Programación"
+        ),
+        F.when(F.col("user_id") % 2 == 0, "Subir").otherwise("Bajar").alias("Sentido"),
+        F.when(F.col("user_id") % 3 == 0, "ECO").otherwise("Otro").alias("Redespacho"),
+    )
+    errors = i90_errores_df(spark, (I90Error("2024-01-05", "03"),))
+    from .. import timegrid as tg
+
+    return i90.transform_volumenes(raw, 9, tg.dst_dim(spark), errors=errors)
+
+
+@register(
     "pipeline_intra_differencing_e2e",
     oracle="""
     WITH baseline AS (

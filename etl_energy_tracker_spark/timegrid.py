@@ -47,6 +47,9 @@ def madrid_transitions(start_year: int = 2000, end_year: int = 2035) -> list[tup
     return out
 
 
+_DST_DIM_CACHE: dict[tuple[int, int, int], DataFrame] = {}
+
+
 def dst_dim(spark: SparkSession, start_year: int = 2000, end_year: int = 2035) -> DataFrame:
     """Per-date dimension for every day in range — tiny (~13k rows),
     always broadcast. Columns:
@@ -55,25 +58,47 @@ def dst_dim(spark: SparkSession, start_year: int = 2000, end_year: int = 2035) -
     - ``day_type``: 0 normal / 1 fall-back (25 h) / 2 spring-fwd (23 h)
     - ``day_start_offset``: UTC offset (hours) at local midnight
     - ``n_hours`` / ``n_quarters``: local day length (23/24/25, 92/96/100)
-    """
-    trans = {d: t for d, t in madrid_transitions(start_year, end_year)}
-    springs = {y: _last_sunday(y, 3) for y in range(start_year, end_year + 1)}
-    falls = {y: _last_sunday(y, 10) for y in range(start_year, end_year + 1)}
-    rows = []
-    d = dt.date(start_year, 1, 1)
-    end = dt.date(end_year, 12, 31)
-    one = dt.timedelta(days=1)
-    while d <= end:
-        day_type = trans.get(d, DAY_NORMAL)
-        offset = 2 if springs[d.year] < d <= falls[d.year] else 1
-        n_hours = {DAY_NORMAL: 24, DAY_FALL_BACK: 25, DAY_SPRING_FWD: 23}[day_type]
-        rows.append((d, day_type, offset, n_hours, n_hours * 4))
-        d += one
-    return spark.createDataFrame(
-        rows,
-        "fecha date, day_type tinyint, day_start_offset tinyint, "
-        "n_hours tinyint, n_quarters smallint",
+
+    Built entirely JVM-side (exploded date sequence + the EU last-Sunday
+    rule as column expressions) — shipping 13k Python rows through
+    createDataFrame cost ~1 s of py4j serialization on every pipeline
+    call. The plan is memoized per SparkContext."""
+    key = (id(spark.sparkContext), start_year, end_year)
+    cached = _DST_DIM_CACHE.get(key)
+    if cached is not None:
+        return cached
+
+    def last_sunday(month: int) -> Column:
+        last = F.last_day(F.make_date(F.col("y"), F.lit(month), F.lit(1)))
+        return F.date_sub(last, (F.dayofweek(last) - 1) % 7)
+
+    days = spark.sql(
+        f"SELECT explode(sequence(DATE'{start_year}-01-01', "
+        f"DATE'{end_year}-12-31')) AS fecha"
+    ).withColumn("y", F.year("fecha"))
+    spring, fall = last_sunday(3), last_sunday(10)
+    day_type = (
+        F.when(F.col("fecha") == spring, F.lit(DAY_SPRING_FWD))
+        .when(F.col("fecha") == fall, F.lit(DAY_FALL_BACK))
+        .otherwise(F.lit(DAY_NORMAL))
     )
+    n_hours = (
+        F.when(day_type == DAY_SPRING_FWD, 23)
+        .when(day_type == DAY_FALL_BACK, 25)
+        .otherwise(24)
+    )
+    dim = days.select(
+        "fecha",
+        day_type.cast("tinyint").alias("day_type"),
+        F.when((F.col("fecha") > spring) & (F.col("fecha") <= fall), 2)
+        .otherwise(1)
+        .cast("tinyint")
+        .alias("day_start_offset"),
+        n_hours.cast("tinyint").alias("n_hours"),
+        (n_hours * 4).cast("smallint").alias("n_quarters"),
+    )
+    _DST_DIM_CACHE[key] = dim
+    return dim
 
 
 # ---------------------------------------------------------------------------
