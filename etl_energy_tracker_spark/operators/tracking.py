@@ -9,7 +9,7 @@ DataFrame so the caller overwrites the dim table in the lake."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -50,3 +50,37 @@ def apply_changes(
         .unionByName(flagged.select(*cols))
         .unionByName(new_rows.select(*cols))
     )
+
+
+def update_tecnologias(
+    p48_raw: DataFrame,
+    dim: DataFrame,
+    concepto_col: str = "Concepto",
+    name_col: str = "tecnologia",
+    id_col: str = "id",
+) -> DataFrame:
+    """Technology-dimension maintenance from P48 data — Spark rendering
+    of tecnologias_generacion/p48_tecnologias_generacion.py:27-108: the
+    distinct non-null Concepto values of the latest P48 file that are
+    not yet in `tecnologias_generacion` are appended; existing rows are
+    untouched. The reference leans on DB auto-increment for ids; here
+    new rows get max(id)+rank ordered by name — deterministic across
+    runs and engines. The global window is safe: it runs on the handful
+    of *new* names, never on the P48 fact rows (distinct reduces
+    first)."""
+    incoming = (
+        p48_raw.select(F.col(concepto_col).alias(name_col))
+        .where(F.col(name_col).isNotNull())
+        .distinct()
+    )
+    new = incoming.join(dim.select(name_col), name_col, "left_anti")
+    max_id = dim.agg(F.coalesce(F.max(id_col), F.lit(0)).alias("_mx"))
+    new_rows = (
+        new.crossJoin(F.broadcast(max_id))
+        .withColumn(
+            id_col,
+            (F.col("_mx") + F.row_number().over(W.orderBy(name_col))).cast("int"),
+        )
+        .select(id_col, name_col)
+    )
+    return dim.select(id_col, name_col).unionByName(new_rows)

@@ -84,6 +84,66 @@ def pipeline_esios_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "precios_hourly_read_e2e",
+    oracle="""
+    WITH p15 AS (
+        SELECT DISTINCT
+               TIMESTAMP '1970-01-01' + to_seconds(
+                   CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)) AS dt,
+               CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2
+                    WHEN 'purchase' THEN 14 WHEN 'signup' THEN 15 END AS id_mercado,
+               CAST(round(value, 2) AS FLOAT) AS precio
+        FROM events
+        WHERE event_type IN ('click', 'view', 'purchase', 'signup')
+    )
+    SELECT date_trunc('hour', dt) AS datetime_utc,
+           CAST(id_mercado AS SMALLINT) AS id_mercado,
+           ROUND(AVG(CAST(precio AS DOUBLE)), 4) AS precio
+    FROM p15
+    GROUP BY date_trunc('hour', dt), id_mercado
+    """,
+    tags=("pipeline", "parity", "aggregate"),
+    doc="The hourly price READ surface end-to-end "
+    "(read/precios_reader.py:22-56 is_quinceminutal routing): a 15-min "
+    "price series is upserted into a real (temp) lake — exercising the "
+    "keyed keep-last dedup on (datetime_utc, id_mercado, precio) — and "
+    "read back through PreciosReader(granularity='hour'), which rolls "
+    "up on read via the A3 kernel (prices average within the hour). "
+    "The oracle mirrors the dedup with DISTINCT and the rollup with "
+    "AVG.",
+)
+def precios_hourly_read_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from ..lake import Lake
+    from ..read.readers import PreciosReader
+
+    ev = load_table(spark, "events", sf_dir)
+    mid = (
+        F.when(F.col("event_type") == "click", 1)
+        .when(F.col("event_type") == "view", 2)
+        .when(F.col("event_type") == "purchase", 14)
+        .when(F.col("event_type") == "signup", 15)
+    )
+    p15 = ev.select(
+        F.timestamp_seconds((F.unix_timestamp("ts") / 900).cast("long") * 900).alias(
+            "datetime_utc"
+        ),
+        mid.alias("id_mercado"),
+        F.round("value", 2).cast("float").alias("precio"),
+    ).where(F.col("id_mercado").isNotNull())
+
+    lake = Lake(spark, tempfile.mkdtemp(prefix="precios_read_e2e_"))
+    lake.upsert_processed(p15, "precios")
+    hourly = PreciosReader(lake).read(granularity="hour")
+    return hourly.select(
+        "datetime_utc",
+        "id_mercado",
+        F.round("precio", 4).alias("precio"),
+    )
+
+
+@register(
     "pipeline_i90_errors_e2e",
     oracle="""
     WITH raw AS (

@@ -19,7 +19,7 @@ subset/variation so every change kind fires.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..sources.registry import load_table
@@ -139,3 +139,46 @@ def zr_tracking_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     esios, dim, mapping = _zr_inputs(spark, sf_dir)
     return zr_change_log(dim, esios, mapping, _ZR_DATE)
+
+
+@register(
+    "p48_tecnologias_update",
+    oracle="""
+    WITH dim AS (
+        SELECT CAST(row_number() OVER (ORDER BY t) AS INT) AS id, t AS tecnologia
+        FROM (SELECT DISTINCT p_type AS t FROM part WHERE p_partkey < 1000)
+    ),
+    incoming AS (
+        SELECT DISTINCT p_type AS tecnologia FROM part
+        WHERE p_size > 25 AND p_type IS NOT NULL
+    ),
+    new AS (
+        SELECT tecnologia FROM incoming
+        WHERE tecnologia NOT IN (SELECT tecnologia FROM dim)
+    ),
+    mx AS (SELECT MAX(id) AS m FROM dim)
+    SELECT id, tecnologia FROM dim
+    UNION ALL
+    SELECT CAST(m + row_number() OVER (ORDER BY tecnologia) AS INT) AS id, tecnologia
+    FROM new, mx
+    """,
+    tags=("tracking", "setops"),
+    doc="P48-driven technology-dimension maintenance "
+    "(tecnologias_generacion/p48_tecnologias_generacion.py:27-108): "
+    "distinct Concepto values of the latest P48 file not yet in "
+    "tecnologias_generacion are appended with max(id)+alphabetical-rank "
+    "ids (deterministic stand-in for DB auto-increment); existing rows "
+    "untouched. Stand-ins: part p_type as technologies — the early "
+    "partkeys seed the dim, large-size parts are the incoming P48 set.",
+)
+def p48_tecnologias_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tracking import update_tecnologias
+
+    part = load_table(spark, "part", sf_dir)
+    seed = part.where(F.col("p_partkey") < 1000).select("p_type").distinct()
+    dim = seed.select(
+        F.row_number().over(W.orderBy("p_type")).cast("int").alias("id"),
+        F.col("p_type").alias("tecnologia"),
+    )
+    p48 = part.where(F.col("p_size") > 25).select(F.col("p_type").alias("Concepto"))
+    return update_tecnologias(p48, dim)

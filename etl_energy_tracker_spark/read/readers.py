@@ -9,6 +9,8 @@ parquet row-group stats prune inside files."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..config.market_config import MARKET_BY_ID, MARKETS
@@ -25,8 +27,69 @@ def _validate_ids(mercado_ids: list[int] | None) -> None:
             )
 
 
+def partition_tree(lake: Lake, dataset: str) -> dict[str, list[int]]:
+    """The dataset's ACTUAL partition layout: mercado folder →
+    sorted id_mercado values, from the directory names — an O(#dirs)
+    metadata listing, no data scan (read/_parquet_reader.py:83-142; at
+    scale this comes from the catalog/table-format manifest)."""
+    root = lake.processed_path(dataset)
+    tree: dict[str, list[int]] = {}
+    if not os.path.isdir(root):
+        return tree
+    for mdir in os.listdir(root):
+        if not mdir.startswith("mercado="):
+            continue
+        ids = []
+        for idir in os.listdir(os.path.join(root, mdir)):
+            if idir.startswith("id_mercado="):
+                try:
+                    ids.append(int(idir.split("=", 1)[1]))
+                except ValueError:
+                    continue
+        tree[mdir.split("=", 1)[1]] = sorted(ids)
+    return tree
+
+
+def validate_partition_ids(
+    lake: Lake,
+    dataset: str,
+    mercados: list[str],
+    mercado_ids: list[int] | None = None,
+) -> dict[str, list[int]]:
+    """Validate requested markets/ids against what is actually on disk
+    (read/_parquet_reader.py:83-142) — a typo'd-but-configured market
+    errors naming what exists instead of silently returning empty.
+    Returns mercado → validated id list (all present ids when
+    ``mercado_ids`` is None)."""
+    tree = partition_tree(lake, dataset)
+    validated: dict[str, list[int]] = {}
+    for m in mercados:
+        if m not in tree:
+            raise ValueError(
+                f"no processed data folder for market {m!r} in {dataset}; "
+                f"existing markets: {sorted(tree)}"
+            )
+        valid = tree[m]
+        if mercado_ids is None:
+            validated[m] = valid
+            continue
+        sel = [i for i in mercado_ids if i in valid]
+        if not sel:
+            raise ValueError(
+                f"none of the ids {mercado_ids} exist for market {m!r} in "
+                f"{dataset}; valid ids: {valid}"
+            )
+        validated[m] = sel
+    return validated
+
+
 class PreciosReader:
-    """Price reads (read/precios_reader.py analog)."""
+    """Price reads (read/precios_reader.py analog). ``granularity``
+    picks the reference's Precios_horarios vs Precios_quinceminutales
+    surface (read/precios_reader.py:22-56): the lake stores the 15-min
+    grid once, and the hourly view is the A3 rollup (prices average
+    within the hour) computed on read — one partial-aggregated hash
+    agg, instead of a second materialized table."""
 
     def __init__(self, lake: Lake):
         self.lake = lake
@@ -37,15 +100,28 @@ class PreciosReader:
         end: str | None = None,
         mercado_ids: list[int] | None = None,
         columns: list[str] | None = None,
+        granularity: str = "15min",
     ) -> DataFrame:
+        if granularity not in ("15min", "hour"):
+            raise ValueError(f"granularity must be '15min' or 'hour', got {granularity!r}")
         _validate_ids(mercado_ids)
-        return self.lake.read_processed(
+        df = self.lake.read_processed(
             "precios", start=start, end=end, mercado_ids=mercado_ids, columns=columns
         )
+        if granularity == "hour":
+            from .. import timegrid as tg
+
+            df = tg.rollup_15min_to_hourly(
+                df, group_cols=("id_mercado",), mean_cols=("precio",)
+            )
+        return df
 
 
 class VolumenesReader:
-    """Volume reads across the i90/omie/mic/i3 datasets."""
+    """Volume reads across the i90/omie/mic/i3 datasets. Passing
+    ``mercados`` validates the request against the dataset's actual
+    partition tree (errors name what exists) and prunes to those
+    folders."""
 
     DATASETS = ("volumenes_i90", "volumenes_omie", "volumenes_mic", "volumenes_i3")
 
@@ -57,14 +133,23 @@ class VolumenesReader:
         dataset: str,
         start: str | None = None,
         end: str | None = None,
+        mercados: list[str] | None = None,
         mercado_ids: list[int] | None = None,
         columns: list[str] | None = None,
     ) -> DataFrame:
         if dataset not in self.DATASETS:
             raise ValueError(f"unknown volumenes dataset {dataset!r}")
         _validate_ids(mercado_ids)
+        if mercados:
+            validated = validate_partition_ids(self.lake, dataset, mercados, mercado_ids)
+            mercado_ids = sorted({i for ids in validated.values() for i in ids})
         return self.lake.read_processed(
-            dataset, start=start, end=end, mercado_ids=mercado_ids, columns=columns
+            dataset,
+            start=start,
+            end=end,
+            mercados=mercados,
+            mercado_ids=mercado_ids,
+            columns=columns,
         )
 
 

@@ -121,3 +121,71 @@ def test_nl2sql_surface(spark):
         NLQueryGenerator.postprocess("SELECT 1; SELECT 2")
     with pytest.raises(NotImplementedError):
         NLQueryGenerator(spark).generate_sql("no llm configured")
+
+
+def test_precios_reader_hourly_granularity(spark, tmp_path):
+    import datetime as dt
+
+    from etl_energy_tracker_spark.lake import Lake
+    from etl_energy_tracker_spark.read.readers import PreciosReader
+
+    lake = Lake(spark, str(tmp_path / "lake_hourly"))
+    t = dt.datetime(2024, 1, 15, 10, 0)
+    rows = [
+        (t + dt.timedelta(minutes=15 * i), 1, float(10 * (i + 1))) for i in range(4)
+    ] + [(t + dt.timedelta(hours=1), 1, 99.0)]
+    df = spark.createDataFrame(
+        rows, "datetime_utc timestamp, id_mercado int, precio double"
+    )
+    lake.upsert_processed(df, "precios")
+    reader = PreciosReader(lake)
+    assert reader.read(granularity="15min").count() == 5
+    hourly = {
+        (r["datetime_utc"], r["id_mercado"]): r["precio"]
+        for r in reader.read(granularity="hour").collect()
+    }
+    assert hourly[(t, 1)] == 25.0  # mean of 10/20/30/40
+    assert hourly[(t + dt.timedelta(hours=1), 1)] == 99.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="granularity"):
+        reader.read(granularity="daily")
+
+
+def test_partition_tree_validation(spark, tmp_path):
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from etl_energy_tracker_spark.lake import Lake
+    from etl_energy_tracker_spark.read.readers import (
+        VolumenesReader,
+        validate_partition_ids,
+    )
+
+    lake = Lake(spark, str(tmp_path / "lake_tree"))
+    df = spark.createDataFrame(
+        [
+            (dt.datetime(2024, 1, 15, 10), "ABO3", 10.0, 1),
+            (dt.datetime(2024, 1, 15, 10), "ABO4", 11.0, 9),
+        ],
+        "datetime_utc timestamp, up string, volumenes double, id_mercado int",
+    )
+    lake.upsert_processed(df, "volumenes_i90")
+
+    # the real partition tree drives validation
+    tree = validate_partition_ids(lake, "volumenes_i90", ["diario", "restricciones"])
+    assert tree == {"diario": [1], "restricciones": [9]}
+
+    # a configured-but-absent market errors NAMING what exists
+    with _pytest.raises(ValueError, match="existing markets.*diario"):
+        validate_partition_ids(lake, "volumenes_i90", ["terciaria"])
+    # an id that exists in config but not on disk for this market errors
+    # naming the valid ids
+    with _pytest.raises(ValueError, match=r"valid ids: \[1\]"):
+        validate_partition_ids(lake, "volumenes_i90", ["diario"], [9])
+
+    reader = VolumenesReader(lake)
+    assert reader.read("volumenes_i90", mercados=["diario"]).count() == 1
+    with _pytest.raises(ValueError, match="existing markets"):
+        reader.read("volumenes_i90", mercados=["omie_typo"])

@@ -194,3 +194,18 @@ def test_zr_apply_changes(spark):
     # already-obsolete zone passes through untouched, not revived
     assert out["ZONA_D"]["obsoleta"] == 1 and out["ZONA_D"]["potencia"] == 400.0
     assert out["ZONA_E"]["obsoleta"] == 0 and out["ZONA_E"]["i90_id"] == "ZRE"
+
+
+def test_p48_update_tecnologias(spark):
+    from etl_energy_tracker_spark.operators.tracking import update_tecnologias
+
+    dim = spark.createDataFrame(
+        [(1, "Eólica"), (2, "Nuclear")], "id int, tecnologia string"
+    )
+    p48 = spark.createDataFrame(
+        [("Nuclear",), ("Biomasa",), ("Aerotermia",), (None,), ("Biomasa",)],
+        "Concepto string",
+    )
+    out = {r["tecnologia"]: r["id"] for r in update_tecnologias(p48, dim).collect()}
+    # existing rows untouched; new names appended alphabetically after max id
+    assert out == {"Eólica": 1, "Nuclear": 2, "Aerotermia": 3, "Biomasa": 4}
