@@ -335,6 +335,61 @@ def with_ivf_cell(
     )
 
 
+def train_ivf_codebook(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    iters: int = 1,
+    dim: int = 64,
+) -> DataFrame:
+    """Data-derived IVF codebook: deterministic k-means.
+
+    Init assigns vector i to cell ``i mod k`` (no RNG state — the
+    engine-portable analog of random init); each Lloyd iteration takes
+    per-dimension means as the new centroids (rounded to 4 dp so both
+    engines agree despite sum-order ulps) and reassigns by rounded
+    cosine with centroid-id tie-break. In production you run this on a
+    SAMPLE (the codebook is k×dim — tiny); the operator is agnostic to
+    how its input was sampled.
+
+    Scale shape: the per-dim mean is one explode + hash aggregate
+    (k·dim groups — map-side partials collapse it); assignment
+    broadcasts the k-row codebook. Returns (centroid_id, cv)."""
+    long = vectors.select(
+        F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("d", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    assign = long.select("vid", (F.col("vid") % k).alias("cell")).distinct()
+
+    def centroids_of(assign_df: DataFrame) -> DataFrame:
+        means = (
+            long.join(assign_df, "vid")
+            .groupBy("cell", "d")
+            .agg(F.round(F.avg("v"), 4).alias("m"))
+        )
+        return means.groupBy("cell").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        ).select(F.col("cell").alias("centroid_id"), "cv")
+
+    cent = centroids_of(assign)
+    for _ in range(iters):
+        scored = vectors.select(
+            F.col(id_col).alias("vid"), F.col(vec_col).alias("vv")
+        ).crossJoin(F.broadcast(cent)).withColumn(
+            "_sim", F.round(cosine(F.col("vv"), F.col("cv")), 6)
+        )
+        w = W.partitionBy("vid").orderBy(F.desc("_sim"), "centroid_id")
+        assign = (
+            scored.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1)
+            .select("vid", F.col("centroid_id").alias("cell"))
+        )
+        cent = centroids_of(assign)
+    return cent
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
