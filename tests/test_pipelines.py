@@ -218,3 +218,33 @@ def test_curtailments(spark, dim):
     assert rows[("R1", dt.datetime(2024, 1, 15, 9, 0))] == 2.0
     assert rows[("R5", dt.datetime(2024, 1, 15, 9, 15))] == 2.0
     assert out.select("id_mercado").distinct().collect()[0][0] == 13
+
+
+def test_i90_error_exclusion(spark):
+    """F10: a known-bad (fecha, sheet) config entry removes that day's
+    rows for markets reading that sheet; other sheets unaffected."""
+    from etl_energy_tracker_spark import timegrid as tg
+    from etl_energy_tracker_spark.config.market_config import I90Error, i90_errores_df
+    from etl_energy_tracker_spark.pipelines import i90
+
+    raw = spark.createDataFrame(
+        [
+            ("2024-01-05", "1", "Quince minutos", 5.0, "UP1", "Subir", "ECO"),
+            ("2024-01-06", "1", "Quince minutos", 6.0, "UP1", "Subir", "ECO"),
+        ],
+        "fecha string, hora string, granularity string, volumenes double, "
+        "`Unidad de Programación` string, Sentido string, Redespacho string",
+    )
+    dim = tg.dst_dim(spark)
+    errors = i90_errores_df(spark, (I90Error("2024-01-05", "03"),))
+    # market 9 reads sheet 03 → the bad day is dropped
+    out = i90.transform_volumenes(raw, 9, dim, errors=errors)
+    assert [r["volumenes"] for r in out.collect()] == [6.0]
+    # market 11 reads sheet 08 → untouched by a sheet-03 error
+    out11 = i90.transform_volumenes(
+        raw.drop("Redespacho").withColumn("Redespacho", F.lit("Restricciones Técnicas")),
+        11, dim, errors=errors,
+    )
+    assert sorted(r["volumenes"] for r in out11.collect()) == [5.0, 6.0]
+    # no error config → nothing excluded
+    assert i90.transform_volumenes(raw, 9, dim).count() == 2
