@@ -96,6 +96,55 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "session_window_agg",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+        FROM gaps
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+    tags=("streaming", "window", "aggregate"),
+    doc="Spark's native session_window (dynamic-gap session windows, "
+    "the streaming-ready formulation — usable unchanged under "
+    "readStream + watermark): events within a 30-min gap merge; the "
+    "window closes 30 min after the last event. Oracle is the "
+    "independent lag/cumsum derivation — note session_window's "
+    "half-open semantics (a gap of exactly 30 min starts a NEW "
+    "session, hence >= in the oracle, vs the strict > of the "
+    "batch `sessionization` query).",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "multimodal_features",
     oracle=f"""
     SELECT doc_id,
