@@ -142,6 +142,90 @@ def zr_tracking_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "up_tracking_changes",
+    oracle=f"""
+    WITH sup AS (
+        SELECT s_suppkey AS k, round(s_acctbal, 2) AS pot, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    ),
+    inc AS (
+        SELECT 'UP' || CAST(k AS VARCHAR) AS up,
+               CASE WHEN k % 11 = 0 THEN NULL ELSE pot END AS n_pot,
+               CASE WHEN k % 11 = 0 THEN NULL ELSE n_name END AS n_zona
+        FROM sup WHERE k % 4 != 0
+    ),
+    dim AS (
+        SELECT 'UP' || CAST(k AS VARCHAR) AS up,
+               pot + CASE WHEN k % 3 = 0 THEN 10 ELSE 0 END AS o_pot,
+               CASE WHEN k % 7 = 0 THEN 'ZONA_X' ELSE n_name END AS o_zona
+        FROM sup WHERE k % 5 != 0
+    ),
+    j AS (
+        SELECT coalesce(i.up, d.up) AS entity,
+               i.up IS NOT NULL AS in_inc, d.up IS NOT NULL AS in_dim,
+               n_pot, n_zona, o_pot, o_zona
+        FROM inc i FULL OUTER JOIN dim d ON i.up = d.up
+    )
+    SELECT entity, 'habilitada' AS field_changed,
+           CAST(NULL AS DOUBLE) AS old_num, CAST(NULL AS DOUBLE) AS new_num,
+           'false' AS old_str, 'true' AS new_str,
+           '{_ZR_DATE}' AS date_updated
+    FROM j WHERE NOT in_dim
+    UNION ALL
+    SELECT entity, 'obsoleta', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           'false', 'true', '{_ZR_DATE}'
+    FROM j WHERE in_dim AND NOT in_inc
+    UNION ALL
+    SELECT entity, 'potencia', o_pot, n_pot,
+           CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), '{_ZR_DATE}'
+    FROM j WHERE in_inc AND in_dim AND n_pot IS NOT NULL AND n_zona IS NOT NULL
+             AND n_pot IS DISTINCT FROM o_pot
+    UNION ALL
+    SELECT entity, 'zona_regulacion', CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           o_zona, n_zona, '{_ZR_DATE}'
+    FROM j WHERE in_inc AND in_dim AND n_pot IS NOT NULL AND n_zona IS NOT NULL
+             AND n_zona IS DISTINCT FROM o_zona
+    """,
+    tags=("tracking", "join", "setops"),
+    doc="UP-listing attribute-drift tracking (UP_tracking.py:388-494): "
+    "potencia + zona_regulacion per-field change log with the "
+    "reference's null-skip rule (any null incoming field → entity "
+    "skipped, old values kept; null OLD vs non-null new IS a change), "
+    "plus habilitada/obsoleta transitions — the UP tracker logs "
+    "obsoletions, unlike ZR. One full-outer join + per-field "
+    "projections, no per-entity loop.",
+)
+def up_tracking_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.tracking import up_change_log
+
+    nation = load_table(spark, "nation", sf_dir)
+    supplier = load_table(spark, "supplier", sf_dir)
+    sup = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select(
+        F.col("s_suppkey").alias("k"),
+        F.round("s_acctbal", 2).alias("pot"),
+        "n_name",
+    )
+    up_code = F.concat(F.lit("UP"), F.col("k").cast("string"))
+    skip = F.col("k") % 11 == 0
+    incoming = sup.where(F.col("k") % 4 != 0).select(
+        up_code.alias("UP"),
+        F.when(skip, F.lit(None)).otherwise(F.col("pot")).alias("potencia"),
+        F.when(skip, F.lit(None)).otherwise(F.col("n_name")).alias("zona_regulacion"),
+    )
+    dim = sup.where(F.col("k") % 5 != 0).select(
+        up_code.alias("UP"),
+        (F.col("pot") + F.when(F.col("k") % 3 == 0, 10).otherwise(0)).alias("potencia"),
+        F.when(F.col("k") % 7 == 0, "ZONA_X").otherwise(F.col("n_name")).alias(
+            "zona_regulacion"
+        ),
+    )
+    return up_change_log(incoming, dim, _ZR_DATE)
+
+
+@register(
     "p48_tecnologias_update",
     oracle="""
     WITH dim AS (

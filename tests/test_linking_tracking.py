@@ -209,3 +209,66 @@ def test_p48_update_tecnologias(spark):
     out = {r["tecnologia"]: r["id"] for r in update_tecnologias(p48, dim).collect()}
     # existing rows untouched; new names appended alphabetically after max id
     assert out == {"Eólica": 1, "Nuclear": 2, "Aerotermia": 3, "Biomasa": 4}
+
+
+def test_up_change_log_scenarios(spark):
+    """UP_tracking.py:388-494 semantics: per-field drift, null-skip,
+    null-old-is-change, habilitada AND obsoleta logged."""
+    from etl_energy_tracker_spark.operators.tracking import up_change_log
+
+    dim = spark.createDataFrame(
+        [
+            ("UP_A", 100.0, "Z1"),   # potencia will drift
+            ("UP_B", 200.0, "Z2"),   # zona will drift
+            ("UP_C", 300.0, "Z3"),   # incoming has nulls -> skipped
+            ("UP_D", 400.0, "Z4"),   # gone -> obsoleta
+            ("UP_F", None, "Z6"),    # old potencia null, new set -> change
+        ],
+        "UP string, potencia double, zona_regulacion string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            ("UP_A", 150.0, "Z1"),
+            ("UP_B", 200.0, "Z9"),
+            ("UP_C", None, "Z3"),
+            ("UP_E", 500.0, "Z5"),   # new -> habilitada
+            ("UP_F", 600.0, "Z6"),
+        ],
+        "UP string, potencia double, zona_regulacion string",
+    )
+    log = up_change_log(incoming, dim, "2026-08-13").collect()
+    changes = {(r["entity"], r["field_changed"]) for r in log}
+    assert changes == {
+        ("UP_A", "potencia"),
+        ("UP_B", "zona_regulacion"),
+        ("UP_D", "obsoleta"),
+        ("UP_E", "habilitada"),
+        ("UP_F", "potencia"),
+    }
+    by = {(r["entity"], r["field_changed"]): r for r in log}
+    assert by[("UP_A", "potencia")]["old_num"] == 100.0
+    assert by[("UP_A", "potencia")]["new_num"] == 150.0
+    assert by[("UP_B", "zona_regulacion")]["new_str"] == "Z9"
+    assert by[("UP_F", "potencia")]["old_num"] is None
+
+
+def test_map_tecnologia_id(spark):
+    from py4j.protocol import Py4JJavaError
+
+    from etl_energy_tracker_spark.config.market_config import tecnologias_df
+    from etl_energy_tracker_spark.operators.tracking import map_tecnologia_id
+
+    tecs = tecnologias_df(spark)
+    ok = spark.createDataFrame([("U1", "Eólica"), ("U2", "Nuclear")], "UP string, tipo_produccion string")
+    out = {r["UP"]: r["tecnologia_id"] for r in map_tecnologia_id(ok, tecs).collect()}
+    assert out["U1"] == 1 and out["U2"] == 7
+    assert "tipo_produccion" not in map_tecnologia_id(ok, tecs).columns
+
+    bad = spark.createDataFrame([("U3", "Fusión fría")], "UP string, tipo_produccion string")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as e:
+        map_tecnologia_id(bad, tecs).collect()
+    assert "unmapped production type" in str(e.value)
+    # non-strict mode passes nulls through
+    assert map_tecnologia_id(bad, tecs, strict=False).collect()[0]["tecnologia_id"] is None
