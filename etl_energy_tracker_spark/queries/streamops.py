@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import MOD
-from ..sources.multimodal import as_blob_table, extract_features
+from ..sources.multimodal import as_blob_table, extract_features, sample_frames
 from ..sources.registry import load_table
 from .catalog import register
 
@@ -169,6 +169,35 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     blobs = as_blob_table(docs, "doc_id", "text")
     return extract_features(blobs)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id, j AS frame_idx,
+           CAST(length(sub) AS BIGINT) AS n_bytes,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(sub, ''),
+                   c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc + x) % {MOD}) AS checksum
+    FROM (
+        SELECT doc_id, j, substr(text, CAST(j * 2 * 256 AS INT) + 1, 256) AS sub
+        FROM documents, (SELECT unnest(range(0, 3)) AS j)
+    )
+    WHERE length(sub) > 0
+    """,
+    tags=("multimodal",),
+    doc="Frame sampling over binary payloads: every-2nd 256-byte "
+    "window, max 3 frames per doc — the 1-to-N mapInPandas batch shape "
+    "a video pipeline needs (payloads explode locally, never shuffle). "
+    "Kernel is the deterministic window stand-in; a demuxer drops into "
+    "the same iterator. Oracle slices the same windows in SQL (docs "
+    "are ASCII, so byte values == code points).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    blobs = as_blob_table(docs, "doc_id", "text")
+    return sample_frames(blobs, frame_size=256, every_n=2, max_frames=3)
 
 
 @register(

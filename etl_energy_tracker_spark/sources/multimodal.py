@@ -103,3 +103,107 @@ def extract_features(blobs: DataFrame, use_decoder: bool = False) -> DataFrame:
             )
 
     return blobs.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx long, n_bytes long, checksum long"
+
+
+def sample_frames(
+    blobs: DataFrame,
+    frame_size: int = 256,
+    every_n: int = 2,
+    max_frames: int = 3,
+) -> DataFrame:
+    """Frame sampling over binary payloads — the 1→N mapInPandas shape
+    a video pipeline needs (output rows ≠ input rows, still map-only:
+    payloads never shuffle, each Arrow batch explodes locally).
+
+    The deterministic stand-in kernel treats the payload as
+    fixed-size byte windows: sampled frame j (j < max_frames) is the
+    window starting at ``j·every_n·frame_size``; empty windows are
+    dropped. A real video pipeline drops a container demuxer
+    (e.g. PyAV) into the same iterator — the schema, batching, and
+    fan-out plumbing are unchanged."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, lens, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["content"]):
+                data = bytes(payload)
+                for j in range(max_frames):
+                    start = j * every_n * frame_size
+                    frame = data[start : start + frame_size]
+                    if not frame:
+                        break
+                    ids.append(doc_id)
+                    idxs.append(j)
+                    lens.append(len(frame))
+                    sums.append(sum(frame) % _MOD)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "n_bytes": lens, "checksum": sums}
+            )
+
+    return blobs.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("modality", T.StringType()),
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def resize_images(
+    blobs: DataFrame, width: int, height: int, use_decoder: bool = False
+) -> DataFrame:
+    """Image resize plumbing: binary in → binary out with updated typed
+    metadata, Arrow-batched, map-only. The deterministic stand-in
+    "resize" tiles/truncates the payload to exactly width·height bytes
+    (a real kernel decodes via ``decode_stub`` → PIL resize → re-encode
+    in the same slot); downstream operators see the true post-resize
+    schema and byte sizes either way."""
+    target = width * height
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_content = []
+            for payload, meta in zip(pdf["content"], pdf["meta"]):
+                data = bytes(payload)
+                if use_decoder:
+                    decode_stub(data, meta["modality"])  # raises: no codec here
+                if not data:
+                    out_content.append(b"\x00" * target)
+                else:
+                    reps = -(-target // len(data))
+                    out_content.append((data * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "content": out_content,
+                    "meta": [
+                        {
+                            "modality": m["modality"],
+                            "mime": m["mime"],
+                            "n_bytes": target,
+                            "width": width,
+                            "height": height,
+                        }
+                        for m in pdf["meta"]
+                    ],
+                }
+            )
+
+    return blobs.mapInPandas(batches, schema=RESIZED_SCHEMA)

@@ -122,3 +122,46 @@ def test_scd2_apply(spark):
     assert len(by_up["UP3"]) == 2
     # UP4 brand new
     assert by_up["UP4"] == [("UP4", "Biomasa", True, True)]
+
+
+def test_sample_frames_fanout(spark):
+    """1→N frame sampling: windows at j*every_n*frame_size, empty
+    windows dropped, payloads never shuffled (map-only plan)."""
+    from etl_energy_tracker_spark.sources.multimodal import as_blob_table, sample_frames
+
+    docs = spark.createDataFrame(
+        [(1, "A" * 1000), (2, "B" * 100), (3, "")], "doc_id long, text string"
+    )
+    out = sample_frames(
+        as_blob_table(docs, "doc_id", "text"), frame_size=256, every_n=2, max_frames=3
+    ).collect()
+    rows = {(r["doc_id"], r["frame_idx"]): r for r in out}
+    # doc 1 (1000 bytes): frames at offsets 0 and 512 — full 256; third
+    # window would start at 1024 (past end) -> absent
+    assert rows[(1, 0)]["n_bytes"] == 256 and rows[(1, 1)]["n_bytes"] == 256
+    assert (1, 2) not in rows
+    assert rows[(1, 0)]["checksum"] == (ord("A") * 256) % 1_000_000_007
+    # doc 2 (100 bytes): only frame 0, truncated
+    assert rows[(2, 0)]["n_bytes"] == 100 and (2, 1) not in rows
+    # empty doc: no frames at all
+    assert not any(d == 3 for d, _ in rows)
+
+
+def test_resize_images_plumbing(spark):
+    from etl_energy_tracker_spark.sources.multimodal import as_blob_table, resize_images
+
+    docs = spark.createDataFrame([(1, "xyz"), (2, "")], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in resize_images(
+        as_blob_table(docs, "doc_id", "text"), width=4, height=2
+    ).collect()}
+    assert bytes(out[1]["content"]) == b"xyzxyzxy"  # tiled to 8 bytes
+    assert out[1]["meta"]["width"] == 4 and out[1]["meta"]["height"] == 2
+    assert out[1]["meta"]["n_bytes"] == 8
+    assert bytes(out[2]["content"]) == b"\x00" * 8  # empty payload padded
+    # the real-decoder path is an honest env gate
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no codec"):
+        resize_images(
+            as_blob_table(docs, "doc_id", "text"), 4, 2, use_decoder=True
+        ).collect()
