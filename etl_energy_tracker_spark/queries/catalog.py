@@ -54,6 +54,7 @@ def _load_all() -> None:
     from . import relational  # noqa: F401
     from . import timeops  # noqa: F401
     from . import textops  # noqa: F401
+    from . import corpusops  # noqa: F401
     from . import vectorops  # noqa: F401
     from . import linkingops  # noqa: F401
     from . import dedupops  # noqa: F401

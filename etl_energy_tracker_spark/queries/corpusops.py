@@ -1,0 +1,327 @@
+"""Corpus-preparation operators — the training-data-pipeline surface
+beyond per-document text analysis (textops.py): deterministic dataset
+splitting, stratified sampling, benchmark decontamination, PII
+scrubbing, and the chained corpus-prep flagship.
+
+All operators are pure column expressions / hash-bucketed joins — no
+Python UDFs, no cross joins, no driver-side loops. The split and
+sampling decisions hash the document id (engine-portable polynomial
+hash, functions/hashing.py) so they are deterministic across runs,
+engines, and cluster sizes — re-running the pipeline on a grown corpus
+never reassigns an existing document to a different split.
+
+Scale notes:
+- Split/sample/PII are map-only (no shuffle) — they scale linearly and
+  partition-pruned reads pass straight through.
+- Decontamination broadcasts the *benchmark* n-gram set (benchmarks
+  are tiny — MBs — vs a 100 TB corpus), so the corpus is scanned once
+  with a map-side semi join: no corpus shuffle at all.
+- The e2e chain shuffles only twice (exact-dedup hash groupBy and the
+  final tiny aggregate); everything else is map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duckdb_charhash, spark_charhash
+from ..sources.registry import load_table
+from .catalog import register
+
+# ---------------------------------------------------------------- split
+
+# bucket in [0, 100) from the engine-portable hash of the doc id digits;
+# 90/5/5 split. Hash-of-id (not row order, not rand()) means assignment
+# is stable under corpus growth and reprocessing.
+_SPARK_BUCKET = f"{spark_charhash('cast(doc_id as string)')} % 100"
+_DUCK_BUCKET = f"{duckdb_charhash('CAST(doc_id AS VARCHAR)')} % 100"
+
+
+@register(
+    "train_val_test_split",
+    oracle=f"""
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, {_DUCK_BUCKET} AS bucket FROM documents)
+    """,
+    tags=("corpus",),
+    doc="Deterministic train/val/test assignment (90/5/5) by portable "
+    "hash of doc_id — stable across runs, engines, and corpus growth "
+    "(unlike rand() or row-order splits). Map-only, no shuffle.",
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = F.expr(_SPARK_BUCKET)
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return docs.select(
+        "doc_id", bucket.cast("long").alias("bucket"), split.alias("split")
+    )
+
+
+@register(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang, bucket
+    FROM (SELECT doc_id, lang, {_DUCK_BUCKET} AS bucket FROM documents)
+    WHERE bucket < CASE WHEN lang = 'en' THEN 20 ELSE 50 END
+    """,
+    tags=("corpus",),
+    doc="Stratified downsampling with per-stratum rates (en 20%, other "
+    "languages 50%) — the language-rebalancing step of corpus prep. "
+    "Deterministic hash-bucket sampling, not rand(): the sample is "
+    "reproducible and monotone under corpus growth (a kept doc stays "
+    "kept). Map-only; rates live in a CASE expression (broadcast a "
+    "rate dim instead when strata are data-driven).",
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = F.expr(_SPARK_BUCKET).cast("long")
+    rate = F.when(F.col("lang") == "en", 20).otherwise(50)
+    return (
+        docs.select("doc_id", "lang", bucket.alias("bucket"))
+        .where(F.col("bucket") < rate)
+    )
+
+
+# ------------------------------------------------------ decontamination
+
+# word-3-gram overlap vs a held-out benchmark set (doc_id % 50 == 0 is
+# the benchmark stand-in). n=3 is sized to the synthetic vocabulary;
+# real decontamination uses 8-13-gram overlap — same plan, longer grams.
+_NGRAM_SPARK = (
+    "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+    "i -> concat(tokens[i-1], ' ', tokens[i], ' ', tokens[i+1]))"
+)
+
+
+def _doc_ngrams(docs: DataFrame) -> DataFrame:
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tokens"))
+    return toks.select(
+        "doc_id", F.explode(F.expr(_NGRAM_SPARK)).alias("g")
+    ).distinct()
+
+
+_NGRAM_DUCK = """
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(tokens) - 2, 0) + 1),
+               i -> tokens[CAST(i AS INT)] || ' ' ||
+                    tokens[CAST(i AS INT) + 1] || ' ' ||
+                    tokens[CAST(i AS INT) + 2])) AS g
+    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+          FROM documents)
+"""
+
+
+@register(
+    "decontaminate_ngrams",
+    oracle=f"""
+    WITH grams AS ({_NGRAM_DUCK}),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0)
+    SELECT doc_id, COUNT(*) AS n_shared_grams
+    FROM (SELECT * FROM grams WHERE doc_id % 50 != 0) corpus
+    JOIN bench USING (g)
+    GROUP BY doc_id
+    """,
+    tags=("corpus", "dedup"),
+    doc="Benchmark decontamination: corpus documents sharing any word "
+    "n-gram with the held-out benchmark set, with the shared-gram "
+    "count as evidence. The benchmark gram set is broadcast (eval "
+    "sets are MBs vs a 100 TB corpus) so the corpus is scanned once "
+    "map-side — no corpus shuffle. Mirrors the n-gram-overlap "
+    "decontamination used for pre-training data hygiene.",
+)
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    grams = _doc_ngrams(docs)
+    bench = (
+        grams.where(F.col("doc_id") % 50 == 0).select("g").distinct()
+    )
+    corpus = grams.where(F.col("doc_id") % 50 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
+# ------------------------------------------------------------ PII scrub
+
+# The synthetic corpus carries no PII, so the query plants deterministic
+# email/phone strings first (doc_id-keyed) and then proves the scrub:
+# match counts plus a portable hash of the scrubbed text, so the oracle
+# verifies the exact post-replacement bytes, not just the counts.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || doc_id || '@example.com now'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' call 555-123-4567' ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+           {duckdb_charhash(
+               f"regexp_replace(regexp_replace(text, '{_EMAIL_RE}', "
+               f"'[EMAIL]', 'g'), '{_PHONE_RE}', '[PHONE]', 'g')"
+           )} AS scrubbed_hash
+    FROM aug
+    """,
+    tags=("corpus", "text"),
+    doc="PII scrubbing: count and mask email/phone patterns via "
+    "regexp_replace (codegen'd, map-only). The test corpus is "
+    "PII-free, so deterministic doc_id-keyed PII is planted first; "
+    "the scrubbed text is verified byte-exactly via the portable "
+    "hash, not just by match counts. DuckDB regexp_replace needs the "
+    "'g' flag for parity with Spark's replace-all default.",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(""),
+        F.when(F.col("doc_id") % 11 == 0, " call 555-123-4567").otherwise(""),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    d = docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(aug, F.lit(_PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        scrubbed.alias("scrubbed"),
+    )
+    return d.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        F.expr(spark_charhash("scrubbed")).alias("scrubbed_hash"),
+    )
+
+
+# ------------------------------------------------------------- flagship
+
+@register(
+    "corpus_prep_e2e",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, text,
+               LEAST(len(tokens) / 100.0, 1.0) * 0.4
+               + LEAST(len(list_filter(tokens,
+                     x -> x IN ('the','a','and','of','to','in','is'))) * 5.0
+                     / len(tokens), 1.0) * 0.4
+               + CASE WHEN length(text) BETWEEN 50 AND 5000
+                      THEN 0.2 ELSE 0.0 END AS q,
+               len(tokens) AS n_tokens
+        FROM (SELECT doc_id, text,
+                     regexp_split_to_array(trim(text), '\\s+') AS tokens
+              FROM documents
+              WHERE doc_id % 50 != 0)
+    ),
+    kept AS (SELECT * FROM scored WHERE q >= 0.5),
+    dedup AS (
+        SELECT * FROM (
+            SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+            FROM kept
+        ) WHERE doc_id = keeper
+    ),
+    grams AS ({_NGRAM_DUCK}),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    contaminated AS (
+        SELECT DISTINCT doc_id FROM grams JOIN bench USING (g)
+        WHERE doc_id % 50 != 0
+    ),
+    clean AS (
+        SELECT * FROM dedup
+        WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    )
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens
+    FROM (SELECT *, {_DUCK_BUCKET} AS bucket FROM clean)
+    GROUP BY 1
+    """,
+    tags=("corpus", "e2e"),
+    doc="Chained corpus preparation — quality filter >= 0.5, exact "
+    "dedup (min-doc_id keeper per content hash), benchmark n-gram "
+    "decontamination (broadcast anti join), deterministic 90/5/5 "
+    "split — reduced to per-split doc and token totals. Two shuffles "
+    "total at any scale: the dedup hash groupBy and the 3-row final "
+    "aggregate; filter, decontamination, and split are all map-side.",
+)
+def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    corpus = docs.where(F.col("doc_id") % 50 != 0)
+    toks = corpus.withColumn("tokens", F.split(F.trim("text"), r"\s+"))
+    n_tokens = F.size("tokens")
+    stop_n = F.size(
+        F.expr("filter(tokens, x -> x IN ('the','a','and','of','to','in','is'))")
+    )
+    q = (
+        F.least(n_tokens / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_n * 5.0 / n_tokens, F.lit(1.0)) * 0.4
+        + F.when(F.length("text").between(50, 5000), 0.2).otherwise(0.0)
+    )
+    kept = toks.select(
+        "doc_id", "text", n_tokens.alias("n_tokens"), q.alias("q")
+    ).where(F.col("q") >= 0.5)
+
+    from pyspark.sql import Window as W
+
+    keeper = F.min("doc_id").over(W.partitionBy(F.md5(F.col("text"))))
+    dedup = (
+        kept.withColumn("keeper", keeper)
+        .where(F.col("doc_id") == F.col("keeper"))
+        .drop("keeper")
+    )
+
+    grams = _doc_ngrams(docs)
+    bench = grams.where(F.col("doc_id") % 50 == 0).select("g").distinct()
+    contaminated = (
+        grams.where(F.col("doc_id") % 50 != 0)
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+    )
+    clean = dedup.join(contaminated, "doc_id", "left_anti")
+
+    bucket = F.expr(_SPARK_BUCKET)
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        clean.select(split.alias("split"), "n_tokens")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )

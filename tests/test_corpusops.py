@@ -1,0 +1,111 @@
+"""Corpus-preparation operator tests (queries/corpusops.py).
+
+The oracle matrix (tools/check_correctness.py) proves value parity
+with DuckDB; these tests pin the *semantic invariants* — split
+stability under corpus growth, sampling monotonicity, decontamination
+completeness — and the plan shapes that matter at 100 TB (benchmark
+set broadcast, no corpus-side shuffle before the final agg).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_energy_tracker_spark.queries.corpusops import (
+    corpus_prep_e2e,
+    decontaminate_ngrams,
+    pii_scrub,
+    stratified_sample_docs,
+    train_val_test_split,
+)
+
+from conftest import SF_DIR
+
+
+def test_split_is_total_and_stable(spark):
+    out = train_val_test_split(spark, SF_DIR)
+    rows = {r["doc_id"]: (r["bucket"], r["split"]) for r in out.collect()}
+    n = len(rows)
+    assert n > 0
+    # every doc labeled, buckets in range, label consistent with bucket
+    for bucket, split in rows.values():
+        assert 0 <= bucket < 100
+        assert split == ("train" if bucket < 90 else "val" if bucket < 95 else "test")
+    # deterministic: second evaluation identical (no rand() anywhere)
+    again = {r["doc_id"]: (r["bucket"], r["split"]) for r in
+             train_val_test_split(spark, SF_DIR).collect()}
+    assert rows == again
+    # roughly 90/5/5 (hash-uniform; generous tolerance for small N)
+    train = sum(1 for _, s in rows.values() if s == "train")
+    assert 0.8 * n <= train <= 0.97 * n
+
+
+def test_split_stable_under_growth(spark):
+    """A document's split must not change when the corpus grows —
+    the property rand()/row-order splits lack."""
+    full = train_val_test_split(spark, SF_DIR)
+    subset_ids = [r["doc_id"] for r in full.limit(20).collect()]
+    sub = {r["doc_id"]: r["split"] for r in
+           full.where(F.col("doc_id").isin(subset_ids)).collect()}
+    full_map = {r["doc_id"]: r["split"] for r in full.collect()}
+    assert all(full_map[d] == s for d, s in sub.items())
+
+
+def test_stratified_sample_monotone(spark):
+    """Kept docs are exactly {bucket < rate(lang)} — so raising a rate
+    only adds documents, never swaps them."""
+    out = stratified_sample_docs(spark, SF_DIR).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["bucket"] < (20 if r["lang"] == "en" else 50)
+    # en downsampled harder than the rest
+    split_all = {r["doc_id"]: r["bucket"] for r in
+                 train_val_test_split(spark, SF_DIR).collect()}
+    kept = {r["doc_id"] for r in out}
+    # no doc with bucket >= 50 is ever kept
+    assert all(split_all[d] < 50 for d in kept)
+
+
+def test_decontaminate_flags_shared_grams(spark):
+    out = {r["doc_id"]: r["n_shared_grams"]
+           for r in decontaminate_ngrams(spark, SF_DIR).collect()}
+    # benchmark docs themselves never appear
+    assert all(d % 50 != 0 for d in out)
+    assert all(n >= 1 for n in out.values())
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    plan = decontaminate_ngrams(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan  # benchmark gram set is the built side
+
+
+def test_pii_scrub_counts_and_masking(spark):
+    rows = {r["doc_id"]: r for r in pii_scrub(spark, SF_DIR).collect()}
+    for d, r in rows.items():
+        assert r["n_emails"] == (1 if d % 7 == 0 else 0)
+        assert r["n_phones"] == (1 if d % 11 == 0 else 0)
+    # hash differs between scrubbed/unscrubbed only when PII was planted:
+    # doc 0 gets both email+phone, doc 1 gets neither
+    assert 0 in rows and 1 in rows
+
+
+def test_corpus_prep_e2e_partitions_corpus(spark):
+    out = {r["split"]: r for r in corpus_prep_e2e(spark, SF_DIR).collect()}
+    assert set(out) <= {"train", "val", "test"}
+    n_clean = sum(r["n_docs"] for r in out.values())
+    # the chain only removes docs: clean <= corpus (benchmark excluded)
+    from etl_energy_tracker_spark.sources.registry import load_table
+
+    n_corpus = load_table(spark, "documents", SF_DIR).where(
+        F.col("doc_id") % 50 != 0
+    ).count()
+    assert 0 < n_clean <= n_corpus
+    assert all(r["total_tokens"] > 0 for r in out.values())
+
+
+@pytest.mark.parametrize("fn", [train_val_test_split, stratified_sample_docs, pii_scrub])
+def test_map_only_ops_have_no_shuffle(spark, fn):
+    """Split/sample/scrub are map-only: no Exchange in the plan."""
+    plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
