@@ -88,9 +88,34 @@ _R1_VERIFIED: frozenset[str] = frozenset({
 })
 
 
+# Within the unverified set, emit the flagship / previously-flagged
+# operators first so a capped run (round 1 recorded 50 rows) is
+# guaranteed to cover them before long-tail variants.
+_PRIORITY: tuple[str, ...] = (
+    "embedding_near_dup_pairs", "simhash_fingerprint", "simhash_near_pairs",
+    "minhash_lsh_pairs", "minhash_signatures", "ann_lsh_bucketed",
+    "ann_ivf_topk", "ann_ivf_trained", "ann_cosine_topk",
+    "pipeline_esios_e2e", "pipeline_omie_e2e", "pipeline_i90_errors_e2e",
+    "pipeline_intra_differencing_e2e", "precios_hourly_read_e2e",
+    "linking_hash_match", "linking_profile_hash",
+    "streaming_hourly_agg", "stateful_user_totals", "sessionization",
+    "session_window_agg", "zr_tracking_changes", "p48_tecnologias_update",
+    "corpus_prep_e2e", "decontaminate_ngrams", "train_val_test_split",
+    "exact_dedup_docs", "ngram_jaccard_pairs", "multimodal_features",
+    "multimodal_frame_sample", "text_fingerprint", "madrid_local_to_utc",
+    "up_tracking_changes", "pipeline_curtailments_e2e", "json_map_explode",
+    "first_ordered_per_group", "range_window_1h",
+)
+
+
 def _ordered() -> list[str]:
     names = list(CATALOG)
-    return [n for n in names if n not in _R1_VERIFIED] + [n for n in names if n in _R1_VERIFIED]
+    rank = {n: i for i, n in enumerate(_PRIORITY)}
+    unverified = sorted(
+        (n for n in names if n not in _R1_VERIFIED),
+        key=lambda n: (rank.get(n, len(_PRIORITY)), names.index(n)),
+    )
+    return unverified + [n for n in names if n in _R1_VERIFIED]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
