@@ -100,10 +100,13 @@ _NGRAM_SPARK = (
 
 
 def _doc_ngrams(docs: DataFrame) -> DataFrame:
+    # per-doc gram dedup is local — array_distinct BEFORE explode keeps
+    # the whole gram build map-side (a .distinct() after explode would
+    # shuffle the full corpus gram set, which at 100 TB dwarfs the data)
     toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tokens"))
     return toks.select(
-        "doc_id", F.explode(F.expr(_NGRAM_SPARK)).alias("g")
-    ).distinct()
+        "doc_id", F.explode(F.array_distinct(F.expr(_NGRAM_SPARK))).alias("g")
+    )
 
 
 _NGRAM_DUCK = """

@@ -235,17 +235,19 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tokens"))
-    shingles = (
-        toks.select(
-            "doc_id",
-            F.explode(
+    # per-doc shingle dedup is local: array_distinct before explode
+    # keeps the shingle build map-side (distinct-after-explode would
+    # shuffle the full corpus shingle set)
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
                 F.expr(
                     "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
                     "i -> concat(tokens[i-1], ' ', tokens[i], ' ', tokens[i+1]))"
                 )
-            ).alias("shingle"),
-        )
-        .distinct()
+            )
+        ).alias("shingle"),
     )
     counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.alias("a")
