@@ -328,3 +328,74 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("total_tokens"),
         )
     )
+
+
+# --------------------------------------------------- intra-doc cleaning
+
+# C4-style within-document repetition removal. The synthetic corpus has
+# no newlines, so the "line" unit is a fixed 2-token chunk; a real
+# pipeline splits on '\n' — same plan, different delimiter. All per-doc:
+# chunking, first-occurrence dedup (array_distinct preserves encounter
+# order), and rejoin are local array expressions — zero shuffle.
+_CHUNK = 2
+_CHUNK_SPARK = (
+    f"transform(sequence(0, cast(ceil(size(tokens) / {_CHUNK}.0) as int) - 1), "
+    f"j -> concat_ws(' ', slice(tokens, j * {_CHUNK} + 1, {_CHUNK})))"
+)
+
+
+@register(
+    "intra_doc_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, j,
+               list_aggregate(t[CAST(j * {_CHUNK} + 1 AS INT):
+                                CAST(j * {_CHUNK} + {_CHUNK} AS INT)],
+                              'string_agg', ' ') AS c
+        FROM toks, LATERAL (
+            SELECT unnest(range(0,
+                CAST(ceil(len(t) / {_CHUNK}.0) AS BIGINT))) AS j)
+    ),
+    firsts AS (
+        SELECT doc_id, c, MIN(j) AS fj FROM chunks GROUP BY doc_id, c
+    )
+    SELECT f.doc_id,
+           n.n_chunks,
+           COUNT(*) AS n_unique_chunks,
+           {duckdb_charhash("string_agg(f.c, ' ' ORDER BY f.fj)")}
+               AS cleaned_hash
+    FROM firsts f
+    JOIN (SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id) n
+      USING (doc_id)
+    GROUP BY f.doc_id, n.n_chunks
+    """,
+    tags=("corpus", "text", "dedup"),
+    doc="Within-document repetition removal (C4-style line dedup): "
+    "chunk the document, drop repeated chunks keeping first "
+    "occurrence, rejoin — verified byte-exactly via the portable hash "
+    "of the cleaned text. Entirely per-document array expressions "
+    "(array_distinct preserves encounter order): map-only, zero "
+    "shuffle, embarrassingly parallel at any corpus size.",
+)
+def intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("tokens")
+    ).withColumn("chunks", F.expr(_CHUNK_SPARK))
+    uniq = F.array_distinct("chunks")
+    d = d.select(
+        "doc_id",
+        F.size("chunks").alias("n_chunks"),
+        F.size(uniq).alias("n_unique_chunks"),
+        F.concat_ws(" ", uniq).alias("cleaned"),
+    )
+    return d.select(
+        "doc_id",
+        "n_chunks",
+        "n_unique_chunks",
+        F.expr(spark_charhash("cleaned")).alias("cleaned_hash"),
+    )

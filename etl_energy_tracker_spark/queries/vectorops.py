@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.hashing import duckdb_charhash
 from ..sources.registry import load_table
 from .catalog import register
 
@@ -428,4 +429,55 @@ def ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.where(F.col("vec_id") >= _N_QUERIES)
     return ivf_topk(q, c, cent, "vec_id", "vec_id", k=_TOP_K, n_probe=2).withColumnRenamed(
         "corpus_id", "vec_id"
+    )
+
+
+@register(
+    "cluster_balanced_sample",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cv
+        FROM embeddings WHERE vec_id >= 100 AND vec_id < 116
+    ),
+    assigned AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, centroid_id AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_COS64.format(a='e.embedding', b='cv')} DESC,
+                                centroid_id) AS rk
+            FROM embeddings e CROSS JOIN cent
+        ) WHERE rk = 1
+    )
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY cell
+                   ORDER BY {{h}}, vec_id) AS rn
+        FROM assigned
+    ) WHERE rn <= 20
+    """.replace("{h}", duckdb_charhash("CAST(vec_id AS VARCHAR)")),
+    tags=("vector", "corpus"),
+    doc="Cluster-balanced diversity sampling: every embedding is "
+    "assigned to its nearest codebook centroid (broadcast, same IVF "
+    "assignment as the ANN path), then at most 20 docs are kept per "
+    "cell, ordered by the portable id hash — a deterministic stand-in "
+    "for per-cluster random sampling. This is the semantic-diversity "
+    "counterpart of stratified_sample_docs: strata come from the "
+    "embedding space, not a column. One shuffle (per-cell ranking) "
+    "after a map-side broadcast assignment.",
+)
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import spark_charhash
+    from ..operators.similarity import with_ivf_cell
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cent = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 116)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    assigned = with_ivf_cell(emb, cent, "embedding", "vec_id", n_probe=1)
+    h = F.expr(spark_charhash("cast(vec_id as string)"))
+    w = W.partitionBy("cell").orderBy(h.asc(), F.col("vec_id").asc())
+    return (
+        assigned.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("vec_id", "cell")
     )

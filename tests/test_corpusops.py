@@ -109,3 +109,28 @@ def test_map_only_ops_have_no_shuffle(spark, fn):
     """Split/sample/scrub are map-only: no Exchange in the plan."""
     plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_intra_doc_dedup_semantics(spark):
+    from etl_energy_tracker_spark.queries.corpusops import intra_doc_dedup
+
+    out = intra_doc_dedup(spark, SF_DIR)
+    rows = out.collect()
+    assert all(r["n_unique_chunks"] <= r["n_chunks"] for r in rows)
+    # map-only: zero Exchange in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_cluster_balanced_sample_caps_cells(spark):
+    from collections import Counter
+
+    from etl_energy_tracker_spark.queries.vectorops import cluster_balanced_sample
+
+    rows = cluster_balanced_sample(spark, SF_DIR).collect()
+    per_cell = Counter(r["cell"] for r in rows)
+    assert per_cell and all(n <= 20 for n in per_cell.values())
+    # deterministic across evaluations
+    again = sorted((r["vec_id"], r["cell"]) for r in
+                   cluster_balanced_sample(spark, SF_DIR).collect())
+    assert again == sorted((r["vec_id"], r["cell"]) for r in rows)
