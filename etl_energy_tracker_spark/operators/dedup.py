@@ -239,11 +239,26 @@ def simhash_near_pairs(
     differing bits straddled the prefix.)"""
     n_seg = max_hamming + 1
     seg_bits = bits // n_seg
-    sh = with_simhash(df.select(id_col, text_col), text_col, bits=bits).select(
-        F.col(id_col).alias("id"), "simhash"
+    from pyspark import StorageLevel
+
+    # the signature table (id, int64) is referenced by the bucket join,
+    # the same-fingerprint join, and both expansion joins — persist it
+    # so the text-scanning fingerprint UDF runs ONCE (the in-session
+    # equivalent of materializing signatures before joining; at scale
+    # this table is 16 bytes/doc and the write is the right call).
+    sh = (
+        with_simhash(df.select(id_col, text_col), text_col, bits=bits)
+        .select(F.col(id_col).alias("id"), "simhash")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    segs = sh.select(
-        "id",
+    # Bucket DISTINCT fingerprints, not documents: duplicated content
+    # collapses to one signature, so the segment join scales with the
+    # distinct-signature count and skewed buckets shrink by the
+    # multiplicity factor. Doc pairs are re-expanded afterwards from the
+    # (small) near-fingerprint pair set — signature-level
+    # pre-aggregation, the same move exact_dedup makes before comparing.
+    fp = sh.select("simhash").distinct()
+    segs = fp.select(
         "simhash",
         F.explode(
             F.expr(
@@ -251,26 +266,43 @@ def simhash_near_pairs(
                 f"(simhash div shiftleft(1L, s * {seg_bits})) % shiftleft(1L, {seg_bits}) AS bucket))"
             )
         ).alias("sb"),
-    ).select("id", "simhash", F.col("sb.seg").alias("seg"), F.col("sb.bucket").alias("bucket"))
+    ).select("simhash", F.col("sb.seg").alias("seg"), F.col("sb.bucket").alias("bucket"))
     a, b = segs.alias("a"), segs.alias("b")
-    pairs = (
+    ham_fp = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    near_fp = (
         a.join(
             b,
             (F.col("a.seg") == F.col("b.seg"))
             & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.simhash") < F.col("b.simhash")),
         )
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("a.simhash").alias("fp_a"), F.col("b.simhash").alias("fp_b")
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (
-        pairs.withColumn("hamming", ham)
+        .dropDuplicates(["fp_a", "fp_b"])
+        .withColumn("hamming", ham_fp)
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
+    # hamming == 0 ⟺ identical fingerprint: pair up docs within a group
+    same = (
+        sh.alias("x")
+        .join(sh.alias("y"), (F.col("x.simhash") == F.col("y.simhash"))
+              & (F.col("x.id") < F.col("y.id")))
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("y.id").alias("id_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
+    )
+    # cross-fingerprint pairs: expand each near fingerprint pair by its
+    # member docs; normalize so id_a < id_b like the direct formulation
+    cross = (
+        near_fp.join(sh.alias("da"), F.col("fp_a") == F.col("da.simhash"))
+        .join(sh.alias("db"), F.col("fp_b") == F.col("db.simhash"))
+        .select(
+            F.least(F.col("da.id"), F.col("db.id")).alias("id_a"),
+            F.greatest(F.col("da.id"), F.col("db.id")).alias("id_b"),
+            "hamming",
+        )
+    )
+    return same.unionByName(cross)
