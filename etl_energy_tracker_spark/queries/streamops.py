@@ -220,3 +220,31 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stateful_user_totals_stream
 
     return stateful_user_totals_stream(spark, sf_dir)
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.user_id,
+           p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           epoch_us(p.ts) - epoch_us(c.ts) AS lag_us
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 60 MINUTE
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    tags=("streaming", "join", "time"),
+    doc="Watermarked stream-stream inner join (purchases x same-user "
+    "clicks within the preceding hour): event-time watermarks on "
+    "BOTH sides plus the time-range join condition let Spark evict "
+    "buffered state once rows can no longer match — the contract that "
+    "keeps an unbounded two-stream join bounded. Batch-equivalent over "
+    "the bounded source, so the plain range join is the oracle.",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import clicks_purchases_join_stream
+
+    return clicks_purchases_join_stream(spark, sf_dir)

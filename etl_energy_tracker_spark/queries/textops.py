@@ -298,3 +298,46 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", bpe.alias("n_bpe_tokens"), ws.alias("n_ws_tokens")
     )
+
+
+@register(
+    "text_repetition_score",
+    oracle="""
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                   i -> t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT) + 1])
+                   AS grams
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+              FROM documents)
+    )
+    SELECT doc_id,
+           len(grams) AS n_grams,
+           ROUND((len(grams) - len(list_distinct(grams)) ) * 1.0
+                 / greatest(len(grams), 1), 6) AS dup_gram_ratio
+    FROM g
+    """,
+    tags=("text", "corpus"),
+    doc="Internal repetitiveness score (the Gopher-rules quality "
+    "signal): fraction of overlapping word-bigrams that are repeats "
+    "of an earlier bigram in the same document. High ratio = "
+    "boilerplate/spam candidate for the quality filter. Pure per-doc "
+    "array expressions — map-only, zero shuffle.",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    grams = F.expr(
+        "transform(sequence(1, greatest(size(t) - 1, 0)), "
+        "i -> concat(t[i-1], ' ', t[i]))"
+    )
+    d = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    ).select("doc_id", grams.alias("grams"))
+    n = F.size("grams")
+    return d.select(
+        "doc_id",
+        n.alias("n_grams"),
+        F.round(
+            (n - F.size(F.array_distinct("grams"))) * 1.0 / F.greatest(n, F.lit(1)), 6
+        ).alias("dup_gram_ratio"),
+    )

@@ -203,3 +203,72 @@ def stateful_user_totals_stream(
         .where(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+
+def clicks_purchases_join_stream(
+    spark: SparkSession, sf_dir: str, shuffle_partitions: int | None = 8
+) -> DataFrame:
+    """Watermarked stream-stream inner join: each purchase matched to
+    the same user's clicks in the preceding hour.
+
+    Both sides carry event-time watermarks and the join condition
+    bounds click_ts to a window around purchase_ts, so Spark can prove
+    when buffered rows are no longer joinable and evict them — the
+    state-cleanup contract unbounded stream-stream joins require. Over
+    the bounded test source the result is batch-equivalent, so the
+    plain two-sided range join is the oracle."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        )
+
+    clicks = (
+        src()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        src()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "c_user = user_id AND click_ts >= purchase_ts - INTERVAL 60 MINUTES "
+            "AND click_ts <= purchase_ts"
+        ),
+    ).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
+        q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)

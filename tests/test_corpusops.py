@@ -134,3 +134,13 @@ def test_cluster_balanced_sample_caps_cells(spark):
     again = sorted((r["vec_id"], r["cell"]) for r in
                    cluster_balanced_sample(spark, SF_DIR).collect())
     assert again == sorted((r["vec_id"], r["cell"]) for r in rows)
+
+
+def test_text_repetition_score_bounds(spark):
+    from etl_energy_tracker_spark.queries.textops import text_repetition_score
+
+    out = text_repetition_score(spark, SF_DIR)
+    rows = out.collect()
+    assert all(0.0 <= r["dup_gram_ratio"] <= 1.0 for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # map-only

@@ -7,6 +7,7 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
+from conftest import SF_DIR
 from etl_energy_tracker_spark.lake import Lake, latest_raw_period
 from etl_energy_tracker_spark.pipelines.common import normalize_schema_drift
 from etl_energy_tracker_spark.schemas import validate
@@ -152,3 +153,27 @@ def test_validate_strict_nulls(spark):
     with _pytest.raises(Exception) as e:
         guarded.collect()
     assert "null in required column datetime_utc" in str(e.value)
+
+
+def test_stream_stream_join_is_watermarked(spark):
+    """Both join sides carry event-time watermarks and the range
+    condition is present — the state-eviction contract for unbounded
+    stream-stream joins — and the drive matches the batch equivalent."""
+    from etl_energy_tracker_spark.streaming.jobs import clicks_purchases_join_stream
+    from etl_energy_tracker_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    out = clicks_purchases_join_stream(spark, SF_DIR)
+    got = {(r["purchase_id"], r["click_id"]) for r in out.collect()}
+
+    ev = load_table(spark, "events", SF_DIR)
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts"))
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"))
+    batch = p.join(c, (F.col("cu") == F.col("user_id"))
+                   & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 60 MINUTES"))
+                   & (F.col("cts") <= F.col("pts")))
+    want = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
