@@ -306,3 +306,58 @@ def simhash_near_pairs(
         )
     )
     return same.unionByName(cross)
+
+
+def connected_components(
+    edges: DataFrame, src: str, dst: str, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over an undirected edge list by distributed
+    min-label propagation: every node starts labeled with itself; each
+    round a node adopts the minimum label among itself and its
+    neighbors; stop at fixpoint. Returns (node, component) with
+    component = the minimum node id in the component — the
+    deterministic cluster representative.
+
+    Scale shape: each round is one shuffle-join (labels x edges) + one
+    groupBy-min, all distributed; the driver only counts changed labels
+    (a scalar). Rounds needed = graph diameter — near-dup graphs are
+    short chains/cliques, so single digits in practice; ``max_iter``
+    guards pathological chains (the large-star/small-star variant
+    halves diameter per round if ever needed at 100 TB).
+    """
+    # symmetrize once; labels seeded from the node set
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # materialize the edge list once — it is joined every round, and
+    # recomputing its lineage (often an expensive pair-generation job)
+    # per round would dominate; the edge list is the small output of
+    # that job, not the corpus.
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("comp").alias("nmin"))
+        )
+        updated = (
+            labels.join(neigh_min, labels["node"] == neigh_min["node2"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nmin"), F.col("comp"))
+                ).alias("comp"),
+                (F.col("nmin") < F.col("comp")).alias("_chg"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # truncate lineage per round
+        changed = updated.where(F.col("_chg")).limit(1).count()
+        labels = updated.drop("_chg")
+        if changed == 0:
+            break
+    return labels.withColumnRenamed("comp", "component")

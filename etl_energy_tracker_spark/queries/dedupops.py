@@ -223,3 +223,72 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = dedup.simhash_near_pairs(docs, "doc_id", "text", max_hamming=3)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+# the word-3-gram Jaccard edge set (same kernel as ngram_jaccard_pairs)
+_JACCARD_EDGES_SQL = """
+    WITH sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(tokens) - 2, 0) + 1),
+                       i -> tokens[CAST(i AS INT)] || ' ' ||
+                            tokens[CAST(i AS INT) + 1] || ' ' ||
+                            tokens[CAST(i AS INT) + 2])) AS shingle
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(trim(text), '\\s+') AS tokens
+                  FROM documents))
+    ),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b
+        WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
+    )
+"""
+
+
+@register(
+    "near_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_EDGES_SQL.strip().removeprefix("WITH")},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM jac
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM jac
+    ),
+    reach AS (
+        SELECT a AS node, a AS lab FROM edges
+        UNION
+        SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id,
+           MIN(lab) AS component,
+           MIN(lab) = node AS is_keeper
+    FROM reach GROUP BY node
+    """,
+    tags=("dedup", "text", "iterative"),
+    doc="Near-dup cluster resolution — the step after pair generation "
+    "that a real dedup pipeline needs: connected components over the "
+    "Jaccard>=0.5 pair graph (distributed min-label propagation, one "
+    "join+groupBy per round, rounds = graph diameter), keeper = min "
+    "doc_id per component. Oracle is an independent formulation: a "
+    "DuckDB recursive CTE computing reachability labels.",
+)
+def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    comp = dedup.connected_components(pairs, "doc_a", "doc_b")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("component") == F.col("node")).alias("is_keeper"),
+    )

@@ -96,3 +96,30 @@ def test_lsh_topk_recall(spark):
     assert len(e & a) >= len(e) // 3
     # every returned neighbor shares the query's bucket by construction
     assert all(p[0] in (0, 1, 2) for p in a)
+
+
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3, clique 10-11-12, isolated edge 20-21: labels
+    converge to the min node id of each component."""
+    from etl_energy_tracker_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "a long, b long",
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges, "a", "b").collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node path needs multiple propagation rounds — exercises the
+    fixpoint loop, not just one iteration."""
+    from etl_energy_tracker_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 111)], "a long, b long"
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges, "a", "b").collect()}
+    assert set(got.values()) == {100} and len(got) == 12
