@@ -100,7 +100,8 @@ _PRIORITY: tuple[str, ...] = (
     "linking_hash_match", "linking_profile_hash",
     "streaming_hourly_agg", "stateful_user_totals", "sessionization",
     "session_window_agg", "zr_tracking_changes", "p48_tecnologias_update",
-    "corpus_prep_e2e", "near_dup_clusters", "stream_stream_join",
+    "corpus_prep_e2e", "near_dup_clusters", "near_dup_keep_corpus",
+    "corpus_composition_report", "stream_stream_join",
     "decontaminate_ngrams", "train_val_test_split",
     "exact_dedup_docs", "ngram_jaccard_pairs", "multimodal_features",
     "multimodal_frame_sample", "text_fingerprint", "madrid_local_to_utc",

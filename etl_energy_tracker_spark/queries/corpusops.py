@@ -399,3 +399,67 @@ def intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unique_chunks",
         F.expr(spark_charhash("cleaned")).alias("cleaned_hash"),
     )
+
+
+# ------------------------------------------------- composition report
+
+@register(
+    "corpus_composition_report",
+    oracle="""
+    WITH d AS (
+        SELECT lang, source,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+               n_chars
+        FROM documents
+    ),
+    tot AS (SELECT SUM(n_tok) AS tot_tok FROM d)
+    SELECT COALESCE(lang, 'ALL') AS lang,
+           COALESCE(source, 'ALL') AS source,
+           GROUPING(lang, source) AS gid,
+           COUNT(*) AS n_docs,
+           SUM(n_tok) AS n_tokens,
+           SUM(n_chars) AS total_chars,
+           ROUND(SUM(n_tok) * 100.0 / ANY_VALUE(tot_tok), 6) AS pct_tokens
+    FROM d CROSS JOIN tot
+    GROUP BY CUBE (lang, source)
+    """,
+    tags=("corpus", "aggregate"),
+    doc="Corpus composition report — the mixture-accounting step every "
+    "training pipeline runs before sampling weights are chosen: doc / "
+    "token / char totals and token share at every (lang x source) "
+    "grouping-set level in ONE pass (CUBE = map-side partial aggs into "
+    "a single tiny shuffle; the grand total is a broadcast 1-row cross "
+    "join, the scalar-subquery shape). grouping_id disambiguates "
+    "subtotal rows from real 'ALL' values.",
+)
+def corpus_composition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "lang",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+        "n_chars",
+    )
+    tot = d.agg(F.sum("n_tok").alias("tot_tok"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .cube("lang", "source")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(
+                F.sum("n_tok") * 100.0 / F.first("tot_tok"), 6
+            ).alias("pct_tokens"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "gid",
+            "n_docs",
+            "n_tokens",
+            "total_chars",
+            "pct_tokens",
+        )
+    )

@@ -292,3 +292,44 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("component") == F.col("node")).alias("is_keeper"),
     )
+
+
+@register(
+    "near_dup_keep_corpus",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_EDGES_SQL.strip().removeprefix("WITH")},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM jac
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM jac
+    ),
+    reach AS (
+        SELECT a AS node, a AS lab FROM edges
+        UNION
+        SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    drops AS (
+        SELECT node FROM reach GROUP BY node HAVING MIN(lab) <> node
+    )
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM drops)
+    """,
+    tags=("dedup", "text", "iterative"),
+    doc="Deduplicated-corpus materialization — the terminal step of the "
+    "near-dup pipeline: pairs -> connected components -> drop every "
+    "non-keeper (keeper = min doc_id per component), emit the surviving "
+    "corpus. The drop set (non-keepers only, a small fraction of any "
+    "real corpus) broadcasts into a left_anti join, so the corpus "
+    "itself is scanned once and never shuffled.",
+)
+def near_dup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    comp = dedup.connected_components(pairs, "doc_a", "doc_b")
+    drops = comp.where(F.col("component") != F.col("node")).select("node")
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.join(
+        F.broadcast(drops), docs["doc_id"] == drops["node"], "left_anti"
+    ).select("doc_id", "lang", "source", "n_chars")
