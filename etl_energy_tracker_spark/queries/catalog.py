@@ -102,11 +102,15 @@ _PRIORITY: tuple[str, ...] = (
     "session_window_agg", "zr_tracking_changes", "p48_tecnologias_update",
     "corpus_prep_e2e", "near_dup_clusters", "near_dup_keep_corpus",
     "corpus_composition_report", "stream_stream_join",
+    "cluster_balanced_sample", "minhash_lsh_pairs_k32",
+    "asof_join_last_click",
     "decontaminate_ngrams", "train_val_test_split",
     "exact_dedup_docs", "ngram_jaccard_pairs", "multimodal_features",
     "multimodal_frame_sample", "text_fingerprint", "madrid_local_to_utc",
-    "up_tracking_changes", "pipeline_curtailments_e2e", "json_map_explode",
-    "first_ordered_per_group", "range_window_1h",
+    "up_tracking_changes", "pipeline_curtailments_e2e", "pii_scrub",
+    "intra_doc_dedup", "embedding_norm_stats", "text_bpe_token_count",
+    "text_repetition_score", "stratified_sample_docs", "text_token_stats",
+    "text_quality_score", "text_lang_id",
 )
 
 
