@@ -144,3 +144,39 @@ def test_text_repetition_score_bounds(spark):
     assert all(0.0 <= r["dup_gram_ratio"] <= 1.0 for r in rows)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # map-only
+
+
+def test_composition_report_levels_consistent(spark):
+    """Grand total = 100% of tokens; every grouping level sums to the
+    same doc/token totals; gid disambiguates subtotal rows."""
+    from etl_energy_tracker_spark.queries.corpusops import (
+        corpus_composition_report,
+    )
+
+    rows = corpus_composition_report(spark, SF_DIR).collect()
+    by_gid = {}
+    for r in rows:
+        by_gid.setdefault(r["gid"], []).append(r)
+    # exactly one grand-total row at 100% token share
+    (total,) = by_gid[3]
+    assert total["lang"] == "ALL" and total["source"] == "ALL"
+    assert abs(total["pct_tokens"] - 100.0) < 1e-6
+    # each level partitions the corpus: doc and token sums match the total
+    for gid in (0, 1, 2):
+        assert sum(r["n_docs"] for r in by_gid[gid]) == total["n_docs"]
+        assert sum(r["n_tokens"] for r in by_gid[gid]) == total["n_tokens"]
+
+
+def test_composition_report_plan_broadcasts_total(spark):
+    """The grand-total scalar joins as a broadcast (1-row side), never
+    a shuffled join; the cube agg is the only hash-partitioned
+    exchange on the corpus side."""
+    from etl_energy_tracker_spark.queries.corpusops import (
+        corpus_composition_report,
+    )
+
+    plan = (
+        corpus_composition_report(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 from etl_energy_tracker_spark.operators import dedup, similarity
 
+from conftest import SF_DIR
+
 
 def _docs(spark):
     base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
@@ -123,3 +125,34 @@ def test_connected_components_long_chain(spark):
     got = {r["node"]: r["component"]
            for r in connected_components(edges, "a", "b").collect()}
     assert set(got.values()) == {100} and len(got) == 12
+
+
+def test_keep_corpus_retains_exactly_keepers(spark):
+    """Dropped docs are precisely the non-keeper cluster members; every
+    dropped doc's cluster representative survives."""
+    from etl_energy_tracker_spark.queries.dedupops import (
+        near_dup_clusters,
+        near_dup_keep_corpus,
+    )
+    from etl_energy_tracker_spark.sources.registry import load_table
+
+    comp = {r["doc_id"]: r["component"]
+            for r in near_dup_clusters(spark, SF_DIR).collect()}
+    kept = {r["doc_id"] for r in near_dup_keep_corpus(spark, SF_DIR).collect()}
+    all_docs = {r["doc_id"]
+                for r in load_table(spark, "documents", SF_DIR)
+                .select("doc_id").collect()}
+    dropped = all_docs - kept
+    assert dropped == {d for d, c in comp.items() if c != d}
+    for d in dropped:
+        assert comp[d] in kept  # the representative survives
+
+
+def test_keep_corpus_plan_broadcast_anti(spark):
+    from etl_energy_tracker_spark.queries.dedupops import near_dup_keep_corpus
+
+    plan = (
+        near_dup_keep_corpus(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
