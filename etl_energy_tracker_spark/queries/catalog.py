@@ -111,6 +111,10 @@ _PRIORITY: tuple[str, ...] = (
     "intra_doc_dedup", "embedding_norm_stats", "text_bpe_token_count",
     "text_repetition_score", "stratified_sample_docs", "text_token_stats",
     "text_quality_score", "text_lang_id",
+    # round-2 additions (after the r1-flagged flagships above, so a
+    # capped run still covers the judge's unverified-first list)
+    "token_budget_packing", "deterministic_shuffle",
+    "quality_filter_chain", "embedding_quantize_int8",
 )
 
 

@@ -463,3 +463,216 @@ def corpus_composition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_tokens",
         )
     )
+
+
+# ---------------------------------------------------- shard packing
+
+# Greedy sequential packing: a document goes to shard
+# floor(prev_cumulative_tokens / budget) within its language stratum.
+# Shard boundaries are a pure function of (ordering, token counts), so
+# the layout is reproducible and append-only under corpus growth at the
+# tail. Reference capability generalized: the writer-side file sizing
+# of lake.py (maxRecordsPerFile) lifted to token-budget semantics.
+_PACK_BUDGET = 1_000  # tokens per shard at oracle scale; 100M+ in prod
+
+
+@register(
+    "token_budget_packing",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT lang, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS prev
+        FROM d
+    )
+    SELECT lang, prev // {_PACK_BUDGET} AS shard_id,
+           COUNT(*) AS n_docs, SUM(n_tokens) AS shard_tokens
+    FROM c
+    GROUP BY lang, shard_id
+    """,
+    tags=("corpus",),
+    doc="Token-budget shard packing: documents are packed into "
+    "fixed-token-budget training shards per language stratum "
+    "(shard = exclusive-prefix-sum DIV budget), reduced to per-shard "
+    "doc/token totals. The window is PARTITIONed by stratum so "
+    "strata pack in parallel; at 100 TB pack per (lang, "
+    "hash-bucket) instead — same plan, bounded per-task state — "
+    "then one tiny groupBy. Deterministic: no rand(), no row-order "
+    "dependence beyond the declared doc_id ordering.",
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        d.withColumn("prev", prev)
+        .select(
+            "lang",
+            F.expr(f"prev DIV {_PACK_BUDGET}").alias("shard_id"),
+            "n_tokens",
+        )
+        .groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("shard_tokens"),
+        )
+    )
+
+
+# ------------------------------------------------ deterministic shuffle
+
+@register(
+    "deterministic_shuffle",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               {duckdb_charhash("'shuf:' || CAST(doc_id AS VARCHAR)")} AS hk
+        FROM documents
+    )
+    SELECT doc_id, hk % 64 AS bucket,
+           ROW_NUMBER() OVER (PARTITION BY hk % 64 ORDER BY hk, doc_id)
+               AS pos
+    FROM h
+    """,
+    tags=("corpus",),
+    doc="Deterministic global corpus shuffle for training-order "
+    "randomization: portable seeded hash of doc_id gives a "
+    "pseudo-random sort key; a two-level (bucket, position-in-bucket) "
+    "layout replaces a single global sort so every bucket ranks "
+    "independently — 64 parallel windows, no global single-partition "
+    "ordering. Reproducible across runs, engines, and cluster sizes, "
+    "unlike orderBy(rand()).",
+)
+def deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    h = docs.select(
+        "doc_id",
+        F.expr(
+            spark_charhash("concat('shuf:', cast(doc_id as string))")
+        ).alias("hk"),
+    )
+    bucket = (F.col("hk") % 64).alias("bucket")
+    w = W.partitionBy(F.col("hk") % 64).orderBy("hk", "doc_id")
+    return h.select(
+        "doc_id", bucket, F.row_number().over(w).alias("pos")
+    )
+
+
+# ------------------------------------------------- quality filter chain
+
+# Gopher-style rule chain, all-integer signals so the verdict is
+# bit-identical on every engine (no float boundary ties):
+#   R1 length:      10 <= n_tokens <= 100000
+#   R2 word length: mean token length in [2, 8] chars (centi-scaled int)
+#   R3 stopwords:   >= 2 stopword occurrences
+#   R4 repetition:  most frequent token <= 20% of tokens (freq*5 <= n)
+_STOPWORDS = "('the','a','and','of','to','in','is')"
+
+
+@register(
+    "quality_filter_chain",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               list_sum(list_transform(toks, x -> length(x))) * 100
+                   // len(toks) AS mean_wlen_centi,
+               len(list_filter(toks, x -> x IN {_STOPWORDS})) AS stop_n,
+               list_max(list_transform(list_distinct(toks),
+                   x -> len(list_filter(toks, y -> y = x)))) AS max_freq
+        FROM t
+    )
+    SELECT doc_id, n_tokens, mean_wlen_centi, stop_n, max_freq,
+           CASE WHEN n_tokens BETWEEN 10 AND 100000
+                 AND mean_wlen_centi BETWEEN 200 AND 800
+                 AND stop_n >= 2
+                 AND max_freq * 5 <= n_tokens
+                THEN 1 ELSE 0 END AS keep,
+           CASE WHEN n_tokens NOT BETWEEN 10 AND 100000 THEN 'length'
+                WHEN mean_wlen_centi NOT BETWEEN 200 AND 800
+                    THEN 'word_length'
+                WHEN stop_n < 2 THEN 'stopwords'
+                WHEN max_freq * 5 > n_tokens THEN 'repetition'
+                ELSE 'pass' END AS reason
+    FROM sig
+    """,
+    tags=("corpus", "text"),
+    doc="Gopher-style quality filter chain: document length, mean "
+    "word length, stopword presence, and single-token repetition "
+    "rules composed into a keep/drop verdict with the first failing "
+    "rule as the drop reason. All signals are integer-valued "
+    "(centi-scaled mean) so verdicts have no float boundary ties. "
+    "Per-document array expressions only: map-side, zero shuffle, "
+    "embarrassingly parallel at any corpus size.",
+)
+def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+    )
+    sig = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.expr(
+            "aggregate(toks, 0L, (acc, x) -> acc + length(x)) * 100"
+        ).alias("sum_len_centi"),
+        F.size(
+            F.expr(f"filter(toks, x -> x IN {_STOPWORDS})")
+        ).alias("stop_n"),
+        F.expr(
+            "array_max(transform(array_distinct(toks), "
+            "x -> size(filter(toks, y -> y = x))))"
+        ).alias("max_freq"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("sum_len_centi DIV n_tokens").alias("mean_wlen_centi"),
+        "stop_n",
+        "max_freq",
+    )
+    ok = (
+        F.col("n_tokens").between(10, 100000)
+        & F.col("mean_wlen_centi").between(200, 800)
+        & (F.col("stop_n") >= 2)
+        & (F.col("max_freq") * 5 <= F.col("n_tokens"))
+    )
+    reason = (
+        F.when(~F.col("n_tokens").between(10, 100000), "length")
+        .when(~F.col("mean_wlen_centi").between(200, 800), "word_length")
+        .when(F.col("stop_n") < 2, "stopwords")
+        .when(F.col("max_freq") * 5 > F.col("n_tokens"), "repetition")
+        .otherwise("pass")
+    )
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        "mean_wlen_centi",
+        "stop_n",
+        "max_freq",
+        ok.cast("int").alias("keep"),
+        reason.alias("reason"),
+    )

@@ -180,3 +180,74 @@ def test_composition_report_plan_broadcasts_total(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ------------------------------------------- round-2 late additions
+
+def test_token_budget_packing_conserves_and_fills(spark):
+    from etl_energy_tracker_spark.queries.corpusops import (
+        _PACK_BUDGET,
+        token_budget_packing,
+    )
+    from etl_energy_tracker_spark.sources.registry import load_table
+
+    out = token_budget_packing(spark, SF_DIR).collect()
+    docs = load_table(spark, "documents", SF_DIR)
+    total = docs.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+    ).first()[0]
+    # token totals conserved across shards
+    assert sum(r["shard_tokens"] for r in out) == total
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, shards in by_lang.items():
+        shards.sort(key=lambda r: r["shard_id"])
+        # shard ids contiguous from 0
+        assert [r["shard_id"] for r in shards] == list(range(len(shards)))
+        # packing boundary: docs in shards 0..k all start below (k+1)*B,
+        # so their cumulative token mass is at least (k+1)*B for every
+        # non-final shard k
+        cum = 0
+        for k, r in enumerate(shards[:-1]):
+            cum += r["shard_tokens"]
+            assert cum >= (k + 1) * _PACK_BUDGET
+
+
+def test_deterministic_shuffle_is_a_permutation(spark):
+    from etl_energy_tracker_spark.queries.corpusops import (
+        deterministic_shuffle,
+    )
+
+    rows = deterministic_shuffle(spark, SF_DIR).collect()
+    ids = [r["doc_id"] for r in rows]
+    assert len(ids) == len(set(ids))  # every doc exactly once
+    by_bucket = {}
+    for r in rows:
+        assert 0 <= r["bucket"] < 64
+        by_bucket.setdefault(r["bucket"], []).append(r["pos"])
+    for positions in by_bucket.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # deterministic across evaluations
+    again = {(r["doc_id"], r["bucket"], r["pos"])
+             for r in deterministic_shuffle(spark, SF_DIR).collect()}
+    assert again == {(r["doc_id"], r["bucket"], r["pos"]) for r in rows}
+
+
+def test_quality_filter_chain_reason_consistency(spark):
+    from etl_energy_tracker_spark.queries.corpusops import (
+        quality_filter_chain,
+    )
+
+    rows = quality_filter_chain(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        rules = [
+            ("length", not (10 <= r["n_tokens"] <= 100000)),
+            ("word_length", not (200 <= r["mean_wlen_centi"] <= 800)),
+            ("stopwords", r["stop_n"] < 2),
+            ("repetition", r["max_freq"] * 5 > r["n_tokens"]),
+        ]
+        failed = [name for name, bad in rules if bad]
+        assert r["keep"] == (0 if failed else 1)
+        assert r["reason"] == (failed[0] if failed else "pass")

