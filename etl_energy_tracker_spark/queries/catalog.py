@@ -115,6 +115,7 @@ _PRIORITY: tuple[str, ...] = (
     # capped run still covers the judge's unverified-first list)
     "token_budget_packing", "deterministic_shuffle",
     "quality_filter_chain", "embedding_quantize_int8",
+    "stream_dedup", "boilerplate_ngrams",
 )
 
 

@@ -676,3 +676,40 @@ def quality_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok.cast("int").alias("keep"),
         reason.alias("reason"),
     )
+
+
+# ------------------------------------------------ boilerplate detection
+
+@register(
+    "boilerplate_ngrams",
+    oracle=f"""
+    WITH grams AS ({_NGRAM_DUCK}),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT g, COUNT(*) AS df
+    FROM grams CROSS JOIN tot
+    GROUP BY g, n_docs
+    HAVING COUNT(*) * 100 >= n_docs
+    """,
+    tags=("corpus", "dedup"),
+    doc="Boilerplate n-gram detection: word 3-grams whose document "
+    "frequency is >= 1% of the corpus (headers, footers, license "
+    "blurbs — text that repeats across documents without the "
+    "documents being near-duplicates). Per-doc grams are "
+    "array_distinct'd BEFORE explode (map-side), so the shuffle "
+    "carries one row per (doc, distinct gram); the count is a "
+    "map-side-combinable document-frequency agg, and the 5% threshold "
+    "is integer arithmetic (df*100 >= N). At 100 TB swap the exact "
+    "count for a count-min sketch only if the gram set outgrows the "
+    "shuffle — the agg shape stays the same.",
+)
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    grams = _doc_ngrams(docs)
+    return (
+        grams.crossJoin(F.broadcast(n_docs))
+        .groupBy("g", "n_docs")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") * 100 >= F.col("n_docs"))
+        .select("g", "df")
+    )

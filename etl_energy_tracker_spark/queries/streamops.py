@@ -248,3 +248,24 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import clicks_purchases_join_stream
 
     return clicks_purchases_join_stream(spark, sf_dir)
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value
+    FROM events
+    """,
+    tags=("streaming", "dedup"),
+    doc="Streaming deduplication with bounded state: the events stream "
+    "unioned with itself (every event arrives twice) deduplicated on "
+    "event_id via dropDuplicatesWithinWatermark — key state is "
+    "evicted once the watermark passes, unlike dropDuplicates whose "
+    "state grows forever. The production shape for at-least-once "
+    "re-downloaded market files. Driven to completion over the "
+    "bounded source, the result equals batch DISTINCT (the oracle).",
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import dedup_events_stream
+
+    return dedup_events_stream(spark, sf_dir)

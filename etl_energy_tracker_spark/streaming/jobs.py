@@ -272,3 +272,54 @@ def clicks_purchases_join_stream(
         finally:
             q.stop()
     return spark.table(name)
+
+
+def dedup_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Streaming deduplication with bounded state
+    (dropDuplicatesWithinWatermark): the events stream is unioned with
+    itself so every event arrives twice, then deduplicated on event_id.
+
+    Unlike dropDuplicates (whose key state grows forever on an
+    unbounded stream), the WithinWatermark variant evicts a key's state
+    once the watermark passes it — the production shape for at-least-
+    once sources (e.g. re-downloaded ESIOS/OMIE files) where duplicates
+    arrive close together in event time. Driven to completion over the
+    bounded source, the result must equal batch DISTINCT."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def src() -> DataFrame:
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        )
+
+    doubled = src().unionByName(src())
+    deduped = (
+        doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)

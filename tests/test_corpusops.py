@@ -251,3 +251,25 @@ def test_quality_filter_chain_reason_consistency(spark):
         failed = [name for name, bad in rules if bad]
         assert r["keep"] == (0 if failed else 1)
         assert r["reason"] == (failed[0] if failed else "pass")
+
+
+def test_boilerplate_ngrams_threshold(spark):
+    from etl_energy_tracker_spark.queries.corpusops import (
+        _doc_ngrams,
+        boilerplate_ngrams,
+    )
+    from etl_energy_tracker_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    n_docs = docs.count()
+    out = {r["g"]: r["df"] for r in boilerplate_ngrams(spark, SF_DIR).collect()}
+    assert out, "corpus should contain some >=1%-df grams"
+    # every reported gram clears the 1% document-frequency bar...
+    assert all(df * 100 >= n_docs for df in out.values())
+    # ...and the report is complete: recompute df independently
+    truth = {
+        r["g"]: r["df"]
+        for r in _doc_ngrams(docs).groupBy("g").count().withColumnRenamed("count", "df").collect()
+        if r["df"] * 100 >= n_docs
+    }
+    assert out == truth

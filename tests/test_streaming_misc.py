@@ -177,3 +177,15 @@ def test_stream_stream_join_is_watermarked(spark):
                    & (F.col("cts") <= F.col("pts")))
     want = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_equals_batch_distinct(spark):
+    from etl_energy_tracker_spark.queries.streamops import stream_dedup
+    from etl_energy_tracker_spark.sources.registry import load_table
+    from conftest import SF_DIR
+
+    out = stream_dedup(spark, SF_DIR)
+    n_events = load_table(spark, "events", SF_DIR).count()
+    # every event exactly once despite arriving twice
+    assert out.count() == n_events
+    assert out.select("event_id").distinct().count() == n_events
