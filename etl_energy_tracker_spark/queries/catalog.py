@@ -116,6 +116,7 @@ _PRIORITY: tuple[str, ...] = (
     "token_budget_packing", "deterministic_shuffle",
     "quality_filter_chain", "embedding_quantize_int8",
     "stream_dedup", "boilerplate_ngrams",
+    "tfidf_topk_docs", "decontaminate_hashed_ngrams",
 )
 
 

@@ -713,3 +713,42 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") * 100 >= F.col("n_docs"))
         .select("g", "df")
     )
+
+
+# ------------------------------------- hashed-gram decontamination
+
+@register(
+    "decontaminate_hashed_ngrams",
+    oracle=f"""
+    WITH grams AS ({_NGRAM_DUCK}),
+    hashed AS (
+        SELECT doc_id, {duckdb_charhash("g")} AS gh FROM grams
+    ),
+    bench AS (SELECT DISTINCT gh FROM hashed WHERE doc_id % 50 = 0)
+    SELECT doc_id, COUNT(*) AS n_shared_grams
+    FROM (SELECT * FROM hashed WHERE doc_id % 50 != 0) corpus
+    JOIN bench USING (gh)
+    GROUP BY doc_id
+    """,
+    tags=("corpus", "dedup"),
+    doc="Hashed-gram benchmark decontamination — the 100 TB variant of "
+    "decontaminate_ngrams: grams are collapsed to fixed-width integer "
+    "hashes map-side BEFORE the join, so the broadcast benchmark set "
+    "and every join row carry 8 bytes instead of a gram string (for "
+    "8-13-token grams that is a 10x+ shuffle/broadcast cut). Same "
+    "portable polynomial hash on both engines, so collisions (FP "
+    "matches) are identical and the oracle still hash-matches; prod "
+    "would widen to a 64-bit space for negligible FP rate.",
+)
+def decontaminate_hashed_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    hashed = _doc_ngrams(docs).select(
+        "doc_id", F.expr(spark_charhash("g")).alias("gh")
+    )
+    bench = hashed.where(F.col("doc_id") % 50 == 0).select("gh").distinct()
+    corpus = hashed.where(F.col("doc_id") % 50 != 0)
+    return (
+        corpus.join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

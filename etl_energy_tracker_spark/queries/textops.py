@@ -341,3 +341,85 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (n - F.size(F.array_distinct("grams"))) * 1.0 / F.greatest(n, F.lit(1)), 6
         ).alias("dup_gram_ratio"),
     )
+
+
+# ------------------------------------------------------ tf-idf retrieval
+
+_QUERY_TERMS = "('spark', 'hash', 'window')"
+
+
+@register(
+    "tfidf_topk_docs",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (
+        SELECT doc_id, term,
+               len(list_filter(toks, x -> x = term)) AS tf
+        FROM d CROSS JOIN (SELECT unnest([{_QUERY_TERMS.strip("()")}]) AS term)
+        WHERE len(list_filter(toks, x -> x = term)) > 0
+    ),
+    scored AS (
+        SELECT doc_id, term, tf,
+               COUNT(*) OVER (PARTITION BY term) AS df,
+               tf * ((n_docs * 1000000) // COUNT(*) OVER (PARTITION BY term))
+                   AS score_scaled
+        FROM tf CROSS JOIN tot
+    )
+    SELECT term, doc_id, tf, df, score_scaled
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY term ORDER BY score_scaled DESC, doc_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+    tags=("text", "corpus"),
+    doc="TF-IDF top-k retrieval for a fixed query-term set: term "
+    "frequency per (doc, term) map-side, document frequency and "
+    "ranking in one shuffle partitioned by term. IDF is the scaled "
+    "rational (N*1e6 DIV df) so scores are pure integers — no "
+    "ln() float parity risk across engines; ranking ties break on "
+    "doc_id. At scale the term partition count equals the query "
+    "vocabulary, so fan out rare terms / pre-aggregate df from a "
+    "vocabulary table when the term set is large.",
+)
+def tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        docs.select(
+            "doc_id", F.split(F.trim("text"), r"\s+").alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"array{_QUERY_TERMS}")).alias("term"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "term",
+            F.size(F.expr("filter(toks, x -> x = term)")).alias("tf"),
+        )
+        .where(F.col("tf") > 0)
+    )
+    wt = W.partitionBy("term")
+    scored = (
+        tf.crossJoin(F.broadcast(n_docs))
+        .withColumn("df", F.count(F.lit(1)).over(wt))
+        .withColumn(
+            "score_scaled",
+            F.col("tf") * F.expr("(n_docs * 1000000) DIV df"),
+        )
+    )
+    rn = F.row_number().over(
+        wt.orderBy(F.col("score_scaled").desc(), F.col("doc_id"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .where(F.col("rn") <= 5)
+        .select("term", "doc_id", "tf", "df", "score_scaled")
+    )

@@ -273,3 +273,42 @@ def test_boilerplate_ngrams_threshold(spark):
         if r["df"] * 100 >= n_docs
     }
     assert out == truth
+
+
+def test_hashed_decontamination_matches_string_variant(spark):
+    """Collapsing grams to integer hashes before the join must not
+    change the verdict on this corpus (the portable hash space is
+    large vs the gram count; identical on both engines by design)."""
+    from etl_energy_tracker_spark.queries.corpusops import (
+        decontaminate_hashed_ngrams,
+        decontaminate_ngrams,
+    )
+
+    by_str = {
+        (r["doc_id"], r["n_shared_grams"])
+        for r in decontaminate_ngrams(spark, SF_DIR).collect()
+    }
+    by_hash = {
+        (r["doc_id"], r["n_shared_grams"])
+        for r in decontaminate_hashed_ngrams(spark, SF_DIR).collect()
+    }
+    assert by_hash == by_str
+
+
+def test_tfidf_ranks_rarer_terms_higher(spark):
+    from etl_energy_tracker_spark.queries.textops import tfidf_topk_docs
+
+    rows = tfidf_topk_docs(spark, SF_DIR).collect()
+    assert rows
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+        # score factors exactly into tf * integer idf
+        assert r["score_scaled"] % r["tf"] == 0
+    for term, rs in by_term.items():
+        assert len(rs) <= 5
+        scores = [r["score_scaled"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        # all rows of one term agree on df and on the idf factor
+        assert len({r["df"] for r in rs}) == 1
+        assert len({r["score_scaled"] // r["tf"] for r in rs}) == 1
