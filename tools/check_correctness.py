@@ -63,7 +63,20 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("correctness-check")
+    if "--plain" in only:
+        # mirror the driver exactly: a bare SparkSession with none of
+        # get_spark's confs — the library must self-apply what it needs
+        only.discard("--plain")
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .config("spark.ui.enabled", "false")
+            .appName("correctness-check-plain")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
