@@ -117,6 +117,7 @@ _PRIORITY: tuple[str, ...] = (
     "quality_filter_chain", "embedding_quantize_int8",
     "stream_dedup", "boilerplate_ngrams",
     "tfidf_topk_docs", "decontaminate_hashed_ngrams",
+    "incremental_exact_dedup", "quarantine_bad_records",
 )
 
 

@@ -752,3 +752,59 @@ def decontaminate_hashed_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+# --------------------------------------------- incremental ingestion
+
+@register(
+    "incremental_exact_dedup",
+    oracle="""
+    WITH hist AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 3 != 0
+    ),
+    batch AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 3 = 0
+    ),
+    in_batch_first AS (
+        SELECT doc_id, h,
+               MIN(doc_id) OVER (PARTITION BY h) AS keeper
+        FROM batch
+    )
+    SELECT b.doc_id,
+           CASE WHEN b.doc_id != b.keeper THEN 'dup_in_batch'
+                WHEN hist.h IS NOT NULL THEN 'dup_vs_corpus'
+                ELSE 'new' END AS status
+    FROM in_batch_first b LEFT JOIN hist ON b.h = hist.h
+    """,
+    tags=("corpus", "dedup"),
+    doc="Incremental exact dedup — the daily-ingest shape: a new batch "
+    "is deduplicated within itself (min-id keeper per content hash) "
+    "and against the historical corpus via its content-hash index, "
+    "classifying every batch doc as new / dup_in_batch / "
+    "dup_vs_corpus. Only 16-byte hashes join, never document "
+    "payloads; at 100 TB the history index is hash-bucketed so the "
+    "daily join shuffles just the (tiny) batch side against a "
+    "co-partitioned index — the full corpus is never rescanned.",
+)
+def incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    hashed = docs.select("doc_id", F.md5("text").alias("h"))
+    hist = (
+        hashed.where(F.col("doc_id") % 3 != 0).select("h").distinct()
+        .withColumn("in_hist", F.lit(1))
+    )
+    batch = hashed.where(F.col("doc_id") % 3 == 0)
+    keeper = F.min("doc_id").over(W.partitionBy("h"))
+    return (
+        batch.withColumn("keeper", keeper)
+        .join(hist, "h", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") != F.col("keeper"), "dup_in_batch")
+            .when(F.col("in_hist").isNotNull(), "dup_vs_corpus")
+            .otherwise("new")
+            .alias("status"),
+        )
+    )

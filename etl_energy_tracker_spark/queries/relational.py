@@ -674,3 +674,65 @@ def sql_api_revenue_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name, CAST(date_trunc('month', o_orderdate) AS DATE)
         """
     )
+
+
+# ------------------------------------------- bad-record quarantine
+
+@register(
+    "quarantine_bad_records",
+    oracle="""
+    WITH raw AS (
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 0 THEN 'N/A'
+                    WHEN event_id % 5 = 0 THEN
+                        CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+                        || ',' ||
+                        CAST(CAST(floor(value * 100) AS BIGINT) % 100 AS VARCHAR)
+                    ELSE
+                        CAST(CAST(floor(value) AS BIGINT) AS VARCHAR)
+                        || '.' ||
+                        CAST(CAST(floor(value * 100) AS BIGINT) % 100 AS VARCHAR)
+               END AS raw_value
+        FROM events
+    )
+    SELECT event_id, raw_value,
+           CAST(TRY_CAST(replace(raw_value, ',', '.') AS DECIMAL(18,2))
+                AS DOUBLE) AS parsed,
+           CASE WHEN TRY_CAST(replace(raw_value, ',', '.')
+                     AS DECIMAL(18,2)) IS NULL
+                THEN 'quarantined' ELSE 'ok' END AS status
+    FROM raw
+    """,
+    tags=("relational", "quality"),
+    doc="Bad-record quarantine at ingest: messy numeric strings "
+    "(European comma decimals planted on id%5, unparseable garbage "
+    "on id%7) parsed with try_cast after locale normalization; "
+    "failures are routed to a quarantine status instead of failing "
+    "the job or silently nulling. Map-only — the split is a column "
+    "expression, so at 100 TB good rows stream to the sink and the "
+    "quarantine side is a pushed-down filter on the same single "
+    "scan. Mirrors the reference's error-sheet exclusion philosophy "
+    "(configs/i90_config.py:196-215) applied row-level.",
+)
+def quarantine_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.floor(F.col("value") * 100).cast("bigint") % 100
+    intpart = F.floor("value").cast("bigint").cast("string")
+    raw = (
+        F.when(F.col("event_id") % 7 == 0, "N/A")
+        .when(
+            F.col("event_id") % 5 == 0,
+            F.concat(intpart, F.lit(","), cents.cast("string")),
+        )
+        .otherwise(F.concat(intpart, F.lit("."), cents.cast("string")))
+    )
+    d = ev.select("event_id", raw.alias("raw_value"))
+    parsed = F.expr(
+        "try_cast(replace(raw_value, ',', '.') AS DECIMAL(18,2))"
+    )
+    return d.select(
+        "event_id",
+        "raw_value",
+        parsed.cast("double").alias("parsed"),
+        F.when(parsed.isNull(), "quarantined").otherwise("ok").alias("status"),
+    )

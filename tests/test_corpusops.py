@@ -312,3 +312,28 @@ def test_tfidf_ranks_rarer_terms_higher(spark):
         # all rows of one term agree on df and on the idf factor
         assert len({r["df"] for r in rs}) == 1
         assert len({r["score_scaled"] // r["tf"] for r in rs}) == 1
+
+
+def test_incremental_exact_dedup_statuses(spark):
+    from etl_energy_tracker_spark.queries.corpusops import (
+        incremental_exact_dedup,
+    )
+    from etl_energy_tracker_spark.sources.registry import load_table
+
+    docs = load_table(spark, "documents", SF_DIR)
+    rows = {r["doc_id"]: r["status"] for r in
+            incremental_exact_dedup(spark, SF_DIR).collect()}
+    batch = {r["doc_id"]: r["h"] for r in
+             docs.where(F.col("doc_id") % 3 == 0)
+                 .select("doc_id", F.md5("text").alias("h")).collect()}
+    hist = {r["h"] for r in
+            docs.where(F.col("doc_id") % 3 != 0)
+                .select(F.md5("text").alias("h")).collect()}
+    assert set(rows) == set(batch)  # every batch doc classified
+    first_seen = {}
+    for doc_id in sorted(batch):
+        h = batch[doc_id]
+        expect = ("dup_in_batch" if h in first_seen
+                  else "dup_vs_corpus" if h in hist else "new")
+        first_seen.setdefault(h, doc_id)
+        assert rows[doc_id] == expect, doc_id
