@@ -1,0 +1,90 @@
+"""Audit the physical plan of every catalog query.
+
+For each query: count shuffle exchanges and broadcasts, detect parquet
+filter pushdown, and flag any row-at-a-time Python evaluation
+(BatchEvalPython) — which this engine bans on the data path (only
+Arrow-batched ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas
+are allowed). Streaming-driven queries are skipped (their plan is the
+batch oracle's concern; state operators are pytest-covered).
+
+Usage: python tools/plan_audit.py [sf_dir] [--md]
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from etl_energy_tracker_spark.queries import catalog  # noqa: E402
+from etl_energy_tracker_spark.session import get_spark  # noqa: E402
+
+# queries that synchronously drive a stream (plan lives in the
+# streaming runtime, not a batch DataFrame)
+_STREAMING = {
+    "streaming_hourly_agg", "stateful_user_totals", "stream_stream_join",
+    "session_window_agg", "stream_dedup",
+}
+
+
+def audit(sf_dir: str) -> list[dict]:
+    spark = get_spark("plan-audit")
+    rows = []
+    for name, fn in catalog.queries().items():
+        if name in _STREAMING:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as ex:  # pragma: no cover - diagnostic tool
+            rows.append({"query": name, "error": str(ex)[:120]})
+            continue
+        rows.append(
+            {
+                "query": name,
+                "shuffles": plan.count("Exchange hashpartitioning")
+                + plan.count("Exchange rangepartitioning"),
+                "single_partition": plan.count("Exchange SinglePartition"),
+                "broadcasts": plan.count("BroadcastExchange"),
+                "pushed_filters": "PushedFilters: [" in plan
+                and "PushedFilters: []" not in plan,
+                "row_python": plan.count("BatchEvalPython"),
+                "arrow_python": plan.count("ArrowEvalPython")
+                + plan.count("MapInPandas")
+                + plan.count("FlatMapGroupsInPandas"),
+            }
+        )
+    return rows
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    rows = audit(sf_dir)
+    bad = [r for r in rows if r.get("row_python")]
+    errs = [r for r in rows if "error" in r]
+    if "--md" in sys.argv:
+        print("| query | shuffles | 1-part | bcast | pushdown | arrow |")
+        print("|---|---|---|---|---|---|")
+        for r in rows:
+            if "error" in r:
+                print(f"| `{r['query']}` | ERROR: {r['error']} | | | | |")
+            else:
+                print(
+                    f"| `{r['query']}` | {r['shuffles']} | "
+                    f"{r['single_partition']} | {r['broadcasts']} | "
+                    f"{'y' if r['pushed_filters'] else '-'} | "
+                    f"{r['arrow_python'] or '-'} |"
+                )
+    else:
+        for r in rows:
+            print(r)
+    print(
+        f"\n{len(rows)} plans audited; {len(errs)} errors; "
+        f"{len(bad)} with row-wise Python eval (must be 0)"
+    )
+    return 1 if bad or errs else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
