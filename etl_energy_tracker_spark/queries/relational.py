@@ -736,3 +736,39 @@ def quarantine_bad_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.cast("double").alias("parsed"),
         F.when(parsed.isNull(), "quarantined").otherwise("ok").alias("status"),
     )
+
+
+# --------------------------------------- two-phase skewed aggregation
+
+@register(
+    "skew_twophase_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("relational", "aggregate", "scale"),
+    doc="Two-phase aggregation for skewed grouping keys: events has "
+    "only a handful of event_type values, so a naive groupBy sends "
+    "each hot key's entire mass through one reducer. Phase 1 "
+    "aggregates on (key, salt) with a 16-way deterministic salt "
+    "(pmod of event_id — reproducible, unlike rand()), spreading "
+    "each hot key over 16 reducers; phase 2 re-aggregates the 16 "
+    "partials per key. Decimal-exact partial sums make the two-phase "
+    "result bit-identical to the single-phase oracle regardless of "
+    "combine order. The same shape AQE applies automatically to "
+    "skewed joins, expressed here explicitly for aggregation.",
+)
+def skew_twophase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    salted = ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("psum"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("psum").cast("double").alias("sum_value"),
+    )

@@ -165,3 +165,30 @@ def test_resize_images_plumbing(spark):
         resize_images(
             as_blob_table(docs, "doc_id", "text"), 4, 2, use_decoder=True
         ).collect()
+
+
+def test_skew_twophase_agg_plan_spreads_hot_keys(spark):
+    from etl_energy_tracker_spark.queries.relational import skew_twophase_agg
+    from conftest import SF_DIR
+
+    df = skew_twophase_agg(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # phase 1 clusters on (event_type, _salt); phase 2 on event_type
+    assert "hashpartitioning(event_type" in plan
+    assert "_salt" in plan
+    # decimal-exact partials: result matches the naive single-phase agg
+    from etl_energy_tracker_spark.sources.registry import load_table
+    from pyspark.sql import functions as F
+
+    naive = {
+        r["event_type"]: (r["n"], r["sum_value"])
+        for r in load_table(spark, "events", SF_DIR)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    }
+    two = {r["event_type"]: (r["n"], r["sum_value"]) for r in df.collect()}
+    assert two == naive
