@@ -118,7 +118,7 @@ _PRIORITY: tuple[str, ...] = (
     "stream_dedup", "boilerplate_ngrams",
     "tfidf_topk_docs", "decontaminate_hashed_ngrams",
     "incremental_exact_dedup", "quarantine_bad_records",
-    "skew_twophase_agg",
+    "skew_twophase_agg", "bm25_topk_docs",
 )
 
 

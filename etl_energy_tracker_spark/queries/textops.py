@@ -423,3 +423,101 @@ def tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("term", "doc_id", "tf", "df", "score_scaled")
     )
+
+
+# --------------------------------------------------------- BM25 retrieval
+
+@register(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_tokens FROM d
+    ),
+    tf AS (
+        SELECT doc_id, term, len(toks) AS dl,
+               len(list_filter(toks, x -> x = term)) AS tf
+        FROM d CROSS JOIN (SELECT unnest([{_QUERY_TERMS.strip("()")}]) AS term)
+        WHERE len(list_filter(toks, x -> x = term)) > 0
+    ),
+    scored AS (
+        SELECT doc_id, term, tf, dl,
+               COUNT(*) OVER (PARTITION BY term) AS df,
+               250 + (750 * dl * n_docs) // total_tokens AS norm_scaled
+        FROM tf CROSS JOIN stats
+    ),
+    s2 AS (
+        SELECT doc_id, term, tf, df,
+               ((n_docs * 1000000) // df)
+               * ((tf * 22000000) // (10000 * tf + 12 * norm_scaled))
+                   AS score_scaled
+        FROM scored CROSS JOIN stats
+    )
+    SELECT term, doc_id, tf, df, score_scaled
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY term ORDER BY score_scaled DESC, doc_id) AS rn
+          FROM s2)
+    WHERE rn <= 5
+    """,
+    tags=("text", "corpus"),
+    doc="BM25 top-k retrieval (k1=1.2, b=0.75): term-frequency "
+    "saturation and document-length normalization on top of the "
+    "rational idf — the standard lexical-retrieval scorer. Every "
+    "factor is exact integer arithmetic (norm and saturation "
+    "milli-scaled, idf micro-scaled, DIV throughout) so scores and "
+    "ranking are bit-identical across engines with no ln()/float "
+    "risk. Same plan shape as tfidf_topk_docs: tf map-side, df + "
+    "ranking in one term-partitioned shuffle, corpus stats as a "
+    "broadcast 1-row aggregate.",
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("total_tokens"),
+    )
+    tf = (
+        d.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.explode(F.expr(f"array{_QUERY_TERMS}")).alias("term"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            "dl",
+            "term",
+            F.size(F.expr("filter(toks, x -> x = term)")).alias("tf"),
+        )
+        .where(F.col("tf") > 0)
+    )
+    wt = W.partitionBy("term")
+    scored = (
+        tf.crossJoin(F.broadcast(stats))
+        .withColumn("df", F.count(F.lit(1)).over(wt))
+        .withColumn(
+            "norm_scaled",
+            F.expr("250 + (750 * dl * n_docs) DIV total_tokens"),
+        )
+        .withColumn(
+            "score_scaled",
+            F.expr(
+                "((n_docs * 1000000) DIV df)"
+                " * ((tf * 22000000) DIV (10000 * tf + 12 * norm_scaled))"
+            ),
+        )
+    )
+    rn = F.row_number().over(
+        wt.orderBy(F.col("score_scaled").desc(), F.col("doc_id"))
+    )
+    return (
+        scored.withColumn("rn", rn)
+        .where(F.col("rn") <= 5)
+        .select("term", "doc_id", "tf", "df", "score_scaled")
+    )

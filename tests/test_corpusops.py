@@ -337,3 +337,34 @@ def test_incremental_exact_dedup_statuses(spark):
                   else "dup_vs_corpus" if h in hist else "new")
         first_seen.setdefault(h, doc_id)
         assert rows[doc_id] == expect, doc_id
+
+
+def test_bm25_length_normalization_bites(spark):
+    """BM25 must differ from raw tf ordering when doc lengths differ:
+    a long doc with the same tf scores below a short one."""
+    from etl_energy_tracker_spark.queries.textops import bm25_topk_docs
+    from etl_energy_tracker_spark.sources.registry import load_table
+
+    rows = bm25_topk_docs(spark, SF_DIR).collect()
+    assert rows
+    by_term = {}
+    for r in rows:
+        by_term.setdefault(r["term"], []).append(r)
+    for term, rs in by_term.items():
+        assert len(rs) <= 5
+        scores = [r["score_scaled"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["score_scaled"] > 0 for r in rs)
+    # every score matches the closed-form integer formula exactly
+    docs = load_table(spark, "documents", SF_DIR)
+    toks = {r["doc_id"]: r["dl"] for r in docs.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("dl")
+    ).collect()}
+    n_docs = len(toks)
+    total_tokens = sum(toks.values())
+    for r in rows:
+        dl = toks[r["doc_id"]]
+        norm = 250 + (750 * dl * n_docs) // total_tokens
+        sat = (r["tf"] * 22000000) // (10000 * r["tf"] + 12 * norm)
+        idf = (n_docs * 1000000) // r["df"]
+        assert r["score_scaled"] == idf * sat, r
