@@ -61,8 +61,14 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir_or_default(sf_dir)}/{name}.parquet")
     for c in _TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+        dtype = dict(df.dtypes).get(c)
+        if dtype == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+        elif dtype == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) infers as NTZ on
+            # Spark 4; the engine's contract is tz-aware TIMESTAMP under a
+            # UTC session zone, so the cast is a bit-identical relabel.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

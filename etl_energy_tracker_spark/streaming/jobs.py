@@ -22,6 +22,27 @@ from pyspark.sql import functions as F
 from ..lake import Lake
 
 
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events table as a file stream.
+
+    The driver's parquet stores ``ts`` as TIMESTAMP(MICROS); asking for
+    TimestampType directly reads the micros without conversion (the
+    session zone is pinned UTC, so NTZ-vs-LTZ labeling is bit-identical).
+    Streaming file sources need a directory, so the single table is
+    selected with a glob filter over the sf dir.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
 class _scoped_shuffle_partitions:
     """Bounded stream drives don't need the session's full shuffle
     width — every extra shuffle partition is another state-store
@@ -60,20 +81,7 @@ def hourly_event_agg_stream(
     synchronous oracle drive over a bounded source, where the final
     in-progress windows (still inside the watermark) must be visible
     for the batch-equivalence check."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    # streaming file sources need a directory; select the one table via
-    # a glob filter over the sf dir
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    )
+    stream = _events_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
@@ -150,17 +158,7 @@ def stateful_user_totals_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    stream = _events_stream(spark, sf_dir)
 
     def update(key, pdfs, state: GroupState):
         n, total = state.get if state.exists else (0, 0)
@@ -217,20 +215,9 @@ def clicks_purchases_join_stream(
     state-cleanup contract unbounded stream-stream joins require. Over
     the bounded test source the result is batch-equivalent, so the
     plain two-sided range join is the oracle."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
 
     def src() -> DataFrame:
-        return (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        )
+        return _events_stream(spark, sf_dir)
 
     clicks = (
         src()
@@ -289,20 +276,9 @@ def dedup_events_stream(
     once sources (e.g. re-downloaded ESIOS/OMIE files) where duplicates
     arrive close together in event time. Driven to completion over the
     bounded source, the result must equal batch DISTINCT."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
 
     def src() -> DataFrame:
-        return (
-            spark.readStream.schema(schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        )
+        return _events_stream(spark, sf_dir)
 
     doubled = src().unionByName(src())
     deduped = (
