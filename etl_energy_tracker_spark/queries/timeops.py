@@ -279,3 +279,102 @@ def madrid_local_to_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_utc_timestamp(F.col("ts"), "Europe/Madrid").alias("utc_ts"),
         )
     )
+
+
+@register(
+    "interval_range_join",
+    oracle=f"""
+    WITH spikes AS (
+        SELECT event_id AS spike_id, ts AS w_start,
+               ts + INTERVAL 30 MINUTE AS w_end
+        FROM events WHERE value > 220
+    )
+    SELECT s.spike_id,
+           COUNT(e.event_id) AS n_in_window,
+           {stable_sum_expr('e.value')} AS sum_in_window
+    FROM spikes s
+    JOIN events e ON e.ts >= s.w_start AND e.ts < s.w_end
+    GROUP BY s.spike_id
+    """,
+    tags=("time", "join", "range"),
+    doc="Interval overlap join (events falling inside each spike's "
+    "30-minute window) via grid bucketing: both sides are keyed to "
+    "30-minute grid cells, the interval exploded to the <=2 cells it "
+    "overlaps, then an EQUI-join on the cell plus the exact range "
+    "filter. The naive range-predicate join has no equality key and "
+    "plans as a broadcast-nested-loop (O(N*M) comparisons) — the grid "
+    "key turns it into a shuffled/broadcast hash join whose probe work "
+    "is |cell| per row, which survives a 1000x scale-up. Cell width = "
+    "interval length, so each interval lands in at most 2 cells and "
+    "every (interval, event) match is produced exactly once (an event "
+    "has a single cell).",
+)
+def interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cell = (F.unix_micros("ts") / F.lit(1_800_000_000)).cast("long")
+    spikes = (
+        ev.where(F.col("value") > 220)
+        .select(
+            F.col("event_id").alias("spike_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("w_end"),
+            F.explode(F.array(cell, cell + 1)).alias("cell"),
+        )
+    )
+    probe = ev.select("event_id", "ts", "value", cell.alias("cell"))
+    return (
+        spikes.join(probe, "cell")
+        .where((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .groupBy("spike_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_in_window"),
+            stable_sum("value", "sum_in_window"),
+        )
+    )
+
+
+@register(
+    "rollup_cascade_daily",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS day_ts, event_type,
+           COUNT(*) AS n,
+           {stable_sum_expr('value')} AS sum_value,
+           ROUND({stable_sum_expr('value')} / COUNT(*), 6) AS avg_value
+    FROM events
+    GROUP BY date_trunc('day', ts), event_type
+    """,
+    tags=("time", "aggregate"),
+    doc="Multi-resolution rollup cascade (the hypertable continuous-"
+    "aggregate pattern): the daily aggregate is computed FROM the "
+    "hourly partials — sum of sums, sum of counts — not by rescanning "
+    "raw rows, and the average is derived once at the end from the "
+    "exact decimal total. At 100 TB the hourly layer is a materialized "
+    "table ~1/1000th the raw size, so every coarser resolution (day, "
+    "month) costs a scan of the next-finer aggregate only; exact "
+    "decimal accumulation makes the cascade bit-identical to a direct "
+    "aggregation, which the oracle verifies.",
+)
+def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sum_dec"),
+    )
+    return (
+        hourly.groupBy(F.to_date("hour_ts").alias("day_ts"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum_dec").alias("day_dec"),
+        )
+        .select(
+            "day_ts",
+            "event_type",
+            "n",
+            F.col("day_dec").cast("double").alias("sum_value"),
+            F.round(F.col("day_dec").cast("double") / F.col("n"), 6).alias(
+                "avg_value"
+            ),
+        )
+    )
