@@ -63,10 +63,10 @@ def _load_all() -> None:
     from . import trackingops  # noqa: F401
 
 
-# Queries already driver-verified green in CORRECTNESS_r01.json. Emitted LAST
-# so that, if the harness caps the per-round query count, the not-yet-verified
-# entries (linking, dedup/ANN/text, streaming, e2e parity, new round-2 ops)
-# get checked first.
+# Queries already driver-verified green in CORRECTNESS_r01.json or
+# CORRECTNESS_r02.json. Emitted LAST so that, if the harness caps the
+# per-round query count (~50/round observed), the not-yet-verified
+# entries get checked first.
 _R1_VERIFIED: frozenset[str] = frozenset({
     "q1_pricing_summary", "q2_min_cost_supplier", "q3_shipping_priority",
     "q4_order_priority", "q5_local_supplier_volume", "q6_forecast_revenue",
@@ -85,40 +85,45 @@ _R1_VERIFIED: frozenset[str] = frozenset({
     "ntile_quartiles", "sql_api_revenue_report", "hourly_rollup",
     "expand_hourly_to_15min", "parse_hour_range", "parse_quarter_period",
     "parse_european_decimal",
-})
-
-
-# Within the unverified set, emit the flagship / previously-flagged
-# operators first so a capped run (round 1 recorded 50 rows) is
-# guaranteed to cover them before long-tail variants.
-_PRIORITY: tuple[str, ...] = (
-    "embedding_near_dup_pairs", "simhash_fingerprint", "simhash_near_pairs",
-    "minhash_lsh_pairs", "minhash_signatures", "ann_lsh_bucketed",
-    "ann_ivf_topk", "ann_ivf_trained", "ann_cosine_topk",
-    "pipeline_esios_e2e", "pipeline_omie_e2e", "pipeline_i90_errors_e2e",
+    # CORRECTNESS_r02 greens
+    "embedding_near_dup_pairs", "simhash_near_pairs", "minhash_lsh_pairs",
+    "minhash_signatures", "ann_lsh_bucketed", "ann_ivf_topk",
+    "ann_ivf_trained", "ann_cosine_topk", "pipeline_esios_e2e",
+    "pipeline_omie_e2e", "pipeline_i90_errors_e2e",
     "pipeline_intra_differencing_e2e", "precios_hourly_read_e2e",
-    "linking_hash_match", "linking_profile_hash",
-    "streaming_hourly_agg", "stateful_user_totals", "sessionization",
-    "session_window_agg", "zr_tracking_changes", "p48_tecnologias_update",
-    "corpus_prep_e2e", "near_dup_clusters", "near_dup_keep_corpus",
-    "corpus_composition_report", "stream_stream_join",
-    "cluster_balanced_sample", "minhash_lsh_pairs_k32",
-    "asof_join_last_click",
-    "decontaminate_ngrams", "train_val_test_split",
+    "linking_hash_match", "linking_profile_hash", "streaming_hourly_agg",
+    "stateful_user_totals", "session_window_agg", "zr_tracking_changes",
+    "p48_tecnologias_update", "near_dup_clusters", "near_dup_keep_corpus",
+    "stream_stream_join", "cluster_balanced_sample", "minhash_lsh_pairs_k32",
+    "asof_join_last_click", "decontaminate_ngrams", "train_val_test_split",
     "exact_dedup_docs", "ngram_jaccard_pairs", "multimodal_features",
     "multimodal_frame_sample", "text_fingerprint", "madrid_local_to_utc",
     "up_tracking_changes", "pipeline_curtailments_e2e", "pii_scrub",
     "intra_doc_dedup", "embedding_norm_stats", "text_bpe_token_count",
     "text_repetition_score", "stratified_sample_docs", "text_token_stats",
     "text_quality_score", "text_lang_id",
-    # round-2 additions (after the r1-flagged flagships above, so a
-    # capped run still covers the judge's unverified-first list)
-    "token_budget_packing", "deterministic_shuffle",
-    "quality_filter_chain", "embedding_quantize_int8",
-    "stream_dedup", "boilerplate_ngrams",
-    "tfidf_topk_docs", "decontaminate_hashed_ngrams",
-    "incremental_exact_dedup", "quarantine_bad_records",
-    "skew_twophase_agg", "bm25_topk_docs",
+})
+
+
+# Within the unverified set, emit first the 22 catalog entries that have
+# never received a driver CORRECTNESS row (r1+r2 both capped at ~50),
+# then the five r2 hash-mismatch queries whose oracles were re-typed
+# this round (HUGEINT -> BIGINT) and need re-verification, then any new
+# round-3 operators via registration order.
+_PRIORITY: tuple[str, ...] = (
+    # never driver-checked (VERDICT r2 "What's wrong" §2)
+    "bm25_topk_docs", "boilerplate_ngrams", "decontaminate_hashed_ngrams",
+    "deterministic_shuffle", "embedding_quantize_int8",
+    "first_ordered_per_group", "incremental_exact_dedup",
+    "interval_range_join", "json_extract_props", "json_map_explode",
+    "literal_map_lookup", "parse_contract_code",
+    "percentile_distinct_stats", "quality_filter_chain",
+    "quarantine_bad_records", "range_window_1h", "rollup_agg",
+    "rollup_cascade_daily", "skew_twophase_agg", "stream_dedup",
+    "tfidf_topk_docs", "zero_padded_codes",
+    # r2 hash-mismatch fixes needing re-verification
+    "simhash_fingerprint", "sessionization", "corpus_prep_e2e",
+    "corpus_composition_report", "token_budget_packing",
 )
 
 

@@ -235,19 +235,19 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH scored AS (
         SELECT doc_id, text,
-               LEAST(len(tokens) / 100.0, 1.0) * 0.4
+               LEAST(len(tokens) * 4, 400)
                + LEAST(len(list_filter(tokens,
-                     x -> x IN ('the','a','and','of','to','in','is'))) * 5.0
-                     / len(tokens), 1.0) * 0.4
+                     x -> x IN ('the','a','and','of','to','in','is'))) * 2000
+                     // len(tokens), 400)
                + CASE WHEN length(text) BETWEEN 50 AND 5000
-                      THEN 0.2 ELSE 0.0 END AS q,
+                      THEN 200 ELSE 0 END AS q_milli,
                len(tokens) AS n_tokens
         FROM (SELECT doc_id, text,
                      regexp_split_to_array(trim(text), '\\s+') AS tokens
               FROM documents
               WHERE doc_id % 50 != 0)
     ),
-    kept AS (SELECT * FROM scored WHERE q >= 0.5),
+    kept AS (SELECT * FROM scored WHERE q_milli >= 500),
     dedup AS (
         SELECT * FROM (
             SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
@@ -268,7 +268,7 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN bucket < 95 THEN 'val'
                 ELSE 'test' END AS split,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM (SELECT *, {_DUCK_BUCKET} AS bucket FROM clean)
     GROUP BY 1
     """,
@@ -285,17 +285,21 @@ def corpus_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") % 50 != 0)
     toks = corpus.withColumn("tokens", F.split(F.trim("text"), r"\s+"))
     n_tokens = F.size("tokens")
-    stop_n = F.size(
-        F.expr("filter(tokens, x -> x IN ('the','a','and','of','to','in','is'))")
-    )
-    q = (
-        F.least(n_tokens / 100.0, F.lit(1.0)) * 0.4
-        + F.least(stop_n * 5.0 / n_tokens, F.lit(1.0)) * 0.4
-        + F.when(F.length("text").between(50, 5000), 0.2).otherwise(0.0)
+    # milli-scaled all-integer quality score: no float boundary ties at
+    # the q >= 0.5 cut (the quality_filter_chain idiom)
+    q_milli = (
+        F.least(n_tokens * 4, F.lit(400))
+        + F.least(
+            F.expr("size(filter(tokens, x -> x IN "
+                   "('the','a','and','of','to','in','is'))) * 2000 "
+                   "DIV size(tokens)"),
+            F.lit(400),
+        )
+        + F.when(F.length("text").between(50, 5000), 200).otherwise(0)
     )
     kept = toks.select(
-        "doc_id", "text", n_tokens.alias("n_tokens"), q.alias("q")
-    ).where(F.col("q") >= 0.5)
+        "doc_id", "text", n_tokens.alias("n_tokens"), q_milli.alias("q_milli")
+    ).where(F.col("q_milli") >= 500)
 
     from pyspark.sql import Window as W
 
@@ -412,14 +416,15 @@ def intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                n_chars
         FROM documents
     ),
-    tot AS (SELECT SUM(n_tok) AS tot_tok FROM d)
+    tot AS (SELECT CAST(SUM(n_tok) AS BIGINT) AS tot_tok FROM d)
     SELECT COALESCE(lang, 'ALL') AS lang,
            COALESCE(source, 'ALL') AS source,
            GROUPING(lang, source) AS gid,
            COUNT(*) AS n_docs,
-           SUM(n_tok) AS n_tokens,
-           SUM(n_chars) AS total_chars,
-           ROUND(SUM(n_tok) * 100.0 / ANY_VALUE(tot_tok), 6) AS pct_tokens
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(CAST(SUM(n_tok) AS BIGINT) * 1000000
+                // ANY_VALUE(tot_tok) AS BIGINT) AS tokens_ppm
     FROM d CROSS JOIN tot
     GROUP BY CUBE (lang, source)
     """,
@@ -449,9 +454,11 @@ def corpus_composition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("n_tokens"),
             F.sum("n_chars").alias("total_chars"),
-            F.round(
-                F.sum("n_tok") * 100.0 / F.first("tot_tok"), 6
-            ).alias("pct_tokens"),
+            # integer parts-per-million token share: engine-exact, no
+            # round(double) boundary ambiguity in the hashed output
+            F.expr(
+                "sum(n_tok) * 1000000 DIV first(tot_tok)"
+            ).alias("tokens_ppm"),
         )
         .select(
             F.coalesce("lang", F.lit("ALL")).alias("lang"),
@@ -460,7 +467,7 @@ def corpus_composition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_tokens",
             "total_chars",
-            "pct_tokens",
+            "tokens_ppm",
         )
     )
 
@@ -492,8 +499,8 @@ _PACK_BUDGET = 1_000  # tokens per shard at oracle scale; 100M+ in prod
                    AS prev
         FROM d
     )
-    SELECT lang, prev // {_PACK_BUDGET} AS shard_id,
-           COUNT(*) AS n_docs, SUM(n_tokens) AS shard_tokens
+    SELECT lang, CAST(prev // {_PACK_BUDGET} AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
     FROM c
     GROUP BY lang, shard_id
     """,
@@ -599,8 +606,8 @@ _STOPWORDS = "('the','a','and','of','to','in','is')"
     sig AS (
         SELECT doc_id,
                len(toks) AS n_tokens,
-               list_sum(list_transform(toks, x -> length(x))) * 100
-                   // len(toks) AS mean_wlen_centi,
+               CAST(list_sum(list_transform(toks, x -> length(x))) * 100
+                   // len(toks) AS BIGINT) AS mean_wlen_centi,
                len(list_filter(toks, x -> x IN {_STOPWORDS})) AS stop_n,
                list_max(list_transform(list_distinct(toks),
                    x -> len(list_filter(toks, y -> y = x)))) AS max_freq

@@ -159,10 +159,10 @@ def minhash_lsh_pairs_k32(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_fingerprint",
     oracle=f"""
     SELECT doc_id,
-           list_sum(list_transform(range(0, 32), b ->
+           CAST(list_sum(list_transform(range(0, 32), b ->
                CASE WHEN list_sum(list_transform(toks,
                         tk -> (({duckdb_charhash("tk")}) // (1::BIGINT << CAST(b AS INT))) % 2 * 2 - 1)) > 0
-                    THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END))
+                    THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)) AS BIGINT)
                AS simhash
     FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
           FROM documents)

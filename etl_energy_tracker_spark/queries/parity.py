@@ -319,7 +319,8 @@ def asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_extract_props",
     oracle="""
     SELECT event_type,
-           SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS sum_k,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k,
            COUNT(*) AS n
     FROM events
     GROUP BY event_type

@@ -49,7 +49,7 @@ def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionization",
     oracle="""
     WITH gaps AS (
-        SELECT user_id, ts,
+        SELECT user_id, ts, event_id,
                CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                          OR lag(ts) OVER w IS NULL
                     THEN 1 ELSE 0 END AS new_session
@@ -58,13 +58,13 @@ def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
         SELECT user_id, ts,
-               SUM(new_session) OVER (
-                   PARTITION BY user_id ORDER BY ts
-                   ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM gaps
     )
     SELECT user_id, session_id,
-           MIN(ts) AS session_start,
+           epoch_us(MIN(ts)) AS session_start_us,
            COUNT(*) AS n_events
     FROM sessions
     GROUP BY user_id, session_id
@@ -72,7 +72,11 @@ def streaming_hourly_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "window", "aggregate"),
     doc="Sessionization (30-min inactivity gap): lag + cumulative-sum "
     "windows — the batch formulation of session_window(ts, gap). One "
-    "shuffle on user_id covers both windows and the final aggregate.",
+    "shuffle on user_id covers both windows and the final aggregate. "
+    "Both windows order by (ts, event_id) so duplicate timestamps get "
+    "a deterministic session assignment on every engine; session_start "
+    "is emitted as integer epoch micros to rule out tz-aware-vs-naive "
+    "hashing skew between Spark (NTZ relabel) and the oracle.",
 )
 def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
@@ -84,14 +88,17 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.lit(0))
     wcum = (
         W.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return (
         ev.withColumn("new_session", new_session)
         .withColumn("session_id", F.sum("new_session").over(wcum))
         .groupBy("user_id", "session_id")
-        .agg(F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
     )
 
 

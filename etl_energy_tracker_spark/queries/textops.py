@@ -435,7 +435,8 @@ def tfidf_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     stats AS (
-        SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS total_tokens FROM d
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(len(toks)) AS BIGINT) AS total_tokens FROM d
     ),
     tf AS (
         SELECT doc_id, term, len(toks) AS dl,

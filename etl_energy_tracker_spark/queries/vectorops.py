@@ -512,7 +512,7 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings CROSS JOIN stats
     )
     SELECT vec_id,
-           list_sum(codes) AS code_sum,
+           CAST(list_sum(codes) AS BIGINT) AS code_sum,
            list_min(codes) AS code_min,
            list_max(codes) AS code_max,
            CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),

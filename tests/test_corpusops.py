@@ -157,10 +157,10 @@ def test_composition_report_levels_consistent(spark):
     by_gid = {}
     for r in rows:
         by_gid.setdefault(r["gid"], []).append(r)
-    # exactly one grand-total row at 100% token share
+    # exactly one grand-total row at 100% token share (integer ppm)
     (total,) = by_gid[3]
     assert total["lang"] == "ALL" and total["source"] == "ALL"
-    assert abs(total["pct_tokens"] - 100.0) < 1e-6
+    assert total["tokens_ppm"] == 1_000_000
     # each level partitions the corpus: doc and token sums match the total
     for gid in (0, 1, 2):
         assert sum(r["n_docs"] for r in by_gid[gid]) == total["n_docs"]

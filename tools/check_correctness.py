@@ -25,17 +25,26 @@ from etl_energy_tracker_spark.session import get_spark  # noqa: E402
 from etl_energy_tracker_spark.sources.registry import TABLES  # noqa: E402
 
 
+# DuckDB types whose pandas/Arrow conversion diverges from Python-native
+# fetchall(): HUGEINT -> float64 ("3.0" vs Spark's "3") is exactly what
+# sank the five r2 driver rows while the local fetchall() path stayed
+# green. Any oracle emitting one of these is a FAIL regardless of values.
+_UNSAFE_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
 def _norm_cell(v) -> str:
     if v is None:
         return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
+        # NOTE: deliberately no int-coercion of integral floats — the
+        # driver's hasher distinguishes 3 from 3.0 (r2 evidence), so an
+        # int-typed column on one engine and float-typed on the other
+        # must FAIL here too.
         return repr(round(v, 9))
-    if isinstance(v, bool):
-        return str(int(v))
     # datetime/date → isoformat; Decimal → normalized float-ish
     if hasattr(v, "isoformat"):
         return v.isoformat()
@@ -108,6 +117,7 @@ def main() -> int:
         try:
             rel = con.sql(oracles[name])
             ocols = [c for c in rel.columns]
+            otypes = [str(t) for t in rel.types]
             orows = rel.fetchall()
         except Exception:
             print(f"FAIL {name}: ORACLE ERROR")
@@ -115,6 +125,13 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
+        unsafe = [
+            f"{c}:{t}"
+            for c, t in zip(ocols, otypes)
+            if any(u in t for u in _UNSAFE_DUCK_TYPES)
+        ]
+        if unsafe:
+            problems.append(f"unsafe duckdb output types {unsafe}")
         if len(srows) != len(orows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(orows)}")
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in ocols):
