@@ -16,7 +16,7 @@ Scale design:
 
 from __future__ import annotations
 
-import re
+
 
 import numpy as np
 import pandas as pd
@@ -181,44 +181,59 @@ def with_simhash(
     ±1 votes (per token, from bit b of the token's portable hash) is
     positive. Near-dup docs differ in few bits (Hamming distance).
 
-    One Arrow-batched pass: tokens hashed with the portable polynomial
-    fold (memoized per batch — the vocabulary is Zipf-small relative to
-    the token stream), bit votes as a single numpy reduceat over the
-    flattened token-hash array. Replaces the bits×tokens interpreted
-    ``aggregate`` folds (28× slower at sf0.1). Map-only, no shuffle;
-    bit-identical to the SQL rendering (same trim/split/hash semantics:
-    ASCII-space trim, Java-``\\s`` split, codepoint fold mod 1e9+7)."""
+    One Arrow-batched pass, fully vectorized: tokens are factorized to
+    a per-batch vocabulary (C hash table), the vocabulary is viewed as
+    a zero-padded UCS4 codepoint matrix, and the portable polynomial
+    fold runs as max_token_len numpy multiply-add-mod sweeps over the
+    whole vocabulary at once — no per-token Python loop anywhere. Bit
+    votes are a single numpy reduceat over the flattened token-hash
+    array. Map-only, no shuffle; bit-identical to the SQL rendering
+    (same trim/split/hash semantics: ASCII-space trim, Java-``\\s``
+    split, codepoint fold mod 1e9+7). Assumes tokens contain no NUL
+    codepoints (NUL is the UCS4 pad value) — whitespace-split text
+    satisfies this."""
     from pyspark.sql.functions import pandas_udf
 
     # Java/RE2 \s+ — keep the Python split byte-identical (Python's \s
     # would also match unicode whitespace).
-    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+    ws_pat = r"[ \t\n\x0b\f\r]+"
     shifts = np.arange(bits, dtype="int64")
     powers = (np.int64(1) << shifts).astype("int64")
+
+    def _hash_vocab(uniq: np.ndarray) -> np.ndarray:
+        """Horner fold h = (h*31 + cp) % MOD over every vocab token at
+        once: fixed-width UCS4 view -> (vocab, maxlen) codepoint
+        matrix, one vectorized sweep per character position."""
+        if len(uniq) == 0:
+            return np.empty(0, dtype="int64")
+        u = np.asarray(uniq, dtype="U")  # fixed-width UCS4, NUL-padded
+        maxlen = u.dtype.itemsize // 4
+        h = np.full(len(u), 7, dtype="int64")
+        if maxlen == 0:
+            return h
+        cp = u.view(np.uint32).reshape(len(u), maxlen).astype("int64")
+        for j in range(maxlen):
+            col = cp[:, j]
+            live = col != 0
+            if not live.any():
+                break
+            # (1e9+7)*31 + cp < 2^63: no overflow before the mod
+            h = np.where(live, (h * 31 + col) % MOD, h)
+        return h
 
     @pandas_udf("long")
     def simhash_of(texts: pd.Series) -> pd.Series:
         if len(texts) == 0:
             return pd.Series([], dtype="int64")
-        cache: dict[str, int] = {}
-
-        def token_hash(tok: str) -> int:
-            h = cache.get(tok)
-            if h is None:
-                h = 7
-                for ch in tok:
-                    h = (h * 31 + ord(ch)) % MOD
-                cache[tok] = h
-            return h
-
-        flat: list[int] = []
-        offsets = np.empty(len(texts), dtype="int64")
-        for i, t in enumerate(texts):
-            offsets[i] = len(flat)
-            # F.trim strips ASCII spaces only; split('') of '' is ['']
-            toks = ws.split((t or "").strip(" "))
-            flat.extend(token_hash(tok) for tok in toks)
-        hs = np.asarray(flat, dtype="int64")
+        # F.trim strips ASCII spaces only; split('') of '' is ['']
+        tok_lists = (
+            texts.fillna("").str.strip(" ").str.split(ws_pat, regex=True)
+        )
+        n_toks = tok_lists.str.len().to_numpy(dtype="int64")
+        offsets = np.concatenate(([0], np.cumsum(n_toks)[:-1]))
+        flat = tok_lists.explode()
+        codes, uniq = pd.factorize(flat, sort=False)
+        hs = _hash_vocab(np.asarray(uniq, dtype=object))[codes]
         votes = ((hs[:, None] >> shifts) & 1) * 2 - 1  # (tokens, bits)
         per_doc = np.add.reduceat(votes, offsets, axis=0)  # (docs, bits)
         return pd.Series(((per_doc > 0) * powers).sum(axis=1))

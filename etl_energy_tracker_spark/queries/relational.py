@@ -318,7 +318,8 @@ def keep_last_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rolling_avg_24",
     oracle="""
     SELECT event_id, user_id, ts,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+           ROUND(CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER w
+                      AS DOUBLE) / 1000000.0
                  / COUNT(value) OVER w, 6) AS rolling_avg
     FROM events
     WINDOW w AS (
@@ -328,8 +329,11 @@ def keep_last_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("window",),
     doc="W4 24-row rolling average per entity "
-    "(natlanguage_duckdb_queries.py:246-252). Decimal-exact numerator "
-    "so the hash is shuffle-order independent.",
+    "(natlanguage_duckdb_queries.py:246-252). Micro-scaled BIGINT "
+    "numerator: order-independent exact windowed sum (addition of "
+    "longs is associative-commutative, unlike doubles) at plain "
+    "long-adder cost — the earlier DECIMAL(38,6) numerator bought the "
+    "same stability with a 128-bit adder in every window slide.",
 )
 def rolling_avg_24(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
@@ -338,8 +342,9 @@ def rolling_avg_24(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-23, W.currentRow)
     )
+    micros = F.expr("CAST(ROUND(value * 1000000) AS BIGINT)")
     rolling = F.round(
-        F.sum(F.col("value").cast("decimal(38,6)")).over(w).cast("double")
+        F.sum(micros).over(w).cast("double") / 1000000.0
         / F.count("value").over(w),
         6,
     )
