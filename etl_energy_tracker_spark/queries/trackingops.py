@@ -266,3 +266,71 @@ def p48_tecnologias_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p48 = part.where(F.col("p_size") > 25).select(F.col("p_type").alias("Concepto"))
     return update_tecnologias(p48, dim)
+
+
+@register(
+    "up_link_eligibility",
+    oracle=f"""
+    WITH log AS (
+        SELECT 'UP' || CAST(s_suppkey AS VARCHAR) AS up, 'habilitada' AS f,
+               DATE '{_ZR_DATE}' - CAST(s_suppkey * 3 % 200 AS INT) AS d
+        FROM supplier WHERE s_suppkey % 4 != 0
+        UNION ALL
+        SELECT 'UP' || CAST(s_suppkey AS VARCHAR), 'obsoleta',
+               DATE '{_ZR_DATE}' - CAST(s_suppkey * 3 % 200 AS INT) + 10
+        FROM supplier WHERE s_suppkey % 4 != 0 AND s_suppkey % 13 = 0
+    ),
+    state AS (
+        SELECT up, f AS state, d AS state_date FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY up ORDER BY d DESC,
+                CASE WHEN f = 'obsoleta' THEN 1 ELSE 0 END DESC) AS rn
+            FROM log) WHERE rn = 1
+    )
+    SELECT up AS UP, state_date AS enabled_date,
+           CAST(DATE '{_ZR_DATE}' - state_date AS INT) AS days_enabled
+    FROM state
+    WHERE state = 'habilitada'
+      AND state_date <= DATE '{_ZR_DATE}' - 93
+      AND up NOT IN (SELECT 'UP' || CAST(s_suppkey AS VARCHAR)
+                     FROM supplier WHERE s_suppkey % 6 = 0)
+    """,
+    tags=("tracking", "linking", "window"),
+    doc="Vinculación 93-day eligibility queue "
+    "(vinculacion/_vinculacion_monitoring.py:17-22, vinculacion_main.py"
+    ":43-55): UPs whose latest habilitada/obsoleta transition in "
+    "up_change_log is an enable at least 93 days old and that have no "
+    "stored UP-UOF link — the retry set each daily monitoring round "
+    "re-attempts. Latest-state per UP is one max_by aggregate (no "
+    "window over the log), links anti-join broadcasts. Stand-ins: "
+    "suppliers as UPs, enable dates spread by (3k mod 200) days, every "
+    "13th UP obsoleted 10 days after enabling, every 6th already "
+    "linked.",
+)
+def up_link_eligibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.vinculacion import eligible_ups
+
+    sup = load_table(spark, "supplier", sf_dir).select(
+        F.col("s_suppkey").alias("k")
+    )
+    up = F.concat(F.lit("UP"), F.col("k").cast("string"))
+    enable_date = F.date_sub(
+        F.to_date(F.lit(_ZR_DATE)), (F.col("k") * 3 % 200).cast("int")
+    )
+    enables = sup.where(F.col("k") % 4 != 0).select(
+        up.alias("UP"),
+        F.lit("habilitada").alias("field_changed"),
+        enable_date.alias("date_updated"),
+    )
+    obsoletes = sup.where((F.col("k") % 4 != 0) & (F.col("k") % 13 == 0)).select(
+        up.alias("UP"),
+        F.lit("obsoleta").alias("field_changed"),
+        F.date_add(enable_date, 10).alias("date_updated"),
+    )
+    links = sup.where(F.col("k") % 6 == 0).select(
+        up.alias("UP"),
+        F.concat(F.lit("UOF"), F.col("k").cast("string")).alias("UOF"),
+    )
+    return eligible_ups(
+        enables.unionByName(obsoletes), links, _ZR_DATE
+    )
