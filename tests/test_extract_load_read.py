@@ -189,3 +189,116 @@ def test_partition_tree_validation(spark, tmp_path):
     assert reader.read("volumenes_i90", mercados=["diario"]).count() == 1
     with _pytest.raises(ValueError, match="existing markets"):
         reader.read("volumenes_i90", mercados=["omie_typo"])
+
+
+# ----------------------------------------------- tracking-dim sources
+
+
+def test_up_list_source_feeds_change_detection(spark):
+    """UP-list CSV source (descarga_UP_list.py + UP_tracking.py parse)
+    wired into detect_changes / up_change_log: injectable fetcher, no
+    browser."""
+    from etl_energy_tracker_spark.extract import tracking_sources as ts
+    from etl_energy_tracker_spark.operators.tracking import (
+        detect_changes,
+        up_change_log,
+    )
+
+    csv = "\n".join(
+        [
+            "Código de UP;Potencia máxima MW;Tipo de producción;"
+            "Zona de Regulación;Tipo de UP;Extra",
+            "UPGEN1;1.234,50;Hidráulica;ZONA_A;Generación;x",
+            "UPGEN2;99,10;Eólica;ZONA_B;Generación;y",
+            "UPCON1;5,00;Consumo puro;ZONA_A;Consumo;z",
+        ]
+    )
+    ups = ts.download_up_list(spark, lambda url: csv, "2026-08-13")
+    rows = {r["UP"]: r for r in ups.collect()}
+    # Consumo filtered out, European decimals parsed, stamped
+    assert set(rows) == {"UPGEN1", "UPGEN2"}
+    assert rows["UPGEN1"]["potencia"] == 1234.5
+    assert rows["UPGEN1"]["obsoleta"] == 0
+    assert rows["UPGEN1"]["date_updated"] == "2026-08-13"
+
+    dim = spark.createDataFrame(
+        [("UPGEN1", 1234.5, "ZONA_A"), ("UPOLD", 10.0, "ZONA_C")],
+        "UP string, potencia double, zona_regulacion string",
+    )
+    ch = {r["UP"]: r["change"] for r in detect_changes(ups, dim, "UP").collect()}
+    assert ch == {"UPGEN2": "new", "UPOLD": "obsolete"}
+    log = up_change_log(ups, dim, "2026-08-13")
+    kinds = {
+        (r["entity"], r["field_changed"]) for r in log.collect()
+    }
+    assert ("UPGEN2", "habilitada") in kinds and ("UPOLD", "obsoleta") in kinds
+
+    # missing required column errors naming it, like the reference
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Zona de Regulación"):
+        ts.parse_up_list_csv(spark, "Código de UP;Tipo de UP\nA;Generación", "2026-08-13")
+
+
+def test_uof_list_source_shapes_grid(spark):
+    """OMIE UOF grid (descarga_uofs_omie.py): header on row 4, empty
+    and unwanted columns dropped, canonical renames; feeds
+    detect_changes on UOF."""
+    from etl_energy_tracker_spark.extract import tracking_sources as ts
+    from etl_energy_tracker_spark.operators.tracking import detect_changes
+
+    grid = [
+        ["OMIE", None, None, None, None, None],
+        [None, None, None, None, None, None],
+        [None, None, None, None, None, None],
+        ["CODIGO", "DESCRIPCIÓN", "ZONA/FRONTERA", "AGENTE PROPIETARIO",
+         "TECNOLOGÍA", "EMPTY"],
+        ["UOF1", "desc ignored", "ES", "AGENTE SA", "Hidráulica", None],
+        ["UOF2", "also ignored", "PT", "OTRO SL", "Eólica", None],
+    ]
+    uofs = ts.download_uof_list(spark, lambda url: grid)
+    assert set(uofs.columns) == {"UOF", "zona", "agente_propietario", "tecnologia"}
+    assert {r["UOF"] for r in uofs.collect()} == {"UOF1", "UOF2"}
+
+    dim = spark.createDataFrame([("UOF1",), ("UOFGONE",)], "UOF string")
+    ch = {r["UOF"]: r["change"] for r in detect_changes(uofs, dim, "UOF").collect()}
+    assert ch == {"UOF2": "new", "UOFGONE": "obsolete"}
+
+
+def test_bsp_list_source_feeds_zr_mapping(spark):
+    """BSP list (descarga_bsp_esios.py, cert transport injected away)
+    -> (esios_id, i90_id) mapping consumed by zr_change_log's i90_id
+    backfill."""
+    from etl_energy_tracker_spark.extract import tracking_sources as ts
+    from etl_energy_tracker_spark.operators.zr import zr_change_log
+
+    grid = [
+        ["Descripción corta BSP-aFRR", "Código BSP-aFRR", "Otro"],
+        ["ZONA_A", "Z001", "x"],
+        ["ZONA_B", "Z002", "y"],
+        ["ZONA_B", "Z002", "dup collapses"],
+    ]
+    mapping = ts.download_bsp_list(spark, lambda url: grid)
+    assert sorted(tuple(r) for r in mapping.collect()) == [
+        ("ZONA_A", "Z001"),
+        ("ZONA_B", "Z002"),
+    ]
+
+    dim = spark.createDataFrame(
+        [("ZONA_A", None, 0, 5.0), ("ZONA_B", "Z002", 0, 7.0)],
+        "esios_id string, i90_id string, obsoleta int, potencia double",
+    )
+    esios = spark.createDataFrame(
+        [("ZONA_A", 5.0), ("ZONA_B", 7.0)], "esios_id string, potencia double"
+    )
+    log = zr_change_log(dim, esios, mapping, "2026-08-13")
+    backfills = {
+        r["esios_id"]: r["new_str"]
+        for r in log.where(F.col("field_changed") == "i90_id").collect()
+    }
+    assert backfills == {"ZONA_A": "Z001"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="Código BSP-aFRR"):
+        ts.parse_bsp_list(spark, [["Descripción corta BSP-aFRR"], ["Z"]])
