@@ -311,7 +311,9 @@ def madrid_local_to_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    cell = (F.unix_micros("ts") / F.lit(1_800_000_000)).cast("long")
+    # exact integer division (DIV floors; double-divide-then-cast
+    # truncates toward zero and leans on double precision)
+    cell = F.expr("unix_micros(ts) DIV 1800000000")
     spikes = (
         ev.where(F.col("value") > 220)
         .select(

@@ -72,6 +72,21 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return df
 
 
+def events_ts_is_nanos(sf_dir: str | None = None) -> bool:
+    """True when the events parquet stores ``ts`` as TIMESTAMP(NANOS)
+    (testdata encoding has flipped between rounds: r1 nanos, r2
+    micros). One footer read; lets the streaming reader share batch
+    ``load_table``'s both-encodings contract — a fixed reader schema
+    would fail at read time if nanos testdata reappears."""
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    t = pq.read_schema(
+        f"{sf_dir_or_default(sf_dir)}/events.parquet"
+    ).field("ts").type
+    return pat.is_timestamp(t) and t.unit == "ns"
+
+
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
     return {name: load_table(spark, name, sf_dir) for name in TABLES}
 

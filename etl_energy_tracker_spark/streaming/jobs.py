@@ -25,22 +25,35 @@ from ..lake import Lake
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Events table as a file stream.
 
-    The driver's parquet stores ``ts`` as TIMESTAMP(MICROS); asking for
-    TimestampType directly reads the micros without conversion (the
-    session zone is pinned UTC, so NTZ-vs-LTZ labeling is bit-identical).
-    Streaming file sources need a directory, so the single table is
-    selected with a glob filter over the sf dir.
+    Shares batch ``load_table``'s both-encodings timestamp contract
+    (sources/registry.py): one footer read decides whether ``ts`` is
+    TIMESTAMP(NANOS) — read as int64 nanos and converted with exact
+    integer division — or TIMESTAMP(MICROS), read as TimestampType
+    directly (session zone pinned UTC, so the NTZ-vs-LTZ labeling is
+    bit-identical). Streaming file sources need a directory, so the
+    single table is selected with a glob filter over the sf dir.
     """
+    from ..sources.registry import events_ts_is_nanos
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nanos = events_ts_is_nanos(sf_dir)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ts_decl = "ts long" if nanos else "ts timestamp"
     schema = (
-        "event_id long, ts timestamp, user_id long, event_type string, "
+        f"event_id long, {ts_decl}, user_id long, event_type string, "
         "value double, props string"
     )
-    return (
+    stream = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    if nanos:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    return stream
 
 
 class _scoped_shuffle_partitions:
