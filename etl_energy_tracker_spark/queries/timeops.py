@@ -282,6 +282,45 @@ def madrid_local_to_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quarter_to_utc",
+    oracle="""
+    SELECT event_id,
+           DATE '2024-01-01' + CAST(event_id % 366 AS INT) AS fecha,
+           CAST(event_id % 96 + 1 AS INT) AS quarter_idx,
+           make_timestamp(epoch_us(timezone('Europe/Madrid',
+               CAST(DATE '2024-01-01' + CAST(event_id % 366 AS INT)
+                    AS TIMESTAMP))))
+             + (event_id % 96) * INTERVAL 15 MINUTE AS datetime_utc
+    FROM events
+    """,
+    tags=("time", "join"),
+    doc="C3 local-date + 1-based 15-min quarter index -> UTC instant "
+    "(etl_date_utils.py:418-520) via the broadcast DST transition dim "
+    "(timegrid.dst_dim): local midnight resolves through the day's "
+    "UTC offset, so 23/24/25-hour days (92/96/100 quarters) map "
+    "correctly. Dates synthesized across all of 2024, covering both "
+    "Madrid DST transitions; the oracle derives midnight through "
+    "DuckDB's ICU timezone conversion — two independent DST sources "
+    "agreeing. The dim join is a broadcast of ~13k tiny rows; the "
+    "fact side never shuffles.",
+)
+def quarter_to_utc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..timegrid import dst_dim, with_utc_from_quarter
+
+    ev = load_table(spark, "events", sf_dir)
+    df = ev.select(
+        "event_id",
+        F.date_add(
+            F.to_date(F.lit("2024-01-01")), (F.col("event_id") % 366).cast("int")
+        ).alias("fecha"),
+        ((F.col("event_id") % 96) + 1).cast("int").alias("quarter_idx"),
+    )
+    return with_utc_from_quarter(df, dst_dim(spark)).select(
+        "event_id", "fecha", "quarter_idx", "datetime_utc"
+    )
+
+
+@register(
     "interval_range_join",
     oracle=f"""
     WITH spikes AS (
