@@ -405,6 +405,163 @@ def intra_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- cross-document dedup
+
+@register(
+    "cross_doc_paragraph_dedup",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, j,
+               list_aggregate(t[CAST(j * {_CHUNK} + 1 AS INT):
+                                CAST(j * {_CHUNK} + {_CHUNK} AS INT)],
+                              'string_agg', ' ') AS c
+        FROM toks, LATERAL (
+            SELECT unnest(range(0,
+                CAST(ceil(len(t) / {_CHUNK}.0) AS BIGINT))) AS j)
+    ),
+    ranked AS (
+        SELECT doc_id, j, c,
+               row_number() OVER (PARTITION BY c ORDER BY doc_id, j) AS rn
+        FROM chunks
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept_chunks,
+           {duckdb_charhash(
+               "COALESCE(string_agg(CASE WHEN rn = 1 THEN c END, "
+               "' ' ORDER BY j), '')"
+           )} AS cleaned_hash
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("corpus", "text", "dedup"),
+    doc="Cross-document paragraph dedup (the RefinedWeb/CCNet exact "
+    "substring-dedup shape): every chunk is kept only at its globally "
+    "first occurrence — ordered by (doc_id, position) — and each "
+    "document is reassembled from its surviving chunks, verified via "
+    "the portable hash of the cleaned text. Two shuffles at any "
+    "scale: one window partitioned by chunk content (cardinality = "
+    "distinct chunks, the same key exact_dedup shuffles on) and one "
+    "doc_id regroup; no joins back to the corpus. Boilerplate "
+    "sentences collapse corpus-wide, not just within a document "
+    "(compare `intra_doc_dedup`, the zero-shuffle per-doc variant).",
+)
+def cross_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    ch = (
+        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tokens"))
+        .withColumn("chunks", F.expr(_CHUNK_SPARK))
+        .select("doc_id", F.posexplode("chunks").alias("j", "c"))
+    )
+    first = F.min(F.struct("doc_id", "j")).over(W.partitionBy("c"))
+    tagged = ch.withColumn(
+        "_keep",
+        (F.col("doc_id") == first.getField("doc_id"))
+        & (F.col("j") == first.getField("j")),
+    )
+    kept_struct = F.when(F.col("_keep"), F.struct("j", "c"))
+    agg = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("_keep"), 1).otherwise(0)).alias("n_kept_chunks"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x.getField("c"),
+            ),
+        ).alias("cleaned"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_chunks",
+        "n_kept_chunks",
+        F.expr(spark_charhash("cleaned")).alias("cleaned_hash"),
+    )
+
+
+# ----------------------------------------------- mixture resampling
+
+@register(
+    "mixture_resample",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, lang,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+        FROM documents
+    ),
+    per_lang AS (
+        SELECT lang, CAST(SUM(n_tok) AS BIGINT) AS lang_tok
+        FROM d GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(SUM(lang_tok) AS BIGINT) AS tot_tok,
+               COUNT(*) AS n_langs
+        FROM per_lang
+    ),
+    rates AS (
+        SELECT lang,
+               LEAST(1000000,
+                     CAST((tot_tok // n_langs) * 1000000 // lang_tok
+                          AS BIGINT)) AS rate_ppm
+        FROM per_lang CROSS JOIN tot
+    ),
+    kept AS (
+        SELECT d.lang, d.n_tok, r.rate_ppm
+        FROM d JOIN rates r USING (lang)
+        WHERE {duckdb_charhash("'mix:' || CAST(doc_id AS VARCHAR)")}
+              % 1000000 < r.rate_ppm
+    )
+    SELECT lang, rate_ppm,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+    FROM kept GROUP BY lang, rate_ppm
+    """,
+    tags=("corpus",),
+    doc="Deterministic mixture resampling toward a uniform per-language "
+    "token share (the domain-weighting step before training, DoReMi/"
+    "Pile-style with fixed targets): per-language keep rates in "
+    "integer ppm from one tiny stats aggregate, selection by portable "
+    "hash of doc_id against the ppm threshold — reproducible across "
+    "runs/engines/cluster sizes, no rand(), no float boundaries. Two "
+    "corpus scans (stats, then map-only selection with broadcast "
+    "rates) and two lang-sized shuffles; languages above target "
+    "downsample, those at/below keep everything (rate caps at 1e6 "
+    "ppm). At 100 TB swap the uniform target for a broadcast weights "
+    "dim — same plan.",
+)
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+    per_lang = d.groupBy("lang").agg(F.sum("n_tok").alias("lang_tok"))
+    tot = per_lang.agg(
+        F.sum("lang_tok").alias("tot_tok"), F.count(F.lit(1)).alias("n_langs")
+    )
+    rates = per_lang.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(1_000_000),
+            F.expr("(tot_tok DIV n_langs) * 1000000 DIV lang_tok"),
+        ).alias("rate_ppm"),
+    )
+    hash_expr = spark_charhash("concat('mix:', cast(doc_id as string))")
+    sel = F.expr(f"{hash_expr} % 1000000")
+    kept = d.join(F.broadcast(rates), "lang").where(sel < F.col("rate_ppm"))
+    return kept.groupBy("lang", "rate_ppm").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tok").alias("kept_tokens"),
+    )
+
+
 # ------------------------------------------------- composition report
 
 @register(

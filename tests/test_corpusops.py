@@ -368,3 +368,47 @@ def test_bm25_length_normalization_bites(spark):
         sat = (r["tf"] * 22000000) // (10000 * r["tf"] + 12 * norm)
         idf = (n_docs * 1000000) // r["df"]
         assert r["score_scaled"] == idf * sat, r
+
+
+# ------------------------------------------- round-3 late additions
+
+def test_cross_doc_paragraph_dedup_global_first_occurrence(spark):
+    """Each chunk survives exactly once corpus-wide; totals conserve;
+    plan is window-on-chunk + doc regroup (2 exchanges, no join)."""
+    from etl_energy_tracker_spark.queries.corpusops import (
+        cross_doc_paragraph_dedup,
+        intra_doc_dedup,
+    )
+
+    out = cross_doc_paragraph_dedup(spark, SF_DIR)
+    rows = out.collect()
+    assert all(0 <= r["n_kept_chunks"] <= r["n_chunks"] for r in rows)
+    # cross-doc is at least as aggressive as per-doc dedup
+    intra = {
+        r["doc_id"]: r["n_unique_chunks"]
+        for r in intra_doc_dedup(spark, SF_DIR).collect()
+    }
+    assert all(r["n_kept_chunks"] <= intra[r["doc_id"]] for r in rows)
+    # the synthetic corpus repeats sentences across docs -> some drops
+    assert any(r["n_kept_chunks"] < intra[r["doc_id"]] for r in rows)
+    # count exchanges in the final plan only (AQE prints the initial
+    # plan as a second section, double-counting)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange hashpartitioning") == 2
+    assert "Join" not in final
+
+
+def test_mixture_resample_targets_uniform_share(spark):
+    """Over-represented languages downsample; at-or-below-target keep
+    everything (rate 1e6 ppm); kept tokens respect the rate."""
+    from etl_energy_tracker_spark.queries.corpusops import mixture_resample
+
+    rows = {r["lang"]: r for r in mixture_resample(spark, SF_DIR).collect()}
+    assert rows and all(0 < r["rate_ppm"] <= 1_000_000 for r in rows.values())
+    assert any(r["rate_ppm"] < 1_000_000 for r in rows.values())
+    # deterministic across evaluations
+    again = {r["lang"]: r for r in mixture_resample(spark, SF_DIR).collect()}
+    assert {(k, v["n_docs_kept"], v["kept_tokens"]) for k, v in rows.items()} == {
+        (k, v["n_docs_kept"], v["kept_tokens"]) for k, v in again.items()
+    }
