@@ -116,3 +116,51 @@ def test_charhash_three_way_parity(spark, strings):
             f"SELECT {duckdb_charhash('?')}", params=[s]
         ).fetchone()[0]
         assert duck == expected, (s,)
+
+
+# --------------------------------------------- vectorized simhash kernel
+
+# non-NUL unicode (NUL is the UCS4 pad sentinel the kernel documents
+# as excluded); spans ASCII, Latin-1 supplement, and beyond the BMP
+_sim_texts = st.text(
+    alphabet=st.characters(min_codepoint=1, max_codepoint=0x10FFFF,
+                           exclude_categories=("Cs",)),
+    max_size=40,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(_sim_texts, min_size=1, max_size=20))
+def test_simhash_vectorized_matches_scalar_fold(spark, texts_in):
+    """The numpy UCS4-matrix Horner kernel must agree with the naive
+    per-token scalar fold on arbitrary unicode — the oracle matrix only
+    exercises ASCII corpora."""
+    import re
+
+    from etl_energy_tracker_spark.operators.dedup import with_simhash
+
+    ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def pyhash(tok: str) -> int:
+        acc = 7
+        for ch in tok:
+            acc = (acc * 31 + ord(ch)) % MOD
+        return acc
+
+    def py_simhash(text: str, bits: int = 32) -> int:
+        toks = ws.split((text or "").strip(" "))
+        votes = [0] * bits
+        for t in toks:
+            h = pyhash(t)
+            for b in range(bits):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(bits) if votes[b] > 0)
+
+    rows = [(i, s) for i, s in enumerate(texts_in)]
+    df = spark.createDataFrame(rows, "i long, s string")
+    got = {
+        r["i"]: r["simhash"]
+        for r in with_simhash(df, "s").select("i", "simhash").collect()
+    }
+    for i, s in rows:
+        assert got[i] == py_simhash(s), repr(s)
