@@ -72,18 +72,26 @@ def main() -> None:
         "noop"
     ).save()
 
-    # best-of-2 per query: the host is shared, so single-shot timings
-    # carry neighbor noise; min-of-runs reports the machine's capability.
+    # best-of-N per query: the host is shared and shows up to 4x
+    # neighbor-load variance (BASELINE.md), so single-shot timings are
+    # unreliable; min-of-runs reports the machine's capability. Two
+    # runs baseline, a third only when the first two disagree by >1.5x
+    # (i.e. at least one was noisy) — bounded extra wall time, spent
+    # exactly where variance was observed.
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = qs[name]
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.perf_counter() - t0)
-        dt = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        if max(runs) > 1.5 * min(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(time.perf_counter() - t0)
+        dt = round(min(runs), 3)
         timings[name] = dt
         total += dt
 
