@@ -101,6 +101,11 @@ def lsh_candidate_pairs(
     """LSH banding: equal band-slices become join buckets; output is
     candidate (id_a < id_b) pairs with their estimated Jaccard
     (fraction of equal signature positions)."""
+    # band hash folded to int64 (xxhash64 of the joined band slice):
+    # the bucket self-join shuffles 8-byte keys instead of a
+    # comma-joined digit string (~40+ chars at k=16). A 64-bit
+    # collision can only ADD a candidate pair, and candidates are
+    # exact-verified downstream, so results are identical.
     banded = (
         df.select(F.col(id_col).alias("id"), F.col(signature_col).alias("sig"))
         .select(
@@ -110,7 +115,7 @@ def lsh_candidate_pairs(
                 F.expr(
                     f"transform(sequence(0, {bands - 1}), b -> "
                     f"struct(b AS band, "
-                    f"concat_ws(',', slice(sig, b * {rows_per_band} + 1, {rows_per_band})) AS bhash))"
+                    f"xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, {rows_per_band}))) AS bhash))"
                 )
             ).alias("bb"),
         )
