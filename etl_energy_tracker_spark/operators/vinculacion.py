@@ -76,7 +76,11 @@ def eligible_ups(
     ``as_of``, and that have no UP↔UOF link yet.
 
     Returns (UP, enabled_date, days_enabled) — the retry queue: a UP
-    stays here until a linking round matches it or it goes obsolete."""
+    stays here until a linking round matches it or it goes obsolete.
+
+    Only LIVE links (UOF not NULL) block eligibility: a retired link
+    is stored as a UOF = NULL row, and a UP that was retired then
+    re-habilitada must be able to re-enter the queue."""
     state = latest_up_state(change_log)
     enabled = state.where(F.col("state") == "habilitada").select(
         "UP", F.col("state_date").alias("enabled_date")
@@ -87,9 +91,8 @@ def eligible_ups(
         "days_enabled",
         F.datediff(F.to_date(F.lit(as_of)), F.col("enabled_date")).cast("int"),
     )
-    return aged.join(
-        F.broadcast(links.select("UP").distinct()), "UP", "left_anti"
-    )
+    live = links.where(F.col("UOF").isNotNull()).select("UP").distinct()
+    return aged.join(F.broadcast(live), "UP", "left_anti")
 
 
 def find_link_changes(
@@ -103,19 +106,33 @@ def find_link_changes(
     - all_changes: (UP, uof_old, uof_new) where uof_new = 'unknown'
       for UPs that dropped out of matching, plus genuine UOF moves
     - new_links: (UP, uof_new) for UPs matched for the first time
-    """
-    cur = current_links.select("UP", F.col("UOF").alias("uof_old"))
-    new = new_matches.select("UP", F.col("UOF").alias("uof_new"))
-    j = cur.join(new, "UP", "full_outer")
 
-    new_links = j.where(F.col("uof_old").isNull()).select("UP", "uof_new")
-    unlinked = j.where(F.col("uof_new").isNull()).select(
-        "UP", "uof_old", F.lit("unknown").alias("uof_new")
+    Presence on each side of the full-outer join is tracked with
+    explicit flag columns (the Spark rendering of the reference's
+    pandas merge ``indicator`` left_only/right_only/both), NOT by
+    uof_old/uof_new nullity: retired links are stored as UOF = NULL
+    rows, so "uof_old IS NULL" conflates "UP absent from the links
+    table" with "UP present but retired". A retired UP that stays
+    unmatched produces no change row (its link is already NULL); a
+    retired UP the matcher re-finds is a uof_change NULL -> new
+    (eqNullSafe inequality), which re-activates the stored link.
+    """
+    cur = current_links.select(
+        "UP", F.col("UOF").alias("uof_old"), F.lit(True).alias("_in_cur")
     )
+    new = new_matches.select(
+        "UP", F.col("UOF").alias("uof_new"), F.lit(True).alias("_in_new")
+    )
+    j = cur.join(new, "UP", "full_outer")
+    in_cur = F.coalesce(F.col("_in_cur"), F.lit(False))
+    in_new = F.coalesce(F.col("_in_new"), F.lit(False))
+
+    new_links = j.where(~in_cur & in_new).select("UP", "uof_new")
+    unlinked = j.where(
+        in_cur & ~in_new & F.col("uof_old").isNotNull()
+    ).select("UP", "uof_old", F.lit("unknown").alias("uof_new"))
     changed = j.where(
-        F.col("uof_old").isNotNull()
-        & F.col("uof_new").isNotNull()
-        & (F.col("uof_old") != F.col("uof_new"))
+        in_cur & in_new & ~F.col("uof_old").eqNullSafe(F.col("uof_new"))
     ).select("UP", "uof_old", "uof_new")
     return changed.unionByName(unlinked), new_links
 

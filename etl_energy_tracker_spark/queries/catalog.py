@@ -105,13 +105,31 @@ _R1_VERIFIED: frozenset[str] = frozenset({
 })
 
 
-# Within the unverified set, emit first the 22 catalog entries that have
-# never received a driver CORRECTNESS row (r1+r2 both capped at ~50),
-# then the five r2 hash-mismatch queries whose oracles were re-typed
-# this round (HUGEINT -> BIGINT) and need re-verification, then any new
-# round-3 operators via registration order.
-_PRIORITY: tuple[str, ...] = (
-    # never driver-checked (VERDICT r2 "What's wrong" §2)
+# Queries whose Spark implementation changed AFTER their last green
+# driver CORRECTNESS row (VERDICT r3 "What's wrong" §1: a green row on
+# old code is not a green row on current code). These are pulled back
+# out of the verified-emit-last set and emitted FIRST so the capped
+# (~50/round) driver run re-checks the current code:
+# - r3 perf rewrites: xxhash64 shingle keys (dd7d405) and int64 band
+#   hashes (836c6dc) touched ngram_jaccard_pairs and
+#   minhash_lsh_pairs(_k32); near_dup_clusters / near_dup_keep_corpus
+#   consume the LSH pair stream downstream.
+# - r4 changes: ngram_jaccard_pairs df-cap de-broadcast,
+#   simhash_near_pairs via the with_simhash NUL fix,
+#   up_link_eligibility via the vinculacion presence-flag fix.
+_REVERIFY: tuple[str, ...] = (
+    "ngram_jaccard_pairs", "minhash_lsh_pairs", "minhash_lsh_pairs_k32",
+    "near_dup_clusters", "near_dup_keep_corpus", "simhash_near_pairs",
+    "up_link_eligibility",
+)
+
+# Within the unverified set, emit first the re-verification queue, then
+# the catalog entries that have never received a driver CORRECTNESS
+# row, then anything new via registration order.
+_PRIORITY: tuple[str, ...] = _REVERIFY + (
+    # never driver-checked before r3 (VERDICT r2 "What's wrong" §2);
+    # all green in CORRECTNESS_r03 but kept ranked ahead of the
+    # verified tail in case any slips out of _R1_VERIFIED bookkeeping
     "bm25_topk_docs", "boilerplate_ngrams", "decontaminate_hashed_ngrams",
     "deterministic_shuffle", "embedding_quantize_int8",
     "first_ordered_per_group", "incremental_exact_dedup",
@@ -121,7 +139,7 @@ _PRIORITY: tuple[str, ...] = (
     "quarantine_bad_records", "range_window_1h", "rollup_agg",
     "rollup_cascade_daily", "skew_twophase_agg", "stream_dedup",
     "tfidf_topk_docs", "zero_padded_codes",
-    # r2 hash-mismatch fixes needing re-verification
+    # r2 hash-mismatch fixes, re-verified green in r3
     "simhash_fingerprint", "sessionization", "corpus_prep_e2e",
     "corpus_composition_report", "token_budget_packing",
 )
@@ -129,12 +147,13 @@ _PRIORITY: tuple[str, ...] = (
 
 def _ordered() -> list[str]:
     names = list(CATALOG)
+    verified = _R1_VERIFIED - set(_REVERIFY)
     rank = {n: i for i, n in enumerate(_PRIORITY)}
     unverified = sorted(
-        (n for n in names if n not in _R1_VERIFIED),
+        (n for n in names if n not in verified),
         key=lambda n: (rank.get(n, len(_PRIORITY)), names.index(n)),
     )
-    return unverified + [n for n in names if n in _R1_VERIFIED]
+    return unverified + [n for n in names if n in verified]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -184,6 +184,70 @@ def test_outcome_log_retry_loop(spark):
     assert links2 == {"UP_A": "UOF_A", "UP_B": "UOF_B"}
 
 
+def test_retired_link_round_after_retirement(spark):
+    """Regression: a retired link is stored as a UOF = NULL row; the
+    next monitoring round must NOT re-classify it as a first-time
+    link or re-emit a daily 'obsoleta' change, and the links table
+    must keep exactly one row per retired UP."""
+    log = _log(
+        spark,
+        [
+            ("UP_DEAD", "habilitada", _day(200)),
+            ("UP_LIVE", "habilitada", _day(200)),
+        ],
+    )
+    listado = spark.createDataFrame(
+        [("UP_DEAD", 1), ("UP_LIVE", 0)], "UP string, obsoleta int"
+    )
+    links0 = _links(
+        spark,
+        [("UP_DEAD", "UOF_D", _day(30)), ("UP_LIVE", "UOF_L", _day(30))],
+    )
+
+    # round 1: the matcher loses UP_DEAD (listado says obsoleta) -> retire
+    matches1 = spark.createDataFrame([("UP_LIVE", "UOF_L")], "UP string, UOF string")
+    r1 = V.monitor_links(log, links0, matches1, listado, AS_OF)
+    assert {r["UP"]: r["field_changed"] for r in r1["change_log"].collect()} == {
+        "UP_DEAD": "obsoleta"
+    }
+    links1 = r1["updated_links"]
+    rows1 = {r["UP"]: r["UOF"] for r in links1.collect()}
+    assert rows1 == {"UP_DEAD": None, "UP_LIVE": "UOF_L"}
+    assert links1.count() == 2  # no duplicate rows
+
+    # round 2 consumes round 1's output: the retired UP is steady state
+    r2 = V.monitor_links(log, links1, matches1, listado, "2026-08-14")
+    assert r2["change_log"].count() == 0            # no daily re-obsoletion
+    assert r2["changes"].count() == 0               # no phantom unlinked row
+    links2 = r2["updated_links"]
+    rows2 = {r["UP"]: r["UOF"] for r in links2.collect()}
+    assert rows2 == {"UP_DEAD": None, "UP_LIVE": "UOF_L"}
+    assert links2.count() == 2                      # still one row per UP
+
+    # the retired UP does not sneak back into the eligibility queue
+    # while obsolete, but a NULL-UOF row alone doesn't block a
+    # re-habilitated UP from re-entering
+    log_back = _log(
+        spark,
+        [
+            ("UP_DEAD", "habilitada", _day(200)),
+            ("UP_DEAD", "obsoleta", _day(150)),
+            ("UP_DEAD", "habilitada", _day(100)),  # re-enabled
+            ("UP_LIVE", "habilitada", _day(200)),
+        ],
+    )
+    elig = {r["UP"] for r in V.eligible_ups(log_back, links1, AS_OF).collect()}
+    assert elig == {"UP_DEAD"}
+
+    # a retired UP the matcher re-finds becomes a NULL -> new uof_change
+    matches3 = spark.createDataFrame(
+        [("UP_LIVE", "UOF_L"), ("UP_DEAD", "UOF_D2")], "UP string, UOF string"
+    )
+    changes3, new3 = V.find_link_changes(links1, matches3)
+    assert new3.count() == 0
+    assert [tuple(r) for r in changes3.collect()] == [("UP_DEAD", None, "UOF_D2")]
+
+
 def test_eligibility_plan_broadcasts_links(spark):
     """The links anti-join must broadcast (dim-sized side); the change
     log aggregates in one shuffle."""
