@@ -14,6 +14,80 @@ from etl_energy_tracker_spark.schemas import validate
 from etl_energy_tracker_spark.streaming.jobs import incremental_upsert_stream
 
 
+def test_batch_and_stream_share_timestamp_contract(spark, tmp_path):
+    """Batch ``load_table`` and streaming ``_events_stream`` must decode
+    the SAME parquet bytes to the SAME instants under BOTH timestamp
+    encodings the testdata has shipped (r1 TIMESTAMP(NANOS), r2+
+    TIMESTAMP(MICROS)) — the one-contract guarantee from commit
+    'Share one timestamp-encoding contract' (ADVICE r3 follow-up)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_energy_tracker_spark.sources.registry import (
+        events_ts_is_nanos,
+        load_table,
+    )
+    from etl_energy_tracker_spark.streaming.jobs import _events_stream
+
+    instants = [
+        dt.datetime(2024, 1, 15, 10, 0, 0, 123456),
+        dt.datetime(2024, 6, 30, 23, 59, 59, 999999),
+        dt.datetime(1969, 12, 31, 23, 30, 0, 0),  # pre-epoch: DIV must floor
+    ]
+
+    def write_events(unit: str) -> str:
+        d = tmp_path / f"sf_{unit}"
+        d.mkdir()
+        t = pa.table(
+            {
+                "event_id": pa.array(range(len(instants)), pa.int64()),
+                "ts": pa.array(instants, pa.timestamp(unit)),
+                "user_id": pa.array([1] * len(instants), pa.int64()),
+                "event_type": pa.array(["click"] * len(instants)),
+                "value": pa.array([1.0] * len(instants)),
+                "props": pa.array(["{}"] * len(instants)),
+            }
+        )
+        pq.write_table(t, str(d / "events.parquet"))
+        return str(d)
+
+    def drive(stream):
+        name = f"ts_contract_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name)
+
+    results = {}
+    for unit in ("ns", "us"):
+        sf = write_events(unit)
+        assert events_ts_is_nanos(sf) == (unit == "ns")
+        batch = {
+            r["event_id"]: r["ts"]
+            for r in load_table(spark, "events", sf).select("event_id", "ts").collect()
+        }
+        stream = {
+            r["event_id"]: r["ts"]
+            for r in drive(_events_stream(spark, sf)).select("event_id", "ts").collect()
+        }
+        assert batch == stream, f"batch vs stream disagree for {unit}"
+        results[unit] = batch
+    # and the two encodings of the same instants decode identically
+    assert results["ns"] == results["us"]
+    assert results["us"][0] == instants[0]
+    assert results["us"][2] == instants[2]
+
+
 def test_incremental_upsert_stream(spark, tmp_path):
     src = str(tmp_path / "raw_in")
     lake = Lake(spark, str(tmp_path / "lake"))
