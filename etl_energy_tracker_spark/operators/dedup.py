@@ -194,9 +194,11 @@ def with_simhash(
     votes are a single numpy reduceat over the flattened token-hash
     array. Map-only, no shuffle; bit-identical to the SQL rendering
     (same trim/split/hash semantics: ASCII-space trim, Java-``\\s``
-    split, codepoint fold mod 1e9+7). Assumes tokens contain no NUL
-    codepoints (NUL is the UCS4 pad value) — whitespace-split text
-    satisfies this."""
+    split, codepoint fold mod 1e9+7). NUL codepoints are handled
+    correctly even though NUL is also the UCS4 pad value: the fold
+    masks by TRUE token length (from the Python strings), not by
+    codepoint value, and a real NUL folds as h*31 + 0 exactly like
+    the scalar/SQL path."""
     from pyspark.sql.functions import pandas_udf
 
     # Java/RE2 \s+ — keep the Python split byte-identical (Python's \s
@@ -211,6 +213,14 @@ def with_simhash(
         matrix, one vectorized sweep per character position."""
         if len(uniq) == 0:
             return np.empty(0, dtype="int64")
+        # TRUE lengths from the Python strings: the UCS4 matrix pads
+        # with 0 == NUL, so masking by codepoint value would both skip
+        # an embedded NUL (scalar fold does h*31 + 0) and keep folding
+        # past it with wrong positional weights. Position < length is
+        # the only mask that matches the scalar semantics; a real NUL
+        # at a "pad-looking" position folds correctly because its
+        # codepoint IS 0. len() over the vocab only (already deduped).
+        lens = np.fromiter((len(s) for s in uniq), dtype="int64", count=len(uniq))
         u = np.asarray(uniq, dtype="U")  # fixed-width UCS4, NUL-padded
         maxlen = u.dtype.itemsize // 4
         h = np.full(len(u), 7, dtype="int64")
@@ -218,12 +228,11 @@ def with_simhash(
             return h
         cp = u.view(np.uint32).reshape(len(u), maxlen).astype("int64")
         for j in range(maxlen):
-            col = cp[:, j]
-            live = col != 0
+            live = lens > j
             if not live.any():
                 break
             # (1e9+7)*31 + cp < 2^63: no overflow before the mod
-            h = np.where(live, (h * 31 + col) % MOD, h)
+            h = np.where(live, (h * 31 + cp[:, j]) % MOD, h)
         return h
 
     @pandas_udf("long")

@@ -120,10 +120,11 @@ def test_charhash_three_way_parity(spark, strings):
 
 # --------------------------------------------- vectorized simhash kernel
 
-# non-NUL unicode (NUL is the UCS4 pad sentinel the kernel documents
-# as excluded); spans ASCII, Latin-1 supplement, and beyond the BMP
+# full unicode INCLUDING NUL (the UCS4 pad value — the kernel masks by
+# true token length, so embedded/trailing NULs must fold like any other
+# codepoint); spans ASCII, Latin-1 supplement, and beyond the BMP
 _sim_texts = st.text(
-    alphabet=st.characters(min_codepoint=1, max_codepoint=0x10FFFF,
+    alphabet=st.characters(min_codepoint=0, max_codepoint=0x10FFFF,
                            exclude_categories=("Cs",)),
     max_size=40,
 )
@@ -156,6 +157,10 @@ def test_simhash_vectorized_matches_scalar_fold(spark, texts_in):
                 votes[b] += 1 if (h >> b) & 1 else -1
         return sum(1 << b for b in range(bits) if votes[b] > 0)
 
+    # always exercise the NUL edge cases alongside the generated batch:
+    # embedded NUL (folds h*31+0 then continues), trailing NUL (pad-
+    # indistinguishable position), NUL-only token, and a plain control
+    texts_in = texts_in + ["a\x00b c", "ab\x00 c", "\x00", "ab c"]
     rows = [(i, s) for i, s in enumerate(texts_in)]
     df = spark.createDataFrame(rows, "i long, s string")
     got = {
