@@ -104,8 +104,13 @@ def parse_uof_grid(
     header = [
         " ".join(str(c).split()) if c is not None else "" for c in grid[header_row]
     ]
+    # normalize ragged rows to the header width (Excel-extracted grids
+    # routinely drop trailing empty cells): pad short rows with None,
+    # truncate overlong ones — indexing r[i] below must never raise
     rows = [
-        [None if c is None else str(c) for c in r] for r in grid[header_row + 1 :]
+        [None if c is None else str(c) for c in r[: len(header)]]
+        + [None] * max(0, len(header) - len(r))
+        for r in grid[header_row + 1 :]
     ]
     keep = [
         i
@@ -149,7 +154,10 @@ def parse_bsp_list(
         if want not in header:
             raise ValueError(f"Missing required column in BSP list: {want!r}")
     rows = [
-        [None if c is None else str(c) for c in r] for r in grid[1:] if any(r)
+        [None if c is None else str(c) for c in r[: len(header)]]
+        + [None] * max(0, len(header) - len(r))
+        for r in grid[1:]
+        if any(r)
     ]
     cols = ", ".join(f"`{c}` string" for c in header)
     return bsp_mapping(

@@ -265,6 +265,43 @@ def test_uof_list_source_shapes_grid(spark):
     assert ch == {"UOF2": "new", "UOFGONE": "obsolete"}
 
 
+def test_uof_grid_ragged_rows(spark):
+    """Excel-extracted grids routinely drop trailing empty cells: data
+    rows shorter (or longer) than the header row must parse with None
+    padding, not raise IndexError."""
+    from etl_energy_tracker_spark.extract import tracking_sources as ts
+
+    grid = [
+        ["OMIE"],
+        [],
+        [None, None],
+        ["CODIGO", "DESCRIPCIÓN", "ZONA/FRONTERA", "AGENTE PROPIETARIO",
+         "TECNOLOGÍA"],
+        ["UOF1", "desc", "ES"],                          # short row
+        ["UOF2"],                                        # very short row
+        ["UOF3", "d", "PT", "AG SL", "Eólica", "extra"], # overlong row
+    ]
+    uofs = ts.parse_uof_grid(spark, grid)
+    rows = {r["UOF"]: (r["zona"], r["agente_propietario"]) for r in uofs.collect()}
+    assert rows == {
+        "UOF1": ("ES", None),
+        "UOF2": (None, None),
+        "UOF3": ("PT", "AG SL"),
+    }
+
+    # same for the BSP list: short data rows pad with None
+    bsp_grid = [
+        ["Descripción corta BSP-aFRR", "Código BSP-aFRR", "Otro"],
+        ["ZONA_A", "Z001"],
+        ["ZONA_B"],
+    ]
+    mapping = ts.parse_bsp_list(spark, bsp_grid)
+    assert sorted(tuple(r) for r in mapping.collect()) == [
+        ("ZONA_A", "Z001"),
+        ("ZONA_B", None),
+    ]
+
+
 def test_bsp_list_source_feeds_zr_mapping(spark):
     """BSP list (descarga_bsp_esios.py, cert transport injected away)
     -> (esios_id, i90_id) mapping consumed by zr_change_log's i90_id
