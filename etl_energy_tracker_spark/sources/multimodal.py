@@ -1,12 +1,14 @@
 """Multimodal column plumbing: opaque ``binary`` payloads with typed
 metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio codecs, so the decode kernels are
-STUBS behind ``decode_stub`` (clearly-marked NotImplementedError) and
-a deterministic fake used by tests — but the Spark-side plumbing is
-real: schema shape, partition-preserving mapInPandas, Arrow batch
+Image decode is REAL: ``decode_image`` uses PIL when the cluster has
+it and otherwise falls back to a stdlib-only PNG decoder
+(``decode_png``: zlib inflate + full spec filter reconstruction).
+Audio/video remain STUBS behind ``decode_stub`` (clearly-marked
+NotImplementedError) — but the Spark-side plumbing is real either
+way: schema shape, partition-preserving mapInPandas, Arrow batch
 iteration, and metadata extraction all run exactly as they would with
-a real codec dropped in.
+every codec present.
 
 Scale notes: payload bytes never hit a shuffle — feature extraction is
 map-only over Arrow batches; only the (small) extracted features move.
@@ -65,44 +67,177 @@ def as_blob_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def decode_stub(payload: bytes, modality: str) -> object:
-    """Real decode kernel slot. Image/audio libraries are not in this
-    container — drop in PIL / torchaudio here on a real cluster."""
+    """Real decode kernel slot for modalities with no codec here
+    (audio/video). Drop in torchaudio / PyAV on a real cluster."""
     raise NotImplementedError(
         f"no codec for modality {modality!r} in this environment; "
         "install the codec and replace decode_stub"
     )
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> samples per pixel (spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> dict:
+    """Real PNG decode on the standard library alone (zlib inflate +
+    spec filter reconstruction, PNG spec §9 / §13): 8-bit depth,
+    grey / RGB / grey-alpha / RGBA, non-interlaced — the common case
+    PIL-free containers still need. Returns width/height/channels and
+    the mean sample value over the reconstructed raster (a cheap but
+    decode-proving feature: it is wrong unless every filter byte was
+    undone correctly)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, bytearray()
+    width = height = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # chunk header + data + CRC
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"unsupported PNG shape (depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace}); use the PIL path"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG raster length mismatch")
+    total = 0
+    prev = bytearray(stride)
+    for y in range(height):
+        base = y * (stride + 1)
+        filt = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if filt == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif filt == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif filt == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif filt == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif filt != 0:
+            raise ValueError(f"bad PNG filter byte {filt}")
+        total += sum(line)
+        prev = line
+    n = height * stride
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "mean_px": total / n if n else 0.0,
+    }
+
+
+def decode_image(payload: bytes) -> dict:
+    """Image decode kernel: PIL when the cluster has it (any format),
+    else the built-in stdlib PNG decoder, else decode_stub raises.
+    Returns {width, height, channels, mean_px}."""
+    payload = bytes(payload)
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        pass
+    else:
+        im = Image.open(io.BytesIO(payload))
+        im.load()
+        channels = len(im.getbands())
+        flat = [
+            v
+            for px in im.getdata()
+            for v in (px if isinstance(px, tuple) else (px,))
+        ]
+        return {
+            "width": im.width,
+            "height": im.height,
+            "channels": channels,
+            "mean_px": sum(flat) / len(flat) if flat else 0.0,
+        }
+    if payload[:8] == _PNG_MAGIC:
+        return decode_png(payload)
+    return decode_stub(payload, "image")  # raises
+
+
+# decoder-path output: byte features plus real decoded image features
+# (NULL for rows whose modality has no decoder)
+IMAGE_FEATURE_SCHEMA = (
+    FEATURE_SCHEMA + ", width long, height long, channels long, mean_px double"
+)
+
+
 def extract_features(blobs: DataFrame, use_decoder: bool = False) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
-    With ``use_decoder=False`` (default in this environment) only
-    byte-level features are computed — length and an additive checksum
-    (sum of byte values mod 1e9+7), both deterministic so the pipeline
-    is oracle-checkable. ``use_decoder=True`` routes through
-    ``decode_stub`` (NotImplementedError until a codec exists).
-    """
+    With ``use_decoder=False`` (default) only byte-level features are
+    computed — length and an additive checksum (sum of byte values mod
+    1e9+7), both deterministic so the pipeline is oracle-checkable.
+    ``use_decoder=True`` adds REAL decoded image features
+    (width/height/channels/mean pixel via ``decode_image`` — PIL when
+    installed, stdlib PNG decoder otherwise) and raises through
+    ``decode_stub`` for modalities with no codec (audio/video)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             contents = pdf["content"]
             modality = pdf["meta"].apply(lambda m: m["modality"])
+            cols = {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": contents.apply(len).astype("int64"),
+                "checksum": contents.apply(
+                    lambda b: sum(bytes(b)) % _MOD
+                ).astype("int64"),
+                "modality": modality,
+                "decoded_ok": use_decoder,
+            }
             if use_decoder:
-                for payload, mod in zip(contents, modality):
-                    decode_stub(bytes(payload), mod)  # raises: no codec here
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": contents.apply(len).astype("int64"),
-                    "checksum": contents.apply(
-                        lambda b: sum(bytes(b)) % _MOD
-                    ).astype("int64"),
-                    "modality": modality,
-                    "decoded_ok": use_decoder,
-                }
-            )
+                decoded = [
+                    decode_image(p)
+                    if m == "image"
+                    else decode_stub(bytes(p), m)  # raises: no codec
+                    for p, m in zip(contents, modality)
+                ]
+                for k in ("width", "height", "channels"):
+                    cols[k] = pd.Series(
+                        [d[k] for d in decoded], dtype="int64"
+                    )
+                cols["mean_px"] = pd.Series(
+                    [d["mean_px"] for d in decoded], dtype="float64"
+                )
+            yield pd.DataFrame(cols)
 
-    return blobs.mapInPandas(batches, schema=FEATURE_SCHEMA)
+    schema = IMAGE_FEATURE_SCHEMA if use_decoder else FEATURE_SCHEMA
+    return blobs.mapInPandas(batches, schema=schema)
 
 
 FRAME_SCHEMA = "doc_id long, frame_idx long, n_bytes long, checksum long"

@@ -147,6 +147,113 @@ def test_sample_frames_fanout(spark):
     assert not any(d == 3 for d, _ in rows)
 
 
+def _make_png(width, height, channels, pixfn, filters):
+    """Minimal spec-conformant PNG encoder for fixtures: 8-bit,
+    non-interlaced, per-row filter types taken from ``filters``."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    raster = [
+        [pixfn(x, y, c) & 0xFF for x in range(width) for c in range(channels)]
+        for y in range(height)
+    ]
+    stride = width * channels
+    raw = bytearray()
+    prev = [0] * stride
+    for y, line in enumerate(raster):
+        f = filters[y % len(filters)]
+        raw.append(f)
+        for i, v in enumerate(line):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 0:
+                x = v
+            elif f == 1:
+                x = (v - a) & 0xFF
+            elif f == 2:
+                x = (v - b) & 0xFF
+            elif f == 3:
+                x = (v - ((a + b) >> 1)) & 0xFF
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                x = (v - pr) & 0xFF
+            raw.append(x)
+        prev = line
+    mean = sum(v for line in raster for v in line) / (height * stride)
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    return png, mean
+
+
+def test_png_decode_kernel_all_filters():
+    """The stdlib PNG decoder must undo every spec filter type; the
+    mean-pixel feature is only right if reconstruction is exact."""
+    from etl_energy_tracker_spark.sources.multimodal import decode_png
+
+    pix = lambda x, y, c: (x * 7 + y * 13 + c * 29 + (x * y) % 31)
+    for channels in (1, 2, 3, 4):
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            png, mean = _make_png(9, 7, channels, pix, filters)
+            got = decode_png(png)
+            assert got["width"] == 9 and got["height"] == 7
+            assert got["channels"] == channels
+            assert abs(got["mean_px"] - mean) < 1e-9, (channels, filters)
+
+
+def test_extract_features_decodes_real_png(spark):
+    """A real PNG payload travels blob-table -> mapInPandas ->
+    decode_image and comes back with true width/height/channels and
+    the exact raster mean (VERDICT r3 item 6)."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from etl_energy_tracker_spark.sources.multimodal import (
+        MULTIMODAL_SCHEMA,
+        decode_stub,
+        extract_features,
+    )
+
+    png_a, mean_a = _make_png(16, 8, 3, lambda x, y, c: x * 16 + y + c, [0, 4, 2])
+    png_b, mean_b = _make_png(5, 5, 1, lambda x, y, c: 250 - x - y, [1, 3])
+    blobs = spark.createDataFrame(
+        [
+            Row(doc_id=1, content=bytearray(png_a),
+                meta=Row(modality="image", mime="image/png",
+                         n_bytes=len(png_a))),
+            Row(doc_id=2, content=bytearray(png_b),
+                meta=Row(modality="image", mime="image/png",
+                         n_bytes=len(png_b))),
+        ],
+        MULTIMODAL_SCHEMA,
+    )
+    out = {r["doc_id"]: r for r in extract_features(blobs, use_decoder=True).collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["channels"]) == (16, 8, 3)
+    assert (out[2]["width"], out[2]["height"], out[2]["channels"]) == (5, 5, 1)
+    assert abs(out[1]["mean_px"] - mean_a) < 1e-9
+    assert abs(out[2]["mean_px"] - mean_b) < 1e-9
+    assert out[1]["decoded_ok"] and out[1]["n_bytes"] == len(png_a)
+
+    # non-image modalities still gate honestly
+    with _pytest.raises(NotImplementedError, match="no codec"):
+        decode_stub(b"xx", "audio")
+
+
 def test_resize_images_plumbing(spark):
     from etl_energy_tracker_spark.sources.multimodal import as_blob_table, resize_images
 
