@@ -338,22 +338,36 @@ def simhash_near_pairs(
 
 
 def connected_components(
-    edges: DataFrame, src: str, dst: str, max_iter: int = 20
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 20,
+    algorithm: str = "label-prop",
 ) -> DataFrame:
-    """Connected components over an undirected edge list by distributed
-    min-label propagation: every node starts labeled with itself; each
-    round a node adopts the minimum label among itself and its
-    neighbors; stop at fixpoint. Returns (node, component) with
-    component = the minimum node id in the component — the
-    deterministic cluster representative.
+    """Connected components over an undirected edge list. Returns
+    (node, component) with component = the minimum node id in the
+    component — the deterministic cluster representative.
 
-    Scale shape: each round is one shuffle-join (labels x edges) + one
-    groupBy-min, all distributed; the driver only counts changed labels
-    (a scalar). Rounds needed = graph diameter — near-dup graphs are
-    short chains/cliques, so single digits in practice; ``max_iter``
-    guards pathological chains (the large-star/small-star variant
-    halves diameter per round if ever needed at 100 TB).
+    ``algorithm='label-prop'`` (default): distributed min-label
+    propagation — every node starts labeled with itself; each round a
+    node adopts the minimum label among itself and its neighbors; stop
+    at fixpoint. Each round is one shuffle-join (labels x edges) + one
+    groupBy-min; rounds needed = graph diameter. Near-dup graphs are
+    short chains/cliques, so single digits in practice.
+
+    ``algorithm='star'``: the alternating large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14): each round rewires every node's larger
+    neighbors to its local minimum (large-star) then contracts the
+    remaining edges toward per-node minima (small-star). Converges in
+    O(log² n) rounds REGARDLESS of diameter — the scale path for
+    pathological chain graphs where label propagation would need
+    diameter rounds.
     """
+    if algorithm == "star":
+        return _cc_star(edges, src, dst, max_iter)
+    if algorithm != "label-prop":
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     # symmetrize once; labels seeded from the node set
     e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     # materialize the edge list once — it is joined every round, and
@@ -390,3 +404,79 @@ def connected_components(
         if changed == 0:
             break
     return labels.withColumnRenamed("comp", "component")
+
+
+def _cc_star(
+    edges: DataFrame, src: str, dst: str, max_iter: int
+) -> DataFrame:
+    """Alternating large-star/small-star rounds until the edge set is
+    stable; at the fixpoint every edge points (node → component min),
+    so labels fall out of one groupBy-min. Singleton/self-loop-only
+    nodes keep their own id. Convergence is detected by an edge-set
+    fingerprint (count + sum of row hashes — one tiny aggregate per
+    round, no driver-side edge collection)."""
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev_fp = None
+    for _ in range(max_iter):
+        # large-star: over the symmetrized graph, for each node u with
+        # local min m = min({u} ∪ N(u)), rewire every LARGER neighbor
+        # v > u to m. Keeps every component connected, strictly shrinks
+        # long chains.
+        und = e.unionByName(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            und.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+        )
+        large = (
+            und.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: orient edges large→small, then hang each node and
+        # all its smaller neighbors off the local minimum.
+        d = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        ).distinct()
+        mins2 = d.groupBy("u").agg(F.min("v").alias("m"))
+        e = (
+            d.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # truncate per-round lineage
+        )
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # pmod keeps each term < 2^30 so the int64 sum cannot
+            # overflow (ANSI mode) even at billions of edges
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1 << 30))), F.lit(0)
+            ).alias("s"),
+        ).collect()[0]
+        fp = (row["n"], row["s"])
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    labels = e.groupBy("u").agg(F.min("v").alias("component")).select(
+        F.col("u").alias("node"), "component"
+    )
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )

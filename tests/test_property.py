@@ -169,3 +169,57 @@ def test_simhash_vectorized_matches_scalar_fold(spark, texts_in):
     }
     for i, s in rows:
         assert got[i] == py_simhash(s), repr(s)
+
+
+# --------------------------------------- connected components: star vs label-prop
+
+_cc_edges = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=0,
+    max_size=24,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_cc_edges)
+def test_cc_star_matches_label_prop(spark, edge_list):
+    """The alternating large-star/small-star algorithm must produce the
+    SAME (node, component-min) labeling as min-label propagation on
+    arbitrary graphs — including self-loops, duplicates, chains, and
+    disconnected singleton-free unions. A python union-find is the
+    independent third opinion."""
+    from etl_energy_tracker_spark.operators.dedup import connected_components
+
+    # always include a long chain (the case star exists for) and a
+    # self-loop alongside the generated edges
+    edge_list = edge_list + [(20 + i, 21 + i) for i in range(6)] + [(30, 30)]
+    edges = spark.createDataFrame(edge_list, "a long, b long")
+
+    lp = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "a", "b", algorithm="star").collect()
+    }
+    assert star == lp
+
+    # union-find ground truth
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {n: find(n) for n in parent}
+    # find() path-halving leaves non-root parents; normalize to roots
+    expected = {n: find(n) for n in expected}
+    assert lp == expected
