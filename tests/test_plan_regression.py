@@ -1,0 +1,46 @@
+"""Plan-regression tripwire: every catalog query's physical-plan
+fingerprint (shuffle count, broadcast count, parquet pushdown,
+python-eval shape) is pinned in tools/plan_snapshot.json. A diff that
+grows a query's shuffle count, loses its pushdown, or introduces
+row-at-a-time Python eval fails here — the gate that would have caught
+an accidental broadcast→shuffle flip before a bench run did.
+
+Regenerate deliberately after an intentional plan change:
+    python tools/plan_audit.py --snapshot
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo/tools")
+
+from plan_audit import SNAPSHOT_PATH, SNAPSHOT_SF_DIR, snapshot  # noqa: E402
+
+
+def test_plans_match_snapshot(spark):
+    with open(SNAPSHOT_PATH) as f:
+        pinned = json.load(f)
+    current = snapshot(SNAPSHOT_SF_DIR)
+
+    problems = []
+    for name, cur in current.items():
+        pin = pinned.get(name)
+        if pin is None:
+            # new query since the snapshot: not a regression, but the
+            # snapshot must be regenerated so it gets pinned too
+            problems.append(f"{name}: not in snapshot — regenerate it")
+            continue
+        if cur["shuffles"] > pin["shuffles"]:
+            problems.append(
+                f"{name}: shuffles grew {pin['shuffles']} -> {cur['shuffles']}"
+            )
+        if pin["pushed_filters"] and not cur["pushed_filters"]:
+            problems.append(f"{name}: parquet filter pushdown lost")
+        if cur["row_python"]:
+            problems.append(
+                f"{name}: row-at-a-time Python eval appeared "
+                f"({cur['row_python']} BatchEvalPython nodes)"
+            )
+    assert not problems, "plan regressions:\n" + "\n".join(problems)

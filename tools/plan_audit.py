@@ -7,7 +7,14 @@ Arrow-batched ArrowEvalPython / mapInPandas / FlatMapGroupsInPandas
 are allowed). Streaming-driven queries are skipped (their plan is the
 batch oracle's concern; state operators are pytest-covered).
 
-Usage: python tools/plan_audit.py [sf_dir] [--md]
+Usage: python tools/plan_audit.py [sf_dir] [--md | --snapshot]
+
+``--snapshot`` writes tools/plan_snapshot.json — the committed
+per-query plan fingerprint (shuffles, single-partition exchanges,
+broadcasts, pushdown, python-eval counts) that
+tests/test_plan_regression.py gates against: a diff that grows a
+query's shuffle count or loses its parquet pushdown fails pytest
+until the snapshot is regenerated deliberately.
 """
 
 from __future__ import annotations
@@ -57,8 +64,31 @@ def audit(sf_dir: str) -> list[dict]:
     return rows
 
 
+SNAPSHOT_PATH = "/root/repo/tools/plan_snapshot.json"
+# the plan fingerprint is taken at this SF so the committed snapshot
+# and the pytest gate always compare like with like
+SNAPSHOT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def snapshot(sf_dir: str = SNAPSHOT_SF_DIR) -> dict:
+    """Plan fingerprints keyed by query, for the committed snapshot."""
+    return {
+        r["query"]: {k: v for k, v in r.items() if k != "query"}
+        for r in audit(sf_dir)
+        if "error" not in r
+    }
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if "--snapshot" in sys.argv:
+        import json
+
+        snap = snapshot(args[0] if args else SNAPSHOT_SF_DIR)
+        with open(SNAPSHOT_PATH, "w") as f:
+            json.dump(snap, f, indent=1, sort_keys=True)
+        print(f"wrote {len(snap)} plan fingerprints to {SNAPSHOT_PATH}")
+        return 0
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     rows = audit(sf_dir)
     bad = [r for r in rows if r.get("row_python")]
