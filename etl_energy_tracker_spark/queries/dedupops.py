@@ -16,6 +16,7 @@ from ..functions.hashing import MOD, duckdb_charhash, perm_a, perm_b
 from ..operators import dedup
 from ..sources.registry import load_table
 from .catalog import register
+from .textops import NGRAM_DF_CAP
 
 _K = 16
 _BANDS = 4
@@ -225,9 +226,12 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
-# the word-3-gram Jaccard edge set (same kernel as ngram_jaccard_pairs)
-_JACCARD_EDGES_SQL = """
-    WITH sh AS (
+# the word-3-gram Jaccard edge set — must stay the EXACT oracle twin of
+# ngram_jaccard_pairs (textops.py), including its shingle
+# document-frequency cap, or the cluster/keeper oracles drift whenever
+# a corpus contains boilerplate shingles hotter than the cap
+_JACCARD_EDGES_SQL = f"""
+    WITH sh0 AS (
         SELECT DISTINCT doc_id, shingle FROM (
             SELECT doc_id,
                    unnest(list_transform(
@@ -239,6 +243,11 @@ _JACCARD_EDGES_SQL = """
                          regexp_split_to_array(trim(text), '\\s+') AS tokens
                   FROM documents))
     ),
+    keep AS (
+        SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING COUNT(*) <= {NGRAM_DF_CAP}
+    ),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
     counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
