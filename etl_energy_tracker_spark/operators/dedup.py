@@ -97,10 +97,22 @@ def lsh_candidate_pairs(
     signature_col: str = "signature",
     bands: int = 4,
     rows_per_band: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: equal band-slices become join buckets; output is
     candidate (id_a < id_b) pairs with their estimated Jaccard
-    (fraction of equal signature positions)."""
+    (fraction of equal signature positions).
+
+    ``max_bucket`` (None = off, the exact-recall default): drop band
+    buckets holding more than this many docs BEFORE the self-join. A
+    bucket of k docs emits k(k-1)/2 candidate rows, so one
+    boilerplate-dominated bucket over a 100 TB corpus can alone
+    produce a quadratic blowup on one shuffle key; a near-dup pair
+    inside a dropped mega-bucket is still found through any of its
+    other ``bands - 1`` buckets, so recall degrades gracefully (and
+    only for pairs whose EVERY band collides with a crowd). Standard
+    practice for web-scale MinHash dedup; size the cap so
+    cap² × n_hot_buckets stays within one executor's shuffle budget."""
     # band hash folded to int64 (xxhash64 of the joined band slice):
     # the bucket self-join shuffles 8-byte keys instead of a
     # comma-joined digit string (~40+ chars at k=16). A 64-bit
@@ -121,6 +133,17 @@ def lsh_candidate_pairs(
         )
         .select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
     )
+    if max_bucket is not None:
+        # one groupBy on the same (band, bhash) key the self-join
+        # shuffles on; the anti-join against the (tiny) hot-bucket set
+        # reuses that partitioning
+        hot = (
+            banded.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_bucket)
+            .select("band", "bhash")
+        )
+        banded = banded.join(hot, ["band", "bhash"], "left_anti")
 
     a = banded.alias("a")
     b = banded.alias("b")

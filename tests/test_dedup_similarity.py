@@ -42,6 +42,37 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
     assert not any(4 in p for p in pairs)  # unrelated doc never pairs
 
 
+def test_lsh_hot_bucket_cap(spark):
+    """max_bucket drops crowded band buckets before the self-join (the
+    100 TB skew guard): a clique of identical docs larger than the cap
+    produces no candidates from its mega-buckets, while pairs in
+    small buckets are untouched."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    other = "completely different content about spark engines and data lakes here"
+    rows = [(i, base) for i in range(10)] + [(100, other), (101, other)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.with_shingles(docs, "text")
+    sig = dedup.with_minhash_signature(sh, k=16)
+
+    uncapped = dedup.lsh_candidate_pairs(sig, "doc_id")
+    got_all = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    assert (100, 101) in got_all
+    assert sum(1 for a, b in got_all if a < 100 and b < 100) == 45  # 10-clique
+
+    capped = dedup.lsh_candidate_pairs(sig, "doc_id", max_bucket=5)
+    got_capped = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # identical docs share EVERY band bucket, all holding 10 > cap ->
+    # the whole clique is suppressed; the small bucket pair survives
+    assert (100, 101) in got_capped
+    assert not any(a < 100 and b < 100 for a, b in got_capped)
+
+    # a cap larger than every bucket changes nothing
+    assert {
+        (r["id_a"], r["id_b"])
+        for r in dedup.lsh_candidate_pairs(sig, "doc_id", max_bucket=50).collect()
+    } == got_all
+
+
 def test_simhash(spark):
     sh = dedup.with_simhash(_docs(spark), "text").collect()
     vals = {r["doc_id"]: r["simhash"] for r in sh}
