@@ -116,11 +116,14 @@ _R1_VERIFIED: frozenset[str] = frozenset({
 #   consume the LSH pair stream downstream.
 # - r4 changes: ngram_jaccard_pairs df-cap de-broadcast,
 #   simhash_near_pairs via the with_simhash NUL fix,
-#   up_link_eligibility via the vinculacion presence-flag fix.
+#   up_link_eligibility via the vinculacion presence-flag fix,
+#   and the SF-scaled-broadcast removals (q3/q14/q19/q21,
+#   near_dup_keep_corpus — join-hint-only changes, same results).
 _REVERIFY: tuple[str, ...] = (
     "ngram_jaccard_pairs", "minhash_lsh_pairs", "minhash_lsh_pairs_k32",
     "near_dup_clusters", "near_dup_keep_corpus", "simhash_near_pairs",
-    "up_link_eligibility",
+    "up_link_eligibility", "q3_shipping_priority", "q14_promo_revenue",
+    "q19_disjunctive_predicates", "q21_waiting_orders",
 )
 
 # Within the unverified set, emit first the re-verification queue, then

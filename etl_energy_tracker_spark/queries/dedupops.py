@@ -367,9 +367,9 @@ def near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Deduplicated-corpus materialization — the terminal step of the "
     "near-dup pipeline: pairs -> connected components -> drop every "
     "non-keeper (keeper = min doc_id per component), emit the surviving "
-    "corpus. The drop set (non-keepers only, a small fraction of any "
-    "real corpus) broadcasts into a left_anti join, so the corpus "
-    "itself is scanned once and never shuffled.",
+    "corpus. The drop set joins left_anti with no broadcast hint: "
+    "web-scale corpora run 30-50% near-dup, so the drop set is "
+    "corpus-scale — AQE broadcasts it only when it actually fits.",
 )
 def near_dup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .textops import ngram_jaccard_pairs
@@ -378,6 +378,8 @@ def near_dup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = dedup.connected_components(pairs, "doc_a", "doc_b")
     drops = comp.where(F.col("component") != F.col("node")).select("node")
     docs = load_table(spark, "documents", sf_dir)
+    # no explicit broadcast: web-scale corpora run 30-50% near-dup, so
+    # the drop set is corpus-scale; AQE broadcasts it when it fits
     return docs.join(
-        F.broadcast(drops), docs["doc_id"] == drops["node"], "left_anti"
+        drops, docs["doc_id"] == drops["node"], "left_anti"
     ).select("doc_id", "lang", "source", "n_chars")

@@ -152,7 +152,10 @@ def semi_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("filter", "join"),
     doc="F10 error-sheet exclusion (_descargador_i90.py:306-337) as a "
-    "broadcast left-anti join against the error dim.",
+    "broadcast left-anti join against the error dim. (The explicit "
+    "broadcast is correct here BY SEMANTICS: the reference's error "
+    "sheet is a bounded per-file list, not an SF-scaled relation — "
+    "the negative-balance proxy only stands in for it in testdata.)",
 )
 def anti_join_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)

@@ -86,9 +86,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    # customer (dim-sized after segment filter) broadcasts; orders⋈lineitem
-    # is fact-fact and shuffles on orderkey — the scale-correct shape.
-    filtered_orders = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+    # customer scales with SF (no explicit broadcast — AQE broadcasts
+    # it when it fits); orders⋈lineitem is fact-fact and shuffles on
+    # orderkey — the scale-correct shape.
+    filtered_orders = orders.join(cust, orders.o_custkey == cust.c_custkey)
     return (
         li.join(filtered_orders, li.l_orderkey == filtered_orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -238,8 +239,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, "part", sf_dir)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), disc_price).otherwise(F.lit(0))
+    # part scales with SF: no explicit broadcast (AQE decides)
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 100.0 * stable_sum(promo) / stable_sum(disc_price), 6
@@ -465,7 +467,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
     part = load_table(spark, "part", sf_dir)
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # part scales with SF: no explicit broadcast (AQE decides)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     pred = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
         | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 30) & F.col("l_quantity").between(10, 30))
@@ -530,8 +533,9 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     culprits = flagged.where(
         F.col("is_late") & (F.col("n_supps") > 1) & (F.col("n_late_supps") == 1)
     )
+    # supplier scales with SF: no explicit broadcast (AQE decides)
     return (
-        culprits.join(F.broadcast(supp), culprits.l_suppkey == supp.s_suppkey)
+        culprits.join(supp, culprits.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
