@@ -724,7 +724,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(mx))
         .where(F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)  # supplier scales with SF; AQE decides
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -758,7 +758,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_supp = load_table(spark, "supplier", sf_dir).where(F.col("s_acctbal") < 0)
     return (
         li.join(bad_supp, li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part, li.l_partkey == part.p_partkey)  # part scales with SF; AQE decides
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -792,7 +792,8 @@ def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, "part", sf_dir).where(F.col("p_name").like("%re%"))
     nation = load_table(spark, "nation", sf_dir).where(F.col("n_regionkey") == 0)
     qualified = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part scales with SF; AQE decides
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("_q"))
         .where(F.col("_q") > 100)
@@ -837,7 +838,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity") * 0.01
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        # part scales with SF; AQE decides
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(supp, li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -845,4 +847,139 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
         )
         .agg(stable_sum(profit, "sum_profit"))
+    )
+
+
+# partsupp does not exist in the testdata star; q11 synthesises it the
+# same way q2 does — part↔supplier associated by key hash, with
+# availqty/supplycost as pure integer key arithmetic so Spark and
+# DuckDB derive bit-identical values (no float, no engine RNG).
+_PS_JOIN = "p_partkey % 10 = s_suppkey % 10"
+_PS_QTY = "((p_partkey * 7 + s_suppkey * 3) % 1000 + 1)"
+_PS_COST = "((p_partkey + s_suppkey * 11) % 900 + 100)"
+
+
+@register(
+    "q11_important_stock",
+    oracle=f"""
+    WITH ps AS (
+        SELECT p_partkey,
+               CAST({_PS_QTY} AS BIGINT) * CAST({_PS_COST} AS BIGINT) AS value
+        FROM part
+        JOIN supplier ON {_PS_JOIN}
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_7', 'NATION_8')
+    ),
+    tot AS (SELECT CAST(SUM(value) AS BIGINT) AS t FROM ps)
+    SELECT p_partkey, CAST(SUM(value) AS BIGINT) AS value
+    FROM ps
+    GROUP BY p_partkey
+    HAVING CAST(SUM(value) AS BIGINT) * 1000 > (SELECT t FROM tot)
+    """,
+    tags=("tpch", "join", "subquery", "aggregate"),
+    doc="TPC-H Q11 shape (important stock identification): per-part "
+    "inventory value within a nation group, kept only when it exceeds "
+    "a fraction of the GLOBAL total — the scalar-subquery-threshold "
+    "pattern. The global total is a 1-row broadcast; the HAVING "
+    "comparison is integer-exact (value*1000 > total, no float "
+    "fraction). partsupp synthesised by key hash (q2 precedent).",
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir).where(
+        F.col("n_name").isin("NATION_7", "NATION_8")
+    )
+    ps = (
+        part.join(supp, F.expr(_PS_JOIN))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi")
+        .select(
+            "p_partkey",
+            (
+                F.expr(_PS_QTY).cast("long") * F.expr(_PS_COST).cast("long")
+            ).alias("value"),
+        )
+    )
+    per_part = ps.groupBy("p_partkey").agg(F.sum("value").alias("value"))
+    tot = per_part.agg(F.sum("value").alias("t"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .where(F.col("value") * 1000 > F.col("t"))
+        .select("p_partkey", "value")
+    )
+
+
+# lineitem carries no shipmode/commitdate/receiptdate; q12 synthesises
+# them from (l_orderkey, l_linenumber) with integer arithmetic both
+# engines evaluate identically — the aggregation shape on top is the
+# genuine Q12 late-shipment priority correlation.
+_Q12_MODE = (
+    "CASE (l_orderkey * 7 + l_linenumber) % 5 "
+    "WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'TRUCK' "
+    "WHEN 3 THEN 'AIR' ELSE 'RAIL' END"
+)
+_Q12_COMMIT_OFF = "((l_orderkey + 3 * l_linenumber) % 60 - 30)"
+_Q12_RECEIPT_OFF = "((l_orderkey * 3 + l_linenumber) % 45)"
+
+
+@register(
+    "q12_shipping_modes",
+    oracle=f"""
+    SELECT l_shipmode,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM (
+        SELECT l_orderkey,
+               {_Q12_MODE} AS l_shipmode,
+               CAST(l_shipdate AS DATE) + CAST({_Q12_COMMIT_OFF} AS INT) AS l_commitdate,
+               CAST(l_shipdate AS DATE) + CAST({_Q12_RECEIPT_OFF} AS INT) AS l_receiptdate,
+               CAST(l_shipdate AS DATE) AS l_shipdate_d
+        FROM lineitem
+    )
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipmode IN ('MAIL', 'SHIP')
+      AND l_commitdate < l_receiptdate
+      AND l_shipdate_d < l_commitdate
+      AND l_receiptdate >= DATE '1996-01-01'
+      AND l_receiptdate <  DATE '1997-01-01'
+    GROUP BY l_shipmode
+    """,
+    tags=("tpch", "join", "aggregate"),
+    doc="TPC-H Q12 shape (shipping modes / late-shipment priority "
+    "correlation): mode-filtered late lines joined to orders, counting "
+    "high- vs low-priority lines per mode. Ship/commit/receipt "
+    "synthesised from key arithmetic (no such columns in testdata); "
+    "the join is fact-fact on orderkey and the counts are integers — "
+    "no float determinism risk.",
+)
+def q12_shipping_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey",
+        F.expr(_Q12_MODE).alias("l_shipmode"),
+        F.date_add(F.to_date("l_shipdate"), F.expr(_Q12_COMMIT_OFF).cast("int")).alias(
+            "l_commitdate"
+        ),
+        F.date_add(F.to_date("l_shipdate"), F.expr(_Q12_RECEIPT_OFF).cast("int")).alias(
+            "l_receiptdate"
+        ),
+        F.to_date("l_shipdate").alias("l_shipdate_d"),
+    )
+    orders = load_table(spark, "orders", sf_dir)
+    late = li.where(
+        F.col("l_shipmode").isin("MAIL", "SHIP")
+        & (F.col("l_commitdate") < F.col("l_receiptdate"))
+        & (F.col("l_shipdate_d") < F.col("l_commitdate"))
+        & (F.col("l_receiptdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_receiptdate") < F.lit("1997-01-01").cast("date"))
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.join(orders, late.l_orderkey == orders.o_orderkey)
+        .groupBy("l_shipmode")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
     )
