@@ -124,6 +124,8 @@ _REVERIFY: tuple[str, ...] = (
     "near_dup_clusters", "near_dup_keep_corpus", "simhash_near_pairs",
     "up_link_eligibility", "q3_shipping_priority", "q14_promo_revenue",
     "q19_disjunctive_predicates", "q21_waiting_orders",
+    "q9_product_profit", "q15_top_supplier", "q16_supplier_part_counts",
+    "q20_potential_promotion",
 )
 
 # Within the unverified set, emit first the re-verification queue, then
