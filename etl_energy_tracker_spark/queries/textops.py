@@ -282,7 +282,13 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") <= NGRAM_DF_CAP)
         .select("shingle")
     )
-    shingles = raw.join(keep, "shingle")
+    # the capped shingle table feeds THREE consumers (per-doc counts,
+    # both sides of the candidate self-join); without materialization
+    # Spark recomputes the shingle build + df-join for each (~25%
+    # slower measured at sf0.1, 3x the scan work at any scale). A lazy
+    # localCheckpoint materializes it once; same tradeoff as the edge
+    # list in connected_components.
+    shingles = raw.join(keep, "shingle").localCheckpoint(eager=False)
     counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = shingles.alias("a")
     b = shingles.alias("b")
