@@ -177,8 +177,15 @@ def minhash_dedup_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → banded
-    candidates → exact Jaccard verify on candidates only."""
-    sh = with_shingles(df.select(id_col, text_col), text_col)
+    candidates → exact Jaccard verify on candidates only.
+
+    The shingle table feeds three consumers (the signature build and
+    both sides of the exact-verify join); a lazy localCheckpoint
+    materializes it once instead of re-tokenizing the corpus per
+    consumer — same tradeoff as ngram_jaccard_pairs."""
+    sh = with_shingles(df.select(id_col, text_col), text_col).localCheckpoint(
+        eager=False
+    )
     sig = with_minhash_signature(sh, k=k)
     cands = lsh_candidate_pairs(sig, id_col, bands=bands, rows_per_band=k // bands)
 
