@@ -158,6 +158,125 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+def decode_png_raster(payload: bytes) -> tuple[int, int, int, bytearray]:
+    """Like :func:`decode_png` but returns the full reconstructed
+    raster (width, height, channels, row-major sample bytes) for
+    kernels that transform pixels (resize, crop)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, idat = 8, bytearray()
+    width = height = bit_depth = color_type = interlace = None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"unsupported PNG shape (depth={bit_depth}, color={color_type}, "
+            f"interlace={interlace}); use the PIL path"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG raster length mismatch")
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    for y in range(height):
+        base = y * (stride + 1)
+        filt = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if filt == 1:
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif filt == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif filt == 3:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif filt == 4:
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        elif filt != 0:
+            raise ValueError(f"bad PNG filter byte {filt}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return width, height, channels, out
+
+
+def encode_png(width: int, height: int, channels: int, raster: bytes) -> bytes:
+    """Minimal spec-conformant PNG encoder (8-bit, non-interlaced,
+    filter 0 on every row) — the re-encode half of the stdlib image
+    path."""
+    import struct
+    import zlib
+
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    if len(raster) != height * stride:
+        raise ValueError("raster length does not match dimensions")
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw += raster[y * stride : (y + 1) * stride]
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_png(payload: bytes, width: int, height: int) -> bytes:
+    """Real PNG resize on the standard library alone: decode raster,
+    nearest-neighbor resample to (width, height), re-encode. PIL, when
+    installed, replaces this with its richer resampling in
+    :func:`resize_images`."""
+    sw, sh, channels, raster = decode_png_raster(bytes(payload))
+    sstride = sw * channels
+    out = bytearray(width * height * channels)
+    for y in range(height):
+        sy = min(y * sh // height, sh - 1)
+        row = sy * sstride
+        dst = y * width * channels
+        for x in range(width):
+            sx = min(x * sw // width, sw - 1)
+            s = row + sx * channels
+            d = dst + x * channels
+            out[d : d + channels] = raster[s : s + channels]
+    return encode_png(width, height, channels, bytes(out))
+
+
 def decode_image(payload: bytes) -> dict:
     """Image decode kernel: PIL when the cluster has it (any format),
     else the built-in stdlib PNG decoder, else decode_stub raises.
@@ -305,12 +424,33 @@ def resize_images(
     blobs: DataFrame, width: int, height: int, use_decoder: bool = False
 ) -> DataFrame:
     """Image resize plumbing: binary in → binary out with updated typed
-    metadata, Arrow-batched, map-only. The deterministic stand-in
+    metadata, Arrow-batched, map-only.
+
+    ``use_decoder=False`` (default): the deterministic stand-in
     "resize" tiles/truncates the payload to exactly width·height bytes
-    (a real kernel decodes via ``decode_stub`` → PIL resize → re-encode
-    in the same slot); downstream operators see the true post-resize
+    — oracle-checkable without codecs. ``use_decoder=True``: REAL
+    resize — PIL when installed; else PNG payloads go through the
+    stdlib decode → nearest-neighbor resample → re-encode path
+    (:func:`resize_png`); other modalities raise through
+    ``decode_stub``. Downstream operators see the true post-resize
     schema and byte sizes either way."""
     target = width * height
+
+    def _real_resize(data: bytes, modality: str) -> bytes:
+        try:
+            import io
+
+            from PIL import Image
+        except ImportError:
+            pass
+        else:
+            im = Image.open(io.BytesIO(data))
+            buf = io.BytesIO()
+            im.resize((width, height)).save(buf, format="PNG")
+            return buf.getvalue()
+        if modality == "image" and data[:8] == _PNG_MAGIC:
+            return resize_png(data, width, height)
+        return decode_stub(data, modality)  # raises: no codec
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -318,8 +458,8 @@ def resize_images(
             for payload, meta in zip(pdf["content"], pdf["meta"]):
                 data = bytes(payload)
                 if use_decoder:
-                    decode_stub(data, meta["modality"])  # raises: no codec here
-                if not data:
+                    out_content.append(_real_resize(data, meta["modality"]))
+                elif not data:
                     out_content.append(b"\x00" * target)
                 else:
                     reps = -(-target // len(data))
@@ -332,11 +472,11 @@ def resize_images(
                         {
                             "modality": m["modality"],
                             "mime": m["mime"],
-                            "n_bytes": target,
+                            "n_bytes": len(c),
                             "width": width,
                             "height": height,
                         }
-                        for m in pdf["meta"]
+                        for m, c in zip(pdf["meta"], out_content)
                     ],
                 }
             )
