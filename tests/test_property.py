@@ -223,3 +223,39 @@ def test_cc_star_matches_label_prop(spark, edge_list):
     # find() path-halving leaves non-root parents; normalize to roots
     expected = {n: find(n) for n in expected}
     assert lp == expected
+
+
+# --------------------------------------------------- stdlib PNG codec round-trip
+
+_png_dims = st.tuples(
+    st.integers(1, 12),   # width
+    st.integers(1, 10),   # height
+    st.sampled_from([1, 2, 3, 4]),  # channels
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(_png_dims, st.integers(0, 2**32 - 1))
+def test_png_codec_round_trip(dims, seed):
+    """encode_png -> decode_png_raster must be the identity on raster
+    bytes for every channel count and dimension (filter-0 encode, all
+    reconstruction paths on decode), and decode_png's mean must match
+    the raster mean."""
+    import random
+
+    from etl_energy_tracker_spark.sources.multimodal import (
+        decode_png,
+        decode_png_raster,
+        encode_png,
+    )
+
+    w, h, ch = dims
+    rnd = random.Random(seed)
+    raster = bytes(rnd.randrange(256) for _ in range(w * h * ch))
+    png = encode_png(w, h, ch, raster)
+    gw, gh, gch, got = decode_png_raster(png)
+    assert (gw, gh, gch) == (w, h, ch)
+    assert bytes(got) == raster
+    meta = decode_png(png)
+    assert meta["width"] == w and meta["height"] == h and meta["channels"] == ch
+    assert abs(meta["mean_px"] - sum(raster) / len(raster)) < 1e-9
