@@ -175,6 +175,7 @@ def minhash_dedup_pairs(
     threshold: float = 0.5,
     k: int = 16,
     bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → banded
     candidates → exact Jaccard verify on candidates only.
@@ -187,7 +188,9 @@ def minhash_dedup_pairs(
         eager=False
     )
     sig = with_minhash_signature(sh, k=k)
-    cands = lsh_candidate_pairs(sig, id_col, bands=bands, rows_per_band=k // bands)
+    cands = lsh_candidate_pairs(
+        sig, id_col, bands=bands, rows_per_band=k // bands, max_bucket=max_bucket
+    )
 
     shing = sh.select(F.col(id_col).alias("id"), F.col("shingles"))
     j = (
