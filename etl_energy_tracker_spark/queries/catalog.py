@@ -61,6 +61,7 @@ def _load_all() -> None:
     from . import streamops  # noqa: F401
     from . import parity  # noqa: F401
     from . import trackingops  # noqa: F401
+    from . import llmprep  # noqa: F401
 
 
 # Queries already driver-verified green in CORRECTNESS_r01.json or
@@ -128,13 +129,11 @@ _REVERIFY: tuple[str, ...] = (
     "q20_potential_promotion",
 )
 
-# Within the unverified set, emit first the re-verification queue, then
-# the catalog entries that have never received a driver CORRECTNESS
-# row, then anything new via registration order.
-_PRIORITY: tuple[str, ...] = _REVERIFY + (
-    # never driver-checked before r3 (VERDICT r2 "What's wrong" §2);
-    # all green in CORRECTNESS_r03 but kept ranked ahead of the
-    # verified tail in case any slips out of _R1_VERIFIED bookkeeping
+# Queries driver-verified green in CORRECTNESS_r03.json whose code is
+# UNCHANGED since the r3 gate commit (f5a5c16) — they join the
+# emit-last tail so the capped run spends its slots on unverified and
+# impl-changed entries instead of re-proving stable code.
+_R3_VERIFIED: frozenset[str] = frozenset({
     "bm25_topk_docs", "boilerplate_ngrams", "decontaminate_hashed_ngrams",
     "deterministic_shuffle", "embedding_quantize_int8",
     "first_ordered_per_group", "incremental_exact_dedup",
@@ -144,15 +143,31 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "quarantine_bad_records", "range_window_1h", "rollup_agg",
     "rollup_cascade_daily", "skew_twophase_agg", "stream_dedup",
     "tfidf_topk_docs", "zero_padded_codes",
-    # r2 hash-mismatch fixes, re-verified green in r3
-    "simhash_fingerprint", "sessionization", "corpus_prep_e2e",
+    "sessionization", "corpus_prep_e2e",
     "corpus_composition_report", "token_budget_packing",
+    "quarter_to_utc", "cross_doc_paragraph_dedup", "mixture_resample",
+    "q5_local_supplier_volume",
+})
+
+# Within the unverified set, emit first the re-verification queue
+# (impl changed after the last green driver row), then entries that
+# have never received a driver CORRECTNESS row (r4 additions), then
+# anything new via registration order.
+_PRIORITY: tuple[str, ...] = _REVERIFY + (
+    # with_simhash NUL-fold fix (bc7d3b4) changed the fingerprint
+    # kernel after its r3 green row
+    "simhash_fingerprint",
+    # r4 additions, never driver-checked
+    "near_dup_clusters_star", "minhash_lsh_pairs_capped",
+    "q11_important_stock", "q12_shipping_modes",
+    "semdedup_prune", "doc_chunk_windows", "bpe_merge_pair_counts",
+    "shingle_containment_pairs", "length_band_trim",
 )
 
 
 def _ordered() -> list[str]:
     names = list(CATALOG)
-    verified = _R1_VERIFIED - set(_REVERIFY)
+    verified = (_R1_VERIFIED | _R3_VERIFIED) - set(_PRIORITY)
     rank = {n: i for i, n in enumerate(_PRIORITY)}
     unverified = sorted(
         (n for n in names if n not in verified),

@@ -1,0 +1,365 @@
+"""Round-4 continuation: additional large-scale training-data prep
+operators (BASELINE.json north star, beyond the reference's surface).
+
+- ``semdedup_prune``      — SemDeDup-style semantic dedup: cluster the
+  embedding space with the IVF codebook, prune within-cluster near-
+  duplicates by cosine (Abbas et al. 2023 shape). Pair formation is
+  bounded by cluster size, never corpus-wide.
+- ``doc_chunk_windows``   — overlapping token-window chunking (the
+  context-window packing primitive): one map-side explode per doc.
+- ``bpe_merge_pair_counts`` — the counting step of one BPE training
+  merge round: global adjacent-symbol-pair frequencies. The candidate
+  table is alphabet-bounded, so the reduce output is tiny at any SF.
+- ``shingle_containment_pairs`` — asymmetric containment similarity
+  over word-3-gram shingles: catches quote/subset duplication that
+  Jaccard under-scores when document lengths differ.
+- ``length_band_trim``    — per-language rank-based length trimming
+  (drop bottom/top 5%): the robust quantile-free outlier filter.
+
+All are pure column expressions (no Python UDFs) with DuckDB oracles;
+columns aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duckdb_charhash, spark_charhash
+from ..sources.registry import load_table
+from .catalog import register
+from .textops import NGRAM_DF_CAP
+
+# ------------------------------------------------------------ semdedup
+
+_SEM_TAU = 0.3  # within-cluster cosine above this = semantic duplicate
+
+_COS64_AB = """ROUND(
+    list_sum(list_transform(range(1, 65),
+        i -> CAST({a}[CAST(i AS INT)] AS DOUBLE) * CAST({b}[CAST(i AS INT)] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, 65),
+        i -> CAST({a}[CAST(i AS INT)] AS DOUBLE) * CAST({a}[CAST(i AS INT)] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, 65),
+        i -> CAST({b}[CAST(i AS INT)] AS DOUBLE) * CAST({b}[CAST(i AS INT)] AS DOUBLE))))),
+    6)"""
+
+
+@register(
+    "semdedup_prune",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cv
+        FROM embeddings WHERE vec_id >= 100 AND vec_id < 116
+    ),
+    assigned AS (
+        SELECT vec_id, ev, cell FROM (
+            SELECT e.vec_id, e.embedding AS ev, centroid_id AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_COS64_AB.format(a='e.embedding', b='cv')} DESC,
+                                centroid_id) AS rk
+            FROM embeddings e CROSS JOIN cent
+        ) WHERE rk = 1
+    ),
+    drops AS (
+        SELECT DISTINCT a.vec_id
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND b.vec_id < a.vec_id
+        WHERE {_COS64_AB.format(a='a.ev', b='b.ev')} >= {_SEM_TAU}
+    )
+    SELECT vec_id, cell FROM assigned
+    WHERE vec_id NOT IN (SELECT vec_id FROM drops)
+    """,
+    tags=("vector", "dedup", "corpus"),
+    doc="SemDeDup semantic near-dup pruning (Abbas et al. 2023): every "
+    "embedding is assigned to its nearest codebook centroid (broadcast "
+    "map-side, same IVF assignment as the ANN path), then within each "
+    "cluster a document is dropped when a lower-id cluster-mate has "
+    "cosine >= tau. The pairwise comparison is confined to one cluster "
+    "— at 100 TB the codebook size k scales with the corpus so cluster "
+    "cardinality stays bounded (SemDeDup uses ~100k clusters) and the "
+    "self-join shuffles on the cell key only; no corpus-wide pair "
+    "formation. Keep choice is deterministic (lowest id wins), so the "
+    "output is reproducible under re-partitioning.",
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import with_ivf_cell
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    cent = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 116)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    assigned = with_ivf_cell(emb, cent, "embedding", "vec_id", n_probe=1).select(
+        "vec_id", F.col("embedding").alias("ev"), "cell"
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+
+    def _dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    cos = F.round(
+        _dot(F.col("a.ev"), F.col("b.ev"))
+        / (
+            F.sqrt(_dot(F.col("a.ev"), F.col("a.ev")))
+            * F.sqrt(_dot(F.col("b.ev"), F.col("b.ev")))
+        ),
+        6,
+    )
+    drops = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("b.vec_id") < F.col("a.vec_id")),
+        )
+        .where(cos >= _SEM_TAU)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(drops, "vec_id", "left_anti").select("vec_id", "cell")
+
+
+# ------------------------------------------------------- chunk windows
+
+_CHUNK_W = 60  # tokens per chunk
+_CHUNK_S = 50  # stride (10-token overlap)
+
+
+@register(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(s // {_CHUNK_S} AS INT) AS chunk_id,
+               array_to_string(
+                   tokens[CAST(s + 1 AS INT) : CAST(s + {_CHUNK_W} AS INT)],
+                   ' ') AS chunk_text,
+               least({_CHUNK_W}, len(tokens) - CAST(s AS INT)) AS n_chunk_tokens
+        FROM t, unnest(range(0, len(tokens), {_CHUNK_S})) AS u(s)
+    )
+    SELECT doc_id, chunk_id, n_chunk_tokens,
+           {duckdb_charhash('chunk_text')} AS chunk_hash
+    FROM chunks
+    """,
+    tags=("text", "corpus"),
+    doc="Overlapping token-window chunking (window 60, stride 50): the "
+    "long-document -> training-sample explosion every context-window "
+    "pipeline needs. Pure map-side per-document explode — zero "
+    "shuffle, scales linearly; chunk content verified via the "
+    "engine-portable polynomial hash so the driver compare never "
+    "ships chunk text.",
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tokens"))
+    exploded = t.select(
+        "doc_id",
+        "tokens",
+        F.posexplode(
+            F.expr(f"sequence(0, size(tokens) - 1, {_CHUNK_S})")
+        ).alias("chunk_id", "s"),
+    )
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.least(F.lit(_CHUNK_W), F.size("tokens") - F.col("s")).alias(
+            "n_chunk_tokens"
+        ),
+        F.expr(
+            spark_charhash(
+                f"concat_ws(' ', slice(tokens, s + 1, {_CHUNK_W}))"
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+# ------------------------------------------------- BPE pair counting
+
+_BPE_TOP = 32
+
+
+@register(
+    "bpe_merge_pair_counts",
+    oracle=f"""
+    WITH w AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents
+    ),
+    p AS (
+        SELECT unnest(list_transform(range(1, length(w)),
+                   i -> substring(w, CAST(i AS INT), 2))) AS pair
+        FROM w WHERE length(w) >= 2
+    ),
+    c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair)
+    SELECT pair, cnt FROM (
+        SELECT *, row_number() OVER (ORDER BY cnt DESC, pair) AS rn FROM c
+    ) WHERE rn <= {_BPE_TOP}
+    """,
+    tags=("text", "corpus"),
+    doc="The counting step of one BPE training merge round: global "
+    "adjacent-character-pair frequencies over lowercased letter runs, "
+    "top pairs with deterministic (count, pair) tie-break. This is the "
+    "distributed half of tokenizer training — the map side emits pairs "
+    "per word, the reduce side is bounded by the symbol alphabet "
+    "(<= 26^2 keys here), so the global ranking window runs on a "
+    "constant-size aggregate regardless of corpus size.",
+)
+def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("w")
+    ).where(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    # the aggregate has at most |alphabet|^2 rows — a single-partition
+    # ranking window over it is constant-size work at any corpus scale
+    w = W.orderBy(F.desc("cnt"), "pair")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _BPE_TOP)
+        .select("pair", "cnt")
+    )
+
+
+# ------------------------------------------- containment similarity
+
+_CONTAIN_TAU = 0.8
+
+
+@register(
+    "shingle_containment_pairs",
+    oracle=f"""
+    WITH sh0 AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(tokens) - 2, 0) + 1),
+                       i -> tokens[CAST(i AS INT)] || ' ' ||
+                            tokens[CAST(i AS INT) + 1] || ' ' ||
+                            tokens[CAST(i AS INT) + 2])) AS shingle
+            FROM (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+                FROM documents
+            )
+        )
+    ),
+    keep AS (
+        SELECT shingle FROM sh0 GROUP BY shingle
+        HAVING COUNT(*) <= {NGRAM_DF_CAP}
+    ),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
+    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_inter * 1.0 / least(ca.n_sh, cb.n_sh), 6) AS containment
+    FROM inter
+    JOIN counts ca ON ca.doc_id = doc_a
+    JOIN counts cb ON cb.doc_id = doc_b
+    WHERE n_inter * 1.0 / least(ca.n_sh, cb.n_sh) >= {_CONTAIN_TAU}
+    """,
+    tags=("text", "dedup", "join"),
+    doc="Asymmetric containment near-dup pairs: C(A,B) = |A∩B| / "
+    "min(|A|,|B|) over df-capped word-3-gram shingles. Containment "
+    "catches subset duplication (a short doc quoted inside a long one) "
+    "that Jaccard under-scores when lengths differ — the standard "
+    "second screen next to ngram_jaccard_pairs. Same scale shape: "
+    "shingle-bucketed self-join (df-capped, skew-proof), per-doc count "
+    "table joined WITHOUT a broadcast hint (it is O(n_docs)).",
+)
+def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tokens"))
+    raw = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+                    "i -> concat(tokens[i-1], ' ', tokens[i], ' ', tokens[i+1]))"
+                )
+            )
+        ).alias("shingle"),
+    ).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    keep = (
+        raw.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= NGRAM_DF_CAP)
+        .select("shingle")
+    )
+    shingles = raw.join(keep, "shingle").localCheckpoint(eager=False)
+    counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ca = counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
+    cb = counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
+    containment = F.col("n_inter") * 1.0 / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .where(containment >= _CONTAIN_TAU)
+        .select("doc_a", "doc_b", F.round(containment, 6).alias("containment"))
+    )
+
+
+# --------------------------------------------------- length band trim
+
+
+@register(
+    "length_band_trim",
+    oracle="""
+    SELECT doc_id, lang, n_chars FROM (
+        SELECT doc_id, lang, n_chars,
+               row_number() OVER (PARTITION BY lang
+                   ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS cnt
+        FROM documents
+    )
+    WHERE rn * 20 > cnt AND (cnt - rn) * 20 >= cnt
+    """,
+    tags=("text", "corpus", "filter"),
+    doc="Per-language length-band trimming: drop the shortest 5% and "
+    "longest 5% of documents per language by rank — the robust, "
+    "interpolation-free realization of quantile outlier filtering "
+    "(integer rank arithmetic on both engines, so there is no "
+    "percentile-interpolation cross-engine risk and no float boundary "
+    "ties). One shuffle (per-language ranking window); at 100 TB the "
+    "same cut comes from a two-pass approx-quantile + map-side filter, "
+    "which this rank formulation is the exactness oracle for.",
+)
+def length_band_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wc = W.partitionBy("lang")
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .where((F.col("rn") * 20 > F.col("cnt")) & ((F.col("cnt") - F.col("rn")) * 20 >= F.col("cnt")))
+        .select("doc_id", "lang", "n_chars")
+    )

@@ -1,0 +1,170 @@
+"""Invariant tests for the round-4 continuation LLM-prep operators
+(queries/llmprep.py). The driver oracle gate checks value equality;
+these pin the *semantic* invariants each operator promises, plus the
+plan shapes the scale story depends on.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import pytest
+
+from etl_energy_tracker_spark.queries.llmprep import (
+    _BPE_TOP,
+    _CHUNK_S,
+    _CHUNK_W,
+    _CONTAIN_TAU,
+    _SEM_TAU,
+    bpe_merge_pair_counts,
+    doc_chunk_windows,
+    length_band_trim,
+    semdedup_prune,
+    shingle_containment_pairs,
+)
+from etl_energy_tracker_spark.queries.textops import ngram_jaccard_pairs
+
+from conftest import SF_DIR
+
+
+def _cos(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return round(dot / (na * nb), 6)
+
+
+def test_semdedup_no_kept_pair_above_tau(spark):
+    # after pruning, no two surviving docs in the same cluster may be
+    # within tau of each other (the greedy lowest-id-wins guarantee)
+    kept = semdedup_prune(spark, SF_DIR).collect()
+    emb = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    by_cell: dict[int, list[int]] = {}
+    for r in kept:
+        by_cell.setdefault(r.cell, []).append(r.vec_id)
+    for cell, ids in by_cell.items():
+        ids.sort()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                assert _cos(emb[a], emb[b]) < _SEM_TAU, (cell, a, b)
+    # and something must actually have been pruned on this corpus
+    assert len(kept) < len(emb)
+
+
+def test_semdedup_keeps_lowest_id_per_cluster(spark):
+    # the lowest vec_id of every cluster has no lower-id cluster-mate,
+    # so it can never be dropped
+    kept = {r.vec_id for r in semdedup_prune(spark, SF_DIR).collect()}
+    from etl_energy_tracker_spark.operators.similarity import with_ivf_cell
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cent = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 116)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    assigned = with_ivf_cell(emb, cent, "embedding", "vec_id", n_probe=1)
+    firsts = (
+        assigned.groupBy("cell").agg(F.min("vec_id").alias("first_id")).collect()
+    )
+    for r in firsts:
+        assert r.first_id in kept
+
+
+def test_chunk_windows_cover_and_conserve(spark):
+    rows = doc_chunk_windows(spark, SF_DIR).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, text in docs.items():
+        toks = re.split(r"\s+", text.strip())
+        n = len(toks)
+        chunks = sorted(by_doc[doc_id], key=lambda r: r.chunk_id)
+        # chunk count = number of stride starts inside the doc
+        assert len(chunks) == (n - 1) // _CHUNK_S + 1
+        # per-chunk token counts follow min(W, n - start)
+        for c in chunks:
+            start = c.chunk_id * _CHUNK_S
+            assert c.n_chunk_tokens == min(_CHUNK_W, n - start)
+        # the final chunk reaches the last token (full coverage)
+        last = chunks[-1]
+        assert last.chunk_id * _CHUNK_S + last.n_chunk_tokens == n
+
+
+def test_bpe_pair_counts_match_python_counter(spark):
+    got = bpe_merge_pair_counts(spark, SF_DIR).collect()
+    assert len(got) == _BPE_TOP
+    texts = [
+        r.text for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    ]
+    counter: Counter[str] = Counter()
+    for t in texts:
+        for w in re.findall(r"[a-z]+", t.lower()):
+            for i in range(len(w) - 1):
+                counter[w[i : i + 2]] += 1
+    expected = sorted(counter.items(), key=lambda kv: (-kv[1], kv[0]))[:_BPE_TOP]
+    assert [(r.pair, r.cnt) for r in got] == expected or {
+        (r.pair, r.cnt) for r in got
+    } == set(expected)
+
+
+def test_containment_dominates_jaccard(spark):
+    # containment uses min(|A|,|B|) in the denominator, Jaccard uses
+    # the union — so for any pair surfaced by both, containment >= jaccard
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in shingle_containment_pairs(spark, SF_DIR).collect()
+    }
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    assert cont, "no containment pairs on test corpus"
+    for pair, c in cont.items():
+        assert _CONTAIN_TAU <= c <= 1.0
+        if pair in jac:
+            assert c >= jac[pair] - 1e-6
+    # every exact-duplicate Jaccard pair (j ~= 1) must also be a
+    # containment pair
+    for pair, j in jac.items():
+        if j >= 0.999:
+            assert pair in cont
+
+
+def test_length_band_trim_bounds(spark):
+    kept = length_band_trim(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    ).collect()
+    by_lang: dict[str, list] = {}
+    for r in docs:
+        by_lang.setdefault(r.lang, []).append((r.n_chars, r.doc_id))
+    kept_by_lang: dict[str, set] = {}
+    for r in kept:
+        kept_by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    for lang, rows in by_lang.items():
+        rows.sort()
+        cnt = len(rows)
+        expected = {
+            doc_id
+            for rn, (_, doc_id) in enumerate(rows, start=1)
+            if rn * 20 > cnt and (cnt - rn) * 20 >= cnt
+        }
+        assert kept_by_lang.get(lang, set()) == expected, lang
+
+
+def test_chunk_windows_plan_is_shuffle_free(spark):
+    plan = doc_chunk_windows(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
