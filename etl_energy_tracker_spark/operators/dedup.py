@@ -207,6 +207,76 @@ def minhash_dedup_pairs(
     return j.where(F.col("jaccard") >= threshold)
 
 
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.3,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Fuzzy benchmark decontamination: corpus docs whose MinHash-LSH
+    candidate match in the benchmark set verifies at exact Jaccard >=
+    threshold. Returns (doc_id, bench_id, jaccard).
+
+    Scale shape: eval sets are small and bounded, so the benchmark's
+    banded signature table and shingle table both BROADCAST; the
+    corpus is scanned once map-side (shingle + signature + band
+    explode) and only LSH candidates shuffle for the exact verify.
+    There is no corpus self-join — cost is O(corpus) + O(candidates),
+    unlike the near-dup dedup path."""
+    rows_per_band = k // bands
+
+    def _banded(df: DataFrame) -> DataFrame:
+        sig = with_minhash_signature(df, k=k).select(id_col, "signature")
+        return sig.select(
+            id_col,
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}), b -> "
+                    f"struct(b AS band, xxhash64(concat_ws(',', "
+                    f"slice(signature, b * {rows_per_band} + 1, {rows_per_band}))) AS bhash))"
+                )
+            ).alias("bb"),
+        ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+
+    corp_sh = (
+        with_shingles(corpus.select(id_col, text_col), text_col)
+        .where(F.size("shingles") > 0)
+        .localCheckpoint(eager=False)
+    )
+    bench_sh = (
+        with_shingles(benchmark.select(id_col, text_col), text_col)
+        .where(F.size("shingles") > 0)
+        .localCheckpoint(eager=False)
+    )
+    cands = (
+        _banded(corp_sh)
+        .join(
+            F.broadcast(_banded(bench_sh).withColumnRenamed(id_col, "bench_id")),
+            ["band", "bhash"],
+        )
+        .select(id_col, "bench_id")
+        .dropDuplicates([id_col, "bench_id"])
+    )
+    jac = F.expr("size(array_intersect(sh_c, sh_b)) / size(array_union(sh_c, sh_b))")
+    return (
+        cands.join(corp_sh.select(id_col, F.col("shingles").alias("sh_c")), id_col)
+        .join(
+            F.broadcast(
+                bench_sh.select(
+                    F.col(id_col).alias("bench_id"), F.col("shingles").alias("sh_b")
+                )
+            ),
+            "bench_id",
+        )
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select(id_col, "bench_id", "jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------

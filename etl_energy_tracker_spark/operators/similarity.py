@@ -335,6 +335,56 @@ def with_ivf_cell(
     )
 
 
+def with_ivf_cell_mapside(
+    df: DataFrame,
+    centroids: DataFrame,
+    vec_col: str,
+    out: str = "cell",
+) -> DataFrame:
+    """Map-side IVF cell assignment: zero-shuffle nearest-centroid.
+
+    ``with_ivf_cell`` broadcasts the codebook but then ranks per row
+    with a window partitioned by the row id — a full-corpus exchange
+    just to take an argmax. Here the codebook (a trained artifact of
+    bounded size, k x dim — the same object faiss keeps resident in
+    RAM) is collected once and inlined as a literal array of structs,
+    so assignment is a single projection: the executor folds over the
+    k centroids per row and keeps the best. No exchange at any corpus
+    size; cost is O(k·dim) per row either way.
+
+    Tie semantics match ``with_ivf_cell(n_probe=1)`` exactly: cosine
+    rounded to 6 decimals, lowest centroid_id wins ties (the fold
+    visits centroids in ascending id order and only replaces on a
+    strictly greater similarity).
+    """
+    import math
+
+    rows = sorted(centroids.collect(), key=lambda r: r["centroid_id"])
+    structs = [
+        F.struct(
+            F.lit(int(r["centroid_id"])).alias("cid"),
+            F.array(*[F.lit(float(x)) for x in r["cv"]]).alias("cv"),
+            F.lit(math.sqrt(sum(float(x) ** 2 for x in r["cv"]))).alias("cnorm"),
+        )
+        for r in rows
+    ]
+    cents = F.array(*structs)
+    v = F.col(vec_col)
+    vnorm = F.sqrt(dot(v, v))
+    best = F.aggregate(
+        cents,
+        F.struct(F.lit(-2.0).alias("sim"), F.lit(-1).alias("cid")),
+        lambda acc, c: F.when(
+            F.round(dot(v, c["cv"]) / (vnorm * c["cnorm"]), 6) > acc["sim"],
+            F.struct(
+                F.round(dot(v, c["cv"]) / (vnorm * c["cnorm"]), 6).alias("sim"),
+                c["cid"].alias("cid"),
+            ),
+        ).otherwise(acc),
+    )
+    return df.withColumn(out, best["cid"])
+
+
 def train_ivf_codebook(
     vectors: DataFrame,
     id_col: str,

@@ -82,14 +82,20 @@ _COS64_AB = """ROUND(
     "output is reproducible under re-partitioning.",
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import with_ivf_cell
+    from ..operators.similarity import with_ivf_cell_mapside
 
     emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     cent = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 116)).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
     )
-    assigned = with_ivf_cell(emb, cent, "embedding", "vec_id", n_probe=1).select(
-        "vec_id", F.col("embedding").alias("ev"), "cell"
+    # map-side assignment (codebook inlined as a literal): the corpus
+    # is never shuffled for the argmax; it is then consumed three
+    # times (both join sides + the keeper anti-join), so materialize
+    # the assignment once instead of re-scanning + re-scoring
+    assigned = (
+        with_ivf_cell_mapside(emb, cent, "embedding")
+        .select("vec_id", F.col("embedding").alias("ev"), "cell")
+        .localCheckpoint(eager=False)
     )
     a = assigned.alias("a")
     b = assigned.alias("b")
@@ -324,6 +330,74 @@ def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cb, "doc_b")
         .where(containment >= _CONTAIN_TAU)
         .select("doc_a", "doc_b", F.round(containment, 6).alias("containment"))
+    )
+
+
+# ------------------------------------- fuzzy (MinHash) decontamination
+
+_DECON_K = 16
+_DECON_BANDS = 4
+_DECON_ROWS = _DECON_K // _DECON_BANDS
+_DECON_TAU = 0.3  # exact-Jaccard cut on LSH candidates
+
+
+def _decon_oracle() -> str:
+    from .dedupops import _DUCK_SHINGLES, _duck_sig
+
+    return f"""
+    WITH sig AS ({_duck_sig(_DECON_K)}),
+    banded AS (
+        SELECT doc_id, b,
+               array_to_string(sig[b*{_DECON_ROWS}+1 : b*{_DECON_ROWS}+{_DECON_ROWS}], ',') AS bhash
+        FROM sig, (SELECT unnest(range(0, {_DECON_BANDS})) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT c.doc_id AS doc_id, t.doc_id AS bench_id
+        FROM banded c JOIN banded t ON c.b = t.b AND c.bhash = t.bhash
+        WHERE c.doc_id % 50 <> 0 AND t.doc_id % 50 = 0
+    ),
+    sh AS ({_DUCK_SHINGLES})
+    SELECT cand.doc_id AS doc_id, bench_id,
+           ROUND(len(list_intersect(hc.shingles, hb.shingles)) * 1.0 /
+                 len(list_distinct(list_concat(hc.shingles, hb.shingles))), 6)
+               AS jaccard
+    FROM cand
+    JOIN sh hc ON hc.doc_id = cand.doc_id
+    JOIN sh hb ON hb.doc_id = cand.bench_id
+    WHERE len(list_intersect(hc.shingles, hb.shingles)) * 1.0 /
+          len(list_distinct(list_concat(hc.shingles, hb.shingles))) >= {_DECON_TAU}
+    """
+
+
+@register(
+    "fuzzy_decontaminate_minhash",
+    oracle=_decon_oracle(),
+    tags=("text", "dedup", "corpus", "join"),
+    doc="Fuzzy benchmark decontamination: corpus documents whose "
+    "near-duplicate (MinHash-LSH candidate, exact-Jaccard-verified) "
+    "lives in the benchmark set. The n-gram variants "
+    "(decontaminate_ngrams/_hashed) catch verbatim overlap; this "
+    "catches paraphrase-level contamination the way production "
+    "pipelines do (LSH against the eval set). Scale shape: the "
+    "benchmark side is bounded (eval sets are small), so its banded "
+    "signature table BROADCASTS — the corpus is scanned once "
+    "map-side for shingling+signatures, candidates alone shuffle for "
+    "the exact verify. No corpus self-join at all, unlike the dedup "
+    "path.",
+)
+def fuzzy_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import fuzzy_decontaminate
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    is_bench = F.col("doc_id") % 50 == 0
+    return fuzzy_decontaminate(
+        docs.where(~is_bench),
+        docs.where(is_bench),
+        "doc_id",
+        "text",
+        threshold=_DECON_TAU,
+        k=_DECON_K,
+        bands=_DECON_BANDS,
     )
 
 

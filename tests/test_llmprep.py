@@ -164,6 +164,57 @@ def test_length_band_trim_bounds(spark):
         assert kept_by_lang.get(lang, set()) == expected, lang
 
 
+def test_fuzzy_decontaminate_catches_planted_contamination(spark):
+    from etl_energy_tracker_spark.operators.dedup import fuzzy_decontaminate
+
+    bench_text = "the quick brown fox jumps over the lazy dog every day"
+    near_dup = "the quick brown fox jumps over the lazy dog every night"
+    unrelated = "completely different content about spark partition tuning"
+    corpus = spark.createDataFrame(
+        [(1, near_dup), (2, unrelated), (3, bench_text)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {
+        (r.doc_id, r.bench_id): r.jaccard
+        for r in fuzzy_decontaminate(corpus, bench, "doc_id", "text").collect()
+    }
+    # the verbatim copy must flag with jaccard 1.0
+    assert got.get((3, 100)) == 1.0
+    # the one-word paraphrase shares most shingles -> flagged
+    assert (1, 100) in got and got[(1, 100)] >= 0.3
+    # unrelated text must not flag
+    assert (2, 100) not in got
+
+
+def test_mapside_cell_assignment_matches_window_variant(spark):
+    # the literal-codebook argmax must agree row-for-row with the
+    # broadcast-join + window formulation (same rounding, same
+    # lowest-centroid-id tie rule) — and carry no Exchange in its plan
+    from pyspark.sql import functions as F
+
+    from etl_energy_tracker_spark.operators.similarity import (
+        with_ivf_cell,
+        with_ivf_cell_mapside,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cent = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 116)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    windowed = {
+        r.vec_id: r.cell
+        for r in with_ivf_cell(emb, cent, "embedding", "vec_id", n_probe=1).collect()
+    }
+    mapside_df = with_ivf_cell_mapside(emb, cent, "embedding")
+    mapside = {r.vec_id: r.cell for r in mapside_df.select("vec_id", "cell").collect()}
+    assert mapside == windowed
+    plan = mapside_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_chunk_windows_plan_is_shuffle_free(spark):
     plan = doc_chunk_windows(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
