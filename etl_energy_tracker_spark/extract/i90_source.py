@@ -11,9 +11,11 @@ Split into offline-testable pieces:
   (no pandas melt), granularity tagged from the hour-column count
 - ``sheet_to_raw``: glue both, add fecha + sheet id
 
-Excel byte decoding itself needs openpyxl (not in this container) —
-gated behind an import-try; the grid-level logic takes a
-list-of-lists, which tests feed directly.
+Excel byte decoding: .xlsx decodes NATIVELY (``read_xlsx_grid`` —
+zipfile + ElementTree over the OOXML parts, no third-party deps);
+openpyxl/pandas is used instead when installed (and remains required
+for legacy binary .xls). The grid-level logic takes a list-of-lists,
+which tests also feed directly.
 """
 
 from __future__ import annotations
@@ -22,16 +24,102 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _xlsx_col_index(ref: str) -> int:
+    """Cell reference column letters → 0-based index ('A'→0, 'AA'→26)."""
+    idx = 0
+    for ch in ref:
+        if ch.isalpha():
+            idx = idx * 26 + (ord(ch.upper()) - 64)
+        else:
+            break
+    return idx - 1
+
+
+def read_xlsx_grid(content: bytes, sheet: str) -> list[list]:
+    """XLSX bytes → row grid on the standard library alone (an .xlsx
+    file is a zip of XML parts: workbook.xml names the sheets, the
+    rels part maps them to worksheet XML, sharedStrings.xml interns
+    string cells — zipfile + ElementTree cover all of it). Numbers
+    come back as their raw stored text (lossless); shared/inline
+    strings are resolved; sparse cells fill with None so downstream
+    header detection sees rectangular rows."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(content))
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    rid_attr = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+    rid = None
+    for sh in wb.findall(".//{*}sheet"):
+        if sh.get("name") == sheet:
+            rid = sh.get(rid_attr)
+            break
+    if rid is None:
+        names = [sh.get("name") for sh in wb.findall(".//{*}sheet")]
+        raise ValueError(f"sheet {sheet!r} not in workbook (has {names})")
+    rels = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+    target = next(
+        rel.get("Target")
+        for rel in rels.findall(".//{*}Relationship")
+        if rel.get("Id") == rid
+    )
+    path = target if target.startswith("xl/") else "xl/" + target.lstrip("/")
+    shared: list[str] = []
+    if "xl/sharedStrings.xml" in zf.namelist():
+        sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+        shared = [
+            "".join(t.text or "" for t in si.findall(".//{*}t"))
+            for si in sst.findall(".//{*}si")
+        ]
+    ws = ET.fromstring(zf.read(path))
+    sparse: dict[int, dict[int, object]] = {}
+    next_row = 0
+    for row in ws.findall(".//{*}row"):
+        r = int(row.get("r")) - 1 if row.get("r") else next_row
+        next_row = r + 1
+        cells: dict[int, object] = {}
+        next_col = 0
+        for c in row.findall(".//{*}c"):
+            col = _xlsx_col_index(c.get("r")) if c.get("r") else next_col
+            next_col = col + 1
+            t = c.get("t")
+            if t == "inlineStr":
+                v: object = "".join(tt.text or "" for tt in c.findall(".//{*}t"))
+            else:
+                ve = c.find("{*}v")
+                v = ve.text if ve is not None else None
+                if v is not None and t == "s":
+                    v = shared[int(v)]
+                elif v is not None and t == "b":
+                    v = bool(int(v))
+            cells[col] = v
+        sparse[r] = cells
+    if not sparse:
+        return []
+    n_rows = max(sparse) + 1
+    n_cols = max((max(cs) + 1 for cs in sparse.values() if cs), default=0)
+    return [
+        [sparse.get(r, {}).get(c) for c in range(n_cols)] for r in range(n_rows)
+    ]
+
+
 def read_excel_grid(content: bytes, sheet: str) -> list[list]:
-    """Excel bytes → row grid. Needs openpyxl; import-gated."""
+    """Excel bytes → row grid. openpyxl/pandas when installed (any
+    Excel format); otherwise the stdlib XLSX reader above handles
+    zip-based .xlsx natively. Only legacy binary .xls (BIFF) still
+    needs the optional dependency."""
     try:
         import io
 
         import openpyxl  # noqa: F401
         import pandas as pd
-    except ImportError as e:  # pragma: no cover - container has no openpyxl
+    except ImportError as e:
+        if bytes(content[:2]) == b"PK":  # zip magic: it is an .xlsx
+            return read_xlsx_grid(content, sheet)
         raise NotImplementedError(
-            "Excel decoding needs openpyxl; ingest raw CSVs instead"
+            "legacy .xls decoding needs openpyxl/xlrd; ingest raw CSVs "
+            "or convert to .xlsx (read natively via read_xlsx_grid)"
         ) from e
     pdf = pd.read_excel(io.BytesIO(content), sheet_name=sheet, header=None)
     return pdf.values.tolist()

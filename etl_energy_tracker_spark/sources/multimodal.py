@@ -4,11 +4,13 @@ metadata, processed via Arrow-batched ``mapInPandas``.
 Image decode is REAL: ``decode_image`` uses PIL when the cluster has
 it and otherwise falls back to a stdlib-only PNG decoder
 (``decode_png``: zlib inflate + full spec filter reconstruction).
-Audio/video remain STUBS behind ``decode_stub`` (clearly-marked
-NotImplementedError) — but the Spark-side plumbing is real either
-way: schema shape, partition-preserving mapInPandas, Arrow batch
-iteration, and metadata extraction all run exactly as they would with
-every codec present.
+Audio decode is REAL for PCM WAV: ``decode_wav`` (stdlib ``wave`` +
+``array``) feeds ``extract_audio_features`` with sample-rate /
+duration / RMS features. Video and compressed audio remain STUBS
+behind ``decode_stub`` (clearly-marked NotImplementedError) — but the
+Spark-side plumbing is real either way: schema shape,
+partition-preserving mapInPandas, Arrow batch iteration, and metadata
+extraction all run exactly as they would with every codec present.
 
 Scale notes: payload bytes never hit a shuffle — feature extraction is
 map-only over Arrow batches; only the (small) extracted features move.
@@ -68,11 +70,96 @@ def as_blob_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def decode_stub(payload: bytes, modality: str) -> object:
     """Real decode kernel slot for modalities with no codec here
-    (audio/video). Drop in torchaudio / PyAV on a real cluster."""
+    (video; compressed audio beyond WAV). Drop in torchaudio / PyAV
+    on a real cluster."""
     raise NotImplementedError(
         f"no codec for modality {modality!r} in this environment; "
         "install the codec and replace decode_stub"
     )
+
+
+_RIFF_MAGIC = b"RIFF"
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Real audio decode on the standard library alone: RIFF/WAVE PCM
+    via the ``wave`` module, sample math via ``array``. Returns
+    {sample_rate, n_channels, n_frames, duration_s, rms} — the
+    loudness/length features an audio-corpus quality filter keys on.
+    16-bit and 8-bit PCM supported (the formats ``wave`` emits);
+    compressed codecs (mp3/flac/ogg) stay behind ``decode_stub``."""
+    import array
+    import io
+    import math
+    import wave
+
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        n_channels = w.getnchannels()
+        sample_rate = w.getframerate()
+        n_frames = w.getnframes()
+        width = w.getsampwidth()
+        raw = w.readframes(n_frames)
+    if width == 2:
+        samples = array.array("h", raw)
+    elif width == 1:  # unsigned 8-bit PCM, centre at 128
+        samples = array.array("b", bytes(b - 128 for b in raw))
+    else:
+        raise NotImplementedError(f"{8 * width}-bit PCM not supported")
+    rms = (
+        math.sqrt(sum(s * s for s in samples) / len(samples)) if samples else 0.0
+    )
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "n_frames": n_frames,
+        "duration_s": n_frames / sample_rate if sample_rate else 0.0,
+        "rms": rms,
+    }
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, sample_rate long, n_channels long, "
+    "n_frames long, duration_s double, rms double"
+)
+
+
+def extract_audio_features(blobs: DataFrame) -> DataFrame:
+    """Arrow-batched REAL audio feature extraction: WAV payloads
+    decode through the stdlib kernel (``decode_wav``); non-RIFF
+    payloads raise through ``decode_stub``. Same scale shape as the
+    image path — map-only, payload bytes never shuffle, only the tiny
+    feature rows move."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            contents = pdf["content"]
+            decoded = [
+                decode_wav(p)
+                if bytes(p)[:4] == _RIFF_MAGIC
+                else decode_stub(bytes(p), "audio")  # raises: no codec
+                for p in contents
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": contents.apply(len).astype("int64"),
+                    "sample_rate": pd.Series(
+                        [d["sample_rate"] for d in decoded], dtype="int64"
+                    ),
+                    "n_channels": pd.Series(
+                        [d["n_channels"] for d in decoded], dtype="int64"
+                    ),
+                    "n_frames": pd.Series(
+                        [d["n_frames"] for d in decoded], dtype="int64"
+                    ),
+                    "duration_s": pd.Series(
+                        [d["duration_s"] for d in decoded], dtype="float64"
+                    ),
+                    "rms": pd.Series([d["rms"] for d in decoded], dtype="float64"),
+                }
+            )
+
+    return blobs.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
 
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"

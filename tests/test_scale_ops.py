@@ -331,3 +331,57 @@ def test_skew_twophase_agg_plan_spreads_hot_keys(spark):
     }
     two = {r["event_type"]: (r["n"], r["sum_value"]) for r in df.collect()}
     assert two == naive
+
+
+def test_extract_audio_features_real_wav(spark):
+    """A real PCM WAV payload travels blob-table -> mapInPandas ->
+    decode_wav and comes back with true sample-rate/duration and the
+    exact RMS of the generated sine (a 16-bit full-scale sine's RMS is
+    amplitude/sqrt(2))."""
+    import io
+    import math
+    import struct
+    import wave
+
+    from pyspark.sql import Row
+
+    from etl_energy_tracker_spark.sources.multimodal import (
+        MULTIMODAL_SCHEMA,
+        decode_wav,
+        extract_audio_features,
+    )
+
+    rate, n, amp = 8000, 4000, 12000
+    samples = [
+        int(amp * math.sin(2 * math.pi * 440 * i / rate)) for i in range(n)
+    ]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack(f"<{n}h", *samples))
+    wav = buf.getvalue()
+    expected_rms = math.sqrt(sum(s * s for s in samples) / n)
+
+    blobs = spark.createDataFrame(
+        [
+            Row(
+                doc_id=7,
+                content=bytearray(wav),
+                meta=Row(modality="audio", mime="audio/wav", n_bytes=len(wav)),
+            )
+        ],
+        MULTIMODAL_SCHEMA,
+    )
+    out = extract_audio_features(blobs).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["sample_rate"], r["n_channels"], r["n_frames"]) == (rate, 1, n)
+    assert abs(r["duration_s"] - n / rate) < 1e-12
+    assert abs(r["rms"] - expected_rms) < 1e-9
+    # the sine RMS lands near amplitude/sqrt(2)
+    assert abs(r["rms"] - amp / math.sqrt(2)) / (amp / math.sqrt(2)) < 0.01
+    # direct kernel agrees with the Spark path
+    d = decode_wav(wav)
+    assert d["rms"] == r["rms"] and d["n_frames"] == n
