@@ -162,7 +162,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "q11_important_stock", "q12_shipping_modes",
     "semdedup_prune", "doc_chunk_windows", "bpe_merge_pair_counts",
     "shingle_containment_pairs", "length_band_trim",
-    "fuzzy_decontaminate_minhash",
+    "fuzzy_decontaminate_minhash", "audio_features_e2e",
 )
 
 

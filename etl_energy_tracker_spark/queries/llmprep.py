@@ -401,6 +401,59 @@ def fuzzy_decontaminate_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ audio features e2e
+
+_WAV_RATE = 8000
+_WAV_MAX = 256
+
+
+@register(
+    "audio_features_e2e",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               list_transform(string_split(substring(text, 1, {_WAV_MAX}), ''),
+                   c -> ((ascii(c) % 256) - 128) * 128) AS smp
+        FROM documents WHERE length(text) >= 1
+    )
+    SELECT doc_id,
+           {_WAV_RATE} AS sample_rate,
+           1 AS n_channels,
+           len(smp) AS n_frames,
+           ROUND(len(smp) / {_WAV_RATE}.0, 6) AS duration_s,
+           ROUND(sqrt(list_sum(list_transform(smp,
+                     x -> CAST(x AS DOUBLE) * x)) / len(smp)), 6) AS rms
+    FROM s
+    """,
+    tags=("multimodal",),
+    doc="Audio plumbing end-to-end UNDER THE HASH GATE: deterministic "
+    "REAL WAV payloads are synthesized from the documents table "
+    "(sample i = f(codepoint i), genuine RIFF containers via the "
+    "stdlib wave writer), decoded back through the stdlib PCM kernel "
+    "(decode_wav) inside Arrow mapInPandas, and the decoded "
+    "sample-rate/frames/duration/RMS features are verified against a "
+    "DuckDB oracle that computes the same arithmetic straight from "
+    "the text. Proves container build + parse + sample math, not just "
+    "batch plumbing. Map-only; payload bytes never shuffle.",
+)
+def audio_features_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.multimodal import extract_audio_features, synth_wav_blobs
+
+    docs = load_table(spark, "documents", sf_dir).where(F.length("text") >= 1)
+    blobs = synth_wav_blobs(
+        docs, "doc_id", "text", sample_rate=_WAV_RATE, max_samples=_WAV_MAX
+    )
+    feats = extract_audio_features(blobs)
+    return feats.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "n_frames",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
 # --------------------------------------------------- length band trim
 
 

@@ -117,6 +117,51 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+def synth_wav_blobs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sample_rate: int = 8000,
+    max_samples: int = 256,
+) -> DataFrame:
+    """Deterministic REAL WAV payloads derived from a text column:
+    sample i = ((codepoint_i % 256) - 128) * 128 (int16 PCM), wrapped
+    in a genuine RIFF container by the stdlib ``wave`` writer. This is
+    the audio-ingest fixture generator — the payloads are real WAV
+    files any decoder accepts, yet every sample is a pure function of
+    the text, so downstream decoded features are oracle-computable."""
+    import io
+    import struct
+    import wave
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            contents = []
+            for t in pdf[text_col]:
+                s = [((ord(c) % 256) - 128) * 128 for c in str(t)[:max_samples]]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(struct.pack(f"<{len(s)}h", *s))
+                contents.append(buf.getvalue())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "content": contents,
+                    "meta": [
+                        {"modality": "audio", "mime": "audio/wav", "n_bytes": len(b)}
+                        for b in contents
+                    ],
+                }
+            )
+
+    return df.select(
+        F.col(id_col).cast("long").alias(id_col), text_col
+    ).mapInPandas(batches, schema=MULTIMODAL_SCHEMA)
+
+
 AUDIO_FEATURE_SCHEMA = (
     "doc_id long, n_bytes long, sample_rate long, n_channels long, "
     "n_frames long, duration_s double, rms double"
