@@ -62,6 +62,7 @@ def _load_all() -> None:
     from . import parity  # noqa: F401
     from . import trackingops  # noqa: F401
     from . import llmprep  # noqa: F401
+    from . import hygieneops  # noqa: F401
 
 
 # Queries already driver-verified green in CORRECTNESS_r01.json or
@@ -163,6 +164,9 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "semdedup_prune", "doc_chunk_windows", "bpe_merge_pair_counts",
     "shingle_containment_pairs", "length_band_trim",
     "fuzzy_decontaminate_minhash", "audio_features_e2e",
+    # r4 late additions (hygieneops.py), never driver-checked
+    "ngram_lm_score", "dup_window_spans", "bloom_decontaminate",
+    "domain_quota_cap", "zorder_layout_stats",
 )
 
 

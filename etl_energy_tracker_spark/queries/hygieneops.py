@@ -1,0 +1,516 @@
+"""Corpus hygiene + data-layout operators (round-4 continuation).
+
+Five more first-class training-data-pipeline operators, each a pure
+column-expression plan with a DuckDB oracle:
+
+- ``ngram_lm_score``      — bigram language-model quality scoring
+  (CCNet/KenLM shape): train add-one-smoothed bigram stats on the
+  corpus itself, score every document's average log-probability, and
+  band it. The perplexity filter of a pre-training pipeline.
+- ``dup_window_spans``    — exact-substring duplication at token-window
+  granularity (Lee et al. 2022 "Deduplicating Training Data" shape):
+  8-token sliding windows, windows shared across documents mark
+  duplicated spans; per-doc duplicated fraction drives a trim/drop
+  decision.
+- ``bloom_decontaminate`` — benchmark decontamination through a Bloom
+  filter (k=3, m=2^17) built from the held-out benchmark n-grams,
+  compared against the exact semi-join so the false-positive rows are
+  visible and counted.
+- ``domain_quota_cap``    — per-source document quota by deterministic
+  hash-rank (the Common-Crawl per-domain cap): stable under corpus
+  growth, no rand().
+- ``zorder_layout_stats`` — Z-order (Morton) clustering key over
+  orders(custkey, orderdate) + range-bucketed file assignment, with
+  per-bucket min/max envelopes — the data-layout primitive that makes
+  100 TB scans skippable on two dimensions at once.
+
+No Python UDFs anywhere; every float that reaches the output is either
+a single IEEE division (exact, engine-portable) or a per-row ln()
+rounded to 6 dp before an exact DECIMAL sum (so aggregation order can
+never move the result).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import MOD, duckdb_charhash, spark_charhash
+from ..sources.registry import load_table
+from .catalog import register
+
+# ---------------------------------------------------------------- tokens
+
+_TOKS_DUCK = (
+    "SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens "
+    "FROM documents"
+)
+
+
+def _toks(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tokens"))
+
+
+# ------------------------------------------------------- bigram LM score
+
+# Per-bigram log-prob is rounded to 6 dp and summed as DECIMAL: the sum
+# is then exact and associative, so partition order / combiner shape
+# cannot change the result (a raw double sum over a groupBy would be
+# order-dependent and engine-divergent). The only cross-engine float
+# surface left is a single ln() per *distinct* bigram, rounded to 6 dp.
+
+# band thresholds in micro-log-prob units (exact integer compare)
+_LM_BANDS = (
+    "CASE WHEN avg_logp_micro >= -4500000 THEN 'high' "
+    "WHEN avg_logp_micro >= -6000000 THEN 'mid' ELSE 'low' END"
+)
+
+# floor division toward -inf from truncating/engine-varying division:
+# subtract the normalized remainder first so the numerator divides
+# exactly — then Spark's `div` (truncate) and DuckDB's `//` agree.
+def _floor_div(m: str, n: str, div_op: str) -> str:
+    return f"(({m}) - (((({m}) % ({n})) + ({n})) % ({n}))) {div_op} ({n})"
+
+
+@register(
+    "ngram_lm_score",
+    oracle=f"""
+    WITH toks AS ({_TOKS_DUCK}),
+    bi AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(tokens) - 1, 0) + 1),
+                   i -> struct_pack(w1 := tokens[CAST(i AS INT)],
+                                    w2 := tokens[CAST(i AS INT) + 1]))) AS b
+        FROM toks
+    ),
+    bip AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bip GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bip GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT u) AS v
+          FROM (SELECT unnest(tokens) AS u FROM toks)),
+    scored AS (
+        SELECT bip.doc_id,
+               CAST(CAST(ROUND(ln((c12.c12 + 1.0) / (c1.c1 + v.v)), 6)
+                         AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS logp_micro
+        FROM bip JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    agg AS (
+        SELECT doc_id,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(logp_micro) AS BIGINT) AS sum_logp_micro
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, sum_logp_micro,
+           {_floor_div("sum_logp_micro", "n_bigrams", "//")} AS avg_logp_micro,
+           {_LM_BANDS.replace("avg_logp_micro", _floor_div("sum_logp_micro", "n_bigrams", "//"))} AS band
+    FROM agg
+    """,
+    tags=("corpus", "quality"),
+    doc="Bigram-LM quality scoring (CCNet/KenLM shape): add-one-smoothed "
+    "bigram probabilities trained on the corpus itself, per-document "
+    "average log-prob, banded high/mid/low. Plan: one map-side bigram "
+    "explode, two count shuffles (bigram, context), one shuffle join of "
+    "doc-bigrams against the LM table, one per-doc aggregate. The LM "
+    "table is vocab-bounded — at 100 TB it is still joinable by key "
+    "(or broadcastable after a top-K frequency cut, the KenLM pruning "
+    "step). Per-bigram ln() is rounded to 6 dp once, scaled to integer "
+    "micro-units, and every downstream op (sum, floor-div average, "
+    "band compare) is exact integer arithmetic — aggregation order and "
+    "engine rounding semantics cannot move the result (a raw double "
+    "avg landed exactly on a .5e-6 boundary at sf0.1 and split the "
+    "engines).",
+)
+def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = _toks(docs)
+    bip = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(tokens) - 1, 0)), "
+                "i -> struct(tokens[i-1] AS w1, tokens[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c12 = bip.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bip.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        toks.select(F.explode("tokens").alias("u"))
+        .agg(F.countDistinct("u").alias("v"))
+    )
+    scored = (
+        bip.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                F.round(
+                    F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))), 6
+                ).cast("decimal(18,6)")
+                * 1000000
+            )
+            .cast("long")
+            .alias("logp_micro"),
+        )
+    )
+    avg = _floor_div("sum_logp_micro", "n_bigrams", "div")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("logp_micro").alias("sum_logp_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_logp_micro",
+            F.expr(avg).alias("avg_logp_micro"),
+            F.expr(_LM_BANDS.replace("avg_logp_micro", avg)).alias("band"),
+        )
+    )
+
+
+# --------------------------------------------- duplicated window spans
+
+_WIN = 8  # tokens per sliding window
+_DUP_FRAC = 0.2  # drop threshold on duplicated-window fraction
+
+_WINS_DUCK = f"""
+    SELECT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(tokens) - {_WIN - 1}, 0) + 1),
+               i -> array_to_string(tokens[CAST(i AS INT):CAST(i AS INT) + {_WIN - 1}], ' '))) AS win
+    FROM ({_TOKS_DUCK})
+"""
+
+
+@register(
+    "dup_window_spans",
+    oracle=f"""
+    WITH wins AS ({_WINS_DUCK}),
+    shared AS (
+        SELECT win FROM wins GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (
+        SELECT wins.doc_id,
+               CASE WHEN shared.win IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+        FROM wins LEFT JOIN shared ON wins.win = shared.win
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_windows,
+           CAST(SUM(is_dup) AS BIGINT) AS dup_windows,
+           ROUND(SUM(is_dup) * 1.0 / COUNT(*), 6) AS dup_frac,
+           CASE WHEN SUM(is_dup) * 1.0 / COUNT(*) >= {_DUP_FRAC}
+                THEN 1 ELSE 0 END AS drop_doc
+    FROM flagged
+    GROUP BY doc_id
+    """,
+    tags=("corpus", "dedup"),
+    doc="Exact-substring duplication at token-window granularity (Lee "
+    "et al. 2022 shape): 8-token sliding windows (stride 1), a window "
+    "appearing in >=2 documents marks a duplicated span; per-doc "
+    "duplicated-window fraction drives the drop decision. Spark keys "
+    "the shuffle on xxhash64(window) — 64-bit keys instead of full "
+    "window strings, the scale-correct form (collision odds ~n^2/2^64; "
+    "the string-keyed oracle doubles as the collision check). Two "
+    "shuffles: window-frequency count and the doc-window join back.",
+)
+def dup_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    wins = (
+        _toks(docs)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(tokens) - {_WIN - 1}, 0)), "
+                    f"i -> concat_ws(' ', slice(tokens, i, {_WIN})))"
+                )
+            ).alias("win"),
+        )
+        .select("doc_id", F.xxhash64("win").alias("wh"))
+    )
+    shared = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("wh", F.lit(1).alias("is_dup"))
+    )
+    frac = F.sum("is_dup") * 1.0 / F.count(F.lit(1))
+    return (
+        wins.join(shared, "wh", "left")
+        .withColumn("is_dup", F.coalesce("is_dup", F.lit(0)))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum("is_dup").alias("dup_windows"),
+            F.round(frac, 6).alias("dup_frac"),
+            F.when(frac >= _DUP_FRAC, 1).otherwise(0).alias("drop_doc"),
+        )
+    )
+
+
+# --------------------------------------------- bloom decontamination
+
+_M_BITS = 131072  # 2^17-bit filter
+_K = 3
+
+_NGRAM3_DUCK = """
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(tokens) - 2, 0) + 1),
+               i -> tokens[CAST(i AS INT)] || ' ' ||
+                    tokens[CAST(i AS INT) + 1] || ' ' ||
+                    tokens[CAST(i AS INT) + 2])) AS g
+    FROM ({TOKS})
+""".format(TOKS=_TOKS_DUCK)
+
+_NGRAM3_SPARK = (
+    "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+    "i -> concat(tokens[i-1], ' ', tokens[i], ' ', tokens[i+1]))"
+)
+
+
+def _bloom_pos_duck(i: int) -> str:
+    return f"(({duckdb_charhash('g')} * {2 * i + 3} + {101 * (i + 1)}) % {_M_BITS})"
+
+
+def _bloom_pos_spark(i: int) -> str:
+    return f"(({spark_charhash('g')} * {2 * i + 3} + {101 * (i + 1)}) % {_M_BITS})"
+
+
+@register(
+    "bloom_decontaminate",
+    oracle=f"""
+    WITH grams AS ({_NGRAM3_DUCK}),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+    bits AS (
+        SELECT DISTINCT pos FROM (
+            {" UNION ALL ".join(f"SELECT {_bloom_pos_duck(i)} AS pos FROM bench" for i in range(_K))}
+        )
+    ),
+    corpus_g AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 != 0),
+    gpos AS (
+        {" UNION ALL ".join(f"SELECT g, {_bloom_pos_duck(i)} AS pos FROM corpus_g" for i in range(_K))}
+    ),
+    gtest AS (
+        SELECT g, CASE WHEN COUNT(bits.pos) = {_K} THEN 1 ELSE 0 END AS bloom_hit
+        FROM gpos LEFT JOIN bits USING (pos)
+        GROUP BY g
+    ),
+    gflag AS (
+        SELECT gtest.g, gtest.bloom_hit,
+               CASE WHEN bench.g IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+        FROM gtest LEFT JOIN bench ON gtest.g = bench.g
+    )
+    SELECT doc_id,
+           CAST(SUM(bloom_hit) AS BIGINT) AS bloom_hits,
+           CAST(SUM(exact_hit) AS BIGINT) AS exact_hits,
+           CAST(SUM(bloom_hit) - SUM(exact_hit) AS BIGINT) AS false_pos
+    FROM (SELECT * FROM grams WHERE doc_id % 50 != 0) corpus
+    JOIN gflag USING (g)
+    GROUP BY doc_id
+    HAVING SUM(bloom_hit) > 0
+    """,
+    tags=("corpus", "dedup"),
+    doc="Benchmark decontamination through a Bloom filter (k=3 portable "
+    "hashes, m=2^17 bits) built from the held-out benchmark 3-grams, "
+    "with the exact semi-join run alongside so every false positive is "
+    "visible and counted per document. The bit-set is O(m) regardless "
+    "of corpus size — at 100 TB it broadcasts as a few KBs while the "
+    "exact gram set may not, which is exactly why production "
+    "decontamination blooms first and verifies the survivors. The "
+    "membership test runs once per distinct corpus gram, then joins "
+    "back to documents.",
+)
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    grams = _toks(docs).select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_NGRAM3_SPARK))).alias("g")
+    )
+    bench = grams.where(F.col("doc_id") % 50 == 0).select("g").distinct()
+    pos_exprs = [F.expr(_bloom_pos_spark(i)) for i in range(_K)]
+    bits = (
+        bench.select(F.explode(F.array(*pos_exprs)).alias("pos")).distinct()
+    )
+    corpus_g = grams.where(F.col("doc_id") % 50 != 0).select("g").distinct()
+    gpos = corpus_g.select("g", F.explode(F.array(*pos_exprs)).alias("pos"))
+    gtest = (
+        gpos.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("g")
+        .agg(
+            F.when(F.count("hit") == _K, 1).otherwise(0).alias("bloom_hit")
+        )
+    )
+    gflag = (
+        gtest.join(F.broadcast(bench.withColumn("ex", F.lit(1))), "g", "left")
+        .select("g", "bloom_hit", F.coalesce("ex", F.lit(0)).alias("exact_hit"))
+    )
+    return (
+        grams.where(F.col("doc_id") % 50 != 0)
+        .join(gflag, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("bloom_hit").alias("bloom_hits"),
+            F.sum("exact_hit").alias("exact_hits"),
+            (F.sum("bloom_hit") - F.sum("exact_hit")).alias("false_pos"),
+        )
+        .where(F.col("bloom_hits") > 0)
+    )
+
+
+# ------------------------------------------------- per-domain quota cap
+
+_QUOTA = 30  # max docs kept per source domain
+
+_RANK_HASH_DUCK = duckdb_charhash("CAST(doc_id AS VARCHAR)")
+_RANK_HASH_SPARK = spark_charhash("cast(doc_id as string)")
+
+
+@register(
+    "domain_quota_cap",
+    oracle=f"""
+    SELECT doc_id, source, rank
+    FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {_RANK_HASH_DUCK}, doc_id) AS rank
+        FROM documents
+    )
+    WHERE rank <= {_QUOTA}
+    """,
+    tags=("corpus",),
+    doc="Per-source document quota (the Common-Crawl per-domain cap): "
+    "keep at most N documents per source, chosen by deterministic "
+    "hash-rank (portable hash of doc_id, doc_id tiebreak) — stable "
+    "under corpus growth and reprocessing, unlike rand() ordering. "
+    "One shuffle (per-source window). At 100 TB the same cap runs as "
+    "groupBy(source) + slice via a pre-aggregated per-source count, "
+    "or rank within salted sub-partitions when one domain dominates.",
+)
+def domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = W.partitionBy("source").orderBy(F.expr(_RANK_HASH_SPARK), "doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _QUOTA)
+    )
+
+
+# ------------------------------------------------ z-order layout stats
+
+_ZBITS = 8  # bits per dimension after range-id normalization
+_ZBUCKETS = 32
+
+
+def _z_duck(xe: str, ye: str) -> str:
+    # DuckDB's << binds looser than +, so each shift term is
+    # fully parenthesized before joining with +.
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"(((({xe}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({ye}) >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+def _z_spark(xe: str, ye: str) -> str:
+    terms = []
+    for i in range(_ZBITS):
+        terms.append(f"shiftleft(shiftright({xe}, {i}) & 1, {2 * i})")
+        terms.append(f"shiftleft(shiftright({ye}, {i}) & 1, {2 * i + 1})")
+    return " + ".join(terms)
+
+
+# normalize a dimension to an 8-bit range id: ((v - vmin) * 255) div
+# (vmax - vmin). Non-negative integer division, so truncation == floor
+# on both engines. This is the range-id step real z-order writers run
+# (raw bit-interleave lets the wider dimension's high bits drown the
+# narrower one — observed here: day spans 14 bits, custkey 8, and the
+# un-normalized curve degenerated to a date sort).
+def _rid(v: str, vmin: str, vmax: str, div_op: str) -> str:
+    return f"((({v}) - ({vmin})) * {(1 << _ZBITS) - 1}) {div_op} (greatest(({vmax}) - ({vmin}), 1))"
+
+
+_Y_DUCK = "CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)"
+_Y_SPARK = "cast(datediff(cast(o_orderdate as date), date'1970-01-01') as bigint)"
+
+
+@register(
+    "zorder_layout_stats",
+    oracle=f"""
+    WITH base AS (
+        SELECT o_orderkey, o_custkey, {_Y_DUCK} AS oday FROM orders
+    ),
+    ext AS (
+        SELECT MIN(o_custkey) AS cmin, MAX(o_custkey) AS cmax,
+               MIN(oday) AS dmin, MAX(oday) AS dmax
+        FROM base
+    ),
+    z AS (
+        SELECT o_orderkey, o_custkey, oday,
+               {_z_duck(_rid("o_custkey", "cmin", "cmax", "//"), _rid("oday", "dmin", "dmax", "//"))} AS zkey
+        FROM base CROSS JOIN ext
+    ),
+    b AS (
+        SELECT *, NTILE({_ZBUCKETS}) OVER (ORDER BY zkey, o_orderkey) AS bucket
+        FROM z
+    )
+    SELECT bucket,
+           COUNT(*) AS n_rows,
+           MIN(o_custkey) AS min_cust, MAX(o_custkey) AS max_cust,
+           MIN(oday) AS min_day, MAX(oday) AS max_day
+    FROM b
+    GROUP BY bucket
+    """,
+    tags=("layout",),
+    doc="Z-order (Morton) data layout: interleave the bits of customer "
+    "key and order date into one clustering key, range-bucket rows into "
+    "files by it, and report each file's min/max envelope on BOTH "
+    "dimensions — the statistics a scan uses to skip files given a "
+    "predicate on either column. This is the layout step that makes a "
+    "100 TB table skippable on two dimensions at once (vs single-column "
+    "sort which only helps one). Each dimension is first normalized to "
+    "an 8-bit range id from its min/max (the range-id step Delta's "
+    "OPTIMIZE ZORDER runs — raw interleave lets the wider dimension's "
+    "high bits drown the narrower one). NTILE-over-zkey here is exactly "
+    "repartitionByRange(zkey) + per-file stats at cluster scale; pure "
+    "integer bit arithmetic, portable across engines. The min/max "
+    "pre-pass is one tiny aggregate broadcast back (at 100 TB you'd "
+    "use approx column stats already in the table metadata).",
+)
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    base = orders.select(
+        "o_orderkey", "o_custkey", F.expr(_Y_SPARK).alias("oday")
+    )
+    ext = base.agg(
+        F.min("o_custkey").alias("cmin"),
+        F.max("o_custkey").alias("cmax"),
+        F.min("oday").alias("dmin"),
+        F.max("oday").alias("dmax"),
+    )
+    z = base.crossJoin(F.broadcast(ext)).select(
+        "o_orderkey",
+        "o_custkey",
+        "oday",
+        F.expr(
+            _z_spark(
+                _rid("o_custkey", "cmin", "cmax", "div"),
+                _rid("oday", "dmin", "dmax", "div"),
+            )
+        ).alias("zkey"),
+    )
+    b = z.withColumn(
+        "bucket", F.ntile(_ZBUCKETS).over(W.orderBy("zkey", "o_orderkey"))
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_custkey").alias("min_cust"),
+        F.max("o_custkey").alias("max_cust"),
+        F.min("oday").alias("min_day"),
+        F.max("oday").alias("max_day"),
+    )
