@@ -63,6 +63,8 @@ def _load_all() -> None:
     from . import trackingops  # noqa: F401
     from . import llmprep  # noqa: F401
     from . import hygieneops  # noqa: F401
+    from . import sketchops  # noqa: F401
+    from . import graphops  # noqa: F401
 
 
 # Queries already driver-verified green in CORRECTNESS_r01.json or
@@ -167,6 +169,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # r4 late additions (hygieneops.py), never driver-checked
     "ngram_lm_score", "dup_window_spans", "bloom_decontaminate",
     "domain_quota_cap", "zorder_layout_stats",
+    "cms_token_counts", "cms_join_cardinality", "pagerank_bipartite",
 )
 
 

@@ -1,0 +1,220 @@
+"""Sketch operators — sublinear-memory summaries with exact error
+accounting, the query-planning / monitoring layer of a 100 TB engine.
+
+- ``cms_token_counts``     — Count-Min sketch (d×w) over the corpus
+  token stream, probed for the top exact tokens so the one-sided
+  overestimate guarantee is visible per token.
+- ``cms_join_cardinality`` — join-size estimation WITHOUT running the
+  join: CMS inner product of the two key streams (the classic AGMS/
+  CMS application planners use to pick join order), reported next to
+  the exact cardinality.
+
+Both sketches use the engine-portable polynomial hash family
+(functions/hashing.py) so Spark and DuckDB build bit-identical
+sketches: every cell, estimate, and error term is an exact integer on
+both engines — no float surface at all (the ratio column is a single
+IEEE division, rounded once).
+
+Scale notes: a CMS is a d×w integer grid built by map-side partial
+aggregation — per-partition state is bounded by d×w cells regardless
+of input size or key cardinality, and the merge is cellwise addition
+(associative, commutative). That is why it works where an exact
+groupBy over 10^11 keys would not. Here the cells come from a groupBy
+on (row, position) — same result, and the exact counts are computed
+anyway for the error audit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duckdb_charhash, spark_charhash
+from ..sources.registry import load_table
+from .catalog import register
+
+# ------------------------------------------------------ CMS parameters
+
+_CMS_D = 4  # depth (independent hash rows)
+_CMS_W = 512  # width (cells per row)
+_TOPN = 15  # probe set: top-N exact tokens
+
+
+def _pos_duck(expr: str, j: int, w: int) -> str:
+    return f"(({duckdb_charhash(expr)} * {2 * j + 3} + {577 * (j + 1)}) % {w})"
+
+
+def _pos_spark(expr: str, j: int, w: int) -> str:
+    return f"(({spark_charhash(expr)} * {2 * j + 3} + {577 * (j + 1)}) % {w})"
+
+
+_TOKS_DUCK = (
+    "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
+    "FROM documents"
+)
+
+
+@register(
+    "cms_token_counts",
+    oracle=f"""
+    WITH toks AS ({_TOKS_DUCK}),
+    exact AS (SELECT tok, COUNT(*) AS exact_c FROM toks GROUP BY tok),
+    cells AS (
+        {" UNION ALL ".join(f"SELECT {j} AS j, {_pos_duck('tok', j, _CMS_W)} AS pos, CAST(SUM(exact_c) AS BIGINT) AS cell FROM exact GROUP BY pos" for j in range(_CMS_D))}
+    ),
+    probe AS (
+        SELECT tok, exact_c FROM exact
+        ORDER BY exact_c DESC, tok LIMIT {_TOPN}
+    ),
+    est AS (
+        SELECT probe.tok, probe.exact_c, MIN(cells.cell) AS est_c
+        FROM probe
+        JOIN cells ON (
+            {" OR ".join(f"(cells.j = {j} AND cells.pos = {_pos_duck('probe.tok', j, _CMS_W)})" for j in range(_CMS_D))}
+        )
+        GROUP BY probe.tok, probe.exact_c
+    )
+    SELECT tok, exact_c, est_c, est_c - exact_c AS overest
+    FROM est
+    """,
+    tags=("sketch",),
+    doc="Count-Min sketch over the corpus token stream (d=4, w=512, "
+    "portable hash family), probed for the top exact tokens: per-token "
+    "exact count, CMS estimate, and the one-sided overestimate "
+    "(est >= exact always — the CMS guarantee, pinned in pytest). "
+    "Sketch state is d*w integers regardless of token cardinality; "
+    "build is map-side partial aggregation + cellwise merge, so at "
+    "100 TB it replaces an unboundedly wide exact groupBy for "
+    "frequency monitoring. Bit-identical sketches on both engines.",
+)
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_c"))
+    # build the d cell rows from the exact counts (production builds
+    # them straight off the stream — same cells, see module docstring)
+    cells = None
+    for j in range(_CMS_D):
+        cj = (
+            exact.select(
+                F.lit(j).alias("j"),
+                F.expr(_pos_spark("tok", j, _CMS_W)).alias("pos"),
+                "exact_c",
+            )
+            .groupBy("j", "pos")
+            .agg(F.sum("exact_c").alias("cell"))
+        )
+        cells = cj if cells is None else cells.unionByName(cj)
+    probe = exact.orderBy(F.desc("exact_c"), "tok").limit(_TOPN)
+    probe_pos = probe.select(
+        "tok",
+        "exact_c",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_pos_spark("tok", j, _CMS_W)).alias("pos"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("jp"),
+    ).select("tok", "exact_c", "jp.j", "jp.pos")
+    return (
+        probe_pos.join(F.broadcast(cells), ["j", "pos"])
+        .groupBy("tok", "exact_c")
+        .agg(F.min("cell").alias("est_c"))
+        .select(
+            "tok", "exact_c", "est_c", (F.col("est_c") - F.col("exact_c")).alias("overest")
+        )
+    )
+
+
+# ------------------------------------------- CMS join-size estimation
+
+_JW = 1024  # wider sketch for the cardinality inner product
+_JD = 3
+
+
+@register(
+    "cms_join_cardinality",
+    oracle=f"""
+    WITH ok AS (
+        SELECT CAST(o_orderkey AS VARCHAR) AS k FROM orders
+    ),
+    lk AS (
+        SELECT CAST(l_orderkey AS VARCHAR) AS k FROM lineitem
+    ),
+    oc AS (
+        {" UNION ALL ".join(f"SELECT {j} AS j, {_pos_duck('k', j, _JW)} AS pos, CAST(COUNT(*) AS BIGINT) AS cell FROM ok GROUP BY pos" for j in range(_JD))}
+    ),
+    lc AS (
+        {" UNION ALL ".join(f"SELECT {j} AS j, {_pos_duck('k', j, _JW)} AS pos, CAST(COUNT(*) AS BIGINT) AS cell FROM lk GROUP BY pos" for j in range(_JD))}
+    ),
+    ip AS (
+        SELECT oc.j, CAST(SUM(oc.cell * lc.cell) AS BIGINT) AS dot
+        FROM oc JOIN lc ON oc.j = lc.j AND oc.pos = lc.pos
+        GROUP BY oc.j
+    ),
+    est AS (SELECT MIN(dot) AS est_pairs FROM ip),
+    exact AS (
+        SELECT COUNT(*) AS exact_pairs
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    )
+    SELECT exact_pairs, est_pairs,
+           ROUND(est_pairs * 1.0 / exact_pairs, 6) AS overest_ratio
+    FROM exact CROSS JOIN est
+    """,
+    tags=("sketch",),
+    doc="Join-cardinality estimation without executing the join: build "
+    "a CMS over each side's key stream and take the minimum inner "
+    "product across depth rows (the CMS/AGMS estimator query planners "
+    "use for join ordering). Reported next to the exact |orders x "
+    "lineitem| count; the estimate is one-sided (est >= exact, pinned "
+    "in pytest). Each side is one scan into d*w bounded cells — at "
+    "100 TB this estimates a fact-fact join size from two cheap "
+    "passes, with no shuffle of either table (the sketches meet on "
+    "d*w rows).",
+)
+def cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    ok = orders.select(F.col("o_orderkey").cast("string").alias("k"))
+    lk = lineitem.select(F.col("l_orderkey").cast("string").alias("k"))
+
+    def sketch(side: DataFrame) -> DataFrame:
+        out = None
+        for j in range(_JD):
+            cj = (
+                side.select(
+                    F.lit(j).alias("j"),
+                    F.expr(_pos_spark("k", j, _JW)).alias("pos"),
+                )
+                .groupBy("j", "pos")
+                .agg(F.count(F.lit(1)).alias("cell"))
+            )
+            out = cj if out is None else out.unionByName(cj)
+        return out
+
+    oc = sketch(ok)
+    lc = sketch(lk).withColumnRenamed("cell", "cell2")
+    ip = (
+        oc.join(lc, ["j", "pos"])
+        .groupBy("j")
+        .agg(F.sum(F.col("cell") * F.col("cell2")).alias("dot"))
+    )
+    est = ip.agg(F.min("dot").alias("est_pairs"))
+    exact = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .agg(F.count(F.lit(1)).alias("exact_pairs"))
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_pairs",
+        "est_pairs",
+        F.round(F.col("est_pairs") * 1.0 / F.col("exact_pairs"), 6).alias(
+            "overest_ratio"
+        ),
+    )

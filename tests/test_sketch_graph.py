@@ -1,0 +1,69 @@
+"""Invariant tests for sketchops.py and graphops.py."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from etl_energy_tracker_spark.queries.graphops import (
+    _ITER,
+    _SCALE,
+    _TELEPORT,
+    pagerank_bipartite,
+)
+from etl_energy_tracker_spark.queries.sketchops import (
+    _TOPN,
+    cms_join_cardinality,
+    cms_token_counts,
+)
+
+from conftest import SF_DIR
+
+
+def test_cms_one_sided_overestimate(spark):
+    rows = cms_token_counts(spark, SF_DIR).collect()
+    assert len(rows) == _TOPN
+    for r in rows:
+        assert r.est_c >= r.exact_c, r  # the CMS guarantee
+        assert r.overest == r.est_c - r.exact_c
+    # the probe set must be the true top-N by exact count
+    toks = Counter()
+    for d in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect():
+        toks.update(d.text.strip().split())
+    expect = sorted(toks.items(), key=lambda kv: (-kv[1], kv[0]))[:_TOPN]
+    got = {(r.tok, r.exact_c) for r in rows}
+    assert got == set(expect)
+
+
+def test_cms_join_cardinality_bounds(spark):
+    r = cms_join_cardinality(spark, SF_DIR).collect()[0]
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    od = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    n = li.join(od, li.l_orderkey == od.o_orderkey).count()
+    assert r.exact_pairs == n
+    assert r.est_pairs >= r.exact_pairs  # inner product over-counts only
+    assert r.overest_ratio >= 1.0
+
+
+def test_pagerank_matches_python_reference(spark):
+    rows = {r.v: r.score for r in pagerank_bipartite(spark, SF_DIR).collect()}
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    cust_of = {o.o_orderkey: o.o_custkey for o in orders}
+    pairs = {
+        (cust_of[l.l_orderkey], l.l_suppkey)
+        for l in lineitem
+        if l.l_orderkey in cust_of
+    }
+    adj = defaultdict(list)
+    for ck, sk in pairs:
+        adj[f"c{ck}"].append(f"s{sk}")
+        adj[f"s{sk}"].append(f"c{ck}")
+    score = {v: _SCALE for v in adj}
+    for _ in range(_ITER):
+        nxt = {v: _TELEPORT for v in adj}
+        for u, nbrs in adj.items():
+            part = (score[u] * 85) // (100 * len(nbrs))
+            for v in nbrs:
+                nxt[v] += part
+        score = nxt
+    assert rows == score
