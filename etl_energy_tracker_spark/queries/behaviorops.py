@@ -1,0 +1,146 @@
+"""Behavioral analytics over the event stream — the product-analytics
+query family (funnels, retention) expressed as joins/aggregates that
+scale: no per-user collect, no UDFs, state bounded per user.
+
+``funnel_conversion`` is the ordered-funnel primitive: for each user,
+the first 'view', the first 'click' strictly after that view, and the
+first 'purchase' strictly after that click. Per-user stage row plus
+timestamps; the ordering constraint is what distinguishes a funnel
+from three independent existence checks.
+
+Scale notes: three filtered min-aggregates on user_id (map-side
+partial min, one shuffle each on the same key — co-partitioned in one
+exchange under AQE) and two user-keyed joins. At 100 TB user_id is
+the natural bucketing/partition key for the whole events table, which
+turns all three aggregations and both joins into co-located work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .catalog import register
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS ts_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS ts_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.ts_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS ts_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.ts_click
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.ts_view, c.ts_click, p.ts_purchase,
+           CASE WHEN p.user_id IS NOT NULL THEN 'purchase'
+                WHEN c.user_id IS NOT NULL THEN 'click'
+                ELSE 'view' END AS stage
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    tags=("events",),
+    doc="Ordered funnel (view -> click -> purchase): per user the "
+    "first view, the first click strictly after it, and the first "
+    "purchase strictly after that click — the ordering constraint is "
+    "what makes it a funnel rather than three existence checks. "
+    "Filtered min-aggregates + user-keyed left joins, all on the one "
+    "key the events table would be bucketed by at 100 TB.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("ts_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("ts_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "ts_view",
+            "ts_click",
+            "ts_purchase",
+            F.when(F.col("ts_purchase").isNotNull(), "purchase")
+            .when(F.col("ts_click").isNotNull(), "click")
+            .otherwise("view")
+            .alias("stage"),
+        )
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH first_day AS (
+        SELECT user_id,
+               CAST(datediff('day', DATE '2024-01-01', CAST(MIN(ts) AS DATE)) AS BIGINT) AS cohort_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_day,
+               CAST(datediff('day', DATE '2024-01-01', CAST(e.ts AS DATE)) AS BIGINT)
+                   - f.cohort_day AS age_days
+        FROM events e JOIN first_day f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, age_days, COUNT(*) AS active_users
+    FROM activity
+    WHERE age_days <= 7
+    GROUP BY cohort_day, age_days
+    """,
+    tags=("events",),
+    doc="Retention cohort matrix: users grouped by first-seen day, "
+    "counted on each subsequent active day (day-age 0..7) — the "
+    "classic triangle retention table. One min-aggregate on user_id, "
+    "one user-keyed join back, one distinct + count. Day arithmetic "
+    "is pure integer date-diff, portable across engines.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date")).cast(
+        "long"
+    )
+    first = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    first = first.select(
+        "user_id",
+        F.datediff(F.col("first_ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("cohort_day"),
+    )
+    activity = (
+        ev.join(first, "user_id")
+        .select("user_id", "cohort_day", (day - F.col("cohort_day")).alias("age_days"))
+        .distinct()
+    )
+    return (
+        activity.where(F.col("age_days") <= 7)
+        .groupBy("cohort_day", "age_days")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )

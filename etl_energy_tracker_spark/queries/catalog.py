@@ -65,6 +65,8 @@ def _load_all() -> None:
     from . import hygieneops  # noqa: F401
     from . import sketchops  # noqa: F401
     from . import graphops  # noqa: F401
+    from . import behaviorops  # noqa: F401
+    from . import searchops  # noqa: F401
 
 
 # Queries already driver-verified green in CORRECTNESS_r01.json or
@@ -170,6 +172,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "ngram_lm_score", "dup_window_spans", "bloom_decontaminate",
     "domain_quota_cap", "zorder_layout_stats",
     "cms_token_counts", "cms_join_cardinality", "pagerank_bipartite",
+    "funnel_conversion", "retention_cohorts", "inverted_index_postings",
 )
 
 

@@ -1,0 +1,76 @@
+"""Invariant tests for behaviorops.py and searchops.py."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from etl_energy_tracker_spark.queries.behaviorops import (
+    funnel_conversion,
+    retention_cohorts,
+)
+from etl_energy_tracker_spark.queries.searchops import (
+    _TOP_DF,
+    inverted_index_postings,
+)
+
+from conftest import SF_DIR
+
+
+def test_funnel_stage_ordering(spark):
+    rows = funnel_conversion(spark, SF_DIR).collect()
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_user = defaultdict(list)
+    for e in events:
+        by_user[e.user_id].append((e.ts, e.event_type))
+    viewers = {u for u, evs in by_user.items() if any(t == "view" for _, t in evs)}
+    assert {r.user_id for r in rows} == viewers
+    for r in rows:
+        evs = sorted(by_user[r.user_id])
+        first_view = min(ts for ts, t in evs if t == "view")
+        assert r.ts_view == first_view
+        if r.stage == "view":
+            assert r.ts_click is None and r.ts_purchase is None
+            assert not any(t == "click" and ts > first_view for ts, t in evs)
+        else:
+            assert r.ts_click is not None and r.ts_click > r.ts_view
+            assert r.ts_click == min(
+                ts for ts, t in evs if t == "click" and ts > first_view
+            )
+        if r.stage == "purchase":
+            assert r.ts_purchase is not None and r.ts_purchase > r.ts_click
+        elif r.stage == "click":
+            assert r.ts_purchase is None
+
+
+def test_retention_age0_equals_cohort_size(spark):
+    rows = retention_cohorts(spark, SF_DIR).collect()
+    age0 = {r.cohort_day: r.active_users for r in rows if r.age_days == 0}
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    first_day = {}
+    for e in events:
+        d = (e.ts.date() - __import__("datetime").date(2024, 1, 1)).days
+        if e.user_id not in first_day or d < first_day[e.user_id]:
+            first_day[e.user_id] = d
+    cohort_size = Counter(first_day.values())
+    # every user is active on their own first day, so age-0 == cohort size
+    assert age0 == dict(cohort_size)
+    for r in rows:
+        assert 0 <= r.age_days <= 7
+        assert r.active_users <= cohort_size[r.cohort_day]
+
+
+def test_inverted_index_postings_shape(spark):
+    rows = inverted_index_postings(spark, SF_DIR).collect()
+    assert len(rows) == _TOP_DF
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    tf = defaultdict(Counter)
+    for d in docs:
+        for t in d.text.strip().split():
+            tf[t][d.doc_id] += 1
+    for r in rows:
+        assert r.df == len(tf[r.tok])
+        assert len(r.postings) == r.df
+        assert r.postings == sorted(r.postings)
+        for p in r.postings:
+            did, cnt = p // 1000000, p % 1000000
+            assert tf[r.tok][did] == cnt
