@@ -93,20 +93,27 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
     )
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_c"))
-    # build the d cell rows from the exact counts (production builds
-    # them straight off the stream — same cells, see module docstring)
-    cells = None
-    for j in range(_CMS_D):
-        cj = (
-            exact.select(
-                F.lit(j).alias("j"),
-                F.expr(_pos_spark("tok", j, _CMS_W)).alias("pos"),
-                "exact_c",
-            )
-            .groupBy("j", "pos")
-            .agg(F.sum("exact_c").alias("cell"))
+    # build the d cell rows from the exact counts in ONE pass: explode
+    # the (j, pos) pairs per token and aggregate once — one shuffle for
+    # the whole sketch instead of one per depth row (production builds
+    # the same cells straight off the stream, see module docstring)
+    jp = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.expr(_pos_spark("tok", j, _CMS_W)).alias("pos"),
+                )
+                for j in range(_CMS_D)
+            ]
         )
-        cells = cj if cells is None else cells.unionByName(cj)
+    ).alias("jp")
+    cells = (
+        exact.select(jp, "exact_c")
+        .select("jp.j", "jp.pos", "exact_c")
+        .groupBy("j", "pos")
+        .agg(F.sum("exact_c").alias("cell"))
+    )
     probe = exact.orderBy(F.desc("exact_c"), "tok").limit(_TOPN)
     probe_pos = probe.select(
         "tok",
@@ -186,18 +193,25 @@ def cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     lk = lineitem.select(F.col("l_orderkey").cast("string").alias("k"))
 
     def sketch(side: DataFrame) -> DataFrame:
-        out = None
-        for j in range(_JD):
-            cj = (
-                side.select(
-                    F.lit(j).alias("j"),
-                    F.expr(_pos_spark("k", j, _JW)).alias("pos"),
-                )
-                .groupBy("j", "pos")
-                .agg(F.count(F.lit(1)).alias("cell"))
+        # one explode + one aggregate for all depth rows (not one
+        # shuffle per row): each input key contributes d cells
+        jp = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_pos_spark("k", j, _JW)).alias("pos"),
+                    )
+                    for j in range(_JD)
+                ]
             )
-            out = cj if out is None else out.unionByName(cj)
-        return out
+        ).alias("jp")
+        return (
+            side.select(jp)
+            .select("jp.j", "jp.pos")
+            .groupBy("j", "pos")
+            .agg(F.count(F.lit(1)).alias("cell"))
+        )
 
     oc = sketch(ok)
     lc = sketch(lk).withColumnRenamed("cell", "cell2")
