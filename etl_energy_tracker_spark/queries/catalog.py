@@ -67,6 +67,7 @@ def _load_all() -> None:
     from . import graphops  # noqa: F401
     from . import behaviorops  # noqa: F401
     from . import searchops  # noqa: F401
+    from . import cdcops  # noqa: F401
 
 
 # Queries already driver-verified green in CORRECTNESS_r01.json or
@@ -173,6 +174,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "domain_quota_cap", "zorder_layout_stats",
     "cms_token_counts", "cms_join_cardinality", "pagerank_bipartite",
     "funnel_conversion", "retention_cohorts", "inverted_index_postings",
+    "cdc_apply_changes", "scd2_point_in_time_join", "table_profile_stats",
 )
 
 
