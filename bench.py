@@ -57,6 +57,21 @@ HEADLINE = [
     "multimodal_features",
 ]
 
+# Round-4 additions, timed and reported separately: NOT in the
+# headline total so `value` stays comparable to the BASELINE.md
+# 30-query figure across rounds. Their own baseline is their first
+# recorded figure (BASELINE.md r4 section).
+EXTRA = [
+    "ngram_lm_score",
+    "dup_window_spans",
+    "bloom_decontaminate",
+    "cms_token_counts",
+    "pagerank_bipartite",
+    "funnel_conversion",
+    "scd2_point_in_time_join",
+    "inverted_index_postings",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,10 +93,7 @@ def main() -> None:
     # runs baseline, a third only when the first two disagree by >1.5x
     # (i.e. at least one was noisy) — bounded extra wall time, spent
     # exactly where variance was observed.
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = qs[name]
+    def time_query(fn) -> float:
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -91,9 +103,15 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
-        dt = round(min(runs), 3)
-        timings[name] = dt
-        total += dt
+        return round(min(runs), 3)
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        timings[name] = time_query(qs[name])
+        total += timings[name]
+
+    extra = {name: time_query(qs[name]) for name in EXTRA}
 
     print(
         json.dumps(
@@ -102,6 +120,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "extra_queries": extra,
                 "sf": sf,
             }
         )
