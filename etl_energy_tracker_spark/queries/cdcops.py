@@ -243,3 +243,68 @@ def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+_IVM_CUT = "TIMESTAMP '2024-01-08 00:00:00'"
+
+
+@register(
+    "incremental_agg_maintenance",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(38,6))) AS s
+        FROM events WHERE ts < {_IVM_CUT} GROUP BY user_id
+    ),
+    delta AS (
+        SELECT user_id, COUNT(*) AS n,
+               SUM(CAST(value AS DECIMAL(38,6))) AS s
+        FROM events WHERE ts >= {_IVM_CUT} GROUP BY user_id
+    )
+    SELECT COALESCE(b.user_id, d.user_id) AS user_id,
+           COALESCE(b.n, 0) AS n_base,
+           COALESCE(d.n, 0) AS n_delta,
+           COALESCE(b.n, 0) + COALESCE(d.n, 0) AS n_events,
+           CAST(COALESCE(b.s, 0) + COALESCE(d.s, 0) AS DOUBLE) AS sum_value
+    FROM base b FULL OUTER JOIN delta d ON b.user_id = d.user_id
+    """,
+    tags=("cdc", "aggregate"),
+    doc="Incremental view maintenance: a per-user aggregate snapshot "
+    "(events before the cut) merged with the partial aggregate of the "
+    "newly-arrived delta partition — COUNTs add, DECIMAL-exact sums "
+    "add, no rescan of the base data. The merge result provably "
+    "equals the full recompute (pinned in pytest), which is the whole "
+    "IVM contract: at 100 TB you maintain the materialized aggregate "
+    "by folding in each day's partition instead of re-aggregating "
+    "history. Decimal accumulation keeps the merge exact and "
+    "order-independent (functions/stable.py rationale).",
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    cut = F.expr(_IVM_CUT)
+
+    def partial(side: DataFrame) -> DataFrame:
+        return side.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).alias("s"),
+        )
+
+    base = partial(ev.where(F.col("ts") < cut)).alias("b")
+    delta = partial(ev.where(F.col("ts") >= cut)).alias("d")
+    return (
+        base.join(delta, F.col("b.user_id") == F.col("d.user_id"), "full_outer")
+        .select(
+            F.coalesce("b.user_id", "d.user_id").alias("user_id"),
+            F.coalesce("b.n", F.lit(0)).alias("n_base"),
+            F.coalesce("d.n", F.lit(0)).alias("n_delta"),
+            (F.coalesce("b.n", F.lit(0)) + F.coalesce("d.n", F.lit(0))).alias(
+                "n_events"
+            ),
+            (
+                F.coalesce(F.col("b.s"), F.lit(0).cast("decimal(38,6)"))
+                + F.coalesce(F.col("d.s"), F.lit(0).cast("decimal(38,6)"))
+            )
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

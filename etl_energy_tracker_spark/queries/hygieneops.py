@@ -514,3 +514,81 @@ def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("oday").alias("min_day"),
         F.max("oday").alias("max_day"),
     )
+
+
+# -------------------------------------------- compaction bin packing
+
+_NBINS = 8
+
+
+@register(
+    "compaction_bin_packing",
+    oracle=f"""
+    WITH files AS (
+        SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+               COUNT(*) AS n_rows
+        FROM lineitem GROUP BY ym
+    ),
+    tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM files),
+    packed AS (
+        SELECT ym, n_rows,
+               CAST(COALESCE(SUM(n_rows) OVER (
+                   ORDER BY ym ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+               (total + {_NBINS} - 1) // {_NBINS} AS target
+        FROM files CROSS JOIN tot
+    )
+    SELECT cum_before // target AS bin,
+           COUNT(*) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+           MIN(ym) AS min_ym, MAX(ym) AS max_ym
+    FROM packed
+    GROUP BY bin
+    """,
+    tags=("layout",),
+    doc="Small-file compaction planning: monthly lineitem slices stand "
+    "in for data files; files are packed in key order into bins of "
+    "ceil(total/8) rows by running-sum arithmetic — the deterministic "
+    "sequential packing an OPTIMIZE/compaction job uses (key-ordered, "
+    "so compacted files stay range-prunable, unlike first-fit "
+    "bin-packing which scrambles key locality). Pure integer math. "
+    "The running sum is a single-partition window over the FILE LIST "
+    "(thousands of rows at 100 TB — file metadata, not data), never "
+    "over the table itself.",
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    files = (
+        li.select(
+            (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+            .cast("long")
+            .alias("ym")
+        )
+        .groupBy("ym")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    tot = files.agg(F.sum("n_rows").cast("long").alias("total"))
+    w = (
+        W.orderBy("ym")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    packed = (
+        files.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum("n_rows").over(w), F.lit(0)).cast("long"),
+        )
+        .withColumn("target", F.expr(f"(total + {_NBINS} - 1) div {_NBINS}"))
+    )
+    return (
+        packed.select(
+            F.expr("cum_before div target").alias("bin"), "n_rows", "ym"
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.min("ym").alias("min_ym"),
+            F.max("ym").alias("max_ym"),
+        )
+    )

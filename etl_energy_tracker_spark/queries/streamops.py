@@ -276,3 +276,48 @@ def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import dedup_events_stream
 
     return dedup_events_stream(spark, sf_dir)
+
+
+@register(
+    "stream_funnel_stage",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS ts_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS ts_click
+        FROM events e JOIN v ON e.user_id = v.user_id
+        WHERE e.event_type = 'click' AND e.ts > v.ts_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS ts_purchase
+        FROM events e JOIN c ON e.user_id = c.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > c.ts_click
+        GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           epoch_us(v.ts_view) AS ts_view_us,
+           COALESCE(epoch_us(c.ts_click), -1) AS ts_click_us,
+           COALESCE(epoch_us(p.ts_purchase), -1) AS ts_purchase_us,
+           CASE WHEN p.user_id IS NOT NULL THEN 'purchase'
+                WHEN c.user_id IS NOT NULL THEN 'click'
+                ELSE 'view' END AS stage
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    tags=("streaming", "stateful"),
+    doc="Stateful streaming funnel: per-user view->click->purchase "
+    "state machine in applyInPandasWithState GroupState (three int64 "
+    "micros per user — bounded state, not an event buffer), each stage "
+    "gated strictly after the previous one. Driven to completion with "
+    "availableNow; over the bounded source the final state equals the "
+    "batch funnel_conversion, whose SQL is the oracle. The streaming "
+    "twin of queries/behaviorops.funnel_conversion.",
+)
+def stream_funnel_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import funnel_stage_stream
+
+    return funnel_stage_stream(spark, sf_dir)

@@ -312,3 +312,103 @@ def dedup_events_stream(
         finally:
             q.stop()
     return spark.table(name)
+
+
+def funnel_stage_stream(
+    spark: SparkSession, sf_dir: str, shuffle_partitions: int | None = 8
+) -> DataFrame:
+    """Stateful streaming funnel (view -> click -> purchase) via
+    applyInPandasWithState: per-user GroupState holds the three stage
+    timestamps (micros, -1 = not reached) and each micro-batch advances
+    the state machine — a click only counts strictly after the first
+    view, a purchase only strictly after that click.
+
+    State is three int64s per user — bounded, unlike buffering the
+    event history. Events are sorted by (ts, event_id) within each
+    batch; across batches the state machine is monotone for in-order
+    arrival, which a production deployment guarantees with an
+    event-time watermark and the availableNow drive guarantees here
+    (single bounded backlog). Over the static source the final state
+    equals the batch funnel — the oracle.
+    """
+    import uuid as _uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _events_stream(spark, sf_dir)
+    ev = stream.select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        "event_type",
+    )
+
+    def update(key, pdfs, state: GroupState):
+        v, c, p = state.get if state.exists else (-1, -1, -1)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"])
+        for ts_us, et in zip(batch["ts_us"], batch["event_type"]):
+            ts_us = int(ts_us)
+            if et == "view" and v == -1:
+                v = ts_us
+            elif et == "click" and v != -1 and c == -1 and ts_us > v:
+                c = ts_us
+            elif et == "purchase" and c != -1 and p == -1 and ts_us > c:
+                p = ts_us
+        state.update((v, c, p))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "ts_view_us": [v],
+                "ts_click_us": [c],
+                "ts_purchase_us": [p],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, ts_view_us long, ts_click_us long, "
+            "ts_purchase_us long"
+        ),
+        stateStructType="v long, c long, p long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"funnel_out_{_uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    # update mode emits one row per (user, batch); the furthest-
+    # advanced state row is the final one (stages only move forward)
+    from pyspark.sql import Window as W
+
+    res = spark.table(name)
+    w = W.partitionBy("user_id").orderBy(
+        F.desc("ts_purchase_us"), F.desc("ts_click_us"), F.desc("ts_view_us")
+    )
+    return (
+        res.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") == 1) & (F.col("ts_view_us") != -1))
+        .drop("_rn")
+        .select(
+            "user_id",
+            "ts_view_us",
+            "ts_click_us",
+            "ts_purchase_us",
+            F.when(F.col("ts_purchase_us") != -1, "purchase")
+            .when(F.col("ts_click_us") != -1, "click")
+            .otherwise("view")
+            .alias("stage"),
+        )
+    )
