@@ -176,7 +176,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "funnel_conversion", "retention_cohorts", "inverted_index_postings",
     "cdc_apply_changes", "scd2_point_in_time_join", "table_profile_stats",
     "stream_funnel_stage", "incremental_agg_maintenance",
-    "compaction_bin_packing",
+    "compaction_bin_packing", "hll_distinct_audit",
 )
 
 

@@ -232,3 +232,106 @@ def cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overest_ratio"
         ),
     )
+
+
+# ----------------------------------------------- HyperLogLog audit
+
+_HLL_M = 256  # 2^8 buckets
+_HLL_W = 22  # bits in the rho word: (MOD-1)/m < 2^22
+_HLL_ALPHA = "0.7182725932495458"  # 0.7213/(1 + 1.079/m), m=256
+
+
+def _rho_case(w: str) -> str:
+    # rho = leading zeros of the 22-bit word + 1 = 23 - bit_length(w);
+    # a CASE ladder keeps it pure integer (floor(log2) via float ln
+    # would mis-round exactly at powers of two)
+    branches = [f"WHEN ({w}) = 0 THEN {_HLL_W + 1}"]
+    for bl in range(_HLL_W, 0, -1):
+        branches.append(f"WHEN ({w}) >= {1 << (bl - 1)} THEN {_HLL_W + 1 - bl}")
+    return "CASE " + " ".join(branches) + " END"
+
+
+@register(
+    "hll_distinct_audit",
+    oracle=f"""
+    WITH h AS (
+        SELECT {duckdb_charhash("CAST(o_orderkey AS VARCHAR)")} AS hv
+        FROM orders
+    ),
+    reg AS (
+        SELECT hv % {_HLL_M} AS bucket,
+               MAX({_rho_case(f"hv // {_HLL_M}")}) AS rho
+        FROM h GROUP BY bucket
+    ),
+    s AS (
+        SELECT COUNT(*) AS n_filled,
+               SUM(1.0 / CAST((1 << rho) AS DOUBLE)) AS s_filled
+        FROM reg
+    ),
+    est AS (
+        SELECT n_filled,
+               CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M * _HLL_M}
+                   / (({_HLL_M} - n_filled) * 1.0 + s_filled) AS raw
+        FROM s
+    ),
+    exact AS (SELECT COUNT(DISTINCT o_orderkey) AS exact_distinct FROM orders)
+    SELECT exact_distinct,
+           ROUND(raw, 4) AS hll_est,
+           CAST({_HLL_M} - n_filled AS BIGINT) AS n_empty_buckets,
+           ROUND((raw - exact_distinct) / exact_distinct, 6) AS rel_err
+    FROM exact CROSS JOIN est
+    """,
+    tags=("sketch",),
+    doc="HyperLogLog distinct-count audit (m=256, portable hash): "
+    "bucket registers hold the max leading-zero rank of the remaining "
+    "22-bit hash word (CASE-ladder integer rank — a float log2 would "
+    "mis-round at powers of two), the harmonic-mean estimate is "
+    "computed from them, and the exact distinct count sits alongside "
+    "with the relative error. Every 2^-rho term is a dyadic rational "
+    "with LSB 2^-23 and the register sum stays under 2^8, so the "
+    "double summation is EXACT regardless of order — the trick that "
+    "makes an HLL estimate reproducible across engines and cluster "
+    "sizes. Register state is m integers; merge is elementwise max — "
+    "the sketch that replaces COUNT(DISTINCT) over 10^11 keys. "
+    "(Standard-regime estimator; the linear-counting small-range "
+    "correction is out of scope at these SFs.)",
+)
+def hll_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    h = orders.select(
+        F.expr(spark_charhash("cast(o_orderkey as string)")).alias("hv")
+    )
+    reg = (
+        h.select(
+            (F.col("hv") % _HLL_M).alias("bucket"),
+            F.expr(_rho_case(f"hv div {_HLL_M}")).alias("rho"),
+        )
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    s = reg.agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.sum(
+            F.lit(1.0) / F.expr("cast(shiftleft(1, rho) as double)")
+        ).alias("s_filled"),
+    )
+    est = s.select(
+        "n_filled",
+        (
+            F.lit(float(_HLL_ALPHA))
+            * _HLL_M
+            * _HLL_M
+            / ((_HLL_M - F.col("n_filled")) * 1.0 + F.col("s_filled"))
+        ).alias("raw"),
+    )
+    exact = orders.agg(
+        F.countDistinct("o_orderkey").alias("exact_distinct")
+    )
+    return exact.crossJoin(F.broadcast(est)).select(
+        "exact_distinct",
+        F.round("raw", 4).alias("hll_est"),
+        (F.lit(_HLL_M) - F.col("n_filled")).cast("long").alias("n_empty_buckets"),
+        F.round(
+            (F.col("raw") - F.col("exact_distinct")) / F.col("exact_distinct"), 6
+        ).alias("rel_err"),
+    )

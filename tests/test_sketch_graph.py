@@ -67,3 +67,36 @@ def test_pagerank_matches_python_reference(spark):
                 nxt[v] += part
         score = nxt
     assert rows == score
+
+
+def test_hll_estimate_quality_and_python_parity(spark):
+    from etl_energy_tracker_spark.queries.sketchops import (
+        _HLL_M,
+        _HLL_W,
+        hll_distinct_audit,
+    )
+
+    r = hll_distinct_audit(spark, SF_DIR).collect()[0]
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    keys = {o.o_orderkey for o in orders}
+    assert r.exact_distinct == len(keys)
+    # HLL standard error is 1.04/sqrt(m) ~ 6.5% at m=256; allow 4 sigma
+    assert abs(r.rel_err) < 0.26
+    # re-derive the registers in pure Python (portable charhash)
+    MOD = 1_000_000_007
+
+    def charhash(s, seed=7):
+        h = seed
+        for ch in s:
+            h = (h * 31 + ord(ch)) % MOD
+        return h
+
+    regs = {}
+    for k in keys:
+        hv = charhash(str(k))
+        b, w = hv % _HLL_M, hv // _HLL_M
+        rho = _HLL_W + 1 if w == 0 else _HLL_W + 1 - w.bit_length()
+        regs[b] = max(regs.get(b, 0), rho)
+    s = (_HLL_M - len(regs)) * 1.0 + sum(2.0 ** -v for v in regs.values())
+    raw = 0.7182725932495458 * _HLL_M * _HLL_M / s
+    assert r.hll_est == round(raw, 4)
