@@ -177,6 +177,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "cdc_apply_changes", "scd2_point_in_time_join", "table_profile_stats",
     "stream_funnel_stage", "incremental_agg_maintenance",
     "compaction_bin_packing", "hll_distinct_audit",
+    "hll_set_union_intersect", "salted_skew_join",
 )
 
 

@@ -780,3 +780,56 @@ def skew_twophase_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("psum").cast("double").alias("sum_value"),
     )
+
+
+@register(
+    "salted_skew_join",
+    oracle="""
+    WITH fact AS (
+        SELECT event_id, user_id % 5 AS hot_key, value FROM events
+    ),
+    dim AS (
+        SELECT DISTINCT user_id % 5 AS hot_key,
+               'grp_' || CAST(user_id % 5 AS VARCHAR) AS label
+        FROM events
+    )
+    SELECT f.hot_key, d.label,
+           COUNT(*) AS n_rows,
+           MIN(f.event_id) AS min_event, MAX(f.event_id) AS max_event
+    FROM fact f JOIN dim d ON f.hot_key = d.hot_key
+    GROUP BY f.hot_key, d.label
+    """,
+    tags=("join", "skew"),
+    doc="Salted skew join under the driver gate: the fact side is "
+    "collapsed onto 5 hot keys (each holding ~20% of all rows — the "
+    "single-dominant-UP shape from the energy domain), then joined "
+    "through operators/skew.salted_join: fact rows get a salt in "
+    "[0,8), the dim side replicates x8, and the join key becomes "
+    "(key, salt) so each hot key spreads over 8 tasks instead of one "
+    "straggler. Join RESULTS are salt-invariant, so the plain join is "
+    "the oracle — correctness is independent of the physical "
+    "redistribution, which is the whole point of salting.",
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    ev = load_table(spark, "events", sf_dir)
+    fact = ev.select(
+        "event_id", (F.col("user_id") % 5).alias("hot_key"), "value"
+    )
+    dim = (
+        ev.select((F.col("user_id") % 5).alias("hot_key"))
+        .distinct()
+        .select(
+            "hot_key",
+            F.concat(F.lit("grp_"), F.col("hot_key").cast("string")).alias(
+                "label"
+            ),
+        )
+    )
+    joined = salted_join(fact, dim, "hot_key", n_salts=8)
+    return joined.groupBy("hot_key", "label").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("event_id").alias("min_event"),
+        F.max("event_id").alias("max_event"),
+    )

@@ -99,4 +99,50 @@ def test_hll_estimate_quality_and_python_parity(spark):
         regs[b] = max(regs.get(b, 0), rho)
     s = (_HLL_M - len(regs)) * 1.0 + sum(2.0 ** -v for v in regs.values())
     raw = 0.7182725932495458 * _HLL_M * _HLL_M / s
+    if raw <= 2.5 * _HLL_M and len(regs) < _HLL_M:
+        import math
+
+        raw = _HLL_M * math.log(_HLL_M * 1.0 / (_HLL_M - len(regs)))
     assert r.hll_est == round(raw, 4)
+
+
+def test_hll_set_algebra_identities(spark):
+    from etl_energy_tracker_spark.queries.sketchops import hll_set_union_intersect
+
+    r = hll_set_union_intersect(spark, SF_DIR).collect()[0]
+    # exact inclusion-exclusion must hold exactly
+    assert r.exact_union == r.exact_a + r.exact_b - r.exact_intersect
+    # merged-register union can never estimate below either side
+    assert r.est_union >= max(r.est_a, r.est_b) - 1e-9
+    # estimates land near exact (4-sigma of 1.04/sqrt(256))
+    for est, exact in ((r.est_a, r.exact_a), (r.est_b, r.exact_b), (r.est_union, r.exact_union)):
+        assert abs(est - exact) / exact < 0.3
+
+
+def test_salted_join_equals_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from etl_energy_tracker_spark.queries.relational import salted_skew_join
+
+    rows = {r.hot_key: r for r in salted_skew_join(spark, SF_DIR).collect()}
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    plain = {
+        r.hot_key: r
+        for r in ev.select((F.col("user_id") % 5).alias("hot_key"), "event_id")
+        .groupBy("hot_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+        .collect()
+    }
+    assert set(rows) == set(plain)
+    for k, r in rows.items():
+        p = plain[k]
+        assert (r.n_rows, r.min_event, r.max_event) == (
+            p.n_rows,
+            p.min_event,
+            p.max_event,
+        )
+        assert r.label == f"grp_{k}"
