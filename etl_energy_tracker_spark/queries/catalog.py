@@ -178,6 +178,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "stream_funnel_stage", "incremental_agg_maintenance",
     "compaction_bin_packing", "hll_distinct_audit",
     "hll_set_union_intersect", "salted_skew_join",
+    "fuzzy_name_match_pairs",
 )
 
 

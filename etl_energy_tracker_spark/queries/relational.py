@@ -833,3 +833,61 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("min_event"),
         F.max("event_id").alias("max_event"),
     )
+
+
+@register(
+    "fuzzy_name_match_pairs",
+    oracle=r"""
+    WITH names AS (
+        SELECT p_name AS name, MIN(p_partkey) AS exemplar
+        FROM part GROUP BY p_name
+    ),
+    blocked AS (
+        SELECT name, exemplar,
+               regexp_extract(name, '(\S+)$', 1) AS block
+        FROM names
+    )
+    SELECT a.block, a.name AS name_a, b.name AS name_b,
+           a.exemplar AS exemplar_a, b.exemplar AS exemplar_b,
+           levenshtein(a.name, b.name) AS lev
+    FROM blocked a JOIN blocked b
+      ON a.block = b.block AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 4
+    """,
+    tags=("join", "linking"),
+    doc="Blocked fuzzy string matching (entity-resolution shape): "
+    "distinct part names blocked on their final token, candidate "
+    "pairs generated only within a block, scored with Levenshtein "
+    "edit distance and kept under a threshold — the blocking step is "
+    "what keeps fuzzy matching from O(n^2) over the name universe "
+    "(at 100 TB you block on phonetic or sorted-neighborhood keys "
+    "the same way). levenshtein() is a built-in on both engines with "
+    "identical unit-cost semantics, so the scores hash-match exactly.",
+)
+def fuzzy_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, "part", sf_dir)
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.min("p_partkey").alias("exemplar")
+    )
+    blocked = names.select(
+        "name", "exemplar", F.regexp_extract("name", r"(\S+)$", 1).alias("block")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    lev = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .where(lev <= 4)
+        .select(
+            F.col("a.block").alias("block"),
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.col("a.exemplar").alias("exemplar_a"),
+            F.col("b.exemplar").alias("exemplar_b"),
+            lev.alias("lev"),
+        )
+    )

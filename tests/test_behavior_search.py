@@ -74,3 +74,26 @@ def test_inverted_index_postings_shape(spark):
         for p in r.postings:
             did, cnt = p // 1000000, p % 1000000
             assert tf[r.tok][did] == cnt
+
+
+def test_fuzzy_name_match_blocking_and_threshold(spark):
+    from etl_energy_tracker_spark.queries.relational import fuzzy_name_match_pairs
+
+    rows = fuzzy_name_match_pairs(spark, SF_DIR).collect()
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    assert rows, "expected at least one fuzzy pair"
+    for r in rows:
+        assert r.name_a < r.name_b
+        assert r.name_a.split()[-1] == r.name_b.split()[-1] == r.block
+        assert r.lev == lev(r.name_a, r.name_b)
+        assert r.lev <= 4
