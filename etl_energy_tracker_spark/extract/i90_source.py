@@ -64,7 +64,11 @@ def read_xlsx_grid(content: bytes, sheet: str) -> list[list]:
         for rel in rels.findall(".//{*}Relationship")
         if rel.get("Id") == rid
     )
-    path = target if target.startswith("xl/") else "xl/" + target.lstrip("/")
+    # OPC Targets come relative to xl/ ("worksheets/sheet1.xml") or
+    # absolute from the package root ("/xl/worksheets/sheet1.xml").
+    path = target.lstrip("/")
+    if not path.startswith("xl/"):
+        path = "xl/" + path
     shared: list[str] = []
     if "xl/sharedStrings.xml" in zf.namelist():
         sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))

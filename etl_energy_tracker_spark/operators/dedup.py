@@ -271,8 +271,11 @@ def fuzzy_decontaminate(
             ),
             "bench_id",
         )
+        # Filter on the UNROUNDED similarity (the oracle does the same);
+        # rounding is for display only — filtering on the rounded value
+        # would admit pairs in [threshold - 5e-7, threshold).
+        .where(jac >= threshold)
         .withColumn("jaccard", F.round(jac, 6))
-        .where(F.col("jaccard") >= threshold)
         .select(id_col, "bench_id", "jaccard")
     )
 

@@ -35,7 +35,9 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    # try_divide: a zero-norm vector yields NULL similarity (ranked
+    # NULLS LAST downstream) instead of an ANSI divide-by-zero error.
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
 def with_norm(df: DataFrame, vec_col: str, out: str = "norm") -> DataFrame:
@@ -139,7 +141,7 @@ def lsh_topk(
     )
     scored = c.join(F.broadcast(q), "bucket").withColumn(
         "cosine",
-        F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6),
+        F.round(F.try_divide(dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")), 6),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
     return (
@@ -247,7 +249,9 @@ def cosine_pairs(
     return (
         pairs.join(a, "id_a")
         .join(b, "id_b")
-        .withColumn(out, batch_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
+        .withColumn(
+            out, F.try_divide(batch_dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb"))
+        )
         .drop("_va", "_vb", "_na", "_nb")
     )
 
@@ -317,14 +321,13 @@ def with_ivf_cell(
     n_probe>1 for multi-probe query expansion."""
     scored = df.crossJoin(F.broadcast(centroids)).withColumn(
         "_sim",
-        F.round(
-            dot(F.col(vec_col), F.col("cv"))
-            / (
-                F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
-                * F.sqrt(dot(F.col("cv"), F.col("cv")))
-            ),
-            6,
-        ),
+        # try_divide: zero-norm rows get NULL similarity and fall to the
+        # bottom of the DESC (NULLS LAST) ranking instead of erroring
+        F.round(F.try_divide(
+            dot(F.col(vec_col), F.col("cv")),
+            F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
+            * F.sqrt(dot(F.col("cv"), F.col("cv"))),
+        ), 6),
     )
     w = W.partitionBy(id_col).orderBy(F.desc("_sim"), "centroid_id")
     return (
@@ -355,7 +358,9 @@ def with_ivf_cell_mapside(
     Tie semantics match ``with_ivf_cell(n_probe=1)`` exactly: cosine
     rounded to 6 decimals, lowest centroid_id wins ties (the fold
     visits centroids in ascending id order and only replaces on a
-    strictly greater similarity).
+    strictly greater similarity), and an all-NULL-similarity row
+    (zero-norm vector) gets the lowest centroid_id — the same row the
+    windowed variant's NULLS LAST ordering emits at rank 1.
     """
     import math
 
@@ -371,15 +376,25 @@ def with_ivf_cell_mapside(
     cents = F.array(*structs)
     v = F.col(vec_col)
     vnorm = F.sqrt(dot(v, v))
-    best = F.aggregate(
+    # transform() computes each centroid similarity ONCE; the fold then
+    # only compares struct fields (a when-condition that recomputed the
+    # dot product would double the O(k·dim) projection cost).
+    sims = F.transform(
         cents,
-        F.struct(F.lit(-2.0).alias("sim"), F.lit(-1).alias("cid")),
+        lambda c: F.struct(
+            F.round(F.try_divide(dot(v, c["cv"]), vnorm * c["cnorm"]), 6).alias("sim"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    first_cid = int(rows[0]["centroid_id"]) if rows else -1
+    best = F.aggregate(
+        sims,
+        F.struct(
+            F.lit(None).cast("double").alias("sim"), F.lit(first_cid).alias("cid")
+        ),
         lambda acc, c: F.when(
-            F.round(dot(v, c["cv"]) / (vnorm * c["cnorm"]), 6) > acc["sim"],
-            F.struct(
-                F.round(dot(v, c["cv"]) / (vnorm * c["cnorm"]), 6).alias("sim"),
-                c["cid"].alias("cid"),
-            ),
+            c["sim"].isNotNull() & (acc["sim"].isNull() | (c["sim"] > acc["sim"])),
+            c,
         ).otherwise(acc),
     )
     return df.withColumn(out, best["cid"])
@@ -464,7 +479,7 @@ def ivf_topk(
     q_cells = with_norm(q_cells, "qv", "qn")
     scored = c_cells.join(F.broadcast(q_cells), "cell").withColumn(
         "cosine",
-        F.round(dot(F.col("qv"), F.col("ev")) / (F.col("qn") * F.col("cn")), 6),
+        F.round(F.try_divide(dot(F.col("qv"), F.col("ev")), F.col("qn") * F.col("cn")), 6),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
     return (

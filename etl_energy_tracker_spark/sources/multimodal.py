@@ -102,7 +102,9 @@ def decode_wav(payload: bytes) -> dict:
     if width == 2:
         samples = array.array("h", raw)
     elif width == 1:  # unsigned 8-bit PCM, centre at 128
-        samples = array.array("b", bytes(b - 128 for b in raw))
+        # bytes() rejects negative ints, so recentre via unsigned array
+        # arithmetic instead of bytes(b - 128 ...).
+        samples = array.array("h", (b - 128 for b in array.array("B", raw)))
     else:
         raise NotImplementedError(f"{8 * width}-bit PCM not supported")
     rms = (
@@ -220,73 +222,13 @@ def decode_png(payload: bytes) -> dict:
     the mean sample value over the reconstructed raster (a cheap but
     decode-proving feature: it is wrong unless every filter byte was
     undone correctly)."""
-    import struct
-    import zlib
-
-    if payload[:8] != _PNG_MAGIC:
-        raise ValueError("not a PNG payload")
-    pos, idat = 8, bytearray()
-    width = height = bit_depth = color_type = interlace = None
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # chunk header + data + CRC
-        if ctype == b"IHDR":
-            width, height, bit_depth, color_type, _c, _f, interlace = (
-                struct.unpack(">IIBBBBB", data)
-            )
-        elif ctype == b"IDAT":
-            idat += data
-        elif ctype == b"IEND":
-            break
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
-        raise NotImplementedError(
-            f"unsupported PNG shape (depth={bit_depth}, color={color_type}, "
-            f"interlace={interlace}); use the PIL path"
-        )
-    channels = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG raster length mismatch")
-    total = 0
-    prev = bytearray(stride)
-    for y in range(height):
-        base = y * (stride + 1)
-        filt = raw[base]
-        line = bytearray(raw[base + 1 : base + 1 + stride])
-        if filt == 1:  # Sub
-            for i in range(channels, stride):
-                line[i] = (line[i] + line[i - channels]) & 0xFF
-        elif filt == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif filt == 3:  # Average
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif filt == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - channels] if i >= channels else 0
-                b = prev[i]
-                c = prev[i - channels] if i >= channels else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                line[i] = (line[i] + pr) & 0xFF
-        elif filt != 0:
-            raise ValueError(f"bad PNG filter byte {filt}")
-        total += sum(line)
-        prev = line
-    n = height * stride
+    width, height, channels, raster = decode_png_raster(payload)
+    n = height * width * channels
     return {
         "width": width,
         "height": height,
         "channels": channels,
-        "mean_px": total / n if n else 0.0,
+        "mean_px": sum(raster) / n if n else 0.0,
     }
 
 
@@ -455,8 +397,10 @@ def extract_features(blobs: DataFrame, use_decoder: bool = False) -> DataFrame:
     1e9+7), both deterministic so the pipeline is oracle-checkable.
     ``use_decoder=True`` adds REAL decoded image features
     (width/height/channels/mean pixel via ``decode_image`` — PIL when
-    installed, stdlib PNG decoder otherwise) and raises through
-    ``decode_stub`` for modalities with no codec (audio/video)."""
+    installed, stdlib PNG decoder otherwise); rows whose modality has
+    no decoder (audio/video) keep their byte features and get NULL
+    decoded columns with ``decoded_ok=false`` — a mixed-modality table
+    flows through in one pass instead of failing the whole batch."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -469,21 +413,23 @@ def extract_features(blobs: DataFrame, use_decoder: bool = False) -> DataFrame:
                     lambda b: sum(bytes(b)) % _MOD
                 ).astype("int64"),
                 "modality": modality,
-                "decoded_ok": use_decoder,
+                "decoded_ok": [
+                    bool(use_decoder) and m == "image" for m in modality
+                ],
             }
             if use_decoder:
                 decoded = [
-                    decode_image(p)
-                    if m == "image"
-                    else decode_stub(bytes(p), m)  # raises: no codec
+                    decode_image(p) if m == "image" else None
                     for p, m in zip(contents, modality)
                 ]
                 for k in ("width", "height", "channels"):
                     cols[k] = pd.Series(
-                        [d[k] for d in decoded], dtype="int64"
+                        [d[k] if d is not None else None for d in decoded],
+                        dtype="Int64",  # nullable: non-image rows -> NULL
                     )
                 cols["mean_px"] = pd.Series(
-                    [d["mean_px"] for d in decoded], dtype="float64"
+                    [d["mean_px"] if d is not None else None for d in decoded],
+                    dtype="float64",
                 )
             yield pd.DataFrame(cols)
 

@@ -422,3 +422,18 @@ def test_xlsx_grid_stdlib_reader(spark):
     }
     assert rows == {("ABO3", "1"): 10.0, ("ABO3", "2"): 20.0, ("TERE", "1"): 5.0}
     assert long.select("granularity").distinct().collect()[0][0] == "Hora"
+
+    # OPC also allows package-absolute Targets ("/xl/worksheets/...");
+    # some producers emit them — must resolve to the same part, not
+    # "xl/xl/..."
+    abs_rels = rels.replace(
+        'Target="worksheets/', 'Target="/xl/worksheets/'
+    )
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", abs_rels)
+        zf.writestr("xl/sharedStrings.xml", shared)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet1)
+        zf.writestr("xl/worksheets/sheet2.xml", sheet2)
+    assert read_xlsx_grid(buf2.getvalue(), "I90DIA01") == grid

@@ -214,6 +214,19 @@ def test_mapside_cell_assignment_matches_window_variant(spark):
     plan = mapside_df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
 
+    # zero-norm vector: cosine is NULL against every centroid; both
+    # variants must agree (window's NULLS LAST rank-1 row is the lowest
+    # centroid_id — the fold's initial accumulator must match, not -1)
+    dim = len(emb.first()["embedding"])
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * dim)], "vec_id long, embedding array<double>"
+    )
+    both = emb.select("vec_id", F.col("embedding").cast("array<double>")).unionByName(zero)
+    w0 = {r.vec_id: r.cell for r in with_ivf_cell(both, cent, "embedding", "vec_id", n_probe=1).collect()}
+    m0 = {r.vec_id: r.cell for r in with_ivf_cell_mapside(both, cent, "embedding").collect()}
+    assert m0 == w0
+    assert m0[999_999] == cent.agg(F.min("centroid_id")).first()[0]
+
 
 def test_chunk_windows_plan_is_shuffle_free(spark):
     plan = doc_chunk_windows(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()

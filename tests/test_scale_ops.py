@@ -385,3 +385,56 @@ def test_extract_audio_features_real_wav(spark):
     # direct kernel agrees with the Spark path
     d = decode_wav(wav)
     assert d["rms"] == r["rms"] and d["n_frames"] == n
+
+
+def test_decode_wav_8bit_pcm():
+    """8-bit PCM is unsigned with centre 128; any byte below the centre
+    must decode (the old bytes(b - 128 ...) recentring raised ValueError
+    on negative ints, i.e. on virtually every real 8-bit recording)."""
+    import io
+    import math
+    import wave
+
+    from etl_energy_tracker_spark.sources.multimodal import decode_wav
+
+    raw = bytes([0, 100, 128, 200, 255])
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(1)
+        w.setframerate(8000)
+        w.writeframes(raw)
+    d = decode_wav(buf.getvalue())
+    signed = [b - 128 for b in raw]
+    assert d["n_frames"] == len(raw)
+    assert abs(d["rms"] - math.sqrt(sum(s * s for s in signed) / len(raw))) < 1e-9
+
+
+def test_extract_features_mixed_modalities_null_not_crash(spark):
+    """use_decoder=True over a mixed image+audio table: the audio row
+    keeps its byte features and gets NULL decoded columns with
+    decoded_ok=false, instead of decode_stub failing the whole Arrow
+    batch."""
+    from pyspark.sql import Row
+
+    from etl_energy_tracker_spark.sources.multimodal import (
+        MULTIMODAL_SCHEMA,
+        extract_features,
+    )
+
+    png, mean = _make_png(4, 4, 1, lambda x, y, c: x * 10 + y, [0, 2])
+    blobs = spark.createDataFrame(
+        [
+            Row(doc_id=1, content=bytearray(png),
+                meta=Row(modality="image", mime="image/png",
+                         n_bytes=len(png))),
+            Row(doc_id=2, content=bytearray(b"\x00\x7fRIFFnope"),
+                meta=Row(modality="audio", mime="audio/wav", n_bytes=10)),
+        ],
+        MULTIMODAL_SCHEMA,
+    )
+    out = {r["doc_id"]: r for r in extract_features(blobs, use_decoder=True).collect()}
+    assert out[1]["decoded_ok"] and abs(out[1]["mean_px"] - mean) < 1e-9
+    assert not out[2]["decoded_ok"]
+    assert out[2]["width"] is None and out[2]["mean_px"] is None
+    assert out[2]["n_bytes"] == 10  # byte features still computed
