@@ -91,6 +91,41 @@ def with_minhash_signature(
     )
 
 
+def with_band_hashes(
+    df: DataFrame,
+    id_col: str,
+    signature_col: str = "signature",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """THE banding projection for every MinHash-LSH consumer (the dedup
+    self-join and benchmark decontamination): each equal band slice of
+    the signature folds to an int64 bucket key -> (id, sig, band,
+    bhash). One copy, one hash space — a layout change here reaches all
+    candidate generators at once instead of silently diverging them.
+
+    The band hash is xxhash64 of the comma-joined slice: the bucket
+    join shuffles 8-byte keys instead of a ~40+-char digit string at
+    k=16. A 64-bit collision can only ADD a candidate pair, and
+    candidates are exact-verified downstream, so results are
+    identical."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(signature_col).alias("sig"))
+        .select(
+            "id",
+            "sig",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {bands - 1}), b -> "
+                    f"struct(b AS band, "
+                    f"xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, {rows_per_band}))) AS bhash))"
+                )
+            ).alias("bb"),
+        )
+        .select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+    )
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -113,26 +148,7 @@ def lsh_candidate_pairs(
     only for pairs whose EVERY band collides with a crowd). Standard
     practice for web-scale MinHash dedup; size the cap so
     cap² × n_hot_buckets stays within one executor's shuffle budget."""
-    # band hash folded to int64 (xxhash64 of the joined band slice):
-    # the bucket self-join shuffles 8-byte keys instead of a
-    # comma-joined digit string (~40+ chars at k=16). A 64-bit
-    # collision can only ADD a candidate pair, and candidates are
-    # exact-verified downstream, so results are identical.
-    banded = (
-        df.select(F.col(id_col).alias("id"), F.col(signature_col).alias("sig"))
-        .select(
-            "id",
-            "sig",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, {bands - 1}), b -> "
-                    f"struct(b AS band, "
-                    f"xxhash64(concat_ws(',', slice(sig, b * {rows_per_band} + 1, {rows_per_band}))) AS bhash))"
-                )
-            ).alias("bb"),
-        )
-        .select("id", "sig", F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
-    )
+    banded = with_band_hashes(df, id_col, signature_col, bands, rows_per_band)
     if max_bucket is not None:
         # one groupBy on the same (band, bhash) key the self-join
         # shuffles on; the anti-join against the (tiny) hot-bucket set
@@ -229,17 +245,12 @@ def fuzzy_decontaminate(
     rows_per_band = k // bands
 
     def _banded(df: DataFrame) -> DataFrame:
+        # same banding projection (and hash space) as the dedup
+        # self-join — via the one shared with_band_hashes
         sig = with_minhash_signature(df, k=k).select(id_col, "signature")
-        return sig.select(
-            id_col,
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, {bands - 1}), b -> "
-                    f"struct(b AS band, xxhash64(concat_ws(',', "
-                    f"slice(signature, b * {rows_per_band} + 1, {rows_per_band}))) AS bhash))"
-                )
-            ).alias("bb"),
-        ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash"))
+        return with_band_hashes(sig, id_col, "signature", bands, rows_per_band).select(
+            F.col("id").alias(id_col), "band", "bhash"
+        )
 
     corp_sh = (
         with_shingles(corpus.select(id_col, text_col), text_col)

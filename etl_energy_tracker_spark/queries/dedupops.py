@@ -16,7 +16,7 @@ from ..functions.hashing import MOD, duckdb_charhash, perm_a, perm_b
 from ..operators import dedup
 from ..sources.registry import load_table
 from .catalog import register
-from .textops import NGRAM_DF_CAP
+from .textops import NGRAM_DF_CAP, SHINGLE_PAIR_CTES
 
 _K = 16
 _BANDS = 4
@@ -264,34 +264,12 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
-# the word-3-gram Jaccard edge set — must stay the EXACT oracle twin of
-# ngram_jaccard_pairs (textops.py), including its shingle
-# document-frequency cap, or the cluster/keeper oracles drift whenever
-# a corpus contains boilerplate shingles hotter than the cap
+# the word-3-gram Jaccard edge set — built on textops.SHINGLE_PAIR_CTES,
+# the single shared rendering of the shingle build + df-cap + pair
+# counts, so the cluster/keeper oracles can never drift from
+# ngram_jaccard_pairs
 _JACCARD_EDGES_SQL = f"""
-    WITH sh0 AS (
-        SELECT DISTINCT doc_id, shingle FROM (
-            SELECT doc_id,
-                   unnest(list_transform(
-                       range(1, greatest(len(tokens) - 2, 0) + 1),
-                       i -> tokens[CAST(i AS INT)] || ' ' ||
-                            tokens[CAST(i AS INT) + 1] || ' ' ||
-                            tokens[CAST(i AS INT) + 2])) AS shingle
-            FROM (SELECT doc_id,
-                         regexp_split_to_array(trim(text), '\\s+') AS tokens
-                  FROM documents))
-    ),
-    keep AS (
-        SELECT shingle FROM sh0 GROUP BY shingle
-        HAVING COUNT(*) <= {NGRAM_DF_CAP}
-    ),
-    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
-    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-    ),
+    WITH {SHINGLE_PAIR_CTES},
     jac AS (
         SELECT doc_a, doc_b
         FROM inter

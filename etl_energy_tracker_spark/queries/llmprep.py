@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import duckdb_charhash, spark_charhash
 from ..sources.registry import load_table
 from .catalog import register
-from .textops import NGRAM_DF_CAP
+from .textops import NGRAM_DF_CAP, SHINGLE_PAIR_CTES, shingle_pair_stats
 
 # ------------------------------------------------------------ semdedup
 
@@ -248,31 +248,7 @@ _CONTAIN_TAU = 0.8
 @register(
     "shingle_containment_pairs",
     oracle=f"""
-    WITH sh0 AS (
-        SELECT DISTINCT doc_id, shingle FROM (
-            SELECT doc_id,
-                   unnest(list_transform(
-                       range(1, greatest(len(tokens) - 2, 0) + 1),
-                       i -> tokens[CAST(i AS INT)] || ' ' ||
-                            tokens[CAST(i AS INT) + 1] || ' ' ||
-                            tokens[CAST(i AS INT) + 2])) AS shingle
-            FROM (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
-                FROM documents
-            )
-        )
-    ),
-    keep AS (
-        SELECT shingle FROM sh0 GROUP BY shingle
-        HAVING COUNT(*) <= {NGRAM_DF_CAP}
-    ),
-    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
-    counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    )
+    WITH {SHINGLE_PAIR_CTES}
     SELECT doc_a, doc_b,
            ROUND(n_inter * 1.0 / least(ca.n_sh, cb.n_sh), 6) AS containment
     FROM inter
@@ -285,51 +261,16 @@ _CONTAIN_TAU = 0.8
     "min(|A|,|B|) over df-capped word-3-gram shingles. Containment "
     "catches subset duplication (a short doc quoted inside a long one) "
     "that Jaccard under-scores when lengths differ — the standard "
-    "second screen next to ngram_jaccard_pairs. Same scale shape: "
-    "shingle-bucketed self-join (df-capped, skew-proof), per-doc count "
-    "table joined WITHOUT a broadcast hint (it is O(n_docs)).",
+    "second screen next to ngram_jaccard_pairs. Shares the shingle "
+    "build, df-cap, and pair-count pipeline (Spark AND oracle) with "
+    "ngram_jaccard_pairs via textops.shingle_pair_stats / "
+    "SHINGLE_PAIR_CTES — only the similarity denominator differs.",
 )
 def shingle_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tokens"))
-    raw = toks.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
-                    "i -> concat(tokens[i-1], ' ', tokens[i], ' ', tokens[i+1]))"
-                )
-            )
-        ).alias("shingle"),
-    ).select("doc_id", F.xxhash64("shingle").alias("shingle"))
-    keep = (
-        raw.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .where(F.col("df") <= NGRAM_DF_CAP)
-        .select("shingle")
-    )
-    shingles = raw.join(keep, "shingle").localCheckpoint(eager=False)
-    counts = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    ca = counts.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a")
-    cb = counts.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b")
+    stats = shingle_pair_stats(spark, sf_dir)
     containment = F.col("n_inter") * 1.0 / F.least(F.col("n_a"), F.col("n_b"))
-    return (
-        inter.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .where(containment >= _CONTAIN_TAU)
-        .select("doc_a", "doc_b", F.round(containment, 6).alias("containment"))
+    return stats.where(containment >= _CONTAIN_TAU).select(
+        "doc_a", "doc_b", F.round(containment, 6).alias("containment")
     )
 
 

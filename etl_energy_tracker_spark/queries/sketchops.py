@@ -48,6 +48,25 @@ def _pos_spark(expr: str, j: int, w: int) -> str:
     return f"(({spark_charhash(expr)} * {2 * j + 3} + {577 * (j + 1)}) % {w})"
 
 
+def _jp_explode(key: str, d: int, w: int):
+    """Exploded (j, pos) CMS coordinate column for ``key``: one array
+    of d structs per row, so every depth row is built in a single pass
+    (one shuffle for the whole sketch, not one per depth). The ONE
+    rendering of the position formula on the Spark side — the sketch
+    build and every probe must index the same cells."""
+    return F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(j).alias("j"),
+                    F.expr(_pos_spark(key, j, w)).alias("pos"),
+                )
+                for j in range(d)
+            ]
+        )
+    ).alias("jp")
+
+
 _TOKS_DUCK = (
     "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok "
     "FROM documents"
@@ -97,17 +116,7 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the (j, pos) pairs per token and aggregate once — one shuffle for
     # the whole sketch instead of one per depth row (production builds
     # the same cells straight off the stream, see module docstring)
-    jp = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(j).alias("j"),
-                    F.expr(_pos_spark("tok", j, _CMS_W)).alias("pos"),
-                )
-                for j in range(_CMS_D)
-            ]
-        )
-    ).alias("jp")
+    jp = _jp_explode("tok", _CMS_D, _CMS_W)
     cells = (
         exact.select(jp, "exact_c")
         .select("jp.j", "jp.pos", "exact_c")
@@ -118,17 +127,7 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe_pos = probe.select(
         "tok",
         "exact_c",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        F.expr(_pos_spark("tok", j, _CMS_W)).alias("pos"),
-                    )
-                    for j in range(_CMS_D)
-                ]
-            )
-        ).alias("jp"),
+        _jp_explode("tok", _CMS_D, _CMS_W),
     ).select("tok", "exact_c", "jp.j", "jp.pos")
     return (
         probe_pos.join(F.broadcast(cells), ["j", "pos"])
@@ -195,17 +194,7 @@ def cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     def sketch(side: DataFrame) -> DataFrame:
         # one explode + one aggregate for all depth rows (not one
         # shuffle per row): each input key contributes d cells
-        jp = F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        F.expr(_pos_spark("k", j, _JW)).alias("pos"),
-                    )
-                    for j in range(_JD)
-                ]
-            )
-        ).alias("jp")
+        jp = _jp_explode("k", _JD, _JW)
         return (
             side.select(jp)
             .select("jp.j", "jp.pos")
