@@ -127,6 +127,14 @@ _R1_VERIFIED: frozenset[str] = frozenset({
 #   and the SF-scaled-broadcast removals (q3/q14/q19/q21,
 #   near_dup_keep_corpus — join-hint-only changes, same results).
 _REVERIFY: tuple[str, ...] = (
+    # r4 self-review fixes (highest risk first): try_divide in every
+    # cosine path (ann_*, embedding_near_dup_pairs), the map-side IVF
+    # tie/zero-norm fix (semdedup_prune), the unrounded-threshold
+    # decontamination filter, and the per-row decoded_ok in
+    # extract_features (multimodal_features)
+    "ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_topk",
+    "ann_ivf_trained", "embedding_near_dup_pairs", "multimodal_features",
+    # r3/r4 rewrites still awaiting a driver row on current code
     "ngram_jaccard_pairs", "minhash_lsh_pairs", "minhash_lsh_pairs_k32",
     "near_dup_clusters", "near_dup_keep_corpus", "simhash_near_pairs",
     "up_link_eligibility", "q3_shipping_priority", "q14_promo_revenue",
