@@ -70,6 +70,10 @@ EXTRA = [
     "funnel_conversion",
     "scd2_point_in_time_join",
     "inverted_index_postings",
+    "gopher_quality_report",
+    "url_canonicalize_dedup",
+    "perplexity_tertile_split",
+    "random_projection_reduce",
 ]
 
 

@@ -68,6 +68,7 @@ def _load_all() -> None:
     from . import behaviorops  # noqa: F401
     from . import searchops  # noqa: F401
     from . import cdcops  # noqa: F401
+    from . import webprep  # noqa: F401
 
 
 # Queries already driver-verified green in CORRECTNESS_r01.json or
@@ -187,6 +188,9 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "compaction_bin_packing", "hll_distinct_audit",
     "hll_set_union_intersect", "salted_skew_join",
     "fuzzy_name_match_pairs",
+    # r4 late additions (webprep.py, vectorops RP), never driver-checked
+    "random_projection_reduce", "gopher_quality_report",
+    "url_canonicalize_dedup", "perplexity_tertile_split",
 )
 
 

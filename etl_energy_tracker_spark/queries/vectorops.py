@@ -569,3 +569,51 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("codes").alias("code_max"),
         F.floor(err * 1000000).cast("bigint").alias("abs_err_micro"),
     )
+
+
+# ------------------------------------------- random projection (JL)
+
+_RP_OUT = 8  # output dimensionality
+_RP_DIM = 64  # input dimensionality
+
+
+def _rp_sign(i: str, j: str) -> str:
+    # deterministic ±1 from pure integer arithmetic — identical in any
+    # SQL dialect, no RNG state and no hash-function parity to maintain
+    return f"(CASE WHEN ({i} * 73 + {j} * 151) % 97 < 48 THEN 1 ELSE -1 END)"
+
+
+@register(
+    "random_projection_reduce",
+    oracle=f"""
+    SELECT vec_id,
+           {", ".join(
+               "CAST(list_sum(list_transform(range(0, " + str(_RP_DIM) + "), "
+               "i -> " + _rp_sign("i", str(j)) + " * CAST(round(CAST("
+               "embedding[CAST(i AS INT) + 1] AS DOUBLE) * 1000000) AS BIGINT)"
+               ")) AS BIGINT) AS p" + str(j)
+               for j in range(_RP_OUT))}
+    FROM embeddings
+    """,
+    tags=("vector", "map-only"),
+    doc="Johnson-Lindenstrauss random projection 64-d -> 8-d with a "
+    "deterministic ±1 (Achlioptas) matrix derived from integer "
+    "arithmetic: out_j = Σ_i sign(i,j)·emb_i. The standard cheap "
+    "dimensionality reduction in front of clustering / dedup at "
+    "corpus scale — map-only, zero shuffle, O(dim·out) per row, and "
+    "the projection matrix is code, not state (nothing to broadcast "
+    "or persist). Components are computed in exact integer "
+    "micro-units (each input quantized once to 1e-6, then summed as "
+    "BIGINT) so fold order cannot move the result on any engine.",
+)
+def random_projection_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    cols = [
+        F.expr(
+            f"aggregate(sequence(0, {_RP_DIM - 1}), 0L, (acc, i) -> "
+            f"acc + {_rp_sign('i', str(j))} * CAST(round(CAST(embedding[i] "
+            f"AS DOUBLE) * 1000000) AS BIGINT))"
+        ).alias(f"p{j}")
+        for j in range(_RP_OUT)
+    ]
+    return emb.select("vec_id", *cols)

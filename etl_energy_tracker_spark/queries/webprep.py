@@ -1,0 +1,245 @@
+"""Web-corpus preparation operators (round-4 continuation).
+
+Three more first-class training-data-pipeline stages, the classic
+web-pipeline trio that sits in front of every large pre-training run:
+
+- ``gopher_quality_report``   — the Gopher rule set (Rae et al. 2021
+  §A1.1): per-document word-count bounds, mean-word-length bounds,
+  alphabetic-word fraction, stopword presence, and symbol-to-word
+  ratio, each as an explicit flag plus the combined pass verdict.
+- ``url_canonicalize_dedup``  — C4-style URL canonicalization (strip
+  scheme / www / tracking params / trailing slash, lowercase) and
+  keep-first dedup on the canonical URL.
+- ``perplexity_tertile_split``— the CCNet head/middle/tail split:
+  documents ranked by LM average log-prob (ngram_lm_score's exact
+  integer score) and cut into tertiles.
+
+All pure column expressions; every ratio compare is integer
+arithmetic (n·100 >= k·m), so no float surface exists between the
+engines at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .catalog import register
+
+# ------------------------------------------------- Gopher rule set
+
+# the paper's stopword-presence rule: a natural-language document
+# contains at least _STOP_MIN of these
+_GOPHER_STOPS = "('the','be','to','of','and','that','have','with')"
+_STOP_MIN = 2
+
+
+@register(
+    "gopher_quality_report",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    ),
+    sig AS (
+        SELECT doc_id,
+               len(toks) AS n_words,
+               CAST(list_sum(list_transform(toks, x -> length(x))) * 100
+                    // len(toks) AS BIGINT) AS mean_wlen_centi,
+               len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha,
+               len(list_filter(toks, x -> x IN {_GOPHER_STOPS})) AS n_stop,
+               len(list_filter(toks, x -> regexp_matches(x, '#|\\.\\.\\.')))
+                   AS n_symbol
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_wlen_centi, n_alpha, n_stop, n_symbol,
+           n_words BETWEEN 50 AND 100000 AS nwords_ok,
+           mean_wlen_centi BETWEEN 300 AND 1000 AS wlen_ok,
+           n_alpha * 100 >= 80 * n_words AS alpha_ok,
+           n_stop >= {_STOP_MIN} AS stop_ok,
+           n_symbol * 10 <= n_words AS symbol_ok,
+           (n_words BETWEEN 50 AND 100000)
+               AND (mean_wlen_centi BETWEEN 300 AND 1000)
+               AND n_alpha * 100 >= 80 * n_words
+               AND n_stop >= {_STOP_MIN}
+               AND n_symbol * 10 <= n_words AS gopher_pass
+    FROM sig
+    """,
+    tags=("corpus", "quality"),
+    doc="Gopher quality rules (Rae et al. 2021): word count in "
+    "[50, 1e5], mean word length in [3, 10], >=80% words contain an "
+    "alphabetic character, >=2 stopwords present, symbol-to-word "
+    "ratio <= 0.1 — each rule an explicit flag so the report doubles "
+    "as a per-rule rejection breakdown, plus the combined pass "
+    "verdict. Map-only (one projection over the token array, zero "
+    "shuffle); every ratio is an integer cross-multiplication "
+    "(n*100 >= 80*m), so there is no float anywhere and the plan "
+    "runs at scan speed on any corpus size.",
+)
+def gopher_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    n_words = F.size("toks")
+    mean_wlen_centi = F.expr(
+        "aggregate(toks, 0L, (acc, x) -> acc + length(x)) * 100 DIV size(toks)"
+    )
+    n_alpha = F.expr("size(filter(toks, x -> x rlike '[A-Za-z]'))")
+    n_stop = F.expr(f"size(filter(toks, x -> x IN {_GOPHER_STOPS}))")
+    n_symbol = F.expr(r"size(filter(toks, x -> x rlike '#|\\.\\.\\.'))")
+    sig = t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wlen_centi.alias("mean_wlen_centi"),
+        n_alpha.alias("n_alpha"),
+        n_stop.alias("n_stop"),
+        n_symbol.alias("n_symbol"),
+    )
+    nwords_ok = F.col("n_words").between(50, 100000)
+    wlen_ok = F.col("mean_wlen_centi").between(300, 1000)
+    alpha_ok = F.col("n_alpha") * 100 >= 80 * F.col("n_words")
+    stop_ok = F.col("n_stop") >= _STOP_MIN
+    symbol_ok = F.col("n_symbol") * 10 <= F.col("n_words")
+    return sig.select(
+        "doc_id", "n_words", "mean_wlen_centi", "n_alpha", "n_stop", "n_symbol",
+        nwords_ok.alias("nwords_ok"),
+        wlen_ok.alias("wlen_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        symbol_ok.alias("symbol_ok"),
+        (nwords_ok & wlen_ok & alpha_ok & stop_ok & symbol_ok).alias("gopher_pass"),
+    )
+
+
+# --------------------------------------------- URL canonicalization
+
+# Deterministic URL fixture derived from (source, doc_id) — the
+# documents table carries no URL column, so both engines synthesize
+# the SAME messy URLs (scheme + www + mixed-case path + tracking
+# params + trailing slash) and the operator under test is the
+# canonicalization itself.
+_URL_DUCK = """
+    'https://www.' || source || '.example.com/Articles/'
+        || CAST(doc_id % 11 AS VARCHAR)
+        || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+        || CASE WHEN doc_id % 3 = 0
+                THEN '?utm_source=feed&utm_campaign=c'
+                     || CAST(doc_id % 7 AS VARCHAR) || '&ref=rss'
+                ELSE '' END
+"""
+
+_URL_SPARK = (
+    "concat('https://www.', source, '.example.com/Articles/', "
+    "CAST(doc_id % 11 AS STRING), "
+    "CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 3 = 0 THEN concat('?utm_source=feed&utm_campaign=c', "
+    "CAST(doc_id % 7 AS STRING), '&ref=rss') ELSE '' END)"
+)
+
+# strip scheme -> strip www. -> drop tracking params -> drop empty
+# query -> drop trailing slash; lowercase first so the rules above see
+# one case
+_CANON_STEPS = [
+    ("^https?://", ""),
+    (r"^www\.", ""),
+    (r"[?&](utm_[a-z]+|ref)=[^&#]*", ""),
+    (r"\?$", ""),
+    ("/$", ""),
+]
+
+
+def _canon_duck(expr: str) -> str:
+    out = f"lower({expr})"
+    for pat, rep in _CANON_STEPS:
+        out = f"regexp_replace({out}, '{pat}', '{rep}', 'g')"
+    return out
+
+
+def _canon_spark(col):
+    out = F.lower(col)
+    for pat, rep in _CANON_STEPS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+@register(
+    "url_canonicalize_dedup",
+    oracle=f"""
+    WITH u AS (
+        SELECT doc_id, {_canon_duck(_URL_DUCK)} AS canonical_url
+        FROM documents
+    )
+    SELECT canonical_url,
+           MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_urls
+    FROM u GROUP BY canonical_url
+    """,
+    tags=("corpus", "dedup"),
+    doc="C4-style URL canonicalization + keep-first dedup: lowercase, "
+    "strip scheme and www., drop tracking query params (utm_*, ref), "
+    "drop the then-empty query string and the trailing slash; group "
+    "by the canonical form keeping the lowest doc_id. The first "
+    "screen of a web-crawl pipeline — it collapses recrawls of one "
+    "page before any content-level dedup runs. One map-side "
+    "projection (a regexp_replace chain, whole-stage codegen) + one "
+    "hash aggregate on the canonical key; no skew risk beyond "
+    "genuinely hot pages, which the df-capped content screens handle "
+    "downstream.",
+)
+def url_canonicalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    u = docs.select(
+        "doc_id", _canon_spark(F.expr(_URL_SPARK)).alias("canonical_url")
+    )
+    return u.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_urls"),
+    )
+
+
+# --------------------------------------------- CCNet tertile split
+
+
+# importing hygieneops registers ngram_lm_score; its oracle is reused
+# verbatim as the lm CTE so the two entries can never drift
+from . import hygieneops as _hygiene  # noqa: E402  (import-for-registration)
+from .catalog import CATALOG as _CAT  # noqa: E402
+
+_LM_SQL = _CAT["ngram_lm_score"].oracle
+
+
+@register(
+    "perplexity_tertile_split",
+    oracle=f"""
+    WITH lm AS ({_LM_SQL})
+    SELECT doc_id, avg_logp_micro,
+           CASE NTILE(3) OVER (ORDER BY avg_logp_micro DESC, doc_id)
+               WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS ccnet_bucket
+    FROM lm
+    """,
+    tags=("corpus", "quality"),
+    doc="CCNet head/middle/tail split: rank documents by their "
+    "bigram-LM average log-prob (ngram_lm_score's exact integer "
+    "micro-units — higher = more fluent) and cut into tertiles; "
+    "'head' is the third kept for high-quality training mixes. The "
+    "exact NTILE needs a total order — correct but single-partition "
+    "here; the 100 TB variant computes the two tertile score "
+    "boundaries once (approx quantiles on the bounded-size score "
+    "column), broadcasts them, and bands map-side — same output "
+    "modulo boundary ties, zero global sort.",
+)
+def perplexity_tertile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .hygieneops import ngram_lm_score
+
+    lm = ngram_lm_score(spark, sf_dir)
+    tile = F.ntile(3).over(W.orderBy(F.desc("avg_logp_micro"), "doc_id"))
+    return lm.select(
+        "doc_id",
+        "avg_logp_micro",
+        F.when(tile == 1, "head")
+        .when(tile == 2, "middle")
+        .otherwise("tail")
+        .alias("ccnet_bucket"),
+    )

@@ -1,0 +1,141 @@
+"""Invariant tests for the web-corpus prep operators
+(queries/webprep.py) and the JL random projection (vectorops). The
+driver oracle gate checks value equality; these pin the semantics each
+operator promises against independent Python recomputation.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from etl_energy_tracker_spark.queries.vectorops import (
+    _RP_DIM,
+    _RP_OUT,
+    random_projection_reduce,
+)
+from etl_energy_tracker_spark.queries.webprep import (
+    _STOP_MIN,
+    gopher_quality_report,
+    perplexity_tertile_split,
+    url_canonicalize_dedup,
+)
+
+from conftest import SF_DIR
+
+_STOPS = {"the", "be", "to", "of", "and", "that", "have", "with"}
+
+
+def test_gopher_rules_match_python_recompute(spark):
+    rows = {r["doc_id"]: r for r in gopher_quality_report(spark, SF_DIR).collect()}
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+    assert set(rows) == set(docs)
+    for doc_id, text in docs.items():
+        toks = text.strip().split()
+        r = rows[doc_id]
+        assert r["n_words"] == len(toks)
+        assert r["mean_wlen_centi"] == sum(len(t) for t in toks) * 100 // len(toks)
+        assert r["n_alpha"] == sum(1 for t in toks if re.search("[A-Za-z]", t))
+        assert r["n_stop"] == sum(1 for t in toks if t in _STOPS)
+        # each flag is exactly its rule; the verdict is exactly the AND
+        assert r["nwords_ok"] == (50 <= r["n_words"] <= 100000)
+        assert r["wlen_ok"] == (300 <= r["mean_wlen_centi"] <= 1000)
+        assert r["alpha_ok"] == (r["n_alpha"] * 100 >= 80 * r["n_words"])
+        assert r["stop_ok"] == (r["n_stop"] >= _STOP_MIN)
+        assert r["symbol_ok"] == (r["n_symbol"] * 10 <= r["n_words"])
+        assert r["gopher_pass"] == (
+            r["nwords_ok"] and r["wlen_ok"] and r["alpha_ok"]
+            and r["stop_ok"] and r["symbol_ok"]
+        )
+    # the report must not be degenerate on the fixture corpus: both
+    # verdicts occur
+    verdicts = {r["gopher_pass"] for r in rows.values()}
+    assert verdicts == {True, False}
+
+
+def _py_canonical(source: str, doc_id: int) -> str:
+    url = f"https://www.{source}.example.com/Articles/{doc_id % 11}"
+    if doc_id % 5 == 0:
+        url += "/"
+    if doc_id % 3 == 0:
+        url += f"?utm_source=feed&utm_campaign=c{doc_id % 7}&ref=rss"
+    u = url.lower()
+    u = re.sub("^https?://", "", u)
+    u = re.sub(r"^www\.", "", u)
+    u = re.sub(r"[?&](utm_[a-z]+|ref)=[^&#]*", "", u)
+    u = re.sub(r"\?$", "", u)
+    u = re.sub("/$", "", u)
+    return u
+
+
+def test_url_canonicalize_dedup_matches_python(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    ).collect()
+    expected = Counter(_py_canonical(r["source"], r["doc_id"]) for r in docs)
+    keepers = {}
+    for r in docs:
+        c = _py_canonical(r["source"], r["doc_id"])
+        keepers[c] = min(keepers.get(c, r["doc_id"]), r["doc_id"])
+    out = {r["canonical_url"]: r for r in url_canonicalize_dedup(spark, SF_DIR).collect()}
+    assert {k: v["n_urls"] for k, v in out.items()} == dict(expected)
+    assert {k: v["keeper_doc_id"] for k, v in out.items()} == keepers
+    # canonicalization must actually merge: tracking-param / slash
+    # variants of one page collapse (fewer canonical urls than docs)
+    assert len(out) < len(docs)
+    for url in out:
+        assert not url.startswith(("http", "www."))
+        assert "utm_" not in url and "?" not in url
+        assert not url.endswith("/")
+
+
+def test_perplexity_tertiles_are_balanced_and_ordered(spark):
+    rows = perplexity_tertile_split(spark, SF_DIR).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["ccnet_bucket"], []).append(
+            (r["avg_logp_micro"], r["doc_id"])
+        )
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    sizes = sorted(len(v) for v in by_bucket.values())
+    assert sizes[-1] - sizes[0] <= 1  # NTILE balance
+    # rank order: every head doc sorts before every middle doc in the
+    # (score desc, doc_id) order, and middle before tail
+    def sort_key(t):
+        return (-t[0], t[1])
+
+    h = max(by_bucket["head"], key=sort_key)
+    m_lo = min(by_bucket["middle"], key=sort_key)
+    m_hi = max(by_bucket["middle"], key=sort_key)
+    t_lo = min(by_bucket["tail"], key=sort_key)
+    assert sort_key(h) < sort_key(m_lo)
+    assert sort_key(m_hi) < sort_key(t_lo)
+
+
+def test_random_projection_matches_numpy(spark):
+    import numpy as np
+
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype="float64")
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    out = {r["vec_id"]: r for r in random_projection_reduce(spark, SF_DIR).collect()}
+    assert set(out) == set(emb)
+    sign = np.array(
+        [
+            [1 if (i * 73 + j * 151) % 97 < 48 else -1 for j in range(_RP_OUT)]
+            for i in range(_RP_DIM)
+        ],
+        dtype="int64",
+    )
+    for vid, v in list(emb.items())[:20]:
+        micro = np.round(v * 1_000_000).astype("int64")
+        expect = micro @ sign
+        got = np.array([out[vid][f"p{j}"] for j in range(_RP_OUT)])
+        assert (got == expect).all(), vid
+    # ±1 matrix is balanced enough that no output dim is constant
+    for j in range(_RP_OUT):
+        assert len({out[v][f"p{j}"] for v in out}) > 1
