@@ -16,7 +16,7 @@ from ..functions.hashing import MOD, duckdb_charhash, perm_a, perm_b
 from ..operators import dedup
 from ..sources.registry import load_table
 from .catalog import register
-from .textops import NGRAM_DF_CAP, SHINGLE_PAIR_CTES
+from .textops import SHINGLE_PAIR_CTES
 
 _K = 16
 _BANDS = 4

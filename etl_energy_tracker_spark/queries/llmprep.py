@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import duckdb_charhash, spark_charhash
 from ..sources.registry import load_table
 from .catalog import register
-from .textops import NGRAM_DF_CAP, SHINGLE_PAIR_CTES, shingle_pair_stats
+from .textops import SHINGLE_PAIR_CTES, shingle_pair_stats
 
 # ------------------------------------------------------------ semdedup
 

@@ -102,9 +102,9 @@ def decode_wav(payload: bytes) -> dict:
     if width == 2:
         samples = array.array("h", raw)
     elif width == 1:  # unsigned 8-bit PCM, centre at 128
-        # bytes() rejects negative ints, so recentre via unsigned array
-        # arithmetic instead of bytes(b - 128 ...).
-        samples = array.array("h", (b - 128 for b in array.array("B", raw)))
+        # bytes() rejects negative ints; iterate the raw bytes (ints in
+        # py3) and recentre into a signed 16-bit array instead
+        samples = array.array("h", (b - 128 for b in raw))
     else:
         raise NotImplementedError(f"{8 * width}-bit PCM not supported")
     rms = (

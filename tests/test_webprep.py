@@ -34,7 +34,9 @@ def test_gopher_rules_match_python_recompute(spark):
     }
     assert set(rows) == set(docs)
     for doc_id, text in docs.items():
-        toks = text.strip().split()
+        # both engines tokenize on ASCII \s (Java regex / DuckDB RE2);
+        # Python str.split() would also split Unicode whitespace
+        toks = [t for t in re.split(r"\s+", text.strip(), flags=re.ASCII) if t]
         r = rows[doc_id]
         assert r["n_words"] == len(toks)
         assert r["mean_wlen_centi"] == sum(len(t) for t in toks) * 100 // len(toks)
@@ -132,7 +134,10 @@ def test_random_projection_matches_numpy(spark):
         dtype="int64",
     )
     for vid, v in list(emb.items())[:20]:
-        micro = np.round(v * 1_000_000).astype("int64")
+        # Spark/DuckDB round() is half-AWAY-from-zero; np.round is
+        # half-to-even, which would diverge on exact .5 micro-values
+        scaled = v * 1_000_000
+        micro = np.trunc(scaled + np.copysign(0.5, scaled)).astype("int64")
         expect = micro @ sign
         got = np.array([out[vid][f"p{j}"] for j in range(_RP_OUT)])
         assert (got == expect).all(), vid
