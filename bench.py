@@ -74,6 +74,9 @@ EXTRA = [
     "url_canonicalize_dedup",
     "perplexity_tertile_split",
     "random_projection_reduce",
+    "stream_topk_trending",
+    "histogram_quantile_estimate",
+    "value_outlier_mad",
 ]
 
 

@@ -191,6 +191,8 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # r4 late additions (webprep.py, vectorops RP), never driver-checked
     "random_projection_reduce", "gopher_quality_report",
     "url_canonicalize_dedup", "perplexity_tertile_split",
+    "stream_topk_trending", "histogram_quantile_estimate",
+    "value_outlier_mad",
 )
 
 

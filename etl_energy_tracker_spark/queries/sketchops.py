@@ -26,7 +26,7 @@ anyway for the error audit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ..functions.hashing import duckdb_charhash, spark_charhash
@@ -497,5 +497,107 @@ def hll_set_union_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ra") + F.col("rb") - F.col("ru"), 4).alias(
                 "est_intersect"
             ),
+        )
+    )
+
+
+# -------------------------------------------- histogram quantiles
+
+_HIST_BINS = 256
+
+
+@register(
+    "histogram_quantile_estimate",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(value) AS mn, MAX(value) AS mx, COUNT(*) AS n_total
+        FROM events
+    ),
+    binned AS (
+        SELECT LEAST(CAST(FLOOR((value - mn) / (mx - mn) * {_HIST_BINS})
+                          AS BIGINT), {_HIST_BINS - 1}) AS bin,
+               COUNT(*) AS c
+        FROM events, bounds GROUP BY 1
+    ),
+    cum AS (
+        SELECT bin, SUM(c) OVER (ORDER BY bin) AS cum_c FROM binned
+    ),
+    est AS (
+        SELECT
+            (SELECT MIN(bin) FROM cum, bounds WHERE cum_c * 100 >= 50 * n_total) AS b50,
+            (SELECT MIN(bin) FROM cum, bounds WHERE cum_c * 100 >= 90 * n_total) AS b90,
+            (SELECT MIN(bin) FROM cum, bounds WHERE cum_c * 100 >= 99 * n_total) AS b99
+    )
+    SELECT ROUND(mn + b50 * (mx - mn) / {_HIST_BINS}, 6) AS p50_est,
+           ROUND(mn + b90 * (mx - mn) / {_HIST_BINS}, 6) AS p90_est,
+           ROUND(mn + b99 * (mx - mn) / {_HIST_BINS}, 6) AS p99_est,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+           ROUND(quantile_cont(value, 0.9), 6) AS p90_exact,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99_exact
+    FROM est, bounds, events
+    GROUP BY b50, b90, b99, mn, mx
+    """,
+    tags=("sketch", "stats"),
+    doc="Histogram-sketch quantile estimation next to the exact "
+    "answer: one pass for (min, max, count), one pass binning values "
+    "into 256 fixed-width buckets (the mergeable, constant-size "
+    "sketch a 100 TB profiler maintains per column), then p50/p90/p99 "
+    "read off the cumulative histogram as the owning bin's lower "
+    "edge. The exact interpolated quantiles (a full sort at scale — "
+    "the thing the sketch exists to avoid) are computed alongside so "
+    "the estimate's error is visible in the output. Bin index "
+    "arithmetic is identical double math on both engines; estimate "
+    "error is bounded by one bin width by construction (pinned in "
+    "pytest).",
+)
+def histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("value")
+    bounds = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor((F.col("value") - F.col("mn"))
+                        / (F.col("mx") - F.col("mn")) * _HIST_BINS).cast("long"),
+                F.lit(_HIST_BINS - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cum = binned.select(
+        "bin", F.sum("c").over(W.orderBy("bin")).alias("cum_c")
+    ).crossJoin(F.broadcast(bounds))
+    est = cum.agg(
+        *[
+            F.min(
+                F.when(F.col("cum_c") * 100 >= p * F.col("n_total"), F.col("bin"))
+            ).alias(f"b{p}")
+            for p in (50, 90, 99)
+        ]
+    )
+    exact = ev.agg(
+        *[
+            F.round(F.expr(f"percentile(value, {p / 100})"), 6).alias(f"p{p}_exact")
+            for p in (50, 90, 99)
+        ]
+    )
+    return (
+        est.crossJoin(F.broadcast(bounds))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            *[
+                F.round(
+                    F.col("mn")
+                    + F.col(f"b{p}") * (F.col("mx") - F.col("mn")) / _HIST_BINS,
+                    6,
+                ).alias(f"p{p}_est")
+                for p in (50, 90, 99)
+            ],
+            "p50_exact", "p90_exact", "p99_exact",
         )
     )

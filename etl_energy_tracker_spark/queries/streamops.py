@@ -321,3 +321,44 @@ def stream_funnel_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import funnel_stage_stream
 
     return funnel_stage_stream(spark, sf_dir)
+
+
+@register(
+    "stream_topk_trending",
+    oracle="""
+    WITH counts AS (
+        SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT hour_ts, event_type, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY hour_ts ORDER BY n DESC, event_type
+               ) AS rk
+        FROM counts
+    )
+    SELECT hour_ts, event_type, n, rk FROM ranked WHERE rk <= 3
+    """,
+    tags=("streaming", "time", "window"),
+    doc="Trending top-k over the stream: the hourly per-event-type "
+    "counts are maintained INCREMENTALLY by the watermarked streaming "
+    "aggregation (the same bounded-state shape as "
+    "streaming_hourly_agg), and the top-3 rank per hour runs as a "
+    "batch window over the sink table at read time — rank is not an "
+    "incremental aggregate, so production trending dashboards "
+    "materialize counts in the stream and rank at query time, which "
+    "is exactly this split. Driven to completion with availableNow "
+    "semantics over the bounded source, so the batch SQL is the "
+    "oracle.",
+)
+def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import hourly_event_agg_stream
+
+    counts = hourly_event_agg_stream(spark, sf_dir, output_mode="complete")
+    w = W.partitionBy("hour_ts").orderBy(F.desc("n"), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("hour_ts", "event_type", "n", "rk")
+    )

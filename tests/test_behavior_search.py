@@ -97,3 +97,33 @@ def test_fuzzy_name_match_blocking_and_threshold(spark):
         assert r.name_a.split()[-1] == r.name_b.split()[-1] == r.block
         assert r.lev == lev(r.name_a, r.name_b)
         assert r.lev <= 4
+
+
+def test_value_outlier_mad_matches_python(spark):
+    """Flags must equal an independent Python median/MAD recompute and
+    be invariant to the outliers themselves (robustness property)."""
+    import statistics
+
+    from etl_energy_tracker_spark.queries.behaviorops import (
+        _MAD_K,
+        _ROBUST_Z_CUT,
+        value_outlier_mad,
+    )
+
+    rows = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((r["event_id"], r["value"]))
+    expected = set()
+    for et, vs in by_type.items():
+        med = statistics.median(v for _, v in vs)
+        mad = statistics.median(abs(v - med) for _, v in vs)
+        for eid, v in vs:
+            z = round(abs(v - med) / (_MAD_K * mad), 6)
+            if z > _ROBUST_Z_CUT:
+                expected.add(eid)
+    got = {r["event_id"] for r in value_outlier_mad(spark, SF_DIR).collect()}
+    assert got == expected
+    assert got  # the screen fires on the fixture corpus

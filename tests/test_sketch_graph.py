@@ -146,3 +146,24 @@ def test_salted_join_equals_plain_join(spark):
             p.max_event,
         )
         assert r.label == f"grp_{k}"
+
+
+def test_histogram_quantile_estimate_error_bounded(spark):
+    """The histogram estimate must land within one bin width of the
+    exact quantile — the sketch's construction guarantee."""
+    from etl_energy_tracker_spark.queries.sketchops import (
+        _HIST_BINS,
+        histogram_quantile_estimate,
+    )
+
+    r = histogram_quantile_estimate(spark, SF_DIR).collect()[0]
+    vals = [
+        x["value"]
+        for x in spark.read.parquet(f"{SF_DIR}/events.parquet").select("value").collect()
+    ]
+    bin_w = (max(vals) - min(vals)) / _HIST_BINS
+    for p in (50, 90, 99):
+        est, exact = r[f"p{p}_est"], r[f"p{p}_exact"]
+        assert abs(est - exact) <= bin_w + 1e-9, (p, est, exact, bin_w)
+    # estimates are ordered like the quantiles they approximate
+    assert r["p50_est"] <= r["p90_est"] <= r["p99_est"]

@@ -263,3 +263,37 @@ def test_stream_dedup_equals_batch_distinct(spark):
     # every event exactly once despite arriving twice
     assert out.count() == n_events
     assert out.select("event_id").distinct().count() == n_events
+
+
+def test_stream_topk_trending_ranks_and_bounds(spark):
+    """Per hour: exactly <=3 rows, ranks 1..k contiguous, counts
+    non-increasing with rank, and the stream-maintained counts equal a
+    batch recompute."""
+    from collections import Counter
+
+    from etl_energy_tracker_spark.queries.streamops import stream_topk_trending
+
+    out = stream_topk_trending(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    batch = Counter(
+        (r["ts"].replace(minute=0, second=0, microsecond=0), r["event_type"])
+        for r in ev
+    )
+    by_hour = {}
+    for r in out:
+        by_hour.setdefault(r["hour_ts"], []).append(r)
+    for hour, rows in by_hour.items():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 3
+        ns = [r["n"] for r in rows]
+        assert ns == sorted(ns, reverse=True)
+        for r in rows:
+            assert batch[(hour, r["event_type"])] == r["n"]
+        # nothing outside the top-3 beats the rank-3 count
+        others = [
+            n for (h, et), n in batch.items()
+            if h == hour and et not in {r["event_type"] for r in rows}
+        ]
+        if others and len(rows) == 3:
+            assert max(others) <= ns[-1]
