@@ -77,6 +77,7 @@ EXTRA = [
     "stream_topk_trending",
     "histogram_quantile_estimate",
     "value_outlier_mad",
+    "bpe_train_merges",
 ]
 
 

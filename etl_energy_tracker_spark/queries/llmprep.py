@@ -431,3 +431,135 @@ def length_band_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rn") * 20 > F.col("cnt")) & ((F.col("cnt") - F.col("rn")) * 20 >= F.col("cnt")))
         .select("doc_id", "lang", "n_chars")
     )
+
+
+# ------------------------------------------ iterative BPE training
+
+_BPE_ROUNDS = 4
+
+
+def _bpe_oracle(rounds: int) -> str:
+    # unrolled merge rounds: pair-count -> argmax -> greedy
+    # left-to-right merge, each as a CTE trio (pc{r}, b{r}, s{r+1})
+    ctes = ["""w0 AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents
+    ),
+    words AS (SELECT w, COUNT(*) AS freq FROM w0 GROUP BY w),
+    s0 AS (
+        SELECT w, freq,
+               list_transform(range(1, length(w) + 1),
+                   i -> substring(w, CAST(i AS INT), 1)) AS s
+        FROM words
+    )"""]
+    for r in range(rounds):
+        ctes.append(f"""pc{r} AS (
+        SELECT pr.p1 AS p1, pr.p2 AS p2, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+            SELECT freq,
+                   unnest(list_transform(range(1, len(s)),
+                       i -> struct_pack(p1 := s[CAST(i AS INT)],
+                                        p2 := s[CAST(i AS INT) + 1]))) AS pr
+            FROM s{r} WHERE len(s) >= 2
+        ) GROUP BY pr.p1, pr.p2
+    ),
+    b{r} AS (
+        SELECT p1, p2, p1 || p2 AS merged, cnt
+        FROM pc{r} ORDER BY cnt DESC, p1, p2 LIMIT 1
+    ),
+    s{r + 1} AS (
+        SELECT w, freq,
+               list_reduce(
+                   list_prepend(CAST([] AS VARCHAR[]),
+                                list_transform(s, x -> [x])),
+                   (acc, x) -> CASE
+                       WHEN len(acc) > 0 AND acc[len(acc)] = p1
+                            AND x[1] = p2
+                       THEN list_append(acc[1:len(acc) - 1], merged)
+                       ELSE list_append(acc, x[1]) END
+               ) AS s
+        FROM s{r}, b{r}
+    )""")
+    union = "\n        UNION ALL ".join(
+        f"SELECT {r} AS merge_round, p1, p2, merged, cnt FROM b{r}"
+        for r in range(rounds)
+    )
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {union}"
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(_BPE_ROUNDS),
+    tags=("text", "corpus", "iterative"),
+    doc="Iterative BPE tokenizer training — the full merge loop, not "
+    "just one counting step: per round, (1) adjacent-symbol pair "
+    "frequencies weighted by word frequency (map-side explode over "
+    "the alphabet-bounded word-frequency table, one hash aggregate), "
+    "(2) argmax pair with deterministic (count, pair) tie-break, "
+    "(3) greedy left-to-right non-overlapping merge applied to every "
+    "word via a single aggregate() fold (a just-created symbol is not "
+    "re-merged within the pass — exact BPE semantics). Four rounds "
+    "unrolled; output is the learned merge table (round, pair, "
+    "count). Scale: the state between rounds is the word-frequency "
+    "symbol table (vocab-bounded, NOT corpus-bounded — the corpus is "
+    "read once into word counts), so each round is one small-table "
+    "aggregate + one broadcast of a single-row argmax; 100 TB of text "
+    "only changes the initial word-count shuffle.",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    words = (
+        docs.select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = words.select(
+        "w", "freq",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("s"),
+    )
+    # the symbol table is vocab-bounded; materialize once so each
+    # round's pair count + merge reads the previous round's result
+    # instead of recomputing the whole chain
+    syms = syms.localCheckpoint(eager=False)
+    bests = []
+    for r in range(_BPE_ROUNDS):
+        pairs = (
+            syms.where(F.size("s") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(s) - 1), "
+                        "i -> struct(s[i-1] AS p1, s[i] AS p2))"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy("pr.p1", "pr.p2")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = (
+            pairs.orderBy(F.desc("cnt"), "p1", "p2")
+            .limit(1)
+            .select("p1", "p2", F.concat("p1", "p2").alias("merged"), "cnt")
+        )
+        bests.append(best.select(F.lit(r).alias("merge_round"), "p1", "p2", "merged", "cnt"))
+        merged_s = F.expr(
+            "aggregate(s, CAST(array() AS array<string>), (acc, x) -> "
+            "CASE WHEN size(acc) > 0 AND element_at(acc, -1) = p1 AND x = p2 "
+            "THEN concat(slice(acc, 1, size(acc) - 1), array(merged)) "
+            "ELSE concat(acc, array(x)) END)"
+        )
+        syms = (
+            syms.crossJoin(F.broadcast(best))
+            .select("w", "freq", merged_s.alias("s"))
+            .localCheckpoint(eager=False)
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out

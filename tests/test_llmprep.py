@@ -232,3 +232,53 @@ def test_chunk_windows_plan_is_shuffle_free(spark):
     plan = doc_chunk_windows(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_bpe_train_merges_matches_reference_python(spark):
+    """The learned merge table must equal the classic BPE training
+    loop (Sennrich et al.) run independently in Python: count adjacent
+    symbol pairs weighted by word frequency, merge the argmax pair
+    greedily left-to-right, repeat."""
+    import re
+    from collections import Counter
+
+    from etl_energy_tracker_spark.queries.llmprep import (
+        _BPE_ROUNDS,
+        bpe_train_merges,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    wf = Counter(
+        w for r in docs for w in re.findall("[a-z]+", r["text"].lower())
+    )
+    syms = {w: [list(w), f] for w, f in wf.items()}
+
+    expected = []
+    for rnd in range(_BPE_ROUNDS):
+        pc = Counter()
+        for s, f in syms.values():
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        (p1, p2), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rnd, p1, p2, p1 + p2, cnt))
+        for v in syms.values():
+            s = v[0]
+            out = []
+            for x in s:
+                if out and out[-1] == p1 and x == p2:
+                    out[-1] = p1 + p2
+                else:
+                    out.append(x)
+            v[0] = out
+
+    got = sorted(
+        (r["merge_round"], r["p1"], r["p2"], r["merged"], r["cnt"])
+        for r in bpe_train_merges(spark, SF_DIR).collect()
+    )
+    assert got == expected
+    # merges are genuinely iterative: at least one later merge builds
+    # on an earlier merged symbol OR counts strictly decrease
+    cnts = [e[4] for e in expected]
+    assert cnts == sorted(cnts, reverse=True) or any(
+        len(e[1]) > 1 or len(e[2]) > 1 for e in expected[1:]
+    )
