@@ -78,6 +78,7 @@ EXTRA = [
     "histogram_quantile_estimate",
     "value_outlier_mad",
     "bpe_train_merges",
+    "hybrid_rrf_fusion",
 ]
 
 

@@ -192,7 +192,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "random_projection_reduce", "gopher_quality_report",
     "url_canonicalize_dedup", "perplexity_tertile_split",
     "stream_topk_trending", "histogram_quantile_estimate",
-    "value_outlier_mad", "bpe_train_merges",
+    "value_outlier_mad", "bpe_train_merges", "hybrid_rrf_fusion",
 )
 
 

@@ -81,3 +81,118 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("postings")
         )
     )
+
+
+# ------------------------------------------- hybrid retrieval (RRF)
+
+_RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+_RRF_TOPN = 20  # per-system candidate depth
+_RRF_OUT = 10  # fused result size
+
+
+def _hybrid_oracle() -> str:
+    from .catalog import CATALOG
+    from .llmprep import _COS64_AB
+
+    bm25 = CATALOG["bm25_topk_docs"].oracle
+    cos = _COS64_AB.format(a="e.embedding", b="qv")
+    return f"""
+    WITH bm AS ({bm25}),
+    lex AS (
+        SELECT doc_id, CAST(SUM(score_scaled) AS BIGINT) AS lex_score
+        FROM bm GROUP BY doc_id
+    ),
+    lexr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY lex_score DESC, doc_id) AS r_lex
+        FROM lex
+        ORDER BY lex_score DESC, doc_id LIMIT {_RRF_TOPN}
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    sem AS (
+        SELECT e.vec_id AS doc_id, {cos} AS cos
+        FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    semr AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS r_sem
+        FROM sem
+        ORDER BY cos DESC, doc_id LIMIT {_RRF_TOPN}
+    ),
+    fused AS (
+        SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+               l.r_lex AS r_lex, s.r_sem AS r_sem,
+               COALESCE(1000000 // ({_RRF_K} + l.r_lex), 0)
+                   + COALESCE(1000000 // ({_RRF_K} + s.r_sem), 0) AS rrf_micro
+        FROM lexr l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, r_lex, r_sem, rrf_micro FROM fused
+    ORDER BY rrf_micro DESC, doc_id LIMIT {_RRF_OUT}
+    """
+
+
+@register(
+    "hybrid_rrf_fusion",
+    oracle=_hybrid_oracle(),
+    tags=("text", "vector", "search"),
+    doc="Hybrid retrieval via reciprocal-rank fusion: the BM25 lexical "
+    "ranking (summed integer-scaled term scores) and the embedding "
+    "cosine ranking (query = vec_id 0) are each cut to their top-20, "
+    "then fused with the standard RRF formula 1/(60+rank) in exact "
+    "integer micro-units and re-ranked. The fusion step every hybrid "
+    "search stack runs — lexical recall + semantic recall, neither "
+    "score scale trusted, only ranks. Scale: each system's ranking is "
+    "its own top-k (bounded output); the fusion join touches only "
+    "2*top-k rows, so fusion cost is independent of corpus size.",
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..operators.similarity import dot
+    from .textops import bm25_topk_docs
+
+    bm = bm25_topk_docs(spark, sf_dir)
+    lex = bm.groupBy("doc_id").agg(F.sum("score_scaled").alias("lex_score"))
+    lexr = (
+        lex.withColumn(
+            "r_lex", F.row_number().over(W.orderBy(F.desc("lex_score"), "doc_id"))
+        )
+        .where(F.col("r_lex") <= _RRF_TOPN)
+        .select("doc_id", "r_lex")
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    cos = F.round(
+        F.try_divide(
+            dot(F.col("embedding"), F.col("qv")),
+            F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+            * F.sqrt(dot(F.col("qv"), F.col("qv"))),
+        ),
+        6,
+    )
+    sem = (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos"))
+    )
+    semr = (
+        sem.withColumn(
+            "r_sem", F.row_number().over(W.orderBy(F.desc("cos"), "doc_id"))
+        )
+        .where(F.col("r_sem") <= _RRF_TOPN)
+        .select("doc_id", "r_sem")
+    )
+    fused = lexr.join(semr, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_sem",
+        (
+            F.coalesce(
+                F.expr(f"1000000 DIV ({_RRF_K} + r_lex)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000 DIV ({_RRF_K} + r_sem)"), F.lit(0)
+            )
+        ).alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), "doc_id").limit(_RRF_OUT)

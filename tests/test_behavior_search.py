@@ -127,3 +127,67 @@ def test_value_outlier_mad_matches_python(spark):
     got = {r["event_id"] for r in value_outlier_mad(spark, SF_DIR).collect()}
     assert got == expected
     assert got  # the screen fires on the fixture corpus
+
+
+def test_hybrid_rrf_fusion_consistent_with_component_rankings(spark):
+    """Fused rows must carry ranks consistent with independently
+    recomputed lexical and semantic rankings, and rrf_micro must be
+    exactly the integer RRF of those ranks."""
+    import math
+
+    from etl_energy_tracker_spark.queries.searchops import (
+        _RRF_K,
+        _RRF_OUT,
+        _RRF_TOPN,
+        hybrid_rrf_fusion,
+    )
+    from etl_energy_tracker_spark.queries.textops import bm25_topk_docs
+
+    # independent lexical ranking from the (separately oracle-checked)
+    # BM25 table
+    bm = bm25_topk_docs(spark, SF_DIR).collect()
+    lex_tot = {}
+    for r in bm:
+        lex_tot[r["doc_id"]] = lex_tot.get(r["doc_id"], 0) + r["score_scaled"]
+    lex_rank = {
+        d: i + 1
+        for i, (d, _) in enumerate(
+            sorted(lex_tot.items(), key=lambda kv: (-kv[1], kv[0]))[:_RRF_TOPN]
+        )
+    }
+    # independent semantic ranking
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+    qv = emb[0]
+    qn = math.sqrt(sum(x * x for x in qv))
+
+    def cosine(v):
+        return round(
+            sum(float(a) * float(b) for a, b in zip(v, qv))
+            / (math.sqrt(sum(float(x) * float(x) for x in v)) * qn),
+            6,
+        )
+
+    sem_sorted = sorted(
+        ((cosine(v), vid) for vid, v in emb.items() if vid != 0),
+        key=lambda t: (-t[0], t[1]),
+    )[:_RRF_TOPN]
+    sem_rank = {vid: i + 1 for i, (_, vid) in enumerate(sem_sorted)}
+
+    out = hybrid_rrf_fusion(spark, SF_DIR).collect()
+    assert len(out) == _RRF_OUT
+    scores = [r["rrf_micro"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    for r in out:
+        assert r["r_lex"] == lex_rank.get(r["doc_id"])
+        assert r["r_sem"] == sem_rank.get(r["doc_id"])
+        expect = (1000000 // (_RRF_K + r["r_lex"]) if r["r_lex"] else 0) + (
+            1000000 // (_RRF_K + r["r_sem"]) if r["r_sem"] else 0
+        )
+        assert r["rrf_micro"] == expect
+    # fusion is genuinely hybrid on this corpus: the result draws from
+    # both systems
+    assert any(r["r_lex"] is not None for r in out)
+    assert any(r["r_sem"] is not None for r in out)
