@@ -138,7 +138,15 @@ _REVERIFY: tuple[str, ...] = (
     # r3/r4 rewrites still awaiting a driver row on current code
     "ngram_jaccard_pairs", "minhash_lsh_pairs", "minhash_lsh_pairs_k32",
     "near_dup_clusters", "near_dup_keep_corpus", "simhash_near_pairs",
-    "up_link_eligibility", "q3_shipping_priority", "q14_promo_revenue",
+    "up_link_eligibility",
+)
+
+# Hint-only changes (broadcast-hint removal; the join RESULT provably
+# cannot differ, only the physical strategy) — re-verification is
+# belt-and-braces, so these sit at the END of the priority queue:
+# never-driver-checked operators get the capped run's slots first.
+_REVERIFY_HINT_ONLY: tuple[str, ...] = (
+    "q3_shipping_priority", "q14_promo_revenue",
     "q19_disjunctive_predicates", "q21_waiting_orders",
     "q9_product_profit", "q15_top_supplier", "q16_supplier_part_counts",
     "q20_potential_promotion",
@@ -193,7 +201,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "url_canonicalize_dedup", "perplexity_tertile_split",
     "stream_topk_trending", "histogram_quantile_estimate",
     "value_outlier_mad", "bpe_train_merges", "hybrid_rrf_fusion",
-)
+) + _REVERIFY_HINT_ONLY
 
 
 def _ordered() -> list[str]:
