@@ -581,3 +581,91 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("term", "doc_id", "tf", "df", "score_scaled")
     )
+
+
+# ------------------------------------- normalization-aware dedup
+
+# C4-style text normalization before exact hashing: lowercase, strip
+# non-alphanumerics to spaces, collapse whitespace, trim. Catches
+# re-encodings/punctuation variants that raw-byte md5 dedup misses.
+_NORM_DUCK = (
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+)
+
+
+@register(
+    "normalized_exact_dedup",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id, md5({_NORM_DUCK}) AS norm_hash FROM documents
+    )
+    SELECT norm_hash, MIN(doc_id) AS keeper_doc_id,
+           COUNT(*) AS n_docs
+    FROM n GROUP BY norm_hash
+    """,
+    tags=("text", "dedup"),
+    doc="Exact dedup AFTER text normalization (lowercase, punctuation "
+    "to spaces, whitespace collapse — the C4 recipe): documents that "
+    "differ only in case/punctuation/spacing collapse to one keeper. "
+    "Sits between raw-byte exact dedup (misses these variants) and "
+    "MinHash near-dup (overkill for them). Same scale shape as exact "
+    "dedup: hash the normalized text map-side, one groupBy on the "
+    "128-bit hash — the payload never shuffles.",
+)
+def normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return (
+        docs.select("doc_id", F.md5(norm).alias("norm_hash"))
+        .groupBy("norm_hash")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ------------------------------------------- phrase-match counting
+
+_PHRASE = ("table", "value")
+
+
+@register(
+    "phrase_match_count",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           len(list_filter(range(1, len(toks)),
+               i -> toks[CAST(i AS INT)] = '{_PHRASE[0]}'
+                    AND toks[CAST(i AS INT) + 1] = '{_PHRASE[1]}'))
+               AS n_hits
+    FROM t
+    WHERE len(list_filter(range(1, len(toks)),
+              i -> toks[CAST(i AS INT)] = '{_PHRASE[0]}'
+                   AND toks[CAST(i AS INT) + 1] = '{_PHRASE[1]}')) > 0
+    """,
+    tags=("text", "search"),
+    doc="Exact phrase-match counting (adjacent token pair "
+    f"'{_PHRASE[0]} {_PHRASE[1]}'): per-document occurrence count of "
+    "the phrase, docs with >= 1 hit. The positional-adjacency "
+    "primitive under phrase queries — here evaluated map-only as a "
+    "single filter over the token array (grep shape, zero shuffle, "
+    "runs at scan speed); an index-backed variant intersects "
+    "positional postings, trading index build cost for sublinear "
+    "query cost.",
+)
+def phrase_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    hits = F.expr(
+        f"size(filter(sequence(1, size(toks) - 1), "
+        f"i -> toks[i-1] = '{_PHRASE[0]}' AND toks[i] = '{_PHRASE[1]}'))"
+    )
+    return t.select("doc_id", hits.alias("n_hits")).where(F.col("n_hits") > 0)

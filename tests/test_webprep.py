@@ -144,3 +144,42 @@ def test_random_projection_matches_numpy(spark):
     # ±1 matrix is balanced enough that no output dim is constant
     for j in range(_RP_OUT):
         assert len({out[v][f"p{j}"] for v in out}) > 1
+
+
+def test_normalized_exact_dedup_merges_variants(spark):
+    """Case/punctuation/whitespace variants of one text must share a
+    keeper; distinct texts must not."""
+    from etl_energy_tracker_spark.queries.textops import normalized_exact_dedup
+
+    out = {r["norm_hash"]: r for r in normalized_exact_dedup(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+
+    def norm(t):
+        t = re.sub("[^a-z0-9 ]", " ", t.lower())
+        return re.sub(" +", " ", t).strip()
+
+    groups = {}
+    for r in docs:
+        groups.setdefault(norm(r["text"]), []).append(r["doc_id"])
+    assert len(out) == len(groups)
+    for ids in groups.values():
+        # every group's min id is a keeper somewhere
+        assert any(v["keeper_doc_id"] == min(ids) and v["n_docs"] == len(ids)
+                   for v in out.values())
+
+
+def test_phrase_match_count_matches_python(spark):
+    from etl_energy_tracker_spark.queries.textops import _PHRASE, phrase_match_count
+
+    out = {r["doc_id"]: r["n_hits"] for r in phrase_match_count(spark, SF_DIR).collect()}
+    expected = {}
+    for r in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect():
+        toks = [t for t in re.split(r"\s+", r["text"].strip(), flags=re.ASCII) if t]
+        n = sum(
+            1
+            for i in range(len(toks) - 1)
+            if toks[i] == _PHRASE[0] and toks[i + 1] == _PHRASE[1]
+        )
+        if n:
+            expected[r["doc_id"]] = n
+    assert out == expected and out
