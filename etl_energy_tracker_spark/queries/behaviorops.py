@@ -206,3 +206,63 @@ def value_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("robust_z") > _ROBUST_Z_CUT)
         .select("event_id", "event_type", "value", "robust_z")
     )
+
+
+# -------------------------------------------- event pattern match
+
+# view, then any signups/clicks, then purchase — the MATCH_RECOGNIZE
+# shape expressed over a per-user ordered event-initial string
+_CEP_PATTERN = "v[sc]*p"
+
+
+@register(
+    "event_pattern_match",
+    oracle=f"""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substring(event_type, 1, 1), ''
+                          ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, '{_CEP_PATTERN}')) AS BIGINT)
+               AS n_matches
+    FROM seqs
+    WHERE len(regexp_extract_all(seq, '{_CEP_PATTERN}')) > 0
+    """,
+    tags=("behavior", "pattern"),
+    doc="Complex-event-processing pattern match (MATCH_RECOGNIZE "
+    "shape): each user's events collapse to an ordered initial string "
+    "(deterministic (ts, event_id) order), and the pattern "
+    "'view, then any signups/clicks, then purchase' is counted as "
+    "leftmost non-overlapping regex matches — identical greedy "
+    "semantics in Java regex and RE2. One groupBy per user (the "
+    "sequence is session-bounded in practice — at 100 TB you window "
+    "the sequence per session, not per lifetime, exactly like "
+    "sessionization upstream) and a map-side regex; no joins, no "
+    "state machine UDF.",
+)
+def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    seqs = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id", F.substring("event_type", 1, 1).alias("c")).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.expr("transform(array_sort(collect_list(s)), x -> x.c)")
+            ).alias("seq")
+        )
+    )
+    n = F.size(F.expr(f"regexp_extract_all(seq, '{_CEP_PATTERN}', 0)"))
+    return (
+        seqs.select(
+            "user_id",
+            F.length("seq").cast("long").alias("seq_len"),
+            n.cast("long").alias("n_matches"),
+        )
+        .where(F.col("n_matches") > 0)
+    )

@@ -201,7 +201,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "url_canonicalize_dedup", "perplexity_tertile_split",
     "stream_topk_trending", "histogram_quantile_estimate",
     "value_outlier_mad", "bpe_train_merges", "hybrid_rrf_fusion",
-    "normalized_exact_dedup", "phrase_match_count",
+    "normalized_exact_dedup", "phrase_match_count", "event_pattern_match",
 ) + _REVERIFY_HINT_ONLY
 
 

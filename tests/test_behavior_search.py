@@ -191,3 +191,27 @@ def test_hybrid_rrf_fusion_consistent_with_component_rankings(spark):
     # both systems
     assert any(r["r_lex"] is not None for r in out)
     assert any(r["r_sem"] is not None for r in out)
+
+
+def test_event_pattern_match_matches_python_regex(spark):
+    import re as _re
+
+    from etl_energy_tracker_spark.queries.behaviorops import (
+        _CEP_PATTERN,
+        event_pattern_match,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    seqs = {}
+    for r in sorted(ev, key=lambda r: (r["ts"], r["event_id"])):
+        seqs[r["user_id"]] = seqs.get(r["user_id"], "") + r["event_type"][0]
+    expected = {
+        u: (len(s), len(_re.findall(_CEP_PATTERN, s)))
+        for u, s in seqs.items()
+        if _re.search(_CEP_PATTERN, s)
+    }
+    got = {
+        r["user_id"]: (r["seq_len"], r["n_matches"])
+        for r in event_pattern_match(spark, SF_DIR).collect()
+    }
+    assert got == expected and got
