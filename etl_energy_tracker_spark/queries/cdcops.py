@@ -308,3 +308,103 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+# --------------------------------------- data-quality expectations
+
+@register(
+    "dq_expectations_report",
+    oracle="""
+    WITH m AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(o_custkey) AS n_custkey,
+               COUNT(DISTINCT o_orderkey) AS n_orderkey_distinct,
+               COUNT(CASE WHEN o_totalprice > 0 THEN 1 END) AS n_price_pos,
+               COUNT(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END)
+                   AS n_status_ok
+        FROM orders
+    )
+    SELECT * FROM (
+        SELECT 'row_count_min_100' AS constraint_name,
+               n_rows AS metric, n_rows >= 100 AS passed FROM m
+        UNION ALL
+        SELECT 'custkey_complete',
+               n_custkey * 1000000 // n_rows,
+               n_custkey = n_rows FROM m
+        UNION ALL
+        SELECT 'orderkey_unique',
+               n_orderkey_distinct * 1000000 // n_rows,
+               n_orderkey_distinct = n_rows FROM m
+        UNION ALL
+        SELECT 'totalprice_positive',
+               n_price_pos * 1000000 // n_rows,
+               n_price_pos = n_rows FROM m
+        UNION ALL
+        SELECT 'status_in_domain',
+               n_status_ok * 1000000 // n_rows,
+               n_status_ok = n_rows FROM m
+    )
+    """,
+    tags=("profile", "quality"),
+    doc="Declared data-quality expectations evaluated in ONE pass "
+    "(Deequ / Great Expectations shape): row-count floor, "
+    "completeness(o_custkey), uniqueness(o_orderkey), range "
+    "(o_totalprice > 0), and domain membership (o_orderstatus), each "
+    "reported as (constraint, metric, passed). All five metrics come "
+    "from a single aggregate over the table — the point of a "
+    "constraint engine is that adding expectations adds columns to "
+    "one scan, not scans. Ratios are integer micro-units "
+    "(n*1000000 DIV total), exact on both engines. At 100 TB the "
+    "exact distinct becomes the HLL register sketch "
+    "(hll_distinct_audit) with a tolerance-based uniqueness check.",
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, "orders", sf_dir)
+    m = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_custkey").alias("n_custkey"),
+        F.countDistinct("o_orderkey").alias("n_orderkey_distinct"),
+        F.count(F.when(F.col("o_totalprice") > 0, 1)).alias("n_price_pos"),
+        F.count(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        ).alias("n_status_ok"),
+    )
+    rows = [
+        ("row_count_min_100", F.col("n_rows"), F.col("n_rows") >= 100),
+        (
+            "custkey_complete",
+            F.expr("n_custkey * 1000000 DIV n_rows"),
+            F.col("n_custkey") == F.col("n_rows"),
+        ),
+        (
+            "orderkey_unique",
+            F.expr("n_orderkey_distinct * 1000000 DIV n_rows"),
+            F.col("n_orderkey_distinct") == F.col("n_rows"),
+        ),
+        (
+            "totalprice_positive",
+            F.expr("n_price_pos * 1000000 DIV n_rows"),
+            F.col("n_price_pos") == F.col("n_rows"),
+        ),
+        (
+            "status_in_domain",
+            F.expr("n_status_ok * 1000000 DIV n_rows"),
+            F.col("n_status_ok") == F.col("n_rows"),
+        ),
+    ]
+    # one explode over the single aggregate row — NOT a union of five
+    # re-aggregations (a union would rescan the table per constraint,
+    # defeating the one-pass design)
+    report = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("constraint_name"),
+                    metric.cast("long").alias("metric"),
+                    passed.alias("passed"),
+                )
+                for name, metric, passed in rows
+            ]
+        )
+    ).alias("r")
+    return m.select(report).select("r.constraint_name", "r.metric", "r.passed")

@@ -73,3 +73,28 @@ def test_profile_stats_consistency(spark):
     assert rows["l_returnflag"].min_str == min(flags)
     assert rows["l_returnflag"].max_str == max(flags)
     assert rows["l_quantity"].min_num <= rows["l_quantity"].max_num
+
+
+def test_dq_expectations_single_scan_and_values(spark):
+    """All five constraints come from ONE aggregate (single scan of
+    orders in the plan) and metrics match a Python recompute."""
+    from etl_energy_tracker_spark.queries.cdcops import dq_expectations_report
+
+    df = dq_expectations_report(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("orders.parquet") <= 1 or plan.count("Scan parquet") <= 1
+
+    rows = {r["constraint_name"]: r for r in df.collect()}
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    n = len(orders)
+    assert rows["row_count_min_100"]["metric"] == n
+    assert rows["row_count_min_100"]["passed"] == (n >= 100)
+    n_ck = sum(1 for r in orders if r["o_custkey"] is not None)
+    assert rows["custkey_complete"]["metric"] == n_ck * 1000000 // n
+    n_uk = len({r["o_orderkey"] for r in orders})
+    assert rows["orderkey_unique"]["metric"] == n_uk * 1000000 // n
+    assert rows["orderkey_unique"]["passed"] == (n_uk == n)
+    n_pos = sum(1 for r in orders if r["o_totalprice"] > 0)
+    assert rows["totalprice_positive"]["passed"] == (n_pos == n)
+    n_dom = sum(1 for r in orders if r["o_orderstatus"] in ("O", "F", "P"))
+    assert rows["status_in_domain"]["metric"] == n_dom * 1000000 // n
