@@ -145,7 +145,7 @@ _CANON_STEPS = [
     (r"^www\.", ""),
     (r"[?&](utm_[a-z]+|ref)=[^&#]*", ""),
     (r"\?$", ""),
-    ("/$", ""),
+    ("/+$", ""),  # ALL trailing slashes — "//" must canonicalize idempotently
 ]
 
 

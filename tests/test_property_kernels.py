@@ -115,3 +115,69 @@ def test_bloom_positions_spark_duck_parity(spark, grams):
     assert got_spark == got_duck
     for row in got_spark:
         assert all(0 <= p < 131072 for p in row)
+
+
+# ------------------------------------ URL canonicalization (webprep)
+
+_URL_CHARS = st.text(
+    alphabet="abcdefghij05/?&=._-", min_size=0, max_size=30
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(_URL_CHARS, st.booleans(), st.booleans())
+def test_url_canonicalization_idempotent_and_scheme_free(path, www, track):
+    """canon(canon(u)) == canon(u) for arbitrary messy URLs, and the
+    canonical form never keeps scheme/www/tracking params/trailing
+    slash. Mirrors webprep._CANON_STEPS in Python (the same mirror the
+    fixture test uses against Spark)."""
+    import re
+
+    from etl_energy_tracker_spark.queries.webprep import _CANON_STEPS
+
+    def canon(u):
+        u = u.lower()
+        for pat, rep in _CANON_STEPS:
+            u = re.sub(pat, rep, u)
+        return u
+
+    url = ("https://" + ("www." if www else "")) + "host.example/" + path
+    if track:
+        url += "?utm_source=x&ref=y"
+    c = canon(url)
+    assert canon(c) == c
+    assert not c.startswith(("http://", "https://", "www."))
+    assert "utm_source=" not in c and not c.endswith("/") or c == ""
+
+
+# ---------------------------------------------- BPE merge fold (llmprep)
+
+_SYMS = st.lists(st.sampled_from(["a", "b", "c", "ab", "bc"]), min_size=0, max_size=12)
+
+
+@settings(max_examples=10, deadline=None)
+@given(_SYMS, st.sampled_from([("a", "b"), ("b", "b"), ("a", "a"), ("ab", "c")]))
+def test_bpe_merge_fold_matches_python_greedy(spark, syms, pair):
+    """The SQL aggregate() fold used by bpe_train_merges must equal the
+    greedy left-to-right non-overlapping merge for arbitrary symbol
+    sequences, including self-pairs like (a, a) on runs of 'a'."""
+    from pyspark.sql import functions as F
+
+    p1, p2 = pair
+    expect = []
+    for x in syms:
+        if expect and expect[-1] == p1 and x == p2:
+            expect[-1] = p1 + p2
+        else:
+            expect.append(x)
+
+    sdf = spark.createDataFrame([(syms,)], "s array<string>")
+    merged = sdf.select(
+        F.expr(
+            f"aggregate(s, CAST(array() AS array<string>), (acc, x) -> "
+            f"CASE WHEN size(acc) > 0 AND element_at(acc, -1) = '{p1}' AND x = '{p2}' "
+            f"THEN concat(slice(acc, 1, size(acc) - 1), array('{p1}{p2}')) "
+            f"ELSE concat(acc, array(x)) END)"
+        ).alias("m")
+    ).collect()[0]["m"]
+    assert merged == expect

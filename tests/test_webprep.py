@@ -69,7 +69,7 @@ def _py_canonical(source: str, doc_id: int) -> str:
     u = re.sub(r"^www\.", "", u)
     u = re.sub(r"[?&](utm_[a-z]+|ref)=[^&#]*", "", u)
     u = re.sub(r"\?$", "", u)
-    u = re.sub("/$", "", u)
+    u = re.sub("/+$", "", u)
     return u
 
 
