@@ -169,9 +169,13 @@ _ROBUST_Z_CUT = 3.0
         GROUP BY e.event_type
     ),
     scored AS (
+        -- mad = 0 (a majority-constant group) has no meaningful robust
+        -- z; excluded on BOTH engines (Spark would raise ANSI
+        -- divide-by-zero, DuckDB would emit inf)
         SELECT e.event_id, e.event_type, e.value,
                ROUND(ABS(e.value - m.med) / ({_MAD_K} * d.mad), 6) AS robust_z
         FROM events e JOIN med m USING (event_type) JOIN mad d USING (event_type)
+        WHERE d.mad > 0
     )
     SELECT event_id, event_type, value, robust_z
     FROM scored WHERE robust_z > {_ROBUST_Z_CUT}
@@ -196,7 +200,9 @@ def value_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
     )
-    stats = med.join(mad, "event_type")
+    # mad = 0 groups are excluded (see oracle note): no meaningful
+    # robust z, and the division would raise under ANSI
+    stats = med.join(mad.where(F.col("mad") > 0), "event_type")
     z = F.round(
         F.abs(F.col("value") - F.col("med")) / (_MAD_K * F.col("mad")), 6
     )

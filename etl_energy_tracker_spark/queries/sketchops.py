@@ -514,8 +514,11 @@ _HIST_BINS = 256
         FROM events
     ),
     binned AS (
-        SELECT LEAST(CAST(FLOOR((value - mn) / (mx - mn) * {_HIST_BINS})
-                          AS BIGINT), {_HIST_BINS - 1}) AS bin,
+        -- mx = mn (all values equal) degenerates to one bin instead of
+        -- dividing by zero
+        SELECT CASE WHEN mx = mn THEN 0
+                    ELSE LEAST(CAST(FLOOR((value - mn) / (mx - mn) * {_HIST_BINS})
+                               AS BIGINT), {_HIST_BINS - 1}) END AS bin,
                COUNT(*) AS c
         FROM events, bounds GROUP BY 1
     ),
@@ -560,10 +563,14 @@ def histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = (
         ev.crossJoin(F.broadcast(bounds))
         .select(
-            F.least(
-                F.floor((F.col("value") - F.col("mn"))
-                        / (F.col("mx") - F.col("mn")) * _HIST_BINS).cast("long"),
-                F.lit(_HIST_BINS - 1),
+            # mx = mn degenerates to one bin instead of dividing by zero
+            F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("long"))
+            .otherwise(
+                F.least(
+                    F.floor((F.col("value") - F.col("mn"))
+                            / (F.col("mx") - F.col("mn")) * _HIST_BINS).cast("long"),
+                    F.lit(_HIST_BINS - 1),
+                )
             ).alias("bin")
         )
         .groupBy("bin")

@@ -215,3 +215,32 @@ def test_event_pattern_match_matches_python_regex(spark):
         for r in event_pattern_match(spark, SF_DIR).collect()
     }
     assert got == expected and got
+
+
+def test_value_outlier_mad_zero_mad_group_excluded_not_crash(spark):
+    """A majority-constant group (MAD = 0) must be excluded, not raise
+    ANSI divide-by-zero: exercised via the operator's own building
+    blocks on a crafted frame."""
+    from pyspark.sql import functions as F
+
+    from etl_energy_tracker_spark.queries.behaviorops import _MAD_K
+
+    ev = spark.createDataFrame(
+        [(i, "const", 5.0) for i in range(10)]
+        + [(100 + i, "varied", float(i)) for i in range(10)],
+        "event_id long, event_type string, value double",
+    )
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(F.expr("percentile(abs(value - med), 0.5)").alias("mad"))
+    )
+    stats = med.join(mad.where(F.col("mad") > 0), "event_type")
+    z = F.round(F.abs(F.col("value") - F.col("med")) / (_MAD_K * F.col("mad")), 6)
+    out = (
+        ev.join(F.broadcast(stats), "event_type")
+        .withColumn("robust_z", z)
+        .collect()  # must not raise
+    )
+    assert {r["event_type"] for r in out} == {"varied"}
