@@ -149,8 +149,9 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------ robust outliers
 
 # 1.4826 ~ 1/Phi^-1(3/4): scales MAD to the stddev of a normal, the
-# standard robust-z constant; expressed in micro-units so the flag
-# compare is integer-free of float-literal parity concerns
+# standard robust-z constant. Parity rests on both engines computing
+# the same double and ROUNDing it to 6 dp BEFORE the threshold
+# compare (not on integer micro-units — the score itself is a double).
 _MAD_K = 1.4826
 _ROBUST_Z_CUT = 3.0
 

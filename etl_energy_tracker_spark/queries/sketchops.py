@@ -593,9 +593,13 @@ def histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p in (50, 90, 99)
         ]
     )
+    # empty events: the oracle's grouped select over the empty cross
+    # product yields ZERO rows; Spark's global aggregates would yield
+    # one all-null row — filter to match
     return (
         est.crossJoin(F.broadcast(bounds))
         .crossJoin(F.broadcast(exact))
+        .where(F.col("n_total") > 0)
         .select(
             *[
                 F.round(

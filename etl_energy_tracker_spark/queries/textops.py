@@ -664,8 +664,11 @@ _PHRASE = ("table", "value")
 def phrase_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     t = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    # sequence(1, 0) is the DESCENDING list [1, 0], so a <=1-token doc
+    # would evaluate toks[-1] and raise under ANSI — guard explicitly
     hits = F.expr(
+        f"CASE WHEN size(toks) < 2 THEN 0 ELSE "
         f"size(filter(sequence(1, size(toks) - 1), "
-        f"i -> toks[i-1] = '{_PHRASE[0]}' AND toks[i] = '{_PHRASE[1]}'))"
+        f"i -> toks[i-1] = '{_PHRASE[0]}' AND toks[i] = '{_PHRASE[1]}')) END"
     )
     return t.select("doc_id", hits.alias("n_hits")).where(F.col("n_hits") > 0)

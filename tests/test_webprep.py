@@ -183,3 +183,26 @@ def test_phrase_match_count_matches_python(spark):
         if n:
             expected[r["doc_id"]] = n
     assert out == expected and out
+
+
+def test_phrase_match_short_docs_do_not_crash(spark):
+    """sequence(1, size-1) is DESCENDING for 1-token docs ([1, 0]) and
+    would index toks[-1] under ANSI — short/empty docs must produce
+    zero hits, not a crash. Exercises the operator's expression on a
+    crafted frame (the fixture corpus has no short docs)."""
+    from pyspark.sql import functions as F
+
+    from etl_energy_tracker_spark.queries.textops import _PHRASE
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, f"{_PHRASE[0]} {_PHRASE[1]}")],
+        "doc_id long, text string",
+    )
+    t = df.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+    hits = F.expr(
+        f"CASE WHEN size(toks) < 2 THEN 0 ELSE "
+        f"size(filter(sequence(1, size(toks) - 1), "
+        f"i -> toks[i-1] = '{_PHRASE[0]}' AND toks[i] = '{_PHRASE[1]}')) END"
+    )
+    out = {r["doc_id"]: r["n"] for r in t.select("doc_id", hits.alias("n")).collect()}
+    assert out == {1: 0, 2: 0, 3: 1}
