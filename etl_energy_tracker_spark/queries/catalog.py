@@ -202,7 +202,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "stream_topk_trending", "histogram_quantile_estimate",
     "value_outlier_mad", "bpe_train_merges", "hybrid_rrf_fusion",
     "normalized_exact_dedup", "phrase_match_count", "event_pattern_match",
-    "dq_expectations_report",
+    "dq_expectations_report", "seasonal_naive_backtest",
 ) + _REVERIFY_HINT_ONLY
 
 

@@ -419,3 +419,72 @@ def rollup_cascade_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -------------------------------------- seasonal-naive backtesting
+
+_SEASON_H = 168  # one week of hours — the classic seasonal-naive lag
+
+
+@register(
+    "seasonal_naive_backtest",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           COUNT(*) AS n_hours,
+           CAST(SUM(CAST(ROUND(ABS(a.v - f.v), 6) AS DECIMAL(38,6)))
+                AS DOUBLE) AS sum_abs_err,
+           CASE WHEN SUM(CAST(a.v AS DECIMAL(38,6))) = 0 THEN NULL
+                ELSE ROUND(
+                    CAST(SUM(CAST(ROUND(ABS(a.v - f.v), 6) AS DECIMAL(38,6)))
+                         AS DOUBLE)
+                    / CAST(SUM(CAST(a.v AS DECIMAL(38,6))) AS DOUBLE), 6)
+           END AS wape
+    FROM hourly a
+    JOIN hourly f
+      ON f.event_type = a.event_type
+     AND f.h = a.h - INTERVAL {_SEASON_H} HOUR
+    GROUP BY a.event_type
+    """,
+    tags=("time", "stats"),
+    doc="Seasonal-naive forecast backtest: predict each hour's total "
+    "as the same hour one week earlier (the s=168 seasonal-naive "
+    "baseline every forecasting pipeline must beat) and report the "
+    "per-type WAPE (weighted absolute percentage error — one "
+    "division per GROUP, unlike MAPE's per-row division, so the only "
+    "float steps are one deterministic per-row subtraction rounded "
+    "to 6 dp and one final divide). Hourly totals and both error "
+    "sums are DECIMAL-exact, so shuffle order cannot move the "
+    "result. Plan: one hourly aggregate + one self-join on "
+    "(event_type, shifted hour) — co-partitioned on the same key, "
+    "one exchange at scale.",
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(stable_sum("value", "v"))
+    a = hourly.alias("a")
+    f = hourly.alias("f")
+    joined = a.join(
+        f,
+        (F.col("f.event_type") == F.col("a.event_type"))
+        & (F.col("f.h") == F.col("a.h") - F.expr(f"INTERVAL {_SEASON_H} HOURS")),
+    )
+    err_dec = F.round(F.abs(F.col("a.v") - F.col("f.v")), 6).cast("decimal(38,6)")
+    act_dec = F.col("a.v").cast("decimal(38,6)")
+    return joined.groupBy(F.col("a.event_type").alias("event_type")).agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(err_dec).cast("double").alias("sum_abs_err"),
+        F.when(F.sum(act_dec) == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                F.sum(err_dec).cast("double") / F.sum(act_dec).cast("double"), 6
+            )
+        )
+        .alias("wape"),
+    )

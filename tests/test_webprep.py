@@ -206,3 +206,40 @@ def test_phrase_match_short_docs_do_not_crash(spark):
     )
     out = {r["doc_id"]: r["n"] for r in t.select("doc_id", hits.alias("n")).collect()}
     assert out == {1: 0, 2: 0, 3: 1}
+
+
+def test_seasonal_naive_backtest_matches_python(spark):
+    """WAPE per event_type must match an independent Python replay of
+    the s=168h seasonal-naive baseline."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    from etl_energy_tracker_spark.queries.timeops import (
+        _SEASON_H,
+        seasonal_naive_backtest,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    hourly = defaultdict(Decimal)
+    for r in ev:
+        h = r["ts"].replace(minute=0, second=0, microsecond=0)
+        hourly[(r["event_type"], h)] += Decimal(str(round(r["value"], 6)))
+    # mirror the engine: hourly totals as DECIMAL(38,6)-exact doubles
+    hv = {k: float(v) for k, v in hourly.items()}
+    agg = defaultdict(lambda: [0, Decimal(0), Decimal(0)])
+    from datetime import timedelta
+
+    for (et, h), v in hv.items():
+        prev = (et, h - timedelta(hours=_SEASON_H))
+        if prev in hv:
+            st = agg[et]
+            st[0] += 1
+            st[1] += Decimal(str(round(abs(v - hv[prev]), 6)))
+            st[2] += Decimal(str(v))
+    got = {r["event_type"]: r for r in seasonal_naive_backtest(spark, SF_DIR).collect()}
+    assert set(got) == set(agg)
+    for et, (n, err, act) in agg.items():
+        r = got[et]
+        assert r["n_hours"] == n
+        assert abs(r["sum_abs_err"] - float(err)) < 1e-6
+        assert abs(r["wape"] - round(float(err) / float(act), 6)) < 1e-6
