@@ -597,3 +597,56 @@ def _cc_star(
     return nodes.join(labels, "node", "left").select(
         "node", F.coalesce("component", F.col("node")).alias("component")
     )
+
+
+def minhash_dedup_against_index(
+    batch: DataFrame,
+    history: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Incremental MinHash-LSH dedup: NEW documents checked against an
+    EXISTING corpus index — the production ingest shape, where the
+    history side's signatures/bands are a standing table and only the
+    batch is signed per run. No history-history pairs are generated
+    (they were deduped when ingested), so the candidate join is
+    batch-bands x history-bands on the shared ``with_band_hashes``
+    hash space, never a self-join of the full corpus. Exact Jaccard
+    verifies candidates only. Returns (batch id, matched history id,
+    jaccard >= threshold)."""
+    rows_per_band = k // bands
+
+    def _prep(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        sh = (
+            with_shingles(df.select(id_col, text_col), text_col)
+            .where(F.size("shingles") > 0)
+            .localCheckpoint(eager=False)
+        )
+        sig = with_minhash_signature(sh, k=k).select(id_col, "signature")
+        banded = with_band_hashes(sig, id_col, "signature", bands, rows_per_band)
+        return sh, banded.select("id", "band", "bhash")
+
+    b_sh, b_banded = _prep(batch)
+    h_sh, h_banded = _prep(history)
+    cands = (
+        b_banded.withColumnRenamed("id", "batch_id")
+        .join(h_banded.withColumnRenamed("id", "hist_id"), ["band", "bhash"])
+        .select("batch_id", "hist_id")
+        .dropDuplicates(["batch_id", "hist_id"])
+    )
+    jac = F.expr("size(array_intersect(sh_b, sh_h)) / size(array_union(sh_b, sh_h))")
+    return (
+        cands.join(
+            b_sh.select(F.col(id_col).alias("batch_id"), F.col("shingles").alias("sh_b")),
+            "batch_id",
+        )
+        .join(
+            h_sh.select(F.col(id_col).alias("hist_id"), F.col("shingles").alias("sh_h")),
+            "hist_id",
+        )
+        .where(jac >= threshold)
+        .select("batch_id", "hist_id", F.round(jac, 6).alias("jaccard"))
+    )

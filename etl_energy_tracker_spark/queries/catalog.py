@@ -203,6 +203,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "value_outlier_mad", "bpe_train_merges", "hybrid_rrf_fusion",
     "normalized_exact_dedup", "phrase_match_count", "event_pattern_match",
     "dq_expectations_report", "seasonal_naive_backtest",
+    "incremental_minhash_dedup",
 ) + _REVERIFY_HINT_ONLY
 
 

@@ -399,3 +399,54 @@ def near_dup_keep_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(
         drops, docs["doc_id"] == drops["node"], "left_anti"
     ).select("doc_id", "lang", "source", "n_chars")
+
+
+# ------------------------------------------ incremental LSH dedup
+
+_INC_SPLIT = 400  # doc_id >= this = the incoming batch; below = history
+
+
+@register(
+    "incremental_minhash_dedup",
+    oracle=f"""
+    WITH sig AS ({_duck_sig(_K)}),
+    banded AS (
+        SELECT doc_id, b,
+               array_to_string(sig[b*{_K // _BANDS}+1 : b*{_K // _BANDS}+{_K // _BANDS}], ',')
+                   AS bhash
+        FROM sig, (SELECT unnest(range(0, {_BANDS})) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS batch_id, h.doc_id AS hist_id
+        FROM banded n JOIN banded h ON n.b = h.b AND n.bhash = h.bhash
+        WHERE n.doc_id >= {_INC_SPLIT} AND h.doc_id < {_INC_SPLIT}
+    ),
+    sh AS ({_DUCK_SHINGLES})
+    SELECT batch_id, hist_id,
+           ROUND(len(list_intersect(hb.shingles, hh.shingles)) * 1.0 /
+                 len(list_distinct(list_concat(hb.shingles, hh.shingles))), 6)
+               AS jaccard
+    FROM cand
+    JOIN sh hb ON hb.doc_id = cand.batch_id
+    JOIN sh hh ON hh.doc_id = cand.hist_id
+    WHERE len(list_intersect(hb.shingles, hh.shingles)) * 1.0 /
+          len(list_distinct(list_concat(hb.shingles, hh.shingles))) >= 0.5
+    """,
+    tags=("dedup", "hash", "join", "text", "incremental"),
+    doc="Incremental MinHash-LSH dedup: the incoming batch "
+    f"(doc_id >= {_INC_SPLIT}) is checked against the standing corpus "
+    "index — batch bands join history bands, generating NO "
+    "history-history pairs (those were deduped at their own ingest). "
+    "This is how LSH dedup actually runs in production: per-ingest "
+    "cost is O(batch + collisions), not O(corpus²), and the history "
+    "side's signature/band table persists between runs. Exact Jaccard "
+    "verify on candidates only; same banding hash space as the batch "
+    "self-join variant via the shared with_band_hashes.",
+)
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    batch = docs.where(F.col("doc_id") >= _INC_SPLIT)
+    history = docs.where(F.col("doc_id") < _INC_SPLIT)
+    return dedup.minhash_dedup_against_index(
+        batch, history, "doc_id", "text", threshold=0.5, k=_K, bands=_BANDS
+    )

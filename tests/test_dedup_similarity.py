@@ -209,3 +209,48 @@ def test_embedding_quantize_int8_codes_and_error(spark):
     # quantization step for a reasonably spread corpus
     worst = max(r["abs_err_micro"] for r in rows)
     assert worst < 64 * 1_000_000  # sanity ceiling: avg err per dim << 1.0
+
+
+def test_incremental_minhash_no_history_history_pairs(spark):
+    """The incremental variant must (a) emit only batch-vs-history
+    pairs, (b) agree with the full self-join pipeline on exactly those
+    pairs, and (c) flag a planted near-dup of a history doc."""
+    from pyspark.sql import functions as F
+
+    from etl_energy_tracker_spark.operators.dedup import (
+        minhash_dedup_against_index,
+        minhash_dedup_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    split = 400
+    inc = minhash_dedup_against_index(
+        docs.where(F.col("doc_id") >= split),
+        docs.where(F.col("doc_id") < split),
+        "doc_id",
+        "text",
+    ).collect()
+    for r in inc:
+        assert r["batch_id"] >= split and r["hist_id"] < split
+    full = minhash_dedup_pairs(docs, "doc_id", "text").collect()
+    cross = {
+        (max(r["id_a"], r["id_b"]), min(r["id_a"], r["id_b"])): round(r["jaccard"], 6)
+        for r in full
+        if (r["id_a"] >= split) != (r["id_b"] >= split)
+    }
+    got = {(r["batch_id"], r["hist_id"]): r["jaccard"] for r in inc}
+    assert got == cross
+
+    # planted: batch doc 9999 = verbatim copy of history doc 3
+    hist_text = docs.where(F.col("doc_id") == 3).first()["text"]
+    planted = docs.unionByName(
+        spark.createDataFrame([(9999, hist_text)], "doc_id long, text string")
+    )
+    inc2 = minhash_dedup_against_index(
+        planted.where(F.col("doc_id") >= split),
+        planted.where(F.col("doc_id") < split),
+        "doc_id",
+        "text",
+    ).collect()
+    assert any(r["batch_id"] == 9999 and r["hist_id"] == 3 and r["jaccard"] == 1.0
+               for r in inc2)
