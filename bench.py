@@ -79,6 +79,9 @@ EXTRA = [
     "value_outlier_mad",
     "bpe_train_merges",
     "hybrid_rrf_fusion",
+    "event_pattern_match",
+    "incremental_minhash_dedup",
+    "seasonal_naive_backtest",
 ]
 
 
