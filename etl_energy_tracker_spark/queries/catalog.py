@@ -203,7 +203,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "value_outlier_mad", "bpe_train_merges", "hybrid_rrf_fusion",
     "normalized_exact_dedup", "phrase_match_count", "event_pattern_match",
     "dq_expectations_report", "seasonal_naive_backtest",
-    "incremental_minhash_dedup",
+    "incremental_minhash_dedup", "temperature_mixture_sample",
 ) + _REVERIFY_HINT_ONLY
 
 

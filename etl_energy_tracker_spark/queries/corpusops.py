@@ -972,3 +972,76 @@ def incremental_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+# ------------------------------------- temperature mixture sampling
+
+@register(
+    "temperature_mixture_sample",
+    oracle=f"""
+    WITH per_src AS (
+        SELECT source, COUNT(*) AS c_docs FROM documents GROUP BY source
+    ),
+    scaled AS (
+        SELECT source, c_docs,
+               CAST(ROUND(sqrt(c_docs) * 1000000) AS BIGINT) AS s_micro
+        FROM per_src
+    ),
+    tot AS (
+        SELECT CAST(SUM(s_micro) AS BIGINT) AS s_sum,
+               CAST(SUM(c_docs) AS BIGINT) AS n_total
+        FROM scaled
+    ),
+    rates AS (
+        SELECT source, c_docs,
+               LEAST(1000000,
+                     CAST(s_micro * (n_total // 2) * 1000000
+                          // (s_sum * c_docs) AS BIGINT)) AS rate_ppm
+        FROM scaled CROSS JOIN tot
+    )
+    SELECT r.source, r.c_docs, r.rate_ppm,
+           COUNT(CASE WHEN {duckdb_charhash("'temp:' || CAST(doc_id AS VARCHAR)")}
+                      % 1000000 < r.rate_ppm THEN 1 END) AS n_kept
+    FROM documents d JOIN rates r USING (source)
+    GROUP BY r.source, r.c_docs, r.rate_ppm
+    """,
+    tags=("corpus",),
+    doc="Temperature-based mixture sampling (the multilingual alpha-"
+    "sampling recipe, alpha = 0.5): sampling weight q_i proportional "
+    "to count_i^alpha, so low-resource sources are upweighted relative "
+    "to their share — the standard fix for head domains drowning the "
+    "tail. sqrt(count) is rounded once to integer micro-units and "
+    "every downstream step (normalization, per-source keep rate "
+    "toward an n_total/2 target, threshold compare against the "
+    "portable doc hash) is identical integer arithmetic on both "
+    "engines. One tiny per-source aggregate broadcast back + one "
+    "map-side selection; at petabyte counts the rate product moves to "
+    "DECIMAL(38,0) — same plan. Distinct from mixture_resample, which "
+    "targets UNIFORM per-language token share with fixed targets.",
+)
+def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("c_docs"))
+    scaled = per_src.select(
+        "source",
+        "c_docs",
+        F.round(F.sqrt("c_docs") * 1_000_000).cast("long").alias("s_micro"),
+    )
+    tot = scaled.agg(
+        F.sum("s_micro").alias("s_sum"), F.sum("c_docs").alias("n_total")
+    )
+    rates = scaled.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "c_docs",
+        F.least(
+            F.lit(1_000_000).cast("long"),
+            F.expr("s_micro * (n_total DIV 2) * 1000000 DIV (s_sum * c_docs)"),
+        ).alias("rate_ppm"),
+    )
+    hash_expr = spark_charhash("concat('temp:', cast(doc_id as string))")
+    kept = F.count(F.when(F.expr(f"{hash_expr} % 1000000") < F.col("rate_ppm"), 1))
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .groupBy("source", "c_docs", "rate_ppm")
+        .agg(kept.alias("n_kept"))
+    )

@@ -412,3 +412,50 @@ def test_mixture_resample_targets_uniform_share(spark):
     assert {(k, v["n_docs_kept"], v["kept_tokens"]) for k, v in rows.items()} == {
         (k, v["n_docs_kept"], v["kept_tokens"]) for k, v in again.items()
     }
+
+
+def test_temperature_sampling_upweights_tail_sources(spark):
+    """alpha = 0.5 must give smaller sources a HIGHER keep rate than
+    larger ones (the point of temperature sampling), rates must be
+    exactly the integer formula, and kept counts must match the
+    portable-hash replay."""
+    from etl_energy_tracker_spark.functions.hashing import MOD
+    from etl_energy_tracker_spark.queries.corpusops import (
+        temperature_mixture_sample,
+    )
+
+    rows = temperature_mixture_sample(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source"
+    ).collect()
+    from collections import Counter
+
+    c = Counter(r["source"] for r in docs)
+    s_micro = {s: round((n**0.5) * 1_000_000) for s, n in c.items()}
+    s_sum, n_total = sum(s_micro.values()), sum(c.values())
+    for r in rows:
+        expect_rate = min(
+            1_000_000, s_micro[r["source"]] * (n_total // 2) * 1_000_000
+            // (s_sum * c[r["source"]])
+        )
+        assert r["rate_ppm"] == expect_rate
+
+    def h(text):
+        acc = 7
+        for ch in text:
+            acc = (acc * 31 + ord(ch)) % MOD
+        return acc
+
+    kept = Counter(
+        r["source"] for r in docs
+        if h(f"temp:{r['doc_id']}") % 1_000_000
+        < next(x["rate_ppm"] for x in rows if x["source"] == r["source"])
+    )
+    assert {r["source"]: r["n_kept"] for r in rows} == dict(
+        {s: kept.get(s, 0) for s in c}
+    )
+    # monotonicity: strictly smaller source -> rate at least as high
+    by_size = sorted(rows, key=lambda r: r["c_docs"])
+    for a, b in zip(by_size, by_size[1:]):
+        if a["c_docs"] < b["c_docs"]:
+            assert a["rate_ppm"] >= b["rate_ppm"]
