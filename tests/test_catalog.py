@@ -45,6 +45,17 @@ def test_catalog_is_populated():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_priority_queue_names_resolve():
+    # a typo in the re-verification bookkeeping would silently reorder
+    # the driver's capped run — every queue name must be a real query
+    names = set(QUERIES)
+    assert set(catalog._PRIORITY) <= names
+    assert (catalog._R1_VERIFIED | catalog._R3_VERIFIED) <= names
+    # and the ordering is a permutation of the catalog (no dupes/drops)
+    ordered = catalog._ordered()
+    assert sorted(ordered) == sorted(names)
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_runs(spark, name):
     df = QUERIES[name](spark, SF_DIR)
