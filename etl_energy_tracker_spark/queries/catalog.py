@@ -204,6 +204,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "normalized_exact_dedup", "phrase_match_count", "event_pattern_match",
     "dq_expectations_report", "seasonal_naive_backtest",
     "incremental_minhash_dedup", "temperature_mixture_sample",
+    "hopping_window_agg",
 ) + _REVERIFY_HINT_ONLY
 
 

@@ -488,3 +488,46 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("wape"),
     )
+
+
+# ------------------------------------------ hopping window aggregate
+
+@register(
+    "hopping_window_agg",
+    oracle="""
+    WITH hop AS (
+        SELECT time_bucket(INTERVAL 15 MINUTE, ts)
+                   - CAST(k AS INT) * INTERVAL 15 MINUTE AS window_start,
+               event_type, value
+        FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k)
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+    FROM hop GROUP BY window_start, event_type
+    """,
+    tags=("time", "window", "aggregate"),
+    doc="Hopping (sliding) window aggregation: 1-hour windows advancing "
+    "every 15 minutes, so each event contributes to FOUR overlapping "
+    "windows — the smoothing window shape dashboards use where "
+    "tumbling windows jitter. Spark's native window(ts, '1 hour', "
+    "'15 minutes') generates the window replicas inside the aggregate "
+    "(one explode + one hash aggregate — the 4x row amplification is "
+    "map-side, before combine); sums are DECIMAL-exact so replica "
+    "order cannot move them. The oracle derives the same four "
+    "window-start replicas arithmetically.",
+)
+def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            stable_sum("value", "sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
+        )
+    )

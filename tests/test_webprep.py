@@ -243,3 +243,25 @@ def test_seasonal_naive_backtest_matches_python(spark):
         assert r["n_hours"] == n
         assert abs(r["sum_abs_err"] - float(err)) < 1e-6
         assert abs(r["wape"] - round(float(err) / float(act), 6)) < 1e-6
+
+
+def test_hopping_windows_cover_each_event_four_times(spark):
+    """Every event must appear in exactly 4 overlapping windows, and
+    each window's count must equal the events in [start, start+1h)."""
+    from collections import Counter
+    from datetime import timedelta
+
+    from etl_energy_tracker_spark.queries.timeops import hopping_window_agg
+
+    out = hopping_window_agg(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    total_rows = sum(r["n"] for r in out)
+    assert total_rows == 4 * len(ev)  # 4x replication, none lost
+    expected = Counter()
+    for r in ev:
+        t = r["ts"]
+        base = t.replace(minute=(t.minute // 15) * 15, second=0, microsecond=0)
+        for k in range(4):
+            expected[(base - timedelta(minutes=15 * k), r["event_type"])] += 1
+    got = {(r["window_start"], r["event_type"]): r["n"] for r in out}
+    assert got == dict(expected)
