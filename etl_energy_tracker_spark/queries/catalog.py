@@ -204,7 +204,8 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "normalized_exact_dedup", "phrase_match_count", "event_pattern_match",
     "dq_expectations_report", "seasonal_naive_backtest",
     "incremental_minhash_dedup", "temperature_mixture_sample",
-    "hopping_window_agg",
+    "hopping_window_agg", "ewma_anomaly", "dataset_snapshot_diff",
+    "chat_turns_assemble", "triangle_count",
 ) + _REVERIFY_HINT_ONLY
 
 

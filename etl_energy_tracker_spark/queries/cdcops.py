@@ -408,3 +408,94 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("r")
     return m.select(report).select("r.constraint_name", "r.metric", "r.passed")
+
+
+# ------------------------------------------------------- snapshot diff
+
+# Snapshot B is derived deterministically from the documents table so
+# the diff has known ground truth on any SF: ~1/13 of rows removed,
+# ~1/10 of the remainder edited, and ~1/17 re-inserted under a new id.
+_DIFF_REMOVED = "doc_id % 13 = 1"
+_DIFF_CHANGED = "doc_id % 10 = 0"
+_DIFF_ADDED = "doc_id % 17 = 2"
+_DIFF_ID_OFFSET = 1_000_000_000
+
+
+@register(
+    "dataset_snapshot_diff",
+    oracle=f"""
+    WITH snap_b AS (
+        SELECT doc_id,
+               CASE WHEN {_DIFF_CHANGED} THEN upper(text) ELSE text END AS text,
+               lang, source
+        FROM documents WHERE NOT ({_DIFF_REMOVED})
+        UNION ALL
+        SELECT doc_id + {_DIFF_ID_OFFSET}, text, lang, source
+        FROM documents WHERE {_DIFF_ADDED}
+    ),
+    joined AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               CASE
+                 WHEN a.doc_id IS NULL THEN 'added'
+                 WHEN b.doc_id IS NULL THEN 'removed'
+                 WHEN a.text IS DISTINCT FROM b.text
+                   OR a.lang IS DISTINCT FROM b.lang
+                   OR a.source IS DISTINCT FROM b.source THEN 'changed'
+                 ELSE 'unchanged'
+               END AS change_type
+        FROM documents a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+    )
+    SELECT doc_id, change_type FROM joined WHERE change_type != 'unchanged'
+    """,
+    tags=("cdc", "diff"),
+    doc="Dataset snapshot diff (the data-versioning audit primitive): "
+    "two table versions are full-outer joined on the primary key and "
+    "each row classified added / removed / changed by null-safe column "
+    "comparison; unchanged rows are dropped so the output is bounded "
+    "by the churn, not the corpus. Presence is decided by join-side "
+    "key nullity (the key itself is never NULL in either snapshot), "
+    "matching the merge-indicator pattern. At 100 TB both snapshots "
+    "hash-partition on the key — co-located when the lake buckets by "
+    "primary key, in which case the exchange disappears entirely; "
+    "the wide text comparison happens only inside matched pairs, and "
+    "a stored per-row fingerprint column would reduce it to a long "
+    "compare without changing this plan's shape.",
+)
+def dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "text", "lang", "source"
+    )
+    kept = docs.where(f"NOT ({_DIFF_REMOVED})").select(
+        "doc_id",
+        F.when(F.expr(_DIFF_CHANGED), F.upper("text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+        "source",
+    )
+    added = docs.where(_DIFF_ADDED).select(
+        (F.col("doc_id") + _DIFF_ID_OFFSET).alias("doc_id"),
+        "text", "lang", "source",
+    )
+    snap_b = kept.unionByName(added)
+    a = docs.alias("a")
+    b = snap_b.alias("b")
+    joined = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    differs = (
+        ~F.col("a.text").eqNullSafe(F.col("b.text"))
+        | ~F.col("a.lang").eqNullSafe(F.col("b.lang"))
+        | ~F.col("a.source").eqNullSafe(F.col("b.source"))
+    )
+    change = (
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(differs, "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+            change.alias("change_type"),
+        )
+        .where(F.col("change_type") != "unchanged")
+    )

@@ -563,3 +563,124 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in bests[1:]:
         out = out.unionByName(b)
     return out
+
+
+# ---------------------------------------------------- chat assembly
+
+# event_type -> chat role. signup opens a conversation (system), the
+# browsing actions are the human side, purchase/error are the
+# assistant side — arbitrary but fixed, so alternation quality is a
+# DATA property the validator genuinely has to check.
+_CHAT_ROLE = (
+    "CASE event_type WHEN 'signup' THEN 'system' "
+    "WHEN 'purchase' THEN 'assistant' WHEN 'error' THEN 'assistant' "
+    "ELSE 'user' END"
+)
+
+
+@register(
+    "chat_turns_assemble",
+    oracle=f"""
+    WITH turns AS (
+        SELECT user_id, event_id AS seq, {_CHAT_ROLE} AS role,
+               event_type || ':' || CAST(ROUND(value, 2) AS VARCHAR) AS content
+        FROM events
+    ),
+    blocked AS (
+        SELECT *, SUM(CASE WHEN role IS DISTINCT FROM prev_role THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY seq
+                        ROWS UNBOUNDED PRECEDING) AS block_id
+        FROM (
+            SELECT *, lag(role) OVER (PARTITION BY user_id ORDER BY seq) AS prev_role
+            FROM turns
+        )
+    ),
+    merged AS (
+        SELECT user_id, block_id, MIN(seq) AS block_seq,
+               MIN(role) AS role,
+               string_agg(content, ' ' ORDER BY seq) AS content
+        FROM blocked GROUP BY user_id, block_id
+    )
+    SELECT user_id,
+           COUNT(*) AS n_turns,
+           string_agg('<|' || role || '|>' || content, '' ORDER BY block_seq) AS chat_text,
+           CASE WHEN regexp_matches(
+                    string_agg(substr(role, 1, 1), '' ORDER BY block_seq),
+                    '^s?u(au)*a$') THEN 1 ELSE 0 END AS valid_format
+    FROM merged GROUP BY user_id
+    """,
+    tags=("llm-prep", "text", "window"),
+    doc="Chat-format training-example assembly: each user's event "
+    "stream becomes a conversation — events map to system/user/"
+    "assistant turns, CONSECUTIVE same-role turns are merged into one "
+    "block (lag + running-sum block ids, the standard sessionization "
+    "shape), blocks are templated '<|role|>content' in order, and the "
+    "role sequence is validated against the chat contract (optional "
+    "leading system, starts user, strict alternation, assistant "
+    "closes) with one regex over the role-initial string. Everything "
+    "partitions by user_id: two windows and two aggregations share "
+    "one hash partitioning, so at 100 TB Spark plans a single "
+    "exchange; per-conversation state is bounded by conversation "
+    "length, never corpus size. The validity flag is what a training "
+    "pipeline filters on before packing examples into context "
+    "windows.",
+)
+def chat_turns_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    turns = ev.select(
+        "user_id",
+        F.col("event_id").alias("seq"),
+        F.expr(_CHAT_ROLE).alias("role"),
+        F.concat_ws(
+            ":",
+            F.col("event_type"),
+            F.round("value", 2).cast("string"),
+        ).alias("content"),
+    )
+    w = W.partitionBy("user_id").orderBy("seq")
+    blocked = (
+        turns.withColumn("prev_role", F.lag("role").over(w))
+        .withColumn(
+            "block_id",
+            F.sum(
+                F.when(
+                    ~F.col("role").eqNullSafe(F.col("prev_role")), 1
+                ).otherwise(0)
+            ).over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    merged = blocked.groupBy("user_id", "block_id").agg(
+        F.min("seq").alias("block_seq"),
+        F.min("role").alias("role"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seq", "content"))),
+                lambda s: s["content"],
+            ),
+            " ",
+        ).alias("content"),
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("block_seq", "role", "content"))
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.array_join(
+            F.transform(
+                ordered,
+                lambda s: F.concat(
+                    F.lit("<|"), s["role"], F.lit("|>"), s["content"]
+                ),
+            ),
+            "",
+        ).alias("chat_text"),
+        F.when(
+            F.array_join(
+                F.transform(ordered, lambda s: F.substring(s["role"], 1, 1)),
+                "",
+            ).rlike("^s?u(au)*a$"),
+            1,
+        )
+        .otherwise(0)
+        .alias("valid_format"),
+    )

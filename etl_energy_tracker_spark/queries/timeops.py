@@ -531,3 +531,112 @@ def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w.start").alias("window_start"), "event_type", "n", "sum_value"
         )
     )
+
+
+# ---------------------------------------------------------------- EWMA
+
+# Exponentially weighted moving average over the 24 PRIOR points of
+# each user's event series. The weights (1-alpha)^(k-1) are inlined as
+# repr() double literals so Spark and DuckDB parse bit-identical
+# constants and evaluate the identical expression tree — pow() libm
+# differences never enter the plan.
+_EWMA_DEPTH = 24
+_EWMA_BETA = 0.8  # 1 - alpha
+_EWMA_W = [repr(_EWMA_BETA**k) for k in range(_EWMA_DEPTH)]
+_EWMA_MIN_PRIOR = 4
+_EWMA_THRESH = 150.0
+
+
+def _ewma_sql_terms(lag_fmt: str) -> tuple[str, str, str]:
+    """(weighted sum, weight sum, prior count) SQL fragments.
+
+    ``lag_fmt`` renders the k-th lag of ``value`` (1-based) in the
+    target dialect; missing lags (series head) contribute nothing to
+    either sum, so the average is bias-corrected by construction.
+    """
+    num = " + ".join(
+        f"COALESCE({lag_fmt.format(k=k + 1)}, 0.0) * {w}"
+        for k, w in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"(CASE WHEN {lag_fmt.format(k=k + 1)} IS NOT NULL THEN {w} ELSE 0.0 END)"
+        for k, w in enumerate(_EWMA_W)
+    )
+    cnt = " + ".join(
+        f"(CASE WHEN {lag_fmt.format(k=k + 1)} IS NOT NULL THEN 1 ELSE 0 END)"
+        for k in range(_EWMA_DEPTH)
+    )
+    return num, den, cnt
+
+
+_EWMA_NUM, _EWMA_DEN, _EWMA_CNT = _ewma_sql_terms(
+    "lag(value, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+)
+
+
+@register(
+    "ewma_anomaly",
+    oracle=f"""
+    WITH scored AS (
+        SELECT user_id, event_id, value,
+               ({_EWMA_NUM}) AS num,
+               ({_EWMA_DEN}) AS den,
+               ({_EWMA_CNT}) AS n_prior
+        FROM events
+    )
+    SELECT user_id, event_id, value,
+           ROUND(num / den, 6) AS ewma_prev,
+           ROUND(value - num / den, 6) AS deviation
+    FROM scored
+    WHERE n_prior >= {_EWMA_MIN_PRIOR}
+      AND ABS(value - num / den) > {_EWMA_THRESH!r}
+    """,
+    tags=("time", "window", "anomaly"),
+    doc="EWMA anomaly detection: each event is scored against the "
+    "exponentially weighted moving average of its user's previous "
+    f"{_EWMA_DEPTH} events (beta={_EWMA_BETA}, bias-corrected over "
+    "whatever history exists, minimum 4 prior points) and emitted when "
+    "the absolute deviation exceeds the threshold. The recurrence is "
+    "unrolled into a fixed 24-term weighted sum of lag() columns — ONE "
+    "window pass, no per-row Python state and no unbounded-prefix "
+    "cumulative trick (whose pow(beta, -row_number) factor overflows "
+    "on long series). All 24 lags share a single window spec, so "
+    "Spark computes them in one sort+scan per user partition; at "
+    "100 TB the shuffle is the unavoidable hash-partition by user_id "
+    "and nothing else. Weight constants are inlined double literals, "
+    "identical in both engines. Filtering compares the UNROUNDED "
+    "deviation on both sides; rounding is display-only.",
+)
+def ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lags = [F.lag("value", k + 1).over(w) for k in range(_EWMA_DEPTH)]
+    num = sum(
+        (F.coalesce(lg, F.lit(0.0)) * float(wt) for lg, wt in zip(lags, _EWMA_W)),
+        F.lit(0.0),
+    )
+    den = sum(
+        (F.when(lg.isNotNull(), float(wt)).otherwise(0.0) for lg, wt in zip(lags, _EWMA_W)),
+        F.lit(0.0),
+    )
+    n_prior = sum(
+        (F.when(lg.isNotNull(), 1).otherwise(0) for lg in lags), F.lit(0)
+    )
+    scored = ev.select(
+        "user_id", "event_id", "value",
+        num.alias("num"), den.alias("den"), n_prior.alias("n_prior"),
+    )
+    ewma = F.col("num") / F.col("den")
+    return (
+        scored.where(
+            (F.col("n_prior") >= _EWMA_MIN_PRIOR)
+            & (F.abs(F.col("value") - ewma) > _EWMA_THRESH)
+        )
+        .select(
+            "user_id", "event_id", "value",
+            F.round(ewma, 6).alias("ewma_prev"),
+            F.round(F.col("value") - ewma, 6).alias("deviation"),
+        )
+    )
