@@ -205,7 +205,8 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "dq_expectations_report", "seasonal_naive_backtest",
     "incremental_minhash_dedup", "temperature_mixture_sample",
     "hopping_window_agg", "ewma_anomaly", "dataset_snapshot_diff",
-    "chat_turns_assemble", "triangle_count",
+    "chat_turns_assemble", "triangle_count", "hard_negative_mining",
+    "content_defined_chunks",
 ) + _REVERIFY_HINT_ONLY
 
 

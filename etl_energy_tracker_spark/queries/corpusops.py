@@ -1045,3 +1045,135 @@ def temperature_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "c_docs", "rate_ppm")
         .agg(kept.alias("n_kept"))
     )
+
+
+# -------------------------------------------- content-defined chunking
+
+# A word opens a new chunk when its content hash lands in the break
+# band: P(break) = 1/_CDC_DIV, so chunks average _CDC_DIV words. The
+# boundary depends only on the word itself — inserting text early in a
+# document does NOT shift later chunk boundaries (the CDC property
+# fixed-size windows lack), so cross-document duplicated passages land
+# in identical chunks and hash-dedup finds them.
+_CDC_DIV = 8
+
+
+@register(
+    "content_defined_chunks",
+    oracle=f"""
+    WITH toksrc AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM documents
+    ),
+    words AS (
+        SELECT doc_id, u.pos AS pos, u.w AS word FROM (
+            SELECT doc_id, unnest(list_transform(
+                range(1, len(tokens) + 1),
+                i -> {{'pos': i, 'w': tokens[CAST(i AS INT)]}})) AS u
+            FROM toksrc
+        ) WHERE u.w <> ''
+    ),
+    flagged AS (
+        SELECT doc_id, pos, word,
+               SUM(CASE WHEN {duckdb_charhash('word')} % {_CDC_DIV} = 0
+                        THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS chunk_id
+        FROM words
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_id,
+               string_agg(word, ' ' ORDER BY pos) AS chunk_text
+        FROM flagged GROUP BY doc_id, chunk_id
+    ),
+    hashed AS (
+        SELECT doc_id, length(chunk_text) AS n_chars,
+               {duckdb_charhash('chunk_text')} AS chunk_hash
+        FROM chunks
+    ),
+    freq AS (
+        SELECT chunk_hash, COUNT(DISTINCT doc_id) AS nd
+        FROM hashed GROUP BY chunk_hash
+    )
+    SELECT h.doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           ROUND(CAST(SUM(CASE WHEN f.nd >= 2 THEN h.n_chars ELSE 0 END) AS DOUBLE)
+                 / SUM(h.n_chars), 6) AS dup_char_frac
+    FROM hashed h JOIN freq f USING (chunk_hash)
+    GROUP BY h.doc_id
+    """,
+    tags=("corpus", "dedup", "text"),
+    doc="Content-defined chunking + cross-document chunk dedup (the "
+    "scalable stand-in for suffix-array ExactSubstr dedup, Lee et al. "
+    "2022): documents split into variable-size chunks whose "
+    f"boundaries are decided by a word-content hash (avg {_CDC_DIV} "
+    "words/chunk), so a passage duplicated across documents chunks "
+    "identically regardless of surrounding edits; chunk hashes are "
+    "grouped corpus-wide and each document reports how many of its "
+    "chunks — and what fraction of its characters — are shared with "
+    "at least one other document. Plan: map-side tokenize/flag, one "
+    "window per doc partition for the running chunk id, one shuffle "
+    "on (doc, chunk) to assemble chunk text, one shuffle on "
+    "chunk_hash for the frequency table — no pairwise joins and no "
+    "corpus-sized broadcast; the hash join back to per-doc stats "
+    "rides the same chunk_hash partitioning. At 100 TB the chunk "
+    "relation is ~corpus_words/8 rows of (hash, doc, len) — linear, "
+    "with the heavy text column dropped before any exchange except "
+    "the (doc,chunk) assembly, which production engines fold into "
+    "the tokenizer via a streaming re-chunk (mapPartitions) when "
+    "documents fit an executor.",
+)
+def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    words = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "word"),
+        )
+        .where(F.col("word") != "")
+    )
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    flagged = words.withColumn(
+        "chunk_id",
+        F.sum(
+            F.when(
+                F.expr(spark_charhash("word")) % _CDC_DIV == 0, 1
+            ).otherwise(0)
+        ).over(w),
+    )
+    chunks = flagged.groupBy("doc_id", "chunk_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ),
+            " ",
+        ).alias("chunk_text")
+    )
+    hashed = chunks.select(
+        "doc_id",
+        F.length("chunk_text").alias("n_chars"),
+        F.expr(spark_charhash("chunk_text")).alias("chunk_hash"),
+    )
+    freq = hashed.groupBy("chunk_hash").agg(
+        F.count_distinct("doc_id").alias("nd")
+    )
+    dup = F.when(F.col("nd") >= 2, 1).otherwise(0)
+    return (
+        hashed.join(freq, "chunk_hash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).cast("bigint").alias("n_dup_chunks"),
+            F.round(
+                F.sum(dup * F.col("n_chars")).cast("double")
+                / F.sum("n_chars"),
+                6,
+            ).alias("dup_char_frac"),
+        )
+    )

@@ -617,3 +617,122 @@ def random_projection_reduce(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(_RP_OUT)
     ]
     return emb.select("vec_id", *cols)
+
+
+# ------------------------------------------------- hard negative mining
+
+_HN_ANCHORS = 20     # vec_id < 20 are the anchors
+_HN_K = 5            # negatives mined per anchor
+_HN_DUP_CUT = 0.95   # cosine >= this is a near-duplicate, not a negative
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cv
+        FROM embeddings WHERE vec_id >= 100 AND vec_id < 116
+    ),
+    corpus AS (
+        SELECT vec_id AS corpus_id, embedding AS ev, label AS neg_label
+        FROM embeddings WHERE vec_id >= {_HN_ANCHORS}
+    ),
+    anchors AS (
+        SELECT vec_id AS query_id, embedding AS qv, label AS anchor_label
+        FROM embeddings WHERE vec_id < {_HN_ANCHORS}
+    ),
+    c_cells AS (
+        SELECT corpus_id, ev, neg_label, centroid_id AS cell FROM (
+            SELECT corpus_id, ev, neg_label, centroid_id,
+                   row_number() OVER (PARTITION BY corpus_id
+                       ORDER BY {_COS64.format(a='ev', b='cv')} DESC, centroid_id) AS rk
+            FROM corpus CROSS JOIN cent
+        ) WHERE rk = 1
+    ),
+    q_cells AS (
+        SELECT query_id, qv, anchor_label, centroid_id AS cell FROM (
+            SELECT query_id, qv, anchor_label, centroid_id,
+                   row_number() OVER (PARTITION BY query_id
+                       ORDER BY {_COS64.format(a='qv', b='cv')} DESC, centroid_id) AS rk
+            FROM anchors CROSS JOIN cent
+        ) WHERE rk <= 2
+    ),
+    scored AS (
+        SELECT DISTINCT query_id, anchor_label, corpus_id, neg_label,
+               {_COS64.format(a='qv', b='ev')} AS cosine
+        FROM q_cells JOIN c_cells USING (cell)
+        WHERE anchor_label != neg_label
+    )
+    SELECT query_id, anchor_label, corpus_id AS vec_id, neg_label, cosine
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, corpus_id
+        ) AS rn FROM scored
+        WHERE cosine < {_HN_DUP_CUT!r}
+    ) WHERE rn <= {_HN_K}
+    """,
+    tags=("vector", "topk", "llm-prep"),
+    doc="Hard-negative mining for contrastive training (the DPR/"
+    "sentence-embedding fine-tuning data primitive): for each anchor, "
+    "the highest-cosine corpus vectors whose LABEL differs — similar "
+    "enough to be hard, provably not a positive — with near-duplicate "
+    "candidates (cosine >= 0.95) excluded so false negatives don't "
+    "poison the training batch. Candidates come from the anchor's 2 "
+    "probed IVF cells, never the full corpus: the same codebook "
+    "assignment the ANN path uses, so mining cost per anchor is "
+    "bounded by cell size. At 100 TB the anchor side is the small "
+    "relation (a training batch), broadcast against the cell-indexed "
+    "corpus; the label filter rides inside the cell join, and the "
+    "final top-k is one window over candidates, not corpus rows.",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import dot, with_ivf_cell, with_norm
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cent = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 116)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    )
+    anchors = emb.where(F.col("vec_id") < _HN_ANCHORS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("anchor_label"),
+    )
+    corpus = emb.where(F.col("vec_id") >= _HN_ANCHORS).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("embedding").alias("ev"),
+        F.col("label").alias("neg_label"),
+    )
+    q_cells = with_norm(
+        with_ivf_cell(anchors, cent, "qv", "query_id", n_probe=2), "qv", "qn"
+    )
+    c_cells = with_norm(
+        with_ivf_cell(corpus, cent, "ev", "corpus_id", n_probe=1), "ev", "cn"
+    )
+    scored = (
+        c_cells.join(F.broadcast(q_cells), "cell")
+        .where(F.col("anchor_label") != F.col("neg_label"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.try_divide(
+                    dot(F.col("qv"), F.col("ev")), F.col("qn") * F.col("cn")
+                ),
+                6,
+            ),
+        )
+        .select("query_id", "anchor_label", "corpus_id", "neg_label", "cosine")
+        .dropDuplicates(["query_id", "corpus_id"])
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
+    return (
+        scored.where(F.col("cosine") < _HN_DUP_CUT)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= _HN_K)
+        .select(
+            "query_id",
+            "anchor_label",
+            F.col("corpus_id").alias("vec_id"),
+            "neg_label",
+            "cosine",
+        )
+    )

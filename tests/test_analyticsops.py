@@ -137,3 +137,116 @@ def test_triangle_count_matches_bruteforce(spark):
     assert row.n_edges == len(edges)
     assert row.n_triangles == tri
     assert row.n_wedges >= tri
+
+
+MOD = 1_000_000_007
+
+
+def _charhash(s: str, seed: int = 7) -> int:
+    h = seed
+    for c in s:
+        h = (h * 31 + ord(c)) % MOD
+    return h
+
+
+def _round6(x: float) -> float:
+    return float(
+        Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+    )
+
+
+def test_content_defined_chunks_matches_python(spark):
+    import re
+
+    from etl_energy_tracker_spark.queries.corpusops import (
+        _CDC_DIV,
+        content_defined_chunks,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    chunks_of = {}
+    for d in docs:
+        words = [
+            w
+            for w in re.split(r"\s+", d.text.strip(), flags=re.ASCII)
+            if w != ""
+        ]
+        chunks, cur = [], []
+        for w in words:
+            if _charhash(w) % _CDC_DIV == 0 and cur:
+                chunks.append(" ".join(cur))
+                cur = []
+            cur.append(w)
+        if cur:
+            chunks.append(" ".join(cur))
+        if chunks:
+            chunks_of[d.doc_id] = chunks
+    from collections import Counter
+
+    doc_count = Counter()
+    for did, chunks in chunks_of.items():
+        for h in {_charhash(c) for c in chunks}:
+            doc_count[h] += 1
+    rows = {r.doc_id: r for r in content_defined_chunks(spark, SF_DIR).collect()}
+    assert set(rows) == set(chunks_of)
+    for did, chunks in chunks_of.items():
+        dup_chars = sum(
+            len(c) for c in chunks if doc_count[_charhash(c)] >= 2
+        )
+        n_dup = sum(1 for c in chunks if doc_count[_charhash(c)] >= 2)
+        total = sum(len(c) for c in chunks)
+        assert rows[did].n_chunks == len(chunks), did
+        assert rows[did].n_dup_chunks == n_dup, did
+        assert abs(rows[did].dup_char_frac - dup_chars / total) < 2e-6, did
+
+
+def test_hard_negatives_are_valid_and_top_ranked(spark):
+    import numpy as np
+
+    from etl_energy_tracker_spark.queries.vectorops import (
+        _HN_ANCHORS,
+        _HN_DUP_CUT,
+        _HN_K,
+        hard_negative_mining,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    vec = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb}
+    lab = {r.vec_id: r.label for r in emb}
+    cents = {i: vec[i] for i in vec if 100 <= i < 116}
+
+    def cos(a, b):
+        d = float(a @ b) / (float(np.linalg.norm(a)) * float(np.linalg.norm(b)))
+        return _round6(d)
+
+    def cells(vid, n):
+        ranked = sorted(
+            cents, key=lambda c: (-cos(vec[vid], cents[c]), c)
+        )
+        return set(ranked[:n])
+
+    corpus_cell = {
+        i: next(iter(cells(i, 1))) for i in vec if i >= _HN_ANCHORS
+    }
+    expect = {}
+    for a in (i for i in vec if i < _HN_ANCHORS):
+        probed = cells(a, 2)
+        cands = [
+            (c, cos(vec[a], vec[c]))
+            for c in corpus_cell
+            if corpus_cell[c] in probed and lab[c] != lab[a]
+        ]
+        cands = [(c, s) for c, s in cands if s < _HN_DUP_CUT]
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        expect[a] = cands[:_HN_K]
+    rows = hard_negative_mining(spark, SF_DIR).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+        assert r.anchor_label == lab[r.query_id]
+        assert r.neg_label == lab[r.vec_id]
+        assert r.anchor_label != r.neg_label
+        assert r.cosine < _HN_DUP_CUT
+    for a in got:
+        got[a].sort(key=lambda t: (-t[1], t[0]))
+    assert got == expect
