@@ -273,3 +273,83 @@ def event_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_matches") > 0)
     )
+
+
+# ------------------------------------------------------------ RFM
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH anchor AS (SELECT MAX(ts) AS max_ts FROM events),
+    base AS (
+        SELECT user_id,
+               CAST(date_diff('day', MAX(ts), (SELECT max_ts FROM anchor))
+                    AS BIGINT) AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+           ntile(5) OVER (ORDER BY frequency ASC, user_id) AS f_score,
+           ntile(5) OVER (ORDER BY monetary ASC, user_id) AS m_score
+    FROM base
+    """,
+    tags=("behavior", "window", "aggregate"),
+    doc="RFM customer segmentation (recency / frequency / monetary): "
+    "one aggregation over purchase events per user, then three "
+    "quintile scores via ntile over the USER-level relation — which "
+    "is orders of magnitude smaller than the event log (the heavy "
+    "scan is the purchase filter + per-user agg, shuffled once on "
+    "user_id; the global ntile sorts only users). Ties are broken by "
+    "user_id so bucket assignment is deterministic on both engines. "
+    "At 100 TB of events the user relation is still single-digit "
+    "billions at most; if even that outgrows a global sort, the "
+    "standard swap is percentile_approx cutoffs + a when-chain, "
+    "trading exact quintiles for a fully parallel score — the "
+    "aggregation shape (the expensive part) is unchanged. Monetary "
+    "totals use exact decimal accumulation (order-independent), the "
+    "recency anchor is the corpus max timestamp (a broadcast "
+    "scalar).",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    anchor = ev.agg(F.max("ts").alias("max_ts"))
+    base = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("max_ts"), F.to_date("last_ts"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    return base.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(W.orderBy(F.desc("recency_days"), "user_id"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.asc("frequency"), "user_id"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(W.orderBy(F.asc("monetary"), "user_id"))
+        .alias("m_score"),
+    )

@@ -206,7 +206,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "incremental_minhash_dedup", "temperature_mixture_sample",
     "hopping_window_agg", "ewma_anomaly", "dataset_snapshot_diff",
     "chat_turns_assemble", "triangle_count", "hard_negative_mining",
-    "content_defined_chunks",
+    "content_defined_chunks", "rfm_segmentation", "vocab_oov_coverage",
 ) + _REVERIFY_HINT_ONLY
 
 

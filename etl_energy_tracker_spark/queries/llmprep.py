@@ -684,3 +684,74 @@ def chat_turns_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("valid_format"),
     )
+
+
+# ------------------------------------------------- vocab OOV coverage
+
+_VOCAB_SIZE = 1000
+
+
+@register(
+    "vocab_oov_coverage",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, lang,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        FROM documents
+    ),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, COUNT(*) AS n FROM words GROUP BY w
+            ORDER BY n DESC, w
+            LIMIT {_VOCAB_SIZE}
+        )
+    ),
+    flagged AS (
+        SELECT words.lang,
+               CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END AS oov
+        FROM words LEFT JOIN vocab ON words.w = vocab.w
+    )
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov,
+           ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM flagged GROUP BY lang
+    """,
+    tags=("llm-prep", "text", "aggregate"),
+    doc="Vocabulary coverage audit: build the top-N corpus vocabulary "
+    "(frequency-ranked, ties broken lexically so the cut is "
+    "deterministic) and report per-language token counts and "
+    "out-of-vocabulary rate — the go/no-go metric before committing "
+    "to a tokenizer vocab for a multilingual corpus. Two passes over "
+    "the token stream: a word-count aggregate (map-side partial, one "
+    "shuffle on the word) feeding the bounded top-N, then a LEFT "
+    "join of tokens against the vocabulary — broadcast by "
+    "construction since N is fixed and tiny regardless of corpus "
+    "size — aggregated per language. No corpus-sized relation is "
+    "ever broadcast or sorted; the global top-N reduces "
+    "tree-style over word partials.",
+)
+def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(
+        "lang",
+        F.explode(
+            F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
+        ).alias("w"),
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w")
+        .limit(_VOCAB_SIZE)
+        .select("w", F.lit(1).alias("in_vocab"))
+    )
+    flagged = words.join(F.broadcast(vocab), "w", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        F.round(F.sum(oov).cast("double") / F.count(F.lit(1)), 6).alias(
+            "oov_rate"
+        ),
+    )

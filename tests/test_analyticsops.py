@@ -250,3 +250,85 @@ def test_hard_negatives_are_valid_and_top_ranked(spark):
     for a in got:
         got[a].sort(key=lambda t: (-t[1], t[0]))
     assert got == expect
+
+
+def _ntile(keys, n=5):
+    """ntile bucket per key, keys pre-sorted; returns list of buckets."""
+    total = len(keys)
+    base, rem = divmod(total, n)
+    out, i = {}, 0
+    for b in range(1, n + 1):
+        size = base + (1 if b <= rem else 0)
+        for k in keys[i : i + size]:
+            out[k] = b
+        i += size
+    return out
+
+
+def test_rfm_segmentation_matches_python(spark):
+    from etl_energy_tracker_spark.queries.behaviorops import rfm_segmentation
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    max_d = max(e.ts for e in events).date()
+    per_user = defaultdict(list)
+    for e in events:
+        if e.event_type == "purchase":
+            per_user[e.user_id].append(e)
+    base = {
+        u: (
+            (max_d - max(e.ts for e in evs).date()).days,
+            len(evs),
+            round(sum(round(Decimal(repr(e.value)), 6) for e in evs), 6),
+        )
+        for u, evs in per_user.items()
+    }
+    rows = {r.user_id: r for r in rfm_segmentation(spark, SF_DIR).collect()}
+    assert set(rows) == set(base)
+    r_rank = _ntile(
+        sorted(base, key=lambda u: (-base[u][0], u))
+    )
+    f_rank = _ntile(sorted(base, key=lambda u: (base[u][1], u)))
+    m_rank = _ntile(sorted(base, key=lambda u: (base[u][2], u)))
+    for u, (rec, freq, mon) in base.items():
+        r = rows[u]
+        assert r.recency_days == rec, u
+        assert r.frequency == freq, u
+        assert abs(r.monetary - float(mon)) < 1e-6, u
+        assert (r.r_score, r.f_score, r.m_score) == (
+            r_rank[u],
+            f_rank[u],
+            m_rank[u],
+        ), u
+
+
+def test_vocab_oov_coverage_matches_python(spark):
+    import re
+    from collections import Counter
+
+    from etl_energy_tracker_spark.queries.llmprep import (
+        _VOCAB_SIZE,
+        vocab_oov_coverage,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    counts = Counter()
+    for d in docs:
+        counts.update(re.findall(r"[a-z]+", d.text.lower()))
+    vocab = {
+        w
+        for w, _ in sorted(counts.items(), key=lambda t: (-t[1], t[0]))[
+            :_VOCAB_SIZE
+        ]
+    }
+    stats = defaultdict(lambda: [0, 0])
+    for d in docs:
+        for w in re.findall(r"[a-z]+", d.text.lower()):
+            stats[d.lang][0] += 1
+            if w not in vocab:
+                stats[d.lang][1] += 1
+    rows = {r.lang: r for r in vocab_oov_coverage(spark, SF_DIR).collect()}
+    assert set(rows) == set(stats)
+    for lang, (n, oov) in stats.items():
+        assert rows[lang].n_tokens == n
+        assert rows[lang].n_oov == oov
+        assert abs(rows[lang].oov_rate - oov / n) < 2e-6
