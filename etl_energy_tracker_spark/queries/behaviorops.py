@@ -353,3 +353,61 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.orderBy(F.asc("monetary"), "user_id"))
         .alias("m_score"),
     )
+
+
+# ------------------------------------------------- transition matrix
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    trans AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM trans
+    """,
+    tags=("behavior", "window", "aggregate"),
+    doc="First-order Markov transition matrix over user journeys: "
+    "consecutive event pairs per user (one lead() window, partitioned "
+    "by user), counted globally, and normalized into row-stochastic "
+    "transition probabilities with a window sum over the tiny "
+    "(state x state) matrix. The heavy work is the user-partitioned "
+    "sequence window and one shuffle on the (from, to) pair — the "
+    "matrix itself is bounded by the event-type vocabulary squared, "
+    "so the normalization window costs nothing at any corpus size. "
+    "This is the input to funnel simulation, next-action prediction "
+    "baselines, and journey anomaly scoring.",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    trans = (
+        seq.where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_src = W.partitionBy("from_type")
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(w_src), 6
+        ).alias("p"),
+    )

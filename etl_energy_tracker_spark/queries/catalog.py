@@ -207,6 +207,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "hopping_window_agg", "ewma_anomaly", "dataset_snapshot_diff",
     "chat_turns_assemble", "triangle_count", "hard_negative_mining",
     "content_defined_chunks", "rfm_segmentation", "vocab_oov_coverage",
+    "entity_resolution_golden", "event_transition_matrix",
 ) + _REVERIFY_HINT_ONLY
 
 

@@ -891,3 +891,117 @@ def fuzzy_name_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev.alias("lev"),
         )
     )
+
+
+@register(
+    "entity_resolution_golden",
+    oracle=r"""
+    WITH RECURSIVE names AS (
+        SELECT p_name AS name, MIN(p_partkey) AS exemplar
+        FROM part GROUP BY p_name
+    ),
+    blocked AS (
+        SELECT name, exemplar,
+               regexp_extract(name, '(\S+)$', 1) AS block
+        FROM names
+    ),
+    pairs AS (
+        SELECT a.exemplar AS ea, b.exemplar AS eb
+        FROM blocked a JOIN blocked b
+          ON a.block = b.block AND a.name < b.name
+        WHERE levenshtein(a.name, b.name) <= 4
+    ),
+    edges AS (
+        SELECT ea AS a, eb AS b FROM pairs
+        UNION ALL
+        SELECT eb AS a, ea AS b FROM pairs
+    ),
+    reach AS (
+        SELECT a AS node, a AS lab FROM edges
+        UNION
+        SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (
+        SELECT node, MIN(lab) AS entity_id FROM reach GROUP BY node
+        UNION ALL
+        SELECT exemplar AS node, exemplar AS entity_id FROM names
+        WHERE exemplar NOT IN (SELECT node FROM reach)
+    ),
+    members AS (
+        SELECT c.entity_id, n.exemplar, n.name
+        FROM comp c JOIN names n ON n.exemplar = c.node
+    )
+    SELECT entity_id, n_members, exemplar AS canonical_id,
+           name AS canonical_name
+    FROM (
+        SELECT entity_id, exemplar, name,
+               COUNT(*) OVER (PARTITION BY entity_id) AS n_members,
+               row_number() OVER (PARTITION BY entity_id
+                   ORDER BY length(name) DESC, exemplar) AS rn
+        FROM members
+    ) WHERE rn = 1
+    """,
+    tags=("linking", "iterative", "join"),
+    doc="Entity resolution end-to-end (the golden-record pipeline): "
+    "blocked Levenshtein matching produces the duplicate-candidate "
+    "edge list, distributed min-label connected components merges "
+    "transitive matches into entities (A~B, B~C => one entity even "
+    "when A and C don't match directly — the step pairwise matching "
+    "alone gets wrong), unmatched names stay singleton entities, and "
+    "one survivorship rule (longest name, then lowest id) elects the "
+    "canonical record per entity. Components iterate one shuffle "
+    "join per round bounded by match-graph diameter (tiny for name "
+    "typo graphs); everything else is one window over members. The "
+    "oracle re-derives the whole pipeline with a recursive CTE.",
+)
+def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    part = load_table(spark, "part", sf_dir)
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.min("p_partkey").alias("exemplar")
+    )
+    blocked = names.select(
+        "name", "exemplar", F.regexp_extract("name", r"(\S+)$", 1).alias("block")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .where(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 4)
+        .select(F.col("a.exemplar").alias("ea"), F.col("b.exemplar").alias("eb"))
+    )
+    comp = dedup.connected_components(pairs, "ea", "eb").select(
+        F.col("node"), F.col("component").alias("entity_id")
+    )
+    singles = (
+        names.join(comp, names.exemplar == comp.node, "left_anti")
+        .select(
+            F.col("exemplar").alias("node"),
+            F.col("exemplar").alias("entity_id"),
+        )
+    )
+    members = (
+        comp.unionByName(singles)
+        .join(names, F.col("node") == names.exemplar)
+        .select("entity_id", "exemplar", "name")
+    )
+    w_cnt = W.partitionBy("entity_id")
+    w_rank = W.partitionBy("entity_id").orderBy(
+        F.length("name").desc(), F.col("exemplar")
+    )
+    return (
+        members.withColumn("n_members", F.count(F.lit(1)).over(w_cnt))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") == 1)
+        .select(
+            "entity_id",
+            "n_members",
+            F.col("exemplar").alias("canonical_id"),
+            F.col("name").alias("canonical_name"),
+        )
+    )

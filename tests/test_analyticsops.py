@@ -332,3 +332,49 @@ def test_vocab_oov_coverage_matches_python(spark):
         assert rows[lang].n_tokens == n
         assert rows[lang].n_oov == oov
         assert abs(rows[lang].oov_rate - oov / n) < 2e-6
+
+
+def test_entity_resolution_transitive_and_covering(spark):
+    from etl_energy_tracker_spark.queries.relational import (
+        entity_resolution_golden,
+    )
+
+    part = spark.read.parquet(f"{SF_DIR}/part.parquet").collect()
+    names = {}
+    for p in part:
+        names[p.p_name] = min(names.get(p.p_name, p.p_partkey), p.p_partkey)
+    rows = entity_resolution_golden(spark, SF_DIR).collect()
+    # every distinct name's exemplar belongs to exactly one entity, and
+    # member counts over all entities cover the name universe
+    assert sum(r.n_members for r in rows) == len(names)
+    assert len({r.entity_id for r in rows}) == len(rows)
+    # canonical record is a real (name, exemplar) pair
+    inv = {v: k for k, v in names.items()}
+    for r in rows:
+        assert inv[r.canonical_id] == r.canonical_name
+        # entity representative is the min member id, so never above
+        # the canonical id's entity
+        assert r.entity_id <= r.canonical_id
+
+
+def test_transition_matrix_rows_are_stochastic(spark):
+    from etl_energy_tracker_spark.queries.behaviorops import (
+        event_transition_matrix,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    per_user = defaultdict(list)
+    for e in sorted(events, key=lambda e: (e.ts, e.event_id)):
+        per_user[e.user_id].append(e.event_type)
+    expect = defaultdict(int)
+    for seq in per_user.values():
+        for a, b in zip(seq, seq[1:]):
+            expect[(a, b)] += 1
+    rows = event_transition_matrix(spark, SF_DIR).collect()
+    got = {(r.from_type, r.to_type): r.n for r in rows}
+    assert got == dict(expect)
+    by_src = defaultdict(float)
+    for r in rows:
+        by_src[r.from_type] += r.p
+    for src, total in by_src.items():
+        assert abs(total - 1.0) < 1e-4, src
