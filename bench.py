@@ -82,6 +82,12 @@ EXTRA = [
     "event_pattern_match",
     "incremental_minhash_dedup",
     "seasonal_naive_backtest",
+    "ewma_anomaly",
+    "content_defined_chunks",
+    "triangle_count",
+    "hard_negative_mining",
+    "entity_resolution_golden",
+    "vocab_oov_coverage",
 ]
 
 

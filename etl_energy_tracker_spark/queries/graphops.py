@@ -207,6 +207,12 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dst_deg"),
         )
     )
+    # the three counts all consume `oriented`; without materialization
+    # Spark recomputes the whole pair/degree subtree per branch (the
+    # plan audit showed 52 shuffles). One localCheckpoint — same
+    # lineage-cut the other iterative graph ops use — makes it a
+    # compute-once diamond.
+    oriented = oriented.localCheckpoint(eager=True)
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
     b_first = (F.col("e1.dst_deg") < F.col("e2.dst_deg")) | (
@@ -222,21 +228,17 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(b_first, F.col("e2.dst")).otherwise(F.col("e1.dst")).alias("c"),
     )
     closing = oriented.select(
-        F.col("src").alias("b"), F.col("dst").alias("c")
+        F.col("src").alias("b"), F.col("dst").alias("c"), F.lit(1).alias("hit")
     )
-    n_edges = pairs.agg(F.count(F.lit(1)).alias("n")).select("n")
-    n_wedges = wedges.agg(F.count(F.lit(1)).alias("n")).select("n")
-    n_tri = (
-        wedges.join(closing, ["b", "c"])
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select("n")
+    # the oriented edge list is distinct, so each wedge matches at most
+    # one closing row: a LEFT join preserves wedge cardinality and one
+    # aggregate yields wedge + triangle counts in a single pass
+    wt = wedges.join(closing, ["b", "c"], "left").agg(
+        F.count(F.lit(1)).alias("nw"), F.count("hit").alias("nt")
     )
-    return (
-        n_edges.crossJoin(n_wedges.withColumnRenamed("n", "nw"))
-        .crossJoin(n_tri.withColumnRenamed("n", "nt"))
-        .select(
-            F.col("n").alias("n_edges"),
-            F.col("nw").alias("n_wedges"),
-            F.col("nt").alias("n_triangles"),
-        )
+    n_edges = oriented.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_edges.crossJoin(wt).select(
+        "n_edges",
+        F.col("nw").alias("n_wedges"),
+        F.col("nt").alias("n_triangles"),
     )
