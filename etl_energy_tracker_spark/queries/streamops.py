@@ -362,3 +362,45 @@ def stream_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 3)
         .select("hour_ts", "event_type", "n", "rk")
     )
+
+
+def _ewma_oracle() -> str:
+    from .timeops import _EWMA_CNT, _EWMA_DEN, _EWMA_MIN_PRIOR, _EWMA_NUM, _EWMA_THRESH
+
+    return f"""
+    WITH scored AS (
+        SELECT user_id, event_id, value,
+               ({_EWMA_NUM}) AS num,
+               ({_EWMA_DEN}) AS den,
+               ({_EWMA_CNT}) AS n_prior
+        FROM events
+    )
+    SELECT user_id, event_id, value,
+           ROUND(num / den, 6) AS ewma_prev,
+           ROUND(value - num / den, 6) AS deviation
+    FROM scored
+    WHERE n_prior >= {_EWMA_MIN_PRIOR}
+      AND ABS(value - num / den) > {_EWMA_THRESH!r}
+    """
+
+
+@register(
+    "stream_ewma_anomaly",
+    oracle=_ewma_oracle(),
+    tags=("streaming", "stateful", "anomaly"),
+    doc="Streaming EWMA anomaly detection (applyInPandasWithState): "
+    "per-user GroupState holds only the last-24-value tail; each "
+    "arriving event is scored against the tail's bias-corrected EWMA "
+    "and emitted in append mode when the deviation crosses the "
+    "threshold. Bit-compatible arithmetic with the batch ewma_anomaly "
+    "kernel (same weight constants, summation order, and HALF_UP "
+    "rounding), so over the bounded source the batch operator's SQL "
+    "is the oracle — the batch/stream parity contract, verified by "
+    "the driver hash like any other query. State is strictly bounded "
+    "(24 doubles per live user) and keyed by user_id, the same "
+    "partitioning as every other per-user stream stage.",
+)
+def stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import ewma_anomaly_stream
+
+    return ewma_anomaly_stream(spark, sf_dir)

@@ -412,3 +412,101 @@ def funnel_stage_stream(
             .alias("stage"),
         )
     )
+
+
+def ewma_anomaly_stream(
+    spark: SparkSession, sf_dir: str, shuffle_partitions: int | None = 8
+) -> DataFrame:
+    """Streaming EWMA anomaly detection: the stateful twin of the batch
+    ``ewma_anomaly`` operator (queries/timeops.py). Per-user GroupState
+    holds ONLY the last ``_EWMA_DEPTH`` values (bounded state, the
+    applyInPandasWithState contract); each arriving event is scored
+    against the bias-corrected EWMA of that tail and emitted when the
+    deviation crosses the threshold.
+
+    Arithmetic is bit-compatible with the batch kernel: the same
+    repr-round-tripped weight constants, the same ascending-k summation
+    order, and HALF_UP decimal rounding identical to Spark's round().
+    Over the bounded test source (one availableNow batch, rows sorted
+    per group) the output therefore equals the batch operator, whose
+    DuckDB SQL doubles as this query's oracle. In continuous operation,
+    late events are scored against the state as-of arrival — the
+    standard streaming tradeoff, documented rather than hidden."""
+    import uuid
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..queries.timeops import (
+        _EWMA_DEPTH,
+        _EWMA_MIN_PRIOR,
+        _EWMA_THRESH,
+        _EWMA_W,
+    )
+
+    weights = [float(w) for w in _EWMA_W]
+
+    def _round6(x: float) -> float:
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    stream = _events_stream(spark, sf_dir)
+
+    def score(key, pdfs, state: GroupState):
+        tail = list(state.get[0]) if state.exists else []  # oldest first
+        rows = {"user_id": [], "event_id": [], "value": [],
+                "ewma_prev": [], "deviation": []}
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for eid, v in zip(pdf["event_id"], pdf["value"]):
+            v = float(v)
+            prior = tail[::-1][:_EWMA_DEPTH]  # most recent first
+            if len(prior) >= _EWMA_MIN_PRIOR:
+                num = 0.0
+                den = 0.0
+                for k, w in enumerate(weights):
+                    if k < len(prior):
+                        num += prior[k] * w
+                        den += w
+                ewma = num / den
+                dev = v - ewma
+                if abs(dev) > _EWMA_THRESH:
+                    rows["user_id"].append(key[0])
+                    rows["event_id"].append(int(eid))
+                    rows["value"].append(v)
+                    rows["ewma_prev"].append(_round6(ewma))
+                    rows["deviation"].append(_round6(dev))
+            tail.append(v)
+            if len(tail) > _EWMA_DEPTH:
+                tail = tail[-_EWMA_DEPTH:]
+        state.update((tail,))
+        yield pd.DataFrame(rows)
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        score,
+        outputStructType=(
+            "user_id long, event_id long, value double, "
+            "ewma_prev double, deviation double"
+        ),
+        stateStructType="vals array<double>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"ewma_out_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name)

@@ -378,3 +378,17 @@ def test_transition_matrix_rows_are_stochastic(spark):
         by_src[r.from_type] += r.p
     for src, total in by_src.items():
         assert abs(total - 1.0) < 1e-4, src
+
+
+def test_stream_ewma_equals_batch(spark):
+    from etl_energy_tracker_spark.queries.streamops import stream_ewma_anomaly
+
+    batch = {
+        r.event_id: (r.user_id, r.value, r.ewma_prev, r.deviation)
+        for r in ewma_anomaly(spark, SF_DIR).collect()
+    }
+    stream = {
+        r.event_id: (r.user_id, r.value, r.ewma_prev, r.deviation)
+        for r in stream_ewma_anomaly(spark, SF_DIR).collect()
+    }
+    assert stream == batch
