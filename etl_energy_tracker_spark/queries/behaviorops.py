@@ -411,3 +411,66 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.sum("n").over(w_src), 6
         ).alias("p"),
     )
+
+
+# -------------------------------------------------- sequence support
+
+_SEQ_TOP = 10
+
+
+@register(
+    "sequence_support_topk",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_type AS s1,
+               lead(event_type, 1) OVER w AS s2,
+               lead(event_type, 2) OVER w AS s3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sup AS (
+        SELECT s1, s2, s3,
+               COUNT(DISTINCT user_id) AS support_users,
+               COUNT(*) AS n_occurrences
+        FROM seq WHERE s3 IS NOT NULL
+        GROUP BY s1, s2, s3
+    )
+    SELECT s1, s2, s3, support_users, n_occurrences FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY support_users DESC, s1, s2, s3) AS rn
+        FROM sup
+    ) WHERE rn <= {_SEQ_TOP}
+    """,
+    tags=("behavior", "window", "aggregate"),
+    doc="Sequential pattern support (PrefixSpan's contiguous-3-gram "
+    "special case): every consecutive 3-step event sequence per user "
+    "(two lead() columns over one user-partitioned window — a single "
+    "sort per partition), supported by the number of DISTINCT users "
+    "exhibiting it, which is the support metric frequent-sequence "
+    "mining ranks by (occurrence counts overweight one hyperactive "
+    "user). The pattern vocabulary is event-types-cubed, so the "
+    "support aggregate and the global top-k both run over a bounded "
+    "relation; the only corpus-sized work is the sequence window, "
+    "shared with every other per-user journey operator.",
+)
+def sequence_support_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("s1"),
+        F.lead("event_type", 1).over(w).alias("s2"),
+        F.lead("event_type", 2).over(w).alias("s3"),
+    ).where(F.col("s3").isNotNull())
+    sup = seq.groupBy("s1", "s2", "s3").agg(
+        F.count_distinct("user_id").alias("support_users"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    w_rank = W.orderBy(F.desc("support_users"), "s1", "s2", "s3")
+    return (
+        sup.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= _SEQ_TOP)
+        .select("s1", "s2", "s3", "support_users", "n_occurrences")
+    )

@@ -208,7 +208,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "chat_turns_assemble", "triangle_count", "hard_negative_mining",
     "content_defined_chunks", "rfm_segmentation", "vocab_oov_coverage",
     "entity_resolution_golden", "event_transition_matrix",
-    "stream_ewma_anomaly",
+    "stream_ewma_anomaly", "collocation_lift_topk", "sequence_support_topk",
 ) + _REVERIFY_HINT_ONLY
 
 

@@ -672,3 +672,105 @@ def phrase_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"i -> toks[i-1] = '{_PHRASE[0]}' AND toks[i] = '{_PHRASE[1]}')) END"
     )
     return t.select("doc_id", hits.alias("n_hits")).where(F.col("n_hits") > 0)
+
+
+# ------------------------------------------------------- collocations
+
+_COLL_MIN_COUNT = 5
+_COLL_TOP = 20
+
+
+@register(
+    "collocation_lift_topk",
+    oracle=f"""
+    WITH toksrc AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS toks
+        FROM documents
+    ),
+    uni AS (
+        SELECT unnest(toks) AS w FROM toksrc
+    ),
+    n_tot AS (SELECT COUNT(*) AS n FROM uni),
+    ucnt AS (SELECT w, COUNT(*) AS n_w FROM uni GROUP BY w),
+    big AS (
+        SELECT u.b[1] AS w1, u.b[2] AS w2 FROM (
+            SELECT unnest(list_transform(range(1, len(toks)),
+                       i -> [toks[CAST(i AS INT)], toks[CAST(i AS INT) + 1]])) AS b
+            FROM toksrc
+        ) u
+    ),
+    bcnt AS (
+        SELECT w1, w2, COUNT(*) AS n_ab FROM big GROUP BY w1, w2
+        HAVING COUNT(*) >= {_COLL_MIN_COUNT}
+    ),
+    lifted AS (
+        SELECT b.w1, b.w2, b.n_ab, a.n_w AS n_a, c.n_w AS n_b,
+               CAST((b.n_ab * t.n * 1000000) // (a.n_w * c.n_w) AS BIGINT)
+                   AS lift_scaled
+        FROM bcnt b
+        JOIN ucnt a ON a.w = b.w1
+        JOIN ucnt c ON c.w = b.w2
+        CROSS JOIN n_tot t
+    )
+    SELECT w1, w2, n_ab, n_a, n_b, lift_scaled FROM (
+        SELECT *, row_number() OVER (
+            ORDER BY lift_scaled DESC, w1, w2) AS rn
+        FROM lifted
+    ) WHERE rn <= {_COLL_TOP}
+    """,
+    tags=("text", "corpus", "aggregate"),
+    doc="Collocation extraction by scaled-integer lift — PMI ranking "
+    "without the ln(): lift = P(ab)/(P(a)P(b)) = n_ab*N/(n_a*n_b) is "
+    "monotone in PMI, so ranking by the DIV-scaled rational "
+    "(n_ab*N*1e6 div n_a*n_b) yields the identical top-k with pure "
+    "BIGINT arithmetic on both engines (the same no-float-parity "
+    "discipline as the TF-IDF and PageRank operators; at extreme "
+    "corpus sizes swap the 1e6 scale for decimal math before N*n_ab "
+    "approaches int64). Bigram counting is map-side explode + one "
+    "shuffle on the pair; unigram counts join on each side's word — "
+    "vocabulary-bounded relations, never corpus-row-bounded; the "
+    "min-count support filter runs BEFORE the joins so the lift "
+    "computation touches only candidate collocations. Global top-k "
+    "sorts the filtered candidate set only.",
+)
+def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    toksrc = docs.select(
+        F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)").alias("toks")
+    )
+    uni = toksrc.select(F.explode("toks").alias("w"))
+    n_tot = uni.agg(F.count(F.lit(1)).alias("n"))
+    ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    big = toksrc.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(toks) - 1, 0)), "
+                "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bcnt = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _COLL_MIN_COUNT)
+    )
+    a = ucnt.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a"))
+    c = ucnt.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b"))
+    lifted = (
+        bcnt.join(a, "w1")
+        .join(c, "w2")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "w1", "w2", "n_ab", "n_a", "n_b",
+            F.expr("CAST((n_ab * n * 1000000) DIV (n_a * n_b) AS BIGINT)")
+            .alias("lift_scaled"),
+        )
+    )
+    w = W.orderBy(F.desc("lift_scaled"), "w1", "w2")
+    return (
+        lifted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _COLL_TOP)
+        .select("w1", "w2", "n_ab", "n_a", "n_b", "lift_scaled")
+    )

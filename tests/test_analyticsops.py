@@ -392,3 +392,72 @@ def test_stream_ewma_equals_batch(spark):
         for r in stream_ewma_anomaly(spark, SF_DIR).collect()
     }
     assert stream == batch
+
+
+def test_collocation_lift_matches_python(spark):
+    import re
+    from collections import Counter
+
+    from etl_energy_tracker_spark.queries.textops import (
+        _COLL_MIN_COUNT,
+        _COLL_TOP,
+        collocation_lift_topk,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    uni, big = Counter(), Counter()
+    total = 0
+    for d in docs:
+        toks = re.findall(r"[a-z]+", d.text.lower())
+        total += len(toks)
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    cands = [
+        (
+            w1,
+            w2,
+            n,
+            uni[w1],
+            uni[w2],
+            (n * total * 1_000_000) // (uni[w1] * uni[w2]),
+        )
+        for (w1, w2), n in big.items()
+        if n >= _COLL_MIN_COUNT
+    ]
+    cands.sort(key=lambda t: (-t[5], t[0], t[1]))
+    expect = cands[:_COLL_TOP]
+    rows = collocation_lift_topk(spark, SF_DIR).collect()
+    got = [
+        (r.w1, r.w2, r.n_ab, r.n_a, r.n_b, r.lift_scaled) for r in rows
+    ]
+    got.sort(key=lambda t: (-t[5], t[0], t[1]))
+    assert got == expect
+
+
+def test_sequence_support_matches_python(spark):
+    from collections import Counter
+
+    from etl_energy_tracker_spark.queries.behaviorops import (
+        _SEQ_TOP,
+        sequence_support_topk,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    per_user = defaultdict(list)
+    for e in sorted(events, key=lambda e: (e.ts, e.event_id)):
+        per_user[e.user_id].append(e.event_type)
+    occ = Counter()
+    users = defaultdict(set)
+    for uid, seq in per_user.items():
+        for tri in zip(seq, seq[1:], seq[2:]):
+            occ[tri] += 1
+            users[tri].add(uid)
+    cands = [
+        (s[0], s[1], s[2], len(users[s]), occ[s]) for s in occ
+    ]
+    cands.sort(key=lambda t: (-t[3], t[0], t[1], t[2]))
+    expect = cands[:_SEQ_TOP]
+    rows = sequence_support_topk(spark, SF_DIR).collect()
+    got = [(r.s1, r.s2, r.s3, r.support_users, r.n_occurrences) for r in rows]
+    got.sort(key=lambda t: (-t[3], t[0], t[1], t[2]))
+    assert got == expect
