@@ -755,3 +755,183 @@ def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "oov_rate"
         ),
     )
+
+
+# ------------------------------------------------- span corruption
+
+# Deterministic pseudo-randomness: a token position opens a corruption
+# span when charhash(doc_id:pos) lands under _SPAN_START_PCT; the span
+# covers 2 + (hash % 3) tokens (2-4). Overlapping spans merge into one
+# maximal masked run -> one sentinel.
+_SPAN_START_PCT = 10  # percent of positions that OPEN a span
+_SPAN_MAX = 4
+
+
+def _span_seed_sql(dialect_hash, str_type: str = "VARCHAR") -> str:
+    key = f"(CAST(doc_id AS {str_type}) || ':' || CAST(pos AS {str_type}))"
+    return dialect_hash(key)
+
+
+@register(
+    "span_corruption_pairs",
+    oracle=f"""
+    WITH toksrc AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM documents WHERE trim(text) <> ''
+    ),
+    words AS (
+        SELECT doc_id, u.pos AS pos, u.w AS word FROM (
+            SELECT doc_id, unnest(list_transform(
+                range(1, len(tokens) + 1),
+                i -> {{'pos': i, 'w': tokens[CAST(i AS INT)]}})) AS u
+            FROM toksrc
+        ) WHERE u.w <> ''
+    ),
+    seeded AS (
+        SELECT doc_id, pos, word,
+               {_span_seed_sql(duckdb_charhash)} AS seed
+        FROM words
+    ),
+    starts AS (
+        SELECT doc_id, pos, word,
+               CASE WHEN seed % 100 < {_SPAN_START_PCT} THEN 1 ELSE 0 END AS is_start,
+               CASE WHEN seed % 100 < {_SPAN_START_PCT}
+                    THEN 2 + (seed // 100) % 3 ELSE 0 END AS span_len
+        FROM seeded
+    ),
+    masked AS (
+        SELECT doc_id, pos, word,
+               CASE WHEN is_start = 1
+                 OR COALESCE(lag(is_start, 1) OVER w = 1
+                     AND lag(span_len, 1) OVER w >= 2, FALSE)
+                 OR COALESCE(lag(is_start, 2) OVER w = 1
+                     AND lag(span_len, 2) OVER w >= 3, FALSE)
+                 OR COALESCE(lag(is_start, 3) OVER w = 1
+                     AND lag(span_len, 3) OVER w >= 4, FALSE)
+               THEN 1 ELSE 0 END AS m
+        FROM starts
+        WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    runs AS (
+        SELECT doc_id, pos, word, m,
+               CASE WHEN m = 1
+                    AND COALESCE(lag(m) OVER (
+                        PARTITION BY doc_id ORDER BY pos), 0) = 0
+               THEN 1 ELSE 0 END AS run_start
+        FROM masked
+    ),
+    sent AS (
+        SELECT doc_id, pos, word, m, run_start,
+               SUM(run_start) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) - 1 AS sid
+        FROM runs
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(m) AS BIGINT) AS n_masked,
+           CAST(SUM(run_start) AS BIGINT) AS n_spans,
+           string_agg(CASE WHEN m = 0 THEN word
+                           WHEN run_start = 1 THEN '<extra_id_'
+                                || CAST(sid AS VARCHAR) || '>' END,
+                      ' ' ORDER BY pos) AS inputs,
+           COALESCE(string_agg(CASE WHEN run_start = 1 THEN '<extra_id_'
+                                || CAST(sid AS VARCHAR) || '> ' || word
+                           WHEN m = 1 THEN word END,
+                      ' ' ORDER BY pos), '') AS targets
+    FROM sent GROUP BY doc_id
+    """,
+    tags=("llm-prep", "text", "window"),
+    doc="T5/UL2 span-corruption pair generation: ~10% of token "
+    "positions open a 2-4-token corruption span (both decisions from "
+    "the portable content hash of doc_id:pos — fully deterministic, "
+    "no RNG state, re-runnable on any cluster layout), overlapping "
+    "spans merge into maximal masked runs, each run is replaced by "
+    "one <extra_id_k> sentinel in the model INPUT while the TARGET "
+    "chains sentinel-prefixed masked spans — exactly the seq2seq "
+    "denoising pair format. One map-side seeding pass, one "
+    "doc-partitioned window chain (bounded lag lookback = max span "
+    "length) and one ordered aggregation per doc; nothing crosses "
+    "document boundaries, so the operator is embarrassingly "
+    "partition-parallel at any corpus size.",
+)
+def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).where(
+        F.trim("text") != ""
+    )
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos0", "word"),
+    ).where(F.col("word") != "").select(
+        "doc_id", (F.col("pos0") + 1).alias("pos"), "word"
+    )
+    seeded = words.withColumn(
+        "seed", F.expr(_span_seed_sql(spark_charhash, str_type="STRING"))
+    )
+    starts = seeded.select(
+        "doc_id", "pos", "word",
+        F.when(F.col("seed") % 100 < _SPAN_START_PCT, 1).otherwise(0).alias(
+            "is_start"
+        ),
+        F.when(
+            F.col("seed") % 100 < _SPAN_START_PCT,
+            # exact integer floor-div, same as the oracle's // (the
+            # double-divide-then-cast form truncates through a float)
+            F.lit(2) + F.expr("seed DIV 100") % 3,
+        )
+        .otherwise(0)
+        .alias("span_len"),
+    )
+    w = W.partitionBy("doc_id").orderBy("pos")
+    cover = F.col("is_start") == 1
+    for k in range(1, _SPAN_MAX):
+        cover = cover | (
+            (F.lag("is_start", k).over(w) == 1)
+            & (F.lag("span_len", k).over(w) >= k + 1)
+        )
+    masked = starts.withColumn(
+        "m", F.when(F.coalesce(cover, F.lit(False)), 1).otherwise(0)
+    )
+    runs = masked.withColumn(
+        "run_start",
+        F.when(
+            (F.col("m") == 1)
+            & (F.coalesce(F.lag("m").over(w), F.lit(0)) == 0),
+            1,
+        ).otherwise(0),
+    )
+    sent = runs.withColumn(
+        "sid",
+        F.sum("run_start").over(w.rowsBetween(W.unboundedPreceding, 0)) - 1,
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("sid").cast("string"), F.lit(">")
+    )
+    in_tok = F.when(F.col("m") == 0, F.col("word")).when(
+        F.col("run_start") == 1, sentinel
+    )
+    tgt_tok = F.when(
+        F.col("run_start") == 1,
+        F.concat(sentinel, F.lit(" "), F.col("word")),
+    ).when(F.col("m") == 1, F.col("word"))
+
+    def agg_text(tok_col):
+        return F.array_join(
+            F.transform(
+                F.filter(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), tok_col.alias("t")))
+                    ),
+                    lambda s: s["t"].isNotNull(),
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        )
+
+    return sent.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("m").cast("bigint").alias("n_masked"),
+        F.sum("run_start").cast("bigint").alias("n_spans"),
+        agg_text(in_tok).alias("inputs"),
+        agg_text(tgt_tok).alias("targets"),
+    )

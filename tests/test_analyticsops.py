@@ -461,3 +461,52 @@ def test_sequence_support_matches_python(spark):
     got = [(r.s1, r.s2, r.s3, r.support_users, r.n_occurrences) for r in rows]
     got.sort(key=lambda t: (-t[3], t[0], t[1], t[2]))
     assert got == expect
+
+
+def test_span_corruption_masks_are_consistent(spark):
+    import re
+
+    from etl_energy_tracker_spark.queries.llmprep import (
+        _SPAN_MAX,
+        _SPAN_START_PCT,
+        span_corruption_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    rows = {r.doc_id: r for r in span_corruption_pairs(spark, SF_DIR).collect()}
+    for d in docs:
+        words = [
+            w
+            for w in re.split(r"\s+", d.text.strip(), flags=re.ASCII)
+            if w != ""
+        ]
+        if not words:
+            assert d.doc_id not in rows
+            continue
+        # python recompute of the mask
+        masked = [False] * len(words)
+        for i in range(len(words)):
+            seed = _charhash(f"{d.doc_id}:{i + 1}")
+            if seed % 100 < _SPAN_START_PCT:
+                ln = 2 + (seed // 100) % 3
+                for j in range(i, min(i + ln, len(words))):
+                    masked[j] = True
+        r = rows[d.doc_id]
+        assert r.n_tokens == len(words)
+        assert r.n_masked == sum(masked)
+        # rebuild inputs/targets
+        inputs, targets, sid = [], [], -1
+        for i, w in enumerate(words):
+            if not masked[i]:
+                inputs.append(w)
+            elif i == 0 or not masked[i - 1]:
+                sid += 1
+                inputs.append(f"<extra_id_{sid}>")
+                targets.append(f"<extra_id_{sid}> {w}")
+            else:
+                targets.append(w)
+        assert r.n_spans == sid + 1
+        assert r.inputs == " ".join(inputs), d.doc_id
+        assert r.targets == " ".join(targets), d.doc_id
+        # sanity: reconstruction covers every token exactly once
+        assert r.n_masked + len([w for i, w in enumerate(words) if not masked[i]]) == r.n_tokens
