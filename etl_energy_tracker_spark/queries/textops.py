@@ -730,12 +730,12 @@ _COLL_TOP = 20
     "shuffle on the pair; unigram counts join on each side's word — "
     "vocabulary-bounded relations, never corpus-row-bounded; the "
     "min-count support filter runs BEFORE the joins so the lift "
-    "computation touches only candidate collocations. Global top-k "
-    "sorts the filtered candidate set only.",
+    "computation touches only candidate collocations. The global "
+    "top-k is orderBy+limit — TakeOrderedAndProject, a per-partition "
+    "partial top-k merged at the driver, never a single-partition "
+    "sort of the candidate set.",
 )
 def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     docs = load_table(spark, "documents", sf_dir)
     toksrc = docs.select(
         F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)").alias("toks")
@@ -768,9 +768,10 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lift_scaled"),
         )
     )
-    w = W.orderBy(F.desc("lift_scaled"), "w1", "w2")
-    return (
-        lifted.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= _COLL_TOP)
-        .select("w1", "w2", "n_ab", "n_a", "n_b", "lift_scaled")
-    )
+    # orderBy+limit plans as TakeOrderedAndProject: per-partition
+    # partial top-k merged on the driver — no single-partition window
+    # even when the candidate set is huge (bigram types with count>=5
+    # can reach billions at corpus scale)
+    return lifted.orderBy(
+        F.desc("lift_scaled"), "w1", "w2"
+    ).limit(_COLL_TOP).select("w1", "w2", "n_ab", "n_a", "n_b", "lift_scaled")
