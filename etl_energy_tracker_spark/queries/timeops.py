@@ -640,3 +640,138 @@ def ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") - ewma, 6).alias("deviation"),
         )
     )
+
+
+# ------------------------------------------------- gap interpolation
+
+@register(
+    "grid_gap_interpolation",
+    oracle="""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS h,
+               CAST((CAST(SUM(CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT))
+                     AS BIGINT) * 10000) // COUNT(*) AS BIGINT) AS vm
+        FROM events GROUP BY user_id, date_trunc('hour', ts)
+    ),
+    spans AS (
+        SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM hourly
+        GROUP BY user_id
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(h0, h1,
+                   INTERVAL 1 HOUR)) AS h
+        FROM spans
+    ),
+    joined AS (
+        SELECT g.user_id, g.h, hourly.vm
+        FROM grid g LEFT JOIN hourly USING (user_id, h)
+    ),
+    bounded AS (
+        SELECT user_id, h, vm,
+               last_value(s IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+               first_value(s IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY h
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+        FROM (SELECT user_id, h,
+                     CASE WHEN vm IS NOT NULL
+                          THEN {'h': h, 'vm': vm} END AS s, vm
+              FROM joined)
+    ),
+    filled AS (
+        SELECT user_id, h,
+               CASE WHEN vm IS NOT NULL THEN 0 ELSE 1 END AS interpolated,
+               CASE
+                 WHEN vm IS NOT NULL THEN vm
+                 WHEN prev.vm IS NULL THEN nxt.vm
+                 WHEN nxt.vm IS NULL THEN prev.vm
+                 ELSE (prev.vm * ((epoch_us(nxt.h) - epoch_us(h)) // 3600000000)
+                          + nxt.vm * ((epoch_us(h) - epoch_us(prev.h)) // 3600000000))
+                          // ((epoch_us(nxt.h) - epoch_us(prev.h)) // 3600000000)
+               END AS value_micro
+        FROM bounded
+    )
+    SELECT user_id, h AS hour_ts,
+           CAST(value_micro AS DOUBLE) / 1000000 AS value,
+           interpolated
+    FROM filled
+    """,
+    tags=("time", "window", "grid"),
+    doc="Time-grid gap interpolation — the backfill primitive for the "
+    "15-minute/hourly energy grid this engine is built around: each "
+    "user's hourly series is densified to a complete grid "
+    "(per-series min..max span, exploded map-side from one row per "
+    "series), missing slots are linearly interpolated between the "
+    "nearest present neighbors (two IGNORE-NULLS window passes carry "
+    "the previous/next observation as a (time, value) struct), and "
+    "edge gaps clamp to the nearest observation. ALL arithmetic is "
+    "fixed-point micro-units: hourly means floor-divide exact cent "
+    "sums, and the interpolation is the all-positive weighted form "
+    "(prev*(t2-t) + next*(t-t1)) div (t2-t1), so no float rounding "
+    "ever touches a half boundary (a plain round() here diverges "
+    "cross-engine: midpoints of 6-dp values ARE exact halves, where "
+    "Spark rounds the decimal repr and DuckDB the binary double). "
+    "Every window partitions by the series key — one hash exchange "
+    "shared by the densify join and both fills; the grid explode "
+    "adds rows proportional to the series span, never a cross join.",
+)
+def grid_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.expr(
+            "CAST((CAST(SUM(CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT))"
+            " AS BIGINT) * 10000) DIV COUNT(*) AS BIGINT)"
+        ).alias("vm")
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    s = F.when(F.col("vm").isNotNull(), F.struct(F.col("h"), F.col("vm")))
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    w_next = (
+        W.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(0, W.unboundedFollowing)
+    )
+    bounded = joined.select(
+        "user_id", "h", "vm",
+        F.last(s, ignorenulls=True).over(w_prev).alias("prev"),
+        F.first(s, ignorenulls=True).over(w_next).alias("nxt"),
+    )
+    # all-positive weighted mean in micro-units: floor == truncate,
+    # so DuckDB // and Spark DIV agree; integer HOUR deltas keep every term BIGINT on both engines
+    # (DuckDB epoch() returns DOUBLE and its double->BIGINT cast
+    # ROUNDS, not truncates — epoch_us is the exact-integer form)
+    interp = F.expr(
+        "(prev.vm * ((unix_timestamp(nxt.h) - unix_timestamp(h)) DIV 3600)"
+        " + nxt.vm * ((unix_timestamp(h) - unix_timestamp(prev.h)) DIV 3600))"
+        " DIV ((unix_timestamp(nxt.h) - unix_timestamp(prev.h)) DIV 3600)"
+    )
+    value_micro = (
+        F.when(F.col("vm").isNotNull(), F.col("vm"))
+        .when(F.col("prev").isNull(), F.col("nxt.vm"))
+        .when(F.col("nxt").isNull(), F.col("prev.vm"))
+        .otherwise(interp)
+    )
+    return bounded.select(
+        "user_id",
+        F.col("h").alias("hour_ts"),
+        (value_micro.cast("double") / 1_000_000).alias("value"),
+        F.when(F.col("vm").isNotNull(), 0).otherwise(1).alias("interpolated"),
+    )

@@ -510,3 +510,48 @@ def test_span_corruption_masks_are_consistent(spark):
         assert r.targets == " ".join(targets), d.doc_id
         # sanity: reconstruction covers every token exactly once
         assert r.n_masked + len([w for i, w in enumerate(words) if not masked[i]]) == r.n_tokens
+
+
+def test_grid_gap_interpolation_matches_python(spark):
+    from etl_energy_tracker_spark.queries.timeops import (
+        grid_gap_interpolation,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    hourly = defaultdict(lambda: defaultdict(list))
+    for e in events:
+        h = e.ts.replace(minute=0, second=0, microsecond=0)
+        hourly[e.user_id][h].append(e.value)
+    expect = {}
+    for uid, series in hourly.items():
+        vm = {
+            h: (sum(round(Decimal(repr(v)), 2) * 100 for v in vs) * 10000)
+            // len(vs)
+            for h, vs in series.items()
+        }
+        hs = sorted(vm)
+        from datetime import timedelta
+
+        h = hs[0]
+        while h <= hs[-1]:
+            if h in vm:
+                expect[(uid, h)] = (int(vm[h]), 0)
+            else:
+                prev = max(x for x in hs if x < h)
+                nxt = min(x for x in hs if x > h)
+                dtn = int((h - prev).total_seconds()) // 3600
+                dtd = int((nxt - prev).total_seconds()) // 3600
+                val = (
+                    int(vm[prev]) * (dtd - dtn) + int(vm[nxt]) * dtn
+                ) // dtd
+                expect[(uid, h)] = (val, 1)
+            h += timedelta(hours=1)
+    rows = grid_gap_interpolation(spark, SF_DIR).collect()
+    got = {
+        (r.user_id, r.hour_ts): (round(r.value * 1_000_000), r.interpolated)
+        for r in rows
+    }
+    assert set(got) == set(expect)
+    for k, (vm_exp, flag) in expect.items():
+        assert got[k][1] == flag, k
+        assert abs(got[k][0] - vm_exp) <= 1, k
