@@ -209,7 +209,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "content_defined_chunks", "rfm_segmentation", "vocab_oov_coverage",
     "entity_resolution_golden", "event_transition_matrix",
     "stream_ewma_anomaly", "collocation_lift_topk", "sequence_support_topk",
-    "span_corruption_pairs", "grid_gap_interpolation",
+    "span_corruption_pairs", "grid_gap_interpolation", "lsh_recall_eval",
 ) + _REVERIFY_HINT_ONLY
 
 

@@ -450,3 +450,106 @@ def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_dedup_against_index(
         batch, history, "doc_id", "text", threshold=0.5, k=_K, bands=_BANDS
     )
+
+
+# ------------------------------------------------- LSH recall eval
+
+def _duck_lsh_cands(k: int, bands: int) -> str:
+    """Candidate stage only of the LSH pipeline (no Jaccard verify)."""
+    rows = k // bands
+    return f"""
+    sig AS ({_duck_sig(k)}),
+    banded AS (
+        SELECT doc_id, b,
+               array_to_string(sig[b*{rows}+1 : b*{rows}+{rows}], ',') AS bhash
+        FROM sig, (SELECT unnest(range(0, {bands})) AS b)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, o.doc_id AS id_b
+        FROM banded a JOIN banded o
+          ON a.b = o.b AND a.bhash = o.bhash AND a.doc_id < o.doc_id
+    )"""
+
+
+@register(
+    "lsh_recall_eval",
+    oracle=f"""
+    WITH {SHINGLE_PAIR_CTES},
+    truth AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b
+        WHERE n_inter * 1.0 / (ca.n_sh + cb.n_sh - n_inter) >= 0.5
+    ),
+    {_duck_lsh_cands(_K, _BANDS).strip()},
+    tp AS (
+        SELECT COUNT(*) AS n FROM truth
+        JOIN cand ON cand.id_a = truth.doc_a AND cand.id_b = truth.doc_b
+    )
+    SELECT (SELECT COUNT(*) FROM truth) AS n_truth,
+           (SELECT COUNT(*) FROM cand) AS n_candidates,
+           tp.n AS n_hits,
+           CAST(tp.n * 1000000 // GREATEST((SELECT COUNT(*) FROM truth), 1)
+                AS BIGINT) AS recall_ppm,
+           CAST(tp.n * 1000000 // GREATEST((SELECT COUNT(*) FROM cand), 1)
+                AS BIGINT) AS precision_ppm
+    FROM tp
+    """,
+    tags=("dedup", "eval", "hash"),
+    doc="LSH quality evaluation — measure, don't guess: the MinHash "
+    "banded-bucket CANDIDATE set is scored against the exact "
+    "shingle-join Jaccard>=0.5 ground truth (the engine's own "
+    "ngram_jaccard_pairs path), reporting candidate recall and "
+    "precision in exact parts-per-million integers (tp*1e6 div n — "
+    "no float division to diverge cross-engine). This is the harness "
+    "that justifies the (k, bands) operating point before a 100 TB "
+    "dedup run: both pipelines are corpus-linear (shingle-key join "
+    "and bucket join; no all-pairs stage), so the evaluation itself "
+    "runs at sample scale or full scale unchanged. Differences in "
+    "shingle normalization or the exact path's hot-shingle df-cap "
+    "show up as recall loss here rather than silently in production.",
+)
+def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        lsh_candidate_pairs,
+        with_minhash_signature,
+        with_shingles,
+    )
+    from .textops import ngram_jaccard_pairs
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sh = with_shingles(docs.select("doc_id", "text"), "text").where(
+        F.size("shingles") > 0
+    )
+    sig = with_minhash_signature(sh, k=_K)
+    cand = lsh_candidate_pairs(
+        sig, "doc_id", bands=_BANDS, rows_per_band=_K // _BANDS
+    ).select("id_a", "id_b")
+    # the three count branches reuse truth/cand: materialize once
+    truth = truth.localCheckpoint(eager=False)
+    cand = cand.localCheckpoint(eager=False)
+    tp = truth.join(
+        cand,
+        (F.col("id_a") == F.col("doc_a")) & (F.col("id_b") == F.col("doc_b")),
+    ).agg(F.count(F.lit(1)).alias("n_hits"))
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    return (
+        n_truth.crossJoin(n_cand)
+        .crossJoin(tp)
+        .select(
+            "n_truth",
+            "n_candidates",
+            "n_hits",
+            F.expr(
+                "CAST(n_hits * 1000000 DIV GREATEST(n_truth, 1) AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CAST(n_hits * 1000000 DIV GREATEST(n_candidates, 1) AS BIGINT)"
+            ).alias("precision_ppm"),
+        )
+    )

@@ -555,3 +555,18 @@ def test_grid_gap_interpolation_matches_python(spark):
     for k, (vm_exp, flag) in expect.items():
         assert got[k][1] == flag, k
         assert abs(got[k][0] - vm_exp) <= 1, k
+
+
+def test_lsh_recall_eval_invariants(spark):
+    from etl_energy_tracker_spark.queries.dedupops import lsh_recall_eval
+    from etl_energy_tracker_spark.queries.textops import ngram_jaccard_pairs
+
+    r = lsh_recall_eval(spark, SF_DIR).collect()[0]
+    n_truth = ngram_jaccard_pairs(spark, SF_DIR).count()
+    assert r.n_truth == n_truth
+    assert 0 <= r.n_hits <= min(r.n_truth, r.n_candidates)
+    assert r.recall_ppm == r.n_hits * 1_000_000 // max(r.n_truth, 1)
+    assert r.precision_ppm == r.n_hits * 1_000_000 // max(r.n_candidates, 1)
+    # with 4 bands of 4 rows at these duplicate rates, LSH should find
+    # most true near-dups: the operating point is useful, not vacuous
+    assert r.n_truth == 0 or r.recall_ppm >= 500_000
