@@ -88,6 +88,10 @@ EXTRA = [
     "hard_negative_mining",
     "entity_resolution_golden",
     "vocab_oov_coverage",
+    "collocation_lift_topk",
+    "span_corruption_pairs",
+    "grid_gap_interpolation",
+    "lsh_recall_eval",
 ]
 
 

@@ -739,6 +739,13 @@ def grid_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = grid.join(hourly, ["user_id", "h"], "left")
     s = F.when(F.col("vm").isNotNull(), F.struct(F.col("h"), F.col("vm")))
+    # both fills as GROWING frames (unbounded-preceding): Spark
+    # evaluates a growing frame incrementally in O(n), but a shrinking
+    # frame (CURRENT ROW .. UNBOUNDED FOLLOWING) re-aggregates per row
+    # — O(n^2) per partition, measured 18s vs <1s on the sf0.1 grid.
+    # The forward fill runs over ascending h, the backward fill over
+    # descending h; same semantics as first_value IGNORE NULLS over
+    # the following frame (which the DuckDB oracle keeps).
     w_prev = (
         W.partitionBy("user_id")
         .orderBy("h")
@@ -746,13 +753,13 @@ def grid_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_next = (
         W.partitionBy("user_id")
-        .orderBy("h")
-        .rowsBetween(0, W.unboundedFollowing)
+        .orderBy(F.desc("h"))
+        .rowsBetween(W.unboundedPreceding, 0)
     )
     bounded = joined.select(
         "user_id", "h", "vm",
         F.last(s, ignorenulls=True).over(w_prev).alias("prev"),
-        F.first(s, ignorenulls=True).over(w_next).alias("nxt"),
+        F.last(s, ignorenulls=True).over(w_next).alias("nxt"),
     )
     # all-positive weighted mean in micro-units: floor == truncate,
     # so DuckDB // and Spark DIV agree; integer HOUR deltas keep every term BIGINT on both engines
