@@ -1005,3 +1005,81 @@ def entity_resolution_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("name").alias("canonical_name"),
         )
     )
+
+
+@register(
+    "pareto_frontier",
+    oracle="""
+    WITH pts AS (
+        SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM lineitem
+    ),
+    per_q AS (
+        SELECT qty, MIN(price_cents) AS best FROM pts GROUP BY qty
+    ),
+    ranked AS (
+        SELECT qty, best,
+               MIN(best) OVER (ORDER BY qty DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS best_higher
+        FROM per_q
+    ),
+    frontier AS (
+        SELECT qty, best FROM ranked
+        WHERE best_higher IS NULL OR best < best_higher
+    )
+    SELECT p.l_orderkey, p.l_linenumber, p.qty,
+           CAST(p.price_cents AS DOUBLE) / 100 AS price
+    FROM pts p JOIN frontier f
+      ON p.qty = f.qty AND p.price_cents = f.best
+    """,
+    tags=("window", "aggregate", "topk"),
+    doc="Pareto frontier (skyline query): line items not strictly "
+    "dominated in the (maximize quantity, minimize price) plane — "
+    "the multi-objective shortlist primitive behind best-offer and "
+    "trade-off dashboards. 2-D skyline needs no pairwise dominance "
+    "join: reduce to the per-quantity price minimum (one shuffle on "
+    "the quantity key — the distinct-objective domain, tiny relative "
+    "to the fact table), then one prefix-min window over quantity "
+    "descending marks the staircase, and a join back recovers every "
+    "tied frontier row. Prices compare in exact integer cents, so "
+    "frontier membership is bit-deterministic on both engines. At "
+    "100 TB the only fact-sized work is the first aggregate and the "
+    "final semi-join, both on the same key; the window runs over the "
+    "bounded distinct-quantity relation. (K-objective skylines fall "
+    "back to block-nested local skyline + merge via mapInPandas — "
+    "composable from this engine's Arrow operators — but 2-D, the "
+    "overwhelmingly common case, stays fully declarative.)",
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    pts = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("qty"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+    )
+    per_q = pts.groupBy("qty").agg(F.min("price_cents").alias("best"))
+    w = (
+        W.orderBy(F.desc("qty"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    frontier = (
+        per_q.withColumn("best_higher", F.min("best").over(w))
+        .where(F.col("best_higher").isNull() | (F.col("best") < F.col("best_higher")))
+        .select("qty", "best")
+    )
+    f = frontier.withColumnRenamed("qty", "f_qty")
+    return pts.join(
+        f,
+        (F.col("qty") == F.col("f_qty")) & (F.col("price_cents") == F.col("best")),
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "qty",
+        (F.col("price_cents").cast("double") / 100).alias("price"),
+    )

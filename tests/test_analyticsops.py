@@ -570,3 +570,32 @@ def test_lsh_recall_eval_invariants(spark):
     # with 4 bands of 4 rows at these duplicate rates, LSH should find
     # most true near-dups: the operating point is useful, not vacuous
     assert r.n_truth == 0 or r.recall_ppm >= 500_000
+
+
+def test_pareto_frontier_dominance(spark):
+    from etl_energy_tracker_spark.queries.relational import pareto_frontier
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    pts = [
+        (
+            r.l_orderkey,
+            r.l_linenumber,
+            r.l_quantity,
+            round(Decimal(repr(float(r.l_extendedprice))), 2) * 100,
+        )
+        for r in li
+    ]
+    def dominated(p):
+        return any(
+            q[2] >= p[2]
+            and q[3] <= p[3]
+            and (q[2] > p[2] or q[3] < p[3])
+            for q in pts
+        )
+    expect = {
+        (ok, ln) for ok, ln, qty, cents in pts
+        if not dominated((ok, ln, qty, cents))
+    }
+    rows = pareto_frontier(spark, SF_DIR).collect()
+    got = {(r.l_orderkey, r.l_linenumber) for r in rows}
+    assert got == expect
