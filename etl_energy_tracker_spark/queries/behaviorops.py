@@ -474,3 +474,114 @@ def sequence_support_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _SEQ_TOP)
         .select("s1", "s2", "s3", "support_users", "n_occurrences")
     )
+
+
+# ---------------------------------------------- position attribution
+
+# U-shaped (position-based) credit in exact ppm integers: 40% first
+# touch, 40% last touch, 20% split over middles by integer division
+# with the remainder assigned to the LAST middle (deterministic).
+_ATTR_FIRST = 400_000
+_ATTR_LAST = 400_000
+_ATTR_MID_POOL = 200_000
+
+
+@register(
+    "attribution_u_shaped",
+    oracle=f"""
+    WITH seq AS (
+        SELECT user_id, event_id, event_type,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS seg
+        FROM events
+    ),
+    purchases AS (
+        SELECT user_id, COALESCE(seg, 0) AS seg,
+               event_id AS purchase_id
+        FROM seq WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, COALESCE(seg, 0) AS seg, event_id AS click_id,
+               row_number() OVER (PARTITION BY user_id, COALESCE(seg, 0)
+                                  ORDER BY event_id) AS pos,
+               COUNT(*) OVER (PARTITION BY user_id, COALESCE(seg, 0)) AS n
+        FROM seq WHERE event_type = 'click'
+    )
+    SELECT c.click_id, p.purchase_id,
+           CAST(CASE
+             WHEN c.n = 1 THEN 1000000
+             WHEN c.n = 2 AND c.pos = 1 THEN 500000
+             WHEN c.n = 2 THEN 500000
+             WHEN c.pos = 1 THEN {_ATTR_FIRST}
+             WHEN c.pos = c.n THEN {_ATTR_LAST}
+             WHEN c.pos = c.n - 1 THEN
+               {_ATTR_MID_POOL} // (c.n - 2)
+               + {_ATTR_MID_POOL} % (c.n - 2)
+             ELSE {_ATTR_MID_POOL} // (c.n - 2)
+           END AS BIGINT) AS credit_ppm
+    FROM clicks c JOIN purchases p
+      ON p.user_id = c.user_id AND p.seg = c.seg
+    """,
+    tags=("behavior", "window", "join"),
+    doc="U-shaped multi-touch attribution: each purchase's credit is "
+    "distributed over the clicks in its journey segment (everything "
+    "since the user's previous purchase) — 40% to the first touch, "
+    "40% to the last, 20% split across middles. Segment ids come "
+    "from a running purchase count over the user's event sequence "
+    "(one window), click positions from one more window over "
+    "(user, segment), and the purchase joins on the same segment key "
+    "— three operations sharing a single user_id hash partitioning. "
+    "Credits are exact parts-per-million integers: the middle pool "
+    "uses integer division with the remainder pinned to the last "
+    "middle, so every journey's credits sum to exactly 1,000,000 and "
+    "both engines agree bit-for-bit (a float 0.2/(n-2) here would "
+    "not). Degenerate journeys (1 or 2 clicks) collapse to 100% or "
+    "50/50 by rule.",
+)
+def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    w_seq = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id", "event_id", "event_type",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w_seq),
+            F.lit(0),
+        ).alias("seg"),
+    )
+    purchases = seq.where(F.col("event_type") == "purchase").select(
+        "user_id", "seg", F.col("event_id").alias("purchase_id")
+    )
+    w_pos = W.partitionBy("user_id", "seg").orderBy("event_id")
+    w_cnt = W.partitionBy("user_id", "seg")
+    clicks = seq.where(F.col("event_type") == "click").select(
+        "user_id", "seg", F.col("event_id").alias("click_id"),
+        F.row_number().over(w_pos).alias("pos"),
+        F.count(F.lit(1)).over(w_cnt).alias("n"),
+    )
+    mid = F.expr(f"{_ATTR_MID_POOL} DIV (n - 2)")
+    credit = (
+        F.when(F.col("n") == 1, 1_000_000)
+        .when(F.col("n") == 2, 500_000)
+        .when(F.col("pos") == 1, _ATTR_FIRST)
+        .when(F.col("pos") == F.col("n"), _ATTR_LAST)
+        .when(
+            F.col("pos") == F.col("n") - 1,
+            mid + F.expr(f"{_ATTR_MID_POOL} % (n - 2)"),
+        )
+        .otherwise(mid)
+    )
+    return clicks.join(purchases, ["user_id", "seg"]).select(
+        "click_id",
+        "purchase_id",
+        credit.cast("bigint").alias("credit_ppm"),
+    )

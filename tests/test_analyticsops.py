@@ -599,3 +599,44 @@ def test_pareto_frontier_dominance(spark):
     rows = pareto_frontier(spark, SF_DIR).collect()
     got = {(r.l_orderkey, r.l_linenumber) for r in rows}
     assert got == expect
+
+
+def test_attribution_credits_sum_to_one_million(spark):
+    from etl_energy_tracker_spark.queries.behaviorops import (
+        attribution_u_shaped,
+    )
+
+    rows = attribution_u_shaped(spark, SF_DIR).collect()
+    by_purchase = defaultdict(list)
+    for r in rows:
+        by_purchase[r.purchase_id].append(r)
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    per_user = defaultdict(list)
+    for e in sorted(events, key=lambda e: (e.ts, e.event_id)):
+        per_user[e.user_id].append(e)
+    # python recompute of journey segments
+    expect_clicks = defaultdict(set)
+    for uid, evs in per_user.items():
+        seg_clicks = []
+        for e in evs:
+            if e.event_type == "purchase":
+                if seg_clicks:
+                    expect_clicks[e.event_id] = {c.event_id for c in seg_clicks}
+                seg_clicks = []
+            elif e.event_type == "click":
+                seg_clicks.append(e)
+    assert {p for p in by_purchase} == {
+        p for p, cs in expect_clicks.items() if cs
+    }
+    for pid, credits in by_purchase.items():
+        assert {r.click_id for r in credits} == expect_clicks[pid]
+        total = sum(r.credit_ppm for r in credits)
+        assert total == 1_000_000, pid
+        n = len(credits)
+        ordered = sorted(credits, key=lambda r: r.click_id)
+        if n >= 3:
+            assert ordered[0].credit_ppm == 400_000
+            assert ordered[-1].credit_ppm == 400_000
+            assert all(
+                r.credit_ppm >= 200_000 // (n - 2) for r in ordered[1:-1]
+            )
