@@ -585,3 +585,97 @@ def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_id",
         credit.cast("bigint").alias("credit_ppm"),
     )
+
+
+# ------------------------------------------------- time to convert
+
+@register(
+    "time_to_convert_cohorts",
+    oracle="""
+    WITH signup AS (
+        SELECT user_id, MIN(ts) AS s_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    first_purchase AS (
+        SELECT user_id, MIN(ts) AS p_ts FROM events
+        WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    ttc AS (
+        SELECT s.user_id,
+               CAST(date_trunc('month', s.s_ts) AS DATE) AS cohort,
+               epoch_us(p.p_ts - s.s_ts) // 1000000 AS ttc_s
+        FROM signup s JOIN first_purchase p USING (user_id)
+        WHERE p.p_ts >= s.s_ts
+    ),
+    ranked AS (
+        SELECT cohort, ttc_s,
+               row_number() OVER (PARTITION BY cohort
+                   ORDER BY ttc_s, user_id) AS rk,
+               COUNT(*) OVER (PARTITION BY cohort) AS n
+        FROM ttc
+    )
+    SELECT cohort,
+           MAX(n) AS n_converted,
+           MAX(CASE WHEN rk = (n + 1) // 2 THEN ttc_s END) AS median_ttc_s,
+           MAX(CASE WHEN rk = (n * 9 + 9) // 10 THEN ttc_s END) AS p90_ttc_s
+    FROM ranked GROUP BY cohort
+    """,
+    tags=("behavior", "window", "aggregate"),
+    doc="Time-to-convert cohort quantiles: each user's seconds from "
+    "signup to first purchase, grouped by signup-month cohort, with "
+    "EXACT median and p90 selected by integer rank ((n+1) div 2 and "
+    "ceil(0.9 n) over the (ttc, user_id)-ordered cohort) — the "
+    "deterministic percentile_disc formulation, immune to the "
+    "cross-engine interpolation differences of percentile_cont and "
+    "to float rank arithmetic. Two tiny per-user aggregates, one "
+    "join, one cohort-partitioned rank window; nothing is "
+    "corpus-sized after the first aggregate. At extreme cohort "
+    "cardinality the exact rank selection swaps for the engine's "
+    "histogram-sketch quantile operator (histogram_quantile_estimate) "
+    "with visible error bounds — both live in this catalog, which is "
+    "the point: exact where feasible, sketched where not, measured "
+    "either way.",
+)
+def time_to_convert_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    signup = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s_ts"))
+    )
+    purchase = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    ttc = (
+        signup.join(purchase, "user_id")
+        .where(F.col("p_ts") >= F.col("s_ts"))
+        .select(
+            "user_id",
+            F.to_date(F.date_trunc("month", "s_ts")).alias("cohort"),
+            # exact integer floor (duck // semantics); float /1e6 +
+            # cast truncates through a double on odd-micro timestamps
+            F.expr(
+                "(unix_micros(p_ts) - unix_micros(s_ts)) DIV 1000000"
+            ).alias("ttc_s"),
+        )
+    )
+    w_rank = W.partitionBy("cohort").orderBy("ttc_s", "user_id")
+    w_n = W.partitionBy("cohort")
+    ranked = ttc.select(
+        "cohort", "ttc_s",
+        F.row_number().over(w_rank).alias("rk"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    return ranked.groupBy("cohort").agg(
+        F.max("n").alias("n_converted"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(n + 1) DIV 2"), F.col("ttc_s"))
+        ).alias("median_ttc_s"),
+        F.max(
+            F.when(F.col("rk") == F.expr("(n * 9 + 9) DIV 10"), F.col("ttc_s"))
+        ).alias("p90_ttc_s"),
+    )

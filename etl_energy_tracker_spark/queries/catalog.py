@@ -210,7 +210,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "entity_resolution_golden", "event_transition_matrix",
     "stream_ewma_anomaly", "collocation_lift_topk", "sequence_support_topk",
     "span_corruption_pairs", "grid_gap_interpolation", "lsh_recall_eval",
-    "pareto_frontier", "attribution_u_shaped",
+    "pareto_frontier", "attribution_u_shaped", "time_to_convert_cohorts",
 ) + _REVERIFY_HINT_ONLY
 
 

@@ -640,3 +640,32 @@ def test_attribution_credits_sum_to_one_million(spark):
             assert all(
                 r.credit_ppm >= 200_000 // (n - 2) for r in ordered[1:-1]
             )
+
+
+def test_time_to_convert_exact_quantiles(spark):
+    from etl_energy_tracker_spark.queries.behaviorops import (
+        time_to_convert_cohorts,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    signup, first_p = {}, {}
+    for e in events:
+        if e.event_type == "signup":
+            signup[e.user_id] = min(signup.get(e.user_id, e.ts), e.ts)
+        elif e.event_type == "purchase":
+            first_p[e.user_id] = min(first_p.get(e.user_id, e.ts), e.ts)
+    cohorts = defaultdict(list)
+    for u, s_ts in signup.items():
+        if u in first_p and first_p[u] >= s_ts:
+            cohort = s_ts.date().replace(day=1)
+            ttc = int((first_p[u] - s_ts).total_seconds())
+            cohorts[cohort].append((ttc, u))
+    rows = {r.cohort: r for r in time_to_convert_cohorts(spark, SF_DIR).collect()}
+    assert set(rows) == set(cohorts)
+    for cohort, vals in cohorts.items():
+        vals.sort()
+        n = len(vals)
+        r = rows[cohort]
+        assert r.n_converted == n
+        assert r.median_ttc_s == vals[(n + 1) // 2 - 1][0]
+        assert r.p90_ttc_s == vals[(n * 9 + 9) // 10 - 1][0]
