@@ -92,6 +92,22 @@ EXTRA = [
     "span_corruption_pairs",
     "grid_gap_interpolation",
     "lsh_recall_eval",
+    # r5: the remaining continuation ops that had no recorded figure —
+    # with these, every late-round catalog addition has a baseline.
+    "attribution_u_shaped",
+    "chat_turns_assemble",
+    "dataset_snapshot_diff",
+    "dq_expectations_report",
+    "event_transition_matrix",
+    "hopping_window_agg",
+    "normalized_exact_dedup",
+    "pareto_frontier",
+    "phrase_match_count",
+    "rfm_segmentation",
+    "sequence_support_topk",
+    "stream_ewma_anomaly",
+    "temperature_mixture_sample",
+    "time_to_convert_cohorts",
 ]
 
 

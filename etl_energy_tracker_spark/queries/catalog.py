@@ -113,32 +113,45 @@ _R1_VERIFIED: frozenset[str] = frozenset({
 })
 
 
+# Queries driver-verified green in CORRECTNESS_r04.json (49 greens at
+# 12:58 UTC on the final r4 commit — every row is on current code).
+# The one r4 FAIL, inverted_index_postings, stays out of this set and
+# at the head of _PRIORITY: its array output column crashed the
+# driver's pandas canonicalizer, fixed in r5 by emitting the sorted
+# posting list comma-joined as a string (searchops.py).
+_R4_VERIFIED: frozenset[str] = frozenset({
+    "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_trained",
+    "ann_lsh_bucketed", "audio_features_e2e", "bloom_decontaminate",
+    "bpe_merge_pair_counts", "cdc_apply_changes", "cms_join_cardinality",
+    "cms_token_counts", "compaction_bin_packing", "doc_chunk_windows",
+    "domain_quota_cap", "dup_window_spans", "embedding_near_dup_pairs",
+    "funnel_conversion", "fuzzy_decontaminate_minhash",
+    "fuzzy_name_match_pairs", "gopher_quality_report",
+    "hll_distinct_audit", "hll_set_union_intersect",
+    "incremental_agg_maintenance", "length_band_trim",
+    "minhash_lsh_pairs", "minhash_lsh_pairs_capped",
+    "minhash_lsh_pairs_k32", "multimodal_features", "near_dup_clusters",
+    "near_dup_clusters_star", "near_dup_keep_corpus",
+    "ngram_jaccard_pairs", "ngram_lm_score", "pagerank_bipartite",
+    "perplexity_tertile_split", "q11_important_stock",
+    "q12_shipping_modes", "random_projection_reduce",
+    "retention_cohorts", "salted_skew_join", "scd2_point_in_time_join",
+    "semdedup_prune", "shingle_containment_pairs", "simhash_fingerprint",
+    "simhash_near_pairs", "stream_funnel_stage", "table_profile_stats",
+    "up_link_eligibility", "url_canonicalize_dedup",
+    "zorder_layout_stats",
+})
+
 # Queries whose Spark implementation changed AFTER their last green
 # driver CORRECTNESS row (VERDICT r3 "What's wrong" §1: a green row on
 # old code is not a green row on current code). These are pulled back
 # out of the verified-emit-last set and emitted FIRST so the capped
-# (~50/round) driver run re-checks the current code:
-# - r3 perf rewrites: xxhash64 shingle keys (dd7d405) and int64 band
-#   hashes (836c6dc) touched ngram_jaccard_pairs and
-#   minhash_lsh_pairs(_k32); near_dup_clusters / near_dup_keep_corpus
-#   consume the LSH pair stream downstream.
-# - r4 changes: ngram_jaccard_pairs df-cap de-broadcast,
-#   simhash_near_pairs via the with_simhash NUL fix,
-#   up_link_eligibility via the vinculacion presence-flag fix,
-#   and the SF-scaled-broadcast removals (q3/q14/q19/q21,
-#   near_dup_keep_corpus — join-hint-only changes, same results).
+# (~50/round) driver run re-checks the current code.
+# r5: inverted_index_postings — output reshaped (array -> comma-joined
+# string) so the driver canonicalizer can hash it; never had a
+# comparable row.
 _REVERIFY: tuple[str, ...] = (
-    # r4 self-review fixes (highest risk first): try_divide in every
-    # cosine path (ann_*, embedding_near_dup_pairs), the map-side IVF
-    # tie/zero-norm fix (semdedup_prune), the unrounded-threshold
-    # decontamination filter, and the per-row decoded_ok in
-    # extract_features (multimodal_features)
-    "ann_cosine_topk", "ann_lsh_bucketed", "ann_ivf_topk",
-    "ann_ivf_trained", "embedding_near_dup_pairs", "multimodal_features",
-    # r3/r4 rewrites still awaiting a driver row on current code
-    "ngram_jaccard_pairs", "minhash_lsh_pairs", "minhash_lsh_pairs_k32",
-    "near_dup_clusters", "near_dup_keep_corpus", "simhash_near_pairs",
-    "up_link_eligibility",
+    "inverted_index_postings",
 )
 
 # Hint-only changes (broadcast-hint removal; the join RESULT provably
@@ -173,50 +186,35 @@ _R3_VERIFIED: frozenset[str] = frozenset({
 })
 
 # Within the unverified set, emit first the re-verification queue
-# (impl changed after the last green driver row), then entries that
-# have never received a driver CORRECTNESS row (r4 additions), then
-# anything new via registration order.
+# (impl changed after the last green driver row), then the 32 entries
+# that have never received a driver CORRECTNESS row (late-r4
+# additions — the r04 capped run's 50 slots went to the then-current
+# _PRIORITY head), then the belt-and-braces hint-only TPC-H tail.
+# 1 + 32 + 8 = 41 <= the ~50/round cap, so one r5 run covers all of
+# them with slots to spare.
 _PRIORITY: tuple[str, ...] = _REVERIFY + (
-    # with_simhash NUL-fold fix (bc7d3b4) changed the fingerprint
-    # kernel after its r3 green row
-    "simhash_fingerprint",
-    # r4 additions, never driver-checked
-    "near_dup_clusters_star", "minhash_lsh_pairs_capped",
-    "q11_important_stock", "q12_shipping_modes",
-    "semdedup_prune", "doc_chunk_windows", "bpe_merge_pair_counts",
-    "shingle_containment_pairs", "length_band_trim",
-    "fuzzy_decontaminate_minhash", "audio_features_e2e",
-    # r4 late additions (hygieneops.py), never driver-checked
-    "ngram_lm_score", "dup_window_spans", "bloom_decontaminate",
-    "domain_quota_cap", "zorder_layout_stats",
-    "cms_token_counts", "cms_join_cardinality", "pagerank_bipartite",
-    "funnel_conversion", "retention_cohorts", "inverted_index_postings",
-    "cdc_apply_changes", "scd2_point_in_time_join", "table_profile_stats",
-    "stream_funnel_stage", "incremental_agg_maintenance",
-    "compaction_bin_packing", "hll_distinct_audit",
-    "hll_set_union_intersect", "salted_skew_join",
-    "fuzzy_name_match_pairs",
-    # r4 late additions (webprep.py, vectorops RP), never driver-checked
-    "random_projection_reduce", "gopher_quality_report",
-    "url_canonicalize_dedup", "perplexity_tertile_split",
-    "stream_topk_trending", "histogram_quantile_estimate",
-    "value_outlier_mad", "bpe_train_merges", "hybrid_rrf_fusion",
-    "normalized_exact_dedup", "phrase_match_count", "event_pattern_match",
-    "dq_expectations_report", "seasonal_naive_backtest",
-    "incremental_minhash_dedup", "temperature_mixture_sample",
-    "hopping_window_agg", "ewma_anomaly", "dataset_snapshot_diff",
-    "chat_turns_assemble", "triangle_count", "hard_negative_mining",
-    "content_defined_chunks", "rfm_segmentation", "vocab_oov_coverage",
+    # never driver-checked (r4 additions the r04 run didn't reach),
+    # riskiest first: multi-stage pipelines and stateful/iterative ops
+    # before scalar kernels
+    "lsh_recall_eval", "incremental_minhash_dedup", "triangle_count",
+    "hybrid_rrf_fusion", "bpe_train_merges", "hard_negative_mining",
+    "attribution_u_shaped", "time_to_convert_cohorts",
     "entity_resolution_golden", "event_transition_matrix",
-    "stream_ewma_anomaly", "collocation_lift_topk", "sequence_support_topk",
-    "span_corruption_pairs", "grid_gap_interpolation", "lsh_recall_eval",
-    "pareto_frontier", "attribution_u_shaped", "time_to_convert_cohorts",
+    "grid_gap_interpolation", "dataset_snapshot_diff",
+    "stream_topk_trending", "stream_ewma_anomaly", "ewma_anomaly",
+    "hopping_window_agg", "event_pattern_match", "sequence_support_topk",
+    "seasonal_naive_backtest", "histogram_quantile_estimate",
+    "value_outlier_mad", "temperature_mixture_sample",
+    "span_corruption_pairs", "chat_turns_assemble",
+    "content_defined_chunks", "rfm_segmentation", "vocab_oov_coverage",
+    "collocation_lift_topk", "normalized_exact_dedup",
+    "phrase_match_count", "dq_expectations_report", "pareto_frontier",
 ) + _REVERIFY_HINT_ONLY
 
 
 def _ordered() -> list[str]:
     names = list(CATALOG)
-    verified = (_R1_VERIFIED | _R3_VERIFIED) - set(_PRIORITY)
+    verified = (_R1_VERIFIED | _R3_VERIFIED | _R4_VERIFIED) - set(_PRIORITY)
     rank = {n: i for i, n in enumerate(_PRIORITY)}
     unverified = sorted(
         (n for n in names if n not in verified),

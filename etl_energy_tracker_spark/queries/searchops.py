@@ -45,7 +45,8 @@ _TOP_DF = 10  # index the 10 highest-document-frequency tokens
         ORDER BY df DESC, tok LIMIT {_TOP_DF}
     )
     SELECT tf.tok, df.df,
-           list_sort(list(tf.doc_id * 1000000 + tf.tf)) AS postings
+           array_to_string(list_sort(list(tf.doc_id * 1000000 + tf.tf)), ',')
+               AS postings
     FROM tf JOIN df ON tf.tok = df.tok
     GROUP BY tf.tok, df.df
     """,
@@ -53,9 +54,12 @@ _TOP_DF = 10  # index the 10 highest-document-frequency tokens
     doc="Inverted-index build for the top-df tokens: token -> document "
     "frequency + sorted posting list, each posting packing (doc_id, "
     "term frequency) into one BIGINT (doc_id*1e6 + tf) so the list is "
-    "a flat sorted integer array — the compact, merge-friendly layout "
+    "a flat sorted integer list — the compact, merge-friendly layout "
     "real indexes use before delta/varint encoding. sort_array over "
-    "collect_list makes the output independent of shuffle order.",
+    "collect_list makes the output independent of shuffle order; the "
+    "sorted list is emitted comma-joined as one string column so the "
+    "result is canonicalizable by row-hash tooling (nested arrays "
+    "aren't hashable in a pandas sort).",
 )
 def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
@@ -76,8 +80,11 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(df), "tok")
         .groupBy("tok", "df")
         .agg(
-            F.sort_array(
-                F.collect_list(F.col("doc_id") * 1000000 + F.col("tf"))
+            F.concat_ws(
+                ",",
+                F.sort_array(
+                    F.collect_list(F.col("doc_id") * 1000000 + F.col("tf"))
+                ),
             ).alias("postings")
         )
     )

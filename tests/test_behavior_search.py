@@ -69,9 +69,10 @@ def test_inverted_index_postings_shape(spark):
             tf[t][d.doc_id] += 1
     for r in rows:
         assert r.df == len(tf[r.tok])
-        assert len(r.postings) == r.df
-        assert r.postings == sorted(r.postings)
-        for p in r.postings:
+        postings = [int(p) for p in r.postings.split(",")]
+        assert len(postings) == r.df
+        assert postings == sorted(postings)
+        for p in postings:
             did, cnt = p // 1000000, p % 1000000
             assert tf[r.tok][did] == cnt
 
