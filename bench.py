@@ -108,6 +108,7 @@ EXTRA = [
     "stream_ewma_anomaly",
     "temperature_mixture_sample",
     "time_to_convert_cohorts",
+    "semdedup_prune",
 ]
 
 

@@ -149,9 +149,12 @@ _R4_VERIFIED: frozenset[str] = frozenset({
 # (~50/round) driver run re-checks the current code.
 # r5: inverted_index_postings — output reshaped (array -> comma-joined
 # string) so the driver canonicalizer can hash it; never had a
-# comparable row.
+# comparable row. semdedup_prune — r4 green, but r5 added an input
+# repartition (result-neutral parallelism fix; re-verify per the
+# changed-impl standard).
 _REVERIFY: tuple[str, ...] = (
     "inverted_index_postings",
+    "semdedup_prune",
 )
 
 # Hint-only changes (broadcast-hint removal; the join RESULT provably

@@ -1127,7 +1127,11 @@ _CDC_DIV = 8
 def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, "documents", sf_dir)
+    from ..sources.registry import load_table_split
+
+    # per-word charhash folds: split the single-file scan (registry
+    # docstring) so the map stage uses every core
+    docs = load_table_split(spark, "documents", sf_dir)
     words = (
         docs.select(
             "doc_id",

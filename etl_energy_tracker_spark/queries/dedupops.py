@@ -444,9 +444,14 @@ _INC_SPLIT = 400  # doc_id >= this = the incoming batch; below = history
     "self-join variant via the shared with_band_hashes.",
 )
 def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-file input reads as ONE partition, serializing the
+    # shingle+signature map work (measured 3.5x on the x2 scale probe,
+    # whose multi-file layout parallelized it); at scale the input is
+    # already split, so the repartition only costs at toy SF
+    par = spark.sparkContext.defaultParallelism
     docs = load_table(spark, "documents", sf_dir)
-    batch = docs.where(F.col("doc_id") >= _INC_SPLIT)
-    history = docs.where(F.col("doc_id") < _INC_SPLIT)
+    batch = docs.where(F.col("doc_id") >= _INC_SPLIT).repartition(par)
+    history = docs.where(F.col("doc_id") < _INC_SPLIT).repartition(par)
     return dedup.minhash_dedup_against_index(
         batch, history, "doc_id", "text", threshold=0.5, k=_K, bands=_BANDS
     )

@@ -84,7 +84,13 @@ _COS64_AB = """ROUND(
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import with_ivf_cell_mapside
 
-    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    # spread the per-vector argmax scoring: the single-file input reads
+    # as one partition (at scale the input is already split)
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     cent = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 116)).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
     )
@@ -855,7 +861,9 @@ def _span_seed_sql(dialect_hash, str_type: str = "VARCHAR") -> str:
     "partition-parallel at any corpus size.",
 )
 def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir).where(
+    from ..sources.registry import load_table_split
+
+    docs = load_table_split(spark, "documents", sf_dir).where(
         F.trim("text") != ""
     )
     words = docs.select(

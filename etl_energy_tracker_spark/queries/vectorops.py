@@ -687,8 +687,9 @@ _HN_DUP_CUT = 0.95   # cosine >= this is a near-duplicate, not a negative
 )
 def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import dot, with_ivf_cell, with_norm
+    from ..sources.registry import load_table_split
 
-    emb = load_table(spark, "embeddings", sf_dir)
+    emb = load_table_split(spark, "embeddings", sf_dir)
     cent = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 116)).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
     )

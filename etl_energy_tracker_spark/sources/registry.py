@@ -72,6 +72,26 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     return df
 
 
+def load_table_split(
+    spark: SparkSession, name: str, sf_dir: str | None = None
+) -> DataFrame:
+    """load_table + repartition to defaultParallelism.
+
+    The toy-SF tables are single parquet files under
+    spark.sql.files.maxPartitionBytes, so they read as ONE partition
+    and serialize any map-heavy first stage (charhash folds, token
+    explodes, per-vector scoring) onto one core — measured 3.5x on
+    the scale probe, whose multi-file layout parallelized the same
+    op. At production scale the input is already split and the
+    repartition is the only cost, so use this ONLY for operators
+    whose first stage does real per-row compute; scan-then-shuffle
+    operators get their parallelism from the first exchange anyway.
+    """
+    return load_table(spark, name, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def events_ts_is_nanos(sf_dir: str | None = None) -> bool:
     """True when the events parquet stores ``ts`` as TIMESTAMP(NANOS)
     (testdata encoding has flipped between rounds: r1 nanos, r2

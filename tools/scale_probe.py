@@ -1,0 +1,139 @@
+"""Scale probe: time the asymptotically-risky operators at 10x data.
+
+VERDICT r4 task 5: the 100 TB story for five operators rests on
+asymptotic claims (triangle_count's degree-ordered wedge bound,
+ngram_jaccard_pairs' df-cap, incremental_minhash_dedup's
+batch-x-index join, near_dup_clusters_star's O(log^2 n) rounds,
+semdedup_prune's cluster-bounded pairs). This probe builds a
+10x-scaled copy of the tables they read (sf0.1 -> sf1-equivalent) and
+times each operator at both scales; ~linear growth in input confirms
+the claim, superlinear refutes it.
+
+Scaling construction (the important part — naive replication would
+create pathological cross-replica duplicates and measure output
+blowup, not algorithmic growth):
+
+- documents: 10 replicas with shifted doc_ids; every whitespace token
+  in replica r>0 gets a ``_x{r}`` suffix. Within one replica the
+  corpus' similarity structure is preserved EXACTLY (same shingle
+  multisets up to renaming, same dup clusters); across replicas every
+  shingle differs, so no cross-replica near-dup pairs form. Pair
+  output and join work therefore grow linearly in replicas — the
+  regime the asymptotic claims are about.
+- embeddings: 10 replicas with shifted vec_ids; replica r applies a
+  deterministic per-dimension sign pattern s_r[i] in {+1,-1}
+  (r=0 identity). A sign flip pattern is an orthogonal transform, so
+  within-replica inner products, norms, and the cluster geometry are
+  preserved exactly, while cross-replica cosines become
+  pseudo-random noise — again, linear-regime scaling.
+- lineitem: 10 replicas with shifted order/part/supp keys — 10
+  disjoint co-purchase graphs, so the wedge set grows exactly 10x.
+
+Usage: python tools/scale_probe.py [--replicas N] [--keep]
+Writes probe parquet under .scale_probe/ (gitignored), prints one
+JSON line per operator and a summary verdict.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from etl_energy_tracker_spark.queries import catalog  # noqa: E402
+from etl_energy_tracker_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+PROBE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_probe")
+
+OPS = [
+    "triangle_count",
+    "ngram_jaccard_pairs",
+    "incremental_minhash_dedup",
+    "near_dup_clusters_star",
+    "semdedup_prune",
+]
+
+
+def build(spark, replicas: int) -> str:
+    out = os.path.join(PROBE, f"x{replicas}")
+    reps = spark.range(replicas).select(F.col("id").cast("int").alias("r"))
+
+    docs = spark.read.parquet(f"{BASE}/documents.parquet").crossJoin(reps)
+    docs = docs.select(
+        (F.col("doc_id") + F.col("r").cast("long") * 10_000_000).alias("doc_id"),
+        F.when(F.col("r") == 0, F.col("text"))
+        .otherwise(
+            F.array_join(
+                F.expr("transform(split(text, ' '), t -> concat(t, '_x', CAST(r AS STRING)))"),
+                " ",
+            )
+        )
+        .alias("text"),
+        "lang",
+        "source",
+    ).withColumn("n_chars", F.length("text"))
+    docs.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = spark.read.parquet(f"{BASE}/embeddings.parquet").crossJoin(reps)
+    emb = emb.select(
+        (F.col("vec_id") + F.col("r").cast("long") * 10_000_000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x * (CASE WHEN r = 0 THEN 1 "
+            "ELSE 1 - 2 * pmod(hash(r, i), 2) END) AS FLOAT))"
+        ).alias("embedding"),
+        "label",
+    )
+    emb.repartition(32).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet").crossJoin(reps)
+    li = li.select(
+        (F.col("l_orderkey") + F.col("r").cast("long") * 100_000_000).alias("l_orderkey"),
+        (F.col("l_partkey") + F.col("r").cast("long") * 10_000_000).alias("l_partkey"),
+        (F.col("l_suppkey") + F.col("r").cast("long") * 1_000_000).alias("l_suppkey"),
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+    )
+    li.repartition(32).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+    return out
+
+
+def time_op(spark, qs, name: str, sf_dir: str, runs: int = 2) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 2)
+
+
+def main() -> None:
+    replicas = 10
+    if "--replicas" in sys.argv:
+        replicas = int(sys.argv[sys.argv.index("--replicas") + 1])
+    spark = get_spark("scale-probe")
+    qs = catalog.queries()
+    probe_dir = build(spark, replicas)
+    results = {}
+    for name in OPS:
+        t_small = time_op(spark, qs, name, BASE)
+        t_big = time_op(spark, qs, name, probe_dir)
+        ratio = round(t_big / t_small, 2) if t_small else None
+        # <= replicas * 1.5 leaves headroom for n log n sort terms and
+        # fixed per-stage overhead amortizing differently at each scale
+        verdict = "linear-ok" if ratio is not None and ratio <= replicas * 1.5 else "SUPERLINEAR"
+        results[name] = {"t_x1": t_small, f"t_x{replicas}": t_big, "ratio": ratio, "verdict": verdict}
+        print(json.dumps({"op": name, **results[name]}), flush=True)
+    print(json.dumps({"replicas": replicas, "results": results}))
+    if "--keep" not in sys.argv:
+        shutil.rmtree(PROBE, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
