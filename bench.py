@@ -109,6 +109,16 @@ EXTRA = [
     "temperature_mixture_sample",
     "time_to_convert_cohorts",
     "semdedup_prune",
+    # r5 additions
+    "jaccard_knn_topk",
+    "dedup_cluster_report",
+    "time_weighted_average",
+    "delta_encode_postings",
+    "ngram_novelty_score",
+    "reservoir_group_sample",
+    "winsorized_robust_stats",
+    "embedding_centroid_shift",
+    "bucketed_join_noshuffle",
 ]
 
 

@@ -679,3 +679,97 @@ def time_to_convert_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rk") == F.expr("(n * 9 + 9) DIV 10"), F.col("ttc_s"))
         ).alias("p90_ttc_s"),
     )
+
+
+# ------------------------------------------- winsorized statistics
+
+_WINSOR_PCT = 5  # clamp below p05 / above p95 (rank-based, exact)
+
+
+@register(
+    "winsorized_robust_stats",
+    oracle=f"""
+    WITH v AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS vc,
+               event_id
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, vc,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY vc, event_id) AS r_asc,
+               row_number() OVER (PARTITION BY event_type
+                   ORDER BY vc DESC, event_id DESC) AS r_desc,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM v
+    ),
+    cuts AS (
+        SELECT event_type,
+               MAX(CASE WHEN r_asc = GREATEST(1, n * {_WINSOR_PCT} // 100)
+                        THEN vc END) AS lo_centi,
+               MAX(CASE WHEN r_desc = GREATEST(1, n * {_WINSOR_PCT} // 100)
+                        THEN vc END) AS hi_centi,
+               MAX(n) AS n
+        FROM ranked GROUP BY event_type
+    )
+    SELECT r.event_type, CAST(c.n AS BIGINT) AS n,
+           c.lo_centi, c.hi_centi,
+           CAST(SUM(LEAST(GREATEST(r.vc, c.lo_centi), c.hi_centi))
+                // c.n AS BIGINT) AS winsor_mean_centi
+    FROM ranked r JOIN cuts c USING (event_type)
+    GROUP BY r.event_type, c.n, c.lo_centi, c.hi_centi
+    """,
+    tags=("stats", "quality", "aggregate"),
+    doc="Winsorized per-group statistics: clamp each group's values at "
+    "its exact rank-based 5th/95th cut (the value at row_number "
+    "n*5//100 from each end — no approximate percentile, so the cuts "
+    "are identical on every engine and cluster size) and report the "
+    "clamped mean in exact centi-units. The robust aggregate for "
+    "heavy-tailed telemetry where a plain mean follows the outliers "
+    "and a median discards too much — value_outlier_mad flags the "
+    "tails, this measures the center with the tails contained. "
+    "Scale: two window passes + one aggregate, all partitioned by the "
+    "group key; cut rows are one per group (broadcast-size join).",
+)
+def winsorized_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    v = ev.select(
+        "event_type",
+        (F.col("value").cast("decimal(38,2)") * 100).cast("bigint").alias("vc"),
+        "event_id",
+    )
+    p = W.partitionBy("event_type")
+    ranked = v.select(
+        "event_type",
+        "vc",
+        F.row_number().over(p.orderBy("vc", "event_id")).alias("r_asc"),
+        F.row_number()
+        .over(p.orderBy(F.desc("vc"), F.desc("event_id")))
+        .alias("r_desc"),
+        F.count(F.lit(1)).over(p).alias("n"),
+    )
+    k = F.greatest(F.lit(1), F.expr(f"n * {_WINSOR_PCT} DIV 100"))
+    cuts = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("r_asc") == k, F.col("vc"))).alias("lo_centi"),
+        F.max(F.when(F.col("r_desc") == k, F.col("vc"))).alias("hi_centi"),
+        F.max("n").alias("n"),
+    )
+    clamped = ranked.select("event_type", "vc").join(
+        F.broadcast(cuts), "event_type"
+    )
+    return clamped.groupBy(
+        "event_type", "n", "lo_centi", "hi_centi"
+    ).agg(
+        F.expr(
+            "CAST(SUM(LEAST(GREATEST(vc, lo_centi), hi_centi)) DIV n AS BIGINT)"
+        ).alias("winsor_mean_centi")
+    ).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "lo_centi",
+        "hi_centi",
+        "winsor_mean_centi",
+    )

@@ -212,6 +212,12 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "content_defined_chunks", "rfm_segmentation", "vocab_oov_coverage",
     "collocation_lift_topk", "normalized_exact_dedup",
     "phrase_match_count", "dq_expectations_report", "pareto_frontier",
+    # r5 additions (never driver-checked; ahead of the hint-only tail
+    # because those re-verifications are provably result-neutral)
+    "jaccard_knn_topk", "dedup_cluster_report", "time_weighted_average",
+    "delta_encode_postings", "ngram_novelty_score",
+    "reservoir_group_sample", "winsorized_robust_stats",
+    "embedding_centroid_shift", "bucketed_join_noshuffle",
 ) + _REVERIFY_HINT_ONLY
 
 

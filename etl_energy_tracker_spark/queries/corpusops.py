@@ -1181,3 +1181,57 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_char_frac"),
         )
     )
+
+
+# --------------------------------------------- per-group reservoir
+
+
+_RES_K = 5  # sample size per group
+
+
+@register(
+    "reservoir_group_sample",
+    oracle=f"""
+    WITH hashed AS (
+        SELECT source, doc_id,
+               {duckdb_charhash("CAST(doc_id AS VARCHAR)", seed=11)} AS h
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY h, doc_id) AS rank
+        FROM hashed
+    )
+    SELECT source, doc_id, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {_RES_K}
+    """,
+    tags=("corpus", "topk"),
+    doc=f"Deterministic per-group reservoir sample (k={_RES_K} per "
+    "source): rank every document by the engine-portable polynomial "
+    "hash of its id and keep the k smallest per group — equivalent in "
+    "distribution to uniform sampling, but reproducible across runs, "
+    "engines, and cluster sizes (no RNG state, no seed file). The "
+    "downsampling primitive for building balanced eval slices from a "
+    "skewed corpus. Scale: hash is map-side; the per-group top-k is a "
+    "bounded-heap aggregate in principle — here a window partitioned "
+    "by group, which shuffles once on the group key; output is "
+    "k*groups rows regardless of corpus size.",
+)
+def reservoir_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    hashed = docs.select(
+        "source",
+        "doc_id",
+        F.expr(
+            spark_charhash("CAST(doc_id AS STRING)", seed=11)
+        ).alias("h"),
+    )
+    w = W.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        hashed.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _RES_K)
+        .select("source", "doc_id", F.col("rank").cast("int").alias("rank"))
+    )

@@ -47,7 +47,9 @@ def _duck_sig(k: int) -> str:
 """
 
 
-def _duck_lsh_pairs(k: int, bands: int, max_bucket: int | None = None) -> str:
+def _duck_lsh_pairs(
+    k: int, bands: int, max_bucket: int | None = None, threshold: float = 0.5
+) -> str:
     rows = k // bands
     bucket_cap = (
         f"""
@@ -87,7 +89,7 @@ def _duck_lsh_pairs(k: int, bands: int, max_bucket: int | None = None) -> str:
         JOIN sh hb ON hb.doc_id = id_b
     )
     SELECT id_a, id_b, est_jaccard, jaccard
-    FROM verified WHERE jaccard >= 0.5
+    FROM verified WHERE jaccard >= {threshold!r}
 """
 
 
@@ -558,3 +560,138 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_ppm"),
         )
     )
+
+
+# --------------------------------------------------- k-NN by Jaccard
+
+_KNN_K = 3  # neighbors kept per document
+_KNN_MIN_J = 1e-6  # drop zero-overlap LSH candidates (not neighbors)
+
+
+@register(
+    "jaccard_knn_topk",
+    oracle=f"""
+    WITH pairs AS ({_duck_lsh_pairs(_K, _BANDS, threshold=_KNN_MIN_J)}),
+    sym AS (
+        SELECT id_a AS doc_id, id_b AS neighbor_id, jaccard FROM pairs
+        UNION ALL
+        SELECT id_b AS doc_id, id_a AS neighbor_id, jaccard FROM pairs
+    ),
+    ranked AS (
+        SELECT doc_id, neighbor_id, jaccard,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY jaccard DESC, neighbor_id) AS rank
+        FROM sym
+    )
+    SELECT doc_id, neighbor_id, CAST(rank AS INT) AS rank, jaccard
+    FROM ranked WHERE rank <= {_KNN_K}
+    """,
+    tags=("dedup", "text", "topk", "join"),
+    doc="Per-document top-k nearest neighbors by exact word-3-gram "
+    "Jaccard over MinHash-LSH candidates: the same banded candidate "
+    "generation as the dedup path (bucket-bounded, never O(n²)), but "
+    "ranked per document instead of thresholded — the retrieval shape "
+    "(related-documents, template discovery) built on the dedup "
+    "index. Symmetrizing the candidate stream doubles rows before a "
+    "single per-doc window; ties broken (jaccard DESC, neighbor_id) "
+    "so the ranking is reproducible under re-partitioning. Scale: "
+    "output is k rows per doc (corpus-linear); the window partitions "
+    "by doc_id, so no global sort.",
+)
+def jaccard_knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=_KNN_MIN_J, k=_K, bands=_BANDS
+    ).select("id_a", "id_b", "jaccard")
+    sym = pairs.select(
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("neighbor_id"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("neighbor_id"),
+            "jaccard",
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("jaccard"), "neighbor_id")
+    return (
+        sym.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _KNN_K)
+        .select(
+            "doc_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------- dedup observability
+
+
+@register(
+    "dedup_cluster_report",
+    oracle=f"""
+    WITH RECURSIVE {_JACCARD_EDGES_SQL.strip().removeprefix("WITH")},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM jac
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM jac
+    ),
+    reach AS (
+        SELECT a AS node, a AS lab FROM edges
+        UNION
+        SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+    sizes AS (
+        SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+    ),
+    multi AS (
+        SELECT cluster_size, COUNT(*) AS n_clusters,
+               cluster_size * COUNT(*) AS n_docs
+        FROM sizes GROUP BY cluster_size
+    ),
+    singles AS (
+        SELECT CAST(1 AS BIGINT) AS cluster_size,
+               COUNT(*) AS n_clusters, COUNT(*) AS n_docs
+        FROM documents WHERE doc_id NOT IN (SELECT node FROM comp)
+    )
+    SELECT * FROM multi UNION ALL SELECT * FROM singles
+    """,
+    tags=("dedup", "text", "aggregate"),
+    doc="Dedup observability: cluster-size histogram over the near-dup "
+    "component labeling (docs in no pair are size-1 clusters), the "
+    "report a production dedup run publishes to judge threshold "
+    "choice and catch pathological mega-clusters before pruning. "
+    "A size-k row with large n_docs means k-way boilerplate; "
+    "sum(n_docs) == corpus size is the built-in completeness check. "
+    "Scale: one count per component + one count per size — two "
+    "aggregates over the corpus-linear component table.",
+)
+def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .textops import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir)
+    comp = dedup.connected_components(pairs, "doc_a", "doc_b")
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    multi = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).alias("n_docs"),
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    singles = (
+        docs.join(comp, docs["doc_id"] == comp["node"], "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.lit(1).cast("bigint").alias("cluster_size"),
+            "n_clusters",
+            F.col("n_clusters").alias("n_docs"),
+        )
+    )
+    return multi.unionByName(singles)

@@ -592,3 +592,75 @@ def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ym").alias("max_ym"),
         )
     )
+
+
+# -------------------------------------------- bucketed co-located join
+
+_BUCKETS = 8
+
+
+@register(
+    "bucketed_join_noshuffle",
+    oracle="""
+    SELECT d.source, e.label,
+           COUNT(*) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    GROUP BY d.source, e.label
+    """,
+    tags=("layout", "join"),
+    doc=f"Bucketed-table co-located join: both sides are written as "
+    f"bucketed tables ({_BUCKETS} buckets, bucketBy+sortBy on the join "
+    "key) and then joined — Spark matches bucket files pairwise, so "
+    "the join needs NO exchange on either side (and no sort, the "
+    "buckets are pre-sorted). This is THE layout decision for a fact "
+    "table joined on the same key by every nightly job: pay one "
+    "bucketed write, amortize the shuffle away from every subsequent "
+    "join — at 100 TB the shuffle IS the job cost, so co-location is "
+    "the difference between rewriting the corpus nightly and reading "
+    "it. The query performs the write+join round trip end-to-end "
+    "(tables land in the session warehouse); result is the joined "
+    "per-(source,label) aggregate, oracle-checked against a plain "
+    "join. Deliberate caveat: at toy SF the planner may broadcast "
+    "instead (also exchange-free); bucketing binds once sides exceed "
+    "the broadcast threshold.",
+)
+def bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the default in-memory catalog forgets tables between sessions but
+    # the warehouse directory persists, so a fresh session's overwrite
+    # hits LOCATION_ALREADY_EXISTS; drop the catalog entry AND the
+    # leftover location (Hadoop FS API — works on any filesystem)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    hadoop_conf = spark.sparkContext._jsc.hadoopConfiguration()
+    for tbl in ("layout_docs_bucketed", "layout_emb_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{tbl}")
+        jpath.getFileSystem(hadoop_conf).delete(jpath, True)
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "source", "n_chars"
+    )
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "label")
+    (
+        docs.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(_BUCKETS, "doc_id")
+        .sortBy("doc_id")
+        .saveAsTable("layout_docs_bucketed")
+    )
+    (
+        emb.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(_BUCKETS, "vec_id")
+        .sortBy("vec_id")
+        .saveAsTable("layout_emb_bucketed")
+    )
+    d = spark.table("layout_docs_bucketed")
+    e = spark.table("layout_emb_bucketed")
+    return (
+        d.join(e, d["doc_id"] == e["vec_id"])
+        .groupBy("source", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )

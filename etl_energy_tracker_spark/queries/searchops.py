@@ -203,3 +203,108 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_micro"),
     )
     return fused.orderBy(F.desc("rrf_micro"), "doc_id").limit(_RRF_OUT)
+
+
+# ------------------------------------------ posting-list compression
+
+
+@register(
+    "delta_encode_postings",
+    oracle=f"""
+    WITH tf AS (
+        SELECT tok, doc_id, COUNT(*) AS tf
+        FROM (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+            FROM documents
+        )
+        GROUP BY tok, doc_id
+    ),
+    df AS (
+        SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+        ORDER BY df DESC, tok LIMIT {_TOP_DF}
+    ),
+    gaps AS (
+        SELECT tf.tok, df.df,
+               tf.doc_id - COALESCE(lag(tf.doc_id) OVER (
+                   PARTITION BY tf.tok ORDER BY tf.doc_id), 0) AS gap
+        FROM tf JOIN df ON tf.tok = df.tok
+    ),
+    sized AS (
+        SELECT tok, df, gap,
+               CASE WHEN gap < 128 THEN 1
+                    WHEN gap < 16384 THEN 2
+                    WHEN gap < 2097152 THEN 3
+                    WHEN gap < 268435456 THEN 4
+                    ELSE 5 END AS nb
+        FROM gaps
+    )
+    SELECT tok, df,
+           CAST(SUM(nb) AS BIGINT) AS varint_bytes,
+           df * 8 AS raw_bytes,
+           MAX(gap) AS max_gap,
+           CAST(SUM(nb) * 1000000 // (df * 8) AS BIGINT) AS compressed_ppm
+    FROM sized GROUP BY tok, df
+    """,
+    tags=("search", "layout"),
+    doc="Posting-list delta + varint sizing for the top-df tokens: "
+    "doc-id gaps (delta from the previous posting, first delta from "
+    "0) and the exact LEB128 byte count per gap, aggregated into the "
+    "compressed-vs-raw budget every search index build computes "
+    "before choosing a posting encoding. Delta-gap + varint is the "
+    "standard layout (Lucene, ES) — small gaps dominate for high-df "
+    "tokens, so the hottest lists compress best; the compressed_ppm "
+    "column makes the effect measurable per token. Scale: one token "
+    "explode, one (tok,doc) aggregate, one per-token window over "
+    "df-bounded postings — the window partitions by token, so a hot "
+    "token's list is one partition (the same skew the sharded-"
+    "postings note on inverted_index_postings addresses).",
+)
+def delta_encode_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+        )
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), "tok")
+        .limit(_TOP_DF)
+    )
+    w = W.partitionBy("tok").orderBy("doc_id")
+    gaps = (
+        tf.join(F.broadcast(df), "tok")
+        .select(
+            "tok",
+            "df",
+            (
+                F.col("doc_id")
+                - F.coalesce(F.lag("doc_id").over(w), F.lit(0))
+            ).alias("gap"),
+        )
+    )
+    nb = (
+        F.when(F.col("gap") < 128, 1)
+        .when(F.col("gap") < 16384, 2)
+        .when(F.col("gap") < 2097152, 3)
+        .when(F.col("gap") < 268435456, 4)
+        .otherwise(5)
+    )
+    return (
+        gaps.withColumn("nb", nb)
+        .groupBy("tok", "df")
+        .agg(
+            F.sum("nb").cast("bigint").alias("varint_bytes"),
+            (F.col("df") * 8).alias("raw_bytes"),
+            F.max("gap").alias("max_gap"),
+            F.expr("CAST(SUM(nb) * 1000000 DIV (df * 8) AS BIGINT)").alias(
+                "compressed_ppm"
+            ),
+        )
+    )

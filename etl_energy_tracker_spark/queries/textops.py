@@ -775,3 +775,79 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lifted.orderBy(
         F.desc("lift_scaled"), "w1", "w2"
     ).limit(_COLL_TOP).select("w1", "w2", "n_ab", "n_a", "n_b", "lift_scaled")
+
+
+# ------------------------------------------------- n-gram novelty
+
+
+@register(
+    "ngram_novelty_score",
+    oracle="""
+    WITH sh AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(tokens) - 2, 0) + 1),
+                       i -> tokens[CAST(i AS INT)] || ' ' ||
+                            tokens[CAST(i AS INT) + 1] || ' ' ||
+                            tokens[CAST(i AS INT) + 2])) AS shingle
+            FROM (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+                FROM documents
+            )
+        )
+    ),
+    df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           COUNT(*) AS n_sh,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unique,
+           CAST(SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM sh JOIN df USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+    tags=("text", "corpus", "quality"),
+    doc="Per-document n-gram novelty: the fraction (ppm) of a "
+    "document's distinct word-3-gram shingles that appear in NO other "
+    "document — low novelty flags boilerplate/template documents even "
+    "when no single near-dup partner exists (the long-tail case "
+    "pairwise dedup misses), high novelty is the curriculum/quality "
+    "signal data-mixing pipelines upweight. Same shingle build as the "
+    "dedup stack; Spark counts over xxhash64 shingle keys (8-byte "
+    "shuffle rows, counts identical to the string-keyed oracle barring "
+    "a ~1e-8 64-bit collision). Scale: one explode + two hash "
+    "aggregates + one key join — corpus-linear, no pair formation at "
+    "all.",
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.registry import load_table_split
+
+    docs = load_table_split(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tokens"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+                    "i -> concat(tokens[i-1], ' ', tokens[i], ' ', tokens[i+1]))"
+                )
+            )
+        ).alias("shingle"),
+    ).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+            F.expr(
+                "CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 1000000 "
+                "DIV COUNT(*) AS BIGINT)"
+            ).alias("novelty_ppm"),
+        )
+    )

@@ -782,3 +782,75 @@ def grid_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (value_micro.cast("double") / 1_000_000).alias("value"),
         F.when(F.col("vm").isNotNull(), 0).otherwise(1).alias("interpolated"),
     )
+
+
+# ------------------------------------------ time-weighted average
+
+
+@register(
+    "time_weighted_average",
+    oracle="""
+    WITH e AS (
+        SELECT user_id,
+               CAST(date_trunc('day', ts) AS DATE) AS day,
+               epoch_us(ts) AS us,
+               event_id,
+               CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS vc
+        FROM events
+    ),
+    weighted AS (
+        SELECT user_id, day, vc,
+               COALESCE(
+                   lead(us) OVER (PARTITION BY user_id, day
+                                  ORDER BY us, event_id),
+                   epoch_us(CAST(day AS TIMESTAMP) + INTERVAL 1 DAY)
+               ) - us AS dur_us
+        FROM e
+    )
+    SELECT user_id, day,
+           COUNT(*) AS n_events,
+           CAST(SUM(vc * dur_us) // SUM(dur_us) AS BIGINT) AS twap_centi
+    FROM weighted GROUP BY user_id, day
+    """,
+    tags=("time", "window", "aggregate"),
+    doc="Time-weighted average (TWAP) over irregularly sampled events: "
+    "each reading holds until the next one (last-observation-carried-"
+    "forward), the final reading of the day until midnight, and the "
+    "daily average weights each value by its holding duration — the "
+    "standard aggregation for sensor/price/telemetry series where "
+    "arithmetic mean over-weights bursts. Exact integer arithmetic: "
+    "centi-unit values x microsecond durations summed as BIGINT, one "
+    "integer division at the end — no float accumulation order "
+    "dependence. Scale: one window pass partitioned by (user, day) "
+    "and one hash aggregate on the same key; both shuffle on the "
+    "natural partition key, no global sort.",
+)
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        (F.col("value").cast("decimal(38,2)") * 100)
+        .cast("bigint")
+        .alias("vc"),
+    )
+    w = W.partitionBy("user_id", "day").orderBy("us", "event_id")
+    day_end_us = F.unix_micros(
+        F.to_timestamp(F.date_add(F.col("day"), 1))
+    )
+    weighted = e.select(
+        "user_id",
+        "day",
+        "vc",
+        (F.coalesce(F.lead("us").over(w), day_end_us) - F.col("us")).alias(
+            "dur_us"
+        ),
+    )
+    return weighted.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("SUM(vc * dur_us) DIV SUM(dur_us)").alias("twap_centi"),
+    )

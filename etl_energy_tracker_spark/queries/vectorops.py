@@ -737,3 +737,77 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cosine",
         )
     )
+
+
+# ------------------------------------------------- centroid drift
+
+
+@register(
+    "embedding_centroid_shift",
+    oracle="""
+    WITH expanded AS (
+        SELECT label, vec_id % 2 AS par, d AS pos,
+               CAST(embedding[CAST(d AS INT)] AS DOUBLE) AS x
+        FROM embeddings, (SELECT unnest(range(1, 65)) AS d)
+    ),
+    dims AS (
+        SELECT label, pos,
+               SUM(CASE WHEN par = 0 THEN x END)
+                   / COUNT(CASE WHEN par = 0 THEN 1 END) AS m0,
+               SUM(CASE WHEN par = 1 THEN x END)
+                   / COUNT(CASE WHEN par = 1 THEN 1 END) AS m1,
+               COUNT(CASE WHEN par = 0 THEN 1 END) AS n0,
+               COUNT(CASE WHEN par = 1 THEN 1 END) AS n1
+        FROM expanded GROUP BY label, pos
+    )
+    SELECT label,
+           CAST(MAX(n0) AS BIGINT) AS n_even,
+           CAST(MAX(n1) AS BIGINT) AS n_odd,
+           ROUND(sqrt(SUM((m0 - m1) * (m0 - m1))), 4) AS centroid_l2_shift
+    FROM dims GROUP BY label
+    """,
+    tags=("vector", "aggregate", "quality"),
+    doc="Embedding-distribution drift monitor: split each label's "
+    "vectors into two deterministic halves (vec_id parity — stands in "
+    "for yesterday's batch vs today's), compute both half-centroids, "
+    "and report the L2 distance between them per label. Near-zero "
+    "shift = the halves are exchangeable (healthy); a large shift on "
+    "one label = the embedding space moved (encoder drift, pipeline "
+    "change) — the cheap early-warning check run before committing a "
+    "new embedding batch to an ANN index whose codebook assumed the "
+    "old geometry. Scale: one 64-way per-vector expansion, one "
+    "(label, dim) aggregate, one label aggregate — corpus-linear, "
+    "no pair formation; output is one row per label.",
+)
+def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    expanded = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("par"),
+        F.posexplode("embedding").alias("pos0", "x"),
+    ).select(
+        "label",
+        "par",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("x").cast("double").alias("x"),
+    )
+    dims = expanded.groupBy("label", "pos").agg(
+        (
+            F.sum(F.when(F.col("par") == 0, F.col("x")))
+            / F.count(F.when(F.col("par") == 0, F.lit(1)))
+        ).alias("m0"),
+        (
+            F.sum(F.when(F.col("par") == 1, F.col("x")))
+            / F.count(F.when(F.col("par") == 1, F.lit(1)))
+        ).alias("m1"),
+        F.count(F.when(F.col("par") == 0, F.lit(1))).alias("n0"),
+        F.count(F.when(F.col("par") == 1, F.lit(1))).alias("n1"),
+    )
+    return dims.groupBy("label").agg(
+        F.max("n0").cast("bigint").alias("n_even"),
+        F.max("n1").cast("bigint").alias("n_odd"),
+        F.round(
+            F.sqrt(F.sum((F.col("m0") - F.col("m1")) * (F.col("m0") - F.col("m1")))),
+            4,
+        ).alias("centroid_l2_shift"),
+    )

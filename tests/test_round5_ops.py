@@ -1,0 +1,146 @@
+"""Invariant tests for the round-5 operator additions.
+
+The driver's DuckDB-oracle hash compare is the primary gate; these
+pin structural invariants the hash can't express (determinism across
+runs, conservation laws, rank shapes).
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from pyspark.sql import functions as F
+
+from etl_energy_tracker_spark.queries.behaviorops import winsorized_robust_stats
+from etl_energy_tracker_spark.queries.corpusops import (
+    _RES_K,
+    reservoir_group_sample,
+)
+from etl_energy_tracker_spark.queries.dedupops import (
+    _KNN_K,
+    dedup_cluster_report,
+    jaccard_knn_topk,
+)
+from etl_energy_tracker_spark.queries.hygieneops import bucketed_join_noshuffle
+from etl_energy_tracker_spark.queries.searchops import (
+    _TOP_DF,
+    delta_encode_postings,
+)
+from etl_energy_tracker_spark.queries.textops import ngram_novelty_score
+from etl_energy_tracker_spark.queries.timeops import time_weighted_average
+from etl_energy_tracker_spark.queries.vectorops import embedding_centroid_shift
+
+from conftest import SF_DIR
+
+
+def test_twap_durations_and_bounds(spark):
+    rows = time_weighted_average(spark, SF_DIR).collect()
+    assert rows
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_ud = defaultdict(list)
+    for e in events:
+        by_ud[(e.user_id, e.ts.date())].append(e.value)
+    assert len(rows) == len(by_ud)
+    for r in rows:
+        vals = by_ud[(r.user_id, r.day)]
+        assert r.n_events == len(vals)
+        # TWAP is a convex combination of the day's centi-values
+        lo = min(int(round(v * 100)) for v in vals)
+        hi = max(int(round(v * 100)) for v in vals)
+        assert lo - 1 <= r.twap_centi <= hi + 1
+
+
+def test_reservoir_sample_shape_and_determinism(spark):
+    a = sorted(
+        (r.source, r.doc_id, r.rank)
+        for r in reservoir_group_sample(spark, SF_DIR).collect()
+    )
+    b = sorted(
+        (r.source, r.doc_id, r.rank)
+        for r in reservoir_group_sample(spark, SF_DIR).collect()
+    )
+    assert a == b, "sample must be deterministic across runs"
+    per_group = Counter(s for s, _, _ in a)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    group_sizes = Counter(d.source for d in docs)
+    for src, n in per_group.items():
+        assert n == min(_RES_K, group_sizes[src])
+
+
+def test_winsorized_stats_bounds(spark):
+    for r in winsorized_robust_stats(spark, SF_DIR).collect():
+        assert r.lo_centi <= r.hi_centi
+        assert r.lo_centi <= r.winsor_mean_centi <= r.hi_centi
+        assert r.n > 0
+
+
+def test_knn_rank_shape(spark):
+    rows = jaccard_knn_topk(spark, SF_DIR).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        assert r.doc_id != r.neighbor_id
+        assert 1 <= r.rank <= _KNN_K
+        by_doc[r.doc_id].append((r.rank, r.jaccard))
+    for doc, rj in by_doc.items():
+        rj.sort()
+        ranks = [r for r, _ in rj]
+        assert ranks == list(range(1, len(ranks) + 1))
+        jacs = [j for _, j in rj]
+        assert jacs == sorted(jacs, reverse=True)
+
+
+def test_cluster_report_conserves_docs(spark):
+    rows = dedup_cluster_report(spark, SF_DIR).collect()
+    n_docs_total = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    for r in rows:
+        assert r.n_docs == r.cluster_size * r.n_clusters
+
+
+def test_delta_postings_sizes(spark):
+    rows = delta_encode_postings(spark, SF_DIR).collect()
+    assert len(rows) == _TOP_DF
+    for r in rows:
+        assert r.df >= 1
+        assert r.df <= r.varint_bytes <= 5 * r.df
+        assert r.raw_bytes == 8 * r.df
+        assert r.varint_bytes <= r.raw_bytes
+        assert r.compressed_ppm <= 1_000_000
+
+
+def test_novelty_ppm_bounds(spark):
+    rows = ngram_novelty_score(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_unique <= r.n_sh
+        assert 0 <= r.novelty_ppm <= 1_000_000
+
+
+def test_centroid_shift_counts(spark):
+    rows = embedding_centroid_shift(spark, SF_DIR).collect()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    by_label = Counter((e.label, e.vec_id % 2) for e in emb)
+    for r in rows:
+        assert r.n_even == by_label[(r.label, 0)]
+        assert r.n_odd == by_label[(r.label, 1)]
+        assert r.centroid_l2_shift >= 0.0
+
+
+def test_bucketed_join_matches_plain_join(spark):
+    got = {
+        (r.source, r.label): (r.n_docs, r.sum_chars)
+        for r in bucketed_join_noshuffle(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    want = {
+        (r.source, r.label): (r.n_docs, r.sum_chars)
+        for r in docs.join(emb, docs["doc_id"] == emb["vec_id"])
+        .groupBy("source", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .collect()
+    }
+    assert got == want
