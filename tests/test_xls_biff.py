@@ -1,0 +1,314 @@
+"""Tests for the native BIFF8 .xls decoder (extract/xls_biff.py).
+
+A minimal BIFF8 *writer* lives here (test-only): it emits a real OLE2
+compound file + Workbook record stream, so the reader is exercised on
+genuine container bytes — both the regular-FAT layout (stream >= 4096)
+and the mini-stream layout (stream < 4096), the SST CONTINUE spill,
+and every cell record kind the reader supports.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from etl_energy_tracker_spark.extract.i90_source import (
+    detect_header_row,
+    read_excel_grid,
+    sheet_to_raw,
+)
+from etl_energy_tracker_spark.extract.xls_biff import (
+    _parse_sst,
+    _rk_value,
+    read_xls_grid,
+)
+
+FREESECT = 0xFFFFFFFF
+ENDOFCHAIN = 0xFFFFFFFE
+FATSECT = 0xFFFFFFFD
+
+
+def _rec(op: int, payload: bytes) -> bytes:
+    return struct.pack("<HH", op, len(payload)) + payload
+
+
+def _bof(dt: int) -> bytes:
+    return _rec(0x0809, struct.pack("<HHHHII", 0x0600, dt, 0, 0, 0, 0))
+
+
+def _sst_string(s: str) -> bytes:
+    try:
+        raw = s.encode("latin-1")
+        return struct.pack("<HB", len(s), 0) + raw
+    except UnicodeEncodeError:
+        return struct.pack("<HB", len(s), 1) + s.encode("utf-16-le")
+
+
+def build_workbook_stream(
+    sheets: list[tuple[str, dict[tuple[int, int], object]]],
+    split_sst: bool = False,
+) -> bytes:
+    """Assemble globals (BOF + BOUNDSHEETs + SST + EOF) followed by one
+    substream per sheet; BOUNDSHEET stream offsets patched in a second
+    pass. String cells are interned into the SST."""
+    strings: list[str] = []
+    interned: dict[str, int] = {}
+
+    def isst(s: str) -> int:
+        if s not in interned:
+            interned[s] = len(strings)
+            strings.append(s)
+        return interned[s]
+
+    sheet_bodies: list[bytes] = []
+    for _name, cells in sheets:
+        body = b""
+        for (r, c), v in sorted(cells.items()):
+            if isinstance(v, str):
+                body += _rec(
+                    0x00FD, struct.pack("<HHHI", r, c, 0, isst(v))
+                )
+            elif isinstance(v, bool):
+                body += _rec(0x0205, struct.pack("<HHHBB", r, c, 0, int(v), 0))
+            elif isinstance(v, int) and -(1 << 29) <= v < (1 << 29):
+                rk = ((v & 0x3FFFFFFF) << 2) | 0x02
+                body += _rec(0x027E, struct.pack("<HHHI", r, c, 0, rk))
+            else:
+                body += _rec(
+                    0x0203, struct.pack("<HHH", r, c, 0) + struct.pack("<d", v)
+                )
+        sheet_bodies.append(_bof(0x0010) + body + _rec(0x000A, b""))
+
+    sst_payload = struct.pack("<II", len(strings), len(strings)) + b"".join(
+        _sst_string(s) for s in strings
+    )
+    if split_sst and len(sst_payload) > 12:
+        cut = len(sst_payload) // 2
+        # split at a byte boundary that is NOT inside character data of
+        # a compressed string only if it lands between strings; for the
+        # general mid-string case, re-emit the flag byte. To keep the
+        # writer simple, split between whole string entries:
+        pos = 8
+        while pos < cut:
+            cch = struct.unpack_from("<H", sst_payload, pos)[0]
+            high = sst_payload[pos + 2] & 1
+            pos += 3 + cch * (2 if high else 1)
+        sst_recs = _rec(0x00FC, sst_payload[:pos]) + _rec(
+            0x003C, sst_payload[pos:]
+        )
+    else:
+        sst_recs = _rec(0x00FC, sst_payload)
+
+    def boundsheet(name: str, pos: int) -> bytes:
+        raw = name.encode("latin-1")
+        return _rec(
+            0x0085,
+            struct.pack("<IBB", pos, 0, 0)
+            + bytes([len(raw), 0])
+            + raw,
+        )
+
+    # two-pass offset computation
+    offsets = [0] * len(sheets)
+    for _ in range(2):
+        globals_part = (
+            _bof(0x0005)
+            + b"".join(
+                boundsheet(name, offsets[i])
+                for i, (name, _) in enumerate(sheets)
+            )
+            + sst_recs
+            + _rec(0x000A, b"")
+        )
+        pos = len(globals_part)
+        for i, body in enumerate(sheet_bodies):
+            offsets[i] = pos
+            pos += len(body)
+    return globals_part + b"".join(sheet_bodies)
+
+
+def _dir_entry(name: str, obj_type: int, start: int, size: int) -> bytes:
+    raw = name.encode("utf-16-le") + b"\x00\x00"
+    assert len(raw) <= 64
+    return (
+        raw.ljust(64, b"\x00")
+        + struct.pack("<H", len(raw))
+        + bytes([obj_type, 1])
+        + b"\x00" * 48
+        + struct.pack("<IQ", start, size)
+    )
+
+
+def build_cfb(stream: bytes, force_mini: bool = False) -> bytes:
+    """Wrap a Workbook stream in a minimal OLE2 container. Streams
+    >= 4096 bytes (or not force_mini) go through the regular FAT;
+    force_mini stores the stream in 64-byte mini sectors chained via
+    the mini-FAT (requires len(stream) < 4096)."""
+    header = bytearray(512)
+    header[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", header, 24, 0x003E)  # minor version
+    struct.pack_into("<H", header, 26, 0x0003)  # major version
+    struct.pack_into("<H", header, 28, 0xFFFE)  # little-endian
+    struct.pack_into("<H", header, 30, 9)  # sector size 512
+    struct.pack_into("<H", header, 32, 6)  # mini sector size 64
+    struct.pack_into("<I", header, 56, 4096)  # mini cutoff
+    struct.pack_into("<I", header, 68, FREESECT)  # first DIFAT
+    struct.pack_into("<I", header, 72, 0)  # n DIFAT
+    for i in range(109):
+        struct.pack_into("<I", header, 76 + 4 * i, FREESECT)
+
+    def pad(b: bytes) -> bytes:
+        n = (len(b) + 511) // 512 * 512
+        return b.ljust(n, b"\x00")
+
+    if force_mini:
+        assert len(stream) < 4096
+        mini = stream.ljust((len(stream) + 63) // 64 * 64, b"\x00")
+        n_mini = len(mini) // 64
+        container = pad(mini)
+        n_cont = len(container) // 512
+        # sectors: 0=FAT, 1=dir, 2=miniFAT, 3..=ministream container
+        fat = [FATSECT, ENDOFCHAIN, ENDOFCHAIN]
+        fat += [3 + i + 1 for i in range(n_cont)]
+        fat[-1] = ENDOFCHAIN
+        fat += [FREESECT] * (128 - len(fat))
+        minifat = [i + 1 for i in range(n_mini)]
+        minifat[-1] = ENDOFCHAIN
+        minifat += [FREESECT] * (128 - len(minifat))
+        struct.pack_into("<I", header, 44, 1)  # n FAT sectors
+        struct.pack_into("<I", header, 48, 1)  # first dir sector
+        struct.pack_into("<I", header, 60, 2)  # first miniFAT sector
+        struct.pack_into("<I", header, 64, 1)  # n miniFAT sectors
+        struct.pack_into("<I", header, 76, 0)  # DIFAT[0] -> FAT at s0
+        directory = pad(
+            _dir_entry("Root Entry", 5, 3, len(mini))
+            + _dir_entry("Workbook", 2, 0, len(stream))
+        )
+        body = (
+            bytes(header)
+            + b"".join(struct.pack("<I", s) for s in fat)
+            + directory
+            + b"".join(struct.pack("<I", s) for s in minifat)
+            + container
+        )
+        return body
+
+    padded = pad(stream)
+    n_sect = len(padded) // 512
+    # sectors: 0=FAT, 1=dir, 2..=stream
+    fat = [FATSECT, ENDOFCHAIN] + [2 + i + 1 for i in range(n_sect)]
+    fat[-1] = ENDOFCHAIN
+    assert len(fat) <= 128, "test container supports <= 126 stream sectors"
+    fat += [FREESECT] * (128 - len(fat))
+    struct.pack_into("<I", header, 44, 1)
+    struct.pack_into("<I", header, 48, 1)
+    struct.pack_into("<I", header, 60, ENDOFCHAIN)
+    struct.pack_into("<I", header, 64, 0)
+    struct.pack_into("<I", header, 76, 0)
+    directory = pad(
+        _dir_entry("Root Entry", 5, ENDOFCHAIN, 0)
+        + _dir_entry("Workbook", 2, 2, len(stream))
+    )
+    return (
+        bytes(header)
+        + b"".join(struct.pack("<I", s) for s in fat)
+        + directory
+        + padded
+    )
+
+
+def build_xls(
+    sheets: list[tuple[str, dict[tuple[int, int], object]]],
+    force_mini: bool = False,
+    split_sst: bool = False,
+) -> bytes:
+    stream = build_workbook_stream(sheets, split_sst=split_sst)
+    if not force_mini and len(stream) < 4096:
+        stream = stream + b"\x00" * (4096 - len(stream))
+    return build_cfb(stream, force_mini=force_mini)
+
+
+I90_CELLS = {
+    (0, 0): "Informe I90",
+    (2, 0): "Unidad de Programación",
+    (2, 1): "Sentido",
+    (2, 2): "1",
+    (2, 3): "2",
+    (2, 4): "Total",
+    (3, 0): "ABA1",
+    (3, 1): "Subir",
+    (3, 2): 10,
+    (3, 3): 12.5,
+    (3, 4): 22.5,
+    (4, 0): "ACE3",
+    (4, 1): "Bajar",
+    (4, 2): -5,
+    (4, 3): 0,
+    (4, 4): -5,
+}
+
+
+def test_read_xls_grid_regular_fat():
+    blob = build_xls([("Sheet1", I90_CELLS), ("Otra", {(0, 0): "x"})])
+    grid = read_xls_grid(blob, "Sheet1")
+    assert grid[0][0] == "Informe I90"
+    assert grid[2][4] == "Total"
+    assert grid[3][2] == 10 and grid[3][3] == 12.5 and grid[3][4] == 22.5
+    assert grid[4][2] == -5 and grid[4][3] == 0
+    assert grid[1][0] is None  # absent row padded
+    assert read_xls_grid(blob, "Otra") == [["x"]]
+
+
+def test_read_xls_grid_ministream():
+    blob = build_xls([("S", {(0, 0): "mini", (0, 1): 7})], force_mini=True)
+    assert read_xls_grid(blob, "S") == [["mini", 7]]
+
+
+def test_sst_continue_and_unicode():
+    cells = {(0, i): f"célula número {i}" for i in range(40)}
+    blob = build_xls([("S", cells)], split_sst=True)
+    grid = read_xls_grid(blob, "S")
+    assert grid[0] == [f"célula número {i}" for i in range(40)]
+
+
+def test_sst_mid_string_continue_respects_new_flag():
+    # hand-built chunks: "ab" + "cdé" where the second string's chars
+    # spill into a CONTINUE chunk that switches to utf-16
+    first = struct.pack("<II", 2, 2)
+    first += struct.pack("<HB", 2, 0) + b"ab"
+    first += struct.pack("<HB", 3, 0) + b"cd"  # 1 char still owed
+    second = b"\x01" + "é".encode("utf-16-le")  # new grbit: high bytes
+    assert _parse_sst([first, second]) == ["ab", "cdé"]
+
+
+def test_rk_encodings():
+    assert _rk_value(((314 & 0x3FFFFFFF) << 2) | 0x02 | 0x01) == 3.14
+    assert _rk_value(((-7 & 0x3FFFFFFF) << 2) | 0x02) == -7
+    bits = struct.unpack("<Q", struct.pack("<d", 1.5))[0]
+    assert _rk_value((bits >> 32) & ~0x3) == 1.5
+
+
+def test_read_excel_grid_dispatches_on_magic():
+    blob = build_xls([("Hoja", I90_CELLS)])
+    grid = read_excel_grid(blob, "Hoja")
+    assert detect_header_row(grid) == 2
+
+
+def test_xls_to_raw_end_to_end(spark):
+    """Full I90 path on a binary .xls: container -> grid -> header
+    detect -> unpivot melt, matching the reference pipeline shape."""
+    blob = build_xls([("I90DIA01", I90_CELLS)])
+    grid = read_excel_grid(blob, "I90DIA01")
+    df = sheet_to_raw(spark, grid, fecha="2024-03-01", sheet_id="01")
+    rows = {
+        (r["Unidad de Programación"], r.hora): r.volumenes
+        for r in df.collect()
+    }
+    # zero/NA melt-dropped: ACE3 hour 2 (0) is absent
+    assert rows == {
+        ("ABA1", "1"): 10.0,
+        ("ABA1", "2"): 12.5,
+        ("ACE3", "1"): -5.0,
+    }
+    first = df.first()
+    assert first.granularity == "Hora"
+    assert first.fecha == "2024-03-01"
