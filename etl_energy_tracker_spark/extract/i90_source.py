@@ -109,21 +109,27 @@ def read_xlsx_grid(content: bytes, sheet: str) -> list[list]:
 
 
 def read_excel_grid(content: bytes, sheet: str) -> list[list]:
-    """Excel bytes → row grid. openpyxl/pandas when installed (any
-    Excel format); otherwise the stdlib XLSX reader above handles
-    zip-based .xlsx natively. Only legacy binary .xls (BIFF) still
-    needs the optional dependency."""
+    """Excel bytes → row grid, dispatched on the container magic: both
+    formats decode NATIVELY on the standard library — zip-based .xlsx
+    via ``read_xlsx_grid`` (zipfile + ElementTree) and legacy binary
+    .xls via ``xls_biff.read_xls_grid`` (OLE2 compound file + BIFF8
+    records). openpyxl/pandas, when installed, covers anything more
+    exotic (e.g. .xlsb)."""
+    if bytes(content[:2]) == b"PK":  # zip magic: .xlsx
+        return read_xlsx_grid(content, sheet)
+    if bytes(content[:8]) == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":  # OLE2: .xls
+        from .xls_biff import read_xls_grid
+
+        return read_xls_grid(content, sheet)
     try:
         import io
 
         import openpyxl  # noqa: F401
         import pandas as pd
     except ImportError as e:
-        if bytes(content[:2]) == b"PK":  # zip magic: it is an .xlsx
-            return read_xlsx_grid(content, sheet)
         raise NotImplementedError(
-            "legacy .xls decoding needs openpyxl/xlrd; ingest raw CSVs "
-            "or convert to .xlsx (read natively via read_xlsx_grid)"
+            "unrecognized Excel container (not .xlsx zip / .xls OLE2); "
+            "install openpyxl/pandas for exotic formats"
         ) from e
     pdf = pd.read_excel(io.BytesIO(content), sheet_name=sheet, header=None)
     return pdf.values.tolist()
