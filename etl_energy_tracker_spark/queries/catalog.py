@@ -152,9 +152,14 @@ _R4_VERIFIED: frozenset[str] = frozenset({
 # comparable row. semdedup_prune — r4 green, but r5 added an input
 # repartition (result-neutral parallelism fix; re-verify per the
 # changed-impl standard).
+# url_canonicalize_dedup — r4 green; r5 merged the trailing-junk strip
+# into one fixed-point rule ([?/]+$) after hypothesis found the old
+# "\\?$ then /+$" pair non-idempotent on "??" tails (same output on
+# the fixture corpus, but the kernel changed).
 _REVERIFY: tuple[str, ...] = (
     "inverted_index_postings",
     "semdedup_prune",
+    "url_canonicalize_dedup",
 )
 
 # Hint-only changes (broadcast-hint removal; the join RESULT provably

@@ -137,15 +137,17 @@ _URL_SPARK = (
     "CAST(doc_id % 7 AS STRING), '&ref=rss') ELSE '' END)"
 )
 
-# strip scheme -> strip www. -> drop tracking params -> drop empty
-# query -> drop trailing slash; lowercase first so the rules above see
-# one case
+# strip scheme -> strip www. -> drop tracking params -> drop trailing
+# empty-query/slash junk; lowercase first so the rules above see one
+# case. The trailing strip is ONE run-consuming rule ([?/]+$) so a
+# mixed tail like "/??" or "/?/" canonicalizes in a single pass —
+# separate "\?$" then "/+$" rules were not idempotent on "??"
+# (hypothesis-found: canon("host/??") -> "host/?" -> "host").
 _CANON_STEPS = [
     ("^https?://", ""),
     (r"^www\.", ""),
     (r"[?&](utm_[a-z]+|ref)=[^&#]*", ""),
-    (r"\?$", ""),
-    ("/+$", ""),  # ALL trailing slashes — "//" must canonicalize idempotently
+    (r"[?/]+$", ""),
 ]
 
 
