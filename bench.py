@@ -119,6 +119,8 @@ EXTRA = [
     "winsorized_robust_stats",
     "embedding_centroid_shift",
     "bucketed_join_noshuffle",
+    "concurrent_intervals_peak",
+    "key_skew_report",
 ]
 
 

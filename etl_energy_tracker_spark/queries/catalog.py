@@ -223,6 +223,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "delta_encode_postings", "ngram_novelty_score",
     "reservoir_group_sample", "winsorized_robust_stats",
     "embedding_centroid_shift", "bucketed_join_noshuffle",
+    "concurrent_intervals_peak", "key_skew_report",
 ) + _REVERIFY_HINT_ONLY
 
 

@@ -1083,3 +1083,57 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qty",
         (F.col("price_cents").cast("double") / 100).alias("price"),
     )
+
+
+# ---------------------------------------------------- key-skew report
+
+_SKEW_TOPN = 10
+
+
+@register(
+    "key_skew_report",
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT cnt, row_number() OVER (ORDER BY cnt DESC, user_id) AS rk
+        FROM counts
+    )
+    SELECT COUNT(*) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           MAX(cnt) AS max_key_rows,
+           CAST(MAX(cnt) * 1000000 * COUNT(*) // SUM(cnt) AS BIGINT)
+               AS max_over_avg_ppm,
+           CAST(SUM(CASE WHEN rk <= {_SKEW_TOPN} THEN cnt ELSE 0 END)
+                * 1000000 // SUM(cnt) AS BIGINT) AS top{_SKEW_TOPN}_share_ppm
+    FROM ranked
+    """,
+    tags=("aggregate", "stats", "scale"),
+    doc="Shuffle-key skew report over events.user_id: key count, max "
+    "key cardinality, max/avg ratio and top-10 share in exact ppm — "
+    "the diagnostic a 100 TB job runs BEFORE choosing between a plain "
+    "shuffle join, AQE skew splitting, or explicit salting "
+    "(operators/skew.py implements the cure; this measures the "
+    "disease). max/avg >> 1e6 means one reducer owns the stage's "
+    "critical path. Scale: one hash aggregate on the key plus a "
+    "top-n over the (much smaller) per-key count table.",
+)
+def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = counts.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("cnt"), "user_id"))
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").alias("max_key_rows"),
+        F.expr(
+            "CAST(MAX(cnt) * 1000000 * COUNT(*) DIV SUM(cnt) AS BIGINT)"
+        ).alias("max_over_avg_ppm"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN rk <= {_SKEW_TOPN} THEN cnt ELSE 0 END) "
+            "* 1000000 DIV SUM(cnt) AS BIGINT)"
+        ).alias(f"top{_SKEW_TOPN}_share_ppm"),
+    )

@@ -662,14 +662,23 @@ _PHRASE = ("table", "value")
     "query cost.",
 )
 def phrase_match_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+    from ..sources.registry import load_table_split
+
+    # per-token lambda filter over every doc: split the single-file
+    # scan (registry docstring) — 2.6 s -> sub-second at sf0.1
+    docs = load_table_split(spark, "documents", sf_dir)
     t = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
-    # sequence(1, 0) is the DESCENDING list [1, 0], so a <=1-token doc
-    # would evaluate toks[-1] and raise under ANSI — guard explicitly
+    # pairwise adjacency via zip_with over the two shifted slices (an
+    # empty/1-token doc yields empty slices — no index guard needed).
+    # NOT the sequence(1, n-1) + filter(i -> toks[i-1]=...) shape: with
+    # a WHERE over that column, the index-lambda re-evaluates under the
+    # Filter outside whole-stage codegen — measured 2.5 s vs 0.3 s for
+    # this formulation at sf0.1, identical results
     hits = F.expr(
-        f"CASE WHEN size(toks) < 2 THEN 0 ELSE "
-        f"size(filter(sequence(1, size(toks) - 1), "
-        f"i -> toks[i-1] = '{_PHRASE[0]}' AND toks[i] = '{_PHRASE[1]}')) END"
+        f"size(filter(zip_with("
+        f"slice(toks, 1, greatest(size(toks) - 1, 0)), "
+        f"slice(toks, 2, greatest(size(toks) - 1, 0)), "
+        f"(a, b) -> a = '{_PHRASE[0]}' AND b = '{_PHRASE[1]}'), x -> x))"
     )
     return t.select("doc_id", hits.alias("n_hits")).where(F.col("n_hits") > 0)
 

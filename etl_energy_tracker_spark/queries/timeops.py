@@ -854,3 +854,90 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.expr("SUM(vc * dur_us) DIV SUM(dur_us)").alias("twap_centi"),
     )
+
+
+# ------------------------------------- interval concurrency sweep
+
+_IVL_US = 3_600_000_000  # each event occupies [ts, ts + 1h)
+
+
+@register(
+    "concurrent_intervals_peak",
+    oracle=f"""
+    WITH pts AS (
+        SELECT event_type, epoch_us(ts) AS t, 1 AS delta, event_id
+        FROM events
+        UNION ALL
+        SELECT event_type, epoch_us(ts) + {_IVL_US} AS t, -1 AS delta,
+               event_id
+        FROM events
+    ),
+    swept AS (
+        SELECT event_type, t, delta,
+               SUM(delta) OVER (PARTITION BY event_type
+                   ORDER BY t, delta, event_id
+                   ROWS UNBOUNDED PRECEDING) AS concurrent
+        FROM pts
+    ),
+    peaks AS (
+        SELECT event_type, MAX(concurrent) AS peak_concurrent
+        FROM swept GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(p.peak_concurrent AS BIGINT) AS peak_concurrent,
+           MIN(s.t) AS peak_at_us
+    FROM swept s JOIN peaks p
+      ON s.event_type = p.event_type AND s.concurrent = p.peak_concurrent
+    GROUP BY s.event_type, p.peak_concurrent
+    """,
+    tags=("time", "window", "aggregate"),
+    doc="Peak interval concurrency via the classic +1/-1 sweep: each "
+    "event occupies [ts, ts+1h); starts and ends become +1/-1 points, "
+    "a running sum ordered by (time, delta) — ends sort before starts "
+    "at the same instant, the half-open [s,e) convention — gives the "
+    "live count at every boundary, and the per-type maximum plus its "
+    "first occurrence time is the capacity-planning answer (peak "
+    "concurrent sessions/jobs/connections). Scale: 2 rows per "
+    "interval, one window pass partitioned by type ordered by time — "
+    "the same shape as sessionization, no self-join of intervals "
+    "(the naive overlap join is quadratic; the sweep is n log n).",
+)
+def concurrent_intervals_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.unix_micros("ts").alias("t0"), "event_id"
+    )
+    pts = ev.select(
+        "event_type",
+        F.col("t0").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    ).unionByName(
+        ev.select(
+            "event_type",
+            (F.col("t0") + _IVL_US).alias("t"),
+            F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    swept = pts.withColumn("concurrent", F.sum("delta").over(w))
+    peaks = swept.groupBy("event_type").agg(
+        F.max("concurrent").alias("peak_concurrent")
+    )
+    return (
+        swept.join(peaks, "event_type")
+        .where(F.col("concurrent") == F.col("peak_concurrent"))
+        .groupBy("event_type", "peak_concurrent")
+        .agg(F.min("t").alias("peak_at_us"))
+        .select(
+            "event_type",
+            F.col("peak_concurrent").cast("bigint").alias("peak_concurrent"),
+            "peak_at_us",
+        )
+    )
