@@ -312,3 +312,56 @@ def test_xls_to_raw_end_to_end(spark):
     first = df.first()
     assert first.granularity == "Hora"
     assert first.fecha == "2024-03-01"
+
+
+def test_xls_roundtrip_property():
+    """Hypothesis round-trip: arbitrary grids of strings/ints/floats
+    survive builder -> reader bit-exactly, across both container
+    layouts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cell = st.one_of(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x24F),
+            min_size=0,
+            max_size=12,
+        ),
+        st.integers(min_value=-(1 << 29), max_value=(1 << 29) - 1),
+        st.floats(
+            allow_nan=False, allow_infinity=False, width=64,
+            min_value=-1e12, max_value=1e12,
+        ),
+        st.booleans(),
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.dictionaries(
+            st.tuples(
+                st.integers(min_value=0, max_value=20),
+                st.integers(min_value=0, max_value=8),
+            ),
+            cell,
+            min_size=1,
+            max_size=25,
+        ),
+        st.booleans(),
+    )
+    def run(cells, mini):
+        blob = build_xls([("S", cells)], force_mini=mini)
+        grid = read_xls_grid(blob, "S")
+        for (r, c), v in cells.items():
+            got = grid[r][c]
+            if isinstance(v, bool):
+                assert got is v
+            elif isinstance(v, float) and v.is_integer():
+                # NUMBER cells collapse integral doubles to int (same
+                # convention as the xlsx reader's raw text numbers)
+                assert got == int(v)
+            else:
+                assert got == v
+        n_cols = max(c for _, c in cells) + 1
+        assert all(len(row) == n_cols for row in grid)
+
+    run()
