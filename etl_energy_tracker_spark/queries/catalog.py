@@ -197,9 +197,11 @@ _R3_VERIFIED: frozenset[str] = frozenset({
 # (impl changed after the last green driver row), then the 32 entries
 # that have never received a driver CORRECTNESS row (late-r4
 # additions — the r04 capped run's 50 slots went to the then-current
-# _PRIORITY head), then the belt-and-braces hint-only TPC-H tail.
-# 1 + 32 + 8 = 41 <= the ~50/round cap, so one r5 run covers all of
-# them with slots to spare.
+# _PRIORITY head), then the 11 round-5 additions, then the
+# belt-and-braces hint-only TPC-H tail. 3 + 32 + 11 = 46 must-check
+# entries fit the ~50/round cap; the last ~4 hint-only re-verifies
+# (result provably unchanged) spill to round 6 — by design, they are
+# the only acceptable spill.
 _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # never driver-checked (r4 additions the r04 run didn't reach),
     # riskiest first: multi-stage pipelines and stateful/iterative ops
