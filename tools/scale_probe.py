@@ -58,6 +58,10 @@ OPS = [
     "incremental_minhash_dedup",
     "near_dup_clusters_star",
     "semdedup_prune",
+    # round-5 additions with pair-forming or ranking stages
+    "jaccard_knn_topk",
+    "ngram_novelty_score",
+    "dedup_cluster_report",
 ]
 
 
