@@ -80,9 +80,19 @@ class NLQueryGenerator:
         self.system_prompt = build_system_prompt()
 
     def generate_sql(self, question: str) -> str:
+        # deterministic template matcher first: common question shapes
+        # (prices/volumes of a market, date windows, daily averages)
+        # answer offline and identically on every run; only unmatched
+        # phrasings need the injected LLM client
+        from .nl_templates import match_template
+
+        templated = match_template(question)
+        if templated is not None:
+            return self.postprocess(templated)
         if self.llm is None:
             raise NotImplementedError(
-                "no LLM client configured; pass llm=<callable str->str> "
+                "question did not match an offline NL template and no LLM "
+                "client is configured; pass llm=<callable str->str> "
                 "(this environment has no network access)"
             )
         sql = self.llm(f"{self.system_prompt}\n\nQuestion: {question}\nSQL:")
