@@ -121,6 +121,7 @@ EXTRA = [
     "bucketed_join_noshuffle",
     "concurrent_intervals_peak",
     "key_skew_report",
+    "bpe_encode_corpus",
 ]
 
 

@@ -226,6 +226,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "reservoir_group_sample", "winsorized_robust_stats",
     "embedding_centroid_shift", "bucketed_join_noshuffle",
     "concurrent_intervals_peak", "key_skew_report",
+    "bpe_encode_corpus",
 ) + _REVERIFY_HINT_ONLY
 
 

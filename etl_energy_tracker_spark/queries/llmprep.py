@@ -444,9 +444,11 @@ def length_band_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 4
 
 
-def _bpe_oracle(rounds: int) -> str:
+def _bpe_sym_ctes(rounds: int) -> list[str]:
     # unrolled merge rounds: pair-count -> argmax -> greedy
-    # left-to-right merge, each as a CTE trio (pc{r}, b{r}, s{r+1})
+    # left-to-right merge, each as a CTE trio (pc{r}, b{r}, s{r+1}).
+    # Shared by the training oracle (emits the b{r} merge table) and
+    # the encode oracle (consumes the final s{rounds} symbol table).
     ctes = ["""w0 AS (
         SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
         FROM documents
@@ -485,34 +487,22 @@ def _bpe_oracle(rounds: int) -> str:
                ) AS s
         FROM s{r}, b{r}
     )""")
+    return ctes
+
+
+def _bpe_oracle(rounds: int) -> str:
     union = "\n        UNION ALL ".join(
         f"SELECT {r} AS merge_round, p1, p2, merged, cnt FROM b{r}"
         for r in range(rounds)
     )
-    return "WITH " + ",\n    ".join(ctes) + f"\n    {union}"
+    return "WITH " + ",\n    ".join(_bpe_sym_ctes(rounds)) + f"\n    {union}"
 
 
-@register(
-    "bpe_train_merges",
-    oracle=_bpe_oracle(_BPE_ROUNDS),
-    tags=("text", "corpus", "iterative"),
-    doc="Iterative BPE tokenizer training — the full merge loop, not "
-    "just one counting step: per round, (1) adjacent-symbol pair "
-    "frequencies weighted by word frequency (map-side explode over "
-    "the alphabet-bounded word-frequency table, one hash aggregate), "
-    "(2) argmax pair with deterministic (count, pair) tie-break, "
-    "(3) greedy left-to-right non-overlapping merge applied to every "
-    "word via a single aggregate() fold (a just-created symbol is not "
-    "re-merged within the pass — exact BPE semantics). Four rounds "
-    "unrolled; output is the learned merge table (round, pair, "
-    "count). Scale: the state between rounds is the word-frequency "
-    "symbol table (vocab-bounded, NOT corpus-bounded — the corpus is "
-    "read once into word counts), so each round is one small-table "
-    "aggregate + one broadcast of a single-row argmax; 100 TB of text "
-    "only changes the initial word-count shuffle.",
-)
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
+def _bpe_train(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Run the BPE merge loop over the corpus vocabulary; returns
+    (merge table [round, p1, p2, merged, cnt], final per-word symbol
+    table [w, freq, s]). Shared by training (emits the merges) and
+    encoding (consumes the final symbols)."""
     words = (
         docs.select(
             F.explode(
@@ -568,7 +558,66 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
-    return out
+    return out, syms
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(_BPE_ROUNDS),
+    tags=("text", "corpus", "iterative"),
+    doc="Iterative BPE tokenizer training — the full merge loop, not "
+    "just one counting step: per round, (1) adjacent-symbol pair "
+    "frequencies weighted by word frequency (map-side explode over "
+    "the alphabet-bounded word-frequency table, one hash aggregate), "
+    "(2) argmax pair with deterministic (count, pair) tie-break, "
+    "(3) greedy left-to-right non-overlapping merge applied to every "
+    "word via a single aggregate() fold (a just-created symbol is not "
+    "re-merged within the pass — exact BPE semantics). Four rounds "
+    "unrolled; output is the learned merge table (round, pair, "
+    "count). Scale: the state between rounds is the word-frequency "
+    "symbol table (vocab-bounded, NOT corpus-bounded — the corpus is "
+    "read once into word counts), so each round is one small-table "
+    "aggregate + one broadcast of a single-row argmax; 100 TB of text "
+    "only changes the initial word-count shuffle.",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _ = _bpe_train(load_table(spark, "documents", sf_dir))
+    return merges
+
+
+@register(
+    "bpe_encode_corpus",
+    oracle="WITH "
+    + ",\n    ".join(_bpe_sym_ctes(_BPE_ROUNDS))
+    + f"""
+    SELECT token,
+           CAST(SUM(freq) AS BIGINT) AS total_cnt,
+           COUNT(DISTINCT w) AS n_words
+    FROM (SELECT w, freq, unnest(s) AS token FROM s{_BPE_ROUNDS})
+    GROUP BY token
+    """,
+    tags=("text", "corpus", "iterative"),
+    doc="Corpus encoding under the trained BPE merges: after the same "
+    "four merge rounds as bpe_train_merges (shared _bpe_train loop), "
+    "every vocabulary word is a symbol sequence; this emits the "
+    "resulting token-frequency table (token, corpus occurrences "
+    "weighted by word frequency, distinct words containing it) — the "
+    "vocabulary-coverage artifact a tokenizer pipeline inspects "
+    "before committing to a merge table. Scale: the encode side is "
+    "one explode + one hash aggregate over the vocab-bounded symbol "
+    "table — the 100 TB corpus was already reduced to word counts by "
+    "the training scan, so encoding costs O(vocab), not O(corpus).",
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, syms = _bpe_train(load_table(spark, "documents", sf_dir))
+    return (
+        syms.select("w", "freq", F.explode("s").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum("freq").alias("total_cnt"),
+            F.countDistinct("w").alias("n_words"),
+        )
+    )
 
 
 # ---------------------------------------------------- chat assembly

@@ -282,3 +282,54 @@ def test_bpe_train_merges_matches_reference_python(spark):
     assert cnts == sorted(cnts, reverse=True) or any(
         len(e[1]) > 1 or len(e[2]) > 1 for e in expected[1:]
     )
+
+
+def test_bpe_encode_corpus_matches_reference_python(spark):
+    """Encoding under the trained merges must equal the classic loop's
+    final symbol table: same merge sequence, then token frequency =
+    sum of word frequencies over every occurrence in every word, and
+    n_words = distinct words containing the token."""
+    import re
+    from collections import Counter
+
+    from etl_energy_tracker_spark.queries.llmprep import (
+        _BPE_ROUNDS,
+        bpe_encode_corpus,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    wf = Counter(
+        w for r in docs for w in re.findall("[a-z]+", r["text"].lower())
+    )
+    syms = {w: [list(w), f] for w, f in wf.items()}
+    for _ in range(_BPE_ROUNDS):
+        pc = Counter()
+        for s, f in syms.values():
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += f
+        (p1, p2), _cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        for v in syms.values():
+            s, out = v[0], []
+            for x in s:
+                if out and out[-1] == p1 and x == p2:
+                    out[-1] = p1 + p2
+                else:
+                    out.append(x)
+            v[0] = out
+
+    total = Counter()
+    nwords = Counter()
+    for w, (s, f) in syms.items():
+        for tok in s:
+            total[tok] += f
+        for tok in set(s):
+            nwords[tok] += 1
+
+    got = sorted(
+        (r["token"], r["total_cnt"], r["n_words"])
+        for r in bpe_encode_corpus(spark, SF_DIR).collect()
+    )
+    expected = sorted((t, total[t], nwords[t]) for t in total)
+    assert got == expected
+    # the merge products must actually appear in the encoded corpus
+    assert any(len(t) > 1 for t, _, _ in got)
