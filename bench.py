@@ -122,6 +122,9 @@ EXTRA = [
     "concurrent_intervals_peak",
     "key_skew_report",
     "bpe_encode_corpus",
+    "kcore_decomposition",
+    "prefix_filter_jaccard_join",
+    "priority_sample_weighted",
 ]
 
 

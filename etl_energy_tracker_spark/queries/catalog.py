@@ -162,11 +162,21 @@ _REVERIFY: tuple[str, ...] = (
     "url_canonicalize_dedup",
 )
 
-# Hint-only changes (broadcast-hint removal; the join RESULT provably
-# cannot differ, only the physical strategy) — re-verification is
-# belt-and-braces, so these sit at the END of the priority queue:
-# never-driver-checked operators get the capped run's slots first.
+# Hint-only / result-neutral physical changes (broadcast-hint
+# removal; explode -> explode_outer + notnull with an input
+# repartition in textops.shingle_pair_stats — the synthesized
+# size()>0 filter was evaluating the shingle transform twice, and
+# explode_outer provably emits the identical non-null row set). The
+# RESULT provably cannot differ, only the physical plan, and every
+# entry re-passed the local sf0.01 oracle matrix after the change —
+# so these sit at the END of the priority queue: never-driver-checked
+# operators get the capped run's slots first.
 _REVERIFY_HINT_ONLY: tuple[str, ...] = (
+    # r5 shingle_pair_stats explode_outer/repartition consumers
+    "ngram_jaccard_pairs", "shingle_containment_pairs",
+    "near_dup_clusters", "near_dup_clusters_star",
+    "near_dup_keep_corpus",
+    # r4 broadcast-hint removals
     "q3_shipping_priority", "q14_promo_revenue",
     "q19_disjunctive_predicates", "q21_waiting_orders",
     "q9_product_profit", "q15_top_supplier", "q16_supplier_part_counts",
@@ -226,7 +236,8 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "reservoir_group_sample", "winsorized_robust_stats",
     "embedding_centroid_shift", "bucketed_join_noshuffle",
     "concurrent_intervals_peak", "key_skew_report",
-    "bpe_encode_corpus",
+    "bpe_encode_corpus", "kcore_decomposition",
+    "prefix_filter_jaccard_join", "priority_sample_weighted",
 ) + _REVERIFY_HINT_ONLY
 
 

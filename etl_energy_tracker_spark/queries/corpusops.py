@@ -1235,3 +1235,68 @@ def reservoir_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _RES_K)
         .select("source", "doc_id", F.col("rank").cast("int").alias("rank"))
     )
+
+
+_PRI_K = 5  # weighted sample size per group
+_PRI_SEED = 23  # independent of the uniform reservoir's seed
+
+
+@register(
+    "priority_sample_weighted",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars + 1 AS w,
+               {duckdb_charhash("CAST(doc_id AS VARCHAR)", seed=23)} AS h
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, CAST(w AS BIGINT) AS weight,
+               row_number() OVER (PARTITION BY source
+                   ORDER BY CAST(w * 1000000007 AS DOUBLE) / (h + 1) DESC,
+                            doc_id) AS rank
+        FROM keyed
+    )
+    SELECT source, doc_id, weight, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= {_PRI_K}
+    """,
+    tags=("corpus", "topk"),
+    doc=f"Weighted priority sample (Duffield-Lund-Thorup), k={_PRI_K} "
+    "per source: each document draws a deterministic uniform u from "
+    "the portable polynomial hash of its id and gets priority w/u "
+    "(w = n_chars + 1); the k largest priorities per group are the "
+    "sample — inclusion probability rises with weight, and the "
+    "(k+1)-th priority is the Horvitz-Thompson threshold if unbiased "
+    "size estimates are needed downstream. Determinism across "
+    "engines: the priority is ONE integer multiply (exact in BIGINT) "
+    "and ONE IEEE double division — both correctly rounded, so Spark "
+    "and DuckDB order identically bit for bit; no libm "
+    "transcendentals (an exp/log-based exponential-clock key would "
+    "NOT be portable). Scale: map-side keying + one shuffle on the "
+    "group key; output is k*groups rows regardless of corpus size.",
+)
+def priority_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        (F.col("n_chars") + 1).alias("w"),
+        F.expr(
+            spark_charhash("CAST(doc_id AS STRING)", seed=_PRI_SEED)
+        ).alias("h"),
+    )
+    win = W.partitionBy("source").orderBy(
+        ((F.col("w") * F.lit(1_000_000_007)).cast("double") / (F.col("h") + 1)).desc(),
+        "doc_id",
+    )
+    return (
+        keyed.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= _PRI_K)
+        .select(
+            "source",
+            "doc_id",
+            F.col("w").cast("long").alias("weight"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

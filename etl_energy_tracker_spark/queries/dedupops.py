@@ -695,3 +695,170 @@ def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return multi.unionByName(singles)
+
+
+# ------------------------------------- prefix-filtered exact Jaccard
+
+# tau = 3/5: J(a, b) >= 0.6  <=>  5*inter >= 3*union (exact integers)
+_PFX_NUM = 3
+_PFX_DEN = 5
+
+
+@register(
+    "prefix_filter_jaccard_join",
+    oracle=f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, shingle AS t FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(tokens) - 2, 0) + 1),
+                       i -> tokens[CAST(i AS INT)] || ' ' ||
+                            tokens[CAST(i AS INT) + 1] || ' ' ||
+                            tokens[CAST(i AS INT) + 2])) AS shingle
+            FROM (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+                FROM documents
+            )
+        )
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id),
+    ov AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+        FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT da AS doc_a, db AS doc_b, CAST(inter AS BIGINT) AS inter,
+           CAST(sa.n + sb.n - inter AS BIGINT) AS uni,
+           CAST((1000000 * inter) // (sa.n + sb.n - inter) AS BIGINT)
+               AS jaccard_ppm
+    FROM ov
+    JOIN sz sa ON sa.doc_id = ov.da
+    JOIN sz sb ON sb.doc_id = ov.db
+    WHERE {_PFX_DEN} * inter >= {_PFX_NUM} * (sa.n + sb.n - inter)
+    """,
+    tags=("dedup", "similarity", "join"),
+    doc="EXACT set-similarity self-join (word-3-gram-shingle Jaccard "
+    ">= 0.6) via prefix filtering (SSJoin/AllPairs/PPJoin family) — "
+    "the provably-lossless scale path for the same near-dup relation "
+    "the df-cap heuristic and MinHash-LSH approximate: shingles are "
+    "globally ordered rarest-first by document frequency, each "
+    "document only indexes its first n - ceil(tau*n) + 1 shingles, "
+    "and any pair with Jaccard >= tau must share a prefix shingle "
+    "(J >= tau forces overlap >= tau*max(na,nb), strictly more than "
+    "the shingles outside either prefix), so joining prefix-to-prefix "
+    "loses nothing; survivors are verified exactly with an array "
+    "intersection and an integer cross-multiplied threshold (5*inter "
+    ">= 3*union — no float compare on either engine). The DuckDB "
+    "oracle is the UNCAPPED brute-force shared-shingle join, so a "
+    "green row proves the pruned join is lossless. Scale: candidate "
+    "generation is keyed on the RAREST shingles of each document "
+    "(prefix fan-out is bounded by low-df keys by construction — the "
+    "opposite skew profile of a naive shared-token join), "
+    "verification touches only candidates; no all-pairs stage.",
+)
+def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    # toy-SF tables are one parquet file -> one input partition, which
+    # serializes the shingle/explode first stage onto one core; at real
+    # scale the scan is already split, so this only costs at toy SF
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    # explode_outer, NOT explode: plain explode synthesizes a
+    # size(shingles) > 0 filter that Catalyst pushes below the
+    # repartition into the single-partition scan stage, evaluating the
+    # whole shingle transform there serially (and then again after the
+    # exchange) — explode_outer generates no such filter, so the
+    # transform runs once, post-exchange, in parallel
+    tok = (
+        dedup.with_shingles(docs.select("doc_id", "text"), "text")
+        .select("doc_id", F.explode_outer("shingles").alias("t"))
+        .where(F.col("t").isNotNull())
+    )
+    dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc token array sorted rarest-first by (df, token): the
+    # global total order every prefix is taken under
+    ranked = (
+        tok.join(dfreq, "t")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(df, t))), x -> x.t)"
+            ).alias("toks")
+        )
+        .withColumn("n", F.size("toks"))
+    )
+    # three consumers (two verify probes + prefix explode) — compute
+    # the tokenize/sort subtree once
+    ranked = ranked.localCheckpoint(eager=False)
+    # L = n - ceil(tau*n) + 1, ceil via integer arithmetic; keep the
+    # 0-based prefix position for PPJoin's positional filter below
+    pfx = ranked.select(
+        "doc_id",
+        "n",
+        F.posexplode(
+            F.expr(
+                f"slice(toks, 1, n - ((({_PFX_NUM} * n) + {_PFX_DEN} - 1) "
+                f"DIV {_PFX_DEN}) + 1)"
+            )
+        ).alias("i", "t"),
+    )
+    a = pfx.alias("a")
+    b = pfx.alias("b")
+    # PPJoin pruning, both exact-integer and lossless:
+    #  - length filter: J >= 3/5 forces 5*min(na,nb) >= 3*max(na,nb)
+    #  - positional filter: overlap is at most 1 + min(tokens after
+    #    the shared prefix position on each side), and J >= tau needs
+    #    overlap >= tau/(1+tau)*(na+nb) = 3/8*(na+nb)
+    # together they cut the candidate pair set ~4x before the distinct
+    cand = (
+        a.join(
+            b,
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (5 * F.col("a.n") >= 3 * F.col("b.n"))
+            & (5 * F.col("b.n") >= 3 * F.col("a.n"))
+            & (
+                8
+                * (
+                    F.least(
+                        F.col("a.n") - F.col("a.i") - 1,
+                        F.col("b.n") - F.col("b.i") - 1,
+                    )
+                    + 1
+                )
+                >= 3 * (F.col("a.n") + F.col("b.n"))
+            ),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ra = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("ta"),
+        F.col("n").alias("na"),
+    )
+    rb = ranked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("tb"),
+        F.col("n").alias("nb"),
+    )
+    # verify probes join candidates back to the per-doc token arrays;
+    # the array table is corpus-scaled, so no broadcast hint — AQE
+    # broadcasts it while it fits and shuffle-joins beyond that
+    verified = (
+        cand.join(ra, "doc_a")
+        .join(rb, "doc_b")
+        .withColumn("inter", F.expr("size(array_intersect(ta, tb))"))
+        .withColumn("uni", F.expr("na + nb - inter"))
+        .where(F.expr(f"{_PFX_DEN} * inter >= {_PFX_NUM} * uni"))
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        F.col("inter").cast("long").alias("inter"),
+        F.col("uni").cast("long").alias("uni"),
+        F.expr("CAST((1000000 * inter) DIV uni AS BIGINT)").alias(
+            "jaccard_ppm"
+        ),
+    )

@@ -250,3 +250,86 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_edges = oriented.agg(F.count(F.lit(1)).alias("n_edges"))
     return n_edges.crossJoin(n_wedges).crossJoin(n_tri)
+
+
+# --------------------------------------------------- k-core peeling
+
+_CORE_K = 3
+_CORE_ROUNDS = 4
+
+
+def _duck_core_rounds(rounds: int, k: int) -> str:
+    parts = []
+    for r in range(rounds):
+        parts.append(f"""d{r} AS (SELECT src AS v, COUNT(*) AS deg FROM e{r} GROUP BY src),
+    k{r} AS (SELECT v FROM d{r} WHERE deg >= {k}),
+    e{r + 1} AS (
+        SELECT e.src, e.dst FROM e{r} e
+        JOIN k{r} a ON e.src = a.v
+        JOIN k{r} b ON e.dst = b.v
+    )""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "kcore_decomposition",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e0 AS (
+        SELECT 'c' || CAST(ck AS VARCHAR) AS src,
+               's' || CAST(sk AS VARCHAR) AS dst FROM pairs
+        UNION ALL
+        SELECT 's' || CAST(sk AS VARCHAR) AS src,
+               'c' || CAST(ck AS VARCHAR) AS dst FROM pairs
+    ),
+    {_duck_core_rounds(_CORE_ROUNDS, _CORE_K)}
+    SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM e{_CORE_ROUNDS} GROUP BY src
+    """,
+    tags=("graph", "iterative"),
+    doc=f"k-core decomposition (k={_CORE_K}, {_CORE_ROUNDS} peel rounds "
+    "unrolled) of the customer<->supplier bipartite graph — the dense-"
+    "subgraph extraction a data pipeline uses for bot/spam-ring and "
+    "power-user detection. Each round drops every vertex whose degree "
+    "in the surviving subgraph is below k, then re-filters the edge "
+    "list to surviving endpoints; output is the surviving vertices "
+    "with their degree inside the peeled subgraph. Scale: each round "
+    "is one degree aggregate + two semi-joins against the vertex-"
+    "sized keep set (broadcastable; AQE decides), with the edge list "
+    "checkpointed per round to cut lineage — the standard bounded-"
+    "round Pregel-on-DataFrames shape; no step is ever "
+    "all-pairs or driver-side.",
+)
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    # each round reads the previous round's survivors three times
+    # (degree agg + two semi-joins); checkpoint so the join/distinct
+    # subtree is computed once, not re-derived per consumer per round
+    edges = edges.localCheckpoint(eager=False)
+    for _ in range(_CORE_ROUNDS):
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= _CORE_K).select("src")
+        edges = (
+            edges.join(keep, "src", "left_semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=False)
+        )
+    return edges.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )

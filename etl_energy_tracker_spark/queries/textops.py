@@ -246,13 +246,21 @@ def shingle_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard and containment (llmprep) screens so the shingle build,
     df-cap, and join shape exist exactly once."""
     docs = load_table(spark, "documents", sf_dir)
+    # split the single-file toy-SF scan so the shingle build runs on
+    # every core (free at real scale where the scan is multi-file)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tokens"))
     # per-doc shingle dedup is local: array_distinct before explode
     # keeps the shingle build map-side (distinct-after-explode would
-    # shuffle the full corpus shingle set)
+    # shuffle the full corpus shingle set). explode_outer, NOT explode:
+    # plain explode synthesizes a size(...) > 0 filter that evaluates
+    # the ENTIRE shingle transform a second time (and Catalyst pushes
+    # it below the repartition, serializing it onto the single scan
+    # partition at toy SF) — explode_outer emits a null for empty
+    # arrays instead, so the transform is computed exactly once.
     raw = toks.select(
         "doc_id",
-        F.explode(
+        F.explode_outer(
             F.array_distinct(
                 F.expr(
                     "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
@@ -260,6 +268,7 @@ def shingle_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("shingle"),
+    ).where(F.col("shingle").isNotNull()
     # 8-byte join rows instead of ~20-char strings: the self-join
     # shuffles and compares int64 keys (~30% faster at sf0.1, and the
     # byte savings grow with shingle length at scale). Intersection

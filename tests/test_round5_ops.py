@@ -144,3 +144,118 @@ def test_bucketed_join_matches_plain_join(spark):
         .collect()
     }
     assert got == want
+
+
+# ------------------------- k-core / prefix-filter / priority sample
+
+
+def test_kcore_matches_python_peel(spark):
+    """4-round k=3 peel must equal the same peel run in Python over
+    the collected edge list, and the surviving set must shrink (or
+    stay fixed) monotonically round over round."""
+    from etl_energy_tracker_spark.queries.graphops import (
+        _CORE_K,
+        _CORE_ROUNDS,
+        kcore_decomposition,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    pairs = {
+        (f"c{r['o_custkey']}", f"s{r['l_suppkey']}")
+        for r in orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .collect()
+    }
+    edges = {(a, b) for a, b in pairs} | {(b, a) for a, b in pairs}
+    sizes = []
+    for _ in range(_CORE_ROUNDS):
+        deg = Counter(src for src, _ in edges)
+        keep = {v for v, d in deg.items() if d >= _CORE_K}
+        edges = {(a, b) for a, b in edges if a in keep and b in keep}
+        sizes.append(len({v for e in edges for v in e}))
+    expected = sorted(Counter(src for src, _ in edges).items())
+
+    got = sorted(
+        (r["v"], r["deg"]) for r in kcore_decomposition(spark, SF_DIR).collect()
+    )
+    assert got == expected
+    assert sizes == sorted(sizes, reverse=True)
+
+
+def test_prefix_filter_join_is_lossless_and_prunes(spark):
+    """The prefix-pruned join must return EXACTLY the brute-force
+    tau-filtered pair set (losslessness), while indexing strictly
+    fewer (doc, token) rows than the full shingle set (pruning)."""
+    from etl_energy_tracker_spark.operators.dedup import with_shingles
+    from etl_energy_tracker_spark.queries.dedupops import (
+        _PFX_DEN,
+        _PFX_NUM,
+        prefix_filter_jaccard_join,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sets = {
+        r["doc_id"]: set(r["shingles"])
+        for r in with_shingles(docs.select("doc_id", "text"), "text").collect()
+        if r["shingles"]
+    }
+    ids = sorted(sets)
+    expected = sorted(
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if (lambda inter, uni: _PFX_DEN * inter >= _PFX_NUM * uni)(
+            len(sets[a] & sets[b]), len(sets[a] | sets[b])
+        )
+    )
+    rows = prefix_filter_jaccard_join(spark, SF_DIR).collect()
+    got = sorted((r["doc_a"], r["doc_b"]) for r in rows)
+    assert got == expected
+    for r in rows:
+        assert _PFX_DEN * r["inter"] >= _PFX_NUM * r["uni"]
+        assert r["jaccard_ppm"] == (1_000_000 * r["inter"]) // r["uni"]
+    # the prefix index is strictly smaller than the full token index
+    n_full = sum(len(s) for s in sets.values())
+    n_pfx = sum(
+        len(s) - ((_PFX_NUM * len(s) + _PFX_DEN - 1) // _PFX_DEN) + 1
+        for s in sets.values()
+    )
+    assert n_pfx < n_full
+
+
+def test_priority_sample_matches_python_reference(spark):
+    """Ranks are 1..k per source, and the selected (source, doc_id,
+    weight, rank) rows equal the DLT priority sample computed in pure
+    Python — the priority is one exact BIGINT multiply plus one IEEE
+    double division, so Python reproduces both engines bit for bit."""
+    from etl_energy_tracker_spark.functions.hashing import MOD
+    from etl_energy_tracker_spark.queries.corpusops import (
+        _PRI_K,
+        _PRI_SEED,
+        priority_sample_weighted,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    by_src = defaultdict(list)
+    for d in docs:
+        h = _PRI_SEED
+        for c in str(d["doc_id"]):
+            h = (h * 31 + ord(c)) % MOD
+        w = d["n_chars"] + 1
+        pri = float(w * MOD) / (h + 1)
+        by_src[d["source"]].append((-pri, d["doc_id"], w))
+    expected = sorted(
+        (src, doc, w, rank)
+        for src, items in by_src.items()
+        for rank, (_, doc, w) in enumerate(sorted(items)[:_PRI_K], start=1)
+    )
+
+    rows = priority_sample_weighted(spark, SF_DIR).collect()
+    per_src = defaultdict(list)
+    for r in rows:
+        per_src[r["source"]].append(r["rank"])
+    for ranks in per_src.values():
+        assert sorted(ranks) == list(range(1, min(_PRI_K, len(ranks)) + 1))
+    got = sorted((r["source"], r["doc_id"], r["weight"], r["rank"]) for r in rows)
+    assert got == expected
