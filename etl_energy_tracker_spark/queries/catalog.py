@@ -172,10 +172,14 @@ _REVERIFY: tuple[str, ...] = (
 # so these sit at the END of the priority queue: never-driver-checked
 # operators get the capped run's slots first.
 _REVERIFY_HINT_ONLY: tuple[str, ...] = (
-    # r5 shingle_pair_stats explode_outer/repartition consumers
+    # r5 explode_outer/repartition consumers (shingle_pair_stats,
+    # corpusops._doc_ngrams, hygieneops bigram/window/gram sites)
     "ngram_jaccard_pairs", "shingle_containment_pairs",
     "near_dup_clusters", "near_dup_clusters_star",
-    "near_dup_keep_corpus",
+    "near_dup_keep_corpus", "decontaminate_ngrams",
+    "boilerplate_ngrams", "decontaminate_hashed_ngrams",
+    "ngram_lm_score", "dup_window_spans", "bloom_decontaminate",
+    "corpus_prep_e2e",
     # r4 broadcast-hint removals
     "q3_shipping_priority", "q14_promo_revenue",
     "q19_disjunctive_predicates", "q21_waiting_orders",

@@ -102,10 +102,22 @@ _NGRAM_SPARK = (
 def _doc_ngrams(docs: DataFrame) -> DataFrame:
     # per-doc gram dedup is local — array_distinct BEFORE explode keeps
     # the whole gram build map-side (a .distinct() after explode would
-    # shuffle the full corpus gram set, which at 100 TB dwarfs the data)
+    # shuffle the full corpus gram set, which at 100 TB dwarfs the data).
+    # toy-SF single-file scans serialize this map stage; split first
+    # (free at real scale where the scan is already multi-file)
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tokens"))
-    return toks.select(
-        "doc_id", F.explode(F.array_distinct(F.expr(_NGRAM_SPARK))).alias("g")
+    # explode_outer, not explode: plain explode synthesizes a
+    # size(...) > 0 filter that evaluates the whole gram transform a
+    # second time (and pushes it below the repartition, serializing it
+    # at toy SF); gram elements are token concats, never null, so the
+    # notnull filter reproduces explode's row set exactly
+    return (
+        toks.select(
+            "doc_id",
+            F.explode_outer(F.array_distinct(F.expr(_NGRAM_SPARK))).alias("g"),
+        )
+        .where(F.col("g").isNotNull())
     )
 
 

@@ -124,15 +124,22 @@ def _floor_div(m: str, n: str, div_op: str) -> str:
 def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     toks = _toks(docs)
-    bip = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(tokens) - 1, 0)), "
-                "i -> struct(tokens[i-1] AS w1, tokens[i] AS w2))"
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.w1", "b.w2")
+    # explode_outer + notnull (not explode): avoids the synthesized
+    # size()>0 filter that would evaluate the bigram transform twice;
+    # struct elements are never null, so the row set is identical
+    bip = (
+        toks.select(
+            "doc_id",
+            F.explode_outer(
+                F.expr(
+                    "transform(sequence(1, greatest(size(tokens) - 1, 0)), "
+                    "i -> struct(tokens[i-1] AS w1, tokens[i] AS w2))"
+                )
+            ).alias("b"),
+        )
+        .where(F.col("b").isNotNull())
+        .select("doc_id", "b.w1", "b.w2")
+    )
     c12 = bip.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     c1 = bip.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     vocab = (
@@ -219,17 +226,21 @@ _WINS_DUCK = f"""
 )
 def dup_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
+    # explode_outer + notnull: skip the synthesized size()>0 filter
+    # that would run the window transform twice (elements are
+    # concat_ws strings, never null — identical row set)
     wins = (
         _toks(docs)
         .select(
             "doc_id",
-            F.explode(
+            F.explode_outer(
                 F.expr(
                     f"transform(sequence(1, greatest(size(tokens) - {_WIN - 1}, 0)), "
                     f"i -> concat_ws(' ', slice(tokens, i, {_WIN})))"
                 )
             ).alias("win"),
         )
+        .where(F.col("win").isNotNull())
         .select("doc_id", F.xxhash64("win").alias("wh"))
     )
     shared = (
@@ -327,8 +338,15 @@ def _bloom_pos_spark(i: int) -> str:
 )
 def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    grams = _toks(docs).select(
-        "doc_id", F.explode(F.array_distinct(F.expr(_NGRAM3_SPARK))).alias("g")
+    # explode_outer + notnull: one gram-transform evaluation, not two
+    # (see dup_window_spans; elements are token concats, never null)
+    grams = (
+        _toks(docs)
+        .select(
+            "doc_id",
+            F.explode_outer(F.array_distinct(F.expr(_NGRAM3_SPARK))).alias("g"),
+        )
+        .where(F.col("g").isNotNull())
     )
     bench = grams.where(F.col("doc_id") % 50 == 0).select("g").distinct()
     pos_exprs = [F.expr(_bloom_pos_spark(i)) for i in range(_K)]

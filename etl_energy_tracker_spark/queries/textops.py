@@ -843,17 +843,23 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table_split(spark, "documents", sf_dir)
     toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tokens"))
-    sh = toks.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
-                    "i -> concat(tokens[i-1], ' ', tokens[i], ' ', tokens[i+1]))"
+    # explode_outer + notnull: one shingle-transform evaluation, not
+    # two (see shingle_pair_stats; elements are concats, never null)
+    sh = (
+        toks.select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+                        "i -> concat(tokens[i-1], ' ', tokens[i], ' ', tokens[i+1]))"
+                    )
                 )
-            )
-        ).alias("shingle"),
-    ).select("doc_id", F.xxhash64("shingle").alias("shingle"))
+            ).alias("shingle"),
+        )
+        .where(F.col("shingle").isNotNull())
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+    )
     df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     return (
         sh.join(df, "shingle")
