@@ -62,6 +62,10 @@ OPS = [
     "jaccard_knn_topk",
     "ngram_novelty_score",
     "dedup_cluster_report",
+    # late-r5: prefix-filter set-similarity join (candidate fan-out is
+    # the asymptotic claim) and k-core peel (per-round join volume)
+    "prefix_filter_jaccard_join",
+    "kcore_decomposition",
 ]
 
 
@@ -105,6 +109,17 @@ def build(spark, replicas: int) -> str:
         "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
     )
     li.repartition(32).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    # orders with key shifts matching lineitem's, so the replicated
+    # orders x lineitem join yields `replicas` disjoint bipartite
+    # customer<->supplier graphs (kcore_decomposition's input)
+    orders = spark.read.parquet(f"{BASE}/orders.parquet").crossJoin(reps)
+    orders = orders.select(
+        (F.col("o_orderkey") + F.col("r").cast("long") * 100_000_000).alias("o_orderkey"),
+        (F.col("o_custkey") + F.col("r").cast("long") * 10_000_000).alias("o_custkey"),
+        *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey", "r")],
+    )
+    orders.repartition(32).write.mode("overwrite").parquet(f"{out}/orders.parquet")
     return out
 
 
