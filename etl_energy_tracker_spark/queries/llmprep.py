@@ -788,12 +788,14 @@ _VOCAB_SIZE = 1000
 )
 def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
+    # explode_outer + notnull: one regexp evaluation per row, not two
+    # (plain explode's synthesized size()>0 filter re-runs it)
     words = docs.select(
         "lang",
-        F.explode(
+        F.explode_outer(
             F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
         ).alias("w"),
-    )
+    ).where(F.col("w").isNotNull())
     vocab = (
         words.groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))

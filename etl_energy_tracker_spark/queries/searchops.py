@@ -65,8 +65,12 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     tf = (
         docs.select(
-            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+            # explode_outer + notnull: plain explode's synthesized
+            # size()>0 filter would re-run the split per row
+            "doc_id",
+            F.explode_outer(F.split(F.trim("text"), r"\s+")).alias("tok"),
         )
+        .where(F.col("tok").isNotNull())
         .groupBy("tok", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -266,8 +270,12 @@ def delta_encode_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     tf = (
         docs.select(
-            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+            # explode_outer + notnull: plain explode's synthesized
+            # size()>0 filter would re-run the split per row
+            "doc_id",
+            F.explode_outer(F.split(F.trim("text"), r"\s+")).alias("tok"),
         )
+        .where(F.col("tok").isNotNull())
         .groupBy("tok", "doc_id")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

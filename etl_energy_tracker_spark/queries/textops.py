@@ -758,17 +758,26 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toksrc = docs.select(
         F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)").alias("toks")
     )
-    uni = toksrc.select(F.explode("toks").alias("w"))
+    # explode_outer + notnull on both branches: plain explode's
+    # synthesized size()>0 filter inlines the regexp/transform through
+    # the projection and evaluates it twice per row
+    uni = toksrc.select(F.explode_outer("toks").alias("w")).where(
+        F.col("w").isNotNull()
+    )
     n_tot = uni.agg(F.count(F.lit(1)).alias("n"))
     ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
-    big = toksrc.select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, greatest(size(toks) - 1, 0)), "
-                "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
-            )
-        ).alias("b")
-    ).select("b.w1", "b.w2")
+    big = (
+        toksrc.select(
+            F.explode_outer(
+                F.expr(
+                    "transform(sequence(1, greatest(size(toks) - 1, 0)), "
+                    "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                )
+            ).alias("b")
+        )
+        .where(F.col("b").isNotNull())
+        .select("b.w1", "b.w2")
+    )
     bcnt = (
         big.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_ab"))
