@@ -125,6 +125,7 @@ EXTRA = [
     "kcore_decomposition",
     "prefix_filter_jaccard_join",
     "priority_sample_weighted",
+    "greedy_max_coverage",
 ]
 
 

@@ -1312,3 +1312,121 @@ def priority_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+# --------------------------------------- greedy max-coverage select
+
+_COV_K = 3  # selection rounds unrolled on both engines
+
+_COV_SH_DUCK = """
+    SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(tokens) - 2, 0) + 1),
+                   i -> tokens[CAST(i AS INT)] || ' ' ||
+                        tokens[CAST(i AS INT) + 1] || ' ' ||
+                        tokens[CAST(i AS INT) + 2])) AS shingle
+        FROM (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+            FROM documents
+        )
+    )
+"""
+
+
+def _cov_rounds_duck(k: int) -> str:
+    parts = []
+    for r in range(k):
+        not_cov = (
+            f"AND shingle NOT IN (SELECT shingle FROM cov{r - 1}) " if r else ""
+        )
+        not_sel = (
+            "AND doc_id NOT IN ("
+            + " UNION ALL ".join(f"SELECT doc_id FROM p{j}" for j in range(r))
+            + ") "
+            if r
+            else ""
+        )
+        cov_prev = f"SELECT shingle FROM cov{r - 1} UNION " if r else ""
+        parts.append(f"""g{r} AS (
+        SELECT doc_id, COUNT(*) AS gain FROM sh
+        WHERE 1=1 {not_cov}{not_sel}GROUP BY doc_id
+    ),
+    p{r} AS (SELECT doc_id, gain FROM g{r} ORDER BY gain DESC, doc_id LIMIT 1),
+    cov{r} AS (
+        {cov_prev}SELECT DISTINCT shingle FROM sh JOIN p{r} USING (doc_id)
+    )""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "greedy_max_coverage",
+    oracle=f"""
+    WITH sh AS ({_COV_SH_DUCK}),
+    {_cov_rounds_duck(_COV_K)}
+    {" UNION ALL ".join(
+        f"SELECT {r} AS pick_round, doc_id, CAST(gain AS BIGINT) AS gain FROM p{r}"
+        for r in range(_COV_K)
+    )}
+    """,
+    tags=("corpus", "iterative", "dedup"),
+    doc=f"Greedy maximum-coverage document selection ({_COV_K} rounds "
+    "unrolled): each round picks the document covering the most "
+    "word-3-gram shingles not yet covered by earlier picks "
+    "(deterministic gain-then-doc_id tie-break) — the classic "
+    "(1-1/e)-approximate coverage-based subset selection a training "
+    "pipeline uses to seed a diverse corpus sample or pick "
+    "representative documents per cluster. Scale: per round one "
+    "anti-join of the (doc, shingle) table against the covered set "
+    "plus one aggregate and a 1-row argmax broadcast; the covered set "
+    "is bounded by the selected documents' shingles (k * doc length, "
+    "NOT corpus-sized), so every round is corpus-linear and the "
+    "selection state stays broadcastable at any corpus size.",
+)
+def greedy_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import with_shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    sh = (
+        with_shingles(docs.select("doc_id", "text"), "text")
+        .select("doc_id", F.explode_outer("shingles").alias("shingle"))
+        .where(F.col("shingle").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    covered = None
+    selected = None
+    picks = []
+    for r in range(_COV_K):
+        remaining = sh
+        if covered is not None:
+            remaining = remaining.join(covered, "shingle", "left_anti")
+        if selected is not None:
+            remaining = remaining.join(selected, "doc_id", "left_anti")
+        gain = remaining.groupBy("doc_id").agg(F.count(F.lit(1)).alias("gain"))
+        best = gain.orderBy(F.desc("gain"), "doc_id").limit(1)
+        best = best.localCheckpoint(eager=False)
+        picks.append(
+            best.select(
+                F.lit(r).alias("pick_round"), "doc_id",
+                F.col("gain").cast("long").alias("gain"),
+            )
+        )
+        new_cov = (
+            sh.join(best.select("doc_id"), "doc_id", "left_semi")
+            .select("shingle")
+            .distinct()
+        )
+        covered = (
+            new_cov if covered is None
+            else covered.unionByName(new_cov).distinct()
+        ).localCheckpoint(eager=False)
+        sel_ids = best.select("doc_id")
+        selected = (
+            sel_ids if selected is None
+            else selected.unionByName(sel_ids)
+        ).localCheckpoint(eager=False)
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

@@ -259,3 +259,94 @@ def test_priority_sample_matches_python_reference(spark):
         assert sorted(ranks) == list(range(1, min(_PRI_K, len(ranks)) + 1))
     got = sorted((r["source"], r["doc_id"], r["weight"], r["rank"]) for r in rows)
     assert got == expected
+
+
+def test_greedy_max_coverage_matches_python_greedy(spark):
+    """The k-round selection must equal the classic greedy max-coverage
+    loop run in Python over the collected shingle sets (argmax marginal
+    gain, gain-then-doc_id tie-break, no re-selection)."""
+    from etl_energy_tracker_spark.operators.dedup import with_shingles
+    from etl_energy_tracker_spark.queries.corpusops import (
+        _COV_K,
+        greedy_max_coverage,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    sets = {
+        r["doc_id"]: set(r["shingles"])
+        for r in with_shingles(docs.select("doc_id", "text"), "text").collect()
+        if r["shingles"]
+    }
+    covered: set = set()
+    chosen: set = set()
+    expected = []
+    for rnd in range(_COV_K):
+        best = min(
+            ((doc, len(s - covered)) for doc, s in sets.items() if doc not in chosen),
+            key=lambda kv: (-kv[1], kv[0]),
+        )
+        expected.append((rnd, best[0], best[1]))
+        covered |= sets[best[0]]
+        chosen.add(best[0])
+
+    got = sorted(
+        (r["pick_round"], r["doc_id"], r["gain"])
+        for r in greedy_max_coverage(spark, SF_DIR).collect()
+    )
+    assert got == expected
+    # greedy property: marginal gains are non-increasing
+    gains = [g for _, _, g in expected]
+    assert gains == sorted(gains, reverse=True)
+
+
+def test_prefix_filter_theorem_on_random_corpora(spark):
+    """Property-test the prefix-filter completeness theorem the
+    operator's pruning rests on: for random small token-set corpora
+    and tau = 3/5, every pair with Jaccard >= tau shares a token in
+    BOTH prefixes under the rarest-first global order (with length
+    L = n - ceil(tau*n) + 1), including after the length and
+    positional filters."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(20260814)
+    for trial in range(50):
+        vocab = [f"t{i}" for i in range(rng.randint(4, 30))]
+        docs = {}
+        for d in range(rng.randint(2, 20)):
+            k = rng.randint(1, min(12, len(vocab)))
+            docs[d] = frozenset(rng.sample(vocab, k))
+        # duplicate-ish pair to ensure high-jaccard cases occur
+        if len(docs) >= 2:
+            docs[max(docs) + 1] = docs[0]
+        df = Counter(t for s in docs.values() for t in s)
+        order = {t: (df[t], t) for t in df}
+        pref = {}
+        pos = {}
+        for d, s in docs.items():
+            toks = sorted(s, key=lambda t: order[t])
+            n = len(toks)
+            L = n - ((3 * n + 4) // 5) + 1
+            pref[d] = toks[:L]
+            pos[d] = {t: i for i, t in enumerate(toks[:L])}
+        ids = sorted(docs)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                inter = len(docs[a] & docs[b])
+                uni = len(docs[a] | docs[b])
+                if 5 * inter < 3 * uni:
+                    continue
+                na, nb = len(docs[a]), len(docs[b])
+                shared = [
+                    t for t in pref[a] if t in pos[b]
+                ]
+                assert shared, (trial, a, b)
+                # at least one shared prefix token survives the length
+                # + positional filters the operator applies at the join
+                assert 5 * na >= 3 * nb and 5 * nb >= 3 * na
+                ok = any(
+                    8 * (min(na - pos[a][t] - 1, nb - pos[b][t] - 1) + 1)
+                    >= 3 * (na + nb)
+                    for t in shared
+                )
+                assert ok, (trial, a, b)
