@@ -1258,7 +1258,7 @@ _PRI_SEED = 23  # independent of the uniform reservoir's seed
     oracle=f"""
     WITH keyed AS (
         SELECT source, doc_id, n_chars + 1 AS w,
-               {duckdb_charhash("CAST(doc_id AS VARCHAR)", seed=23)} AS h
+               {duckdb_charhash("CAST(doc_id AS VARCHAR)", seed=_PRI_SEED)} AS h
         FROM documents
     ),
     ranked AS (

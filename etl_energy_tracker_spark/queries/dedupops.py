@@ -803,21 +803,21 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = pfx.alias("a")
     b = pfx.alias("b")
-    # PPJoin pruning, both exact-integer and lossless:
-    #  - length filter: J >= 3/5 forces 5*min(na,nb) >= 3*max(na,nb)
+    # PPJoin pruning, both exact-integer and lossless (tau = NUM/DEN):
+    #  - length filter: J >= tau forces DEN*min(na,nb) >= NUM*max(na,nb)
     #  - positional filter: overlap is at most 1 + min(tokens after
     #    the shared prefix position on each side), and J >= tau needs
-    #    overlap >= tau/(1+tau)*(na+nb) = 3/8*(na+nb)
+    #    overlap >= tau/(1+tau)*(na+nb) = NUM/(NUM+DEN)*(na+nb)
     # together they cut the candidate pair set ~4x before the distinct
     cand = (
         a.join(
             b,
             (F.col("a.t") == F.col("b.t"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (5 * F.col("a.n") >= 3 * F.col("b.n"))
-            & (5 * F.col("b.n") >= 3 * F.col("a.n"))
+            & (_PFX_DEN * F.col("a.n") >= _PFX_NUM * F.col("b.n"))
+            & (_PFX_DEN * F.col("b.n") >= _PFX_NUM * F.col("a.n"))
             & (
-                8
+                (_PFX_NUM + _PFX_DEN)
                 * (
                     F.least(
                         F.col("a.n") - F.col("a.i") - 1,
@@ -825,7 +825,7 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     + 1
                 )
-                >= 3 * (F.col("a.n") + F.col("b.n"))
+                >= _PFX_NUM * (F.col("a.n") + F.col("b.n"))
             ),
         )
         .select(
