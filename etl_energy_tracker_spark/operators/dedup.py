@@ -252,14 +252,18 @@ def fuzzy_decontaminate(
             F.col("id").alias(id_col), "band", "bhash"
         )
 
+    # token-count pre-filter, not where(size(shingles) > 0): the
+    # latter re-evaluates the shingle transform inside the pushed-down
+    # filter; >= 3 tokens is exactly the non-empty-shingles condition
+    has_sh = F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= 3
     corp_sh = (
-        with_shingles(corpus.select(id_col, text_col), text_col)
-        .where(F.size("shingles") > 0)
+        with_shingles(corpus.where(has_sh).select(id_col, text_col), text_col)
         .localCheckpoint(eager=False)
     )
     bench_sh = (
-        with_shingles(benchmark.select(id_col, text_col), text_col)
-        .where(F.size("shingles") > 0)
+        with_shingles(
+            benchmark.where(has_sh).select(id_col, text_col), text_col
+        )
         .localCheckpoint(eager=False)
     )
     cands = (
@@ -620,9 +624,11 @@ def minhash_dedup_against_index(
     rows_per_band = k // bands
 
     def _prep(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        # token-count pre-filter == non-empty shingles, without
+        # re-evaluating the shingle transform in a pushed-down filter
+        has_sh = F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= 3
         sh = (
-            with_shingles(df.select(id_col, text_col), text_col)
-            .where(F.size("shingles") > 0)
+            with_shingles(df.where(has_sh).select(id_col, text_col), text_col)
             .localCheckpoint(eager=False)
         )
         sig = with_minhash_signature(sh, k=k).select(id_col, "signature")

@@ -180,6 +180,9 @@ _REVERIFY_HINT_ONLY: tuple[str, ...] = (
     "boilerplate_ngrams", "decontaminate_hashed_ngrams",
     "ngram_lm_score", "dup_window_spans", "bloom_decontaminate",
     "corpus_prep_e2e",
+    # r5 token-count pre-filter (== non-empty-shingles, provably the
+    # same row set) replacing where(size(shingles)>0)
+    "minhash_signatures", "fuzzy_decontaminate_minhash",
     # r4 broadcast-hint removals
     "q3_shipping_priority", "q14_promo_revenue",
     "q19_disjunctive_predicates", "q21_waiting_orders",

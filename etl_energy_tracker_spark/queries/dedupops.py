@@ -111,10 +111,15 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
+    # drop shingle-less docs by token count BEFORE shingling: a
+    # where(size(shingles) > 0) afterwards would re-evaluate the whole
+    # shingle transform inside the pushed-down filter (serially, below
+    # the repartition) — the token-count predicate is exactly
+    # equivalent (3-gram shingles exist iff the doc has >= 3 tokens)
+    # and costs one split
+    docs = docs.where(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
     sh = dedup.with_shingles(docs.select("doc_id", "text"), "text")
-    sig = dedup.with_minhash_signature(
-        sh.where(F.size("shingles") > 0), k=_K
-    )
+    sig = dedup.with_minhash_signature(sh, k=_K)
     return sig.select(
         "doc_id", F.concat_ws(",", F.col("signature").cast("array<string>")).alias("signature")
     )
@@ -529,8 +534,13 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism
     )
     truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    sh = with_shingles(docs.select("doc_id", "text"), "text").where(
-        F.size("shingles") > 0
+    # token-count pre-filter instead of where(size(shingles) > 0):
+    # same row set (3-gram shingles exist iff >= 3 tokens) without
+    # re-evaluating the shingle transform in a pushed-down filter
+    sh = with_shingles(
+        docs.where(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
+        .select("doc_id", "text"),
+        "text",
     )
     sig = with_minhash_signature(sh, k=_K)
     cand = lsh_candidate_pairs(
