@@ -126,6 +126,8 @@ EXTRA = [
     "prefix_filter_jaccard_join",
     "priority_sample_weighted",
     "greedy_max_coverage",
+    "ohlc_bars_hourly",
+    "table_checksum_diff",
 ]
 
 

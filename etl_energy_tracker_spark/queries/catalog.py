@@ -245,7 +245,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "concurrent_intervals_peak", "key_skew_report",
     "bpe_encode_corpus", "kcore_decomposition",
     "prefix_filter_jaccard_join", "priority_sample_weighted",
-    "greedy_max_coverage",
+    "greedy_max_coverage", "ohlc_bars_hourly", "table_checksum_diff",
 ) + _REVERIFY_HINT_ONLY
 
 

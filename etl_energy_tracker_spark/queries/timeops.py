@@ -941,3 +941,72 @@ def concurrent_intervals_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_at_us",
         )
     )
+
+
+# ----------------------------------------------- OHLC bars per hour
+
+
+@register(
+    "ohlc_bars_hourly",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT) AS vc,
+               row_number() OVER (
+                   PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts, event_id) AS rn_o,
+               row_number() OVER (
+                   PARTITION BY event_type, date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC) AS rn_c
+        FROM events
+    )
+    SELECT event_type, hour_ts,
+           CAST(MAX(CASE WHEN rn_o = 1 THEN vc END) AS BIGINT) AS open_centi,
+           CAST(MAX(vc) AS BIGINT) AS high_centi,
+           CAST(MIN(vc) AS BIGINT) AS low_centi,
+           CAST(MAX(CASE WHEN rn_c = 1 THEN vc END) AS BIGINT) AS close_centi,
+           COUNT(*) AS n_events
+    FROM e GROUP BY event_type, hour_ts
+    """,
+    tags=("time", "aggregate", "window"),
+    doc="Hourly OHLC bars per event type — the candlestick aggregation "
+    "every market/telemetry pipeline ships (the engine's domain is "
+    "electricity-market prices): open/close are the first/last value "
+    "in the hour with a total (ts, event_id) tie-break so concurrent "
+    "ticks resolve identically on every engine and run; high/low are "
+    "plain min/max. Values in exact centi-units via the decimal cast "
+    "(no float accumulation anywhere — OHLC does no arithmetic, only "
+    "selection, so the bars are bit-exact). Scale: the two "
+    "row_number windows and the final aggregate all share one "
+    "(event_type, hour) hash partitioning — one exchange total, no "
+    "global sort; bars-per-group output is bounded by the calendar, "
+    "not the tick volume.",
+)
+def ohlc_bars_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    e = ev.select(
+        "event_type",
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        (F.col("value").cast("decimal(38,2)") * 100)
+        .cast("bigint")
+        .alias("vc"),
+    )
+    grp = ["event_type", "hour_ts"]
+    w_o = W.partitionBy(*grp).orderBy("us", "event_id")
+    w_c = W.partitionBy(*grp).orderBy(F.desc("us"), F.desc("event_id"))
+    return (
+        e.withColumn("rn_o", F.row_number().over(w_o))
+        .withColumn("rn_c", F.row_number().over(w_c))
+        .groupBy(*grp)
+        .agg(
+            F.max(F.when(F.col("rn_o") == 1, F.col("vc"))).alias("open_centi"),
+            F.max("vc").alias("high_centi"),
+            F.min("vc").alias("low_centi"),
+            F.max(F.when(F.col("rn_c") == 1, F.col("vc"))).alias("close_centi"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

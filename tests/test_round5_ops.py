@@ -350,3 +350,62 @@ def test_prefix_filter_theorem_on_random_corpora(spark):
                     for t in shared
                 )
                 assert ok, (trial, a, b)
+
+
+def test_ohlc_bars_match_python_reference(spark):
+    """Every bar's open/high/low/close must equal the Python replay
+    over the hour's ticks ordered by (ts, event_id), in exact
+    centi-units (decimal-cast rounding, no float arithmetic)."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from etl_energy_tracker_spark.queries.timeops import ohlc_bars_hourly
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    bars = defaultdict(list)
+    for e in events:
+        hour = e.ts.replace(minute=0, second=0, microsecond=0)
+        vc = int(
+            Decimal(repr(e.value)).quantize(
+                Decimal("0.01"), rounding=ROUND_HALF_UP
+            )
+            * 100
+        )
+        bars[(e.event_type, hour)].append((e.ts, e.event_id, vc))
+    expected = {}
+    for key, ticks in bars.items():
+        ticks.sort()
+        vcs = [v for _, _, v in ticks]
+        expected[key] = (vcs[0], max(vcs), min(vcs), vcs[-1], len(vcs))
+
+    rows = ohlc_bars_hourly(spark, SF_DIR).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        o, h, lo, c, n = expected[(r.event_type, r.hour_ts)]
+        assert (r.open_centi, r.high_centi, r.low_centi, r.close_centi, r.n_events) == (o, h, lo, c, n)
+        assert r.low_centi <= r.open_centi <= r.high_centi
+        assert r.low_centi <= r.close_centi <= r.high_centi
+
+
+def test_checksum_diff_localizes_planted_drift(spark):
+    """Buckets flagged out-of-sync must be exactly the buckets
+    containing a drifted key (o_orderkey % 97 == 0), and bucket
+    counts must partition the table."""
+    from etl_energy_tracker_spark.queries.cdcops import (
+        _CK_BUCKETS,
+        _CK_DRIFT_MOD,
+        table_checksum_diff,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    drift_buckets = {
+        o.o_orderkey % _CK_BUCKETS
+        for o in orders
+        if o.o_orderkey % _CK_DRIFT_MOD == 0
+    }
+    bucket_sizes = Counter(o.o_orderkey % _CK_BUCKETS for o in orders)
+
+    rows = table_checksum_diff(spark, SF_DIR).collect()
+    assert sum(r.n_a for r in rows) == len(orders)
+    for r in rows:
+        assert r.n_a == r.n_b == bucket_sizes[r.bucket]
+        assert r.in_sync == (0 if r.bucket in drift_buckets else 1)
