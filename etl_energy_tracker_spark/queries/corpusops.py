@@ -1293,7 +1293,9 @@ def priority_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = docs.select(
         "source",
         "doc_id",
-        (F.col("n_chars") + 1).alias("w"),
+        # explicit long: an INT n_chars would make w * 10^9 overflow
+        # 32-bit under ANSI mode
+        (F.col("n_chars").cast("long") + 1).alias("w"),
         F.expr(
             spark_charhash("CAST(doc_id AS STRING)", seed=_PRI_SEED)
         ).alias("h"),

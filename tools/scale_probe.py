@@ -66,6 +66,13 @@ OPS = [
     # the asymptotic claim) and k-core peel (per-round join volume)
     "prefix_filter_jaccard_join",
     "kcore_decomposition",
+    # late-r5 batch 2: selection/sampling/digest ops (all claimed
+    # corpus-linear with bounded state)
+    "greedy_max_coverage",
+    "priority_sample_weighted",
+    "bpe_encode_corpus",
+    "ohlc_bars_hourly",
+    "table_checksum_diff",
 ]
 
 
@@ -86,7 +93,7 @@ def build(spark, replicas: int) -> str:
         .alias("text"),
         "lang",
         "source",
-    ).withColumn("n_chars", F.length("text"))
+    ).withColumn("n_chars", F.length("text").cast("long"))
     docs.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
     emb = spark.read.parquet(f"{BASE}/embeddings.parquet").crossJoin(reps)
@@ -120,6 +127,18 @@ def build(spark, replicas: int) -> str:
         *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey", "r")],
     )
     orders.repartition(32).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+    # events with shifted ids/users and a per-replica hour offset so
+    # replica streams land in disjoint (user, hour) groups — window
+    # and bar cardinality grow exactly `replicas`x
+    ev = spark.read.parquet(f"{BASE}/events.parquet").crossJoin(reps)
+    ev = ev.select(
+        (F.col("event_id") + F.col("r").cast("long") * 100_000_000).alias("event_id"),
+        (F.col("ts") + F.expr("make_interval(0, 0, 0, 0, r * 8760, 0, 0)")).alias("ts"),
+        (F.col("user_id") + F.col("r").cast("long") * 10_000_000).alias("user_id"),
+        "event_type", "value", "props",
+    )
+    ev.repartition(32).write.mode("overwrite").parquet(f"{out}/events.parquet")
     return out
 
 
