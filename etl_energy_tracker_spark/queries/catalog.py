@@ -183,6 +183,9 @@ _REVERIFY_HINT_ONLY: tuple[str, ...] = (
     # r5 token-count pre-filter (== non-empty-shingles, provably the
     # same row set) replacing where(size(shingles)>0)
     "minhash_signatures", "fuzzy_decontaminate_minhash",
+    # r5 coalesce'd join keys / posexplode_outer (expr-in-filter
+    # tripwire cleanup; values provably unchanged)
+    "cross_doc_paragraph_dedup",
     # r4 broadcast-hint removals
     "q3_shipping_priority", "q14_promo_revenue",
     "q19_disjunctive_predicates", "q21_waiting_orders",

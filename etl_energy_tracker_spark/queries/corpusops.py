@@ -466,10 +466,14 @@ def cross_doc_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = load_table(spark, "documents", sf_dir)
+    # posexplode_outer + notnull: plain posexplode synthesizes a
+    # size()>0 filter that re-evaluates the chunk transform in the
+    # scan stage; chunk strings are concat_ws results, never null
     ch = (
         docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tokens"))
         .withColumn("chunks", F.expr(_CHUNK_SPARK))
-        .select("doc_id", F.posexplode("chunks").alias("j", "c"))
+        .select("doc_id", F.posexplode_outer("chunks").alias("j", "c"))
+        .where(F.col("c").isNotNull())
     )
     first = F.min(F.struct("doc_id", "j")).over(W.partitionBy("c"))
     tagged = ch.withColumn(
@@ -918,8 +922,13 @@ def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def decontaminate_hashed_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
+    # coalesce marks the join key provably non-null, so the join does
+    # NOT infer an isnotnull(<whole hash fold>) filter that would
+    # re-evaluate the polynomial hash per row; the fold itself never
+    # returns null for non-null g, so values are unchanged
     hashed = _doc_ngrams(docs).select(
-        "doc_id", F.expr(spark_charhash("g")).alias("gh")
+        "doc_id",
+        F.coalesce(F.expr(spark_charhash("g")), F.lit(0)).alias("gh"),
     )
     bench = hashed.where(F.col("doc_id") % 50 == 0).select("gh").distinct()
     corpus = hashed.where(F.col("doc_id") % 50 != 0)
@@ -1171,10 +1180,15 @@ def content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("chunk_text")
     )
+    # coalesce: provably-non-null join key, so the hash-frequency join
+    # does not infer an isnotnull(<hash fold>) filter that would
+    # re-evaluate the charhash per chunk (fold is never null anyway)
     hashed = chunks.select(
         "doc_id",
         F.length("chunk_text").alias("n_chars"),
-        F.expr(spark_charhash("chunk_text")).alias("chunk_hash"),
+        F.coalesce(
+            F.expr(spark_charhash("chunk_text")), F.lit(0)
+        ).alias("chunk_hash"),
     )
     freq = hashed.groupBy("chunk_hash").agg(
         F.count_distinct("doc_id").alias("nd")

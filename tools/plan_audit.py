@@ -47,6 +47,24 @@ def audit(sf_dir: str) -> list[dict]:
         except Exception as ex:  # pragma: no cover - diagnostic tool
             rows.append({"query": name, "error": str(ex)[:120]})
             continue
+        # double-compute tripwire: a Filter node whose predicate embeds
+        # a higher-order/regex array build (size(transform(...)),
+        # regexp_extract_all, aggregate-folds) means the optimizer
+        # inlined an expensive projection into the filter — the
+        # expression then evaluates twice per row (once in the filter,
+        # once in the consumer). The r5 fix is explode_outer + notnull
+        # or a cheap equivalent predicate; this metric pins the count
+        # so the antipattern cannot silently return.
+        expr_in_filter = sum(
+            1
+            for line in plan.splitlines()
+            if ("Filter " in line or "+- Filter" in line)
+            and (
+                "transform(" in line
+                or "regexp_extract_all(" in line
+                or "aggregate(" in line
+            )
+        )
         rows.append(
             {
                 "query": name,
@@ -60,6 +78,7 @@ def audit(sf_dir: str) -> list[dict]:
                 "arrow_python": plan.count("ArrowEvalPython")
                 + plan.count("MapInPandas")
                 + plan.count("FlatMapGroupsInPandas"),
+                "expr_in_filter": expr_in_filter,
             }
         )
     return rows
