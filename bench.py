@@ -128,6 +128,7 @@ EXTRA = [
     "greedy_max_coverage",
     "ohlc_bars_hourly",
     "table_checksum_diff",
+    "cusum_changepoint",
 ]
 
 

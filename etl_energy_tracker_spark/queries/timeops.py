@@ -1010,3 +1010,111 @@ def ohlc_bars_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ------------------------------------------ CUSUM change-point scan
+
+# alarm threshold: 5x the series' mean absolute deviation (integer)
+_CUSUM_H_MULT = 5
+
+
+@register(
+    "cusum_changepoint",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT))
+                    AS BIGINT) AS xc
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    mu AS (
+        SELECT event_type,
+               CAST(SUM(xc) // COUNT(*) AS BIGINT) AS mu_centi,
+               {_CUSUM_H_MULT} * CAST(SUM(abs(xc - (SELECT CAST(SUM(i.xc) // COUNT(*) AS BIGINT)
+                                                    FROM hourly i
+                                                    WHERE i.event_type = hourly.event_type)))
+                                      // COUNT(*) AS BIGINT) AS h_thr,
+               COUNT(*) AS n_hours
+        FROM hourly GROUP BY event_type
+    ),
+    pfx AS (
+        SELECT h.event_type, h.h, mu.mu_centi, mu.h_thr, mu.n_hours,
+               SUM(h.xc - mu.mu_centi)
+                   OVER (PARTITION BY h.event_type ORDER BY h.h
+                         ROWS UNBOUNDED PRECEDING) AS p
+        FROM hourly h JOIN mu ON h.event_type = mu.event_type
+    ),
+    s AS (
+        SELECT event_type, mu_centi, h_thr, n_hours,
+               p - LEAST(CAST(0 AS BIGINT),
+                         MIN(p) OVER (PARTITION BY event_type ORDER BY h
+                                      ROWS UNBOUNDED PRECEDING)) AS cusum
+        FROM pfx
+    )
+    SELECT event_type, n_hours, mu_centi, h_thr,
+           CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+           CAST(SUM(CASE WHEN cusum > h_thr THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_alarms
+    FROM s GROUP BY event_type, n_hours, mu_centi, h_thr
+    """,
+    tags=("time", "anomaly", "window"),
+    doc="One-sided CUSUM change-point scan per event type over the "
+    "hourly series: S_t = max(0, S_{t-1} + (x_t - mu)), alarm when "
+    "S_t exceeds 5x the series' integer mean absolute deviation — "
+    "the classic sequential drift detector, a different failure mode "
+    "than the EWMA spike detector and the MAD outlier screen (CUSUM "
+    "accumulates small sustained shifts). The recursion is eliminated "
+    "with the closed form S_t = P_t - min(0, running_min(P)) over the "
+    "plain deviation prefix sum P, so the whole scan is two stacked "
+    "window passes sharing ONE (event_type, hour-order) sort — no "
+    "per-group array state, no fold (a DuckDB list_reduce fold was "
+    "rejected: its struct_pack lambda reads already-overwritten "
+    "accumulator fields). Exact integer centi-units end to end. "
+    "Scale: one hash partition by series key, windows and the final "
+    "aggregate share it; state per row is O(1).",
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("h"),
+            (F.col("value").cast("decimal(38,2)") * 100)
+            .cast("bigint")
+            .alias("vc"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("vc").cast("bigint").alias("xc"))
+    )
+    mu = hourly.groupBy("event_type").agg(
+        F.expr("SUM(xc) DIV COUNT(*)").alias("mu_centi"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    dev = hourly.join(mu, "event_type").select(
+        "event_type", "h", "mu_centi", "n_hours",
+        (F.col("xc") - F.col("mu_centi")).alias("d"),
+    )
+    thr = dev.groupBy("event_type").agg(
+        F.expr(
+            f"{_CUSUM_H_MULT} * (SUM(abs(d)) DIV COUNT(*))"
+        ).alias("h_thr")
+    )
+    w = W.partitionBy("event_type").orderBy("h").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    p = F.sum("d").over(w)
+    s = dev.withColumn("p", p).withColumn(
+        "cusum", F.col("p") - F.least(F.lit(0).cast("long"), F.min("p").over(w))
+    )
+    return (
+        s.join(thr, "event_type")
+        .groupBy("event_type", "n_hours", "mu_centi", "h_thr")
+        .agg(
+            F.max("cusum").alias("max_cusum"),
+            F.sum(
+                F.when(F.col("cusum") > F.col("h_thr"), 1).otherwise(0)
+            ).alias("n_alarms"),
+        )
+    )

@@ -409,3 +409,47 @@ def test_checksum_diff_localizes_planted_drift(spark):
     for r in rows:
         assert r.n_a == r.n_b == bucket_sizes[r.bucket]
         assert r.in_sync == (0 if r.bucket in drift_buckets else 1)
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    """The operator's window closed form S_t = P_t - min(0,
+    running_min(P)) must equal the literal CUSUM recursion
+    S_t = max(0, S_{t-1} + d_t) replayed in Python, including the
+    alarm count against the integer-MAD threshold."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from etl_energy_tracker_spark.queries.timeops import (
+        _CUSUM_H_MULT,
+        cusum_changepoint,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    hourly = defaultdict(lambda: defaultdict(int))
+    for e in events:
+        hour = e.ts.replace(minute=0, second=0, microsecond=0)
+        vc = int(
+            Decimal(repr(e.value)).quantize(
+                Decimal("0.01"), rounding=ROUND_HALF_UP
+            )
+            * 100
+        )
+        hourly[e.event_type][hour] += vc
+    expected = {}
+    for et, series in hourly.items():
+        xs = [series[h] for h in sorted(series)]
+        mu = sum(xs) // len(xs)
+        devs = [x - mu for x in xs]
+        h_thr = _CUSUM_H_MULT * (sum(abs(d) for d in devs) // len(devs))
+        S = maxc = alarms = 0
+        for d in devs:
+            S = max(0, S + d)
+            maxc = max(maxc, S)
+            alarms += S > h_thr
+        expected[et] = (len(xs), mu, h_thr, maxc, alarms)
+
+    rows = cusum_changepoint(spark, SF_DIR).collect()
+    assert len(rows) == len(expected)
+    for r in rows:
+        assert (
+            r.n_hours, r.mu_centi, r.h_thr, r.max_cusum, r.n_alarms
+        ) == expected[r.event_type]
