@@ -129,6 +129,7 @@ EXTRA = [
     "ohlc_bars_hourly",
     "table_checksum_diff",
     "cusum_changepoint",
+    "ann_recall_mrr_eval",
 ]
 
 

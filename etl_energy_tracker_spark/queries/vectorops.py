@@ -811,3 +811,102 @@ def embedding_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("centroid_l2_shift"),
     )
+
+
+# ------------------------------------------- ANN recall / MRR eval
+
+from .catalog import CATALOG as _CATALOG  # noqa: E402  (oracle reuse)
+
+
+@register(
+    "ann_recall_mrr_eval",
+    oracle=f"""
+    WITH truth AS (SELECT * FROM ({_CATALOG["ann_cosine_topk"].oracle}) t),
+    approx AS (SELECT * FROM ({_CATALOG["ann_ivf_topk"].oracle}) a),
+    truth_rk AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS rk
+        FROM truth
+    ),
+    approx_rk AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS rk
+        FROM approx
+    ),
+    hits AS (
+        SELECT t.query_id, COUNT(*) AS n_hits
+        FROM truth_rk t JOIN approx_rk a USING (query_id, vec_id)
+        GROUP BY t.query_id
+    ),
+    nn AS (
+        SELECT t.query_id, COALESCE(MIN(a.rk), 0) AS nn_rank
+        FROM truth_rk t
+        LEFT JOIN approx_rk a USING (query_id, vec_id)
+        WHERE t.rk = 1 GROUP BY t.query_id
+    )
+    SELECT q.query_id,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST((1000000 * COALESCE(h.n_hits, 0)) // {_TOP_K} AS BIGINT)
+               AS recall_ppm,
+           CAST(nn.nn_rank AS BIGINT) AS nn_rank,
+           CAST(CASE WHEN nn.nn_rank > 0 THEN 1000000 // nn.nn_rank
+                     ELSE 0 END AS BIGINT) AS mrr_ppm
+    FROM (SELECT DISTINCT query_id FROM truth) q
+    LEFT JOIN hits h USING (query_id)
+    JOIN nn USING (query_id)
+    """,
+    tags=("vector", "eval", "topk"),
+    doc="ANN quality evaluation: score the IVF approximate top-k "
+    "(ann_ivf_topk) against the brute-force cosine ground truth "
+    "(ann_cosine_topk), per query — recall@k and the reciprocal rank "
+    "of the TRUE nearest neighbor inside the approximate list, both "
+    "as exact integer ppm (1e6*hits DIV k; 1e6 DIV rank — no float "
+    "averaging anywhere). This is the similarity-stack counterpart of "
+    "lsh_recall_eval: the measurement harness that justifies the "
+    "probe count / codebook size before trusting the approximate "
+    "path at scale. The oracle REUSES the two registered pipelines' "
+    "oracle SQL verbatim as subqueries, so the eval can never drift "
+    "from what the gated operators actually compute. Scale: both "
+    "pipelines are the already-audited bounded shapes; the eval adds "
+    "two query-keyed top-k joins on k*queries rows.",
+)
+def ann_recall_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    truth = ann_cosine_topk(spark, sf_dir)
+    approx = ann_ivf_topk(spark, sf_dir)
+    wt = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    truth_rk = truth.withColumn("rk", F.row_number().over(wt)).select(
+        "query_id", "vec_id", "rk"
+    )
+    approx_rk = approx.withColumn("rk", F.row_number().over(wt)).select(
+        "query_id", "vec_id", F.col("rk").alias("ark")
+    )
+    hits = (
+        truth_rk.join(approx_rk, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    nn = (
+        truth_rk.where(F.col("rk") == 1)
+        .join(approx_rk, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(F.coalesce(F.min("ark"), F.lit(0)).alias("nn_rank"))
+    )
+    qs = truth.select("query_id").distinct()
+    return (
+        qs.join(hits, "query_id", "left")
+        .join(nn, "query_id")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.expr(
+                f"CAST((1000000 * coalesce(n_hits, 0)) DIV {_TOP_K} AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.col("nn_rank").cast("long").alias("nn_rank"),
+            F.expr(
+                "CAST(CASE WHEN nn_rank > 0 THEN 1000000 DIV nn_rank "
+                "ELSE 0 END AS BIGINT)"
+            ).alias("mrr_ppm"),
+        )
+    )

@@ -453,3 +453,35 @@ def test_cusum_closed_form_equals_recursion(spark):
         assert (
             r.n_hours, r.mu_centi, r.h_thr, r.max_cusum, r.n_alarms
         ) == expected[r.event_type]
+
+
+def test_ann_eval_consistent_with_its_inputs(spark):
+    """Recall/MRR must be recomputable from the two input pipelines'
+    own outputs: n_hits == |truth ∩ approx| per query, nn_rank is the
+    approximate rank of the true top-1, and the ppm fields are exact
+    integer divisions of those."""
+    from etl_energy_tracker_spark.queries.vectorops import (
+        _TOP_K,
+        ann_cosine_topk,
+        ann_ivf_topk,
+        ann_recall_mrr_eval,
+    )
+
+    truth = defaultdict(list)
+    for r in ann_cosine_topk(spark, SF_DIR).collect():
+        truth[r.query_id].append((-r.cosine, r.vec_id))
+    approx = defaultdict(list)
+    for r in ann_ivf_topk(spark, SF_DIR).collect():
+        approx[r.query_id].append((-r.cosine, r.vec_id))
+
+    rows = ann_recall_mrr_eval(spark, SF_DIR).collect()
+    assert {r.query_id for r in rows} == set(truth)
+    for r in rows:
+        t_ids = [v for _, v in sorted(truth[r.query_id])]
+        a_ids = [v for _, v in sorted(approx.get(r.query_id, []))]
+        assert r.n_hits == len(set(t_ids) & set(a_ids))
+        assert r.recall_ppm == (1_000_000 * r.n_hits) // _TOP_K
+        nn = t_ids[0]
+        want_rank = a_ids.index(nn) + 1 if nn in a_ids else 0
+        assert r.nn_rank == want_rank
+        assert r.mrr_ppm == (1_000_000 // want_rank if want_rank else 0)
