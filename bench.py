@@ -130,6 +130,7 @@ EXTRA = [
     "table_checksum_diff",
     "cusum_changepoint",
     "ann_recall_mrr_eval",
+    "stream_cusum_alarm",
 ]
 
 

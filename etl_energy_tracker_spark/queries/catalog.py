@@ -249,7 +249,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "bpe_encode_corpus", "kcore_decomposition",
     "prefix_filter_jaccard_join", "priority_sample_weighted",
     "greedy_max_coverage", "ohlc_bars_hourly", "table_checksum_diff",
-    "cusum_changepoint", "ann_recall_mrr_eval",
+    "cusum_changepoint", "ann_recall_mrr_eval", "stream_cusum_alarm",
 ) + _REVERIFY_HINT_ONLY
 
 

@@ -404,3 +404,56 @@ def stream_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import ewma_anomaly_stream
 
     return ewma_anomaly_stream(spark, sf_dir)
+
+
+# --------------------------------------------- streaming CUSUM twin
+
+# SPC parameters (given, not data-derived — that is what makes the
+# scan streamable with one bigint of state per series)
+_CUSUM_STREAM_MU = 1500   # in-control target, centi-units
+_CUSUM_STREAM_H = 10000   # alarm threshold, centi-units
+
+
+@register(
+    "stream_cusum_alarm",
+    oracle=f"""
+    WITH e AS (
+        SELECT event_type, event_id, ts,
+               CAST(CAST(value AS DECIMAL(38,2)) * 100 AS BIGINT)
+               - {_CUSUM_STREAM_MU} AS d
+        FROM events
+    ),
+    pfx AS (
+        SELECT event_type, event_id, ts,
+               SUM(d) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS p
+        FROM e
+    ),
+    s AS (
+        SELECT event_type, event_id,
+               p - LEAST(CAST(0 AS BIGINT),
+                         MIN(p) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING)) AS cusum
+        FROM pfx
+    )
+    SELECT event_type, event_id, CAST(cusum AS BIGINT) AS cusum
+    FROM s WHERE cusum > {_CUSUM_STREAM_H}
+    """,
+    tags=("streaming", "stateful", "anomaly"),
+    doc="Streaming one-sided CUSUM drift alarms "
+    "(applyInPandasWithState): per-event-type GroupState holds a "
+    "single bigint S; each event updates S = max(0, S + (value_centi "
+    "- mu0)) against the GIVEN in-control target and is emitted when "
+    "S crosses the threshold — classic SPC, and the streamable "
+    "counterpart of the batch cusum_changepoint scan (whose window "
+    "closed form S = P - min(0, running_min(P)) is this query's "
+    "oracle; exact integers make the parity bit-for-bit over the "
+    "bounded source). State is O(1) per series — the smallest "
+    "possible stateful operator — keyed by the series id like every "
+    "other per-key stream stage.",
+)
+def stream_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import cusum_alarm_stream
+
+    return cusum_alarm_stream(spark, sf_dir)

@@ -510,3 +510,72 @@ def ewma_anomaly_stream(
         finally:
             q.stop()
     return spark.table(name)
+
+
+def cusum_alarm_stream(
+    spark: SparkSession, sf_dir: str, shuffle_partitions: int | None = 8
+) -> DataFrame:
+    """Streaming one-sided CUSUM drift alarms: the stateful twin of the
+    batch ``cusum_changepoint`` kernel, at event granularity against a
+    GIVEN in-control target (classic SPC: mu0 and the alarm threshold
+    are parameters, not data-derived — that is what makes the scan
+    streamable with O(1) state). Per-event-type GroupState holds ONE
+    bigint (the running S); each arriving event updates
+    S = max(0, S + (value_centi - mu0)) and is emitted when S exceeds
+    the threshold.
+
+    Exact integer centi-units end to end, so over the bounded test
+    source (one availableNow batch, rows sorted (ts, event_id) per
+    group) the output equals the batch closed form
+    S_t = P_t - min(0, running_min(P)) — the oracle — bit for bit."""
+    import uuid
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..queries.streamops import _CUSUM_STREAM_H, _CUSUM_STREAM_MU
+
+    stream = _events_stream(spark, sf_dir)
+
+    def score(key, pdfs, state: GroupState):
+        s = state.get[0] if state.exists else 0
+        rows = {"event_type": [], "event_id": [], "cusum": []}
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for eid, v in zip(pdf["event_id"], pdf["value"]):
+            vc = int(
+                Decimal(repr(float(v))).quantize(
+                    Decimal("0.01"), rounding=ROUND_HALF_UP
+                )
+                * 100
+            )
+            s = max(0, s + (vc - _CUSUM_STREAM_MU))
+            if s > _CUSUM_STREAM_H:
+                rows["event_type"].append(key[0])
+                rows["event_id"].append(int(eid))
+                rows["cusum"].append(s)
+        state.update((s,))
+        yield pd.DataFrame(rows)
+
+    out = stream.groupBy("event_type").applyInPandasWithState(
+        score,
+        outputStructType="event_type string, event_id long, cusum long",
+        stateStructType="s long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"cusum_out_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name)

@@ -485,3 +485,41 @@ def test_ann_eval_consistent_with_its_inputs(spark):
         want_rank = a_ids.index(nn) + 1 if nn in a_ids else 0
         assert r.nn_rank == want_rank
         assert r.mrr_ppm == (1_000_000 // want_rank if want_rank else 0)
+
+
+def test_stream_cusum_equals_python_recursion(spark):
+    """The stateful stream must emit exactly the alarm set the literal
+    per-type CUSUM recursion produces over the (ts, event_id)-ordered
+    event stream, with identical S values."""
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from etl_energy_tracker_spark.queries.streamops import (
+        _CUSUM_STREAM_H,
+        _CUSUM_STREAM_MU,
+        stream_cusum_alarm,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_type = defaultdict(list)
+    for e in events:
+        vc = int(
+            Decimal(repr(e.value)).quantize(
+                Decimal("0.01"), rounding=ROUND_HALF_UP
+            )
+            * 100
+        )
+        by_type[e.event_type].append((e.ts, e.event_id, vc))
+    expected = {}
+    for et, rows in by_type.items():
+        s = 0
+        for _, eid, vc in sorted(rows):
+            s = max(0, s + (vc - _CUSUM_STREAM_MU))
+            if s > _CUSUM_STREAM_H:
+                expected[eid] = (et, s)
+
+    got = {
+        r.event_id: (r.event_type, r.cusum)
+        for r in stream_cusum_alarm(spark, SF_DIR).collect()
+    }
+    assert got == expected
+    assert expected, "threshold must actually fire on the fixture"

@@ -31,7 +31,7 @@ from etl_energy_tracker_spark.session import get_spark  # noqa: E402
 _STREAMING = {
     "streaming_hourly_agg", "stateful_user_totals", "stream_stream_join",
     "session_window_agg", "stream_dedup", "stream_funnel_stage",
-    "stream_topk_trending", "stream_ewma_anomaly",
+    "stream_topk_trending", "stream_ewma_anomaly", "stream_cusum_alarm",
 }
 
 
