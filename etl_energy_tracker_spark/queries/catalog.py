@@ -142,25 +142,42 @@ _R4_VERIFIED: frozenset[str] = frozenset({
     "zorder_layout_stats",
 })
 
+# Queries driver-verified green in CORRECTNESS_r05.json (50/50 green
+# on the final r5 commit). This run cleared the whole r4 backlog: the
+# 3 _REVERIFY names (inverted_index_postings reshape, semdedup_prune
+# repartition, url_canonicalize_dedup idempotence fix), the 32
+# never-checked r4 additions, and 15 of the 21 r5 additions.
+_R5_VERIFIED: frozenset[str] = frozenset({
+    "attribution_u_shaped", "bpe_encode_corpus", "bpe_train_merges",
+    "bucketed_join_noshuffle", "chat_turns_assemble",
+    "collocation_lift_topk", "concurrent_intervals_peak",
+    "content_defined_chunks", "dataset_snapshot_diff",
+    "dedup_cluster_report", "delta_encode_postings",
+    "dq_expectations_report", "embedding_centroid_shift",
+    "entity_resolution_golden", "event_pattern_match",
+    "event_transition_matrix", "ewma_anomaly", "grid_gap_interpolation",
+    "hard_negative_mining", "histogram_quantile_estimate",
+    "hopping_window_agg", "hybrid_rrf_fusion", "incremental_minhash_dedup",
+    "inverted_index_postings", "jaccard_knn_topk", "kcore_decomposition",
+    "key_skew_report", "lsh_recall_eval", "ngram_novelty_score",
+    "normalized_exact_dedup", "pareto_frontier", "phrase_match_count",
+    "prefix_filter_jaccard_join", "priority_sample_weighted",
+    "reservoir_group_sample", "rfm_segmentation", "seasonal_naive_backtest",
+    "semdedup_prune", "sequence_support_topk", "span_corruption_pairs",
+    "stream_ewma_anomaly", "stream_topk_trending",
+    "temperature_mixture_sample", "time_to_convert_cohorts",
+    "time_weighted_average", "triangle_count", "url_canonicalize_dedup",
+    "value_outlier_mad", "vocab_oov_coverage", "winsorized_robust_stats",
+})
+
 # Queries whose Spark implementation changed AFTER their last green
 # driver CORRECTNESS row (VERDICT r3 "What's wrong" §1: a green row on
 # old code is not a green row on current code). These are pulled back
 # out of the verified-emit-last set and emitted FIRST so the capped
 # (~50/round) driver run re-checks the current code.
-# r5: inverted_index_postings — output reshaped (array -> comma-joined
-# string) so the driver canonicalizer can hash it; never had a
-# comparable row. semdedup_prune — r4 green, but r5 added an input
-# repartition (result-neutral parallelism fix; re-verify per the
-# changed-impl standard).
-# url_canonicalize_dedup — r4 green; r5 merged the trailing-junk strip
-# into one fixed-point rule ([?/]+$) after hypothesis found the old
-# "\\?$ then /+$" pair non-idempotent on "??" tails (same output on
-# the fixture corpus, but the kernel changed).
-_REVERIFY: tuple[str, ...] = (
-    "inverted_index_postings",
-    "semdedup_prune",
-    "url_canonicalize_dedup",
-)
+# r6: empty at round start — the r5 run re-verified all three r5
+# entries. Add names here in the same commit as any impl change.
+_REVERIFY: tuple[str, ...] = ()
 
 # Hint-only / result-neutral physical changes (broadcast-hint
 # removal; explode -> explode_outer + notnull with an input
@@ -214,40 +231,15 @@ _R3_VERIFIED: frozenset[str] = frozenset({
 })
 
 # Within the unverified set, emit first the re-verification queue
-# (impl changed after the last green driver row), then the 32 entries
-# that have never received a driver CORRECTNESS row (late-r4
-# additions — the r04 capped run's 50 slots went to the then-current
-# _PRIORITY head), then the 11 round-5 additions, then the
-# belt-and-braces hint-only TPC-H tail. 3 + 32 + 11 = 46 must-check
-# entries fit the ~50/round cap; the last ~4 hint-only re-verifies
-# (result provably unchanged) spill to round 6 — by design, they are
-# the only acceptable spill.
+# (impl changed after the last green driver row), then the 6 late-r5
+# additions that spilled past the r5 run's 50-cap (never
+# driver-checked), then new r6 operators (appended as they land), then
+# the belt-and-braces hint-only tail (23 names whose r5 physical
+# changes are provably result-neutral and which re-passed the local
+# sf0.01 matrix — queued last by design). 6 + new + 23 must stay ≤ ~50
+# so round 6 clears the ENTIRE backlog.
 _PRIORITY: tuple[str, ...] = _REVERIFY + (
-    # never driver-checked (r4 additions the r04 run didn't reach),
-    # riskiest first: multi-stage pipelines and stateful/iterative ops
-    # before scalar kernels
-    "lsh_recall_eval", "incremental_minhash_dedup", "triangle_count",
-    "hybrid_rrf_fusion", "bpe_train_merges", "hard_negative_mining",
-    "attribution_u_shaped", "time_to_convert_cohorts",
-    "entity_resolution_golden", "event_transition_matrix",
-    "grid_gap_interpolation", "dataset_snapshot_diff",
-    "stream_topk_trending", "stream_ewma_anomaly", "ewma_anomaly",
-    "hopping_window_agg", "event_pattern_match", "sequence_support_topk",
-    "seasonal_naive_backtest", "histogram_quantile_estimate",
-    "value_outlier_mad", "temperature_mixture_sample",
-    "span_corruption_pairs", "chat_turns_assemble",
-    "content_defined_chunks", "rfm_segmentation", "vocab_oov_coverage",
-    "collocation_lift_topk", "normalized_exact_dedup",
-    "phrase_match_count", "dq_expectations_report", "pareto_frontier",
-    # r5 additions (never driver-checked; ahead of the hint-only tail
-    # because those re-verifications are provably result-neutral)
-    "jaccard_knn_topk", "dedup_cluster_report", "time_weighted_average",
-    "delta_encode_postings", "ngram_novelty_score",
-    "reservoir_group_sample", "winsorized_robust_stats",
-    "embedding_centroid_shift", "bucketed_join_noshuffle",
-    "concurrent_intervals_peak", "key_skew_report",
-    "bpe_encode_corpus", "kcore_decomposition",
-    "prefix_filter_jaccard_join", "priority_sample_weighted",
+    # never driver-checked (r5 additions past the 50-cap)
     "greedy_max_coverage", "ohlc_bars_hourly", "table_checksum_diff",
     "cusum_changepoint", "ann_recall_mrr_eval", "stream_cusum_alarm",
 ) + _REVERIFY_HINT_ONLY
@@ -255,7 +247,9 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
 
 def _ordered() -> list[str]:
     names = list(CATALOG)
-    verified = (_R1_VERIFIED | _R3_VERIFIED | _R4_VERIFIED) - set(_PRIORITY)
+    verified = (
+        _R1_VERIFIED | _R3_VERIFIED | _R4_VERIFIED | _R5_VERIFIED
+    ) - set(_PRIORITY)
     rank = {n: i for i, n in enumerate(_PRIORITY)}
     unverified = sorted(
         (n for n in names if n not in verified),
