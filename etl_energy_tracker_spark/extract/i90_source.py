@@ -117,10 +117,16 @@ def read_excel_grid(content: bytes, sheet: str) -> list[list]:
     exotic (e.g. .xlsb)."""
     if bytes(content[:2]) == b"PK":  # zip magic: .xlsx
         return read_xlsx_grid(content, sheet)
+    biff_err: Exception | None = None
     if bytes(content[:8]) == b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":  # OLE2: .xls
-        from .xls_biff import read_xls_grid
+        from .xls_biff import UnsupportedBiffError, read_xls_grid
 
-        return read_xls_grid(content, sheet)
+        try:
+            return read_xls_grid(content, sheet)
+        except UnsupportedBiffError as e:
+            # pre-Excel-97 BIFF5 and older: not the BIFF8 layout the
+            # native parser speaks — fall through to pandas if present.
+            biff_err = e
     try:
         import io
 
@@ -128,9 +134,9 @@ def read_excel_grid(content: bytes, sheet: str) -> list[list]:
         import pandas as pd
     except ImportError as e:
         raise NotImplementedError(
-            "unrecognized Excel container (not .xlsx zip / .xls OLE2); "
+            "unrecognized Excel container (not .xlsx zip / BIFF8 .xls); "
             "install openpyxl/pandas for exotic formats"
-        ) from e
+        ) from (biff_err or e)
     pdf = pd.read_excel(io.BytesIO(content), sheet_name=sheet, header=None)
     return pdf.values.tolist()
 

@@ -69,7 +69,11 @@ def _cfb_stream(content: bytes, names: tuple[str, ...]) -> bytes:
     (n_difat,) = struct.unpack_from("<I", content, 72)
 
     def sector(n: int) -> bytes:
-        off = 512 + n * sect_size
+        # MS-CFB: sector n starts at (n + 1) * sector_size — the header
+        # occupies sector "-1". Equals 512 + n*512 for version-3 files,
+        # but version-4 files (4096-byte sectors) still have a 512-byte
+        # header followed by the first sector at offset 4096.
+        off = (n + 1) * sect_size
         return content[off : off + sect_size]
 
     # FAT sector list: 109 ids in the header DIFAT + chained DIFAT sectors
@@ -253,11 +257,31 @@ def _short_unicode(data: bytes, pos: int) -> tuple[str, int]:
     return data[pos : pos + cch].decode("latin-1"), pos + cch
 
 
+class UnsupportedBiffError(ValueError):
+    """The workbook stream is not BIFF8 (pre-Excel-97 BIFF5 and older
+    use byte-string BOUNDSHEET/LABEL records this parser does not
+    speak). Callers catch this to fall back to openpyxl/pandas."""
+
+
 def read_xls_grid(content: bytes, sheet: str) -> list[list]:
     """BIFF8 ``.xls`` bytes → row grid (same contract as
     ``read_xlsx_grid``): numbers as float/int, SST strings resolved,
     absent cells ``None``, rows padded rectangular."""
     stream = _cfb_stream(content, ("Workbook", "Book"))
+
+    # Dispatch on the workbook-globals BOF version: only BIFF8
+    # (vers == 0x0600) uses the unicode record layouts below. BIFF5
+    # ('Book' stream, vers 0x0500) and older must go to the pandas
+    # fallback rather than silently misparse.
+    if len(stream) < 6:
+        raise UnsupportedBiffError("workbook stream too short for BOF")
+    bof_opcode, _bof_len, bof_vers = struct.unpack_from("<HHH", stream, 0)
+    if bof_opcode != 0x0809 or bof_vers != 0x0600:
+        raise UnsupportedBiffError(
+            f"not a BIFF8 workbook (BOF opcode=0x{bof_opcode:04x}, "
+            f"vers=0x{bof_vers:04x}); pre-Excel-97 .xls needs the "
+            "openpyxl/pandas fallback"
+        )
 
     # ---- globals substream: sheet directory + shared strings
     sheets: list[tuple[str, int]] = []  # (name, substream offset)

@@ -175,9 +175,14 @@ _R5_VERIFIED: frozenset[str] = frozenset({
 # old code is not a green row on current code). These are pulled back
 # out of the verified-emit-last set and emitted FIRST so the capped
 # (~50/round) driver run re-checks the current code.
-# r6: empty at round start — the r5 run re-verified all three r5
-# entries. Add names here in the same commit as any impl change.
-_REVERIFY: tuple[str, ...] = ()
+# r6: jaccard_knn_topk — oracle now ranks/thresholds on the UNROUNDED
+# jaccard (ADVICE r5: a <5e-7 tie could flip top-k between engines);
+# bucketed_join_noshuffle — per-run table names + age-gated warehouse
+# sweep (ADVICE r5 concurrency clobber).
+_REVERIFY: tuple[str, ...] = (
+    "jaccard_knn_topk",
+    "bucketed_join_noshuffle",
+)
 
 # Hint-only / result-neutral physical changes (broadcast-hint
 # removal; explode -> explode_outer + notnull with an input

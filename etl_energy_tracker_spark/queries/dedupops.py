@@ -48,8 +48,19 @@ def _duck_sig(k: int) -> str:
 
 
 def _duck_lsh_pairs(
-    k: int, bands: int, max_bucket: int | None = None, threshold: float = 0.5
+    k: int,
+    bands: int,
+    max_bucket: int | None = None,
+    threshold: float = 0.5,
+    round_jaccard: bool = True,
 ) -> str:
+    """``round_jaccard=False`` emits the exact unrounded ratio (IEEE
+    division of two exact small ints is bit-identical across engines)
+    so downstream ranking/thresholding matches a Spark side that ranks
+    on the unrounded value — two candidates whose Jaccards differ by
+    <5e-7 must not flip order because one engine rounded first. The
+    default keeps the historical rounded column so the other LSH
+    oracles' SQL strings (and their green driver rows) are unchanged."""
     rows = k // bands
     bucket_cap = (
         f"""
@@ -77,10 +88,10 @@ def _duck_lsh_pairs(
     sh AS ({_DUCK_SHINGLES}),
     verified AS (
         SELECT id_a, id_b,
-               ROUND(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2]))
-                     / {k}.0, 6) AS est_jaccard,
-               ROUND(len(list_intersect(ha.shingles, hb.shingles)) * 1.0 /
-                     len(list_distinct(list_concat(ha.shingles, hb.shingles))), 6)
+               {"ROUND(" if round_jaccard else "("}len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2]))
+                     / {k}.0{", 6)" if round_jaccard else ")"} AS est_jaccard,
+               {"ROUND(" if round_jaccard else "("}len(list_intersect(ha.shingles, hb.shingles)) * 1.0 /
+                     len(list_distinct(list_concat(ha.shingles, hb.shingles))){", 6)" if round_jaccard else ")"}
                    AS jaccard
         FROM cand
         JOIN sig sa ON sa.doc_id = id_a
@@ -581,19 +592,24 @@ _KNN_MIN_J = 1e-6  # drop zero-overlap LSH candidates (not neighbors)
 @register(
     "jaccard_knn_topk",
     oracle=f"""
-    WITH pairs AS ({_duck_lsh_pairs(_K, _BANDS, threshold=_KNN_MIN_J)}),
+    WITH pairs AS (
+        {_duck_lsh_pairs(_K, _BANDS, threshold=_KNN_MIN_J, round_jaccard=False)}
+    ),
     sym AS (
         SELECT id_a AS doc_id, id_b AS neighbor_id, jaccard FROM pairs
         UNION ALL
         SELECT id_b AS doc_id, id_a AS neighbor_id, jaccard FROM pairs
     ),
     ranked AS (
+        -- rank + threshold on the UNROUNDED ratio, exactly as the
+        -- Spark side does; round only for display below
         SELECT doc_id, neighbor_id, jaccard,
                row_number() OVER (PARTITION BY doc_id
                    ORDER BY jaccard DESC, neighbor_id) AS rank
         FROM sym
     )
-    SELECT doc_id, neighbor_id, CAST(rank AS INT) AS rank, jaccard
+    SELECT doc_id, neighbor_id, CAST(rank AS INT) AS rank,
+           ROUND(jaccard, 6) AS jaccard
     FROM ranked WHERE rank <= {_KNN_K}
     """,
     tags=("dedup", "text", "topk", "join"),

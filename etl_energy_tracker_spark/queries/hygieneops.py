@@ -644,16 +644,32 @@ _BUCKETS = 8
     "the broadcast threshold.",
 )
 def bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the default in-memory catalog forgets tables between sessions but
-    # the warehouse directory persists, so a fresh session's overwrite
-    # hits LOCATION_ALREADY_EXISTS; drop the catalog entry AND the
-    # leftover location (Hadoop FS API — works on any filesystem)
+    import uuid
+
+    import time
+
+    # Per-run table names (like the streaming memory-sink names in
+    # streaming/jobs.py): two sessions sharing a warehouse (bench +
+    # correctness run) must never drop each other's in-flight bucketed
+    # writes. The in-memory catalog forgets tables between sessions but
+    # the warehouse directory persists, so sweep PRIOR runs' leftover
+    # directories to keep the warehouse bounded — age-gated (>1 h old)
+    # so a concurrent session's live write is never deleted.
+    run = uuid.uuid4().hex[:12]
+    docs_tbl = f"layout_docs_bucketed_{run}"
+    emb_tbl = f"layout_emb_bucketed_{run}"
     warehouse = spark.conf.get("spark.sql.warehouse.dir")
     hadoop_conf = spark.sparkContext._jsc.hadoopConfiguration()
-    for tbl in ("layout_docs_bucketed", "layout_emb_bucketed"):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{warehouse}/{tbl}")
-        jpath.getFileSystem(hadoop_conf).delete(jpath, True)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(warehouse)
+    fs = jpath.getFileSystem(hadoop_conf)
+    cutoff_ms = (time.time() - 3600) * 1000
+    if fs.exists(jpath):
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if name.startswith(
+                ("layout_docs_bucketed", "layout_emb_bucketed")
+            ) and st.getModificationTime() < cutoff_ms:
+                fs.delete(st.getPath(), True)
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "source", "n_chars"
     )
@@ -663,17 +679,17 @@ def bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .bucketBy(_BUCKETS, "doc_id")
         .sortBy("doc_id")
-        .saveAsTable("layout_docs_bucketed")
+        .saveAsTable(docs_tbl)
     )
     (
         emb.write.mode("overwrite")
         .format("parquet")
         .bucketBy(_BUCKETS, "vec_id")
         .sortBy("vec_id")
-        .saveAsTable("layout_emb_bucketed")
+        .saveAsTable(emb_tbl)
     )
-    d = spark.table("layout_docs_bucketed")
-    e = spark.table("layout_emb_bucketed")
+    d = spark.table(docs_tbl)
+    e = spark.table(emb_tbl)
     return (
         d.join(e, d["doc_id"] == e["vec_id"])
         .groupBy("source", "label")

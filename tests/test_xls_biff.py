@@ -365,3 +365,87 @@ def test_xls_roundtrip_property():
         assert all(len(row) == n_cols for row in grid)
 
     run()
+
+
+def build_cfb_v4(stream: bytes) -> bytes:
+    """Version-4 compound file: 4096-byte sectors, 512-byte header
+    padded to one full sector of zeros. Per MS-CFB, sector n starts at
+    (n + 1) * 4096 — the regression target for the offset fix (the old
+    512 + n*sect_size put every v4 sector 3584 bytes early)."""
+    header = bytearray(512)
+    header[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", header, 24, 0x003E)
+    struct.pack_into("<H", header, 26, 0x0004)  # major version 4
+    struct.pack_into("<H", header, 28, 0xFFFE)
+    struct.pack_into("<H", header, 30, 12)  # sector size 4096
+    struct.pack_into("<H", header, 32, 6)
+    struct.pack_into("<I", header, 56, 4096)
+    struct.pack_into("<I", header, 68, FREESECT)
+    struct.pack_into("<I", header, 72, 0)
+    for i in range(109):
+        struct.pack_into("<I", header, 76 + 4 * i, FREESECT)
+
+    def pad4k(b: bytes) -> bytes:
+        n = (len(b) + 4095) // 4096 * 4096
+        return b.ljust(n, b"\x00")
+
+    padded = pad4k(stream)
+    n_sect = len(padded) // 4096
+    fat = [FATSECT, ENDOFCHAIN] + [2 + i + 1 for i in range(n_sect)]
+    fat[-1] = ENDOFCHAIN
+    fat += [FREESECT] * (1024 - len(fat))
+    struct.pack_into("<I", header, 44, 1)  # n FAT sectors
+    struct.pack_into("<I", header, 48, 1)  # first dir sector
+    struct.pack_into("<I", header, 60, ENDOFCHAIN)
+    struct.pack_into("<I", header, 64, 0)
+    struct.pack_into("<I", header, 76, 0)  # DIFAT[0] -> FAT at s0
+    directory = pad4k(
+        _dir_entry("Root Entry", 5, ENDOFCHAIN, 0)
+        + _dir_entry("Workbook", 2, 2, len(stream))
+    )
+    return (
+        bytes(header).ljust(4096, b"\x00")  # header sector padded to 4 KiB
+        + b"".join(struct.pack("<I", s) for s in fat)
+        + directory
+        + padded
+    )
+
+
+def test_read_xls_grid_v4_container():
+    stream = build_workbook_stream([("Hoja", I90_CELLS)])
+    if len(stream) < 4096:  # stay above the mini-stream cutoff
+        stream = stream + b"\x00" * (4096 - len(stream))
+    blob = build_cfb_v4(stream)
+    grid = read_xls_grid(blob, "Hoja")
+    assert grid[0][0] == "Informe I90"
+    assert grid[2][4] == "Total"
+    assert grid[3][3] == 12.5
+
+
+def test_biff5_raises_unsupported_and_falls_back():
+    """A BIFF5 workbook (BOF vers 0x0500) must raise the distinct
+    UnsupportedBiffError — not misparse — and read_excel_grid must
+    route it to the pandas fallback (NotImplementedError when
+    openpyxl/xlrd are absent, never garbage rows)."""
+    import pytest
+
+    from etl_energy_tracker_spark.extract.xls_biff import (
+        UnsupportedBiffError,
+    )
+
+    biff5_stream = (
+        _rec(0x0809, struct.pack("<HHHH", 0x0500, 0x0005, 0, 0))
+        + _rec(0x000A, b"")
+    )
+    blob = build_cfb(biff5_stream + b"\x00" * 4096)
+    with pytest.raises(UnsupportedBiffError):
+        read_xls_grid(blob, "Hoja")
+    try:
+        import openpyxl  # noqa: F401
+
+        have_fallback = True
+    except ImportError:
+        have_fallback = False
+    if not have_fallback:
+        with pytest.raises(NotImplementedError):
+            read_excel_grid(blob, "Hoja")
