@@ -131,6 +131,17 @@ EXTRA = [
     "cusum_changepoint",
     "ann_recall_mrr_eval",
     "stream_cusum_alarm",
+    # r6 additions
+    "boilerplate_line_removal",
+    "lsh_edit_distance_verify",
+    "leakage_safe_split",
+    "hashed_linear_classifier",
+    "pq_quantize_stats",
+    "image_bucket_batching",
+    "k_anonymity_report",
+    "seasonal_decompose_ma",
+    "tokenizer_fertility_report",
+    "stream_scd1_upsert",
 ]
 
 

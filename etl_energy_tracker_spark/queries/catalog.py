@@ -69,6 +69,7 @@ def _load_all() -> None:
     from . import searchops  # noqa: F401
     from . import cdcops  # noqa: F401
     from . import webprep  # noqa: F401
+    from . import prepops  # noqa: F401
 
 
 # Queries already driver-verified green in CORRECTNESS_r01.json or
@@ -247,6 +248,12 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # never driver-checked (r5 additions past the 50-cap)
     "greedy_max_coverage", "ohlc_bars_hourly", "table_checksum_diff",
     "cusum_changepoint", "ann_recall_mrr_eval", "stream_cusum_alarm",
+    # r6 additions (never driver-checked), riskiest first
+    "leakage_safe_split", "tokenizer_fertility_report",
+    "pq_quantize_stats", "lsh_edit_distance_verify",
+    "boilerplate_line_removal", "seasonal_decompose_ma",
+    "hashed_linear_classifier", "image_bucket_batching",
+    "k_anonymity_report", "stream_scd1_upsert",
 ) + _REVERIFY_HINT_ONLY
 
 

@@ -1,0 +1,807 @@
+"""Round-6 training-data-pipeline operators.
+
+Ten further first-class stages a production pre-training corpus
+pipeline runs, each oracle-checked and integer-exact wherever a float
+could diverge between engines:
+
+- ``boilerplate_line_removal`` — RefinedWeb/CCNet-style boilerplate
+  strip: token chunks frequent within a *source* (nav bars, footers)
+  removed from every doc, keep-report + cleaned-text hash.
+- ``lsh_edit_distance_verify`` — the verification stage after LSH
+  candidate generation done with edit distance instead of Jaccard:
+  exact Levenshtein similarity (built-in on both engines) over the
+  banded-MinHash candidate stream.
+- ``leakage_safe_split`` — dedup-aware train/val/test split: every
+  near-dup *cluster* lands in one split (hash of the cluster label,
+  not the doc id), closing the train/test contamination hole a
+  doc-level split leaves open.
+- ``hashed_linear_classifier`` — fasttext-shaped linear classifier
+  inference at corpus scale: feature-hashed bag of words against a
+  fixed integer weight table, exact integer score.
+- ``pq_quantize_stats`` — product quantization (8 sub-spaces x 16
+  codewords) of the embedding column: per-vector PQ codes + exact
+  quantization error, the memory-bound ANN compression step.
+- ``image_bucket_batching`` — NaViT-style aspect-ratio bucketing and
+  greedy token-budget batch packing over (width, height) metadata.
+- ``k_anonymity_report`` — privacy DQ gate: rows in quasi-identifier
+  groups smaller than k, for several k.
+- ``seasonal_decompose_ma`` — classical seasonal decomposition
+  (centered-MA trend, hour-of-day seasonal, remainder) in exact
+  micro-unit integer arithmetic.
+- ``tokenizer_fertility_report`` — per-language fertility
+  (tokens/word) and compression (chars/token) of the trained BPE
+  tokenizer, the go/no-go report before freezing a vocab.
+- ``quantile_normalize_per_source`` is NOT here: rank/percentile
+  shapes are already covered (ntile_quartiles,
+  percentile_distinct_stats).
+
+Engine-parity notes: integer division truncates toward zero on BOTH
+engines (Spark ``DIV``, DuckDB ``//`` — probed, -7/2 = -3 on both), so
+micro-unit ratios need no offset trick even when negative. Float
+sums are either avoided (integer micro-units) or folded in a fixed
+order on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duckdb_charhash, spark_charhash
+from ..sources.registry import load_table
+from .catalog import register
+
+# ------------------------------------------- boilerplate line removal
+
+_BL_CHUNK = 2  # tokens per pseudo-line (synthetic docs have no \n)
+
+_BL_SPARK_CHUNKS = (
+    f"transform(sequence(0, cast(ceil(size(tokens) / {_BL_CHUNK}.0) as int) - 1), "
+    f"j -> concat_ws(' ', slice(tokens, j * {_BL_CHUNK} + 1, {_BL_CHUNK})))"
+)
+
+
+@register(
+    "boilerplate_line_removal",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, source, j,
+               list_aggregate(t[CAST(j * {_BL_CHUNK} + 1 AS INT):
+                                CAST(j * {_BL_CHUNK} + {_BL_CHUNK} AS INT)],
+                              'string_agg', ' ') AS c
+        FROM toks, LATERAL (
+            SELECT unnest(range(0,
+                CAST(ceil(len(t) / {_BL_CHUNK}.0) AS BIGINT))) AS j)
+    ),
+    src_docs AS (
+        SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM chunks
+        GROUP BY source
+    ),
+    freq AS (
+        SELECT source, c, COUNT(DISTINCT doc_id) AS nd FROM chunks
+        GROUP BY source, c
+    ),
+    boiler AS (
+        SELECT f.source, f.c
+        FROM freq f JOIN src_docs s ON s.source = f.source
+        WHERE f.nd >= 2 AND f.nd * 10 >= s.n_docs
+    ),
+    tagged AS (
+        SELECT ch.doc_id, ch.j, ch.c,
+               b.c IS NOT NULL AS is_boiler
+        FROM chunks ch
+        LEFT JOIN boiler b ON b.source = ch.source AND b.c = ch.c
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_removed,
+           {duckdb_charhash(
+               "COALESCE(string_agg(CASE WHEN NOT is_boiler THEN c END, "
+               "' ' ORDER BY j), '')"
+           )} AS cleaned_hash
+    FROM tagged GROUP BY doc_id
+    """,
+    tags=("text", "corpus", "dedup"),
+    doc="Boilerplate line removal, the RefinedWeb/CCNet web-prep stage: "
+    "a token chunk ('line' stand-in — synthetic docs have no newlines) "
+    "is boilerplate when it appears in >= 10% (and >= 2) of the "
+    "documents of its SOURCE — nav bars and footers repeat within a "
+    "site, not across the web. Differs from cross_doc_paragraph_dedup "
+    "(keep-first global dedup): this is frequency-thresholded per "
+    "group, the other keeps one global copy. Scale: the frequency "
+    "table is (source, chunk)-keyed and df-bounded; the join back is "
+    "shuffle-on-chunk-key with map-side combine — no all-pairs stage, "
+    "no corpus-sized broadcast. Ref parity: beyond-reference LLM op.",
+)
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    ch = (
+        docs.select(
+            "doc_id", "source", F.split(F.trim("text"), r"\s+").alias("tokens")
+        )
+        .withColumn("chunks", F.expr(_BL_SPARK_CHUNKS))
+        .select(
+            "doc_id", "source", F.posexplode_outer("chunks").alias("j", "c")
+        )
+        .where(F.col("c").isNotNull())
+    )
+    src_docs = ch.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    freq = ch.groupBy("source", "c").agg(F.countDistinct("doc_id").alias("nd"))
+    boiler = (
+        freq.join(src_docs, "source")
+        .where((F.col("nd") >= 2) & (F.col("nd") * 10 >= F.col("n_docs")))
+        .select("source", "c", F.lit(True).alias("is_boiler"))
+    )
+    tagged = ch.join(boiler, ["source", "c"], "left").withColumn(
+        "is_boiler", F.coalesce("is_boiler", F.lit(False))
+    )
+    kept_struct = F.when(~F.col("is_boiler"), F.struct("j", "c"))
+    agg = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x.getField("c"),
+            ),
+        ).alias("_cleaned"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_chunks",
+        "n_removed",
+        F.expr(spark_charhash("_cleaned")).alias("cleaned_hash"),
+    )
+
+
+# -------------------------------------- edit-distance LSH verification
+
+# similarity floor: keep pairs whose Levenshtein similarity
+# (1 - lev/maxlen) is >= 30% — integer cross-multiplied, no floats.
+_ED_SIM_PCT = 30
+
+
+def _ed_oracle() -> str:
+    from .dedupops import _BANDS, _K, _KNN_MIN_J, _duck_lsh_pairs
+
+    return f"""
+    WITH pairs AS (
+        {_duck_lsh_pairs(_K, _BANDS, threshold=_KNN_MIN_J, round_jaccard=False)}
+    ),
+    verified AS (
+        SELECT id_a, id_b,
+               levenshtein(da.text, db.text) AS lev,
+               length(da.text) AS len_a, length(db.text) AS len_b
+        FROM pairs
+        JOIN documents da ON da.doc_id = id_a
+        JOIN documents db ON db.doc_id = id_b
+    )
+    SELECT id_a, id_b, CAST(lev AS BIGINT) AS lev, len_a, len_b,
+           (GREATEST(len_a, len_b) - lev) * 100
+               // GREATEST(len_a, len_b) AS sim_pct
+    FROM verified
+    WHERE (GREATEST(len_a, len_b) - lev) * 100
+          >= {_ED_SIM_PCT} * GREATEST(len_a, len_b)
+    """
+
+
+@register(
+    "lsh_edit_distance_verify",
+    oracle=_ed_oracle(),
+    tags=("dedup", "text", "join"),
+    doc="Edit-distance verification of MinHash-LSH candidates: the "
+    "same banded candidate generation as the dedup path, but the "
+    "verify stage computes exact Levenshtein similarity (both engines' "
+    "built-in, JVM-side on Spark — no Python in the hot path) and "
+    "keeps pairs >= 30% similar. The character-level complement to "
+    "Jaccard verification: catches near-dups that token shingles "
+    "miss (char-level edits inside tokens). Scale: candidate pairs "
+    "are LSH-bucket-bounded, never O(n^2); Levenshtein runs only on "
+    "the candidate stream; text join is two hash joins on doc_id.",
+)
+def lsh_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+    from .dedupops import _BANDS, _K, _KNN_MIN_J
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=_KNN_MIN_J, k=_K, bands=_BANDS
+    ).select("id_a", "id_b")
+    da = docs.select(
+        F.col("doc_id").alias("id_a"), F.col("text").alias("_ta")
+    )
+    db = docs.select(
+        F.col("doc_id").alias("id_b"), F.col("text").alias("_tb")
+    )
+    v = (
+        pairs.join(da, "id_a")
+        .join(db, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("_ta", "_tb").cast("long").alias("lev"),
+            F.length("_ta").cast("long").alias("len_a"),
+            F.length("_tb").cast("long").alias("len_b"),
+        )
+    )
+    mx = F.greatest("len_a", "len_b")
+    return v.where((mx - F.col("lev")) * 100 >= _ED_SIM_PCT * mx).select(
+        "id_a",
+        "id_b",
+        "lev",
+        "len_a",
+        "len_b",
+        F.expr(
+            "(GREATEST(len_a, len_b) - lev) * 100 DIV GREATEST(len_a, len_b)"
+        ).alias("sim_pct"),
+    )
+
+
+# ------------------------------------------------- leakage-safe split
+
+_LS_BUCKET_SPARK = f"{spark_charhash('cast(component as string)')} % 100"
+_LS_BUCKET_DUCK = f"{duckdb_charhash('CAST(component AS VARCHAR)')} % 100"
+
+
+def _ls_oracle() -> str:
+    from .dedupops import _JACCARD_EDGES_SQL
+
+    return f"""
+    WITH RECURSIVE {_JACCARD_EDGES_SQL.strip().removeprefix("WITH")},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM jac
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM jac
+    ),
+    reach AS (
+        SELECT a AS node, a AS lab FROM edges
+        UNION
+        SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+    assigned AS (
+        SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id, component,
+           CASE WHEN {_LS_BUCKET_DUCK} < 90 THEN 'train'
+                WHEN {_LS_BUCKET_DUCK} < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
+    """
+
+
+@register(
+    "leakage_safe_split",
+    oracle=_ls_oracle(),
+    tags=("corpus", "dedup", "iterative"),
+    doc="Dedup-aware train/val/test split: documents are first "
+    "resolved into near-dup components (the connected-components "
+    "labeling of the Jaccard>=0.5 pair graph; singletons are their "
+    "own component), then the 90/5/5 split key is the portable hash "
+    "of the COMPONENT label — so two near-duplicate documents can "
+    "never straddle train and test. This closes the contamination "
+    "hole a doc-id split leaves open (Lee et al. 2022: duplicated "
+    "text inflates eval). Scale: component labeling is the existing "
+    "log-diameter label propagation; the split itself is map-only.",
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedupops import near_dup_clusters
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    comp = near_dup_clusters(spark, sf_dir).select(
+        F.col("doc_id").alias("_cd"), "component"
+    )
+    assigned = docs.join(
+        comp, docs["doc_id"] == comp["_cd"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("component"),
+    )
+    bucket = F.expr(_LS_BUCKET_SPARK)
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return assigned.select("doc_id", "component", split.alias("split"))
+
+
+# ------------------------------------------ hashed linear classifier
+
+_HLC_BUCKETS = 64
+# fixed integer weight table: w(b) = ((b * 2654435761) % 1000003) % 2001 - 1000
+_HLC_W_SPARK = (
+    f"CAST((({spark_charhash('tok')} % {_HLC_BUCKETS}) * 2654435761) "
+    f"% 1000003 % 2001 - 1000 AS BIGINT)"
+)
+_HLC_W_DUCK = (
+    f"CAST((({duckdb_charhash('tok')} % {_HLC_BUCKETS}) * 2654435761) "
+    f"% 1000003 % 2001 - 1000 AS BIGINT)"
+)
+
+
+@register(
+    "hashed_linear_classifier",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM({_HLC_W_DUCK}) AS BIGINT) AS score,
+           CAST(SUM({_HLC_W_DUCK}) AS BIGINT) > 0 AS positive
+    FROM toks GROUP BY doc_id
+    """,
+    tags=("text", "corpus", "ml"),
+    doc="Linear classifier inference at corpus scale (the fasttext "
+    "quality-classifier shape used by CCNet/LLaMA data prep): each "
+    "token feature-hashes into one of 64 buckets; a fixed integer "
+    "weight table scores the bag of words; sign decides the label. "
+    "Weights are a deterministic function of the bucket so the "
+    "operator is self-contained — swapping in trained weights is a "
+    "broadcast-join away. Exact integer arithmetic end to end. "
+    "Scale: explode + map-side-combinable sum, one shuffle on doc_id; "
+    "the weight table is O(buckets) regardless of corpus size.",
+)
+def hashed_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    w = F.expr(_HLC_W_SPARK)
+    return toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(w).cast("long").alias("score"),
+        (F.sum(w) > 0).alias("positive"),
+    )
+
+
+# ------------------------------------------------ product quantization
+
+_PQ_M = 8  # sub-spaces
+_PQ_DSUB = 8  # dims per sub-space (8 x 8 = 64-d embeddings)
+_PQ_K = 16  # codewords per sub-space (vec_id 0..15 as fixed codebook)
+
+
+def _pq_dist_spark(j: int) -> str:
+    terms = []
+    for d in range(_PQ_DSUB):
+        i = j * _PQ_DSUB + d + 1
+        terms.append(
+            f"(CAST(element_at(embedding, {i}) AS DOUBLE) - "
+            f"CAST(element_at(cv, {i}) AS DOUBLE)) * "
+            f"(CAST(element_at(embedding, {i}) AS DOUBLE) - "
+            f"CAST(element_at(cv, {i}) AS DOUBLE))"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_dist_duck(j: int) -> str:
+    terms = []
+    for d in range(_PQ_DSUB):
+        i = j * _PQ_DSUB + d + 1
+        terms.append(
+            f"(CAST(e.embedding[{i}] AS DOUBLE) - "
+            f"CAST(c.embedding[{i}] AS DOUBLE)) * "
+            f"(CAST(e.embedding[{i}] AS DOUBLE) - "
+            f"CAST(c.embedding[{i}] AS DOUBLE))"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def _pq_oracle() -> str:
+    dist_rows = "\n        UNION ALL ".join(
+        f"SELECT e.vec_id, {j} AS j, c.vec_id AS code, "
+        f"{_pq_dist_duck(j)} AS dist "
+        "FROM embeddings e, codebook c"
+        for j in range(_PQ_M)
+    )
+    return f"""
+    WITH codebook AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_PQ_K}
+    ),
+    dists AS ({dist_rows}),
+    best AS (
+        SELECT vec_id, j, code, dist,
+               row_number() OVER (PARTITION BY vec_id, j
+                   ORDER BY dist, code) AS rn
+        FROM dists
+    )
+    SELECT vec_id,
+           string_agg(CAST(code AS VARCHAR), ',' ORDER BY j) AS codes,
+           CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                    list(dist ORDER BY j)), (acc, x) -> acc + x)
+                * 1000000) AS BIGINT) AS qerr_micro
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """
+
+
+@register(
+    "pq_quantize_stats",
+    oracle=_pq_oracle(),
+    tags=("vector", "ann", "ml"),
+    doc=f"Product quantization of the embedding column ({_PQ_M} "
+    f"sub-spaces x {_PQ_DSUB} dims, {_PQ_K} codewords each, codebook "
+    "= the first 16 vectors as a fixed deterministic stand-in for a "
+    "trained one): per-vector PQ codes plus the exact quantization "
+    "error — the compression step that turns a 256-byte float vector "
+    "into 8 bytes for billion-scale ANN (Jegou et al. 2011). "
+    "Engine parity: squared-distance terms are written out as a fixed "
+    "left-to-right sum of 8 IEEE products (bit-identical on both "
+    "engines); the error fold is ordered by sub-space. Scale: the "
+    "codebook is broadcast (O(K) rows); assignment is map-side over "
+    "the corpus, one shuffle to regroup per vector — at 100 TB the "
+    "cross join is corpus x 16 rows, not corpus x corpus.",
+)
+def pq_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    codebook = emb.where(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), F.col("embedding").alias("cv")
+    )
+    pairs = emb.crossJoin(F.broadcast(codebook))
+    per_j = pairs.select(
+        "vec_id",
+        "code",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_pq_dist_spark(j)).alias("dist"),
+                    )
+                    for j in range(_PQ_M)
+                ]
+            )
+        ).alias("jd"),
+    ).select("vec_id", "code", F.col("jd.j").alias("j"), F.col("jd.dist").alias("dist"))
+    best = (
+        per_j.groupBy("vec_id", "j")
+        .agg(F.min(F.struct("dist", "code")).alias("b"))
+        .select("vec_id", "j", F.col("b.code").alias("code"), F.col("b.dist").alias("dist"))
+    )
+    agg = best.groupBy("vec_id").agg(
+        F.array_sort(F.collect_list(F.struct("j", "code", "dist"))).alias("a")
+    )
+    return agg.select(
+        "vec_id",
+        F.concat_ws(
+            ",", F.transform("a", lambda x: x.getField("code").cast("string"))
+        ).alias("codes"),
+        F.floor(
+            F.aggregate(
+                F.transform("a", lambda x: x.getField("dist")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * 1000000
+        )
+        .cast("long")
+        .alias("qerr_micro"),
+    )
+
+
+# -------------------------------------------- aspect-ratio batching
+
+_IB_BUDGET = 8192  # vision tokens per packed batch
+
+
+@register(
+    "image_bucket_batching",
+    oracle=f"""
+    WITH meta AS (
+        SELECT doc_id,
+               128 + (doc_id * 37 % 9) * 64 AS w,
+               128 + (doc_id * 91 % 9) * 64 AS h
+        FROM documents
+    ),
+    sized AS (
+        SELECT doc_id, w, h,
+               CASE WHEN w * 3 >= h * 4 THEN 'wide'
+                    WHEN h * 3 >= w * 4 THEN 'tall'
+                    ELSE 'square' END AS bucket,
+               (w // 16) * (h // 16) AS n_tokens
+        FROM meta
+    )
+    SELECT doc_id, w, h, bucket, n_tokens,
+           CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) // {_IB_BUDGET} AS BIGINT) AS batch_id
+    FROM sized
+    """,
+    tags=("multimodal", "layout"),
+    doc="NaViT-style aspect-ratio bucketing + token-budget batch "
+    "packing for image training: each image (deterministic synthetic "
+    "width/height metadata derived from doc_id — the real pipeline "
+    "reads these from the decoded header) is classed wide/tall/square "
+    "by integer cross-multiplication, its patch-token count computed "
+    "(16 px patches), and greedily packed into fixed-budget batches "
+    "within its bucket via a running-sum window — mixed aspect ratios "
+    "never share a batch, and no batch exceeds the token budget "
+    "(items larger than the budget get a batch alone). Scale: "
+    "map-only except one window per bucket; at 100 TB the ORDER BY "
+    "doc_id window keys on a pre-sorted layout column, and packing "
+    "runs per-partition-range with AQE-balanced partitions.",
+)
+def image_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).select("doc_id")
+    sized = docs.select(
+        "doc_id",
+        (128 + (F.col("doc_id") * 37 % 9) * 64).alias("w"),
+        (128 + (F.col("doc_id") * 91 % 9) * 64).alias("h"),
+    ).select(
+        "doc_id",
+        "w",
+        "h",
+        F.when(F.col("w") * 3 >= F.col("h") * 4, "wide")
+        .when(F.col("h") * 3 >= F.col("w") * 4, "tall")
+        .otherwise("square")
+        .alias("bucket"),
+        ((F.col("w") / 16).cast("long") * (F.col("h") / 16).cast("long")).alias(
+            "n_tokens"
+        ),
+    )
+    win = (
+        W.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+    return (
+        sized.withColumn("_cb", cum_before)
+        .withColumn("batch_id", F.expr(f"_cb DIV {_IB_BUDGET}"))
+        .drop("_cb")
+    )
+
+
+# ------------------------------------------------ k-anonymity report
+
+_KA_KS = (2, 5, 10)
+
+
+@register(
+    "k_anonymity_report",
+    oracle=f"""
+    WITH sizes AS (
+        SELECT lang, source, n_chars // 100 AS band, COUNT(*) AS cnt
+        FROM documents GROUP BY lang, source, band
+    ),
+    total AS (SELECT COUNT(*) AS n FROM documents),
+    ks(k) AS (VALUES {", ".join(f"({k})" for k in _KA_KS)})
+    SELECT k,
+           CAST((SELECT COUNT(*) FROM sizes WHERE cnt < k) AS BIGINT)
+               AS n_groups_below,
+           CAST((SELECT COALESCE(SUM(cnt), 0) FROM sizes WHERE cnt < k)
+               AS BIGINT) AS n_rows_below,
+           CAST((SELECT COALESCE(SUM(cnt), 0) FROM sizes WHERE cnt < k)
+               * 1000000 // (SELECT n FROM total) AS BIGINT) AS rows_below_ppm
+    FROM ks
+    """,
+    tags=("quality", "privacy", "aggregate"),
+    doc="k-anonymity privacy gate over the quasi-identifier tuple "
+    "(lang, source, n_chars band): for each k in (2, 5, 10), how many "
+    "QI groups — and how many rows — sit in groups smaller than k, "
+    "i.e. are re-identifiable at that k. The release-readiness report "
+    "a privacy review asks for before a corpus ships. Scale: one "
+    "hash aggregate over the QI key (map-side combinable), then a "
+    "3-row summary — the detail table never leaves the executors.",
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sizes = (
+        docs.select(
+            "lang", "source", F.expr("n_chars DIV 100").alias("band")
+        )
+        .groupBy("lang", "source", "band")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = docs.count()
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in _KA_KS])).alias("k")
+    )
+    below = (
+        ks.join(sizes, sizes["cnt"] < ks["k"], "left")
+        .groupBy("k")
+        .agg(
+            F.count("cnt").cast("long").alias("n_groups_below"),
+            F.coalesce(F.sum("cnt"), F.lit(0))
+            .cast("long")
+            .alias("n_rows_below"),
+        )
+    )
+    return below.select(
+        "k",
+        "n_groups_below",
+        "n_rows_below",
+        F.expr(f"n_rows_below * 1000000 DIV {total}").alias("rows_below_ppm"),
+    )
+
+
+# ------------------------------------------- seasonal decomposition
+
+_SD_HALF = 12  # centered MA over 25 hourly points
+
+
+@register(
+    "seasonal_decompose_ma",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+                   AS v_micro
+        FROM events GROUP BY event_type, h
+    ),
+    trended AS (
+        SELECT event_type, h, v_micro,
+               CAST(SUM(v_micro) OVER w // COUNT(*) OVER w AS BIGINT)
+                   AS trend_micro
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN {_SD_HALF} PRECEDING
+                     AND {_SD_HALF} FOLLOWING)
+    ),
+    seasonal AS (
+        SELECT event_type, h, v_micro, trend_micro,
+               CAST(SUM(v_micro - trend_micro) OVER s
+                   // COUNT(*) OVER s AS BIGINT) AS seasonal_micro
+        FROM trended
+        WINDOW s AS (PARTITION BY event_type, hour(h))
+    )
+    SELECT event_type, h, v_micro, trend_micro, seasonal_micro,
+           CAST(v_micro - trend_micro - seasonal_micro AS BIGINT)
+               AS remainder_micro
+    FROM seasonal
+    """,
+    tags=("time", "window", "aggregate"),
+    doc="Classical seasonal decomposition of the hourly event-value "
+    "series: trend = centered 25-point moving average, seasonal = "
+    "hour-of-day mean of the detrended series, remainder = the rest — "
+    "the decomposition behind every 'is this dip seasonal or real' "
+    "dashboard. All in integer micro-units: ROWS-framed window sums "
+    "with integer division (truncating on both engines), so no float "
+    "ever crosses the engine boundary. Scale: two windows per "
+    "event_type partition (fixed ROWS frame — O(n), not the "
+    "shrinking-frame O(n^2) trap) plus one unordered partition "
+    "window; series length per key is time-bounded, not corpus-bound.",
+)
+def seasonal_decompose_ma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    hourly = (
+        events.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("h"),
+            F.expr("CAST(ROUND(value * 1000000) AS BIGINT)").alias("vm"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("vm").cast("long").alias("v_micro"))
+    )
+    wt = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-_SD_HALF, _SD_HALF)
+    )
+    trended = hourly.select(
+        "event_type",
+        "h",
+        "v_micro",
+        (F.sum("v_micro").over(wt)).alias("_ws"),
+        F.count(F.lit(1)).over(wt).alias("_wc"),
+    ).select(
+        "event_type",
+        "h",
+        "v_micro",
+        F.expr("_ws DIV _wc").alias("trend_micro"),
+    )
+    ws = W.partitionBy("event_type", F.hour("h"))
+    seasonal = trended.select(
+        "event_type",
+        "h",
+        "v_micro",
+        "trend_micro",
+        F.sum(F.col("v_micro") - F.col("trend_micro")).over(ws).alias("_ss"),
+        F.count(F.lit(1)).over(ws).alias("_sc"),
+    ).select(
+        "event_type",
+        "h",
+        "v_micro",
+        "trend_micro",
+        F.expr("_ss DIV _sc").alias("seasonal_micro"),
+    )
+    return seasonal.withColumn(
+        "remainder_micro",
+        F.col("v_micro") - F.col("trend_micro") - F.col("seasonal_micro"),
+    )
+
+
+# -------------------------------------- tokenizer fertility report
+
+
+def _tf_oracle() -> str:
+    from .llmprep import _BPE_ROUNDS, _bpe_sym_ctes
+
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_sym_ctes(_BPE_ROUNDS))
+        + f""",
+    langw AS (
+        SELECT lang, tok AS w, COUNT(*) AS cnt
+        FROM (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                  AS tok
+              FROM documents)
+        GROUP BY lang, tok
+    ),
+    joined AS (
+        SELECT l.lang, l.cnt, len(s.s) AS n_sym, length(l.w) AS n_ch
+        FROM langw l JOIN s{_BPE_ROUNDS} s ON s.w = l.w
+    )
+    SELECT lang,
+           CAST(SUM(cnt) AS BIGINT) AS n_words,
+           CAST(SUM(cnt * n_sym) AS BIGINT) AS n_tokens,
+           CAST(SUM(cnt * n_ch) AS BIGINT) AS n_chars,
+           CAST(SUM(cnt * n_sym) * 1000000 // SUM(cnt) AS BIGINT)
+               AS fertility_ppm,
+           CAST(SUM(cnt * n_ch) * 100 // SUM(cnt * n_sym) AS BIGINT)
+               AS chars_per_token_centi
+    FROM joined GROUP BY lang
+    """
+    )
+
+
+@register(
+    "tokenizer_fertility_report",
+    oracle=_tf_oracle(),
+    tags=("text", "corpus", "iterative", "ml"),
+    doc="Tokenizer fertility audit: after the shared BPE merge loop "
+    "(_bpe_train, same four rounds as bpe_train_merges), every "
+    "language's corpus word occurrences are priced in tokens — "
+    "fertility (tokens per word, ppm) and compression (chars per "
+    "token, centi) per language. THE go/no-go report before freezing "
+    "a vocab: a language with 2x fertility pays 2x the context "
+    "budget (Rust et al. 2021). Scale: the corpus reduces to per-"
+    "(lang, word) counts once (one shuffle); the symbol table is "
+    "vocab-bounded; the join is vocab x languages, never corpus-sized.",
+)
+def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .llmprep import _bpe_train
+
+    docs = load_table(spark, "documents", sf_dir)
+    _, syms = _bpe_train(docs)
+    langw = (
+        docs.select(
+            "lang",
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("w"),
+        )
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    joined = langw.join(
+        syms.select("w", F.size("s").alias("n_sym")), "w"
+    ).withColumn("n_ch", F.length("w"))
+    return joined.groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("n_words"),
+        F.sum(F.col("cnt") * F.col("n_sym")).cast("long").alias("n_tokens"),
+        F.sum(F.col("cnt") * F.col("n_ch")).cast("long").alias("n_chars"),
+        F.expr(
+            "CAST(SUM(cnt * n_sym) * 1000000 DIV SUM(cnt) AS BIGINT)"
+        ).alias("fertility_ppm"),
+        F.expr(
+            "CAST(SUM(cnt * n_ch) * 100 DIV SUM(cnt * n_sym) AS BIGINT)"
+        ).alias("chars_per_token_centi"),
+    )

@@ -230,6 +230,40 @@ def stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_scd1_upsert",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_id, value,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ),
+    counts AS (SELECT user_id, COUNT(*) AS n_events FROM events
+               GROUP BY user_id)
+    SELECT r.user_id,
+           r.event_id AS last_event_id,
+           CAST(ROUND(r.value * 100) AS BIGINT) / 100.0 AS last_value,
+           c.n_events
+    FROM ranked r JOIN counts c ON c.user_id = r.user_id
+    WHERE r.rn = 1
+    """,
+    tags=("streaming", "stateful"),
+    doc="Streaming SCD-type-1 upsert (applyInPandasWithState): the "
+    "continuously-maintained current-values dimension — per key, the "
+    "latest (ts, event_id)-ordered value survives, state is one tuple "
+    "per key regardless of stream length, and tie-break on event_id "
+    "makes the snapshot replay-deterministic under any micro-batch "
+    "partitioning. Over a static source the final state equals the "
+    "batch keep-last window — the oracle (value round-tripped "
+    "through the same integer-cents representation the state keeps).",
+)
+def stream_scd1_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import scd1_upsert_stream
+
+    return scd1_upsert_stream(spark, sf_dir)
+
+
+@register(
     "stream_stream_join",
     oracle="""
     SELECT p.user_id,

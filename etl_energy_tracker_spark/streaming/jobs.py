@@ -216,6 +216,88 @@ def stateful_user_totals_stream(
     )
 
 
+def scd1_upsert_stream(
+    spark: SparkSession, sf_dir: str, shuffle_partitions: int | None = 8
+) -> DataFrame:
+    """Streaming SCD-type-1 dimension maintenance: per-key keep-last
+    upsert held in explicit GroupState across micro-batches — the
+    continuously-maintained current-values table every warehouse keeps
+    beside its fact stream. State per key is one (ts_us, event_id,
+    value_cents, n) tuple, so state size is O(keys), independent of
+    stream length; ties on ts break on event_id so replaying the
+    stream in any batch partitioning converges to the same snapshot.
+
+    Driven with availableNow + update-mode memory sink; over a static
+    source the final state equals the batch keep-last — the oracle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("cents"),
+    )
+
+    def upsert(key, pdfs, state: GroupState):
+        ts_us, ev, cents, n = (
+            state.get if state.exists else (-1, -1, 0, 0)
+        )
+        for pdf in pdfs:
+            n += len(pdf)
+            # batch-local argmax by (ts_us, event_id), then compare
+            # with the standing state — order-insensitive across and
+            # within micro-batches
+            row = pdf.sort_values(["ts_us", "event_id"]).iloc[-1]
+            if (int(row.ts_us), int(row.event_id)) > (ts_us, ev):
+                ts_us, ev, cents = (
+                    int(row.ts_us),
+                    int(row.event_id),
+                    int(row.cents),
+                )
+        state.update((ts_us, ev, cents, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "last_event_id": [ev],
+                "last_value": [cents / 100.0],
+                "n_events": [n],
+            }
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        upsert,
+        outputStructType="user_id long, last_event_id long, "
+        "last_value double, n_events long",
+        stateStructType="ts_us long, ev long, cents long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"scd1_out_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    # update mode appends one row per (user, batch); keep the final state
+    from pyspark.sql import Window as W
+
+    res = spark.table(name)
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        res.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def clicks_purchases_join_stream(
     spark: SparkSession, sf_dir: str, shuffle_partitions: int | None = 8
 ) -> DataFrame:

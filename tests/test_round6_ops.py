@@ -1,0 +1,217 @@
+"""Invariant tests for the round-6 operator additions.
+
+The driver's DuckDB-oracle hash compare is the primary gate; these
+pin structural invariants the hash can't express (conservation laws,
+identity decompositions, independent Python recomputations).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from etl_energy_tracker_spark.functions.hashing import MOD
+from etl_energy_tracker_spark.queries.prepops import (
+    _BL_CHUNK,
+    _ED_SIM_PCT,
+    _HLC_BUCKETS,
+    _IB_BUDGET,
+    _KA_KS,
+    _PQ_K,
+    _PQ_M,
+    boilerplate_line_removal,
+    hashed_linear_classifier,
+    image_bucket_batching,
+    k_anonymity_report,
+    leakage_safe_split,
+    lsh_edit_distance_verify,
+    pq_quantize_stats,
+    seasonal_decompose_ma,
+    tokenizer_fertility_report,
+)
+from etl_energy_tracker_spark.queries.streamops import stream_scd1_upsert
+
+from conftest import SF_DIR
+
+
+def _charhash(s: str, seed: int = 7) -> int:
+    h = seed
+    for ch in s:
+        h = (h * 31 + ord(ch)) % MOD
+    return h
+
+
+def _toks(text: str) -> list[str]:
+    return re.split(r"\s+", text.strip(), flags=re.ASCII)
+
+
+def test_boilerplate_conserves_chunks(spark):
+    rows = boilerplate_line_removal(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    expected = {
+        d.doc_id: math.ceil(len(_toks(d.text)) / _BL_CHUNK) for d in docs
+    }
+    got = {r.doc_id: r.n_chunks for r in rows}
+    assert got == expected
+    assert all(0 <= r.n_removed <= r.n_chunks for r in rows)
+    # something IS boilerplate at this vocab size, and not everything
+    assert any(r.n_removed > 0 for r in rows)
+    assert any(r.n_removed < r.n_chunks for r in rows)
+
+
+def test_edit_distance_verify_against_python(spark):
+    rows = lsh_edit_distance_verify(spark, SF_DIR).collect()
+    assert rows
+    texts = {
+        d.doc_id: d.text
+        for d in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[-1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    for r in rows[:5]:
+        assert r.lev == lev(texts[r.id_a], texts[r.id_b])
+    for r in rows:
+        mx = max(r.len_a, r.len_b)
+        assert (mx - r.lev) * 100 >= _ED_SIM_PCT * mx
+        assert r.sim_pct == (mx - r.lev) * 100 // mx
+
+
+def test_leakage_safe_split_cluster_integrity(spark):
+    rows = leakage_safe_split(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n_docs
+    by_comp = defaultdict(set)
+    for r in rows:
+        by_comp[r.component].add(r.split)
+    # the whole point: no component straddles two splits
+    assert all(len(s) == 1 for s in by_comp.values())
+    # and the hash split is the component hash, 90/5/5-shaped
+    splits = defaultdict(int)
+    for r in rows:
+        assert r.split == (
+            "train"
+            if _charhash(str(r.component)) % 100 < 90
+            else ("val" if _charhash(str(r.component)) % 100 < 95 else "test")
+        )
+        splits[r.split] += 1
+    assert splits["train"] > splits["val"] + splits["test"]
+
+
+def test_hashed_linear_classifier_recompute(spark):
+    rows = {
+        r.doc_id: r for r in hashed_linear_classifier(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20).collect()
+    for d in docs:
+        toks = _toks(d.text)
+        score = sum(
+            ((_charhash(t) % _HLC_BUCKETS) * 2654435761) % 1000003 % 2001
+            - 1000
+            for t in toks
+        )
+        r = rows[d.doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.score == score
+        assert r.positive == (score > 0)
+
+
+def test_pq_codes_shape_and_zero_error_on_codebook(spark):
+    rows = pq_quantize_stats(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        codes = [int(c) for c in r.codes.split(",")]
+        assert len(codes) == _PQ_M
+        assert all(0 <= c < _PQ_K for c in codes)
+        assert r.qerr_micro >= 0
+        if r.vec_id < _PQ_K:
+            # a codebook vector quantizes to itself exactly
+            assert codes == [r.vec_id] * _PQ_M
+            assert r.qerr_micro == 0
+
+
+def test_image_batches_respect_budget(spark):
+    rows = image_bucket_batching(spark, SF_DIR).collect()
+    by_batch = defaultdict(list)
+    for r in rows:
+        assert r.w % 16 == 0 and r.h % 16 == 0
+        assert r.n_tokens == (r.w // 16) * (r.h // 16)
+        by_batch[(r.bucket, r.batch_id)].append(r.n_tokens)
+    for (_, batch_id), toks in by_batch.items():
+        assert batch_id >= 0
+        # greedy packing: a batch only exceeds the budget by at most
+        # its final item (the item that tipped the running sum over)
+        assert sum(toks) - max(toks) < _IB_BUDGET
+
+
+def test_k_anonymity_monotone(spark):
+    rows = {r.k: r for r in k_anonymity_report(spark, SF_DIR).collect()}
+    assert set(rows) == set(_KA_KS)
+    ks = sorted(_KA_KS)
+    for a, b in zip(ks, ks[1:]):
+        assert rows[a].n_groups_below <= rows[b].n_groups_below
+        assert rows[a].n_rows_below <= rows[b].n_rows_below
+    total = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    for r in rows.values():
+        assert r.rows_below_ppm == r.n_rows_below * 1_000_000 // total
+
+
+def test_seasonal_decomposition_identity(spark):
+    rows = seasonal_decompose_ma(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r.v_micro
+            == r.trend_micro + r.seasonal_micro + r.remainder_micro
+        )
+    # hour-of-day seasonal is constant within (event_type, hour-of-day)
+    seas = defaultdict(set)
+    for r in rows:
+        seas[(r.event_type, r.h.hour)].add(r.seasonal_micro)
+    assert all(len(v) == 1 for v in seas.values())
+
+
+def test_fertility_bounds(spark):
+    rows = tokenizer_fertility_report(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r.fertility_ppm >= 1_000_000  # >= 1 token per word
+        assert r.n_tokens <= r.n_chars  # every token is >= 1 char
+        assert r.fertility_ppm == r.n_tokens * 1_000_000 // r.n_words
+        assert r.chars_per_token_centi == r.n_chars * 100 // r.n_tokens
+
+
+def test_stream_scd1_matches_batch_keep_last(spark):
+    got = {
+        r.user_id: (r.last_event_id, r.last_value, r.n_events)
+        for r in stream_scd1_upsert(spark, SF_DIR).collect()
+    }
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    last: dict[int, tuple] = {}
+    counts: dict[int, int] = defaultdict(int)
+    for e in events:
+        counts[e.user_id] += 1
+        k = (e.ts, e.event_id)
+        if e.user_id not in last or k > last[e.user_id][0]:
+            last[e.user_id] = (k, e.event_id, e.value)
+    expected = {
+        u: (ev, round(v * 100) / 100.0, counts[u])
+        for u, (_, ev, v) in last.items()
+    }
+    assert got == expected
