@@ -142,6 +142,8 @@ EXTRA = [
     "seasonal_decompose_ma",
     "tokenizer_fertility_report",
     "stream_scd1_upsert",
+    "dsir_importance_weights",
+    "late_arrival_audit",
 ]
 
 

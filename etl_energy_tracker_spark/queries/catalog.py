@@ -254,6 +254,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "boilerplate_line_removal", "seasonal_decompose_ma",
     "hashed_linear_classifier", "image_bucket_batching",
     "k_anonymity_report", "stream_scd1_upsert",
+    "dsir_importance_weights", "late_arrival_audit",
 ) + _REVERIFY_HINT_ONLY
 
 

@@ -173,11 +173,20 @@ _ED_SIM_PCT = 30
 
 
 def _ed_oracle() -> str:
-    from .dedupops import _BANDS, _K, _KNN_MIN_J, _duck_lsh_pairs
+    from .dedupops import _BANDS, _K, _duck_sig
 
+    rows = _K // _BANDS
     return f"""
-    WITH pairs AS (
-        {_duck_lsh_pairs(_K, _BANDS, threshold=_KNN_MIN_J, round_jaccard=False)}
+    WITH sig AS ({_duck_sig(_K)}),
+    banded AS (
+        SELECT doc_id, b,
+               array_to_string(sig[b*{rows}+1 : b*{rows}+{rows}], ',') AS bhash
+        FROM sig, (SELECT unnest(range(0, {_BANDS})) AS b)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, o.doc_id AS id_b
+        FROM banded a JOIN banded o
+          ON a.b = o.b AND a.bhash = o.bhash AND a.doc_id < o.doc_id
     ),
     verified AS (
         SELECT id_a, id_b,
@@ -201,24 +210,31 @@ def _ed_oracle() -> str:
     oracle=_ed_oracle(),
     tags=("dedup", "text", "join"),
     doc="Edit-distance verification of MinHash-LSH candidates: the "
-    "same banded candidate generation as the dedup path, but the "
-    "verify stage computes exact Levenshtein similarity (both engines' "
-    "built-in, JVM-side on Spark — no Python in the hot path) and "
-    "keeps pairs >= 30% similar. The character-level complement to "
-    "Jaccard verification: catches near-dups that token shingles "
-    "miss (char-level edits inside tokens). Scale: candidate pairs "
-    "are LSH-bucket-bounded, never O(n^2); Levenshtein runs only on "
-    "the candidate stream; text join is two hash joins on doc_id.",
+    "same banded candidate generation as the dedup path (candidates "
+    "ONLY — no redundant Jaccard verify; the edit-distance check IS "
+    "this pipeline's verification), then exact Levenshtein similarity "
+    "(both engines' built-in, JVM-side on Spark — no Python in the "
+    "hot path), keeping pairs >= 30% similar. The character-level "
+    "complement to Jaccard verification: catches near-dups that "
+    "token shingles miss (char-level edits inside tokens). Scale: "
+    "candidate pairs are LSH-bucket-bounded, never O(n^2); "
+    "Levenshtein runs only on the candidate stream; text join is two "
+    "hash joins on doc_id.",
 )
 def lsh_edit_distance_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import dedup
-    from .dedupops import _BANDS, _K, _KNN_MIN_J
+    from .dedupops import _BANDS, _K
 
     docs = load_table(spark, "documents", sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
-    pairs = dedup.minhash_dedup_pairs(
-        docs, "doc_id", "text", threshold=_KNN_MIN_J, k=_K, bands=_BANDS
+    # mirror _duck_sig's WHERE len(shingles) > 0 via the equivalent
+    # token-count pre-filter (3-gram shingles exist iff >= 3 tokens)
+    docs = docs.where(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
+    sh = dedup.with_shingles(docs.select("doc_id", "text"), "text")
+    sig = dedup.with_minhash_signature(sh, k=_K)
+    pairs = dedup.lsh_candidate_pairs(
+        sig, "doc_id", bands=_BANDS, rows_per_band=_K // _BANDS
     ).select("id_a", "id_b")
     da = docs.select(
         F.col("doc_id").alias("id_a"), F.col("text").alias("_ta")
@@ -804,4 +820,178 @@ def tokenizer_fertility_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(SUM(cnt * n_ch) * 100 DIV SUM(cnt * n_sym) AS BIGINT)"
         ).alias("chars_per_token_centi"),
+    )
+
+
+# ------------------------------------- DSIR importance resampling
+
+_DSIR_BUCKETS = 256
+# integer log2 via binary-string length: exact on both engines, no
+# libm transcendental crosses the engine boundary (bin() is identical
+# on Spark and DuckDB — probed)
+_DSIR_ILOG2_SPARK = "length(bin({x})) - 1"
+_DSIR_ILOG2_DUCK = "length(bin({x})) - 1"
+
+
+def _dsir_oracle() -> str:
+    il2 = _DSIR_ILOG2_DUCK
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang,
+               {duckdb_charhash("t[CAST(j AS INT)] || ' ' || t[CAST(j + 1 AS INT)]")}
+                   % {_DSIR_BUCKETS} AS b
+        FROM toks, LATERAL (
+            SELECT unnest(range(1, len(t))) AS j)
+    ),
+    raw_b AS (SELECT b, COUNT(*) AS r FROM grams GROUP BY b),
+    tgt_b AS (SELECT b, COUNT(*) AS t FROM grams WHERE lang = 'en'
+              GROUP BY b),
+    w AS (
+        SELECT raw_b.b,
+               CAST(({il2.format(x="COALESCE(t, 0) + 1")})
+                  - ({il2.format(x="r + 1")}) AS BIGINT) AS w
+        FROM raw_b LEFT JOIN tgt_b ON tgt_b.b = raw_b.b
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(w.w) AS BIGINT) AS score,
+           CAST(SUM(w.w) AS BIGINT) > 0 AS selected
+    FROM grams JOIN w ON w.b = grams.b
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=_dsir_oracle(),
+    tags=("corpus", "text", "ml"),
+    doc="DSIR-style data selection (Xie et al. 2023): hashed word-"
+    f"bigram features ({_DSIR_BUCKETS} buckets), per-bucket importance "
+    "weight = log-ratio of target-domain (lang='en' as the target "
+    "stand-in) vs raw-corpus feature frequency, documents scored by "
+    "the sum of their features' weights and selected on sign. The "
+    "log is integer log2 via binary-string length — exact on both "
+    "engines, no libm transcendental in the comparison surface (the "
+    "published method's continuous log only shifts scores "
+    "monotonically). Scale: the weight table is O(buckets) and "
+    "broadcast; the corpus is scanned once for counting and once for "
+    "scoring, each a map-side-combinable aggregate — never joined "
+    "against itself.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    il2 = _DSIR_ILOG2_SPARK
+    docs = load_table(spark, "documents", sf_dir)
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 1), "
+                "i -> concat(element_at(split(trim(text), '\\\\s+'), i), ' ', "
+                "element_at(split(trim(text), '\\\\s+'), i + 1)))"
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.expr(f"{spark_charhash('g')} % {_DSIR_BUCKETS}").alias("b"),
+    )
+    raw_b = grams.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
+    tgt_b = (
+        grams.where(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    w = (
+        raw_b.join(tgt_b, "b", "left")
+        .select(
+            "b",
+            F.expr(
+                f"CAST(({il2.format(x='COALESCE(t, 0) + 1')}) - "
+                f"({il2.format(x='r + 1')}) AS BIGINT)"
+            ).alias("w"),
+        )
+    )
+    return (
+        grams.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("w").cast("long").alias("score"),
+            (F.sum("w") > 0).alias("selected"),
+        )
+    )
+
+
+# --------------------------------------------- late-arrival audit
+
+_LATE_WM_US = 600 * 1_000_000  # 10-minute watermark
+
+
+@register(
+    "late_arrival_audit",
+    oracle=f"""
+    WITH arr AS (
+        SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+               MAX(epoch_us(ts)) OVER (PARTITION BY event_type
+                   ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS hwm_us
+        FROM events
+    ),
+    lat AS (
+        SELECT event_type,
+               GREATEST(COALESCE(hwm_us, ts_us) - ts_us, 0) AS late_us
+        FROM arr
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN late_us > {_LATE_WM_US} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_late,
+           CAST(SUM(late_us) AS BIGINT) AS total_late_us,
+           CAST(MAX(late_us) AS BIGINT) AS max_late_us
+    FROM lat GROUP BY event_type
+    """,
+    tags=("streaming", "time", "quality"),
+    doc="Late-arrival audit — the measurement that SIZES a streaming "
+    "watermark before you commit to one: per event type, replay the "
+    "stream in arrival order (event_id as the arrival proxy), track "
+    "the event-time high-water mark over prior arrivals, and measure "
+    "each event's lateness against it; report how many events a "
+    "10-minute watermark would drop, plus total/max lateness. All "
+    "exact integer microseconds (epoch_us / unix_micros — BIGINT on "
+    "both engines, no double epoch). Scale: one ordered window per "
+    "event-type partition + one aggregate; at 100 TB the partition "
+    "column is the stream key and the window is O(n) per key.",
+)
+def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    hwm_w = (
+        W.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    arr = events.select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+    ).withColumn("hwm_us", F.max("ts_us").over(hwm_w))
+    lat = arr.select(
+        "event_type",
+        F.greatest(
+            F.coalesce("hwm_us", "ts_us") - F.col("ts_us"), F.lit(0)
+        ).alias("late_us"),
+    )
+    return lat.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("late_us") > _LATE_WM_US, 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.sum("late_us").cast("long").alias("total_late_us"),
+        F.max("late_us").cast("long").alias("max_late_us"),
     )

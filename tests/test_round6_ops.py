@@ -215,3 +215,74 @@ def test_stream_scd1_matches_batch_keep_last(spark):
         for u, (_, ev, v) in last.items()
     }
     assert got == expected
+
+
+def test_dsir_weights_recompute(spark):
+    from etl_energy_tracker_spark.queries.prepops import (
+        _DSIR_BUCKETS,
+        dsir_importance_weights,
+    )
+
+    rows = {r.doc_id: r for r in dsir_importance_weights(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    raw: dict[int, int] = defaultdict(int)
+    tgt: dict[int, int] = defaultdict(int)
+    grams_by_doc: dict[int, list[int]] = {}
+    for d in docs:
+        toks = _toks(d.text)
+        bs = [
+            _charhash(f"{a} {b}") % _DSIR_BUCKETS
+            for a, b in zip(toks, toks[1:])
+        ]
+        grams_by_doc[d.doc_id] = bs
+        for b in bs:
+            raw[b] += 1
+            if d.lang == "en":
+                tgt[b] += 1
+
+    def ilog2(x: int) -> int:
+        return x.bit_length() - 1
+
+    w = {b: ilog2(tgt.get(b, 0) + 1) - ilog2(raw[b] + 1) for b in raw}
+    for d in docs[:25]:
+        bs = grams_by_doc[d.doc_id]
+        if not bs:
+            assert d.doc_id not in rows
+            continue
+        score = sum(w[b] for b in bs)
+        r = rows[d.doc_id]
+        assert r.n_grams == len(bs)
+        assert r.score == score
+        assert r.selected == (score > 0)
+
+
+def test_late_arrival_audit_replay(spark):
+    from etl_energy_tracker_spark.queries.prepops import (
+        _LATE_WM_US,
+        late_arrival_audit,
+    )
+
+    got = {r.event_type: r for r in late_arrival_audit(spark, SF_DIR).collect()}
+    events = sorted(
+        spark.read.parquet(f"{SF_DIR}/events.parquet").collect(),
+        key=lambda e: e.event_id,
+    )
+    hwm: dict[str, int] = {}
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n, n_late, total, max
+    for e in events:
+        us = int(e.ts.timestamp() * 1_000_000)
+        late = max(hwm.get(e.event_type, us) - us, 0)
+        a = agg[e.event_type]
+        a[0] += 1
+        a[1] += late > _LATE_WM_US
+        a[2] += late
+        a[3] = max(a[3], late)
+        hwm[e.event_type] = max(hwm.get(e.event_type, us), us)
+    for et, (n, nl, tot, mx) in agg.items():
+        r = got[et]
+        assert (r.n_events, r.n_late, r.total_late_us, r.max_late_us) == (
+            n,
+            nl,
+            tot,
+            mx,
+        )
