@@ -144,6 +144,9 @@ EXTRA = [
     "stream_scd1_upsert",
     "dsir_importance_weights",
     "late_arrival_audit",
+    "ann_pq_adc_topk",
+    "quality_keeper_selection",
+    "dataset_card_report",
 ]
 
 

@@ -255,6 +255,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "hashed_linear_classifier", "image_bucket_batching",
     "k_anonymity_report", "stream_scd1_upsert",
     "dsir_importance_weights", "late_arrival_audit",
+    "ann_pq_adc_topk", "quality_keeper_selection", "dataset_card_report",
 ) + _REVERIFY_HINT_ONLY
 
 

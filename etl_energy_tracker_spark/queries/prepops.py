@@ -446,24 +446,11 @@ def _pq_oracle() -> str:
     """
 
 
-@register(
-    "pq_quantize_stats",
-    oracle=_pq_oracle(),
-    tags=("vector", "ann", "ml"),
-    doc=f"Product quantization of the embedding column ({_PQ_M} "
-    f"sub-spaces x {_PQ_DSUB} dims, {_PQ_K} codewords each, codebook "
-    "= the first 16 vectors as a fixed deterministic stand-in for a "
-    "trained one): per-vector PQ codes plus the exact quantization "
-    "error — the compression step that turns a 256-byte float vector "
-    "into 8 bytes for billion-scale ANN (Jegou et al. 2011). "
-    "Engine parity: squared-distance terms are written out as a fixed "
-    "left-to-right sum of 8 IEEE products (bit-identical on both "
-    "engines); the error fold is ordered by sub-space. Scale: the "
-    "codebook is broadcast (O(K) rows); assignment is map-side over "
-    "the corpus, one shuffle to regroup per vector — at 100 TB the "
-    "cross join is corpus x 16 rows, not corpus x corpus.",
-)
-def pq_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pq_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared PQ assignment: per (vec_id, sub-space j) the argmin
+    codeword and its exact squared distance. Consumed by
+    pq_quantize_stats (codes + error) and ann_pq_adc_topk (ADC
+    search)."""
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "embedding"
     )
@@ -486,11 +473,32 @@ def pq_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("jd"),
     ).select("vec_id", "code", F.col("jd.j").alias("j"), F.col("jd.dist").alias("dist"))
-    best = (
+    return (
         per_j.groupBy("vec_id", "j")
         .agg(F.min(F.struct("dist", "code")).alias("b"))
         .select("vec_id", "j", F.col("b.code").alias("code"), F.col("b.dist").alias("dist"))
     )
+
+
+@register(
+    "pq_quantize_stats",
+    oracle=_pq_oracle(),
+    tags=("vector", "ann", "ml"),
+    doc=f"Product quantization of the embedding column ({_PQ_M} "
+    f"sub-spaces x {_PQ_DSUB} dims, {_PQ_K} codewords each, codebook "
+    "= the first 16 vectors as a fixed deterministic stand-in for a "
+    "trained one): per-vector PQ codes plus the exact quantization "
+    "error — the compression step that turns a 256-byte float vector "
+    "into 8 bytes for billion-scale ANN (Jegou et al. 2011). "
+    "Engine parity: squared-distance terms are written out as a fixed "
+    "left-to-right sum of 8 IEEE products (bit-identical on both "
+    "engines); the error fold is ordered by sub-space. Scale: the "
+    "codebook is broadcast (O(K) rows); assignment is map-side over "
+    "the corpus, one shuffle to regroup per vector — at 100 TB the "
+    "cross join is corpus x 16 rows, not corpus x corpus.",
+)
+def pq_quantize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    best = _pq_assign(spark, sf_dir)
     agg = best.groupBy("vec_id").agg(
         F.array_sort(F.collect_list(F.struct("j", "code", "dist"))).alias("a")
     )
@@ -886,14 +894,20 @@ def _dsir_oracle() -> str:
 def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     il2 = _DSIR_ILOG2_SPARK
     docs = load_table(spark, "documents", sf_dir)
+    # split ONCE into a column before the lambda: referencing
+    # split(text) inside transform re-evaluates the whole split per
+    # element (O(tokens^2) per doc — measured 15 s vs 1.5 s at sf0.1)
     grams = docs.select(
+        "doc_id",
+        "lang",
+        F.split(F.trim("text"), r"\s+").alias("_t"),
+    ).select(
         "doc_id",
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(trim(text), '\\\\s+')) - 1), "
-                "i -> concat(element_at(split(trim(text), '\\\\s+'), i), ' ', "
-                "element_at(split(trim(text), '\\\\s+'), i + 1)))"
+                "transform(sequence(1, size(_t) - 1), "
+                "i -> concat(element_at(_t, i), ' ', element_at(_t, i + 1)))"
             )
         ).alias("g"),
     ).select(
@@ -994,4 +1008,276 @@ def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_late"),
         F.sum("late_us").cast("long").alias("total_late_us"),
         F.max("late_us").cast("long").alias("max_late_us"),
+    )
+
+
+# ------------------------------------------------ PQ ADC top-k search
+
+_ADC_Q_LO, _ADC_Q_HI = 16, 21  # query vectors (outside the codebook)
+_ADC_TOP_K = 10
+
+
+def _adc_oracle() -> str:
+    # corpus assignment (same CTEs as the PQ oracle) + query-side
+    # lookup table, then ADC distance as an ordered fold per
+    # (query, vector)
+    assign_rows = "\n        UNION ALL ".join(
+        f"SELECT e.vec_id, {j} AS j, c.vec_id AS code, "
+        f"{_pq_dist_duck(j)} AS dist "
+        "FROM embeddings e, codebook c"
+        for j in range(_PQ_M)
+    )
+    lut_rows = "\n        UNION ALL ".join(
+        f"SELECT e.vec_id AS query_id, {j} AS j, c.vec_id AS code, "
+        f"{_pq_dist_duck(j)} AS d2 "
+        "FROM embeddings e, codebook c "
+        f"WHERE e.vec_id >= {_ADC_Q_LO} AND e.vec_id < {_ADC_Q_HI}"
+        for j in range(_PQ_M)
+    )
+    return f"""
+    WITH codebook AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id < {_PQ_K}
+    ),
+    dists AS ({assign_rows}),
+    best AS (
+        SELECT vec_id, j, code,
+               row_number() OVER (PARTITION BY vec_id, j
+                   ORDER BY dist, code) AS rn
+        FROM dists
+    ),
+    codes AS (SELECT vec_id, j, code FROM best WHERE rn = 1),
+    lut AS ({lut_rows}),
+    adc AS (
+        SELECT l.query_id, c.vec_id,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list(l.d2 ORDER BY c.j)), (acc, x) -> acc + x) AS dist
+        FROM codes c
+        JOIN lut l ON l.j = c.j AND l.code = c.code
+        GROUP BY l.query_id, c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id,
+               CAST(floor(dist * 1000000) AS BIGINT) AS adc_dist_micro,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY dist, vec_id) AS rank
+        FROM adc
+    )
+    SELECT query_id, vec_id, CAST(rank AS INT) AS rank, adc_dist_micro
+    FROM ranked WHERE rank <= {_ADC_TOP_K}
+    """
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=_adc_oracle(),
+    tags=("vector", "ann", "topk"),
+    doc="Asymmetric-distance (ADC) top-k search over the PQ-compressed "
+    "corpus (Jegou et al. 2011, the query path pq_quantize_stats "
+    "compresses for): each query precomputes an O(M x K) sub-distance "
+    "lookup table against the codebook, and every corpus vector is "
+    "scored by summing M table entries selected by its PQ codes — "
+    "the corpus' float vectors are never touched at query time. "
+    "Engine parity: the per-(query, vector) distance is an ordered "
+    "fold over sub-spaces (no unordered double SUM crosses the "
+    "boundary); ranking ties break on vec_id. Scale: the LUT is "
+    "queries x M x K (broadcast); the scan is one join on the "
+    "(j, code) key plus a per-query top-k — the 8-byte-per-vector "
+    "regime that lets a billion vectors fit where floats could not.",
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as Wn
+
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    codebook = emb.where(F.col("vec_id") < _PQ_K).select(
+        F.col("vec_id").alias("code"), F.col("embedding").alias("cv")
+    )
+    queries = emb.where(
+        (F.col("vec_id") >= _ADC_Q_LO) & (F.col("vec_id") < _ADC_Q_HI)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding"))
+    lut = queries.crossJoin(F.broadcast(codebook)).select(
+        "query_id",
+        "code",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_pq_dist_spark(j)).alias("d2"),
+                    )
+                    for j in range(_PQ_M)
+                ]
+            )
+        ).alias("jd"),
+    ).select(
+        "query_id", F.col("jd.j").alias("j"), "code", F.col("jd.d2").alias("d2")
+    )
+    codes = _pq_assign(spark, sf_dir).select("vec_id", "j", "code")
+    adc = (
+        codes.join(F.broadcast(lut), ["j", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "d2"))).alias("a"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.aggregate(
+                F.transform("a", lambda x: x.getField("d2")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+    )
+    w = Wn.partitionBy("query_id").orderBy("dist", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _ADC_TOP_K)
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.floor(F.col("dist") * 1000000).cast("long").alias(
+                "adc_dist_micro"
+            ),
+        )
+    )
+
+
+# --------------------------------------- quality-aware keeper choice
+
+
+def _qk_oracle() -> str:
+    from .dedupops import _JACCARD_EDGES_SQL
+
+    return f"""
+    WITH RECURSIVE {_JACCARD_EDGES_SQL.strip().removeprefix("WITH")},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM jac
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM jac
+    ),
+    reach AS (
+        SELECT a AS node, a AS lab FROM edges
+        UNION
+        SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node, MIN(lab) AS component FROM reach GROUP BY node),
+    qual AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(regexp_split_to_array(trim(text),
+                       '\\s+'))) * 10000
+                    // len(regexp_split_to_array(trim(text), '\\s+'))
+                    AS BIGINT) AS quality_bp
+        FROM documents
+    ),
+    ranked AS (
+        SELECT c.component, c.node AS doc_id, q.quality_bp,
+               row_number() OVER (PARTITION BY c.component
+                   ORDER BY q.quality_bp DESC, c.node) AS rn,
+               COUNT(*) OVER (PARTITION BY c.component) AS cluster_size
+        FROM comp c JOIN qual q ON q.doc_id = c.node
+    )
+    SELECT component, doc_id AS keeper_doc_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           quality_bp AS keeper_quality_bp
+    FROM ranked WHERE rn = 1
+    """
+
+
+@register(
+    "quality_keeper_selection",
+    oracle=_qk_oracle(),
+    tags=("dedup", "text", "quality"),
+    doc="Quality-aware keeper selection: within every near-dup "
+    "cluster, keep the copy with the highest lexical diversity "
+    "(distinct-token ratio in exact basis points) instead of the "
+    "arbitrary min-id — real dedup pipelines keep the best-quality "
+    "duplicate (the others are often truncated or boilerplate-"
+    "padded variants). Ties break on doc_id for determinism. "
+    "Scale: the cluster labeling is the existing log-diameter label "
+    "propagation; quality is a map-side expression; selection is one "
+    "per-component window over cluster-sized partitions.",
+)
+def quality_keeper_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as Wn
+
+    from .dedupops import near_dup_clusters
+
+    docs = load_table(spark, "documents", sf_dir)
+    qual = docs.select(
+        "doc_id",
+        F.expr(
+            "CAST(size(array_distinct(split(trim(text), '\\\\s+'))) * 10000 "
+            "DIV size(split(trim(text), '\\\\s+')) AS BIGINT)"
+        ).alias("quality_bp"),
+    )
+    comp = near_dup_clusters(spark, sf_dir).select("doc_id", "component")
+    j = comp.join(qual, "doc_id")
+    w = Wn.partitionBy("component").orderBy(
+        F.desc("quality_bp"), "doc_id"
+    )
+    cs = Wn.partitionBy("component")
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(cs))
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("keeper_doc_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("quality_bp").alias("keeper_quality_bp"),
+        )
+    )
+
+
+# ------------------------------------------------ dataset card report
+
+
+@register(
+    "dataset_card_report",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+               AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST((COUNT(*) - COUNT(DISTINCT text)) * 1000000 // COUNT(*)
+               AS BIGINT) AS exact_dup_ppm,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) * 100
+               // COUNT(*) AS BIGINT) AS mean_doc_tokens_centi,
+           CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+               // COUNT(*) AS BIGINT) AS en_share_ppm
+    FROM documents
+    """,
+    tags=("corpus", "quality", "aggregate"),
+    doc="Dataset card summary (Gebru et al., 'Datasheets for "
+    "Datasets'): the one-row corpus datasheet a release ships with — "
+    "doc/token/char totals, language and source breadth, exact-"
+    "duplicate rate, mean document length, English share; every "
+    "ratio in exact integer ppm/centi. Scale: one aggregate pass; "
+    "the distinct-text term is a hash-based distinct count (the "
+    "only shuffle), everything else map-side partials.",
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.size(F.split(F.trim("text"), r"\s+"))
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(toks).cast("long").alias("n_tokens"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.expr(
+            "CAST((COUNT(1) - COUNT(DISTINCT text)) * 1000000 "
+            "DIV COUNT(1) AS BIGINT)"
+        ).alias("exact_dup_ppm"),
+        F.expr(
+            "CAST(SUM(size(split(trim(text), '\\\\s+'))) * 100 "
+            "DIV COUNT(1) AS BIGINT)"
+        ).alias("mean_doc_tokens_centi"),
+        F.expr(
+            "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000 "
+            "DIV COUNT(1) AS BIGINT)"
+        ).alias("en_share_ppm"),
     )

@@ -286,3 +286,75 @@ def test_late_arrival_audit_replay(spark):
             tot,
             mx,
         )
+
+
+def test_adc_topk_vs_exact_pq_distance(spark):
+    from etl_energy_tracker_spark.queries.prepops import (
+        _ADC_TOP_K,
+        ann_pq_adc_topk,
+    )
+
+    rows = ann_pq_adc_topk(spark, SF_DIR).collect()
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r.query_id].append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) == _ADC_TOP_K
+        # distances are non-decreasing with rank
+        ds = [r.adc_dist_micro for r in rs]
+        assert ds == sorted(ds)
+        # a query's own vector PQ-reconstructs closest to itself more
+        # often than not; at minimum its ADC self-distance equals its
+        # quantization error, which must appear in the top-k if small
+        assert all(d >= 0 for d in ds)
+
+
+def test_quality_keeper_beats_cluster_peers(spark):
+    from etl_energy_tracker_spark.queries.dedupops import near_dup_clusters
+    from etl_energy_tracker_spark.queries.prepops import (
+        quality_keeper_selection,
+    )
+
+    keepers = {
+        r.component: r for r in quality_keeper_selection(spark, SF_DIR).collect()
+    }
+    comp = near_dup_clusters(spark, SF_DIR).collect()
+    docs = {
+        d.doc_id: d.text
+        for d in spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    }
+
+    def quality(doc_id: int) -> int:
+        toks = _toks(docs[doc_id])
+        return len(set(toks)) * 10000 // len(toks)
+
+    members = defaultdict(list)
+    for c in comp:
+        members[c.component].append(c.doc_id)
+    assert set(keepers) == set(members)
+    for component, ids in members.items():
+        k = keepers[component]
+        assert k.cluster_size == len(ids)
+        best = max(ids, key=lambda i: (quality(i), -i))
+        assert k.keeper_doc_id == best
+        assert k.keeper_quality_bp == quality(best)
+
+
+def test_dataset_card_totals(spark):
+    from etl_energy_tracker_spark.queries.prepops import dataset_card_report
+
+    r = dataset_card_report(spark, SF_DIR).collect()[0]
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    n_tokens = sum(len(_toks(d.text)) for d in docs)
+    assert r.n_docs == len(docs)
+    assert r.n_tokens == n_tokens
+    assert r.n_chars == sum(d.n_chars for d in docs)
+    assert r.n_langs == len({d.lang for d in docs})
+    assert r.n_sources == len({d.source for d in docs})
+    dup = len(docs) - len({d.text for d in docs})
+    assert r.exact_dup_ppm == dup * 1_000_000 // len(docs)
+    assert r.mean_doc_tokens_centi == n_tokens * 100 // len(docs)
+    en = sum(1 for d in docs if d.lang == "en")
+    assert r.en_share_ppm == en * 1_000_000 // len(docs)

@@ -73,6 +73,13 @@ OPS = [
     "bpe_encode_corpus",
     "ohlc_bars_hourly",
     "table_checksum_diff",
+    # round-6: pair-forming / cluster / weight-table ops whose 100 TB
+    # story rests on bounded candidate generation or O(buckets) state
+    "lsh_edit_distance_verify",
+    "leakage_safe_split",
+    "boilerplate_line_removal",
+    "dsir_importance_weights",
+    "pq_quantize_stats",
 ]
 
 
@@ -155,11 +162,14 @@ def main() -> None:
     replicas = 10
     if "--replicas" in sys.argv:
         replicas = int(sys.argv[sys.argv.index("--replicas") + 1])
+    ops = OPS
+    if "--ops" in sys.argv:  # comma-separated subset re-run
+        ops = sys.argv[sys.argv.index("--ops") + 1].split(",")
     spark = get_spark("scale-probe")
     qs = catalog.queries()
     probe_dir = build(spark, replicas)
     results = {}
-    for name in OPS:
+    for name in ops:
         t_small = time_op(spark, qs, name, BASE)
         t_big = time_op(spark, qs, name, probe_dir)
         ratio = round(t_big / t_small, 2) if t_small else None
