@@ -147,6 +147,9 @@ EXTRA = [
     "ann_pq_adc_topk",
     "quality_keeper_selection",
     "dataset_card_report",
+    "exact_substring_trim",
+    "source_overlap_matrix",
+    "domain_blocklist_filter",
 ]
 
 

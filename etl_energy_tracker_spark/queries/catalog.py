@@ -256,6 +256,8 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "k_anonymity_report", "stream_scd1_upsert",
     "dsir_importance_weights", "late_arrival_audit",
     "ann_pq_adc_topk", "quality_keeper_selection", "dataset_card_report",
+    "exact_substring_trim", "source_overlap_matrix",
+    "domain_blocklist_filter",
 ) + _REVERIFY_HINT_ONLY
 
 

@@ -698,3 +698,272 @@ def bucketed_join_noshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
     )
+
+
+# ----------------------------------------- exact-substring span trim
+
+# shared 8-token window machinery with dup_window_spans; this is the
+# TRIM half of Lee et al. 2022's ExactSubstr dedup: every occurrence
+# of a duplicated window except the corpus-wide FIRST one (ordered by
+# (doc_id, pos)) becomes a removal span, and a token is trimmed when
+# any removal span covers it. Occurrence counting (not distinct-doc
+# counting) so intra-document repetition is deduplicated too.
+
+_WINS_POS_DUCK = f"""
+    SELECT doc_id, s.pos AS pos, s.win AS win FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, greatest(len(tokens) - {_WIN - 1}, 0) + 1),
+                   i -> struct_pack(
+                       pos := i,
+                       win := array_to_string(
+                           tokens[CAST(i AS INT):CAST(i AS INT) + {_WIN - 1}],
+                           ' ')))) AS s
+        FROM ({_TOKS_DUCK})
+    )
+"""
+
+
+def _wins_pos(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, wh): 1-based window start + xxhash64 window key.
+
+    Same 64-bit-key trade as dup_window_spans: Spark shuffles 8-byte
+    hashes, the string-keyed oracle doubles as the collision check.
+    """
+    return (
+        _toks(docs)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(tokens) - {_WIN - 1}, 0)), "
+                    f"i -> concat_ws(' ', slice(tokens, i, {_WIN})))"
+                )
+            ).alias("p0", "win"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).alias("pos"),
+            F.xxhash64("win").alias("wh"),
+        )
+    )
+
+
+@register(
+    "exact_substring_trim",
+    oracle=f"""
+    WITH toks AS ({_TOKS_DUCK}),
+    wins AS ({_WINS_POS_DUCK}),
+    firsts AS (
+        SELECT win, MIN(doc_id * 1000000000 + pos) AS fk
+        FROM wins GROUP BY win HAVING COUNT(*) >= 2
+    ),
+    removals AS (
+        SELECT w.doc_id, w.pos
+        FROM wins w JOIN firsts f ON w.win = f.win
+        WHERE w.doc_id * 1000000000 + w.pos <> f.fk
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, p FROM (
+            SELECT doc_id, unnest(range(pos, pos + {_WIN})) AS p
+            FROM removals)
+    ),
+    remtok AS (
+        SELECT doc_id, COUNT(*) AS removed FROM covered GROUP BY doc_id
+    ),
+    remwin AS (
+        SELECT doc_id, COUNT(*) AS rw FROM removals GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(tokens) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(rt.removed, 0) AS BIGINT) AS removed_tokens,
+           CAST(len(tokens) - COALESCE(rt.removed, 0) AS BIGINT)
+               AS kept_tokens,
+           CAST(COALESCE(rw.rw, 0) AS BIGINT) AS removed_windows,
+           CAST((len(tokens) - COALESCE(rt.removed, 0)) * 1000000
+               // len(tokens) AS BIGINT) AS kept_ppm
+    FROM toks t
+    LEFT JOIN remtok rt USING (doc_id)
+    LEFT JOIN remwin rw USING (doc_id)
+    """,
+    tags=("corpus", "dedup", "text"),
+    doc="ExactSubstr trimming (Lee et al. 2022, the half "
+    "dup_window_spans reports on): duplicated 8-token windows keep "
+    "only their corpus-wide first occurrence (min (doc_id, pos), "
+    "encoded as one bigint so both engines order identically); every "
+    "other occurrence is a removal span, and a token is trimmed when "
+    "any span covers it — per-doc kept/removed token counts and the "
+    "kept-ppm that drives keep-vs-drop. Occurrence counting (not "
+    "distinct-doc) so intra-doc repetition trims too. Scale: two "
+    "shuffles (window-key group, join back) on xxhash64 keys, plus a "
+    "coverage explode bounded at 8x the removal count — never "
+    "corpus-quadratic; the token payload never shuffles.",
+)
+def exact_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    wins = _wins_pos(docs)
+    occ_key = F.col("doc_id") * F.lit(1000000000) + F.col("pos")
+    firsts = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("c"), F.min(occ_key).alias("fk"))
+        .where(F.col("c") >= 2)
+        .select("wh", "fk")
+    )
+    removals = (
+        wins.join(firsts, "wh")
+        .where(occ_key != F.col("fk"))
+        .select("doc_id", "pos")
+    )
+    covered = removals.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(pos, pos + {_WIN - 1})")).alias("p"),
+    ).distinct()
+    remtok = covered.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("removed")
+    )
+    remwin = removals.groupBy("doc_id").agg(F.count(F.lit(1)).alias("rw"))
+    base = _toks(docs).select("doc_id", F.size("tokens").alias("n"))
+    return (
+        base.join(remtok, "doc_id", "left")
+        .join(remwin, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.coalesce("removed", F.lit(0)).cast("long").alias(
+                "removed_tokens"
+            ),
+            (F.col("n") - F.coalesce("removed", F.lit(0)))
+            .cast("long")
+            .alias("kept_tokens"),
+            F.coalesce("rw", F.lit(0)).cast("long").alias("removed_windows"),
+            F.expr(
+                "CAST((n - COALESCE(removed, 0)) * 1000000 DIV n AS BIGINT)"
+            ).alias("kept_ppm"),
+        )
+    )
+
+
+# ------------------------------------------- cross-source overlap map
+
+_SRC_WINS_DUCK = f"""
+    SELECT source,
+           unnest(list_transform(
+               range(1, greatest(len(tokens) - {_WIN - 1}, 0) + 1),
+               i -> array_to_string(
+                   tokens[CAST(i AS INT):CAST(i AS INT) + {_WIN - 1}],
+                   ' '))) AS win
+    FROM (SELECT source,
+                 regexp_split_to_array(trim(text), '\\s+') AS tokens
+          FROM documents)
+"""
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH wins AS ({_SRC_WINS_DUCK}),
+    sw AS (SELECT DISTINCT source, win FROM wins),
+    n AS (SELECT source, COUNT(*) AS nw FROM sw GROUP BY source),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               COUNT(*) AS shared_windows
+        FROM sw a JOIN sw b ON a.win = b.win AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT p.src_a, p.src_b,
+           CAST(p.shared_windows AS BIGINT) AS shared_windows,
+           CAST(na.nw AS BIGINT) AS n_a,
+           CAST(nb.nw AS BIGINT) AS n_b,
+           CAST(p.shared_windows * 1000000 // na.nw AS BIGINT)
+               AS containment_a_ppm,
+           CAST(p.shared_windows * 1000000 // nb.nw AS BIGINT)
+               AS containment_b_ppm
+    FROM pairs p
+    JOIN n na ON na.source = p.src_a
+    JOIN n nb ON nb.source = p.src_b
+    """,
+    tags=("corpus", "dedup", "aggregate"),
+    doc="Cross-source overlap matrix: for every source pair, the "
+    "count of distinct 8-token windows they share and the containment "
+    "ppm relative to each side — the 'which crawl dumps duplicate "
+    "each other' audit run before mixing corpora (two snapshots of "
+    "the same crawl show near-total containment; unrelated sources "
+    "near zero). Scale: ONE exchange on the window hash collapses "
+    "occurrences to the sorted source list per window (collect_set "
+    "dedups, map-side partials shrink the shuffle); pairs expand from "
+    "that list by an array transform — fan-out bounded by sources-"
+    "per-window (<= S), never a corpus self-join — and the pair "
+    "aggregate is <= S^2 rows. The S-row per-source count table is "
+    "localCheckpointed (bounded artifact) so joining it on both pair "
+    "sides cannot clone the corpus scan. Spark keys on xxhash64 "
+    "windows; the string-keyed oracle doubles as the collision check.",
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sw = (
+        docs.select(
+            "source", F.split(F.trim("text"), r"\s+").alias("tokens")
+        )
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, greatest(size(tokens) - {_WIN - 1}, 0)), "
+                    f"i -> concat_ws(' ', slice(tokens, i, {_WIN})))"
+                )
+            ).alias("win"),
+        )
+        .select("source", F.xxhash64("win").alias("wh"))
+    )
+    # single corpus pass: one exchange on wh collapses occurrences to
+    # the (sorted, <= S) source list per window (collect_set dedups,
+    # map-side partials shrink the shuffle); per-source distinct
+    # counts AND pair formation both derive from that list, so the
+    # corpus is scanned once and never self-joined.
+    lists = sw.groupBy("wh").agg(
+        F.sort_array(F.collect_set("source")).alias("ss")
+    )
+    # n is joined on BOTH pair sides; without the cut Spark clones its
+    # subtree per join and scans the corpus three times (same diamond
+    # triangle_count cuts). localCheckpoint materializes the S-row
+    # count table once — a bounded artifact, like the IVF codebook.
+    n = (
+        lists.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("nw"))
+        .localCheckpoint()
+    )
+    pairs = (
+        lists.where(F.size("ss") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS src_a, y AS src_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_windows"))
+    )
+    na = n.select(F.col("source").alias("src_a"), F.col("nw").alias("n_a"))
+    nb = n.select(F.col("source").alias("src_b"), F.col("nw").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("shared_windows").cast("long").alias("shared_windows"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr(
+                "CAST(shared_windows * 1000000 DIV n_a AS BIGINT)"
+            ).alias("containment_a_ppm"),
+            F.expr(
+                "CAST(shared_windows * 1000000 DIV n_b AS BIGINT)"
+            ).alias("containment_b_ppm"),
+        )
+    )

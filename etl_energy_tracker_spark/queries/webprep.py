@@ -245,3 +245,141 @@ def perplexity_tertile_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("ccnet_bucket"),
     )
+
+
+# ------------------------------------------ domain blocklist filter
+
+# Blocklist derivation threshold: a source whose documents' 8-token
+# windows are >= 11% duplicated corpus-wide (occurrence-counted) is
+# treated as a boilerplate/spam domain. Data-derived (no magic
+# hostname list) so the operator is self-contained and the rule table
+# stays a deterministic function of the corpus on both engines.
+_BLOCK_PPM = 110000
+_DBW = _hygiene._WIN  # shared 8-token window width
+
+
+@register(
+    "domain_blocklist_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM documents
+    ),
+    wins AS (
+        SELECT doc_id, source,
+               unnest(list_transform(
+                   range(1, greatest(len(tokens) - {_DBW - 1}, 0) + 1),
+                   i -> array_to_string(
+                       tokens[CAST(i AS INT):CAST(i AS INT) + {_DBW - 1}],
+                       ' '))) AS win
+        FROM toks
+    ),
+    shared AS (
+        SELECT win FROM wins GROUP BY win HAVING COUNT(*) >= 2
+    ),
+    per AS (
+        SELECT w.source, COUNT(*) AS tot,
+               SUM(CASE WHEN s.win IS NOT NULL THEN 1 ELSE 0 END) AS dup
+        FROM wins w LEFT JOIN shared s ON w.win = s.win
+        GROUP BY w.source
+    ),
+    rules AS (
+        SELECT source || '.example.com' AS rule
+        FROM per WHERE dup * 1000000 >= {_BLOCK_PPM} * tot
+    ),
+    hosts AS (
+        SELECT doc_id, 'www.' || source || '.example.com' AS host
+        FROM documents
+    ),
+    suf AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   range(1, len(labels) + 1),
+                   k -> array_to_string(labels[CAST(k AS INT):], '.')))
+                   AS suffix
+        FROM (SELECT doc_id, string_split(host, '.') AS labels FROM hosts)
+    ),
+    m AS (
+        SELECT s.doc_id, MIN(r.rule) AS matched_rule
+        FROM suf s JOIN rules r ON s.suffix = r.rule
+        GROUP BY s.doc_id
+    )
+    SELECT h.doc_id, h.host, m.matched_rule,
+           m.matched_rule IS NULL AS kept
+    FROM hosts h LEFT JOIN m USING (doc_id)
+    """,
+    tags=("corpus", "web", "filter"),
+    doc="Domain blocklist filtering with registrable-suffix matching "
+    "(the URL-filter stage every web-corpus pipeline runs before "
+    "anything touches document bytes): each document's host is "
+    "exploded into its label suffixes (www.a.example.com -> "
+    "a.example.com -> example.com -> com) and matched against a "
+    "blocklist, so a rule blocks every subdomain under it — the "
+    "semantics of a Public-Suffix-List-style filter. The blocklist "
+    "itself is data-derived: sources whose 8-token windows are >= 11% "
+    "duplicated corpus-wide (the boilerplate/spam signature), so the "
+    "rule table is a deterministic function of the corpus. Scale: "
+    "the rule table is O(domains) and broadcast; suffix explosion is "
+    "label-count-bounded (~4 rows/doc, map-side); the corpus is "
+    "never joined against itself — the dup-share pass is the same "
+    "two-shuffle window count dup_window_spans runs.",
+)
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    wins = docs.select(
+        "source", F.split(F.trim("text"), r"\s+").alias("tokens")
+    ).select(
+        "source",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size(tokens) - {_DBW - 1}, 0)), "
+                f"i -> concat_ws(' ', slice(tokens, i, {_DBW})))"
+            )
+        ).alias("win"),
+    ).select("source", F.xxhash64("win").alias("wh"))
+    shared = (
+        wins.groupBy("wh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 2)
+        .select("wh", F.lit(1).alias("is_dup"))
+    )
+    per = (
+        wins.join(shared, "wh", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("tot"),
+            F.sum(F.coalesce("is_dup", F.lit(0))).alias("dup"),
+        )
+    )
+    rules = per.where(
+        F.col("dup") * 1000000 >= F.lit(_BLOCK_PPM) * F.col("tot")
+    ).select(F.concat(F.col("source"), F.lit(".example.com")).alias("rule"))
+    hosts = docs.select(
+        "doc_id",
+        F.concat(F.lit("www."), "source", F.lit(".example.com")).alias(
+            "host"
+        ),
+    )
+    suf = hosts.select(
+        "doc_id", F.split("host", r"\.").alias("labels")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(labels)), "
+                "k -> array_join(slice(labels, k, size(labels) - k + 1), '.'))"
+            )
+        ).alias("suffix"),
+    )
+    m = (
+        suf.join(F.broadcast(rules), suf["suffix"] == rules["rule"])
+        .groupBy("doc_id")
+        .agg(F.min("rule").alias("matched_rule"))
+    )
+    return hosts.join(m, "doc_id", "left").select(
+        "doc_id",
+        "host",
+        "matched_rule",
+        F.col("matched_rule").isNull().alias("kept"),
+    )

@@ -358,3 +358,114 @@ def test_dataset_card_totals(spark):
     assert r.mean_doc_tokens_centi == n_tokens * 100 // len(docs)
     en = sum(1 for d in docs if d.lang == "en")
     assert r.en_share_ppm == en * 1_000_000 // len(docs)
+
+
+def _window_occurrences(docs):
+    """[(doc_id, pos1based, win_string)] over 8-token windows."""
+    occ = []
+    for d in docs:
+        toks = _toks(d.text)
+        for i in range(len(toks) - 7):
+            occ.append((d.doc_id, i + 1, " ".join(toks[i : i + 8])))
+    return occ
+
+
+def test_exact_substring_trim_recompute(spark):
+    from etl_energy_tracker_spark.queries.hygieneops import (
+        exact_substring_trim,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    occ = _window_occurrences(docs)
+    cnt = defaultdict(int)
+    first = {}
+    for doc_id, pos, win in occ:
+        cnt[win] += 1
+        k = doc_id * 1_000_000_000 + pos
+        if win not in first or k < first[win]:
+            first[win] = k
+    removed_pos = defaultdict(set)
+    removed_win = defaultdict(int)
+    for doc_id, pos, win in occ:
+        if cnt[win] >= 2 and doc_id * 1_000_000_000 + pos != first[win]:
+            removed_win[doc_id] += 1
+            removed_pos[doc_id].update(range(pos, pos + 8))
+    got = {r.doc_id: r for r in exact_substring_trim(spark, SF_DIR).collect()}
+    assert set(got) == {d.doc_id for d in docs}
+    some_removed = False
+    for d in docs:
+        r = got[d.doc_id]
+        n = len(_toks(d.text))
+        rem = len(removed_pos[d.doc_id])
+        assert r.n_tokens == n
+        assert r.removed_tokens == rem
+        assert r.kept_tokens == n - rem
+        assert r.removed_windows == removed_win[d.doc_id]
+        assert r.kept_ppm == (n - rem) * 1_000_000 // n
+        some_removed = some_removed or rem > 0
+    assert some_removed  # the corpus genuinely contains duplicated spans
+
+
+def test_source_overlap_matrix_recompute(spark):
+    from etl_energy_tracker_spark.queries.hygieneops import (
+        source_overlap_matrix,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    src = {d.doc_id: d.source for d in docs}
+    wins = defaultdict(set)
+    for doc_id, _, win in _window_occurrences(docs):
+        wins[src[doc_id]].add(win)
+    exp = {}
+    sources = sorted(wins)
+    for i, a in enumerate(sources):
+        for b in sources[i + 1 :]:
+            shared = len(wins[a] & wins[b])
+            if shared:
+                exp[(a, b)] = shared
+    got = {
+        (r.src_a, r.src_b): r
+        for r in source_overlap_matrix(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(exp)
+    for (a, b), r in got.items():
+        assert r.shared_windows == exp[(a, b)]
+        assert r.n_a == len(wins[a]) and r.n_b == len(wins[b])
+        assert r.containment_a_ppm == r.shared_windows * 1_000_000 // r.n_a
+        assert r.containment_b_ppm == r.shared_windows * 1_000_000 // r.n_b
+
+
+def test_domain_blocklist_suffix_semantics(spark):
+    from etl_energy_tracker_spark.queries.webprep import (
+        _BLOCK_PPM,
+        domain_blocklist_filter,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    src = {d.doc_id: d.source for d in docs}
+    occ = _window_occurrences(docs)
+    cnt = defaultdict(int)
+    for _, _, win in occ:
+        cnt[win] += 1
+    tot = defaultdict(int)
+    dup = defaultdict(int)
+    for doc_id, _, win in occ:
+        tot[src[doc_id]] += 1
+        dup[src[doc_id]] += cnt[win] >= 2
+    blocked = {
+        s for s in tot if dup[s] * 1_000_000 >= _BLOCK_PPM * tot[s]
+    }
+    assert blocked and blocked != set(tot)  # nonempty, non-total
+    rows = domain_blocklist_filter(spark, SF_DIR).collect()
+    assert {r.doc_id for r in rows} == set(src)
+    for r in rows:
+        s = src[r.doc_id]
+        assert r.host == f"www.{s}.example.com"
+        if s in blocked:
+            # the rule matched via the host SUFFIX, not equality
+            assert r.matched_rule == f"{s}.example.com"
+            assert not r.kept
+            assert r.host != r.matched_rule
+            assert r.host.endswith("." + r.matched_rule)
+        else:
+            assert r.matched_rule is None and r.kept

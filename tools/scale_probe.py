@@ -80,6 +80,11 @@ OPS = [
     "boilerplate_line_removal",
     "dsir_importance_weights",
     "pq_quantize_stats",
+    # window-keyed pair/coverage ops: growth must track duplicated-
+    # window count (corpus-linear), not pairs^2
+    "exact_substring_trim",
+    "source_overlap_matrix",
+    "domain_blocklist_filter",
 ]
 
 
