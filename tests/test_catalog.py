@@ -50,7 +50,12 @@ def test_priority_queue_names_resolve():
     # the driver's capped run — every queue name must be a real query
     names = set(QUERIES)
     assert set(catalog._PRIORITY) <= names
-    assert (catalog._R1_VERIFIED | catalog._R3_VERIFIED) <= names
+    assert (
+        catalog._R1_VERIFIED
+        | catalog._R3_VERIFIED
+        | catalog._R4_VERIFIED
+        | catalog._R5_VERIFIED
+    ) <= names
     # and the ordering is a permutation of the catalog (no dupes/drops)
     ordered = catalog._ordered()
     assert sorted(ordered) == sorted(names)

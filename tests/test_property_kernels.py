@@ -181,3 +181,64 @@ def test_bpe_merge_fold_matches_python_greedy(spark, syms, pair):
         ).alias("m")
     ).collect()[0]["m"]
     assert merged == expect
+
+
+# ------------------------- ExactSubstr trim vs generated-corpus replay
+
+_trim_corpus = st.lists(
+    st.lists(st.sampled_from("ab"), min_size=8, max_size=20),
+    min_size=2,
+    max_size=12,
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(_trim_corpus)
+def test_exact_substring_trim_generated(spark, tok_lists):
+    """A tiny two-letter alphabet forces duplicated windows, intra-doc
+    repeats, and OVERLAPPING removal spans — the arbitration edge cases
+    the fixed corpus may not exercise. Spark result must equal a direct
+    Python replay of the spec on every generated corpus."""
+    import tempfile
+
+    from etl_energy_tracker_spark.queries.hygieneops import (
+        exact_substring_trim,
+    )
+
+    docs = [
+        (i, " ".join(toks), "en", "src0", len(" ".join(toks)))
+        for i, toks in enumerate(tok_lists)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        got = {r.doc_id: r for r in exact_substring_trim(spark, d).collect()}
+
+    # Python replay of the spec
+    occ = []
+    for i, toks in enumerate(tok_lists):
+        for p in range(len(toks) - 7):
+            occ.append((i, p + 1, tuple(toks[p : p + 8])))
+    from collections import defaultdict
+
+    cnt = defaultdict(int)
+    first = {}
+    for d_, p_, w in occ:
+        cnt[w] += 1
+        k = d_ * 1_000_000_000 + p_
+        if w not in first or k < first[w]:
+            first[w] = k
+    rem_pos = defaultdict(set)
+    rem_win = defaultdict(int)
+    for d_, p_, w in occ:
+        if cnt[w] >= 2 and d_ * 1_000_000_000 + p_ != first[w]:
+            rem_win[d_] += 1
+            rem_pos[d_].update(range(p_, p_ + 8))
+    assert set(got) == set(range(len(tok_lists)))
+    for i, toks in enumerate(tok_lists):
+        r = got[i]
+        n, rem = len(toks), len(rem_pos[i])
+        assert (r.n_tokens, r.removed_tokens, r.kept_tokens) == (n, rem, n - rem)
+        assert r.removed_windows == rem_win[i]
+        assert r.kept_ppm == (n - rem) * 1_000_000 // n
