@@ -150,6 +150,12 @@ EXTRA = [
     "exact_substring_trim",
     "source_overlap_matrix",
     "domain_blocklist_filter",
+    # r6 evaluation-layer additions (evalops.py)
+    "badword_filter_report",
+    "classifier_auc_eval",
+    "autocorrelation_lags",
+    "nb_lang_confusion",
+    "label_centroid_similarity",
 ]
 
 

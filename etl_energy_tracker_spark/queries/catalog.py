@@ -70,6 +70,7 @@ def _load_all() -> None:
     from . import cdcops  # noqa: F401
     from . import webprep  # noqa: F401
     from . import prepops  # noqa: F401
+    from . import evalops  # noqa: F401
 
 
 # Queries already driver-verified green in CORRECTNESS_r01.json or
@@ -258,6 +259,9 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "ann_pq_adc_topk", "quality_keeper_selection", "dataset_card_report",
     "exact_substring_trim", "source_overlap_matrix",
     "domain_blocklist_filter",
+    # r6 evaluation-layer additions (evalops.py), riskiest first
+    "classifier_auc_eval", "nb_lang_confusion", "autocorrelation_lags",
+    "label_centroid_similarity", "badword_filter_report",
 ) + _REVERIFY_HINT_ONLY
 
 

@@ -1,0 +1,205 @@
+"""Python-replay tests for the evaluation-layer operators (evalops).
+
+The driver's DuckDB-oracle hash compare is the primary gate; these
+recompute each operator end-to-end in plain Python from the same
+parquet inputs, pinning the integer-exact specs (truncating division,
+mid-rank U, integer log2, IEEE cosine chain) independently of both
+engines.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+
+from etl_energy_tracker_spark.functions.hashing import MOD
+from etl_energy_tracker_spark.queries.evalops import (
+    _AUC_HI,
+    _AUC_LO,
+    _BAD_TOKENS,
+    autocorrelation_lags,
+    badword_filter_report,
+    classifier_auc_eval,
+    label_centroid_similarity,
+    nb_lang_confusion,
+)
+from etl_energy_tracker_spark.queries.prepops import _HLC_BUCKETS
+
+from conftest import SF_DIR
+
+
+def _charhash(s: str, seed: int = 7) -> int:
+    h = seed
+    for ch in s:
+        h = (h * 31 + ord(ch)) % MOD
+    return h
+
+
+def _toks(text: str) -> list[str]:
+    return re.split(r"\s+", text.strip(), flags=re.ASCII)
+
+
+def _trunc_div(a: int, b: int) -> int:
+    # Spark DIV / DuckDB // truncate toward zero; Python // floors
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def _hlc_weight(tok: str) -> int:
+    return ((_charhash(tok) % _HLC_BUCKETS) * 2654435761) % 1000003 % 2001 - 1000
+
+
+def test_badword_report_recompute(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    per_src = defaultdict(lambda: [0, 0, 0, 0])  # docs, flagged, hits, toks
+    for d in docs:
+        t = _toks(d.text)
+        hits = sum(1 for x in t if x in _BAD_TOKENS)
+        s = per_src[d.source]
+        s[0] += 1
+        s[1] += hits > 0
+        s[2] += hits
+        s[3] += len(t)
+    got = {r.source: r for r in badword_filter_report(spark, SF_DIR).collect()}
+    assert set(got) == set(per_src)
+    for src, (n, fl, hits, ntok) in per_src.items():
+        r = got[src]
+        assert (r.n_docs, r.flagged_docs, r.bad_hits) == (n, fl, hits)
+        assert r.flagged_ppm == 1_000_000 * fl // n
+        assert r.bad_token_ppm == 1_000_000 * hits // ntok
+
+
+def test_auc_midrank_recompute(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    scored = []
+    for d in docs:
+        t = _toks(d.text)
+        score = sum(_hlc_weight(x) for x in t)
+        stop = sum(1 for x in t if x in ("a", "the"))
+        good = _AUC_LO <= 1_000_000 * stop // len(t) <= _AUC_HI
+        scored.append((score, d.doc_id, good))
+    n_pos = sum(1 for s in scored if s[2])
+    n_neg = len(scored) - n_pos
+    # mid-rank U over grouped scores
+    by_score = defaultdict(lambda: [0, 0])
+    for score, _, good in scored:
+        by_score[score][0 if good else 1] += 1
+    neg_below, two_u = 0, 0
+    for s in sorted(by_score):
+        cp, cn = by_score[s]
+        two_u += cp * (2 * neg_below + cn)
+        neg_below += cn
+    auc_ppm = 1_000_000 * two_u // (2 * n_pos * n_neg)
+    # ntile(10) deciles over (score, doc_id)
+    ordered = sorted(scored, key=lambda x: (x[0], x[1]))
+    n = len(ordered)
+    base, extra = divmod(n, 10)
+    deciles, i = {}, 0
+    for dec in range(1, 11):
+        size = base + (1 if dec <= extra else 0)
+        chunk = ordered[i : i + size]
+        i += size
+        npos = sum(1 for c in chunk if c[2])
+        deciles[dec] = (len(chunk), npos, 1_000_000 * npos // len(chunk))
+    rows = classifier_auc_eval(spark, SF_DIR).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert (r.auc_ppm, r.pos_total, r.neg_total) == (auc_ppm, n_pos, n_neg)
+        assert (r.n_docs, r.n_pos, r.pos_ppm) == deciles[r.decile]
+
+
+def test_acf_replay(spark):
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    hourly = defaultdict(lambda: [0, 0])  # (type, hour) -> [sum_cents, n]
+    for e in events:
+        h = e.ts.replace(minute=0, second=0, microsecond=0)
+        cents = int(math.floor(abs(e.value) * 100 + 0.5)) * (
+            1 if e.value >= 0 else -1
+        )
+        s = hourly[(e.event_type, h)]
+        s[0] += cents
+        s[1] += 1
+    means = {k: _trunc_div(v[0], v[1]) for k, v in hourly.items()}
+    by_type = defaultdict(dict)
+    for (et, h), m in means.items():
+        by_type[et][h] = m
+    expect = {}
+    for et, series in by_type.items():
+        s_sum, n = sum(series.values()), len(series)
+        mean = _trunc_div(s_sum, n)
+        d = {h: m - mean for h, m in series.items()}
+        c0 = sum(x * x for x in d.values())
+        for lag in range(1, 25):
+            num, pairs = 0, 0
+            for h, da in d.items():
+                from datetime import timedelta
+
+                h2 = h + timedelta(hours=lag)
+                if h2 in d:
+                    num += da * d[h2]
+                    pairs += 1
+            if pairs:
+                expect[(et, lag)] = (pairs, _trunc_div(1_000_000 * num, c0))
+    got = {
+        (r.event_type, r.lag): (r.n_pairs, r.acf_ppm)
+        for r in autocorrelation_lags(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_nb_confusion_replay(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    ilog2 = lambda x: x.bit_length() - 1  # noqa: E731
+    cnt, tot, vocab = defaultdict(Counter), Counter(), set()
+    for d in docs:
+        if d.doc_id % 10 < 8:
+            for t in _toks(d.text):
+                cnt[d.lang][t] += 1
+                tot[d.lang] += 1
+                vocab.add(t)
+    v = len(vocab)
+    confusion = Counter()
+    for d in docs:
+        if d.doc_id % 10 >= 8:
+            t = _toks(d.text)
+            best = None
+            for c in sorted(cnt):
+                score = sum(ilog2(cnt[c][x] + 1) for x in t) - len(t) * ilog2(
+                    tot[c] + v
+                )
+                if best is None or score > best[0]:
+                    best = (score, c)
+            confusion[(d.lang, best[1])] += 1
+    got = {
+        (r.actual, r.predicted): r.n_docs
+        for r in nb_lang_confusion(spark, SF_DIR).collect()
+    }
+    assert got == dict(confusion)
+
+
+def test_label_centroid_cosine_replay(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    sums = defaultdict(lambda: [0] * 65)  # label -> [n, q1..q64]
+    for r in emb:
+        s = sums[r.label]
+        s[0] += 1
+        for i, x in enumerate(r.embedding):
+            q = int(math.floor(abs(float(x)) * 1_000_000 + 0.5))
+            s[i + 1] += q if x >= 0 else -q
+    cent = {
+        lb: [_trunc_div(s[i], s[0]) for i in range(1, 65)]
+        for lb, s in sums.items()
+    }
+    rows = label_centroid_similarity(spark, SF_DIR).collect()
+    labels = sorted(cent)
+    assert len(rows) == len(labels) * (len(labels) - 1) // 2
+    for r in rows:
+        ca, cb = cent[r.label_a], cent[r.label_b]
+        dot = sum(x * y for x, y in zip(ca, cb))
+        na2 = sum(x * x for x in ca)
+        nb2 = sum(x * x for x in cb)
+        assert r.dot == dot
+        assert r.cos_ppm == math.floor(
+            dot / math.sqrt(float(na2) * float(nb2)) * 1_000_000.0
+        )
