@@ -156,6 +156,9 @@ EXTRA = [
     "autocorrelation_lags",
     "nb_lang_confusion",
     "label_centroid_similarity",
+    "nb_crossval_accuracy",
+    "chi2_feature_terms",
+    "minhash_estimate_error",
 ]
 
 

@@ -260,8 +260,10 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "exact_substring_trim", "source_overlap_matrix",
     "domain_blocklist_filter",
     # r6 evaluation-layer additions (evalops.py), riskiest first
-    "classifier_auc_eval", "nb_lang_confusion", "autocorrelation_lags",
-    "label_centroid_similarity", "badword_filter_report",
+    "classifier_auc_eval", "nb_crossval_accuracy", "nb_lang_confusion",
+    "minhash_estimate_error", "chi2_feature_terms",
+    "autocorrelation_lags", "label_centroid_similarity",
+    "badword_filter_report",
 ) + _REVERIFY_HINT_ONLY
 
 

@@ -577,3 +577,360 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cos_ppm"),
         )
     )
+
+
+# ----------------------------------------- NB k-fold cross-validation
+
+_NBCV_FOLDS = 5
+
+
+def _nbcv_oracle() -> str:
+    il2 = _NB_ILOG2_DUCK
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % {_NBCV_FOLDS} AS fold, lang,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    cnt_f AS (
+        SELECT fold, lang AS c, tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks GROUP BY fold, lang, tok
+    ),
+    cnt_all AS (
+        SELECT c, tok, CAST(SUM(n) AS BIGINT) AS n_all
+        FROM cnt_f GROUP BY c, tok
+    ),
+    tot_f AS (
+        SELECT fold, c, CAST(SUM(n) AS BIGINT) AS t_f
+        FROM cnt_f GROUP BY fold, c
+    ),
+    tot_all AS (
+        SELECT c, CAST(SUM(n_all) AS BIGINT) AS t_all
+        FROM cnt_all GROUP BY c
+    ),
+    tokf AS (
+        SELECT fold, tok, CAST(SUM(n) AS BIGINT) AS tf_n
+        FROM cnt_f GROUP BY fold, tok
+    ),
+    tokall AS (
+        SELECT tok, CAST(SUM(n_all) AS BIGINT) AS all_n
+        FROM cnt_all GROUP BY tok
+    ),
+    folds AS (SELECT unnest(range(0, {_NBCV_FOLDS})) AS fold),
+    vocab_f AS (
+        SELECT f.fold,
+               CAST(SUM(CASE WHEN ta.all_n - COALESCE(tf.tf_n, 0) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v
+        FROM tokall ta CROSS JOIN folds f
+        LEFT JOIN tokf tf ON tf.fold = f.fold AND tf.tok = ta.tok
+        GROUP BY f.fold
+    ),
+    classes AS (SELECT DISTINCT lang AS c FROM documents),
+    scored AS (
+        SELECT te.doc_id, te.fold, te.lang AS actual, cl.c,
+               CAST(SUM({il2.format(
+                   x="COALESCE(ca.n_all, 0) - COALESCE(cf.n, 0) + 1")})
+                    - COUNT(*) * ({il2.format(
+                   x="tall.t_all - COALESCE(tfo.t_f, 0) + vf.v")})
+                    AS BIGINT) AS score
+        FROM toks te
+        CROSS JOIN classes cl
+        LEFT JOIN cnt_all ca ON ca.c = cl.c AND ca.tok = te.tok
+        LEFT JOIN cnt_f cf
+            ON cf.fold = te.fold AND cf.c = cl.c AND cf.tok = te.tok
+        JOIN tot_all tall ON tall.c = cl.c
+        LEFT JOIN tot_f tfo ON tfo.fold = te.fold AND tfo.c = cl.c
+        JOIN vocab_f vf ON vf.fold = te.fold
+        GROUP BY te.doc_id, te.fold, te.lang, cl.c,
+                 tall.t_all, tfo.t_f, vf.v
+    ),
+    pred AS (
+        SELECT fold, actual, c AS predicted,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, c ASC
+               ) AS rn
+        FROM scored
+    )
+    SELECT CAST(fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN actual = predicted THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(1000000 * SUM(CASE WHEN actual = predicted
+                                   THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS accuracy_ppm
+    FROM pred WHERE rn = 1 GROUP BY fold
+    """
+
+
+@register(
+    "nb_crossval_accuracy",
+    oracle=_nbcv_oracle(),
+    tags=("ml", "text", "eval"),
+    doc="5-fold cross-validated accuracy of the naive-Bayes language "
+    "classifier, with the fold models derived by COUNT SUBTRACTION: "
+    "per-(fold, class, token) counts are aggregated once, and fold "
+    "f's training model is global_counts - fold_f_counts — the "
+    "corpus is scanned once for counting and once for scoring, "
+    "instead of 2k scans for k folds (the classic leave-one-out "
+    "trick, here leave-one-fold-out). Per-fold vocabulary and class "
+    "totals derive from the same tables; scoring uses the integer-"
+    "log2 likelihoods of nb_lang_confusion. Scale: every model-side "
+    "table is O(folds * V * C) and broadcast; the scoring join "
+    "explodes tokens x classes (a small constant) and groups by doc "
+    "— linear in corpus size regardless of fold count.",
+)
+def nb_crossval_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    il2 = _NB_ILOG2_SPARK
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _NBCV_FOLDS).alias("fold"),
+        "lang",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    cnt_f = toks.groupBy("fold", F.col("lang").alias("c"), "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    cnt_all = cnt_f.groupBy("c", "tok").agg(
+        F.sum("n").cast("long").alias("n_all")
+    )
+    tot_f = cnt_f.groupBy("fold", "c").agg(
+        F.sum("n").cast("long").alias("t_f")
+    )
+    tot_all = cnt_all.groupBy("c").agg(
+        F.sum("n_all").cast("long").alias("t_all")
+    )
+    tokf = cnt_f.groupBy("fold", "tok").agg(
+        F.sum("n").cast("long").alias("tf_n")
+    )
+    tokall = cnt_all.groupBy("tok").agg(
+        F.sum("n_all").cast("long").alias("all_n")
+    )
+    folds = spark.range(_NBCV_FOLDS).select(F.col("id").alias("fold"))
+    vocab_f = (
+        tokall.crossJoin(F.broadcast(folds))
+        .join(F.broadcast(tokf), ["fold", "tok"], "left")
+        .groupBy("fold")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("all_n") - F.coalesce("tf_n", F.lit(0)) > 0, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("v")
+        )
+    )
+    classes = docs.select(F.col("lang").alias("c")).distinct()
+    scored = (
+        toks.crossJoin(F.broadcast(classes))
+        .join(F.broadcast(cnt_all), ["c", "tok"], "left")
+        .join(F.broadcast(cnt_f), ["fold", "c", "tok"], "left")
+        .join(F.broadcast(tot_all), "c")
+        .join(F.broadcast(tot_f), ["fold", "c"], "left")
+        .join(F.broadcast(vocab_f), "fold")
+        .groupBy(
+            "doc_id", "fold", F.col("lang").alias("actual"), "c",
+            "t_all", "t_f", "v",
+        )
+        .agg(
+            F.expr(
+                f"CAST(SUM({il2.format(x='COALESCE(n_all, 0) - COALESCE(n, 0) + 1')})"
+                f" - COUNT(*) * ({il2.format(x='t_all - COALESCE(t_f, 0) + v')})"
+                " AS BIGINT)"
+            ).alias("score")
+        )
+    )
+    wpred = W.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("c").asc()
+    )
+    pred = scored.withColumn("rn", F.row_number().over(wpred)).where(
+        F.col("rn") == 1
+    )
+    return pred.groupBy(F.col("fold").cast("long").alias("fold")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("actual") == F.col("c"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN actual = c THEN 1 ELSE 0 END)"
+            " DIV COUNT(*) AS BIGINT)"
+        ).alias("accuracy_ppm"),
+    )
+
+
+# ------------------------------------------ chi2 feature selection
+
+_CHI2_TOPK = 10
+
+# identical association order on both engines: N * num * num first,
+# then one division by the left-folded denominator product
+_CHI2_EXPR = (
+    "CAST(floor(CAST(n_total AS DOUBLE) * CAST(ad_bc AS DOUBLE)"
+    " * CAST(ad_bc AS DOUBLE)"
+    " / (CAST(tok_t AS DOUBLE) * CAST(n_total - tok_t AS DOUBLE)"
+    " * CAST(lang_t AS DOUBLE) * CAST(n_total - lang_t AS DOUBLE))"
+    " * 1000.0) AS BIGINT)"
+)
+
+
+@register(
+    "chi2_feature_terms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    lt AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS a
+           FROM toks GROUP BY lang, tok),
+    tokt AS (SELECT tok, CAST(SUM(a) AS BIGINT) AS tok_t
+             FROM lt GROUP BY tok),
+    langt AS (SELECT lang, CAST(SUM(a) AS BIGINT) AS lang_t
+              FROM lt GROUP BY lang),
+    n AS (SELECT CAST(SUM(a) AS BIGINT) AS n_total FROM lt),
+    cells AS (
+        SELECT lt.lang, lt.tok, lt.a, tokt.tok_t, langt.lang_t, n.n_total,
+               lt.a * (n.n_total - tokt.tok_t - langt.lang_t + lt.a)
+                   - (tokt.tok_t - lt.a) * (langt.lang_t - lt.a) AS ad_bc
+        FROM lt
+        JOIN tokt ON tokt.tok = lt.tok
+        JOIN langt ON langt.lang = lt.lang
+        CROSS JOIN n
+    ),
+    scored AS (
+        SELECT lang, tok, {_CHI2_EXPR} AS chi2_milli
+        FROM cells
+    )
+    SELECT lang, tok, chi2_milli, CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT lang, tok, chi2_milli,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY chi2_milli DESC, tok ASC
+               ) AS rank
+        FROM scored
+    ) WHERE rank <= {_CHI2_TOPK}
+    """,
+    tags=("ml", "text", "eval"),
+    doc="Chi-square feature selection: for every (language, token) "
+    "contingency cell over token occurrences, the chi2 statistic "
+    "N*(ad-bc)^2 / ((a+b)(c+d)(a+c)(b+d)), top-10 terms per language "
+    "— the classic pre-step for training the quality/language "
+    "classifiers (mutual information needs logs; chi2 is polynomial, "
+    "so the only non-integer step is one fixed-association IEEE "
+    "chain floored to milli-units, identical on both engines; "
+    "ad-bc stays exact BIGINT). Deterministic (chi2, token) "
+    "tie-break. Scale: the corpus collapses to the (lang, token) "
+    "count table in one map-side-combinable pass; margins and the "
+    "scalar total derive from that table; the per-lang top-k window "
+    "partitions on language over a vocabulary-bounded input — "
+    "nothing downstream of the first aggregate touches corpus-sized "
+    "data.",
+)
+def chi2_feature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+    lt = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    tokt = lt.groupBy("tok").agg(F.sum("a").cast("long").alias("tok_t"))
+    langt = lt.groupBy("lang").agg(F.sum("a").cast("long").alias("lang_t"))
+    n = lt.agg(F.sum("a").cast("long").alias("n_total"))
+    cells = (
+        lt.join(F.broadcast(tokt), "tok")
+        .join(F.broadcast(langt), "lang")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "ad_bc",
+            F.expr(
+                "a * (n_total - tok_t - lang_t + a)"
+                " - (tok_t - a) * (lang_t - a)"
+            ),
+        )
+    )
+    scored = cells.select(
+        "lang", "tok", F.expr(_CHI2_EXPR).alias("chi2_milli")
+    )
+    wr = W.partitionBy("lang").orderBy(
+        F.col("chi2_milli").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= _CHI2_TOPK)
+        .select("lang", "tok", "chi2_milli", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+# ---------------------------------------- MinHash estimator error
+
+def _mee_oracle() -> str:
+    from .dedupops import _BANDS, _K, _duck_lsh_pairs
+
+    return f"""
+    WITH pairs AS (
+        {_duck_lsh_pairs(_K, _BANDS, threshold=0.0, round_jaccard=False)}
+    ),
+    diffs AS (
+        SELECT LEAST(CAST(floor(jaccard * 10.0) AS BIGINT), 9) AS jband,
+               CAST(floor((est_jaccard - jaccard) * 1000000.0) AS BIGINT)
+                   AS diff_micro
+        FROM pairs
+    )
+    SELECT jband,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(abs(diff_micro)) // COUNT(*) AS BIGINT)
+               AS mae_micro,
+           CAST(SUM(diff_micro) // COUNT(*) AS BIGINT) AS bias_micro,
+           CAST(MAX(abs(diff_micro)) AS BIGINT) AS max_abs_micro
+    FROM diffs GROUP BY jband
+    """
+
+
+@register(
+    "minhash_estimate_error",
+    oracle=_mee_oracle(),
+    tags=("dedup", "hash", "eval"),
+    doc="MinHash estimator-error audit: on every LSH candidate pair "
+    "(threshold 0 — the full collision stream), compare the k=16 "
+    "signature's Jaccard estimate against the exact shingle Jaccard, "
+    "grouped by exact-Jaccard decile: pair count, mean absolute "
+    "error, signed bias, and max error in micro-units. This is the "
+    "measurement that says whether k is large enough BEFORE trusting "
+    "est_jaccard as a dedup threshold (expected MAE ~ sqrt(j(1-j)/k) "
+    "~ 120k micro at k=16, j=0.5 — the report shows it, per decile). "
+    "Complements lsh_recall_eval (which measures candidate-"
+    "generation recall, not estimator accuracy). The per-pair diff "
+    "floors one IEEE subtraction of two exact small-int ratios; "
+    "aggregation is exact integer. Scale: everything is the existing "
+    "banded-LSH candidate pipeline (bucketed self-join, no all-"
+    "pairs) plus one map expression and a 10-key aggregate.",
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+    from .dedupops import _BANDS, _K
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.0, k=_K, bands=_BANDS
+    )
+    diffs = pairs.select(
+        F.expr(
+            "LEAST(CAST(floor(jaccard * 10.0) AS BIGINT), 9L)"
+        ).alias("jband"),
+        F.expr(
+            "CAST(floor((est_jaccard - jaccard) * 1000000.0) AS BIGINT)"
+        ).alias("diff_micro"),
+    )
+    return diffs.groupBy("jband").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(SUM(abs(diff_micro)) DIV COUNT(*) AS BIGINT)"
+        ).alias("mae_micro"),
+        F.expr(
+            "CAST(SUM(diff_micro) DIV COUNT(*) AS BIGINT)"
+        ).alias("bias_micro"),
+        F.max(F.abs(F.col("diff_micro"))).cast("long").alias("max_abs_micro"),
+    )

@@ -203,3 +203,125 @@ def test_label_centroid_cosine_replay(spark):
         assert r.cos_ppm == math.floor(
             dot / math.sqrt(float(na2) * float(nb2)) * 1_000_000.0
         )
+
+
+def test_nb_crossval_replay(spark):
+    from etl_energy_tracker_spark.queries.evalops import (
+        _NBCV_FOLDS,
+        nb_crossval_accuracy,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    ilog2 = lambda x: x.bit_length() - 1  # noqa: E731
+    classes = sorted({d.lang for d in docs})
+    cnt = defaultdict(Counter)  # (fold) -> Counter[(lang, tok)]
+    tot = defaultdict(Counter)  # fold -> Counter[lang]
+    tokc = defaultdict(Counter)  # fold -> Counter[tok]
+    for d in docs:
+        f = d.doc_id % _NBCV_FOLDS
+        for t in _toks(d.text):
+            cnt[f][(d.lang, t)] += 1
+            tot[f][d.lang] += 1
+            tokc[f][t] += 1
+    all_cnt = Counter()
+    all_tot = Counter()
+    all_tok = Counter()
+    for f in cnt:
+        all_cnt.update(cnt[f])
+        all_tot.update(tot[f])
+        all_tok.update(tokc[f])
+    expect = defaultdict(lambda: [0, 0])
+    for d in docs:
+        f = d.doc_id % _NBCV_FOLDS
+        v = sum(1 for t in all_tok if all_tok[t] - tokc[f][t] > 0)
+        t = _toks(d.text)
+        best = None
+        for c in classes:
+            tt = all_tot[c] - tot[f][c]
+            score = sum(
+                ilog2(all_cnt[(c, x)] - cnt[f][(c, x)] + 1) for x in t
+            ) - len(t) * ilog2(tt + v)
+            if best is None or score > best[0]:
+                best = (score, c)
+        e = expect[f]
+        e[0] += 1
+        e[1] += best[1] == d.lang
+    got = {
+        r.fold: (r.n_docs, r.n_correct, r.accuracy_ppm)
+        for r in nb_crossval_accuracy(spark, SF_DIR).collect()
+    }
+    assert got == {
+        f: (n, c, 1_000_000 * c // n) for f, (n, c) in expect.items()
+    }
+
+
+def test_chi2_replay(spark):
+    from etl_energy_tracker_spark.queries.evalops import (
+        _CHI2_TOPK,
+        chi2_feature_terms,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    lt, tokt, langt = Counter(), Counter(), Counter()
+    for d in docs:
+        for t in _toks(d.text):
+            lt[(d.lang, t)] += 1
+            tokt[t] += 1
+            langt[d.lang] += 1
+    n = sum(lt.values())
+    scored = defaultdict(list)
+    for (lang, tok), a in lt.items():
+        ad_bc = a * (n - tokt[tok] - langt[lang] + a) - (
+            tokt[tok] - a
+        ) * (langt[lang] - a)
+        chi2 = (
+            float(n)
+            * float(ad_bc)
+            * float(ad_bc)
+            / (
+                float(tokt[tok])
+                * float(n - tokt[tok])
+                * float(langt[lang])
+                * float(n - langt[lang])
+            )
+        )
+        scored[lang].append((math.floor(chi2 * 1000.0), tok))
+    expect = {}
+    for lang, items in scored.items():
+        items.sort(key=lambda x: (-x[0], x[1]))
+        for rank, (milli, tok) in enumerate(items[:_CHI2_TOPK], 1):
+            expect[(lang, rank)] = (tok, milli)
+    got = {
+        (r.lang, r.rank): (r.tok, r.chi2_milli)
+        for r in chi2_feature_terms(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_minhash_estimate_error_bands(spark):
+    from etl_energy_tracker_spark.operators import dedup
+    from etl_energy_tracker_spark.queries.dedupops import _BANDS, _K
+    from etl_energy_tracker_spark.queries.evalops import (
+        minhash_estimate_error,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.0, k=_K, bands=_BANDS
+    ).collect()
+    bands = defaultdict(list)
+    for p in pairs:
+        jb = min(int(math.floor(p.jaccard * 10.0)), 9)
+        bands[jb].append(
+            math.floor((p.est_jaccard - p.jaccard) * 1_000_000.0)
+        )
+    got = {r.jband: r for r in minhash_estimate_error(spark, SF_DIR).collect()}
+    assert set(got) == set(bands)
+    for jb, diffs in bands.items():
+        r = got[jb]
+        assert r.n_pairs == len(diffs)
+        assert r.mae_micro == sum(abs(x) for x in diffs) // len(diffs)
+        s = sum(diffs)
+        q = abs(s) // len(diffs)
+        assert r.bias_micro == (q if s >= 0 else -q)
+        assert r.max_abs_micro == max(abs(x) for x in diffs)
