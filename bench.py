@@ -159,6 +159,8 @@ EXTRA = [
     "nb_crossval_accuracy",
     "chi2_feature_terms",
     "minhash_estimate_error",
+    "khop_reachability",
+    "twopass_exact_median",
 ]
 
 

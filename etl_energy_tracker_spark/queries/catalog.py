@@ -264,6 +264,8 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "minhash_estimate_error", "chi2_feature_terms",
     "autocorrelation_lags", "label_centroid_similarity",
     "badword_filter_report",
+    # r6 scale-pattern additions (BFS frontier, 2-pass exact median)
+    "khop_reachability", "twopass_exact_median",
 ) + _REVERIFY_HINT_ONLY
 
 

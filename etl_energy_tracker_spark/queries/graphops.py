@@ -333,3 +333,145 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+
+
+# ------------------------------------------------ k-hop reachability
+
+_KHOP_SEEDS = 3
+_KHOP_HOPS = 3
+
+
+def _khop_oracle() -> str:
+    # unrolled BFS: frontier_k = neighbors(frontier_{k-1}) minus
+    # visited_{k-1}; visited_k = visited_{k-1} + frontier_k
+    parts = ["""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    edges AS (
+        SELECT 'c' || CAST(ck AS VARCHAR) AS src,
+               's' || CAST(sk AS VARCHAR) AS dst FROM pairs
+        UNION ALL
+        SELECT 's' || CAST(sk AS VARCHAR) AS src,
+               'c' || CAST(ck AS VARCHAR) AS dst FROM pairs
+    ),
+    deg AS (
+        SELECT src AS v, COUNT(*) AS deg FROM edges
+        WHERE src LIKE 'c%' GROUP BY src
+    ),
+    seeds AS (
+        SELECT v FROM deg ORDER BY deg DESC, v ASC LIMIT """
+        + str(_KHOP_SEEDS)
+        + """
+    ),
+    f0 AS (SELECT v AS seed, v FROM seeds),
+    vis0 AS (SELECT seed, v FROM f0)"""]
+    for k in range(1, _KHOP_HOPS + 1):
+        parts.append(f""",
+    f{k} AS (
+        SELECT DISTINCT f.seed, e.dst AS v
+        FROM f{k - 1} f JOIN edges e ON e.src = f.v
+        WHERE NOT EXISTS (
+            SELECT 1 FROM vis{k - 1} p
+            WHERE p.seed = f.seed AND p.v = e.dst)
+    ),
+    vis{k} AS (
+        SELECT seed, v FROM vis{k - 1}
+        UNION ALL SELECT seed, v FROM f{k}
+    )""")
+    unions = "\n        UNION ALL ".join(
+        f"SELECT seed, {k} AS hop, COUNT(*) AS frontier_size"
+        f" FROM f{k} GROUP BY seed"
+        for k in range(1, _KHOP_HOPS + 1)
+    )
+    cums = "\n        UNION ALL ".join(
+        f"SELECT seed, {k} AS hop, COUNT(*) AS reachable_total"
+        f" FROM vis{k} GROUP BY seed"
+        for k in range(1, _KHOP_HOPS + 1)
+    )
+    parts.append(f""",
+    fr AS ({unions}),
+    cu AS ({cums})
+    SELECT fr.seed, CAST(fr.hop AS BIGINT) AS hop,
+           CAST(fr.frontier_size AS BIGINT) AS frontier_size,
+           CAST(cu.reachable_total AS BIGINT) AS reachable_total
+    FROM fr JOIN cu ON cu.seed = fr.seed AND cu.hop = fr.hop
+    """)
+    return "".join(parts)
+
+
+@register(
+    "khop_reachability",
+    oracle=_khop_oracle(),
+    tags=("graph",),
+    doc="k-hop BFS reachability from the 3 highest-degree customer "
+    "vertices of the customer<->supplier bipartite graph: per (seed, "
+    "hop<=3), the NEW vertices at that hop (frontier) and the "
+    "cumulative reachable set — the frontier-expansion pattern "
+    "(friend-of-friend features, blast-radius queries) that "
+    "complements the fixed-point family (pagerank), peeling family "
+    "(k-core) and star-contraction family (connected components). "
+    "Each hop is one shuffle join (frontier x edges on src) + a "
+    "distinct + an anti-join against the visited set — the visited "
+    "set is (seed, vertex)-keyed state carried between rounds, "
+    "exactly how an iterative Pregel frontier runs on DataFrames; "
+    "hops are a fixed driver-side loop, no collect. Seeds are picked "
+    "by (degree DESC, vertex ASC) over the bounded degree table — "
+    "deterministic on both engines.",
+)
+def khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    pairs = (
+        orders.join(lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("ck"), F.col("l_suppkey").alias("sk"))
+        .distinct()
+    )
+    cv = F.concat(F.lit("c"), F.col("ck").cast("string"))
+    sv = F.concat(F.lit("s"), F.col("sk").cast("string"))
+    edges = pairs.select(cv.alias("src"), sv.alias("dst")).unionByName(
+        pairs.select(sv.alias("src"), cv.alias("dst"))
+    )
+    # reused every hop (join side) — materialize once
+    edges = edges.localCheckpoint(eager=False)
+    deg = (
+        edges.where(F.col("src").startswith("c"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    seeds = (
+        deg.orderBy(F.col("deg").desc(), F.col("src").asc())
+        .limit(_KHOP_SEEDS)
+        .select(F.col("src").alias("seed"))
+    )
+    frontier = seeds.select("seed", F.col("seed").alias("v"))
+    visited = frontier
+    out = None
+    for hop in range(1, _KHOP_HOPS + 1):
+        frontier = (
+            frontier.join(edges, frontier.v == edges.src)
+            .select("seed", F.col("dst").alias("v"))
+            .distinct()
+            .join(visited, ["seed", "v"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionByName(frontier).localCheckpoint(eager=False)
+        stats = (
+            frontier.groupBy("seed")
+            .agg(F.count(F.lit(1)).cast("long").alias("frontier_size"))
+            .join(
+                visited.groupBy("seed").agg(
+                    F.count(F.lit(1)).cast("long").alias("reachable_total")
+                ),
+                "seed",
+            )
+            .select(
+                "seed",
+                F.lit(hop).cast("long").alias("hop"),
+                "frontier_size",
+                "reachable_total",
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+    return out.select("seed", "hop", "frontier_size", "reachable_total")

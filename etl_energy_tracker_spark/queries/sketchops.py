@@ -612,3 +612,140 @@ def histogram_quantile_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p50_exact", "p90_exact", "p99_exact",
         )
     )
+
+
+# ------------------------------------------------ two-pass exact median
+
+_TPM_BIN = 128  # cents per fixed-width bin
+
+
+@register(
+    "twopass_exact_median",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    n AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               (CAST(COUNT(*) AS BIGINT) + 1) // 2 AS rk
+        FROM c GROUP BY event_type
+    ),
+    ranked AS (
+        SELECT event_type, cents,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY cents
+               ) AS rn
+        FROM c
+    ),
+    med AS (
+        SELECT r.event_type, r.cents AS median_cents
+        FROM ranked r JOIN n ON n.event_type = r.event_type
+        WHERE r.rn = n.rk
+    )
+    SELECT m.event_type, n.n_rows, m.median_cents,
+           m.median_cents // {_TPM_BIN} AS median_bin,
+           CAST((SELECT COUNT(*) FROM c
+                 WHERE c.event_type = m.event_type
+                   AND c.cents // {_TPM_BIN} = m.median_cents // {_TPM_BIN})
+                AS BIGINT) AS bin_rows
+    FROM med m JOIN n ON n.event_type = m.event_type
+    """,
+    tags=("sketch", "stats"),
+    doc="EXACT per-group median in two passes with NO global sort — "
+    "the scale-correct way to get an exact quantile when the sketch "
+    "estimate (histogram_quantile_estimate) is not enough: pass 1 "
+    "bins values into fixed 128-cent buckets and walks the cumulative "
+    "histogram (a window over the BOUNDED per-group histogram, not "
+    "the data) to find the bucket owning rank (n+1)/2; pass 2 sorts "
+    "ONLY that bucket's rows (bin_rows in the output shows how few) "
+    "and picks the (rank - below)-th element. The oracle computes the "
+    "same lower median by direct global ranking — proving the "
+    "refinement is exact. Values quantize once to cents; all "
+    "arithmetic integer. Scale: pass 1 is a map-side-combinable "
+    "aggregate; pass 2's per-group sort touches n/bins rows; at "
+    "100 TB both passes are full scans but nothing ever globally "
+    "sorts — the classic 'exact quantile in O(passes) scans' "
+    "pattern (Munro-Paterson style).",
+)
+def twopass_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    c = events.select(
+        "event_type",
+        F.expr("CAST(round(value * 100) AS BIGINT)").alias("cents"),
+        "event_id",
+    )
+    # ---- pass 1: fixed-width histogram + cumulative walk
+    binned = c.groupBy(
+        "event_type", F.expr(f"cents DIV {_TPM_BIN}").alias("bin")
+    ).agg(F.count(F.lit(1)).cast("long").alias("bc"))
+    n = binned.groupBy("event_type").agg(
+        F.sum("bc").cast("long").alias("n_rows")
+    ).withColumn("rk", F.expr("(n_rows + 1) DIV 2"))
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    cum = binned.withColumn("cum", F.sum("bc").over(wcum))
+    med_bin = (
+        cum.join(n, "event_type")
+        .where(F.col("cum") >= F.col("rk"))
+        .groupBy("event_type", "n_rows", "rk")
+        .agg(
+            F.min("bin").alias("median_bin"),
+        )
+    )
+    # rank below the median bin = cum at the previous bin
+    below = (
+        cum.join(
+            med_bin.select("event_type", "median_bin"), "event_type"
+        )
+        .where(F.col("bin") < F.col("median_bin"))
+        .groupBy("event_type")
+        .agg(F.sum("bc").cast("long").alias("below"))
+    )
+    target = (
+        med_bin.join(below, "event_type", "left")
+        .withColumn("below", F.coalesce("below", F.lit(0)))
+        .withColumn("in_bin_rk", F.col("rk") - F.col("below"))
+    )
+    # ---- pass 2: sort only the median bucket's rows per group
+    tgt = target.select(
+        F.col("event_type").alias("et"),
+        "median_bin",
+        "in_bin_rk",
+        "n_rows",
+    )
+    bucket_rows = c.join(
+        F.broadcast(tgt),
+        (c.event_type == F.col("et"))
+        & (F.expr(f"cents DIV {_TPM_BIN}") == F.col("median_bin")),
+    )
+    wbin = W.partitionBy("et").orderBy("cents", "event_id")
+    picked = (
+        bucket_rows.withColumn("rn", F.row_number().over(wbin))
+        .where(F.col("rn") == F.col("in_bin_rk"))
+        .select(
+            F.col("et").alias("event_type"),
+            "n_rows",
+            F.col("cents").alias("median_cents"),
+            "median_bin",
+        )
+    )
+    bin_counts = binned.select(
+        F.col("event_type").alias("et2"),
+        F.col("bin").alias("bin2"),
+        F.col("bc"),
+    )
+    return picked.join(
+        F.broadcast(bin_counts),
+        (picked.event_type == F.col("et2"))
+        & (picked.median_bin == F.col("bin2")),
+    ).select(
+        "event_type",
+        "n_rows",
+        "median_cents",
+        "median_bin",
+        F.col("bc").alias("bin_rows"),
+    )

@@ -325,3 +325,73 @@ def test_minhash_estimate_error_bands(spark):
         q = abs(s) // len(diffs)
         assert r.bias_micro == (q if s >= 0 else -q)
         assert r.max_abs_micro == max(abs(x) for x in diffs)
+
+
+def test_khop_bfs_replay(spark):
+    from etl_energy_tracker_spark.queries.graphops import (
+        _KHOP_HOPS,
+        _KHOP_SEEDS,
+        khop_reachability,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    cust = {o.o_orderkey: o.o_custkey for o in orders}
+    pairs = {
+        (cust[li.l_orderkey], li.l_suppkey)
+        for li in lineitem
+        if li.l_orderkey in cust
+    }
+    adj = defaultdict(set)
+    for ck, sk in pairs:
+        adj[f"c{ck}"].add(f"s{sk}")
+        adj[f"s{sk}"].add(f"c{ck}")
+    degs = sorted(
+        ((len(adj[v]), v) for v in adj if v.startswith("c")),
+        key=lambda x: (-x[0], x[1]),
+    )
+    seeds = [v for _, v in degs[:_KHOP_SEEDS]]
+    expect = {}
+    for seed in seeds:
+        visited = {seed}
+        frontier = {seed}
+        for hop in range(1, _KHOP_HOPS + 1):
+            nxt = set()
+            for v in frontier:
+                nxt |= adj[v]
+            frontier = nxt - visited
+            visited |= frontier
+            if frontier:
+                expect[(seed, hop)] = (len(frontier), len(visited))
+    got = {
+        (r.seed, r.hop): (r.frontier_size, r.reachable_total)
+        for r in khop_reachability(spark, SF_DIR).collect()
+    }
+    assert got == expect
+
+
+def test_twopass_median_replay(spark):
+    from etl_energy_tracker_spark.queries.sketchops import (
+        _TPM_BIN,
+        twopass_exact_median,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    by_type = defaultdict(list)
+    for e in events:
+        cents = int(math.floor(abs(e.value) * 100 + 0.5)) * (
+            1 if e.value >= 0 else -1
+        )
+        by_type[e.event_type].append(cents)
+    got = {r.event_type: r for r in twopass_exact_median(spark, SF_DIR).collect()}
+    assert set(got) == set(by_type)
+    for et, cents in by_type.items():
+        cents.sort()
+        n = len(cents)
+        med = cents[(n + 1) // 2 - 1]
+        r = got[et]
+        assert (r.n_rows, r.median_cents) == (n, med)
+        assert r.median_bin == med // _TPM_BIN
+        assert r.bin_rows == sum(
+            1 for x in cents if x // _TPM_BIN == med // _TPM_BIN
+        )
