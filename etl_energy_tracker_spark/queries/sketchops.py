@@ -676,9 +676,14 @@ def twopass_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     # ---- pass 1: fixed-width histogram + cumulative walk
+    # the histogram is bounded (groups x ~400 bins) and feeds four
+    # consumers (n, cum, below, bin_counts) — checkpoint it so pass 1
+    # scans the events table once, not per consumer
     binned = c.groupBy(
         "event_type", F.expr(f"cents DIV {_TPM_BIN}").alias("bin")
-    ).agg(F.count(F.lit(1)).cast("long").alias("bc"))
+    ).agg(F.count(F.lit(1)).cast("long").alias("bc")).localCheckpoint(
+        eager=False
+    )
     n = binned.groupBy("event_type").agg(
         F.sum("bc").cast("long").alias("n_rows")
     ).withColumn("rk", F.expr("(n_rows + 1) DIV 2"))
