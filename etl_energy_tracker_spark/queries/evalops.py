@@ -171,7 +171,7 @@ _AUC_LO, _AUC_HI = 20_000, 120_000
         SELECT CAST(SUM(cp) AS BIGINT) AS pos_total,
                CAST(SUM(cn) AS BIGINT) AS neg_total,
                CAST(1000000 * SUM(cp * (2 * neg_below + cn))
-                    // (2 * SUM(cp) * SUM(cn)) AS BIGINT) AS auc_ppm
+                    // NULLIF(2 * SUM(cp) * SUM(cn), 0) AS BIGINT) AS auc_ppm
         FROM cum
     ),
     dec AS (
@@ -233,7 +233,7 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cn").cast("long").alias("neg_total"),
         F.expr(
             "CAST(1000000 * SUM(cp * (2 * neg_below + cn))"
-            " DIV (2 * SUM(cp) * SUM(cn)) AS BIGINT)"
+            " DIV NULLIF(2 * SUM(cp) * SUM(cn), 0) AS BIGINT)"
         ).alias("auc_ppm"),
     )
     dec = per_doc.withColumn(
@@ -291,7 +291,7 @@ _ACF_MAX_LAG = 24
     )
     SELECT p.event_type, CAST(p.lag AS BIGINT) AS lag,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           CAST(1000000 * SUM(p.prod) // d0.c0 AS BIGINT) AS acf_ppm
+           CAST(1000000 * SUM(p.prod) // NULLIF(d0.c0, 0) AS BIGINT) AS acf_ppm
     FROM pairs p JOIN denom d0 ON d0.event_type = p.event_type
     GROUP BY p.event_type, p.lag, d0.c0
     """,
@@ -362,7 +362,7 @@ def autocorrelation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.col("lag").cast("long").alias("lag"),
             "n_pairs",
-            F.expr("CAST(1000000 * num DIV c0 AS BIGINT)").alias("acf_ppm"),
+            F.expr("CAST(1000000 * num DIV NULLIF(c0, 0) AS BIGINT)").alias("acf_ppm"),
         )
     )
 

@@ -395,3 +395,24 @@ def test_twopass_median_replay(spark):
         assert r.bin_rows == sum(
             1 for x in cents if x // _TPM_BIN == med // _TPM_BIN
         )
+
+
+def test_auc_degenerate_single_class_yields_null(spark):
+    """All-one-class labels make n_pos*n_neg = 0; the guarded integer
+    division must yield NULL auc_ppm (not crash) on the Spark side,
+    mirroring the oracle's NULLIF."""
+    import tempfile
+
+    # stopword ratio 50% >> the good band on every doc -> all negative
+    docs = [(i, "a the a the a the", "en", "src0", 17) for i in range(20)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        rows = classifier_auc_eval(spark, d).collect()
+    assert rows and all(r.auc_ppm is None for r in rows)
+    assert all(r.pos_total == 0 for r in rows)

@@ -242,3 +242,68 @@ def test_exact_substring_trim_generated(spark, tok_lists):
         assert (r.n_tokens, r.removed_tokens, r.kept_tokens) == (n, rem, n - rem)
         assert r.removed_windows == rem_win[i]
         assert r.kept_ppm == (n - rem) * 1_000_000 // n
+
+
+# ------------------------- two-pass exact median vs generated multisets
+
+_tpm_groups = st.lists(
+    st.lists(
+        st.integers(min_value=1, max_value=400),  # cents: spans ~3 bins
+        min_size=1,
+        max_size=40,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=4, deadline=None)
+@given(_tpm_groups)
+def test_twopass_median_generated(spark, groups):
+    """Generated multisets hit the refinement edge cases the fixed
+    corpus may not: median exactly on a 128-cent bin boundary, all
+    values equal (one hot bin), n=1 groups, even/odd n ties. The
+    two-pass result must equal the direct sorted lower median."""
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from etl_energy_tracker_spark.queries.sketchops import (
+        _TPM_BIN,
+        twopass_exact_median,
+    )
+
+    rows = []
+    eid = 0
+    for g, cents_list in enumerate(groups):
+        for c in cents_list:
+            rows.append(
+                (
+                    eid,
+                    datetime(2024, 1, 1) + timedelta(seconds=eid),
+                    eid % 7,
+                    f"t{g}",
+                    c / 100.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/events.parquet")
+        got = {
+            r.event_type: r
+            for r in twopass_exact_median(spark, d).collect()
+        }
+    for g, cents_list in enumerate(groups):
+        s = sorted(cents_list)
+        n = len(s)
+        med = s[(n + 1) // 2 - 1]
+        r = got[f"t{g}"]
+        assert (r.n_rows, r.median_cents) == (n, med)
+        assert r.median_bin == med // _TPM_BIN
+        assert r.bin_rows == sum(
+            1 for x in s if x // _TPM_BIN == med // _TPM_BIN
+        )
