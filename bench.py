@@ -161,6 +161,7 @@ EXTRA = [
     "minhash_estimate_error",
     "khop_reachability",
     "twopass_exact_median",
+    "distribution_drift_chi2",
 ]
 
 

@@ -938,3 +938,131 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bias_micro"),
         F.max(F.abs(F.col("diff_micro"))).cast("long").alias("max_abs_micro"),
     )
+
+
+# -------------------------------------------- distribution drift chi2
+
+_DRIFT_BIN = 128  # cents per histogram bin (same width as the median op)
+
+# per-bin chi2 term, computed in ONE fixed-association IEEE chain and
+# floored to milli-units so the cross-bin aggregation is exact integer:
+# term = 1000 * (o*R - r*C)^2 / (r * R * C)   [classic chi2 scaled by
+# n_ref*n_cur: sum over bins of (o - C*r/R)^2 / (C*r/R) == sum of
+# (o*R - r*C)^2 / (r*R*C)]
+_DRIFT_TERM = (
+    "CAST(floor(1000.0"
+    " * (CAST(o AS DOUBLE) * CAST(n_ref AS DOUBLE)"
+    "    - CAST(r AS DOUBLE) * CAST(n_cur AS DOUBLE))"
+    " * (CAST(o AS DOUBLE) * CAST(n_ref AS DOUBLE)"
+    "    - CAST(r AS DOUBLE) * CAST(n_cur AS DOUBLE))"
+    " / (CAST(r AS DOUBLE) * CAST(n_ref AS DOUBLE)"
+    "    * CAST(n_cur AS DOUBLE))) AS BIGINT)"
+)
+
+
+@register(
+    "distribution_drift_chi2",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, epoch_us(ts) AS us,
+               CAST(round(value * 100) AS BIGINT) // {_DRIFT_BIN} AS bin
+        FROM events
+    ),
+    bounds AS (
+        SELECT MIN(us) + (MAX(us) - MIN(us)) // 2 AS split_us FROM c
+    ),
+    hist AS (
+        SELECT event_type, bin,
+               CAST(SUM(CASE WHEN us < split_us THEN 1 ELSE 0 END)
+                    AS BIGINT) AS r,
+               CAST(SUM(CASE WHEN us >= split_us THEN 1 ELSE 0 END)
+                    AS BIGINT) AS o
+        FROM c CROSS JOIN bounds GROUP BY event_type, bin
+    ),
+    tot AS (
+        SELECT event_type,
+               CAST(SUM(r) AS BIGINT) AS n_ref,
+               CAST(SUM(o) AS BIGINT) AS n_cur
+        FROM hist GROUP BY event_type
+    )
+    SELECT h.event_type, t.n_ref, t.n_cur,
+           CAST(SUM(CASE WHEN h.r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ref_bins,
+           CAST(SUM(CASE WHEN h.r > 0 THEN
+               {_DRIFT_TERM}
+               ELSE 0 END) AS BIGINT) AS chi2_milli,
+           CAST(SUM(CASE WHEN h.r = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS new_bins,
+           CAST(SUM(CASE WHEN h.r = 0 THEN h.o ELSE 0 END) AS BIGINT)
+               AS new_rows
+    FROM hist h JOIN tot t ON t.event_type = h.event_type
+    GROUP BY h.event_type, t.n_ref, t.n_cur
+    """,
+    tags=("quality", "stats", "eval"),
+    doc="Distribution-drift monitor: the event-value histogram of the "
+    "second half of the stream (by midpoint timestamp) tested against "
+    "the first half with the chi-square homogeneity statistic, per "
+    "event type — the polynomial analog of PSI (PSI's log term would "
+    "cross the engine boundary; chi2 ranks drift identically for "
+    "monitoring). Per-bin terms are one fixed-association IEEE chain "
+    "floored to milli-units, so the cross-bin sum is exact integer; "
+    "bins unseen in the reference window (where chi2 is undefined) "
+    "are reported separately as new_bins/new_rows — the 'novel "
+    "values appeared' signal a drift monitor must not silently fold "
+    "in. Scale: the stream collapses to a (type, bin, window) "
+    "histogram in one map-side-combinable pass; everything after "
+    "runs on the bounded histogram. The split point is one global "
+    "min/max aggregate (broadcast scalar).",
+)
+def distribution_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    c = events.select(
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr(
+            f"CAST(round(value * 100) AS BIGINT) DIV {_DRIFT_BIN}"
+        ).alias("bin"),
+    )
+    bounds = c.agg(
+        F.expr("MIN(us) + (MAX(us) - MIN(us)) DIV 2").alias("split_us")
+    )
+    hist = (
+        c.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("split_us"), 1).otherwise(0))
+            .cast("long")
+            .alias("r"),
+            F.sum(F.when(F.col("us") >= F.col("split_us"), 1).otherwise(0))
+            .cast("long")
+            .alias("o"),
+        )
+    )
+    tot = hist.groupBy("event_type").agg(
+        F.sum("r").cast("long").alias("n_ref"),
+        F.sum("o").cast("long").alias("n_cur"),
+    )
+    term = _DRIFT_TERM
+    return (
+        hist.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type", "n_ref", "n_cur")
+        .agg(
+            F.sum(F.when(F.col("r") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("ref_bins"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN r > 0 THEN {term} ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("chi2_milli"),
+            F.sum(F.when(F.col("r") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("new_bins"),
+            F.sum(F.when(F.col("r") == 0, F.col("o")).otherwise(0))
+            .cast("long")
+            .alias("new_rows"),
+        )
+        .select(
+            "event_type", "n_ref", "n_cur", "ref_bins",
+            "chi2_milli", "new_bins", "new_rows",
+        )
+    )

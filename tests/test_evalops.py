@@ -416,3 +416,49 @@ def test_auc_degenerate_single_class_yields_null(spark):
         rows = classifier_auc_eval(spark, d).collect()
     assert rows and all(r.auc_ppm is None for r in rows)
     assert all(r.pos_total == 0 for r in rows)
+
+
+def test_distribution_drift_replay(spark):
+    from etl_energy_tracker_spark.queries.evalops import (
+        _DRIFT_BIN,
+        distribution_drift_chi2,
+    )
+
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    us = {
+        e.event_id: int(e.ts.timestamp() * 1_000_000) for e in events
+    }
+    lo, hi = min(us.values()), max(us.values())
+    split = lo + (hi - lo) // 2
+    hist = defaultdict(lambda: [0, 0])  # (type, bin) -> [r, o]
+    for e in events:
+        cents = int(math.floor(abs(e.value) * 100 + 0.5)) * (
+            1 if e.value >= 0 else -1
+        )
+        b = cents // _DRIFT_BIN
+        hist[(e.event_type, b)][0 if us[e.event_id] < split else 1] += 1
+    per_type = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    totals = defaultdict(lambda: [0, 0])
+    for (et, b), (r, o) in hist.items():
+        totals[et][0] += r
+        totals[et][1] += o
+    for (et, b), (r, o) in hist.items():
+        R, C = totals[et]
+        s = per_type[et]
+        if r > 0:
+            s[0] += 1
+            num = float(o) * float(R) - float(r) * float(C)
+            s[1] += math.floor(
+                1000.0 * num * num / (float(r) * float(R) * float(C))
+            )
+        else:
+            s[2] += 1
+            s[3] += o
+    got = {r.event_type: r for r in distribution_drift_chi2(spark, SF_DIR).collect()}
+    assert set(got) == set(per_type)
+    for et, (rb, chi, nb, nr, _, _) in per_type.items():
+        r = got[et]
+        assert (r.n_ref, r.n_cur) == tuple(totals[et])
+        assert (r.ref_bins, r.chi2_milli, r.new_bins, r.new_rows) == (
+            rb, chi, nb, nr,
+        )
