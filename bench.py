@@ -162,6 +162,7 @@ EXTRA = [
     "khop_reachability",
     "twopass_exact_median",
     "distribution_drift_chi2",
+    "neyman_allocation_sample",
 ]
 
 

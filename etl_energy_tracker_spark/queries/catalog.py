@@ -266,7 +266,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "badword_filter_report",
     # r6 scale-pattern additions (BFS frontier, 2-pass exact median)
     "khop_reachability", "twopass_exact_median",
-    "distribution_drift_chi2",
+    "distribution_drift_chi2", "neyman_allocation_sample",
 ) + _REVERIFY_HINT_ONLY
 
 

@@ -1066,3 +1066,133 @@ def distribution_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_milli", "new_bins", "new_rows",
         )
     )
+
+
+# --------------------------------------- Neyman-allocation sampling
+
+_NEY_K = 100  # total sample size
+
+# Neyman weight w_h = n_h * sigma_h = sqrt(n_h * sum(x^2) - sum(x)^2)
+# — ONE IEEE sqrt of an exact BIGINT per stratum, floored to milli
+_NEY_W = (
+    "CAST(floor(sqrt(CAST(n_h * sum_x2 - sum_x * sum_x AS DOUBLE))"
+    " * 1000.0) AS BIGINT)"
+)
+
+
+def _ney_oracle() -> str:
+    from ..functions.hashing import duckdb_charhash
+
+    return f"""
+    WITH stats AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_h,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_x,
+               CAST(SUM(n_chars * n_chars) AS BIGINT) AS sum_x2
+        FROM documents GROUP BY lang
+    ),
+    w AS (SELECT lang, n_h, {_NEY_W} AS w_milli FROM stats),
+    tot AS (SELECT CAST(SUM(w_milli) AS BIGINT) AS w_tot FROM w),
+    base AS (
+        SELECT w.lang, w.n_h, w.w_milli,
+               ({_NEY_K} * w.w_milli) // tot.w_tot AS k_base,
+               ({_NEY_K} * w.w_milli) % tot.w_tot AS rem
+        FROM w CROSS JOIN tot
+    ),
+    short AS (
+        SELECT CAST({_NEY_K} - SUM(k_base) AS BIGINT) AS extra FROM base
+    ),
+    alloc AS (
+        SELECT lang, n_h, w_milli,
+               CAST(k_base + CASE WHEN
+                   row_number() OVER (ORDER BY rem DESC, lang ASC)
+                   <= short.extra THEN 1 ELSE 0 END AS BIGINT) AS k_h
+        FROM base CROSS JOIN short
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.lang,
+               row_number() OVER (
+                   PARTITION BY d.lang
+                   ORDER BY {duckdb_charhash("CAST(d.doc_id AS VARCHAR)")},
+                            d.doc_id
+               ) AS rn
+        FROM documents d
+    )
+    SELECT r.doc_id, r.lang, a.k_h, a.n_h, a.w_milli
+    FROM ranked r JOIN alloc a ON a.lang = r.lang
+    WHERE r.rn <= a.k_h
+    """
+
+
+@register(
+    "neyman_allocation_sample",
+    oracle=_ney_oracle(),
+    tags=("corpus", "sampling", "stats"),
+    doc="Stratified sampling with NEYMAN allocation: each language "
+    "stratum's share of the 100-doc sample is proportional to "
+    "n_h * sigma_h (optimal for estimating the population mean — "
+    "high-variance strata get more budget than proportional "
+    "allocation gives), with the integer shortfall distributed by "
+    "the largest-remainder method (deterministic (remainder, lang) "
+    "order, allocations sum to K exactly). The within-stratum draw "
+    "is the portable charhash order, so the sample is reproducible "
+    "across engines and runs. n_h*sigma_h collapses to "
+    "sqrt(n_h*sum(x^2) - sum(x)^2) — one IEEE sqrt of an exact "
+    "BIGINT per stratum, floored to milli; every other number is "
+    "exact integer. Scale: one stats pass (map-side combinable), "
+    "the allocation table is O(strata) and broadcast; the per-"
+    "stratum rank is a window over each stratum — at 100 TB swap in "
+    "the hash-threshold trick (rank <= k_h becomes charhash < "
+    "per-stratum cutoff learned from a count scan) to avoid the "
+    "full sort; this formulation keeps the top-k semantics exact.",
+)
+def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import spark_charhash
+
+    docs = load_table(spark, "documents", sf_dir)
+    stats = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        F.sum("n_chars").cast("long").alias("sum_x"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("long")
+        .alias("sum_x2"),
+    )
+    w = stats.select("lang", "n_h", F.expr(_NEY_W).alias("w_milli"))
+    tot = w.agg(F.sum("w_milli").cast("long").alias("w_tot"))
+    base = w.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_h",
+        "w_milli",
+        F.expr(f"({_NEY_K} * w_milli) DIV w_tot").alias("k_base"),
+        F.expr(f"({_NEY_K} * w_milli) % w_tot").alias("rem"),
+    )
+    short = base.agg(
+        F.expr(f"CAST({_NEY_K} - SUM(k_base) AS BIGINT)").alias("extra")
+    )
+    wrem = W.orderBy(F.col("rem").desc(), F.col("lang").asc())
+    alloc = (
+        base.crossJoin(F.broadcast(short))
+        .withColumn("rr", F.row_number().over(wrem))
+        .select(
+            "lang",
+            "n_h",
+            "w_milli",
+            (
+                F.col("k_base")
+                + F.when(F.col("rr") <= F.col("extra"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("k_h"),
+        )
+    )
+    wrank = W.partitionBy("lang").orderBy(
+        F.expr(spark_charhash("CAST(doc_id AS STRING)")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(wrank).alias("rn")
+    )
+    return (
+        ranked.join(F.broadcast(alloc), "lang")
+        .where(F.col("rn") <= F.col("k_h"))
+        .select("doc_id", "lang", "k_h", "n_h", "w_milli")
+    )

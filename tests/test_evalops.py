@@ -462,3 +462,43 @@ def test_distribution_drift_replay(spark):
         assert (r.ref_bins, r.chi2_milli, r.new_bins, r.new_rows) == (
             rb, chi, nb, nr,
         )
+
+
+def test_neyman_allocation_replay(spark):
+    from etl_energy_tracker_spark.queries.evalops import (
+        _NEY_K,
+        neyman_allocation_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    strata = defaultdict(list)
+    for d in docs:
+        strata[d.lang].append(d)
+    w_milli, n_h = {}, {}
+    for lang, ds in strata.items():
+        n = len(ds)
+        sx = sum(d.n_chars for d in ds)
+        sx2 = sum(d.n_chars * d.n_chars for d in ds)
+        w_milli[lang] = math.floor(
+            math.sqrt(float(n * sx2 - sx * sx)) * 1000.0
+        )
+        n_h[lang] = n
+    w_tot = sum(w_milli.values())
+    k_base = {g: (_NEY_K * w_milli[g]) // w_tot for g in w_milli}
+    rem = {g: (_NEY_K * w_milli[g]) % w_tot for g in w_milli}
+    extra = _NEY_K - sum(k_base.values())
+    order = sorted(w_milli, key=lambda g: (-rem[g], g))
+    k_h = dict(k_base)
+    for g in order[:extra]:
+        k_h[g] += 1
+    expect = set()
+    for lang, ds in strata.items():
+        ranked = sorted(ds, key=lambda d: (_charhash(str(d.doc_id)), d.doc_id))
+        expect |= {(d.doc_id, lang) for d in ranked[: k_h[lang]]}
+    rows = neyman_allocation_sample(spark, SF_DIR).collect()
+    assert {(r.doc_id, r.lang) for r in rows} == expect
+    for r in rows:
+        assert (r.k_h, r.n_h, r.w_milli) == (
+            k_h[r.lang], n_h[r.lang], w_milli[r.lang],
+        )
+    assert sum(k_h.values()) == _NEY_K
