@@ -208,7 +208,6 @@ def classifier_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
     )
-    stop = F.when(F.col("tok").isin("a", "the"), 1).otherwise(0)
     per_doc = toks.groupBy("doc_id").agg(
         F.sum(F.expr(_HLC_W_SPARK)).cast("long").alias("score"),
         F.expr(
@@ -321,7 +320,9 @@ def autocorrelation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV COUNT(*) AS BIGINT)"
         ).alias("m")
     )
-    wp = W.partitionBy("event_type")
+    # the centered hourly table feeds three consumers (denom, the lag
+    # explode, and the join's right side) — checkpoint so the raw
+    # stream collapses once
     cent = hourly.select(
         "event_type",
         "h",
@@ -333,7 +334,7 @@ def autocorrelation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS BIGINT)"
             )
         ).alias("d"),
-    )
+    ).localCheckpoint(eager=False)
     denom = cent.groupBy("event_type").agg(
         F.sum(F.col("d") * F.col("d")).cast("long").alias("c0")
     )
@@ -369,8 +370,8 @@ def autocorrelation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------- naive Bayes confusion
 
-_NB_ILOG2_SPARK = "length(bin({x})) - 1"
-_NB_ILOG2_DUCK = "length(bin({x})) - 1"
+from .prepops import _DSIR_ILOG2_DUCK as _NB_ILOG2_DUCK  # noqa: E402
+from .prepops import _DSIR_ILOG2_SPARK as _NB_ILOG2_SPARK  # noqa: E402
 
 
 def _nb_oracle() -> str:
@@ -440,9 +441,12 @@ def nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tr = toks.where(F.col("doc_id") % 10 < 8)
     te = toks.where(F.col("doc_id") % 10 >= 8)
+    # cnt is the bounded (classes x vocab) model table and feeds four
+    # consumers (classes, vocab, tot, the scoring join) — checkpoint it
+    # so the corpus tokenize+count runs once, not per consumer
     cnt = tr.groupBy(F.col("lang").alias("c"), "tok").agg(
         F.count(F.lit(1)).cast("long").alias("n")
-    )
+    ).localCheckpoint(eager=False)
     # classes and vocab derive from the (class, token) count table —
     # same sets as DISTINCT over the train split (every class/token in
     # tr has a cnt row), but two fewer corpus scans
@@ -506,9 +510,10 @@ _LC_DIMS = 64
     SELECT CAST(d.label_a AS BIGINT) AS label_a,
            CAST(d.label_b AS BIGINT) AS label_b,
            d.dot,
-           CAST(floor(CAST(d.dot AS DOUBLE)
+           CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN NULL
+                ELSE CAST(floor(CAST(d.dot AS DOUBLE)
                       / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
-                      * 1000000.0) AS BIGINT) AS cos_ppm
+                      * 1000000.0) AS BIGINT) END AS cos_ppm
     FROM dots d
     JOIN norms na ON na.label = d.label_a
     JOIN norms nb ON nb.label = d.label_b
@@ -571,9 +576,10 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("label_b").cast("long").alias("label_b"),
             "dot",
             F.expr(
-                "CAST(floor(CAST(dot AS DOUBLE)"
+                "CASE WHEN na2 = 0 OR nb2 = 0 THEN NULL"
+                " ELSE CAST(floor(CAST(dot AS DOUBLE)"
                 " / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE))"
-                " * 1000000.0) AS BIGINT)"
+                " * 1000000.0) AS BIGINT) END"
             ).alias("cos_ppm"),
         )
     )
@@ -769,12 +775,17 @@ _CHI2_TOPK = 10
 
 # identical association order on both engines: N * num * num first,
 # then one division by the left-folded denominator product
+# degenerate margins (single-language corpus: lang_t = N; single-token
+# vocabulary: tok_t = N) make the chi2 denominator zero — the statistic
+# carries no discrimination signal there, so the term is defined as 0
+# (ANSI Spark would otherwise raise DIVIDE_BY_ZERO while DuckDB NULLs)
 _CHI2_EXPR = (
-    "CAST(floor(CAST(n_total AS DOUBLE) * CAST(ad_bc AS DOUBLE)"
+    "CASE WHEN tok_t = n_total OR lang_t = n_total THEN 0"
+    " ELSE CAST(floor(CAST(n_total AS DOUBLE) * CAST(ad_bc AS DOUBLE)"
     " * CAST(ad_bc AS DOUBLE)"
     " / (CAST(tok_t AS DOUBLE) * CAST(n_total - tok_t AS DOUBLE)"
     " * CAST(lang_t AS DOUBLE) * CAST(n_total - lang_t AS DOUBLE))"
-    " * 1000.0) AS BIGINT)"
+    " * 1000.0) AS BIGINT) END"
 )
 
 
@@ -835,9 +846,12 @@ def chi2_feature_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
     )
+    # lt is the bounded (lang x vocab) count table and feeds four
+    # consumers (tokt, langt, n, cells) — checkpoint so the corpus
+    # explode+count runs once
     lt = toks.groupBy("lang", "tok").agg(
         F.count(F.lit(1)).cast("long").alias("a")
-    )
+    ).localCheckpoint(eager=False)
     tokt = lt.groupBy("tok").agg(F.sum("a").cast("long").alias("tok_t"))
     langt = lt.groupBy("lang").agg(F.sum("a").cast("long").alias("lang_t"))
     n = lt.agg(F.sum("a").cast("long").alias("n_total"))
@@ -986,9 +1000,9 @@ _DRIFT_TERM = (
         FROM hist GROUP BY event_type
     )
     SELECT h.event_type, t.n_ref, t.n_cur,
-           CAST(SUM(CASE WHEN h.r > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(SUM(CASE WHEN h.r > 0 AND t.n_cur > 0 THEN 1 ELSE 0 END) AS BIGINT)
                AS ref_bins,
-           CAST(SUM(CASE WHEN h.r > 0 THEN
+           CAST(SUM(CASE WHEN h.r > 0 AND t.n_cur > 0 THEN
                {_DRIFT_TERM}
                ELSE 0 END) AS BIGINT) AS chi2_milli,
            CAST(SUM(CASE WHEN h.r = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -1051,7 +1065,7 @@ def distribution_drift_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("ref_bins"),
             F.expr(
-                f"CAST(SUM(CASE WHEN r > 0 THEN {term} ELSE 0 END)"
+                f"CAST(SUM(CASE WHEN r > 0 AND n_cur > 0 THEN {term} ELSE 0 END)"
                 " AS BIGINT)"
             ).alias("chi2_milli"),
             F.sum(F.when(F.col("r") == 0, 1).otherwise(0))
@@ -1095,8 +1109,8 @@ def _ney_oracle() -> str:
     tot AS (SELECT CAST(SUM(w_milli) AS BIGINT) AS w_tot FROM w),
     base AS (
         SELECT w.lang, w.n_h, w.w_milli,
-               ({_NEY_K} * w.w_milli) // tot.w_tot AS k_base,
-               ({_NEY_K} * w.w_milli) % tot.w_tot AS rem
+               ({_NEY_K} * w.w_milli) // NULLIF(tot.w_tot, 0) AS k_base,
+               ({_NEY_K} * w.w_milli) % NULLIF(tot.w_tot, 0) AS rem
         FROM w CROSS JOIN tot
     ),
     short AS (
@@ -1163,8 +1177,8 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_h",
         "w_milli",
-        F.expr(f"({_NEY_K} * w_milli) DIV w_tot").alias("k_base"),
-        F.expr(f"({_NEY_K} * w_milli) % w_tot").alias("rem"),
+        F.expr(f"({_NEY_K} * w_milli) DIV NULLIF(w_tot, 0)").alias("k_base"),
+        F.expr(f"({_NEY_K} * w_milli) % NULLIF(w_tot, 0)").alias("rem"),
     )
     short = base.agg(
         F.expr(f"CAST({_NEY_K} - SUM(k_base) AS BIGINT)").alias("extra")

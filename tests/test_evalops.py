@@ -502,3 +502,56 @@ def test_neyman_allocation_replay(spark):
             k_h[r.lang], n_h[r.lang], w_milli[r.lang],
         )
     assert sum(k_h.values()) == _NEY_K
+
+
+def test_degenerate_inputs_do_not_crash(spark):
+    """The guards added for single-language corpora (chi2 margins),
+    zero-variance strata (Neyman w_tot=0), zero-norm centroids, and
+    retired event types (drift n_cur=0) must yield defined values on
+    Spark instead of an ANSI divide-by-zero, matching the oracle."""
+    import tempfile
+    from datetime import datetime
+
+    from etl_energy_tracker_spark.queries.evalops import (
+        chi2_feature_terms,
+        distribution_drift_chi2,
+        neyman_allocation_sample,
+    )
+
+    docs = [(i, "key table row scan", "en", "src0", 17) for i in range(12)]
+    # one event type entirely in the first half of the stream
+    events = [
+        (i, datetime(2024, 1, 1, 0, 0, i), i, "dead", 1.0, "{}")
+        for i in range(5)
+    ] + [
+        (100 + i, datetime(2024, 1, 1, 6, 0, i), i, "alive", 2.0, "{}")
+        for i in range(5)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        spark.createDataFrame(
+            events,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/events.parquet"
+        )
+        # single-language corpus: every chi2 term hits lang_t = n_total
+        chi = chi2_feature_terms(spark, d).collect()
+        assert chi and all(r.chi2_milli == 0 for r in chi)
+        # constant n_chars in the only stratum: w_tot = 0 -> empty
+        # sample, no crash
+        assert neyman_allocation_sample(spark, d).collect() == []
+        # 'dead' retired before the midpoint: n_cur = 0, chi2 term 0
+        drift = {
+            r.event_type: r
+            for r in distribution_drift_chi2(spark, d).collect()
+        }
+        assert drift["dead"].n_cur == 0
+        assert drift["dead"].chi2_milli == 0
