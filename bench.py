@@ -163,6 +163,7 @@ EXTRA = [
     "twopass_exact_median",
     "distribution_drift_chi2",
     "neyman_allocation_sample",
+    "bloom_join_prefilter",
 ]
 
 

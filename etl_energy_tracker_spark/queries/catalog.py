@@ -267,6 +267,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # r6 scale-pattern additions (BFS frontier, 2-pass exact median)
     "khop_reachability", "twopass_exact_median",
     "distribution_drift_chi2", "neyman_allocation_sample",
+    "bloom_join_prefilter",
 ) + _REVERIFY_HINT_ONLY
 
 

@@ -754,3 +754,167 @@ def twopass_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "median_bin",
         F.col("bc").alias("bin_rows"),
     )
+
+
+# ------------------------------------------- bloom-join runtime filter
+
+_BJ_M = 131072  # 2^17-bit filter
+_BJ_K = 3
+_BJ_WORDS = _BJ_M // 64
+
+
+def _bj_pos_duck(i: int) -> str:
+    key = duckdb_charhash("CAST(l_orderkey AS VARCHAR)")
+    return f"(({key} * {2 * i + 3} + {101 * (i + 1)}) % {_BJ_M})"
+
+
+def _bj_pos_duck_o(i: int) -> str:
+    key = duckdb_charhash("CAST(o_orderkey AS VARCHAR)")
+    return f"(({key} * {2 * i + 3} + {101 * (i + 1)}) % {_BJ_M})"
+
+
+def _bj_pos_spark(i: int) -> str:
+    key = spark_charhash("CAST(l_orderkey AS STRING)")
+    return f"(({key} * {2 * i + 3} + {101 * (i + 1)}) % {_BJ_M})"
+
+
+def _bj_pos_spark_o(i: int) -> str:
+    key = spark_charhash("CAST(o_orderkey AS STRING)")
+    return f"(({key} * {2 * i + 3} + {101 * (i + 1)}) % {_BJ_M})"
+
+
+@register(
+    "bloom_join_prefilter",
+    oracle=f"""
+    WITH small AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+          AND month(o_orderdate) = 3
+    ),
+    bits AS (
+        SELECT DISTINCT pos FROM (
+            {" UNION ALL ".join(f"SELECT {_bj_pos_duck_o(i).replace('l_orderkey', 'o_orderkey')} AS pos FROM small" for i in range(_BJ_K))}
+        )
+    ),
+    keys AS (SELECT DISTINCT l_orderkey FROM lineitem),
+    kpos AS (
+        {" UNION ALL ".join(f"SELECT l_orderkey, {_bj_pos_duck(i)} AS pos FROM keys" for i in range(_BJ_K))}
+    ),
+    kpass AS (
+        SELECT l_orderkey,
+               CASE WHEN COUNT(bits.pos) = {_BJ_K} THEN 1 ELSE 0 END
+                   AS passed
+        FROM kpos LEFT JOIN bits USING (pos) GROUP BY l_orderkey
+    ),
+    flags AS (
+        SELECT li.l_orderkey, kp.passed,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN 1 ELSE 0 END
+                   AS matched,
+               CAST(round(li.l_quantity) AS BIGINT) AS qty
+        FROM lineitem li
+        JOIN kpass kp ON kp.l_orderkey = li.l_orderkey
+        LEFT JOIN small s ON s.o_orderkey = li.l_orderkey
+    )
+    SELECT CAST((SELECT COUNT(*) FROM small) AS BIGINT) AS small_keys,
+           CAST(COUNT(*) AS BIGINT) AS li_rows,
+           CAST(SUM(passed) AS BIGINT) AS bloom_passed,
+           CAST(SUM(matched) AS BIGINT) AS true_matched,
+           CAST(SUM(passed) - SUM(matched) AS BIGINT) AS false_passed,
+           CAST(1000000 * (SUM(passed) - SUM(matched))
+                // NULLIF(COUNT(*) - SUM(matched), 0) AS BIGINT)
+               AS fp_ppm,
+           CAST(SUM(CASE WHEN matched = 1 THEN qty ELSE 0 END) AS BIGINT)
+               AS matched_qty
+    FROM flags
+    """,
+    tags=("sketch", "join", "scale"),
+    doc="Bloom-filter JOIN pre-filtering (the runtime-filter / "
+    "sideways-information-passing pattern): the selective small side "
+    "(urgent March orders) builds a k=3, m=2^17-bit portable bloom, "
+    "compacted into a 2048-word BIGINT bitmap on ONE row and "
+    "broadcast; the fact side tests membership with two shifts and "
+    "an AND per hash — O(1) per row, map-side, BEFORE any shuffle. "
+    "The output audits exactly what a runtime filter buys: rows "
+    "passed, true matches, false passes (bloom FPs that a real "
+    "pruned join would discard post-shuffle), and the fp rate in "
+    "ppm of the prunable rows. Lossless by construction — the "
+    "audited join result (matched rows/qty) is oracle-checked "
+    "against the plain join. Scale: at 100 TB the bitmap is 16 KB "
+    "broadcast against a shuffle that would otherwise move the full "
+    "fact table; the oracle's key-join formulation is semantically "
+    "identical membership.",
+)
+def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    small = orders.where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.month("o_orderdate") == 3)
+    ).select("o_orderkey")
+    pos_o = [F.expr(_bj_pos_spark_o(i)) for i in range(_BJ_K)]
+    bits = small.select(F.explode(F.array(*pos_o)).alias("pos")).distinct()
+    # compact the bit positions into a 2048-word bitmap on ONE row —
+    # the broadcastable runtime-filter artifact. Per-word masks fold
+    # DISTRIBUTED (groupBy word + bit_or), then one cheap map lookup
+    # per word densifies the array — not a single-row O(words x bits)
+    # lambda fold
+    wm = bits.groupBy(F.expr("pos DIV 64").alias("w")).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").alias(
+            "mask"
+        )
+    )
+    bitmap = wm.agg(
+        F.expr("map_from_entries(collect_list(struct(w, mask)))").alias("m")
+    ).select(
+        F.expr(
+            f"transform(sequence(0, {_BJ_WORDS - 1}), w -> "
+            "coalesce(element_at(m, CAST(w AS BIGINT)), 0L))"
+        ).alias("bm")
+    )
+    # hoist the char-fold hash to ONE evaluation per row; the k
+    # positions and their DIV/% reuses all derive from the column
+    # (inlining the fold re-evaluates it 2k times per row)
+    test = " AND ".join(
+        f"((shiftright(bm[CAST((((h * {2 * i + 3} + {101 * (i + 1)})"
+        f" % {_BJ_M})) DIV 64 AS INT)],"
+        f" CAST((((h * {2 * i + 3} + {101 * (i + 1)}) % {_BJ_M}))"
+        " % 64 AS INT)) & 1) = 1)"
+        for i in range(_BJ_K)
+    )
+    flags = (
+        lineitem.select("l_orderkey", "l_quantity")
+        .withColumn(
+            "h", F.expr(spark_charhash("CAST(l_orderkey AS STRING)"))
+        )
+        .crossJoin(F.broadcast(bitmap))
+        .withColumn("passed", F.when(F.expr(test), 1).otherwise(0))
+        .join(
+            F.broadcast(small.withColumn("mk", F.lit(1))),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            "left",
+        )
+        .select(
+            "passed",
+            F.coalesce("mk", F.lit(0)).alias("matched"),
+            F.expr("CAST(round(l_quantity) AS BIGINT)").alias("qty"),
+        )
+    )
+    nsmall = small.agg(F.count(F.lit(1)).cast("long").alias("small_keys"))
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("li_rows"),
+        F.sum("passed").cast("long").alias("bloom_passed"),
+        F.sum("matched").cast("long").alias("true_matched"),
+        (F.sum("passed") - F.sum("matched"))
+        .cast("long")
+        .alias("false_passed"),
+        F.expr(
+            "CAST(1000000 * (SUM(passed) - SUM(matched))"
+            " DIV NULLIF(COUNT(*) - SUM(matched), 0) AS BIGINT)"
+        ).alias("fp_ppm"),
+        F.sum(F.when(F.col("matched") == 1, F.col("qty")).otherwise(0))
+        .cast("long")
+        .alias("matched_qty"),
+    ).crossJoin(F.broadcast(nsmall)).select(
+        "small_keys", "li_rows", "bloom_passed", "true_matched",
+        "false_passed", "fp_ppm", "matched_qty",
+    )

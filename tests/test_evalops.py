@@ -555,3 +555,44 @@ def test_degenerate_inputs_do_not_crash(spark):
         }
         assert drift["dead"].n_cur == 0
         assert drift["dead"].chi2_milli == 0
+
+
+def test_bloom_join_replay(spark):
+    from etl_energy_tracker_spark.queries.sketchops import (
+        _BJ_K,
+        _BJ_M,
+        bloom_join_prefilter,
+    )
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").collect()
+    lineitem = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
+    small = {
+        o.o_orderkey
+        for o in orders
+        if o.o_orderpriority == "1-URGENT" and o.o_orderdate.month == 3
+    }
+    def positions(key):
+        h = _charhash(str(key))
+        return [(h * (2 * i + 3) + 101 * (i + 1)) % _BJ_M for i in range(_BJ_K)]
+    bits = set()
+    for k in small:
+        bits.update(positions(k))
+    li_rows = bloom_passed = matched = qty = 0
+    for li in lineitem:
+        li_rows += 1
+        p = all(x in bits for x in positions(li.l_orderkey))
+        m = li.l_orderkey in small
+        bloom_passed += p
+        matched += m
+        if m:
+            qty += int(math.floor(abs(li.l_quantity) + 0.5))
+        assert not (m and not p)  # bloom has no false negatives
+    r = bloom_join_prefilter(spark, SF_DIR).collect()[0]
+    assert (r.small_keys, r.li_rows) == (len(small), li_rows)
+    assert (r.bloom_passed, r.true_matched) == (bloom_passed, matched)
+    assert r.false_passed == bloom_passed - matched
+    assert r.matched_qty == qty
+    denom = li_rows - matched
+    assert r.fp_ppm == (
+        1_000_000 * (bloom_passed - matched) // denom if denom else None
+    )
