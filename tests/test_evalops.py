@@ -596,3 +596,91 @@ def test_bloom_join_replay(spark):
     assert r.fp_ppm == (
         1_000_000 * (bloom_passed - matched) // denom if denom else None
     )
+
+
+def _oracle_rows(name, tmpdir):
+    """Run the registered DuckDB oracle for ``name`` against the
+    parquet tables in ``tmpdir`` (same binding the driver uses)."""
+    import duckdb
+
+    from etl_energy_tracker_spark.queries import catalog
+
+    catalog._load_all()
+    con = duckdb.connect()
+    for t in ("documents", "events"):
+        import os
+
+        p = f"{tmpdir}/{t}.parquet"
+        if os.path.exists(p):
+            # Spark writes a directory of part files
+            src = f"{p}/*.parquet" if os.path.isdir(p) else p
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
+            )
+    return con.sql(catalog.CATALOG[name].oracle).fetchall()
+
+
+def test_auc_small_corpus_engine_parity(spark):
+    """n=7 docs (< 10 deciles, tied scores): Spark and the DuckDB
+    oracle must agree bit-for-bit on the ntile edge behavior."""
+    import tempfile
+
+    texts = [
+        "a key table",          # stopword 1/3 -> good band? 333k ppm: no
+        "key table row scan slow fast merge batch part value a a",
+        "key a table row scan slow fast merge batch part value dup big",
+        "key table row scan",   # 0 stopwords -> not good
+        "key table row scan",   # duplicate text: tied score
+        "a key table row scan slow fast merge batch part",
+        "value value value a the key table row scan slow fast merge",
+    ]
+    docs = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        srows = classifier_auc_eval(spark, d).collect()
+        orows = _oracle_rows("classifier_auc_eval", d)
+    cols = ["decile", "n_docs", "n_pos", "pos_ppm", "auc_ppm",
+            "pos_total", "neg_total"]
+    got = sorted(tuple(str(r[c]) for c in cols) for r in srows)
+    exp = sorted(tuple(str(v) for v in r) for r in orows)
+    assert got == exp
+    assert len(srows) == 7  # ntile(10) over 7 rows yields 7 deciles
+
+
+def test_acf_gapped_series_engine_parity(spark):
+    """Hour gaps: time-lag join must drop pairs identically on both
+    engines (a row-lag formulation would silently misalign)."""
+    import tempfile
+    from datetime import datetime
+
+    hours = [0, 1, 2, 5, 6, 9, 10, 11, 26, 27]  # deliberate gaps
+    events = [
+        (i, datetime(2024, 1, 1, h % 24, 0, 0).replace(
+            day=1 + h // 24), i, "t0", float(10 + (i % 4)), "{}")
+        for i, h in enumerate(hours)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            events,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{d}/events.parquet"
+        )
+        srows = autocorrelation_lags(spark, d).collect()
+        orows = _oracle_rows("autocorrelation_lags", d)
+    cols = ["event_type", "lag", "n_pairs", "acf_ppm"]
+    got = sorted(tuple(str(r[c]) for c in cols) for r in srows)
+    exp = sorted(tuple(str(v) for v in r) for r in orows)
+    assert got == exp
+    # lag 3 pairs exist only via the 2->5 gap crossing (h, h+3):
+    # {2->5, 6->9, 8?..} — verify at least one lag has FEWER pairs
+    # than a row-lag formulation would produce
+    by_lag = {r.lag: r.n_pairs for r in srows}
+    assert by_lag.get(1, 0) < len(hours) - 1
