@@ -164,6 +164,19 @@ EXTRA = [
     "distribution_drift_chi2",
     "neyman_allocation_sample",
     "bloom_join_prefilter",
+    "ks_drift_stat",
+    "lexical_diversity_report",
+    "cohens_kappa_agreement",
+    "gini_token_concentration",
+    "benford_first_digit",
+    "spearman_rank_corr",
+    "zonemap_prune_audit",
+    "l_diversity_report",
+    "zipf_octave_profile",
+    "pca_power_iteration",
+    "skipgram_negative_samples",
+    "analyze_column_stats",
+    "preference_pairs_assemble",
 ]
 
 

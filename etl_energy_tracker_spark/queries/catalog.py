@@ -71,6 +71,8 @@ def _load_all() -> None:
     from . import webprep  # noqa: F401
     from . import prepops  # noqa: F401
     from . import evalops  # noqa: F401
+    from . import statops  # noqa: F401
+    from . import mlops  # noqa: F401
 
 
 # Queries already driver-verified green in CORRECTNESS_r01.json or
@@ -268,6 +270,14 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "khop_reachability", "twopass_exact_median",
     "distribution_drift_chi2", "neyman_allocation_sample",
     "bloom_join_prefilter",
+    # r6 statistics/layout-audit additions (statops.py), riskiest first
+    "spearman_rank_corr", "ks_drift_stat", "cohens_kappa_agreement",
+    "gini_token_concentration", "benford_first_digit",
+    "lexical_diversity_report", "zipf_octave_profile",
+    "zonemap_prune_audit", "l_diversity_report",
+    # r6 optimizer-stats / training-assembly additions (mlops.py)
+    "pca_power_iteration", "skipgram_negative_samples",
+    "analyze_column_stats", "preference_pairs_assemble",
 ) + _REVERIFY_HINT_ONLY
 
 

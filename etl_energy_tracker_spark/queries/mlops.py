@@ -1,0 +1,503 @@
+"""Round-6: optimizer statistics and training-pair assembly operators.
+
+Two halves of "the engine feeds a model":
+
+- the engine's own cost model needs column statistics
+  (``analyze_column_stats`` — the ANALYZE TABLE shape: exact NDV,
+  min/max, equi-depth histogram bounds per column, the inputs a CBO
+  uses for selectivity and join-size estimates);
+- a training pipeline needs assembled examples
+  (``preference_pairs_assemble`` — RLHF-style chosen/rejected pairs
+  per group by a deterministic quality score;
+  ``skipgram_negative_samples`` — word2vec-style positive windows +
+  hash-seeded negatives, aggregated to (center, other, kind)
+  counts);
+- and one linear-algebra scale pattern (``pca_power_iteration`` —
+  two unrolled power-iteration steps for the corpus' top principal
+  direction, entirely in fixed-point integer arithmetic: quantized
+  embeddings, integer mat-vec, L-infinity renormalization — no
+  float sum ever crosses a row boundary, so the result is
+  bit-identical on any engine and any row order).
+
+Engine-parity strategy as evalops/statops: integer micro/milli
+units, truncating DIV, hash-derived pseudo-randomness, no
+order-dependent float accumulation.
+
+Ref parity: beyond-reference operators; the reference
+(jcostac/ETL-Energy-Tracker) has no optimizer-stats or
+training-assembly layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duckdb_charhash, spark_charhash
+from ..sources.registry import load_table
+from .catalog import register
+from .prepops import _HLC_W_DUCK, _HLC_W_SPARK
+
+# -------------------------------------------- ANALYZE column stats
+
+_ACS_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+_ACS_BUCKETS = 8
+
+
+def _acs_duck_union() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{c}' AS col_name, "
+        f"CAST(FLOOR(CAST({c} AS DOUBLE) * 100) AS BIGINT) AS cents "
+        f"FROM lineitem"
+        for c in _ACS_COLS
+    )
+
+
+@register(
+    "analyze_column_stats",
+    oracle=f"""
+    WITH long AS ({_acs_duck_union()}),
+    hist AS (
+        SELECT col_name, cents, COUNT(*) AS c
+        FROM long GROUP BY col_name, cents
+    ),
+    cum AS (
+        SELECT col_name, cents, c,
+               SUM(c) OVER (
+                   PARTITION BY col_name ORDER BY cents
+               ) AS cum_c,
+               SUM(c) OVER (PARTITION BY col_name) AS n
+        FROM hist
+    ),
+    bounds AS (
+        SELECT col_name, b.i AS bucket, MIN(cents) AS ub_cents
+        FROM cum, (SELECT unnest(range(1, {_ACS_BUCKETS})) AS i) b
+        WHERE cum_c * {_ACS_BUCKETS} >= b.i * n
+        GROUP BY col_name, b.i
+    ),
+    stats AS (
+        SELECT col_name,
+               CAST(COUNT(*) AS BIGINT) AS ndv,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(MIN(cents) AS BIGINT) AS min_cents,
+               CAST(MAX(cents) AS BIGINT) AS max_cents
+        FROM hist GROUP BY col_name
+    )
+    SELECT s.col_name, s.ndv, s.n_rows, s.min_cents, s.max_cents,
+           CAST(b.bucket AS BIGINT) AS bucket,
+           CAST(b.ub_cents AS BIGINT) AS ub_cents
+    FROM stats s JOIN bounds b ON s.col_name = b.col_name
+    """,
+    tags=("optimizer", "stats", "tpch"),
+    doc="ANALYZE TABLE column statistics for the cost-based "
+    "optimizer: per numeric lineitem column, exact NDV, min/max, "
+    "and 7 equi-depth histogram bounds (bound i = smallest value v "
+    "with cum_count(v)*8 >= i*N — exact integer comparison, no "
+    "float quantile interpolation), all on cent-quantized values. "
+    "These are the selectivity/join-size inputs a CBO consumes; "
+    "the equi-depth form bounds per-bucket error regardless of "
+    "skew, unlike equi-width. Scale: one long-format union scan, "
+    "collapse to a per-column distinct-value histogram (map-side "
+    "combinable), then per-column windows over the histogram only — "
+    "the ordered scan never touches raw rows; output is "
+    "columns x 7 rows.",
+)
+def analyze_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    long = None
+    for c in _ACS_COLS:
+        part = li.select(
+            F.lit(c).alias("col_name"),
+            F.expr(
+                f"CAST(FLOOR(CAST({c} AS DOUBLE) * 100) AS BIGINT)"
+            ).alias("cents"),
+        )
+        long = part if long is None else long.unionByName(part)
+    hist = (
+        long.groupBy("col_name", "cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    cum = hist.select(
+        "col_name",
+        "cents",
+        "c",
+        F.sum("c")
+        .over(W.partitionBy("col_name").orderBy("cents"))
+        .alias("cum_c"),
+        F.sum("c").over(W.partitionBy("col_name")).alias("n"),
+    )
+    buckets = spark.range(1, _ACS_BUCKETS).select(
+        F.col("id").cast("long").alias("bucket")
+    )
+    bounds = (
+        cum.crossJoin(F.broadcast(buckets))
+        .where(F.col("cum_c") * _ACS_BUCKETS >= F.col("bucket") * F.col("n"))
+        .groupBy("col_name", "bucket")
+        .agg(F.min("cents").cast("long").alias("ub_cents"))
+    )
+    stats = hist.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("ndv"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+    )
+    return stats.join(bounds, "col_name").select(
+        "col_name",
+        "ndv",
+        "n_rows",
+        "min_cents",
+        "max_cents",
+        "bucket",
+        "ub_cents",
+    )
+
+
+# ------------------------------------------ preference pair assembly
+
+
+@register(
+    "preference_pairs_assemble",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, source,
+               CAST(SUM({_HLC_W_DUCK}) AS BIGINT) AS score
+        FROM toks GROUP BY doc_id, lang, source
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY score DESC, doc_id
+               ) AS rn_best,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY score ASC, doc_id
+               ) AS rn_worst,
+               COUNT(*) OVER (PARTITION BY lang, source) AS n_docs
+        FROM scored
+    )
+    SELECT b.lang, b.source,
+           CAST(b.n_docs AS BIGINT) AS n_docs,
+           b.doc_id AS chosen_doc, w.doc_id AS rejected_doc,
+           b.score AS chosen_score, w.score AS rejected_score,
+           b.score - w.score AS margin
+    FROM ranked b
+    JOIN ranked w ON b.lang = w.lang AND b.source = w.source
+    WHERE b.rn_best = 1 AND w.rn_worst = 1 AND b.doc_id <> w.doc_id
+    """,
+    tags=("ml", "corpus", "assembly"),
+    doc="RLHF-style preference-pair assembly: within each "
+    "(lang, source) group, pair the highest-scoring document "
+    "(chosen) with the lowest-scoring one (rejected) under the "
+    "deterministic hashed-linear-classifier score, with doc_id "
+    "tie-breaks so the pair is unique; groups with fewer than two "
+    "docs (chosen == rejected) are dropped. Emits the pair plus its "
+    "score margin — the weight a DPO/RM trainer would consume. "
+    "Scale: one token shuffle to per-doc scores, two rank windows "
+    "per bounded group key, a self-join on the group key only "
+    "(2 rows per group reach it); payload text never moves.",
+)
+def preference_pairs_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    scored = (
+        toks.groupBy("doc_id", "lang", "source")
+        .agg(F.expr(f"CAST(SUM({_HLC_W_SPARK}) AS BIGINT)").alias("score"))
+        .localCheckpoint(eager=False)
+    )
+    grp = W.partitionBy("lang", "source")
+    ranked = scored.select(
+        "*",
+        F.row_number()
+        .over(grp.orderBy(F.col("score").desc(), "doc_id"))
+        .alias("rn_best"),
+        F.row_number()
+        .over(grp.orderBy(F.col("score").asc(), "doc_id"))
+        .alias("rn_worst"),
+        F.count(F.lit(1)).over(grp).alias("n_docs"),
+    )
+    best = ranked.where(F.col("rn_best") == 1).select(
+        "lang",
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("doc_id").alias("chosen_doc"),
+        F.col("score").alias("chosen_score"),
+    )
+    worst = ranked.where(F.col("rn_worst") == 1).select(
+        "lang",
+        "source",
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("score").alias("rejected_score"),
+    )
+    return (
+        best.join(worst, ["lang", "source"])
+        .where(F.col("chosen_doc") != F.col("rejected_doc"))
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "chosen_doc",
+            "rejected_doc",
+            "chosen_score",
+            "rejected_score",
+            (F.col("chosen_score") - F.col("rejected_score")).alias(
+                "margin"
+            ),
+        )
+    )
+
+
+# -------------------------------------- skip-gram negative sampling
+
+_SG_OFFSETS = (1, 2)  # directed context window
+_SG_NEGS = 2  # negatives per positive
+
+
+@register(
+    "skipgram_negative_samples",
+    oracle=f"""
+    WITH toksrc AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tokens
+        FROM documents WHERE trim(text) <> ''
+    ),
+    words AS (
+        SELECT doc_id, u.pos AS pos, u.w AS word FROM (
+            SELECT doc_id, unnest(list_transform(
+                range(1, len(tokens) + 1),
+                i -> {{'pos': i, 'w': tokens[CAST(i AS INT)]}})) AS u
+            FROM toksrc
+        ) WHERE u.w <> ''
+    ),
+    vocab AS (
+        SELECT word, ROW_NUMBER() OVER (
+                   ORDER BY COUNT(*) DESC, word
+               ) - 1 AS vid,
+               COUNT(*) OVER () AS v
+        FROM words GROUP BY word
+    ),
+    pos_pairs AS (
+        SELECT c.word AS center, x.word AS other, 'pos' AS kind
+        FROM words c
+        CROSS JOIN (SELECT unnest([{", ".join(str(o) for o in _SG_OFFSETS)}])
+                    AS o) o
+        JOIN words x ON x.doc_id = c.doc_id AND x.pos = c.pos + o.o
+    ),
+    neg_draws AS (
+        SELECT c.word AS center,
+               (({duckdb_charhash("c.word")}
+                 + c.doc_id * 1000003 + c.pos * 31 + k.k) % 1000000007)
+                   % (SELECT MAX(v) FROM vocab) AS vid
+        FROM words c,
+             (SELECT unnest(range(0, {_SG_NEGS * len(_SG_OFFSETS)})) AS k) k
+    ),
+    neg_pairs AS (
+        SELECT n.center, v.word AS other, 'neg' AS kind
+        FROM neg_draws n JOIN vocab v ON v.vid = n.vid
+    ),
+    allp AS (
+        SELECT * FROM pos_pairs UNION ALL SELECT * FROM neg_pairs
+    )
+    SELECT center, other, kind, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM allp GROUP BY center, other, kind
+    """,
+    tags=("ml", "text", "assembly"),
+    doc="word2vec skip-gram training-pair assembly with negative "
+    "sampling: positives are directed (center, context) pairs at "
+    "offsets +1/+2 inside each document; negatives are drawn per "
+    "(center position, draw index) by a deterministic polynomial "
+    "hash mapped into the frequency-ranked vocabulary — the "
+    "hash-seeded stand-in for word2vec's unigram-table draw, "
+    "reproducible across engines and runs. Output is aggregated to "
+    "(center, other, kind) counts — the exact multiset a trainer "
+    "would consume, without materializing one row per pair. Scale: "
+    "positives are a self-join on (doc_id, pos+offset) — "
+    "co-partitioned, fan-out bounded by the window size; negatives "
+    "are map-side hash draws joined to a broadcast-sized vocab; "
+    "counts are map-side combinable.",
+)
+def skipgram_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    words = (
+        docs.where(F.trim("text") != "")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim("text"), r"\s+")).alias(
+                "pos0", "word"
+            ),
+        )
+        .where(F.col("word") != "")
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            "word",
+            (
+                F.row_number().over(
+                    W.orderBy(F.col("c").desc(), "word")
+                )
+                - 1
+            ).alias("vid"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    vsz = vocab.agg((F.max("vid") + 1).alias("vsz"))
+    ctx = words.select(
+        "doc_id", F.col("pos").alias("xpos"), F.col("word").alias("other")
+    )
+    offs = spark.createDataFrame(
+        [(o,) for o in _SG_OFFSETS], "o int"
+    )
+    probes = words.crossJoin(F.broadcast(offs)).select(
+        "doc_id",
+        (F.col("pos") + F.col("o")).alias("xpos"),
+        F.col("word").alias("center"),
+    )
+    pos_pairs = probes.join(ctx, ["doc_id", "xpos"]).select(
+        "center", "other", F.lit("pos").alias("kind")
+    )
+    ks = spark.range(_SG_NEGS * len(_SG_OFFSETS)).select(
+        F.col("id").cast("long").alias("k")
+    )
+    neg_draws = (
+        words.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(vsz))
+        .select(
+            F.col("word").alias("center"),
+            F.expr(
+                f"(({spark_charhash('word')} + doc_id * 1000003 "
+                f"+ pos * 31 + k) % 1000000007) % vsz"
+            ).alias("vid"),
+        )
+    )
+    neg_pairs = neg_draws.join(F.broadcast(vocab), "vid").select(
+        "center",
+        F.col("word").alias("other"),
+        F.lit("neg").alias("kind"),
+    )
+    return (
+        pos_pairs.unionByName(neg_pairs)
+        .groupBy("center", "other", "kind")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+# -------------------------------------------- PCA by power iteration
+
+_PCA_D = 64
+
+
+def _pca_ex_duck() -> str:
+    return f"""
+    SELECT vec_id, d,
+           CAST(FLOOR(CAST(embedding[CAST(d AS INT)] AS DOUBLE) * 1000)
+                AS BIGINT) AS ev
+    FROM embeddings, (SELECT unnest(range(1, {_PCA_D + 1})) AS d) dd
+    """
+
+
+@register(
+    "pca_power_iteration",
+    oracle=f"""
+    WITH ex AS ({_pca_ex_duck()}),
+    dot1 AS (SELECT vec_id, SUM(ev) AS dot FROM ex GROUP BY vec_id),
+    w1 AS (
+        SELECT d, SUM(ev * dot) AS w
+        FROM ex JOIN dot1 USING (vec_id) GROUP BY d
+    ),
+    m1 AS (SELECT MAX(ABS(w)) AS m FROM w1),
+    v1 AS (
+        SELECT d, (w * 1000) // NULLIF((SELECT m FROM m1), 0) AS v
+        FROM w1
+    ),
+    dot2 AS (
+        SELECT vec_id, SUM(ev * v) // 1000 AS dot
+        FROM ex JOIN v1 USING (d) GROUP BY vec_id
+    ),
+    w2 AS (
+        SELECT d, SUM(ev * dot) AS w
+        FROM ex JOIN dot2 USING (vec_id) GROUP BY d
+    ),
+    m2 AS (SELECT MAX(ABS(w)) AS m FROM w2),
+    v2 AS (
+        SELECT d, (w * 1000) // NULLIF((SELECT m FROM m2), 0) AS v
+        FROM w2
+    )
+    SELECT CAST(v1.d AS BIGINT) AS dim,
+           CAST(v1.v AS BIGINT) AS v1_milli,
+           CAST(v2.v AS BIGINT) AS v2_milli
+    FROM v1 JOIN v2 ON v1.d = v2.d
+    """,
+    tags=("vector", "scale", "ml"),
+    doc="Top principal direction by two unrolled power-iteration "
+    "steps, entirely in fixed-point integers: embeddings quantized "
+    "to milli-units, v0 = all-ones, each step is an integer "
+    "mat-vec (dot per vector, then a per-dimension weighted sum) "
+    "followed by L-infinity renormalization to milli scale — no "
+    "sqrt, no float sum, so the iterate is bit-identical on any "
+    "engine and any row/partition order (the property a floating "
+    "power iteration on Spark does NOT have). Emits both iterates "
+    "so convergence is visible. Scale: the pattern is the "
+    "distributed mat-vec — one shuffle per half-step keyed by "
+    "vec_id / dimension, state is one 64-vector broadcast back "
+    "per iteration (bounded artifact); rows never pairwise "
+    "interact. Integer headroom: |w| <= n * 1e3 * 6.4e4, inside "
+    "BIGINT to ~1e8 vectors per partition-free sum.",
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    ex = (
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("p0", "x")
+        )
+        .select(
+            "vec_id",
+            (F.col("p0") + 1).alias("d"),
+            F.expr(
+                "CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)"
+            ).alias("ev"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def half_step(v: DataFrame | None) -> DataFrame:
+        # dot per vector, then per-dimension weighted sum, then
+        # L-infinity renormalization back to milli scale
+        if v is None:
+            dot = ex.groupBy("vec_id").agg(F.sum("ev").alias("dot"))
+        else:
+            dot = (
+                ex.join(F.broadcast(v), "d")
+                .groupBy("vec_id")
+                .agg(F.expr("SUM(ev * v) DIV 1000").alias("dot"))
+            )
+        w = (
+            ex.join(dot, "vec_id")
+            .groupBy("d")
+            .agg(F.sum(F.expr("ev * dot")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        return w.crossJoin(F.broadcast(m)).select(
+            "d", F.expr("(w * 1000) DIV NULLIF(m, 0)").alias("v")
+        )
+
+    v1 = half_step(None).localCheckpoint(eager=False)
+    v2 = half_step(v1)
+    return v1.alias("a").join(v2.alias("b"), "d").select(
+        F.col("d").cast("long").alias("dim"),
+        F.col("a.v").cast("long").alias("v1_milli"),
+        F.col("b.v").cast("long").alias("v2_milli"),
+    )

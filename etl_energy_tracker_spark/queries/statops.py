@@ -1,0 +1,804 @@
+"""Round-6: statistical-testing and layout-audit operators.
+
+The drift/eval layer (evalops.py) measures *model* quality; this
+module adds the classical *statistics* a data-platform team runs
+against the same tables — nonparametric tests, concentration and
+diversity indices, digit-law fraud checks — plus the storage-layout
+audit that decides whether a sort/Z-order rewrite is worth the
+shuffle:
+
+- ``ks_drift_stat`` — two-sample Kolmogorov-Smirnov statistic of
+  each event segment's value distribution against the pooled rest,
+  evaluated at every observed value (the exact change points of the
+  step CDFs).
+- ``lexical_diversity_report`` — per-source type-token ratio, hapax/
+  dis-legomena counts and Yule's K (repeat-rate) in exact integer
+  ppm — the vocabulary-richness audit for corpus mixing.
+- ``cohens_kappa_agreement`` — chance-corrected agreement between
+  two independent deterministic labelers (the hashed linear
+  classifier vs the stopword-band rule) — the label-quality gate
+  before distilling one filter into another.
+- ``gini_token_concentration`` — Gini coefficient of the token
+  frequency distribution per source, the concentration counterpart
+  of the diversity report.
+- ``benford_first_digit`` — first-significant-digit histogram of
+  event values vs the Benford expectation, the classic anomalous-
+  feed detector for numeric telemetry.
+- ``spearman_rank_corr`` — tie-corrected Spearman rank correlation
+  (Pearson on mid-ranks) between event value and hour-of-day per
+  event type — seasonality strength without assuming linearity.
+- ``zonemap_prune_audit`` — parquet-row-group-style min/max zone
+  maps for two layouts of lineitem (insertion order vs date
+  partitioning), reporting how many zones/rows a ship-date
+  predicate could skip under each — the data-skipping evidence for
+  a layout rewrite decision.
+- ``l_diversity_report`` — the l-diversity extension of the
+  k-anonymity gate: distinct sensitive values (user_id) per
+  quasi-identifier group, rows at re-identification risk per
+  threshold.
+- ``zipf_octave_profile`` — token types/tokens per frequency octave
+  (integer log2 bucket) with the type ratio between consecutive
+  octaves — a Zipf-law fit without floating logs.
+
+Engine-parity strategy (same as evalops.py/prepops.py): comparison
+surfaces are exact integer arithmetic (ppm units, truncating DIV /
+``//`` — probed identical), integer log2 via ``length(bin(x))-1``,
+and — only where a square root is unavoidable (Spearman) — one
+fixed-shape IEEE-754 double expression evaluated identically on both
+engines.
+
+Ref parity: all beyond-reference analytics ops; the reference
+(jcostac/ETL-Energy-Tracker) has no statistics layer.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..sources.registry import load_table
+from .catalog import register
+from .evalops import _AUC_HI, _AUC_LO, _AUC_STOP_SQL
+from .prepops import _HLC_W_DUCK, _HLC_W_SPARK
+
+# ------------------------------------------------- two-sample KS drift
+
+
+@register(
+    "ks_drift_stat",
+    oracle="""
+    WITH per_val AS (
+        SELECT value, COUNT(*) AS tc FROM events GROUP BY value
+    ),
+    types AS (
+        SELECT event_type, COUNT(*) AS n_t FROM events GROUP BY event_type
+    ),
+    total AS (SELECT COUNT(*) AS n FROM events),
+    per_tv AS (
+        SELECT event_type, value, COUNT(*) AS c
+        FROM events GROUP BY event_type, value
+    ),
+    grid AS (
+        SELECT t.event_type, t.n_t, v.value, v.tc, COALESCE(e.c, 0) AS c
+        FROM types t
+        CROSS JOIN per_val v
+        LEFT JOIN per_tv e
+          ON e.event_type = t.event_type AND e.value = v.value
+    ),
+    cum AS (
+        SELECT event_type, n_t, value,
+               SUM(c) OVER (
+                   PARTITION BY event_type ORDER BY value
+               ) AS cum_t,
+               SUM(tc) OVER (
+                   PARTITION BY event_type ORDER BY value
+               ) AS cum_all
+        FROM grid
+    ),
+    d AS (
+        SELECT event_type, n_t, value,
+               ABS(1000000 * cum_t // n_t
+                   - 1000000 * (cum_all - cum_t)
+                     // NULLIF((SELECT n FROM total) - n_t, 0)) AS d_ppm
+        FROM cum
+    ),
+    mx AS (SELECT event_type, MAX(d_ppm) AS ks FROM d GROUP BY event_type)
+    SELECT d.event_type,
+           CAST(MIN(d.n_t) AS BIGINT) AS n_type,
+           CAST((SELECT n FROM total) - MIN(d.n_t) AS BIGINT) AS n_rest,
+           CAST(MIN(mx.ks) AS BIGINT) AS ks_ppm,
+           MIN(d.value) AS ks_at_value
+    FROM d JOIN mx ON d.event_type = mx.event_type AND d.d_ppm = mx.ks
+    GROUP BY d.event_type
+    """,
+    tags=("stats", "drift", "events"),
+    doc="Two-sample Kolmogorov-Smirnov statistic per event segment: "
+    "each event_type's value CDF vs the pooled rest, evaluated at "
+    "EVERY observed value (step CDFs only change there, so the max "
+    "over that grid is the exact D up to the deliberate ppm "
+    "quantization of each CDF — identical truncation on both "
+    "engines). Reports D in ppm plus the smallest value attaining "
+    "it. Scale: two map-side-combinable aggregates collapse the "
+    "corpus to a distinct-value histogram BEFORE the type grid is "
+    "formed (grid rows = |values| x |types|, types is a bounded "
+    "dimension); the cumulative scan is a per-type window over the "
+    "histogram, never over raw rows.",
+)
+def ks_drift_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    # one corpus shuffle builds the (type, value) histogram; every
+    # other input (per-value totals, per-type totals, grand total)
+    # derives from it — localCheckpoint cuts the 4-consumer diamond
+    # that would otherwise rescan and re-shuffle the raw events 4x
+    per_tv = (
+        ev.groupBy("event_type", "value")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    per_val = per_tv.groupBy("value").agg(F.sum("c").alias("tc"))
+    types = per_tv.groupBy("event_type").agg(F.sum("c").alias("n_t"))
+    total = per_tv.agg(F.sum("c").alias("n"))
+    grid = (
+        types.crossJoin(F.broadcast(total))
+        .crossJoin(per_val)
+        .join(per_tv, ["event_type", "value"], "left")
+        .withColumn("c", F.coalesce("c", F.lit(0)))
+    )
+    w = W.partitionBy("event_type").orderBy("value")
+    cum = grid.select(
+        "event_type",
+        "n_t",
+        "n",
+        "value",
+        F.sum("c").over(w).alias("cum_t"),
+        F.sum("tc").over(w).alias("cum_all"),
+    )
+    d = cum.select(
+        "event_type",
+        "n_t",
+        "n",
+        "value",
+        F.expr(
+            "ABS(1000000 * cum_t DIV n_t - 1000000 * (cum_all - cum_t) "
+            "DIV NULLIF(n - n_t, 0))"
+        ).alias("d_ppm"),
+    )
+    mx = d.groupBy("event_type").agg(F.max("d_ppm").alias("ks"))
+    return (
+        d.join(mx, "event_type")
+        .where(F.col("d_ppm") == F.col("ks"))
+        .groupBy("event_type")
+        .agg(
+            F.min("n_t").cast("long").alias("n_type"),
+            (F.min("n") - F.min("n_t")).cast("long").alias("n_rest"),
+            F.min("ks").cast("long").alias("ks_ppm"),
+            F.min("value").alias("ks_at_value"),
+        )
+    )
+
+
+# -------------------------------------------- lexical diversity / Yule
+
+
+@register(
+    "lexical_diversity_report",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT source, tok, COUNT(*) AS m FROM toks GROUP BY source, tok
+    )
+    SELECT source,
+           CAST(SUM(m) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           CAST(SUM(CASE WHEN m = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dis_legomena,
+           CAST(1000000 * COUNT(*) // SUM(m) AS BIGINT) AS ttr_ppm,
+           CAST(1000000 * SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS hapax_ppm,
+           CAST(1000000 * ((10000 * (SUM(m * m) - SUM(m))) // SUM(m))
+                // SUM(m) AS BIGINT) AS yule_k_ppm
+    FROM tf GROUP BY source
+    """,
+    tags=("text", "stats", "corpus"),
+    doc="Per-source vocabulary-richness report: type-token ratio, "
+    "hapax/dis-legomena counts, and Yule's K repeat-rate "
+    "(K = 1e4*(sum m^2*V(m) - N)/N^2, emitted in ppm of the "
+    "conventional 1e4 scale via two truncating divisions applied in "
+    "a fixed order on both engines). Low TTR + high K flags "
+    "template/boilerplate-heavy sources before they dominate a "
+    "training mixture. Scale: one shuffle to the (source, token) "
+    "frequency table — map-side combinable — then a per-source "
+    "rollup on a bounded key; the integer Yule numerator is exact "
+    "up to ~1e15 tokens per source before BIGINT overflow.",
+)
+def lexical_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    return tf.groupBy("source").agg(
+        F.sum("m").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("m") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("hapax"),
+        F.sum(F.when(F.col("m") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("dis_legomena"),
+        F.expr("CAST(1000000 * COUNT(*) DIV SUM(m) AS BIGINT)").alias(
+            "ttr_ppm"
+        ),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN m = 1 THEN 1 ELSE 0 END) "
+            "DIV COUNT(*) AS BIGINT)"
+        ).alias("hapax_ppm"),
+        F.expr(
+            "CAST(1000000 * ((10000 * (SUM(m * m) - SUM(m))) DIV SUM(m)) "
+            "DIV SUM(m) AS BIGINT)"
+        ).alias("yule_k_ppm"),
+    )
+
+
+# ------------------------------------------- Cohen's kappa agreement
+
+
+@register(
+    "cohens_kappa_agreement",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               SUM({_HLC_W_DUCK}) > 0 AS a,
+               1000000 * SUM(CASE WHEN {_AUC_STOP_SQL} THEN 1 ELSE 0 END)
+                   // COUNT(*) BETWEEN {_AUC_LO} AND {_AUC_HI} AS b
+        FROM toks GROUP BY doc_id
+    ),
+    conf AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n11,
+               CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n10,
+               CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n01,
+               CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n00
+        FROM per_doc
+    )
+    SELECT n, n11, n10, n01, n00,
+           CAST(1000000 * (n11 + n00) // n AS BIGINT) AS agree_ppm,
+           CAST(1000000 * (n * (n11 + n00)
+                    - ((n11 + n10) * (n11 + n01)
+                       + (n01 + n00) * (n10 + n00)))
+                // NULLIF(n * n - ((n11 + n10) * (n11 + n01)
+                                   + (n01 + n00) * (n10 + n00)), 0)
+                AS BIGINT) AS kappa_ppm
+    FROM conf
+    """,
+    tags=("ml", "eval", "stats"),
+    doc="Chance-corrected agreement (Cohen's kappa) between two "
+    "independent deterministic document labelers: the hashed linear "
+    "classifier's sign and the stopword-ratio band rule. kappa = "
+    "(po - pe)/(1 - pe) computed entirely in integer arithmetic "
+    "(kappa_ppm = 1e6*(N*agree - pe_num) DIV (N^2 - pe_num)) with "
+    "the full 2x2 confusion table alongside — the label-quality "
+    "check run before distilling the rule into the classifier. "
+    "Scale: one token shuffle to per-doc labels, then a single "
+    "map-side-combinable global aggregate; no sort, no window.",
+)
+def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        (F.expr(f"SUM({_HLC_W_SPARK})") > 0).alias("a"),
+        F.expr(
+            f"1000000 * SUM(CASE WHEN {_AUC_STOP_SQL} THEN 1 ELSE 0 END) "
+            f"DIV COUNT(*) BETWEEN {_AUC_LO} AND {_AUC_HI}"
+        ).alias("b"),
+    )
+    conf = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.expr("CASE WHEN a AND b THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n11"),
+        F.sum(F.expr("CASE WHEN a AND NOT b THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n10"),
+        F.sum(F.expr("CASE WHEN NOT a AND b THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n01"),
+        F.sum(F.expr("CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("n00"),
+    )
+    return conf.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.expr(
+            "CAST(1000000 * (n11 + n00) DIV n AS BIGINT)"
+        ).alias("agree_ppm"),
+        F.expr(
+            "CAST(1000000 * (n * (n11 + n00) - ((n11 + n10) * (n11 + n01) "
+            "+ (n01 + n00) * (n10 + n00))) DIV NULLIF(n * n - "
+            "((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)), 0) "
+            "AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )
+
+
+# --------------------------------------- Gini token concentration
+
+
+@register(
+    "gini_token_concentration",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT source, tok, COUNT(*) AS m FROM toks GROUP BY source, tok
+    ),
+    ranked AS (
+        SELECT source, m,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY m, tok
+               ) AS i
+        FROM tf
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(m) AS BIGINT) AS n_tokens,
+           CAST(1000000 * (2 * SUM(i * m) - (COUNT(*) + 1) * SUM(m))
+                // (COUNT(*) * SUM(m)) AS BIGINT) AS gini_ppm
+    FROM ranked GROUP BY source
+    """,
+    tags=("text", "stats", "corpus"),
+    doc="Gini coefficient of the token frequency distribution per "
+    "source, via the sorted-rank identity G = (2*sum(i*x_i) - "
+    "(n+1)*sum(x))/(n*sum(x)) — exact integer arithmetic; the "
+    "rank tie-break on token changes nothing because equal "
+    "frequencies contribute the same regardless of their order. "
+    "High Gini = a few tokens dominate (template spam); pairs with "
+    "lexical_diversity_report for mixture decisions. Scale: the "
+    "corpus collapses to the (source, token) frequency table first; "
+    "the rank window sorts only that table per source — vocabulary-"
+    "sized, not corpus-sized.",
+)
+def gini_token_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    ranked = tf.select(
+        "source",
+        "m",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("m", "tok"))
+        .alias("i"),
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("m").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST(1000000 * (2 * SUM(i * m) - (COUNT(*) + 1) * SUM(m)) "
+            "DIV (COUNT(*) * SUM(m)) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )
+
+
+# --------------------------------------------- Benford first digit
+
+# expected ppm per leading digit, log10(1 + 1/d), precomputed so no
+# floating log ever runs inside either engine
+_BENFORD_PPM = {
+    d: int(1_000_000 * math.log10(1 + 1 / d)) for d in range(1, 10)
+}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p}" for d, p in _BENFORD_PPM.items())
+    + " END"
+)
+
+
+@register(
+    "benford_first_digit",
+    oracle=f"""
+    WITH vm AS (
+        SELECT CAST(FLOOR(ABS(value) * 1000000) AS BIGINT) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    digs AS (
+        SELECT CAST(SUBSTRING(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit
+        FROM vm WHERE v > 0
+    ),
+    counts AS (SELECT digit, COUNT(*) AS c FROM digs GROUP BY digit),
+    total AS (SELECT SUM(c) AS n FROM counts)
+    SELECT CAST(digit AS BIGINT) AS digit,
+           CAST(c AS BIGINT) AS n_values,
+           CAST(1000000 * c // (SELECT n FROM total) AS BIGINT)
+               AS observed_ppm,
+           CAST({_BENFORD_CASE} AS BIGINT) AS expected_ppm,
+           CAST(ABS(1000000 * c // (SELECT n FROM total)
+                    - {_BENFORD_CASE}) AS BIGINT) AS abs_dev_ppm
+    FROM counts
+    """,
+    tags=("stats", "quality", "events"),
+    doc="First-significant-digit histogram of event values vs the "
+    "Benford-law expectation (expected ppm are Python-precomputed "
+    "literals — no floating log runs in either engine). The digit "
+    "is extracted from the micro-unit integer's decimal string "
+    "(integer-to-string is locale-free and identical on both "
+    "engines), never via log10. Large deviation on a feed that "
+    "should be organic (payments, durations) is the classic "
+    "fabricated-data tripwire. Scale: map-side digit extraction, "
+    "one 9-bucket aggregate — no sort, no window, no UDF.",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    vm = ev.where(F.col("value").isNotNull()).select(
+        F.expr("CAST(FLOOR(ABS(value) * 1000000) AS BIGINT)").alias("v")
+    )
+    digs = vm.where(F.col("v") > 0).select(
+        F.substring(F.col("v").cast("string"), 1, 1)
+        .cast("long")
+        .alias("digit")
+    )
+    counts = digs.groupBy("digit").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("n"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        F.col("digit").cast("long").alias("digit"),
+        F.col("c").cast("long").alias("n_values"),
+        F.expr("CAST(1000000 * c DIV n AS BIGINT)").alias("observed_ppm"),
+        F.expr(f"CAST({_BENFORD_CASE} AS BIGINT)").alias("expected_ppm"),
+        F.expr(
+            f"CAST(ABS(1000000 * c DIV n - {_BENFORD_CASE}) AS BIGINT)"
+        ).alias("abs_dev_ppm"),
+    )
+
+
+# ------------------------------------------ Spearman rank correlation
+
+_SPEAR_RHO = (
+    "CAST(FLOOR(1000000.0 * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+    "NULLIF(SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+    "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
+    "* (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+    "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0.0)) AS BIGINT)"
+)
+
+
+@register(
+    "spearman_rank_corr",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, value AS x,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+        FROM events
+    ),
+    r AS (
+        SELECT event_type,
+               2 * RANK() OVER (PARTITION BY event_type ORDER BY x)
+                   + COUNT(*) OVER (PARTITION BY event_type, x) - 1
+                   AS r2x,
+               2 * RANK() OVER (PARTITION BY event_type ORDER BY y)
+                   + COUNT(*) OVER (PARTITION BY event_type, y) - 1
+                   AS r2y
+        FROM base
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(r2x) AS BIGINT) AS sx,
+               CAST(SUM(r2y) AS BIGINT) AS sy,
+               CAST(SUM(r2x * r2x) AS BIGINT) AS sxx,
+               CAST(SUM(r2y * r2y) AS BIGINT) AS syy,
+               CAST(SUM(r2x * r2y) AS BIGINT) AS sxy
+        FROM r GROUP BY event_type
+    )
+    SELECT event_type, n AS n_events, {_SPEAR_RHO} AS spearman_ppm
+    FROM s
+    """,
+    tags=("stats", "events"),
+    doc="Tie-corrected Spearman rank correlation between event value "
+    "and hour-of-day, per event type: Pearson on doubled mid-ranks "
+    "(2r = 2*RANK + tie_count - 1 keeps average ranks integer), "
+    "rank sums accumulated exactly in BIGINT, then ONE fixed-shape "
+    "double expression (multiply/divide/sqrt/floor — identical IEEE "
+    "ops on both engines) produces rho in ppm. Scale: ranks come "
+    "from per-type windows (a range-partitioned sort, never a "
+    "single global window); the integer rank products stay inside "
+    "BIGINT up to ~1e6 rows per type, past which the same sums "
+    "would switch to the double path — noted, not hidden.",
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_type",
+        F.col("value").alias("x"),
+        F.hour("ts").cast("long").alias("y"),
+    )
+    r = base.select(
+        "event_type",
+        (
+            2 * F.rank().over(W.partitionBy("event_type").orderBy("x"))
+            + F.count(F.lit(1)).over(W.partitionBy("event_type", "x"))
+            - 1
+        ).alias("r2x"),
+        (
+            2 * F.rank().over(W.partitionBy("event_type").orderBy("y"))
+            + F.count(F.lit(1)).over(W.partitionBy("event_type", "y"))
+            - 1
+        ).alias("r2y"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r2x").cast("long").alias("sx"),
+        F.sum("r2y").cast("long").alias("sy"),
+        F.sum(F.expr("r2x * r2x")).cast("long").alias("sxx"),
+        F.sum(F.expr("r2y * r2y")).cast("long").alias("syy"),
+        F.sum(F.expr("r2x * r2y")).cast("long").alias("sxy"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.expr(_SPEAR_RHO).alias("spearman_ppm"),
+    )
+
+
+# ------------------------------------------- zone-map pruning audit
+
+_ZM_LO = "TIMESTAMP '1996-01-01 00:00:00'"
+_ZM_HI = "TIMESTAMP '1996-12-31 23:59:59'"
+_ZM_ZONE_ROWS = 400  # orderkeys per insertion-order zone
+
+
+@register(
+    "zonemap_prune_audit",
+    oracle=f"""
+    WITH a AS (
+        SELECT 'orderkey_zones' AS layout,
+               l_orderkey // {_ZM_ZONE_ROWS} AS zone,
+               l_shipdate AS sd
+        FROM lineitem
+        UNION ALL
+        SELECT 'shipdate_months' AS layout,
+               CAST(EXTRACT(year FROM l_shipdate) * 12
+                    + EXTRACT(month FROM l_shipdate) AS BIGINT) AS zone,
+               l_shipdate AS sd
+        FROM lineitem
+    ),
+    z AS (
+        SELECT layout, zone, MIN(sd) AS mn, MAX(sd) AS mx,
+               COUNT(*) AS c
+        FROM a GROUP BY layout, zone
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_zones,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN mx < {_ZM_LO} OR mn > {_ZM_HI}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS zones_skipped,
+           CAST(SUM(CASE WHEN mx < {_ZM_LO} OR mn > {_ZM_HI}
+                    THEN c ELSE 0 END) AS BIGINT) AS rows_skipped,
+           CAST(1000000 * SUM(CASE WHEN mx < {_ZM_LO} OR mn > {_ZM_HI}
+                    THEN c ELSE 0 END) // SUM(c) AS BIGINT) AS skip_ppm
+    FROM z GROUP BY layout
+    """,
+    tags=("layout", "scale", "tpch"),
+    doc="Row-group zone-map audit: builds min/max ship-date zone "
+    "maps for two physical layouts of lineitem — insertion order "
+    "(orderkey ranges, what an unsorted ingest produces) vs date "
+    "partitioning — and reports how many zones and rows a one-year "
+    "ship-date predicate could skip under each. Insertion-order "
+    "zones skip ~0 (random dates make every zone's min/max span "
+    "the domain) while date zones skip ~6/7 of the rows: the "
+    "quantified evidence for a sort/Z-order/partition rewrite, the "
+    "same arithmetic a lakehouse file-skipping planner runs against "
+    "parquet footer stats. Scale: two map-side-combinable "
+    "aggregates over a union — zone count is data/zone_size, the "
+    "report is per-layout; no sort, no window.",
+)
+def zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    a = li.select(
+        F.lit("orderkey_zones").alias("layout"),
+        F.expr(f"l_orderkey DIV {_ZM_ZONE_ROWS}").alias("zone"),
+        F.col("l_shipdate").alias("sd"),
+    ).unionByName(
+        li.select(
+            F.lit("shipdate_months").alias("layout"),
+            F.expr(
+                "CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT)"
+            ).alias("zone"),
+            F.col("l_shipdate").alias("sd"),
+        )
+    )
+    z = a.groupBy("layout", "zone").agg(
+        F.min("sd").alias("mn"),
+        F.max("sd").alias("mx"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    skip = F.expr(f"mx < {_ZM_LO} OR mn > {_ZM_HI}")
+    return z.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("long").alias("n_zones"),
+        F.sum("c").cast("long").alias("n_rows"),
+        F.sum(F.when(skip, 1).otherwise(0))
+        .cast("long")
+        .alias("zones_skipped"),
+        F.sum(F.when(skip, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("rows_skipped"),
+        F.expr(
+            f"CAST(1000000 * SUM(CASE WHEN mx < {_ZM_LO} OR mn > {_ZM_HI} "
+            f"THEN c ELSE 0 END) DIV SUM(c) AS BIGINT)"
+        ).alias("skip_ppm"),
+    )
+
+
+# ---------------------------------------------- l-diversity report
+
+_LD_THRESHOLDS = (2, 3, 5)
+
+
+@register(
+    "l_diversity_report",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_band,
+               CAST(FLOOR(value / 50) AS BIGINT) AS value_band,
+               COUNT(*) AS n_rows,
+               COUNT(DISTINCT user_id) AS l
+        FROM events
+        GROUP BY event_type, hour_band, value_band
+    ),
+    ts(t) AS (VALUES {", ".join(f"({t})" for t in _LD_THRESHOLDS)})
+    SELECT CAST(t AS BIGINT) AS l_threshold,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN l < t THEN 1 ELSE 0 END) AS BIGINT)
+               AS failing_groups,
+           CAST(SUM(CASE WHEN l < t THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_at_risk,
+           CAST(1000000 * SUM(CASE WHEN l < t THEN n_rows ELSE 0 END)
+                // SUM(n_rows) AS BIGINT) AS risk_ppm
+    FROM g CROSS JOIN ts GROUP BY t
+    """,
+    tags=("privacy", "quality", "events"),
+    doc="l-diversity privacy gate (the step after k_anonymity_report): "
+    "per quasi-identifier group (event_type, hour band, value band) "
+    "count DISTINCT sensitive values (user_id); for each threshold "
+    "l in (2,3,5) report groups failing l-diversity and the rows "
+    "inside them — a group all of whose rows belong to one user is "
+    "re-identifiable no matter how large k is, which is exactly "
+    "what k-anonymity alone misses. Scale: one exact "
+    "distinct-count aggregate on the QI key (map-side partial via "
+    "the (QI, user) pre-group), then a bounded threshold "
+    "cross-join; no sort, no window.",
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    g = ev.groupBy(
+        "event_type",
+        F.hour("ts").cast("long").alias("hour_band"),
+        F.expr("CAST(FLOOR(value / 50) AS BIGINT)").alias("value_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("l"),
+    )
+    ts = spark.createDataFrame(
+        [(t,) for t in _LD_THRESHOLDS], "t int"
+    )
+    return g.crossJoin(F.broadcast(ts)).groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("l") < F.col("t"), 1).otherwise(0))
+        .cast("long")
+        .alias("failing_groups"),
+        F.sum(F.when(F.col("l") < F.col("t"), F.col("n_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN l < t THEN n_rows ELSE 0 END) "
+            "DIV SUM(n_rows) AS BIGINT)"
+        ).alias("risk_ppm"),
+    ).select(
+        F.col("t").cast("long").alias("l_threshold"),
+        "n_groups",
+        "failing_groups",
+        "rows_at_risk",
+        "risk_ppm",
+    )
+
+
+# ---------------------------------------------- Zipf octave profile
+
+
+@register(
+    "zipf_octave_profile",
+    oracle="""
+    WITH toks AS (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (SELECT tok, COUNT(*) AS m FROM toks GROUP BY tok),
+    o AS (
+        SELECT LENGTH(BIN(m)) - 1 AS octave, m FROM tf
+    ),
+    agg AS (
+        SELECT octave, COUNT(*) AS n_types, SUM(m) AS n_tokens
+        FROM o GROUP BY octave
+    )
+    SELECT CAST(octave AS BIGINT) AS octave,
+           CAST(n_types AS BIGINT) AS n_types,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(1000000 * n_types
+                // NULLIF(LAG(n_types) OVER (ORDER BY octave), 0)
+                AS BIGINT) AS type_ratio_ppm
+    FROM agg
+    """,
+    tags=("text", "stats", "corpus"),
+    doc="Zipf-law profile without floating logs: bucket token types "
+    "by the integer log2 of their corpus frequency (length(bin(m)) "
+    "- 1, the ilog2 idiom shared with the DSIR/NB ops), report "
+    "types and token mass per octave plus the type-count ratio "
+    "between consecutive octaves — a 1/f Zipf corpus shows a "
+    "~2000000 ppm ratio walking DOWN each octave (types halve per "
+    "octave up). Deviation flags unnatural frequency profiles "
+    "(template spam compresses the tail). Scale: corpus collapses "
+    "to the token frequency table, octaves are <64 rows; the LAG "
+    "window runs on that bounded table only.",
+)
+def zipf_octave_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tf = (
+        docs.select(
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    agg = (
+        tf.select(F.expr("LENGTH(BIN(m)) - 1").alias("octave"), "m")
+        .groupBy("octave")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("m").alias("n_tokens"),
+        )
+    )
+    return agg.select(
+        F.col("octave").cast("long").alias("octave"),
+        F.col("n_types").cast("long").alias("n_types"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.expr(
+            "CAST(1000000 * n_types DIV NULLIF(LAG(n_types) "
+            "OVER (ORDER BY octave), 0) AS BIGINT)"
+        ).alias("type_ratio_ppm"),
+    )

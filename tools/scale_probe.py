@@ -85,6 +85,20 @@ OPS = [
     "exact_substring_trim",
     "source_overlap_matrix",
     "domain_blocklist_filter",
+    # round-6 statops: per-type/per-source windows over collapsed
+    # histograms — growth must track the histogram, not raw rows
+    "ks_drift_stat",
+    "spearman_rank_corr",
+    "gini_token_concentration",
+    "lexical_diversity_report",
+    "zonemap_prune_audit",
+    "l_diversity_report",
+    # round-6 mlops: mat-vec iteration, window-bounded pair assembly,
+    # histogram equi-depth bounds, token self-join at fixed offsets
+    "pca_power_iteration",
+    "skipgram_negative_samples",
+    "analyze_column_stats",
+    "preference_pairs_assemble",
 ]
 
 
