@@ -177,6 +177,13 @@ EXTRA = [
     "skipgram_negative_samples",
     "analyze_column_stats",
     "preference_pairs_assemble",
+    "fk_integrity_audit",
+    "copurchase_item_similarity",
+    "dow_hour_heatmap",
+    "asof_join_next_purchase",
+    "order_total_reconciliation",
+    "graph_modularity_score",
+    "brand_month_movers",
 ]
 
 

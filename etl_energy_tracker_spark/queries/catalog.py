@@ -73,6 +73,7 @@ def _load_all() -> None:
     from . import evalops  # noqa: F401
     from . import statops  # noqa: F401
     from . import mlops  # noqa: F401
+    from . import martops  # noqa: F401
 
 
 # Queries already driver-verified green in CORRECTNESS_r01.json or
@@ -278,6 +279,11 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # r6 optimizer-stats / training-assembly additions (mlops.py)
     "pca_power_iteration", "skipgram_negative_samples",
     "analyze_column_stats", "preference_pairs_assemble",
+    # r6 mart-layer additions (martops.py), riskiest first
+    "asof_join_next_purchase", "copurchase_item_similarity",
+    "fk_integrity_audit", "dow_hour_heatmap",
+    "order_total_reconciliation", "graph_modularity_score",
+    "brand_month_movers",
 ) + _REVERIFY_HINT_ONLY
 
 

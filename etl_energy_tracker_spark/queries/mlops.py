@@ -372,14 +372,23 @@ def skipgram_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ks = spark.range(_SG_NEGS * len(_SG_OFFSETS)).select(
         F.col("id").cast("long").alias("k")
     )
+    # hash each token once, THEN fan out to the k draws — the
+    # polynomial charhash is O(len) and would otherwise run k times
+    # per token
+    hashed = words.select(
+        "doc_id",
+        "pos",
+        "word",
+        F.expr(spark_charhash("word")).alias("h"),
+    )
     neg_draws = (
-        words.crossJoin(F.broadcast(ks))
+        hashed.crossJoin(F.broadcast(ks))
         .crossJoin(F.broadcast(vsz))
         .select(
             F.col("word").alias("center"),
             F.expr(
-                f"(({spark_charhash('word')} + doc_id * 1000003 "
-                f"+ pos * 31 + k) % 1000000007) % vsz"
+                "((h + doc_id * 1000003 + pos * 31 + k) % 1000000007) "
+                "% vsz"
             ).alias("vid"),
         )
     )

@@ -99,6 +99,15 @@ OPS = [
     "skipgram_negative_samples",
     "analyze_column_stats",
     "preference_pairs_assemble",
+    # round-6 martops: basket-bounded pair join, per-user sorts,
+    # FK anti-join sweep
+    "copurchase_item_similarity",
+    "asof_join_next_purchase",
+    "fk_integrity_audit",
+    "dow_hour_heatmap",
+    "order_total_reconciliation",
+    "graph_modularity_score",
+    "brand_month_movers",
 ]
 
 
@@ -153,6 +162,33 @@ def build(spark, replicas: int) -> str:
         *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey", "r")],
     )
     orders.repartition(32).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+    # dimension tables for FK-sweep ops: part/supplier/customer get
+    # the SAME key shifts as lineitem/orders (so referential
+    # integrity is preserved per replica); nation/region are
+    # constant-size dims, copied verbatim
+    part = spark.read.parquet(f"{BASE}/part.parquet").crossJoin(reps)
+    part = part.select(
+        (F.col("p_partkey") + F.col("r").cast("long") * 10_000_000).alias("p_partkey"),
+        *[c for c in part.columns if c not in ("p_partkey", "r")],
+    )
+    part.repartition(8).write.mode("overwrite").parquet(f"{out}/part.parquet")
+    supp = spark.read.parquet(f"{BASE}/supplier.parquet").crossJoin(reps)
+    supp = supp.select(
+        (F.col("s_suppkey") + F.col("r").cast("long") * 1_000_000).alias("s_suppkey"),
+        *[c for c in supp.columns if c not in ("s_suppkey", "r")],
+    )
+    supp.repartition(8).write.mode("overwrite").parquet(f"{out}/supplier.parquet")
+    cust = spark.read.parquet(f"{BASE}/customer.parquet").crossJoin(reps)
+    cust = cust.select(
+        (F.col("c_custkey") + F.col("r").cast("long") * 10_000_000).alias("c_custkey"),
+        *[c for c in cust.columns if c not in ("c_custkey", "r")],
+    )
+    cust.repartition(8).write.mode("overwrite").parquet(f"{out}/customer.parquet")
+    for dim in ("nation", "region"):
+        spark.read.parquet(f"{BASE}/{dim}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{dim}.parquet")
 
     # events with shifted ids/users and a per-replica hour offset so
     # replica streams land in disjoint (user, hour) groups — window
