@@ -184,6 +184,11 @@ EXTRA = [
     "order_total_reconciliation",
     "graph_modularity_score",
     "brand_month_movers",
+    "grouping_sets_report",
+    "markov_steady_state",
+    "ab_test_zscore",
+    "cohort_ltv_curve",
+    "dict_encoding_audit",
 ]
 
 

@@ -74,6 +74,7 @@ def _load_all() -> None:
     from . import statops  # noqa: F401
     from . import mlops  # noqa: F401
     from . import martops  # noqa: F401
+    from . import insightops  # noqa: F401
 
 
 # Queries already driver-verified green in CORRECTNESS_r01.json or
@@ -284,6 +285,9 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "fk_integrity_audit", "dow_hour_heatmap",
     "order_total_reconciliation", "graph_modularity_score",
     "brand_month_movers",
+    # r6 analytics/engine-surface additions (insightops.py)
+    "markov_steady_state", "ab_test_zscore", "grouping_sets_report",
+    "cohort_ltv_curve", "dict_encoding_audit",
 ) + _REVERIFY_HINT_ONLY
 
 

@@ -108,6 +108,13 @@ OPS = [
     "order_total_reconciliation",
     "graph_modularity_score",
     "brand_month_movers",
+    # round-6 insightops: Expand fan-out, bounded-matrix iteration,
+    # single-pass experiment stats, cohort windows, value histograms
+    "grouping_sets_report",
+    "markov_steady_state",
+    "ab_test_zscore",
+    "cohort_ltv_curve",
+    "dict_encoding_audit",
 ]
 
 
