@@ -189,6 +189,7 @@ EXTRA = [
     "ab_test_zscore",
     "cohort_ltv_curve",
     "dict_encoding_audit",
+    "weighted_percentile_exact",
 ]
 
 

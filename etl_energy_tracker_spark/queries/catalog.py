@@ -257,17 +257,15 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "leakage_safe_split", "tokenizer_fertility_report",
     "pq_quantize_stats", "lsh_edit_distance_verify",
     "boilerplate_line_removal", "seasonal_decompose_ma",
-    "hashed_linear_classifier", "image_bucket_batching",
+    "hashed_linear_classifier",
     "k_anonymity_report", "stream_scd1_upsert",
     "dsir_importance_weights", "late_arrival_audit",
-    "ann_pq_adc_topk", "quality_keeper_selection", "dataset_card_report",
+    "ann_pq_adc_topk", "quality_keeper_selection",
     "exact_substring_trim", "source_overlap_matrix",
     "domain_blocklist_filter",
     # r6 evaluation-layer additions (evalops.py), riskiest first
     "classifier_auc_eval", "nb_crossval_accuracy", "nb_lang_confusion",
     "minhash_estimate_error", "chi2_feature_terms",
-    "autocorrelation_lags", "label_centroid_similarity",
-    "badword_filter_report",
     # r6 scale-pattern additions (BFS frontier, 2-pass exact median)
     "khop_reachability", "twopass_exact_median",
     "distribution_drift_chi2", "neyman_allocation_sample",
@@ -288,6 +286,15 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # r6 analytics/engine-surface additions (insightops.py)
     "markov_steady_state", "ab_test_zscore", "grouping_sets_report",
     "cohort_ltv_curve", "dict_encoding_audit",
+    "weighted_percentile_exact",
+    # lowest-risk earlier-session r6 names, demoted below the novel
+    # physical shapes above so the ~50-cap spends its slots where a
+    # new plan shape could hide a bug: these five are single-pass
+    # map-side reports with strong Python-replay pytests, and
+    # whatever the cap cuts lands here first
+    "image_bucket_batching", "dataset_card_report",
+    "autocorrelation_lags", "label_centroid_similarity",
+    "badword_filter_report",
 ) + _REVERIFY_HINT_ONLY
 
 

@@ -479,3 +479,89 @@ def dict_encoding_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "AS BIGINT)"
         ).alias("savings_ppm"),
     )
+
+
+# ------------------------------------------ weighted percentiles
+
+_WP_QS = (50, 90, 99)
+
+
+@register(
+    "weighted_percentile_exact",
+    oracle=f"""
+    WITH base AS (
+        SELECT l_returnflag AS flag,
+               CAST(CAST(l_extendedprice AS DECIMAL(38,2)) * 100
+                    AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem
+    ),
+    hist AS (
+        SELECT flag, cents, SUM(w) AS w
+        FROM base GROUP BY flag, cents
+    ),
+    cum AS (
+        SELECT flag, cents, w,
+               SUM(w) OVER (PARTITION BY flag ORDER BY cents) AS cw,
+               SUM(w) OVER (PARTITION BY flag) AS total_w
+        FROM hist
+    ),
+    qs(q) AS (VALUES {", ".join(f"({q})" for q in _WP_QS)})
+    SELECT flag, CAST(q AS BIGINT) AS pct,
+           CAST(MIN(total_w) AS BIGINT) AS total_weight,
+           CAST(MIN(cents) AS BIGINT) AS value_cents
+    FROM cum CROSS JOIN qs
+    WHERE cw * 100 >= q * total_w
+    GROUP BY flag, q
+    """,
+    tags=("stats", "tpch", "aggregate"),
+    doc="EXACT weighted percentiles (p50/p90/p99 of extended price "
+    "weighted by quantity, per return flag): the quantile is the "
+    "smallest value whose cumulative weight reaches q% of the "
+    "group's total weight — pure integer comparisons on the "
+    "distinct-value weight histogram, no interpolation, no float "
+    "rank. The billing/SLA percentile shape (each row counts as "
+    "its weight, which approx_percentile and the unweighted "
+    "two-pass median both get wrong). Scale: the corpus collapses "
+    "to a (group, value) weight histogram before any ordered scan; "
+    "the cumulative window and the bounded quantile cross-join run "
+    "on that histogram only.",
+)
+def weighted_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    hist = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(38,2)) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+            F.expr("CAST(l_quantity AS BIGINT)").alias("w"),
+        )
+        .groupBy("flag", "cents")
+        .agg(F.sum("w").alias("w"))
+    )
+    cum = hist.select(
+        "flag",
+        "cents",
+        F.sum("w")
+        .over(W.partitionBy("flag").orderBy("cents"))
+        .alias("cw"),
+        F.sum("w").over(W.partitionBy("flag")).alias("total_w"),
+    )
+    qs = spark.createDataFrame([(q,) for q in _WP_QS], "q int")
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .where(F.col("cw") * 100 >= F.col("q") * F.col("total_w"))
+        .groupBy("flag", "q")
+        .agg(
+            F.min("total_w").cast("long").alias("total_weight"),
+            F.min("cents").cast("long").alias("value_cents"),
+        )
+        .select(
+            "flag",
+            F.col("q").cast("long").alias("pct"),
+            "total_weight",
+            "value_cents",
+        )
+    )

@@ -203,3 +203,41 @@ def test_dict_encoding_python_replay(spark):
         assert r.savings_ppm == 1000000 * (raw - dict_bytes) // raw
         # these are all low-cardinality columns: encoding must pay
         assert r.savings_ppm > 500_000
+
+
+# ------------------------------------------ weighted percentiles
+
+
+def test_weighted_percentile_python_replay(spark):
+    from etl_energy_tracker_spark.queries.insightops import (
+        _WP_QS,
+        weighted_percentile_exact,
+    )
+
+    got = {
+        (r.flag, r.pct): r
+        for r in weighted_percentile_exact(spark, SF_DIR).collect()
+    }
+    hist = defaultdict(Counter)
+    for li in _rows("lineitem"):
+        hist[li["l_returnflag"]][_d2(li["l_extendedprice"])] += int(
+            li["l_quantity"]
+        )
+    assert set(got) == {
+        (f, q) for f in hist for q in _WP_QS
+    }
+    for flag, tf in hist.items():
+        total = sum(tf.values())
+        cum = 0
+        found = {}
+        for cents in sorted(tf):
+            cum += tf[cents]
+            for q in _WP_QS:
+                if q not in found and cum * 100 >= q * total:
+                    found[q] = cents
+        for q in _WP_QS:
+            r = got[(flag, q)]
+            assert r.total_weight == total
+            assert r.value_cents == found[q]
+        # percentiles are monotone in q
+        assert found[50] <= found[90] <= found[99]

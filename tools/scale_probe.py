@@ -115,6 +115,7 @@ OPS = [
     "ab_test_zscore",
     "cohort_ltv_curve",
     "dict_encoding_audit",
+    "weighted_percentile_exact",
 ]
 
 
