@@ -214,7 +214,11 @@ def markov_steady_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------- A/B z-score
 
+# CASE guard: with an empty arm (na or nb = 0) the double chain
+# would produce NaN/Inf whose BIGINT cast differs between engines;
+# both sides return NULL instead (and Spark's ANSI cast would throw)
 _AB_Z = (
+    "CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE "
     "CAST(FLOOR(1000.0 * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) "
     "- CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / "
     "NULLIF(SQRT((CAST(na AS DOUBLE) * CAST(qa AS DOUBLE) "
@@ -223,7 +227,7 @@ _AB_Z = (
     "+ (CAST(nb AS DOUBLE) * CAST(qb AS DOUBLE) "
     "- CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) "
     "/ (CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE) * CAST(nb AS DOUBLE))"
-    "), 0.0)) AS BIGINT)"
+    "), 0.0)) AS BIGINT) END"
 )
 
 
@@ -252,8 +256,8 @@ _AB_Z = (
         FROM base GROUP BY event_type
     )
     SELECT event_type, na AS n_a, nb AS n_b,
-           CAST(sa // na AS BIGINT) AS mean_a_cents,
-           CAST(sb // nb AS BIGINT) AS mean_b_cents,
+           CAST(sa // NULLIF(na, 0) AS BIGINT) AS mean_a_cents,
+           CAST(sb // NULLIF(nb, 0) AS BIGINT) AS mean_b_cents,
            {_AB_Z} AS z_milli
     FROM s
     """,
@@ -304,8 +308,12 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("na").alias("n_a"),
         F.col("nb").alias("n_b"),
-        F.expr("CAST(sa DIV na AS BIGINT)").alias("mean_a_cents"),
-        F.expr("CAST(sb DIV nb AS BIGINT)").alias("mean_b_cents"),
+        F.expr("CAST(sa DIV NULLIF(na, 0) AS BIGINT)").alias(
+            "mean_a_cents"
+        ),
+        F.expr("CAST(sb DIV NULLIF(nb, 0) AS BIGINT)").alias(
+            "mean_b_cents"
+        ),
         F.expr(_AB_Z).alias("z_milli"),
     )
 

@@ -66,7 +66,7 @@ def _fk_duck_one(label, child, ck, parent, pk) -> str:
            CAST(COUNT(DISTINCT CASE WHEN p.{pk} IS NULL
                       THEN c.{ck} END) AS BIGINT) AS orphan_keys,
            CAST(1000000 * SUM(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END)
-                // COUNT(*) AS BIGINT) AS orphan_ppm
+                // NULLIF(COUNT(*), 0) AS BIGINT) AS orphan_ppm
     FROM {child} c LEFT JOIN {parent} p ON c.{ck} = p.{pk}
     """
 
@@ -111,8 +111,10 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("orphan_keys"),
             F.expr(
+                # NULLIF: an empty child table makes COUNT(*) = 0 and
+                # Spark's ANSI DIV would throw where DuckDB NULLs
                 f"CAST(1000000 * SUM(CASE WHEN {pk} IS NULL THEN 1 "
-                f"ELSE 0 END) DIV COUNT(*) AS BIGINT)"
+                f"ELSE 0 END) DIV NULLIF(COUNT(*), 0) AS BIGINT)"
             ).alias("orphan_ppm"),
         ).select(F.lit(label).alias("relationship"), "*")
         out = one if out is None else out.unionByName(one)
@@ -650,12 +652,12 @@ _BM_REV = (
         FROM rev
     )
     SELECT brand, month_idx, rev_units,
-           CAST(1000000 * (rev_units - prev_units) // prev_units
-                AS BIGINT) AS mom_ppm,
+           CAST(1000000 * (rev_units - prev_units)
+                // NULLIF(prev_units, 0) AS BIGINT) AS mom_ppm,
            CAST(ROW_NUMBER() OVER (
                PARTITION BY month_idx
-               ORDER BY 1000000 * (rev_units - prev_units) // prev_units
-                        DESC, brand
+               ORDER BY 1000000 * (rev_units - prev_units)
+                        // NULLIF(prev_units, 0) DESC, brand
            ) AS BIGINT) AS mover_rank
     FROM mom WHERE prev_units IS NOT NULL
     """,
@@ -696,15 +698,18 @@ def brand_month_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "brand",
         "month_idx",
         "rev_units",
+        # NULLIF is belt-and-braces (revenue units are >= 90 by
+        # construction) — ANSI DIV would throw where DuckDB NULLs
         F.expr(
-            "CAST(1000000 * (rev_units - prev_units) DIV prev_units "
-            "AS BIGINT)"
+            "CAST(1000000 * (rev_units - prev_units) "
+            "DIV NULLIF(prev_units, 0) AS BIGINT)"
         ).alias("mom_ppm"),
         F.row_number()
         .over(
             W.partitionBy("month_idx").orderBy(
                 F.expr(
-                    "1000000 * (rev_units - prev_units) DIV prev_units"
+                    "1000000 * (rev_units - prev_units) "
+                    "DIV NULLIF(prev_units, 0)"
                 ).desc(),
                 "brand",
             )

@@ -282,7 +282,8 @@ def lexical_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_doc
     )
     SELECT n, n11, n10, n01, n00,
-           CAST(1000000 * (n11 + n00) // n AS BIGINT) AS agree_ppm,
+           CAST(1000000 * (n11 + n00) // NULLIF(n, 0) AS BIGINT)
+               AS agree_ppm,
            CAST(1000000 * (n * (n11 + n00)
                     - ((n11 + n10) * (n11 + n01)
                        + (n01 + n00) * (n10 + n00)))
@@ -337,7 +338,9 @@ def cohens_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n01",
         "n00",
         F.expr(
-            "CAST(1000000 * (n11 + n00) DIV n AS BIGINT)"
+            # NULLIF: Spark's ANSI DIV throws on an empty corpus
+            # (n = 0) where DuckDB // quietly NULLs — guard both
+            "CAST(1000000 * (n11 + n00) DIV NULLIF(n, 0) AS BIGINT)"
         ).alias("agree_ppm"),
         F.expr(
             "CAST(1000000 * (n * (n11 + n00) - ((n11 + n10) * (n11 + n01) "

@@ -241,3 +241,69 @@ def test_weighted_percentile_python_replay(spark):
             assert r.value_cents == found[q]
         # percentiles are monotone in q
         assert found[50] <= found[90] <= found[99]
+
+
+# --------------------------------------- degenerate-input guards
+
+
+def test_ab_test_one_empty_arm_returns_null(spark, tmp_path):
+    # all users in arm 0: Spark's ANSI DIV/NaN-cast would throw or
+    # diverge from DuckDB without the NULLIF/CASE guards
+    import shutil
+
+    sf = str(tmp_path / "sf")
+    shutil.copytree(SF_DIR, sf)
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    from pyspark.sql import functions as F
+
+    one_arm = ev.limit(4).withColumn(
+        "user_id", (F.col("user_id") * 2).cast("long")
+    )
+    (tmp_path / "sf" / "events.parquet").unlink()
+    one_arm.write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    rows = ab_test_zscore(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.n_b == 0
+        assert r.mean_b_cents is None
+        assert r.z_milli is None
+        assert r.mean_a_cents is not None
+
+
+def test_kappa_empty_corpus_returns_nulls(spark, tmp_path):
+    import shutil
+
+    from etl_energy_tracker_spark.queries.statops import (
+        cohens_kappa_agreement,
+    )
+
+    sf = str(tmp_path / "sf")
+    shutil.copytree(SF_DIR, sf)
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    (tmp_path / "sf" / "documents.parquet").unlink()
+    docs.limit(0).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    r = cohens_kappa_agreement(spark, sf).collect()[0]
+    assert r.n == 0
+    assert r.agree_ppm is None
+    assert r.kappa_ppm is None
+
+
+def test_fk_audit_empty_child_returns_null_ppm(spark, tmp_path):
+    import shutil
+
+    from etl_energy_tracker_spark.queries.martops import fk_integrity_audit
+
+    sf = str(tmp_path / "sf")
+    shutil.copytree(SF_DIR, sf)
+    nation = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    (tmp_path / "sf" / "nation.parquet").unlink()
+    nation.limit(0).write.mode("overwrite").parquet(f"{sf}/nation.parquet")
+    got = {
+        r.relationship: r for r in fk_integrity_audit(spark, sf).collect()
+    }
+    g = got["nation.n_regionkey->region"]
+    assert g.n_rows == 0
+    assert g.orphan_ppm is None
+    # customer->nation now sees every key as orphan, and still reports
+    g2 = got["customer.c_nationkey->nation"]
+    assert g2.orphan_rows == g2.n_rows > 0
