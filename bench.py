@@ -190,6 +190,8 @@ EXTRA = [
     "cohort_ltv_curve",
     "dict_encoding_audit",
     "weighted_percentile_exact",
+    "conformal_prediction_interval",
+    "activity_streaks",
 ]
 
 

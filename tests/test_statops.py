@@ -324,3 +324,71 @@ def test_zipf_octave_python_replay(spark):
         else:
             assert r.type_ratio_ppm == 1000000 * octs[o][0] // octs[prev][0]
         prev = o
+
+
+# ------------------------------------- conformal interval / streaks
+
+
+def test_conformal_python_replay(spark):
+    from etl_energy_tracker_spark.queries.statops import (
+        conformal_prediction_interval,
+    )
+
+    got = {
+        r.event_type: r
+        for r in conformal_prediction_interval(spark, SF_DIR).collect()
+    }
+    by_type = defaultdict(list)
+    for e in _rows("events"):
+        by_type[e["event_type"]].append(math.floor(e["value"] * 100))
+    assert set(got) == set(by_type)
+    for t, cents in by_type.items():
+        s = sorted(cents)
+        n = len(s)
+        med = s[(n + 1) // 2 - 1]
+        scores = sorted(abs(c - med) for c in cents)
+        k = (9 * (n + 1) + 9) // 10
+        qhat = scores[min(k, n) - 1]
+        cover = sum(1 for c in cents if abs(c - med) <= qhat)
+        r = got[t]
+        assert r.n_events == n
+        assert r.median_cents == med
+        assert r.qhat_cents == qhat
+        assert r.coverage_ppm == 1000000 * cover // n
+        # the split-conformal guarantee, observed on-sample
+        assert r.coverage_ppm >= 900000
+
+
+def test_activity_streaks_python_replay(spark):
+    from etl_energy_tracker_spark.queries.statops import activity_streaks
+
+    got = {
+        r.streak_len: r for r in activity_streaks(spark, SF_DIR).collect()
+    }
+    days = defaultdict(set)
+    for e in _rows("events"):
+        days[e["user_id"]].add(e["ts"].date().toordinal())
+    streaks = []
+    for u, ds in days.items():
+        sd = sorted(ds)
+        run = 1
+        for a, b in zip(sd, sd[1:]):
+            if b == a + 1:
+                run += 1
+            else:
+                streaks.append((u, run))
+                run = 1
+        streaks.append((u, run))
+    per_len = defaultdict(lambda: [0, set()])
+    for u, ln in streaks:
+        per_len[ln][0] += 1
+        per_len[ln][1].add(u)
+    assert set(got) == set(per_len)
+    for ln, (cnt, users) in per_len.items():
+        r = got[ln]
+        assert r.n_streaks == cnt
+        assert r.n_users == len(users)
+    # conservation: total streak-days == total distinct active days
+    assert sum(ln * r.n_streaks for ln, r in got.items()) == sum(
+        len(d) for d in days.values()
+    )
