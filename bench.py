@@ -192,6 +192,7 @@ EXTRA = [
     "weighted_percentile_exact",
     "conformal_prediction_interval",
     "activity_streaks",
+    "stream_conformal_alarm",
 ]
 
 

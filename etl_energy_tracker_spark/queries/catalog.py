@@ -288,6 +288,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "cohort_ltv_curve", "dict_encoding_audit",
     "weighted_percentile_exact",
     "conformal_prediction_interval", "activity_streaks",
+    "stream_conformal_alarm",
     # lowest-risk earlier-session r6 names, demoted below the novel
     # physical shapes above so the ~50-cap spends its slots where a
     # new plan shape could hide a bug: these five are single-pass

@@ -491,3 +491,83 @@ def stream_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import cusum_alarm_stream
 
     return cusum_alarm_stream(spark, sf_dir)
+
+
+# ----------------------------------- streaming conformal-band twin
+
+
+@register(
+    "stream_conformal_alarm",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, event_id, ts,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    hist AS (
+        SELECT event_type, cents, COUNT(*) AS c
+        FROM base GROUP BY event_type, cents
+    ),
+    cum AS (
+        SELECT event_type, cents, c,
+               SUM(c) OVER (
+                   PARTITION BY event_type ORDER BY cents
+               ) AS cw,
+               SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM hist
+    ),
+    med AS (
+        SELECT event_type, MIN(cents) AS median_cents, MIN(n) AS n
+        FROM cum WHERE 2 * cw >= n GROUP BY event_type
+    ),
+    shist AS (
+        SELECT b.event_type, ABS(b.cents - m.median_cents) AS s,
+               COUNT(*) AS c
+        FROM base b JOIN med m ON m.event_type = b.event_type
+        GROUP BY b.event_type, s
+    ),
+    scum AS (
+        SELECT event_type, s, c,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY s) AS cw,
+               SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM shist
+    ),
+    qhat AS (
+        SELECT event_type, MIN(s) AS qhat_cents
+        FROM scum WHERE cw >= (9 * (n + 1) + 9) // 10
+        GROUP BY event_type
+    ),
+    flagged AS (
+        SELECT b.event_type, b.event_id, b.ts,
+               ABS(b.cents - m.median_cents) AS deviation_cents
+        FROM base b
+        JOIN med m ON m.event_type = b.event_type
+        JOIN qhat q ON q.event_type = b.event_type
+        WHERE ABS(b.cents - m.median_cents) > q.qhat_cents
+    )
+    SELECT event_type, event_id,
+           CAST(deviation_cents AS BIGINT) AS deviation_cents,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY ts, event_id
+           ) AS BIGINT) AS alarm_seq
+    FROM flagged
+    """,
+    tags=("streaming", "stateful", "anomaly", "ml"),
+    doc="Streaming out-of-band alarms against a BATCH-computed "
+    "split-conformal band (applyInPandasWithState): the nightly "
+    "batch pass produces (median, qhat) per event type — a bounded "
+    "broadcast artifact, same precedent as the trained IVF "
+    "codebook — and the stream flags every event whose deviation "
+    "exceeds qhat, numbering alarms per type with one bigint of "
+    "GroupState. The batch-artifact -> stream-enforcement pattern "
+    "the other stateful ops don't show (their parameters are fixed "
+    "literals). Over the bounded test source both passes read the "
+    "same rows, so the batch SQL (band + filter + per-type "
+    "row_number) is the exact oracle; in production the band comes "
+    "from yesterday's partition and the guarantee is the conformal "
+    "one: ~10% of in-distribution traffic alarms.",
+)
+def stream_conformal_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import conformal_band_alarm_stream
+
+    return conformal_band_alarm_stream(spark, sf_dir)

@@ -661,3 +661,86 @@ def cusum_alarm_stream(
         finally:
             q.stop()
     return spark.table(name)
+
+
+def conformal_band_alarm_stream(
+    spark: SparkSession, sf_dir: str, shuffle_partitions: int | None = 8
+) -> DataFrame:
+    """Streaming out-of-band alarms against a BATCH-computed conformal
+    band: the nightly batch job (``conformal_prediction_interval``)
+    produces (median, qhat) per event type — a bounded artifact, the
+    same precedent as the trained IVF codebook — and the stream
+    enforces it, emitting every event whose |value - median| exceeds
+    qhat together with a per-type alarm sequence number held in ONE
+    bigint of GroupState.
+
+    This is the batch-artifact -> stream-enforcement pattern the
+    other stateful ops don't show (cusum/ewma use fixed literal
+    parameters): in production the band comes from yesterday's
+    partition; over the bounded test source both passes read the
+    same rows, so the batch SQL (band + filter + row_number) is the
+    exact oracle."""
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..queries.statops import conformal_prediction_interval
+
+    # bounded artifact: one (median, qhat) pair per event type
+    band = {
+        r.event_type: (int(r.median_cents), int(r.qhat_cents))
+        for r in conformal_prediction_interval(spark, sf_dir).collect()
+    }
+
+    stream = _events_stream(spark, sf_dir)
+
+    def flag(key, pdfs, state: GroupState):
+        seq = state.get[0] if state.exists else 0
+        med, qhat = band.get(key[0], (0, 0))
+        rows = {
+            "event_type": [],
+            "event_id": [],
+            "deviation_cents": [],
+            "alarm_seq": [],
+        }
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        for eid, v in zip(pdf["event_id"], pdf["value"]):
+            import math
+
+            cents = math.floor(float(v) * 100)
+            dev = abs(cents - med)
+            if dev > qhat:
+                seq += 1
+                rows["event_type"].append(key[0])
+                rows["event_id"].append(int(eid))
+                rows["deviation_cents"].append(dev)
+                rows["alarm_seq"].append(seq)
+        state.update((seq,))
+        yield pd.DataFrame(rows)
+
+    out = stream.groupBy("event_type").applyInPandasWithState(
+        flag,
+        outputStructType=(
+            "event_type string, event_id long, deviation_cents long,"
+            " alarm_seq long"
+        ),
+        stateStructType="seq long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"conf_out_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    return spark.table(name)

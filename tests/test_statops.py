@@ -392,3 +392,42 @@ def test_activity_streaks_python_replay(spark):
     assert sum(ln * r.n_streaks for ln, r in got.items()) == sum(
         len(d) for d in days.values()
     )
+
+
+def test_stream_conformal_matches_batch_band(spark):
+    """Batch/stream parity: the stream's alarms over the bounded
+    source equal the batch band + filter + per-type sequence."""
+    from etl_energy_tracker_spark.queries.statops import (
+        conformal_prediction_interval,
+    )
+    from etl_energy_tracker_spark.queries.streamops import (
+        stream_conformal_alarm,
+    )
+
+    band = {
+        r.event_type: (r.median_cents, r.qhat_cents)
+        for r in conformal_prediction_interval(spark, SF_DIR).collect()
+    }
+    got = sorted(
+        (r.event_type, r.event_id, r.deviation_cents, r.alarm_seq)
+        for r in stream_conformal_alarm(spark, SF_DIR).collect()
+    )
+    flagged = defaultdict(list)
+    for e in _rows("events"):
+        cents = math.floor(e["value"] * 100)
+        med, qhat = band[e["event_type"]]
+        dev = abs(cents - med)
+        if dev > qhat:
+            flagged[e["event_type"]].append(
+                (e["ts"], e["event_id"], dev)
+            )
+    expect = []
+    for t, rows in flagged.items():
+        rows.sort()
+        for seq, (_, eid, dev) in enumerate(rows, start=1):
+            expect.append((t, eid, dev, seq))
+    assert got == sorted(expect)
+    # conformal promise: alarms are ~the 10% tail of each type
+    for t, rows in flagged.items():
+        n_t = sum(1 for e in _rows("events") if e["event_type"] == t)
+        assert len(rows) <= n_t // 10 + 1
