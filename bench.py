@@ -193,6 +193,7 @@ EXTRA = [
     "conformal_prediction_interval",
     "activity_streaks",
     "stream_conformal_alarm",
+    "bitmap_intersection_audit",
 ]
 
 

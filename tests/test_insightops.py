@@ -307,3 +307,33 @@ def test_fk_audit_empty_child_returns_null_ppm(spark, tmp_path):
     # customer->nation now sees every key as orphan, and still reports
     g2 = got["customer.c_nationkey->nation"]
     assert g2.orphan_rows == g2.n_rows > 0
+
+
+# ------------------------------------------------- bitmap index
+
+
+def test_bitmap_intersection_python_replay(spark):
+    from etl_energy_tracker_spark.queries.insightops import (
+        bitmap_intersection_audit,
+    )
+
+    got = {
+        (r.type_a, r.type_b): r
+        for r in bitmap_intersection_audit(spark, SF_DIR).collect()
+    }
+    users = defaultdict(set)
+    for e in _rows("events"):
+        users[e["event_type"]].add(e["user_id"])
+    types = sorted(users)
+    expect_keys = {
+        (a, b) for i, a in enumerate(types) for b in types[i + 1:]
+    }
+    assert set(got) == expect_keys
+    for a, b in expect_keys:
+        inter = len(users[a] & users[b])
+        union = len(users[a] | users[b])
+        r = got[(a, b)]
+        assert r.users_a == len(users[a])
+        assert r.users_b == len(users[b])
+        assert r.common_users == inter
+        assert r.jaccard_ppm == 1000000 * inter // union

@@ -118,6 +118,7 @@ OPS = [
     "weighted_percentile_exact",
     "conformal_prediction_interval",
     "activity_streaks",
+    "bitmap_intersection_audit",
 ]
 
 
