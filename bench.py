@@ -194,6 +194,7 @@ EXTRA = [
     "activity_streaks",
     "stream_conformal_alarm",
     "bitmap_intersection_audit",
+    "hll_daily_series",
 ]
 
 

@@ -918,3 +918,152 @@ def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "small_keys", "li_rows", "bloom_passed", "true_matched",
         "false_passed", "fp_ppm", "matched_qty",
     )
+
+
+# ----------------------------------------------- HLL daily series
+
+
+@register(
+    "hll_daily_series",
+    oracle=f"""
+    WITH h AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+                   AS day_num,
+               user_id,
+               {duckdb_charhash("CAST(user_id AS VARCHAR)")} AS hv
+        FROM events
+    ),
+    reg AS (
+        SELECT day_num, hv % {_HLL_M} AS bucket,
+               MAX({_rho_case(f"hv // {_HLL_M}")}) AS rho
+        FROM h GROUP BY day_num, bucket
+    ),
+    day_est AS (
+        SELECT day_num, COUNT(*) AS n_filled,
+               SUM(1.0 / CAST((1 << rho) AS DOUBLE)) AS s_filled
+        FROM reg GROUP BY day_num
+    ),
+    day_corr AS (
+        SELECT day_num,
+               CASE WHEN CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M * _HLL_M}
+                         / (({_HLL_M} - n_filled) * 1.0 + s_filled)
+                         <= {2.5 * _HLL_M} AND n_filled < {_HLL_M}
+                    THEN {_HLL_M} * ln({_HLL_M} * 1.0
+                                       / ({_HLL_M} - n_filled))
+                    ELSE CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M * _HLL_M}
+                         / (({_HLL_M} - n_filled) * 1.0 + s_filled)
+               END AS est
+        FROM day_est
+    ),
+    day_exact AS (
+        SELECT day_num, COUNT(DISTINCT user_id) AS exact_users
+        FROM h GROUP BY day_num
+    ),
+    merged AS (
+        SELECT bucket, MAX(rho) AS rho FROM reg GROUP BY bucket
+    ),
+    m_est AS (
+        SELECT COUNT(*) AS n_filled,
+               SUM(1.0 / CAST((1 << rho) AS DOUBLE)) AS s_filled
+        FROM merged
+    ),
+    m_corr AS (
+        SELECT CASE WHEN CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M * _HLL_M}
+                         / (({_HLL_M} - n_filled) * 1.0 + s_filled)
+                         <= {2.5 * _HLL_M} AND n_filled < {_HLL_M}
+                    THEN {_HLL_M} * ln({_HLL_M} * 1.0
+                                       / ({_HLL_M} - n_filled))
+                    ELSE CAST({_HLL_ALPHA} AS DOUBLE) * {_HLL_M * _HLL_M}
+                         / (({_HLL_M} - n_filled) * 1.0 + s_filled)
+               END AS est
+        FROM m_est
+    ),
+    m_exact AS (SELECT COUNT(DISTINCT user_id) AS total_users FROM h)
+    SELECT d.day_num,
+           CAST(x.exact_users AS BIGINT) AS exact_users,
+           ROUND(d.est, 4) AS hll_est,
+           (SELECT CAST(total_users AS BIGINT) FROM m_exact)
+               AS total_exact_users,
+           (SELECT ROUND(est, 4) FROM m_corr) AS merged_hll_est
+    FROM day_corr d JOIN day_exact x ON x.day_num = d.day_num
+    """,
+    tags=("sketch", "time", "events"),
+    doc="Mergeable distinct-count time series: one HLL register set "
+    "per day over user_id (same m=256 portable-hash registers as "
+    "hll_distinct_audit), per-day estimate vs exact alongside the "
+    "MERGED sketch (bucket-wise max across all days) vs the exact "
+    "total — the property that makes pre-aggregated daily sketches "
+    "answer any date-range distinct query without rescanning raw "
+    "rows, which COUNT(DISTINCT) pre-aggregates cannot do. The "
+    "2^-rho register sums are dyadic rationals (exact in doubles "
+    "regardless of order), so the estimates are bit-reproducible "
+    "across engines. Scale: registers are days x 256 rows; the "
+    "merge is a bucket-keyed max — the daily sketch table IS the "
+    "serving layer.",
+)
+def hll_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    h = ev.select(
+        F.expr(
+            "CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT)"
+        ).alias("day_num"),
+        "user_id",
+        F.expr(spark_charhash("cast(user_id as string)")).alias("hv"),
+    ).localCheckpoint(eager=False)
+    reg = (
+        h.select(
+            "day_num",
+            (F.col("hv") % _HLL_M).alias("bucket"),
+            F.expr(_rho_case(f"hv div {_HLL_M}")).alias("rho"),
+        )
+        .groupBy("day_num", "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .localCheckpoint(eager=False)
+    )
+
+    def estimate(grouped: DataFrame, keys: list[str]) -> DataFrame:
+        s = grouped.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("n_filled"),
+            F.sum(
+                F.lit(1.0) / F.expr("cast(shiftleft(1, rho) as double)")
+            ).alias("s_filled"),
+        ) if keys else grouped.agg(
+            F.count(F.lit(1)).alias("n_filled"),
+            F.sum(
+                F.lit(1.0) / F.expr("cast(shiftleft(1, rho) as double)")
+            ).alias("s_filled"),
+        )
+        raw = (
+            F.lit(float(_HLL_ALPHA))
+            * _HLL_M
+            * _HLL_M
+            / ((_HLL_M - F.col("n_filled")) * 1.0 + F.col("s_filled"))
+        )
+        return s.select(
+            *keys,
+            raw.alias("raw"),
+            "n_filled",
+        ).select(
+            *keys,
+            F.expr(_hll_corrected("raw", "n_filled")).alias("est"),
+        )
+
+    day_est = estimate(reg, ["day_num"])
+    merged = reg.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    m_est = estimate(merged, [])
+    day_exact = h.groupBy("day_num").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    m_exact = h.agg(F.countDistinct("user_id").alias("total_users"))
+    return (
+        day_est.join(day_exact, "day_num")
+        .crossJoin(F.broadcast(m_est.select(F.col("est").alias("m_est"))))
+        .crossJoin(F.broadcast(m_exact))
+        .select(
+            "day_num",
+            F.col("exact_users").cast("long").alias("exact_users"),
+            F.round("est", 4).alias("hll_est"),
+            F.col("total_users").cast("long").alias("total_exact_users"),
+            F.round("m_est", 4).alias("merged_hll_est"),
+        )
+    )

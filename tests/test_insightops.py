@@ -337,3 +337,68 @@ def test_bitmap_intersection_python_replay(spark):
         assert r.users_b == len(users[b])
         assert r.common_users == inter
         assert r.jaccard_ppm == 1000000 * inter // union
+
+
+# -------------------------------------------- HLL daily series
+
+
+def test_hll_daily_series_python_replay(spark):
+    from etl_energy_tracker_spark.functions.hashing import MOD
+    from etl_energy_tracker_spark.queries.sketchops import (
+        _HLL_M,
+        hll_daily_series,
+    )
+
+    def charhash(s, seed=7):
+        h = seed
+        for ch in s:
+            h = (h * 31 + ord(ch)) % MOD
+        return h
+
+    _W = 22
+
+    def rho(w):
+        return _W + 1 if w == 0 else _W + 1 - w.bit_length()
+
+    alpha = 0.7182725932495458
+
+    def estimate(regs):
+        n_filled = len(regs)
+        s_filled = sum(1.0 / (1 << r) for r in regs.values())
+        raw = alpha * _HLL_M * _HLL_M / (
+            (_HLL_M - n_filled) * 1.0 + s_filled
+        )
+        if raw <= 2.5 * _HLL_M and n_filled < _HLL_M:
+            return _HLL_M * math.log(_HLL_M * 1.0 / (_HLL_M - n_filled))
+        return raw
+
+    got = {r.day_num: r for r in hll_daily_series(spark, SF_DIR).collect()}
+    day_regs = defaultdict(dict)
+    day_users = defaultdict(set)
+    all_users = set()
+    for e in _rows("events"):
+        day = e["ts"].date().toordinal() - _EPOCH_ORD
+        hv = charhash(str(e["user_id"]))
+        b, w = hv % _HLL_M, hv // _HLL_M
+        r = rho(w)
+        if r > day_regs[day].get(b, 0):
+            day_regs[day][b] = r
+        day_users[day].add(e["user_id"])
+        all_users.add(e["user_id"])
+    merged = {}
+    for regs in day_regs.values():
+        for b, r in regs.items():
+            if r > merged.get(b, 0):
+                merged[b] = r
+    assert set(got) == set(day_regs)
+    m_est = round(estimate(merged), 4)
+    for day, regs in day_regs.items():
+        r = got[day]
+        assert r.exact_users == len(day_users[day])
+        assert r.hll_est == round(estimate(regs), 4)
+        assert r.total_exact_users == len(all_users)
+        assert r.merged_hll_est == m_est
+        # the sketch is honest: within 20% of exact at m=256
+        assert abs(r.hll_est - r.exact_users) <= 0.2 * r.exact_users
+    # merged estimate tracks the true union, not the sum of days
+    assert abs(m_est - len(all_users)) <= 0.2 * len(all_users)

@@ -119,6 +119,7 @@ OPS = [
     "conformal_prediction_interval",
     "activity_streaks",
     "bitmap_intersection_audit",
+    "hll_daily_series",
 ]
 
 
