@@ -188,6 +188,12 @@ _R5_VERIFIED: frozenset[str] = frozenset({
 _REVERIFY: tuple[str, ...] = (
     "jaccard_knn_topk",
     "bucketed_join_noshuffle",
+    # r6 session 2: codebook size now scales with the corpus
+    # (k = clamp(n/100, 16, 4096)) after the x30 scale probe proved
+    # fixed k=16 superlinear; at the driver's SFs k resolves to 16 so
+    # the result is provably unchanged, but the impl changed after
+    # its green rows — re-verify
+    "semdedup_prune",
 )
 
 # Hint-only / result-neutral physical changes (broadcast-hint
@@ -278,17 +284,23 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # r6 optimizer-stats / training-assembly additions (mlops.py)
     "pca_power_iteration", "skipgram_negative_samples",
     "analyze_column_stats", "preference_pairs_assemble",
+    # late-r6 ops whose PHYSICAL shape has no green precedent in the
+    # catalog (Expand operator, a new stateful kernel, bitwise-word
+    # aggregation) — promoted above the plainer mart joins so the
+    # 50-cap reaches them
+    "grouping_sets_report", "stream_conformal_alarm",
+    "bitmap_intersection_audit",
     # r6 mart-layer additions (martops.py), riskiest first
     "asof_join_next_purchase", "copurchase_item_similarity",
     "fk_integrity_audit", "dow_hour_heatmap",
     "order_total_reconciliation", "graph_modularity_score",
     "brand_month_movers",
     # r6 analytics/engine-surface additions (insightops.py)
-    "markov_steady_state", "ab_test_zscore", "grouping_sets_report",
+    "markov_steady_state", "ab_test_zscore",
     "cohort_ltv_curve", "dict_encoding_audit",
     "weighted_percentile_exact",
     "conformal_prediction_interval", "activity_streaks",
-    "stream_conformal_alarm",
+    "hll_daily_series",
     # lowest-risk earlier-session r6 names, demoted below the novel
     # physical shapes above so the ~50-cap spends its slots where a
     # new plan shape could hide a bug: these five are single-pass

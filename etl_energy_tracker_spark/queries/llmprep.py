@@ -33,6 +33,18 @@ from .textops import SHINGLE_PAIR_CTES, shingle_pair_stats
 # ------------------------------------------------------------ semdedup
 
 _SEM_TAU = 0.3  # within-cluster cosine above this = semantic duplicate
+# codebook size scales with the corpus so cluster cardinality stays
+# bounded: k = clamp(n/TARGET, 16, CAP). The x30 scale probe proved a
+# FIXED k superlinear (712 s vs 1.65 s: cells grow with data, so
+# within-cell pairs grow quadratically); with k ~ n/100 the per-cell
+# pair work stays ~constant. CAP bounds the inlined-literal codebook
+# (past it, production would switch to the broadcast-join assignment).
+_SEM_CELL_TARGET = 100
+_SEM_K_CAP = 4096
+_SEM_K_SQL = (
+    f"(SELECT LEAST(GREATEST(16, COUNT(*) // {_SEM_CELL_TARGET}), "
+    f"{_SEM_K_CAP}) FROM embeddings)"
+)
 
 _COS64_AB = """ROUND(
     list_sum(list_transform(range(1, 65),
@@ -49,7 +61,8 @@ _COS64_AB = """ROUND(
     oracle=f"""
     WITH cent AS (
         SELECT vec_id AS centroid_id, embedding AS cv
-        FROM embeddings WHERE vec_id >= 100 AND vec_id < 116
+        FROM embeddings WHERE vec_id >= 100
+        ORDER BY vec_id LIMIT {_SEM_K_SQL}
     ),
     assigned AS (
         SELECT vec_id, ev, cell FROM (
@@ -78,8 +91,13 @@ _COS64_AB = """ROUND(
     "— at 100 TB the codebook size k scales with the corpus so cluster "
     "cardinality stays bounded (SemDeDup uses ~100k clusters) and the "
     "self-join shuffles on the cell key only; no corpus-wide pair "
-    "formation. Keep choice is deterministic (lowest id wins), so the "
-    "output is reproducible under re-partitioning.",
+    "formation. k = clamp(n/100, 16, 4096) here — the x30 scale probe "
+    "caught the original FIXED k=16 going superlinear (cells grew "
+    "with data, so within-cell pairs grew quadratically; 712 s at "
+    "x30); scaling k with the corpus restores ~linear growth, and "
+    "past the cap production switches to the broadcast-join "
+    "assignment. Keep choice is deterministic (lowest id wins), so "
+    "the output is reproducible under re-partitioning.",
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import with_ivf_cell_mapside
@@ -91,8 +109,19 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "embedding")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    cent = emb.where((F.col("vec_id") >= 100) & (F.col("vec_id") < 116)).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("cv")
+    # codebook size scales with the corpus (bounded-scalar count, same
+    # precedent as the trained-codebook collect): fixed k was the x30
+    # probe's superlinear finding
+    n = emb.count()
+    k = min(max(16, n // _SEM_CELL_TARGET), _SEM_K_CAP)
+    cent = (
+        emb.where(F.col("vec_id") >= 100)
+        .orderBy("vec_id")
+        .limit(k)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cv"),
+        )
     )
     # map-side assignment (codebook inlined as a literal): the corpus
     # is never shuffled for the argmax; it is then consumed three
