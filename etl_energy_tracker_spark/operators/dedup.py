@@ -301,11 +301,21 @@ def fuzzy_decontaminate(
 
 
 def with_simhash(
-    df: DataFrame, text_col: str, bits: int = 32, out: str = "simhash"
+    df: DataFrame, text_col: str, bits: int = 60, out: str = "simhash"
 ) -> DataFrame:
     """Token-level SimHash fingerprint: bit b is set when the sum of
     ±1 votes (per token, from bit b of the token's portable hash) is
     positive. Near-dup docs differ in few bits (Hamming distance).
+
+    The fingerprint is 60 bits from TWO independent 30-bit portable
+    hashes (seeds 7 and 13 — the charhash modulus is 1e9+7 < 2^30, so
+    a single fold can only vote 30 informative bits; the original
+    32-bit variant's top 2 bits were provably always 0). Width
+    matters at scale: the pigeonhole pair join buckets on
+    bits/(max_hamming+1)-bit segments, and the x30 scale probe showed
+    8-bit segments (256 buckets) going quadratic once distinct
+    fingerprints outgrow the bucket space — 15-bit segments push that
+    wall out by 128x, matching the 64-bit production SimHash shape.
 
     One Arrow-batched pass, fully vectorized: tokens are factorized to
     a per-batch vocabulary (C hash table), the vocabulary is viewed as
@@ -325,10 +335,12 @@ def with_simhash(
     # Java/RE2 \s+ — keep the Python split byte-identical (Python's \s
     # would also match unicode whitespace).
     ws_pat = r"[ \t\n\x0b\f\r]+"
-    shifts = np.arange(bits, dtype="int64")
-    powers = (np.int64(1) << shifts).astype("int64")
+    half = min(bits, 30)
+    shifts_lo = np.arange(half, dtype="int64")
+    shifts_hi = np.arange(max(bits - 30, 0), dtype="int64")
+    powers = (np.int64(1) << np.arange(bits, dtype="int64")).astype("int64")
 
-    def _hash_vocab(uniq: np.ndarray) -> np.ndarray:
+    def _hash_vocab(uniq: np.ndarray, seed: int = 7) -> np.ndarray:
         """Horner fold h = (h*31 + cp) % MOD over every vocab token at
         once: fixed-width UCS4 view -> (vocab, maxlen) codepoint
         matrix, one vectorized sweep per character position."""
@@ -344,7 +356,7 @@ def with_simhash(
         lens = np.fromiter((len(s) for s in uniq), dtype="int64", count=len(uniq))
         u = np.asarray(uniq, dtype="U")  # fixed-width UCS4, NUL-padded
         maxlen = u.dtype.itemsize // 4
-        h = np.full(len(u), 7, dtype="int64")
+        h = np.full(len(u), seed, dtype="int64")
         if maxlen == 0:
             return h
         cp = u.view(np.uint32).reshape(len(u), maxlen).astype("int64")
@@ -368,8 +380,13 @@ def with_simhash(
         offsets = np.concatenate(([0], np.cumsum(n_toks)[:-1]))
         flat = tok_lists.explode()
         codes, uniq = pd.factorize(flat, sort=False)
-        hs = _hash_vocab(np.asarray(uniq, dtype=object))[codes]
-        votes = ((hs[:, None] >> shifts) & 1) * 2 - 1  # (tokens, bits)
+        vocab_arr = np.asarray(uniq, dtype=object)
+        hs1 = _hash_vocab(vocab_arr, seed=7)[codes]
+        parts = [((hs1[:, None] >> shifts_lo) & 1)]
+        if bits > 30:
+            hs2 = _hash_vocab(vocab_arr, seed=13)[codes]
+            parts.append(((hs2[:, None] >> shifts_hi) & 1))
+        votes = np.concatenate(parts, axis=1) * 2 - 1  # (tokens, bits)
         per_doc = np.add.reduceat(votes, offsets, axis=0)  # (docs, bits)
         return pd.Series(((per_doc > 0) * powers).sum(axis=1))
 
@@ -377,7 +394,7 @@ def with_simhash(
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bits: int = 32
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bits: int = 60
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance with pigeonhole
     segment bucketing: the fingerprint splits into ``max_hamming + 1``

@@ -151,13 +151,19 @@ def lsh_topk(
     )
 
 
-def scaled_n_planes(n_vectors: int, target_bucket: int = 500, floor: int = 8) -> int:
+def scaled_n_planes(n_vectors: int, target_bucket: int = 32, floor: int = 8) -> int:
     """Hyperplane count that scales with corpus size: bucket count
     (2^planes per band) grows like N / target_bucket, so in-bucket
     candidate pairs stay ~O(N · target_bucket) instead of O(N²/const).
-    At N = 1e9 this is 21 planes (~2M buckets); small corpora keep the
-    floor. The formula is engine-portable (same GREATEST/ceil/log2 in
-    the DuckDB oracle)."""
+    At N = 1e9 and target 32 this is 25 planes (~33M buckets); small
+    corpora keep the floor. target_bucket dropped 500 -> 32 after the
+    x30 scale probe: the old value left a wide quadratic window
+    (planes sat at the floor until N > 128k while bucket sizes — and
+    with clustered embeddings, HOT bucket sizes — grew linearly),
+    measured at 300x cost on 30x data. Below N = 8192 both values
+    resolve to the floor, so small-corpus results are unchanged. The
+    formula is engine-portable (same GREATEST/ceil/log2 in the
+    DuckDB oracle)."""
     import math
 
     if n_vectors <= target_bucket:
@@ -263,7 +269,7 @@ def near_dup_pairs(
     threshold: float,
     n_vectors: int,
     n_bands: int = 2,
-    target_bucket: int = 500,
+    target_bucket: int = 32,
     dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, scale-safe:

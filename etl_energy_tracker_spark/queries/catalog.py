@@ -194,6 +194,13 @@ _REVERIFY: tuple[str, ...] = (
     # the result is provably unchanged, but the impl changed after
     # its green rows — re-verify
     "semdedup_prune",
+    # r6 session 2, x30-probe follow-ups: the simhash fingerprint is
+    # now 60-bit (two 30-bit portable hashes; 15-bit pigeonhole
+    # segments) — RESULTS CHANGE at every SF, both gates re-passed
+    # locally; embedding LSH target-bucket dropped 500 -> 32 —
+    # identical below n=8192 (every driver SF) but impl changed
+    "simhash_fingerprint", "simhash_near_pairs",
+    "embedding_near_dup_pairs",
 )
 
 # Hint-only / result-neutral physical changes (broadcast-hint

@@ -216,17 +216,30 @@ def minhash_lsh_pairs_k32(spark: SparkSession, sf_dir: str) -> DataFrame:
     "simhash_fingerprint",
     oracle=f"""
     SELECT doc_id,
-           CAST(list_sum(list_transform(range(0, 32), b ->
-               CASE WHEN list_sum(list_transform(toks,
-                        tk -> (({duckdb_charhash("tk")}) // (1::BIGINT << CAST(b AS INT))) % 2 * 2 - 1)) > 0
+           CAST(list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN (CASE WHEN b < 30
+                    THEN list_sum(list_transform(h1s,
+                         h -> (h // (1::BIGINT << CAST(b AS INT))) % 2 * 2 - 1))
+                    ELSE list_sum(list_transform(h2s,
+                         h -> (h // (1::BIGINT << CAST(b - 30 AS INT))) % 2 * 2 - 1))
+                    END) > 0
                     THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END)) AS BIGINT)
                AS simhash
-    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-          FROM documents)
+    FROM (SELECT doc_id,
+                 list_transform(toks, tk -> {duckdb_charhash("tk")}) AS h1s,
+                 list_transform(toks, tk -> {duckdb_charhash("tk", seed=13)}) AS h2s
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents))
     """,
     tags=("dedup", "hash", "text"),
-    doc="32-bit SimHash fingerprint (±1 bit votes per token hash) — "
-    "near-dups land within small Hamming distance; map-only.",
+    doc="60-bit SimHash fingerprint: bits 0-29 vote from the seed-7 "
+    "portable hash, bits 30-59 from the seed-13 hash (the 1e9+7 "
+    "modulus caps one fold at 30 informative bits — the original "
+    "32-bit variant's top 2 bits were provably always 0). Width is a "
+    "scale requirement, not cosmetics: the pigeonhole pair join "
+    "buckets on bits/4-bit segments, and 15-bit segments push the "
+    "quadratic wall 128x further out than 8-bit ones (x30 probe "
+    "finding). Map-only.",
 )
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).repartition(
@@ -239,13 +252,20 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_SQL = f"""
     SELECT doc_id,
-           list_sum(list_transform(range(0, 32), b ->
-               CASE WHEN list_sum(list_transform(toks,
-                        tk -> (({duckdb_charhash("tk")}) // (1::BIGINT << CAST(b AS INT))) % 2 * 2 - 1)) > 0
+           list_sum(list_transform(range(0, 60), b ->
+               CASE WHEN (CASE WHEN b < 30
+                    THEN list_sum(list_transform(h1s,
+                         h -> (h // (1::BIGINT << CAST(b AS INT))) % 2 * 2 - 1))
+                    ELSE list_sum(list_transform(h2s,
+                         h -> (h // (1::BIGINT << CAST(b - 30 AS INT))) % 2 * 2 - 1))
+                    END) > 0
                     THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END))
                AS simhash
-    FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
-          FROM documents)
+    FROM (SELECT doc_id,
+                 list_transform(toks, tk -> {duckdb_charhash("tk")}) AS h1s,
+                 list_transform(toks, tk -> {duckdb_charhash("tk", seed=13)}) AS h2s
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+                FROM documents))
 """
 
 
@@ -255,7 +275,8 @@ _SIMHASH_SQL = f"""
     WITH sh AS ({_SIMHASH_SQL}),
     segs AS (
         SELECT doc_id, simhash, s AS seg,
-               (simhash // (1::BIGINT << CAST(s * 8 AS INT))) % 256 AS bucket
+               (simhash // (1::BIGINT << CAST(s * 15 AS INT))) % 32768
+                   AS bucket
         FROM sh, (SELECT unnest(range(0, 4)) AS s)
     ),
     cand AS (
@@ -269,10 +290,13 @@ _SIMHASH_SQL = f"""
     """,
     tags=("dedup", "hash", "join", "text"),
     doc="SimHash near-dup pairs with pigeonhole segment bucketing: 4 "
-    "8-bit segments guarantee any pair within Hamming distance 3 shares "
-    "at least one exact segment — full recall with a bucket-bounded "
-    "join, never O(n²). (Round-1's upper-half bucket had a recall "
-    "cliff; this is the standard Manku-et-al. shape.)",
+    "15-bit segments of the 60-bit fingerprint guarantee any pair "
+    "within Hamming distance 3 shares at least one exact segment — "
+    "full recall with a bucket-bounded join, never O(n²). (Round-1's "
+    "upper-half bucket had a recall cliff; the r6 x30 probe then "
+    "caught the 8-bit-segment variant going quadratic once distinct "
+    "fingerprints outgrew its 256-bucket space — 32768 buckets per "
+    "segment is the standard Manku-et-al. 64-bit shape.)",
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).repartition(

@@ -142,19 +142,22 @@ def test_simhash_vectorized_matches_scalar_fold(spark, texts_in):
 
     ws = re.compile(r"[ \t\n\x0b\f\r]+")
 
-    def pyhash(tok: str) -> int:
-        acc = 7
+    def pyhash(tok: str, seed: int = 7) -> int:
+        acc = seed
         for ch in tok:
             acc = (acc * 31 + ord(ch)) % MOD
         return acc
 
-    def py_simhash(text: str, bits: int = 32) -> int:
+    def py_simhash(text: str, bits: int = 60) -> int:
+        # bits 0-29 vote from the seed-7 hash, 30-59 from seed-13
+        # (one 1e9+7 fold carries only 30 informative bits)
         toks = ws.split((text or "").strip(" "))
         votes = [0] * bits
         for t in toks:
-            h = pyhash(t)
+            h1, h2 = pyhash(t, 7), pyhash(t, 13)
             for b in range(bits):
-                votes[b] += 1 if (h >> b) & 1 else -1
+                src, off = (h1, 0) if b < 30 else (h2, 30)
+                votes[b] += 1 if (src >> (b - off)) & 1 else -1
         return sum(1 << b for b in range(bits) if votes[b] > 0)
 
     # always exercise the NUL edge cases alongside the generated batch:
