@@ -113,8 +113,8 @@ def read_excel_grid(content: bytes, sheet: str) -> list[list]:
     formats decode NATIVELY on the standard library — zip-based .xlsx
     via ``read_xlsx_grid`` (zipfile + ElementTree) and legacy binary
     .xls via ``xls_biff.read_xls_grid`` (OLE2 compound file + BIFF8
-    records). openpyxl/pandas, when installed, covers anything more
-    exotic (e.g. .xlsb)."""
+    and BIFF5 records). openpyxl/pandas, when installed, covers
+    anything more exotic (e.g. .xlsb, pre-Excel-5 BIFF4)."""
     if bytes(content[:2]) == b"PK":  # zip magic: .xlsx
         return read_xlsx_grid(content, sheet)
     biff_err: Exception | None = None
@@ -124,7 +124,7 @@ def read_excel_grid(content: bytes, sheet: str) -> list[list]:
         try:
             return read_xls_grid(content, sheet)
         except UnsupportedBiffError as e:
-            # pre-Excel-97 BIFF5 and older: not the BIFF8 layout the
+            # pre-Excel-5 BIFF4 and older: not a BIFF5/BIFF8 layout the
             # native parser speaks — fall through to pandas if present.
             biff_err = e
     try:

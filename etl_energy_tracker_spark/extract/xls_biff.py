@@ -1,4 +1,4 @@
-"""Native legacy ``.xls`` (BIFF8) decoder on the standard library.
+"""Native legacy ``.xls`` (BIFF8 + BIFF5) decoder on the standard library.
 
 Closes the last Excel-ingestion gap (VERDICT r4 "What's missing" §2):
 the reference parses real I90/I3 workbooks in-process via xlrd
@@ -12,11 +12,14 @@ Two layers, both stdlib-only (``struct`` + byte slicing):
 1. **OLE2 / Compound File Binary** container: 512-byte header with the
    DIFAT, FAT chains, directory entries (64-char UTF-16 names), and
    the mini-stream/mini-FAT for streams under the 4096-byte cutoff.
-2. **BIFF8 record stream** ("Workbook"/"Book" stream): the globals
+2. **BIFF record stream** ("Workbook"/"Book" stream): the globals
    substream (BOUNDSHEET sheet directory, SST shared strings with
    CONTINUE spill handling) followed by one substream per sheet
    (LABELSST / NUMBER / RK / MULRK / BOOLERR / LABEL / FORMULA+STRING
-   cell records).
+   cell records). Both BIFF8 (Excel 97+, unicode strings + SST) and
+   BIFF5/BIFF7 (Excel 5/95, CODEPAGE byte strings, LABEL/RSTRING
+   inline cells, no SST) decode natively; only pre-Excel-5 formats
+   raise ``UnsupportedBiffError`` for the pandas fallback.
 
 Output matches ``read_xlsx_grid``: a rectangular list-of-lists with
 ``None`` for absent cells, numbers as Python floats (ints where the RK
@@ -258,30 +261,58 @@ def _short_unicode(data: bytes, pos: int) -> tuple[str, int]:
 
 
 class UnsupportedBiffError(ValueError):
-    """The workbook stream is not BIFF8 (pre-Excel-97 BIFF5 and older
-    use byte-string BOUNDSHEET/LABEL records this parser does not
-    speak). Callers catch this to fall back to openpyxl/pandas."""
+    """The workbook stream is neither BIFF8 nor BIFF5 (pre-Excel-5
+    formats store a bare record stream with per-sheet files rather
+    than a Workbook/Book substream directory). Callers catch this to
+    fall back to openpyxl/pandas."""
+
+
+# CODEPAGE record value -> Python codec for BIFF5 byte strings. Values
+# not listed fall through to ``cp{n}`` and then latin-1 (MS-OSHARED
+# 2.1.1.25; xlrd's encoding table documents the same mapping).
+_CODEPAGE_SPECIAL = {
+    1200: "utf-16-le",
+    10000: "mac_roman",
+    32768: "mac_roman",
+    32769: "cp1252",
+    65001: "utf-8",
+}
+
+
+def _codec_for(codepage: int) -> str:
+    codec = _CODEPAGE_SPECIAL.get(codepage, f"cp{codepage}")
+    try:
+        b"\x41".decode(codec)
+    except LookupError:
+        return "latin-1"
+    return codec
 
 
 def read_xls_grid(content: bytes, sheet: str) -> list[list]:
-    """BIFF8 ``.xls`` bytes → row grid (same contract as
+    """Legacy ``.xls`` bytes → row grid (same contract as
     ``read_xlsx_grid``): numbers as float/int, SST strings resolved,
-    absent cells ``None``, rows padded rectangular."""
+    absent cells ``None``, rows padded rectangular. Decodes both
+    BIFF8 (Excel 97+: unicode records, SST) and BIFF5/BIFF7
+    (Excel 5/95: codepage byte-string BOUNDSHEET/LABEL/RSTRING,
+    no SST) — reference parity for the pandas/xlrd path at
+    ``/root/reference/extract/descargadores/_descargador_i90.py:197``."""
     stream = _cfb_stream(content, ("Workbook", "Book"))
 
-    # Dispatch on the workbook-globals BOF version: only BIFF8
-    # (vers == 0x0600) uses the unicode record layouts below. BIFF5
-    # ('Book' stream, vers 0x0500) and older must go to the pandas
-    # fallback rather than silently misparse.
+    # Dispatch on the workbook-globals BOF version: BIFF8
+    # (vers == 0x0600) uses the unicode record layouts, BIFF5/7
+    # ('Book' stream, vers 0x0500) byte-string layouts. Anything else
+    # must go to the pandas fallback rather than silently misparse.
     if len(stream) < 6:
         raise UnsupportedBiffError("workbook stream too short for BOF")
     bof_opcode, _bof_len, bof_vers = struct.unpack_from("<HHH", stream, 0)
-    if bof_opcode != 0x0809 or bof_vers != 0x0600:
+    if bof_opcode != 0x0809 or bof_vers not in (0x0500, 0x0600):
         raise UnsupportedBiffError(
-            f"not a BIFF8 workbook (BOF opcode=0x{bof_opcode:04x}, "
-            f"vers=0x{bof_vers:04x}); pre-Excel-97 .xls needs the "
+            f"not a BIFF5/BIFF8 workbook (BOF opcode=0x{bof_opcode:04x}, "
+            f"vers=0x{bof_vers:04x}); pre-Excel-5 .xls needs the "
             "openpyxl/pandas fallback"
         )
+    biff8 = bof_vers == 0x0600
+    codec = "cp1252"  # BIFF5 default; overridden by CODEPAGE below
 
     # ---- globals substream: sheet directory + shared strings
     sheets: list[tuple[str, int]] = []  # (name, substream offset)
@@ -289,7 +320,7 @@ def read_xls_grid(content: bytes, sheet: str) -> list[list]:
     sst_chunks: list[bytes] = []
     collecting_sst = False
     for opcode, payload, _ in _records(stream):
-        if opcode == 0x00FC:  # SST
+        if opcode == 0x00FC:  # SST (BIFF8 only)
             sst_chunks = [payload]
             collecting_sst = True
             continue
@@ -297,9 +328,16 @@ def read_xls_grid(content: bytes, sheet: str) -> list[list]:
             sst_chunks.append(payload)
             continue
         collecting_sst = False
-        if opcode == 0x0085:  # BOUNDSHEET
+        if opcode == 0x0042:  # CODEPAGE (governs BIFF5 byte strings)
+            (cp,) = struct.unpack_from("<H", payload, 0)
+            codec = _codec_for(cp)
+        elif opcode == 0x0085:  # BOUNDSHEET
             (pos_bof,) = struct.unpack_from("<I", payload, 0)
-            name, _ = _short_unicode(payload, 6)
+            if biff8:
+                name, _ = _short_unicode(payload, 6)
+            else:  # BIFF5: u8 length + codepage bytes, no grbit flag
+                cch = payload[6]
+                name = payload[7 : 7 + cch].decode(codec, "replace")
             sheets.append((name, pos_bof))
         elif opcode == 0x000A:  # EOF of globals
             break
@@ -347,18 +385,21 @@ def read_xls_grid(content: bytes, sheet: str) -> list[list]:
         elif opcode == 0x0205:  # BOOLERR
             r, c, _xf, val, is_err = struct.unpack_from("<HHHBB", payload)
             put(r, c, None if is_err else bool(val))
-        elif opcode == 0x0204:  # LABEL (inline string cell)
+        elif opcode in (0x0204, 0x00D6):  # LABEL / RSTRING cell
             r, c, _xf = struct.unpack_from("<HHH", payload)
             (cch,) = struct.unpack_from("<H", payload, 6)
-            flags = payload[8]
-            raw = payload[9:]
-            put(
-                r,
-                c,
-                raw[: 2 * cch].decode("utf-16-le")
-                if flags & 0x01
-                else raw[:cch].decode("latin-1"),
-            )
+            if biff8:
+                flags = payload[8]
+                raw = payload[9:]
+                v = (
+                    raw[: 2 * cch].decode("utf-16-le")
+                    if flags & 0x01
+                    else raw[:cch].decode("latin-1")
+                )
+            else:  # BIFF5: codepage byte string, no grbit flag;
+                # RSTRING's trailing format runs fall outside cch
+                v = payload[8 : 8 + cch].decode(codec, "replace")
+            put(r, c, v)
         elif opcode == 0x0006:  # FORMULA: cached result or STRING next
             r, c, _xf = struct.unpack_from("<HHH", payload)
             result = payload[6:14]
@@ -375,13 +416,16 @@ def read_xls_grid(content: bytes, sheet: str) -> list[list]:
                 put(r, c, int(v) if v.is_integer() else v)
         elif opcode == 0x0207 and pending_formula is not None:  # STRING
             (cch,) = struct.unpack_from("<H", payload, 0)
-            flags = payload[2]
-            raw = payload[3:]
-            v = (
-                raw[: 2 * cch].decode("utf-16-le")
-                if flags & 0x01
-                else raw[:cch].decode("latin-1")
-            )
+            if biff8:
+                flags = payload[2]
+                raw = payload[3:]
+                v = (
+                    raw[: 2 * cch].decode("utf-16-le")
+                    if flags & 0x01
+                    else raw[:cch].decode("latin-1")
+                )
+            else:  # BIFF5: codepage byte string, no grbit flag
+                v = payload[2 : 2 + cch].decode(codec, "replace")
             put(*pending_formula, v)
             pending_formula = None
 

@@ -176,32 +176,46 @@ _R5_VERIFIED: frozenset[str] = frozenset({
     "value_outlier_mad", "vocab_oov_coverage", "winsorized_robust_stats",
 })
 
+# Queries driver-verified green in CORRECTNESS_r06.json (50/50 green
+# at 09:20 UTC on the final r6 commit — every row on current code).
+# This run re-proved the whole r6 _REVERIFY set (the x30-probe
+# redesigns: scaled-codebook semdedup, 60-bit simhash, scaled-plane
+# embedding LSH, unrounded-jaccard knn oracle, per-run bucketed-join
+# tables) plus 44 of the r6 additions.
+_R6_VERIFIED: frozenset[str] = frozenset({
+    "jaccard_knn_topk", "bucketed_join_noshuffle", "semdedup_prune",
+    "simhash_fingerprint", "simhash_near_pairs",
+    "embedding_near_dup_pairs", "greedy_max_coverage",
+    "ohlc_bars_hourly", "table_checksum_diff", "cusum_changepoint",
+    "ann_recall_mrr_eval", "stream_cusum_alarm", "leakage_safe_split",
+    "tokenizer_fertility_report", "pq_quantize_stats",
+    "lsh_edit_distance_verify", "boilerplate_line_removal",
+    "seasonal_decompose_ma", "hashed_linear_classifier",
+    "k_anonymity_report", "stream_scd1_upsert",
+    "dsir_importance_weights", "late_arrival_audit", "ann_pq_adc_topk",
+    "quality_keeper_selection", "exact_substring_trim",
+    "source_overlap_matrix", "domain_blocklist_filter",
+    "classifier_auc_eval", "nb_crossval_accuracy", "nb_lang_confusion",
+    "minhash_estimate_error", "chi2_feature_terms",
+    "khop_reachability", "twopass_exact_median",
+    "distribution_drift_chi2", "neyman_allocation_sample",
+    "bloom_join_prefilter", "spearman_rank_corr", "ks_drift_stat",
+    "cohens_kappa_agreement", "gini_token_concentration",
+    "benford_first_digit", "lexical_diversity_report",
+    "zipf_octave_profile", "zonemap_prune_audit", "l_diversity_report",
+    "pca_power_iteration", "skipgram_negative_samples",
+    "analyze_column_stats",
+})
+
 # Queries whose Spark implementation changed AFTER their last green
 # driver CORRECTNESS row (VERDICT r3 "What's wrong" §1: a green row on
 # old code is not a green row on current code). These are pulled back
 # out of the verified-emit-last set and emitted FIRST so the capped
 # (~50/round) driver run re-checks the current code.
-# r6: jaccard_knn_topk — oracle now ranks/thresholds on the UNROUNDED
-# jaccard (ADVICE r5: a <5e-7 tie could flip top-k between engines);
-# bucketed_join_noshuffle — per-run table names + age-gated warehouse
-# sweep (ADVICE r5 concurrency clobber).
-_REVERIFY: tuple[str, ...] = (
-    "jaccard_knn_topk",
-    "bucketed_join_noshuffle",
-    # r6 session 2: codebook size now scales with the corpus
-    # (k = clamp(n/100, 16, 4096)) after the x30 scale probe proved
-    # fixed k=16 superlinear; at the driver's SFs k resolves to 16 so
-    # the result is provably unchanged, but the impl changed after
-    # its green rows — re-verify
-    "semdedup_prune",
-    # r6 session 2, x30-probe follow-ups: the simhash fingerprint is
-    # now 60-bit (two 30-bit portable hashes; 15-bit pigeonhole
-    # segments) — RESULTS CHANGE at every SF, both gates re-passed
-    # locally; embedding LSH target-bucket dropped 500 -> 32 —
-    # identical below n=8192 (every driver SF) but impl changed
-    "simhash_fingerprint", "simhash_near_pairs",
-    "embedding_near_dup_pairs",
-)
+# r7: empty at round start — the r06 run cleared the whole r6
+# re-verification queue. Any r7 impl change to a verified query must
+# add its name here.
+_REVERIFY: tuple[str, ...] = ()
 
 # Hint-only / result-neutral physical changes (broadcast-hint
 # removal; explode -> explode_outer + notnull with an input
@@ -255,64 +269,34 @@ _R3_VERIFIED: frozenset[str] = frozenset({
 })
 
 # Within the unverified set, emit first the re-verification queue
-# (impl changed after the last green driver row), then the 6 late-r5
-# additions that spilled past the r5 run's 50-cap (never
-# driver-checked), then new r6 operators (appended as they land), then
-# the belt-and-braces hint-only tail (23 names whose r5 physical
-# changes are provably result-neutral and which re-passed the local
-# sf0.01 matrix — queued last by design). 6 + new + 23 must stay ≤ ~50
-# so round 6 clears the ENTIRE backlog.
+# (impl changed after the last green driver row), then the 24
+# never-driver-checked late-r6 additions (all past the r6 run's
+# 50-cap), then new r7 operators (appended as they land), then the
+# belt-and-braces hint-only tail (23 names whose r5 physical changes
+# are provably result-neutral and which re-passed the local sf0.01
+# matrix — queued last by design). 24 + new + 23 must stay ≤ ~50 so
+# round 7 clears the ENTIRE backlog for the first time.
 _PRIORITY: tuple[str, ...] = _REVERIFY + (
-    # never driver-checked (r5 additions past the 50-cap)
-    "greedy_max_coverage", "ohlc_bars_hourly", "table_checksum_diff",
-    "cusum_changepoint", "ann_recall_mrr_eval", "stream_cusum_alarm",
-    # r6 additions (never driver-checked), riskiest first
-    "leakage_safe_split", "tokenizer_fertility_report",
-    "pq_quantize_stats", "lsh_edit_distance_verify",
-    "boilerplate_line_removal", "seasonal_decompose_ma",
-    "hashed_linear_classifier",
-    "k_anonymity_report", "stream_scd1_upsert",
-    "dsir_importance_weights", "late_arrival_audit",
-    "ann_pq_adc_topk", "quality_keeper_selection",
-    "exact_substring_trim", "source_overlap_matrix",
-    "domain_blocklist_filter",
-    # r6 evaluation-layer additions (evalops.py), riskiest first
-    "classifier_auc_eval", "nb_crossval_accuracy", "nb_lang_confusion",
-    "minhash_estimate_error", "chi2_feature_terms",
-    # r6 scale-pattern additions (BFS frontier, 2-pass exact median)
-    "khop_reachability", "twopass_exact_median",
-    "distribution_drift_chi2", "neyman_allocation_sample",
-    "bloom_join_prefilter",
-    # r6 statistics/layout-audit additions (statops.py), riskiest first
-    "spearman_rank_corr", "ks_drift_stat", "cohens_kappa_agreement",
-    "gini_token_concentration", "benford_first_digit",
-    "lexical_diversity_report", "zipf_octave_profile",
-    "zonemap_prune_audit", "l_diversity_report",
-    # r6 optimizer-stats / training-assembly additions (mlops.py)
-    "pca_power_iteration", "skipgram_negative_samples",
-    "analyze_column_stats", "preference_pairs_assemble",
     # late-r6 ops whose PHYSICAL shape has no green precedent in the
     # catalog (Expand operator, a new stateful kernel, bitwise-word
-    # aggregation) — promoted above the plainer mart joins so the
-    # 50-cap reaches them
+    # aggregation) — riskiest first
     "grouping_sets_report", "stream_conformal_alarm",
     "bitmap_intersection_audit",
+    # r6 analytics additions with novel kernels (insightops.py)
+    "markov_steady_state", "weighted_percentile_exact",
+    "hll_daily_series", "conformal_prediction_interval",
     # r6 mart-layer additions (martops.py), riskiest first
     "asof_join_next_purchase", "copurchase_item_similarity",
-    "fk_integrity_audit", "dow_hour_heatmap",
-    "order_total_reconciliation", "graph_modularity_score",
+    "fk_integrity_audit", "graph_modularity_score",
+    "dow_hour_heatmap", "order_total_reconciliation",
     "brand_month_movers",
-    # r6 analytics/engine-surface additions (insightops.py)
-    "markov_steady_state", "ab_test_zscore",
-    "cohort_ltv_curve", "dict_encoding_audit",
-    "weighted_percentile_exact",
-    "conformal_prediction_interval", "activity_streaks",
-    "hll_daily_series",
-    # lowest-risk earlier-session r6 names, demoted below the novel
-    # physical shapes above so the ~50-cap spends its slots where a
-    # new plan shape could hide a bug: these five are single-pass
-    # map-side reports with strong Python-replay pytests, and
-    # whatever the cap cuts lands here first
+    # remaining insightops additions
+    "ab_test_zscore", "cohort_ltv_curve", "dict_encoding_audit",
+    "activity_streaks",
+    # r6 training-assembly addition past the r6 cap (mlops.py)
+    "preference_pairs_assemble",
+    # lowest-risk earlier-session r6 names: single-pass map-side
+    # reports with strong Python-replay pytests
     "image_bucket_batching", "dataset_card_report",
     "autocorrelation_lags", "label_centroid_similarity",
     "badword_filter_report",
@@ -323,6 +307,7 @@ def _ordered() -> list[str]:
     names = list(CATALOG)
     verified = (
         _R1_VERIFIED | _R3_VERIFIED | _R4_VERIFIED | _R5_VERIFIED
+        | _R6_VERIFIED
     ) - set(_PRIORITY)
     rank = {n: i for i, n in enumerate(_PRIORITY)}
     unverified = sorted(

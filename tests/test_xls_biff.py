@@ -422,22 +422,144 @@ def test_read_xls_grid_v4_container():
     assert grid[3][3] == 12.5
 
 
-def test_biff5_raises_unsupported_and_falls_back():
-    """A BIFF5 workbook (BOF vers 0x0500) must raise the distinct
-    UnsupportedBiffError — not misparse — and read_excel_grid must
-    route it to the pandas fallback (NotImplementedError when
-    openpyxl/xlrd are absent, never garbage rows)."""
+def _biff5_rec_label(op: int, r: int, c: int, s: str, codec: str) -> bytes:
+    raw = s.encode(codec)
+    return _rec(op, struct.pack("<HHHH", r, c, 0, len(raw)) + raw)
+
+
+def build_biff5_stream(
+    sheets: list[tuple[str, dict[tuple[int, int], object]]],
+    codepage: int = 1252,
+    codec: str = "cp1252",
+) -> bytes:
+    """BIFF5 (Excel 5/95) workbook stream: byte-string BOUNDSHEET
+    names (u8 length, no grbit flag), inline LABEL cells (no SST),
+    CODEPAGE-governed encodings."""
+    sheet_bodies: list[bytes] = []
+    for _name, cells in sheets:
+        body = b""
+        for (r, c), v in sorted(cells.items()):
+            if isinstance(v, str):
+                body += _biff5_rec_label(0x0204, r, c, v, codec)
+            elif isinstance(v, bool):
+                body += _rec(0x0205, struct.pack("<HHHBB", r, c, 0, int(v), 0))
+            elif isinstance(v, int) and -(1 << 29) <= v < (1 << 29):
+                rk = ((v & 0x3FFFFFFF) << 2) | 0x02
+                body += _rec(0x027E, struct.pack("<HHHI", r, c, 0, rk))
+            else:
+                body += _rec(
+                    0x0203, struct.pack("<HHH", r, c, 0) + struct.pack("<d", v)
+                )
+        sheet_bodies.append(
+            _rec(0x0809, struct.pack("<HHHH", 0x0500, 0x0010, 0, 0))
+            + body
+            + _rec(0x000A, b"")
+        )
+
+    def boundsheet(name: str, pos: int) -> bytes:
+        raw = name.encode(codec)
+        return _rec(
+            0x0085,
+            struct.pack("<IBB", pos, 0, 0) + bytes([len(raw)]) + raw,
+        )
+
+    offsets = [0] * len(sheets)
+    for _ in range(2):
+        globals_part = (
+            _rec(0x0809, struct.pack("<HHHH", 0x0500, 0x0005, 0, 0))
+            + _rec(0x0042, struct.pack("<H", codepage))
+            + b"".join(
+                boundsheet(name, offsets[i])
+                for i, (name, _) in enumerate(sheets)
+            )
+            + _rec(0x000A, b"")
+        )
+        pos = len(globals_part)
+        for i, body in enumerate(sheet_bodies):
+            offsets[i] = pos
+            pos += len(body)
+    return globals_part + b"".join(sheet_bodies)
+
+
+def test_biff5_decodes_natively():
+    """A BIFF5 workbook (BOF vers 0x0500, byte-string records, no
+    SST) decodes natively — closing the last ingestion gap vs the
+    reference's pandas/xlrd path (_descargador_i90.py:197-304)."""
+    cells = dict(I90_CELLS)
+    cells[(5, 0)] = "Año"  # non-ASCII through the cp1252 codepath
+    stream = build_biff5_stream([("Hoja", cells), ("Otra", {(0, 0): "x"})])
+    blob = build_cfb(stream + b"\x00" * 4096)
+    grid = read_xls_grid(blob, "Hoja")
+    assert grid[0][0] == "Informe I90"
+    assert grid[2][0] == "Unidad de Programación"
+    assert grid[2][4] == "Total"
+    assert grid[3][2] == 10
+    assert grid[3][3] == 12.5
+    assert grid[4][2] == -5
+    assert grid[5][0] == "Año"
+    assert read_xls_grid(blob, "Otra")[0][0] == "x"
+    # read_excel_grid routes OLE2 containers through the same decoder
+    assert read_excel_grid(blob, "Hoja")[3][4] == 22.5
+
+
+def test_biff5_formula_string_and_rstring():
+    """BIFF5 FORMULA string results (STRING record, byte-string) and
+    RSTRING rich-text labels (trailing format runs outside cch)."""
+    formula = _rec(
+        0x0006,
+        struct.pack("<HHH", 0, 0, 0)
+        + b"\x00" + b"\x00" * 5 + b"\xff\xff"  # kind 0: string follows
+        + b"\x00" * 8,
+    )
+    string_rec = _rec(0x0207, struct.pack("<H", 4) + b"hola")
+    rstring = _rec(
+        0x00D6,
+        struct.pack("<HHHH", 1, 0, 0, 3) + b"abc" + b"\x00\x00\x00\x00",
+    )
+    body = (
+        _rec(0x0809, struct.pack("<HHHH", 0x0500, 0x0010, 0, 0))
+        + formula + string_rec + rstring
+        + _rec(0x000A, b"")
+    )
+    bs = _rec(0x0085, struct.pack("<IBB", 0, 0, 0) + bytes([1]) + b"S")
+    globals_part = (
+        _rec(0x0809, struct.pack("<HHHH", 0x0500, 0x0005, 0, 0))
+        + bs
+        + _rec(0x000A, b"")
+    )
+    # patch BOUNDSHEET offset now that globals length is known
+    bs = _rec(
+        0x0085,
+        struct.pack("<IBB", len(globals_part), 0, 0) + bytes([1]) + b"S",
+    )
+    globals_part = (
+        _rec(0x0809, struct.pack("<HHHH", 0x0500, 0x0005, 0, 0))
+        + bs
+        + _rec(0x000A, b"")
+    )
+    blob = build_cfb(globals_part + body + b"\x00" * 4096)
+    grid = read_xls_grid(blob, "S")
+    assert grid[0][0] == "hola"
+    assert grid[1][0] == "abc"
+
+
+def test_pre_biff5_raises_unsupported_and_falls_back():
+    """A pre-Excel-5 workbook (BOF vers 0x0400) must raise the
+    distinct UnsupportedBiffError — not misparse — and
+    read_excel_grid must route it to the pandas fallback
+    (NotImplementedError when openpyxl/xlrd are absent, never
+    garbage rows)."""
     import pytest
 
     from etl_energy_tracker_spark.extract.xls_biff import (
         UnsupportedBiffError,
     )
 
-    biff5_stream = (
-        _rec(0x0809, struct.pack("<HHHH", 0x0500, 0x0005, 0, 0))
+    biff4_stream = (
+        _rec(0x0809, struct.pack("<HHHH", 0x0400, 0x0005, 0, 0))
         + _rec(0x000A, b"")
     )
-    blob = build_cfb(biff5_stream + b"\x00" * 4096)
+    blob = build_cfb(biff4_stream + b"\x00" * 4096)
     with pytest.raises(UnsupportedBiffError):
         read_xls_grid(blob, "Hoja")
     try:
