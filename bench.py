@@ -195,6 +195,10 @@ EXTRA = [
     "stream_conformal_alarm",
     "bitmap_intersection_audit",
     "hll_daily_series",
+    # r7 additions
+    "t_closeness_report",
+    "calibration_ece_report",
+    "interleave_mixture_shards",
 ]
 
 

@@ -300,6 +300,11 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "image_bucket_batching", "dataset_card_report",
     "autocorrelation_lags", "label_centroid_similarity",
     "badword_filter_report",
+    # r7 additions (never driver-checked): privacy-trio completion,
+    # eval-layer calibration, training-shard assembly — 24 + 3 + 23
+    # hint-only = exactly the 50-cap
+    "t_closeness_report", "calibration_ece_report",
+    "interleave_mixture_shards",
 ) + _REVERIFY_HINT_ONLY
 
 

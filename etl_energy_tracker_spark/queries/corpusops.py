@@ -1446,3 +1446,115 @@ def greedy_max_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+# -------------------------------------- interleaved training shards
+
+_IMS_SHARDS = 8
+
+
+@register(
+    "interleave_mixture_shards",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id, source,
+               {duckdb_charhash("'shard:' || CAST(doc_id AS VARCHAR)")}
+                   AS hk
+        FROM documents
+    ),
+    assigned AS (
+        SELECT source, doc_id,
+               (ROW_NUMBER() OVER (
+                    PARTITION BY source ORDER BY hk, doc_id
+                ) - 1) % {_IMS_SHARDS} AS shard
+        FROM h
+    ),
+    cell AS (
+        SELECT shard, source,
+               COUNT(*) AS n_docs,
+               SUM(doc_id) AS id_checksum
+        FROM assigned GROUP BY shard, source
+    ),
+    tot AS (
+        SELECT shard, SUM(n_docs) AS shard_total FROM cell GROUP BY shard
+    ),
+    spread AS (
+        SELECT source,
+               MAX(n_docs) - MIN(n_docs) AS source_spread
+        FROM cell GROUP BY source
+    )
+    SELECT CAST(c.shard AS BIGINT) AS shard,
+           c.source,
+           CAST(c.n_docs AS BIGINT) AS n_docs,
+           CAST(t.shard_total AS BIGINT) AS shard_total,
+           CAST(1000000 * c.n_docs // t.shard_total AS BIGINT)
+               AS share_ppm,
+           CAST(c.id_checksum AS BIGINT) AS id_checksum,
+           CAST(s.source_spread AS BIGINT) AS source_spread
+    FROM cell c
+    JOIN tot t ON t.shard = c.shard
+    JOIN spread s ON s.source = c.source
+    """,
+    tags=("corpus", "mixture", "training"),
+    doc="Deterministic round-robin shard assembly for distributed "
+    "training: within each source, order docs by a portable seeded "
+    "hash (the deterministic_shuffle idiom — reproducible across "
+    "runs, engines, and cluster sizes, unlike rand()) and deal them "
+    "round-robin into N shards, so every shard receives an "
+    "identically-mixed, pseudo-randomly-ordered slice of every "
+    "source — the property data loaders need so each worker's shard "
+    "is an unbiased sample of the mixture. Reports the (shard, "
+    "source) composition matrix: doc counts, within-shard source "
+    "share (ppm), an id checksum per cell (cheap cross-run shard-"
+    "content equality check), and each source's max-min doc-count "
+    "spread across shards (round-robin guarantees <= 1 — the audit "
+    "asserts the balance rather than assuming it). Scale: the "
+    "per-source row_number is a range-partitioned sort (linear, "
+    "parallel across sources); everything downstream operates on "
+    "the bounded shards x sources cell table. Ref parity: beyond-"
+    "reference training-data assembly.",
+)
+def interleave_mixture_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    h = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            spark_charhash("concat('shard:', cast(doc_id as string))")
+        ).alias("hk"),
+    )
+    w = W.partitionBy("source").orderBy("hk", "doc_id")
+    assigned = h.select(
+        "source",
+        "doc_id",
+        ((F.row_number().over(w) - 1) % _IMS_SHARDS).alias("shard"),
+    )
+    cell = assigned.groupBy("shard", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_checksum"),
+    ).localCheckpoint(eager=False)
+    tot = cell.groupBy("shard").agg(
+        F.sum("n_docs").cast("long").alias("shard_total")
+    )
+    spread = cell.groupBy("source").agg(
+        (F.max("n_docs") - F.min("n_docs"))
+        .cast("long")
+        .alias("source_spread")
+    )
+    return (
+        cell.join(F.broadcast(tot), "shard")
+        .join(F.broadcast(spread), "source")
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            "source",
+            "n_docs",
+            "shard_total",
+            F.expr(
+                "CAST(1000000 * n_docs DIV shard_total AS BIGINT)"
+            ).alias("share_ppm"),
+            "id_checksum",
+            "source_spread",
+        )
+    )

@@ -1210,3 +1210,133 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= F.col("k_h"))
         .select("doc_id", "lang", "k_h", "n_h", "w_milli")
     )
+
+
+# -------------------------------------- calibration: ECE + Brier score
+
+
+@register(
+    "calibration_ece_report",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               (SUM({_HLC_W_DUCK}) + 1000 * COUNT(*)) * 500 // COUNT(*)
+                   AS prob_ppm,
+               1000000 * SUM(CASE WHEN {_AUC_STOP_SQL} THEN 1 ELSE 0 END)
+                   // COUNT(*) BETWEEN {_AUC_LO} AND {_AUC_HI} AS good
+        FROM toks GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT LEAST(prob_ppm // 100000, 9) AS bin,
+               prob_ppm,
+               CASE WHEN good THEN 1 ELSE 0 END AS y,
+               ((prob_ppm - CASE WHEN good THEN 1000000 ELSE 0 END)
+                * (prob_ppm - CASE WHEN good THEN 1000000 ELSE 0 END))
+                   // 1000000 AS sq_micro
+        FROM per_doc
+    ),
+    bins AS (
+        SELECT bin,
+               COUNT(*) AS n_docs,
+               SUM(prob_ppm) // COUNT(*) AS conf_ppm,
+               1000000 * SUM(y) // COUNT(*) AS acc_ppm
+        FROM scored GROUP BY bin
+    ),
+    overall AS (
+        SELECT CAST(SUM(n_docs * ABS(conf_ppm - acc_ppm))
+                    // SUM(n_docs) AS BIGINT) AS ece_ppm,
+               CAST(SUM(n_docs) AS BIGINT) AS n_total
+        FROM bins
+    ),
+    brier AS (
+        SELECT CAST(SUM(sq_micro) // COUNT(*) AS BIGINT) AS brier_micro
+        FROM scored
+    )
+    SELECT CAST(b.bin AS BIGINT) AS bin,
+           CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(b.conf_ppm AS BIGINT) AS conf_ppm,
+           CAST(b.acc_ppm AS BIGINT) AS acc_ppm,
+           CAST(ABS(b.conf_ppm - b.acc_ppm) AS BIGINT) AS gap_ppm,
+           o.ece_ppm, o.n_total, r.brier_micro
+    FROM bins b CROSS JOIN overall o CROSS JOIN brier r
+    """,
+    tags=("ml", "quality", "eval"),
+    doc="Calibration audit of the hashed linear classifier as a "
+    "probability model: per-doc confidence is the shifted mean token "
+    "weight mapped onto [0, 1e6] ppm ((sum_w + 1000*n)*500 DIV n — "
+    "numerator kept nonnegative so truncating division is identical "
+    "on both engines), the label is the stopword-band rule (same "
+    "rule as classifier_auc_eval, so AUC and calibration read on "
+    "the same classifier). Reports the 10-bin reliability table "
+    "(mean confidence vs empirical accuracy per confidence bin, gap "
+    "in ppm), the expected calibration error ECE = sum_bins n_b * "
+    "|conf_b - acc_b| / N, and the Brier score in micro-units — all "
+    "exact integer arithmetic end to end (the per-doc squared "
+    "residual is integer-divided by 1e6 BEFORE summing, bounding "
+    "every partial under int64 at any corpus size). Scale: one "
+    "explode + per-doc aggregate (map-side combinable), then a "
+    "10-row bin table; ECE/Brier are aggregates over bounded or "
+    "linearly-collapsed inputs; the reliability join is a broadcast "
+    "of two scalar rows. Ref parity: beyond-reference (no eval "
+    "layer in jcostac/ETL-Energy-Tracker).",
+)
+def calibration_ece_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.expr(
+            f"(SUM({_HLC_W_SPARK}) + 1000 * COUNT(*)) * 500 DIV COUNT(*)"
+        ).alias("prob_ppm"),
+        F.expr(
+            f"1000000 * SUM(CASE WHEN {_AUC_STOP_SQL} THEN 1 ELSE 0 END)"
+            f" DIV COUNT(*) BETWEEN {_AUC_LO} AND {_AUC_HI}"
+        ).alias("good"),
+    )
+    scored = per_doc.select(
+        F.expr("LEAST(prob_ppm DIV 100000, 9L)").alias("bin"),
+        "prob_ppm",
+        F.expr("CASE WHEN good THEN 1 ELSE 0 END").alias("y"),
+        F.expr(
+            "((prob_ppm - CASE WHEN good THEN 1000000 ELSE 0 END)"
+            " * (prob_ppm - CASE WHEN good THEN 1000000 ELSE 0 END))"
+            " DIV 1000000"
+        ).alias("sq_micro"),
+    ).localCheckpoint(eager=False)
+    bins = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("SUM(prob_ppm) DIV COUNT(*)").alias("conf_ppm"),
+        F.expr("1000000 * SUM(y) DIV COUNT(*)").alias("acc_ppm"),
+    )
+    overall = bins.agg(
+        F.expr(
+            "CAST(SUM(n_docs * ABS(conf_ppm - acc_ppm)) DIV SUM(n_docs)"
+            " AS BIGINT)"
+        ).alias("ece_ppm"),
+        F.sum("n_docs").cast("long").alias("n_total"),
+    )
+    brier = scored.agg(
+        F.expr("CAST(SUM(sq_micro) DIV COUNT(*) AS BIGINT)").alias(
+            "brier_micro"
+        )
+    )
+    return (
+        bins.select(
+            F.col("bin").cast("long").alias("bin"),
+            "n_docs",
+            F.col("conf_ppm").cast("long").alias("conf_ppm"),
+            F.col("acc_ppm").cast("long").alias("acc_ppm"),
+            F.expr("CAST(ABS(conf_ppm - acc_ppm) AS BIGINT)").alias(
+                "gap_ppm"
+            ),
+        )
+        .crossJoin(F.broadcast(overall))
+        .crossJoin(F.broadcast(brier))
+    )

@@ -1022,3 +1022,182 @@ def activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_streaks",
         "n_users",
     )
+
+
+# ---------------------------------------------- t-closeness report
+
+# t thresholds in ppm of the [0, 1] EMD range (0.10 / 0.20 / 0.30).
+_TC_THRESHOLDS = (100_000, 200_000, 300_000)
+# ordered sensitive attribute: integer-log2 band of the cent value —
+# data-independent bucket edges, <= 16 observed bands on this feed
+_TC_BUCKET_SPARK = "LENGTH(BIN(CAST(FLOOR(value * 100) AS BIGINT))) - 1"
+_TC_BUCKET_DUCK = "LENGTH(BIN(CAST(FLOOR(value * 100) AS BIGINT))) - 1"
+
+
+@register(
+    "t_closeness_report",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type,
+               CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour_band,
+               CAST({_TC_BUCKET_DUCK} AS BIGINT) AS bucket
+        FROM events
+    ),
+    gb AS (
+        SELECT event_type, hour_band, bucket, COUNT(*) AS gc
+        FROM base GROUP BY event_type, hour_band, bucket
+    ),
+    gt AS (
+        SELECT event_type, hour_band, SUM(gc) AS g_n
+        FROM gb GROUP BY event_type, hour_band
+    ),
+    gdist AS (SELECT bucket, SUM(gc) AS c FROM gb GROUP BY bucket),
+    tot AS (
+        SELECT SUM(c) AS n_total, COUNT(*) AS m
+        FROM gdist
+    ),
+    grid AS (
+        SELECT gt.event_type, gt.hour_band, gt.g_n,
+               gdist.bucket,
+               1000000 * COALESCE(gb.gc, 0) // gt.g_n AS p_ppm,
+               1000000 * gdist.c // tot.n_total AS q_ppm,
+               tot.m AS m
+        FROM gt CROSS JOIN gdist CROSS JOIN tot
+        LEFT JOIN gb ON gb.event_type = gt.event_type
+                    AND gb.hour_band = gt.hour_band
+                    AND gb.bucket = gdist.bucket
+    ),
+    cum AS (
+        SELECT event_type, hour_band, g_n, m,
+               SUM(p_ppm - q_ppm) OVER (
+                   PARTITION BY event_type, hour_band
+                   ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS cum_diff
+        FROM grid
+    ),
+    tg AS (
+        SELECT event_type, hour_band, g_n,
+               SUM(ABS(cum_diff)) // (MAX(m) - 1) AS t_ppm
+        FROM cum GROUP BY event_type, hour_band, g_n
+    ),
+    thr(t) AS (VALUES {", ".join(f"({t})" for t in _TC_THRESHOLDS)})
+    SELECT CAST(t AS BIGINT) AS t_threshold_ppm,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN t_ppm > t THEN 1 ELSE 0 END) AS BIGINT)
+               AS failing_groups,
+           CAST(SUM(CASE WHEN t_ppm > t THEN g_n ELSE 0 END) AS BIGINT)
+               AS rows_at_risk,
+           CAST(1000000 * SUM(CASE WHEN t_ppm > t THEN g_n ELSE 0 END)
+                // SUM(g_n) AS BIGINT) AS risk_ppm
+    FROM tg CROSS JOIN thr GROUP BY t
+    """,
+    tags=("privacy", "quality", "events"),
+    doc="t-closeness privacy gate — completes the k-anonymity / "
+    "l-diversity trio: a QI group can be large (k ok) and diverse "
+    "(l ok) yet still leak when its SENSITIVE-VALUE DISTRIBUTION "
+    "differs sharply from the table-wide one (skewness attack). Per "
+    "QI group (event_type, hour band) compute the Earth Mover's "
+    "Distance between the group's distribution over the ordered "
+    "sensitive bands (integer-log2 of the cent value) and the "
+    "global distribution, using the ordinal EMD = sum of |cumulative "
+    "probability gap| over the ordered bands / (m-1). All arithmetic "
+    "is truncating-integer ppm (both engines' probability ppm and "
+    "the final division truncate identically), so the comparison "
+    "surface is exact at any scale — no float accumulation. Reports, "
+    "for t in (0.10, 0.20, 0.30): failing groups, rows at risk, "
+    "risk ppm. Scale: the corpus collapses to the (QI, band) count "
+    "table in one map-side pass; the grid is QI-cardinality x <=16 "
+    "bands (both bounded — event types x 24 hours), the cumulative "
+    "window runs on that bounded grid, and thresholds are a 3-row "
+    "broadcast. Ref parity: beyond-reference (no privacy layer in "
+    "jcostac/ETL-Energy-Tracker).",
+)
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("hour_band"),
+        F.expr(f"CAST({_TC_BUCKET_SPARK} AS BIGINT)").alias("bucket"),
+    )
+    gb = base.groupBy("event_type", "hour_band", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("gc")
+    ).localCheckpoint(eager=False)
+    gt = gb.groupBy("event_type", "hour_band").agg(
+        F.sum("gc").cast("long").alias("g_n")
+    )
+    glob = gb.groupBy("bucket").agg(F.sum("gc").cast("long").alias("c"))
+    tot = glob.agg(
+        F.sum("c").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    gbr = gb.select(
+        F.col("event_type").alias("g_et"),
+        F.col("hour_band").alias("g_hb"),
+        F.col("bucket").alias("g_bk"),
+        "gc",
+    )
+    grid = (
+        gt.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(
+            gbr,
+            on=(
+                (F.col("g_et") == F.col("event_type"))
+                & (F.col("g_hb") == F.col("hour_band"))
+                & (F.col("g_bk") == F.col("bucket"))
+            ),
+            how="left",
+        )
+        .select(
+            "event_type",
+            "hour_band",
+            "g_n",
+            "bucket",
+            "m",
+            F.expr(
+                "1000000 * COALESCE(gc, 0L) DIV g_n"
+            ).alias("p_ppm"),
+            F.expr("1000000 * c DIV n_total").alias("q_ppm"),
+        )
+    )
+    wcum = (
+        W.partitionBy("event_type", "hour_band")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = grid.withColumn(
+        "cum_diff", F.sum(F.col("p_ppm") - F.col("q_ppm")).over(wcum)
+    )
+    tg = cum.groupBy("event_type", "hour_band", "g_n").agg(
+        F.expr("SUM(ABS(cum_diff)) DIV (MAX(m) - 1)").alias("t_ppm")
+    )
+    thr = spark.createDataFrame(
+        [(t,) for t in _TC_THRESHOLDS], "t int"
+    )
+    return (
+        tg.crossJoin(F.broadcast(thr))
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("t_ppm") > F.col("t"), 1).otherwise(0))
+            .cast("long")
+            .alias("failing_groups"),
+            F.sum(
+                F.when(F.col("t_ppm") > F.col("t"), F.col("g_n")).otherwise(0)
+            )
+            .cast("long")
+            .alias("rows_at_risk"),
+            F.expr(
+                "CAST(1000000 * SUM(CASE WHEN t_ppm > t THEN g_n ELSE 0 END)"
+                " DIV SUM(g_n) AS BIGINT)"
+            ).alias("risk_ppm"),
+        )
+        .select(
+            F.col("t").cast("long").alias("t_threshold_ppm"),
+            "n_groups",
+            "failing_groups",
+            "rows_at_risk",
+            "risk_ppm",
+        )
+    )

@@ -120,6 +120,11 @@ OPS = [
     "activity_streaks",
     "bitmap_intersection_audit",
     "hll_daily_series",
+    # round-7: bounded-grid privacy EMD, per-doc calibration collapse,
+    # per-source round-robin sharding (range-partitioned sort)
+    "t_closeness_report",
+    "calibration_ece_report",
+    "interleave_mixture_shards",
 ]
 
 
