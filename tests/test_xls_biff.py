@@ -571,3 +571,79 @@ def test_pre_biff5_raises_unsupported_and_falls_back():
     if not have_fallback:
         with pytest.raises(NotImplementedError):
             read_excel_grid(blob, "Hoja")
+
+
+# ------------------------------------------------ property round-trips
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYPOTHESIS = False
+
+if _HAVE_HYPOTHESIS:
+    # cp1252-safe printable text (shared by BIFF5 byte strings and the
+    # BIFF8 writer's latin-1 SST arm); BIFF8 additionally exercises
+    # the utf-16 arm via non-latin codepoints
+    _cp1252_text = st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0,
+        max_size=20,
+    )
+    _uni_text = st.text(
+        alphabet=st.characters(
+            min_codepoint=32, max_codepoint=0x2FFF, exclude_categories=("Cs",)
+        ),
+        min_size=0,
+        max_size=20,
+    )
+
+    def _cell_values(text_strategy):
+        return st.one_of(
+            text_strategy,
+            st.booleans(),
+            st.integers(min_value=-(1 << 40), max_value=1 << 40),
+            st.floats(
+                allow_nan=False, allow_infinity=False, width=64,
+                min_value=-1e12, max_value=1e12,
+            ),
+        )
+
+    def _grids(text_strategy):
+        return st.dictionaries(
+            st.tuples(
+                st.integers(min_value=0, max_value=40),
+                st.integers(min_value=0, max_value=12),
+            ),
+            _cell_values(text_strategy),
+            min_size=1,
+            max_size=30,
+        )
+
+    def _expected(cells: dict) -> list[list]:
+        n_rows = max(r for r, _ in cells) + 1
+        n_cols = max(c for _, c in cells) + 1
+        out = [[None] * n_cols for _ in range(n_rows)]
+        for (r, c), v in cells.items():
+            if isinstance(v, float) and v.is_integer():
+                # NUMBER/RK records carry no int/float distinction; the
+                # reader canonicalizes integral doubles to int (matching
+                # read_xlsx_grid)
+                v = int(v)
+            out[r][c] = v
+        return out
+
+    @settings(max_examples=40, deadline=None)
+    @given(cells=_grids(_uni_text))
+    def test_biff8_roundtrip_property(cells):
+        blob = build_xls([("Hoja", cells)])
+        assert read_xls_grid(blob, "Hoja") == _expected(cells)
+
+    @settings(max_examples=40, deadline=None)
+    @given(cells=_grids(_cp1252_text))
+    def test_biff5_roundtrip_property(cells):
+        stream = build_biff5_stream([("Hoja", cells)])
+        blob = build_cfb(stream + b"\x00" * 4096)
+        assert read_xls_grid(blob, "Hoja") == _expected(cells)
