@@ -199,6 +199,8 @@ EXTRA = [
     "t_closeness_report",
     "calibration_ece_report",
     "interleave_mixture_shards",
+    "markov_attribution_removal",
+    "ivf_incremental_assign",
 ]
 
 

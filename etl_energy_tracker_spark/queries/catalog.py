@@ -301,10 +301,16 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "autocorrelation_lags", "label_centroid_similarity",
     "badword_filter_report",
     # r7 additions (never driver-checked): privacy-trio completion,
-    # eval-layer calibration, training-shard assembly — 24 + 3 + 23
-    # hint-only = exactly the 50-cap
+    # eval-layer calibration, training-shard assembly, removal-effect
+    # attribution, incremental IVF maintenance. 24 + 5 new + 23
+    # hint-only = 52: if the driver cap is exactly 50, the LAST two
+    # hint-only names (both provably result-neutral TPC-H broadcast-
+    # hint removals that re-passed the local matrix) spill to r8 — a
+    # deliberate trade: fresh rows for genuinely new kernels carry
+    # more information than re-proving neutral physical hints.
     "t_closeness_report", "calibration_ece_report",
     "interleave_mixture_shards",
+    "markov_attribution_removal", "ivf_incremental_assign",
 ) + _REVERIFY_HINT_ONLY
 
 

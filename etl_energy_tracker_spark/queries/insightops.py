@@ -690,3 +690,287 @@ def bitmap_intersection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+# ------------------------------------ Markov removal-effect attribution
+
+_MAR_ITERS = 8
+
+
+def _mar_u_ctes(k: int) -> str:
+    """Unrolled absorption-probability iterations u1..uk, each keyed
+    (scenario, state): u_i(s) = (sum_dst p(s,dst) * val(dst)) // 1e6
+    with val(__conv__)=1e6, val(__null__)=0, val(transient)=u_{i-1}."""
+    ctes = [
+        """u1 AS (
+        SELECT scenario, src AS state,
+               SUM(CASE WHEN dst = '__conv__' THEN p_ppm * 1000000
+                        ELSE 0 END) // 1000000 AS u
+        FROM m GROUP BY scenario, src
+    )"""
+    ]
+    for i in range(2, k + 1):
+        ctes.append(f"""u{i} AS (
+        SELECT m.scenario, m.src AS state,
+               SUM(CASE WHEN m.dst = '__conv__' THEN m.p_ppm * 1000000
+                        WHEN m.dst = '__null__' THEN 0
+                        ELSE m.p_ppm * COALESCE(prev.u, 0) END)
+                   // 1000000 AS u
+        FROM m LEFT JOIN u{i - 1} prev
+          ON prev.scenario = m.scenario AND prev.state = m.dst
+        GROUP BY m.scenario, m.src
+    )""")
+    return ",\n    ".join(ctes)
+
+
+@register(
+    "markov_attribution_removal",
+    oracle=f"""
+    WITH pos AS (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS pos
+        FROM events
+    ),
+    fp AS (
+        SELECT *,
+               MIN(CASE WHEN event_type = 'purchase' THEN pos END)
+                   OVER (PARTITION BY user_id) AS first_purchase
+        FROM pos
+    ),
+    path AS (
+        SELECT * FROM fp
+        WHERE first_purchase IS NULL OR pos <= first_purchase
+    ),
+    hops AS (
+        -- LEAD over the FULL truncated path (filtering src=purchase
+        -- first would hide the purchase row from the window and no
+        -- conversion edge would ever form)
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY pos
+               ) AS next_type
+        FROM path
+    ),
+    step_edges AS (
+        SELECT event_type AS src,
+               CASE WHEN next_type = 'purchase' THEN '__conv__'
+                    WHEN next_type IS NULL THEN '__null__'
+                    ELSE next_type END AS dst
+        FROM hops WHERE event_type <> 'purchase'
+    ),
+    start_edges AS (
+        SELECT '__start__' AS src,
+               CASE WHEN event_type = 'purchase' THEN '__conv__'
+                    ELSE event_type END AS dst
+        FROM path WHERE pos = 1
+    ),
+    trans AS (
+        SELECT src, dst, COUNT(*) AS c
+        FROM (SELECT * FROM step_edges UNION ALL
+              SELECT * FROM start_edges)
+        GROUP BY src, dst
+    ),
+    p AS (
+        SELECT src, dst,
+               1000000 * c // SUM(c) OVER (PARTITION BY src) AS p_ppm
+        FROM trans
+    ),
+    chan AS (
+        SELECT DISTINCT src AS ch FROM p WHERE src <> '__start__'
+    ),
+    scen AS (
+        SELECT ch AS scenario FROM chan
+        UNION ALL SELECT '__base__'
+    ),
+    m AS (
+        SELECT s.scenario, p.src,
+               CASE WHEN p.dst = s.scenario THEN '__null__'
+                    ELSE p.dst END AS dst,
+               SUM(p.p_ppm) AS p_ppm
+        FROM scen s JOIN p ON p.src <> s.scenario
+        GROUP BY s.scenario, p.src, dst
+    ),
+    {_mar_u_ctes(_MAR_ITERS)},
+    conv AS (
+        SELECT scenario, u FROM u{_MAR_ITERS} WHERE state = '__start__'
+    ),
+    touches AS (
+        SELECT event_type AS channel, COUNT(*) AS n_touches
+        FROM path WHERE event_type <> 'purchase'
+        GROUP BY event_type
+    ),
+    eff AS (
+        SELECT c.ch AS channel,
+               b.u AS base_conv_ppm,
+               r.u AS removed_conv_ppm,
+               GREATEST(b.u - r.u, 0) AS removal_effect_ppm
+        FROM chan c
+        JOIN conv r ON r.scenario = c.ch
+        CROSS JOIN (SELECT u FROM conv WHERE scenario = '__base__') b
+    )
+    SELECT e.channel,
+           CAST(t.n_touches AS BIGINT) AS n_touches,
+           CAST(e.base_conv_ppm AS BIGINT) AS base_conv_ppm,
+           CAST(e.removed_conv_ppm AS BIGINT) AS removed_conv_ppm,
+           CAST(e.removal_effect_ppm AS BIGINT) AS removal_effect_ppm,
+           CAST(1000000 * e.removal_effect_ppm
+                // NULLIF(SUM(e.removal_effect_ppm) OVER (), 0)
+                AS BIGINT) AS attribution_ppm
+    FROM eff e JOIN touches t ON t.channel = e.channel
+    """,
+    tags=("stats", "events", "attribution"),
+    doc="Markov removal-effect attribution (the data-driven successor "
+    "to attribution_u_shaped's positional heuristic): per-user "
+    "journeys truncated at first purchase become a first-order chain "
+    "START -> channels -> {CONV, NULL}; conversion probability is "
+    "the absorption probability of CONV, computed by 8 fixed-point "
+    "iterations in truncating-integer ppm (the markov_steady_state "
+    "recipe pointed at an absorbing chain — iteration count fixed, "
+    "so the truncated fixed point is bit-identical on both engines). "
+    "Each channel's removal effect re-solves the chain with every "
+    "edge INTO the channel redirected to NULL and the channel's "
+    "outgoing rows dropped — all scenarios solved simultaneously on "
+    "one (scenario, src, dst) matrix. attribution_ppm normalizes "
+    "effects across channels. Scale: one per-user window builds "
+    "edges; everything downstream lives on the (channels+1) x "
+    "states^2 matrix (bounded dimension); the 8 iterations are "
+    "broadcast-sized joins. Ref parity: beyond-reference analytics.",
+)
+def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    wp = W.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = ev.select(
+        "user_id", "event_type", F.row_number().over(wp).alias("pos")
+    )
+    fp = pos.withColumn(
+        "first_purchase",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("pos"))
+        ).over(W.partitionBy("user_id")),
+    )
+    path = fp.where(
+        F.col("first_purchase").isNull()
+        | (F.col("pos") <= F.col("first_purchase"))
+    ).localCheckpoint(eager=False)
+    wpath = W.partitionBy("user_id").orderBy("pos")
+    # LEAD over the FULL truncated path, THEN drop src=purchase rows —
+    # filtering first would hide the purchase row from the window and
+    # no conversion edge would ever form
+    hops = path.select(
+        "event_type", F.lead("event_type").over(wpath).alias("next_type")
+    )
+    step_edges = hops.where(F.col("event_type") != "purchase").select(
+        F.col("event_type").alias("src"),
+        F.when(F.col("next_type") == "purchase", F.lit("__conv__"))
+        .when(F.col("next_type").isNull(), F.lit("__null__"))
+        .otherwise(F.col("next_type"))
+        .alias("dst"),
+    )
+    start_edges = path.where(F.col("pos") == 1).select(
+        F.lit("__start__").alias("src"),
+        F.when(F.col("event_type") == "purchase", F.lit("__conv__"))
+        .otherwise(F.col("event_type"))
+        .alias("dst"),
+    )
+    trans = (
+        step_edges.unionByName(start_edges)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    p = trans.select(
+        "src",
+        "dst",
+        F.expr("1000000 * c DIV SUM(c) OVER (PARTITION BY src)").alias(
+            "p_ppm"
+        ),
+    ).localCheckpoint(eager=False)
+    chan = p.where(F.col("src") != "__start__").select(
+        F.col("src").alias("ch")
+    ).distinct()
+    scen = chan.select(F.col("ch").alias("scenario")).unionByName(
+        spark.createDataFrame([("__base__",)], "scenario string")
+    )
+    m = (
+        F.broadcast(scen)
+        .join(p, F.col("src") != F.col("scenario"))
+        .groupBy(
+            "scenario",
+            "src",
+            F.when(F.col("dst") == F.col("scenario"), F.lit("__null__"))
+            .otherwise(F.col("dst"))
+            .alias("mdst"),
+        )
+        .agg(F.sum("p_ppm").alias("p_ppm"))
+        .withColumnRenamed("mdst", "dst")
+        # the scenario matrix is (channels+1) x states^2 — a bounded
+        # artifact; one partition keeps each of the 8 iteration stages
+        # at one task instead of spraying ~40 rows over 32 partitions
+        .coalesce(1)
+        .localCheckpoint(eager=False)
+    )
+    # u1: only the direct-to-conversion mass
+    u = m.groupBy("scenario", F.col("src").alias("state")).agg(
+        F.expr(
+            "SUM(CASE WHEN dst = '__conv__' THEN p_ppm * 1000000"
+            " ELSE 0 END) DIV 1000000"
+        ).alias("u")
+    ).coalesce(1).localCheckpoint(eager=False)
+    for _ in range(_MAR_ITERS - 1):
+        prev = u.select(
+            F.col("scenario").alias("p_scen"),
+            F.col("state").alias("p_state"),
+            F.col("u").alias("p_u"),
+        )
+        u = (
+            m.join(
+                F.broadcast(prev),
+                (F.col("p_scen") == F.col("scenario"))
+                & (F.col("p_state") == F.col("dst")),
+                "left",
+            )
+            .groupBy("scenario", F.col("src").alias("state"))
+            .agg(
+                F.expr(
+                    "SUM(CASE WHEN dst = '__conv__' THEN p_ppm * 1000000"
+                    " WHEN dst = '__null__' THEN 0"
+                    " ELSE p_ppm * COALESCE(p_u, 0) END) DIV 1000000"
+                ).alias("u")
+            )
+            .coalesce(1)
+            .localCheckpoint(eager=False)
+        )
+    conv = u.where(F.col("state") == "__start__").select("scenario", "u")
+    base = conv.where(F.col("scenario") == "__base__").select(
+        F.col("u").alias("base_conv_ppm")
+    )
+    rem = conv.where(F.col("scenario") != "__base__").select(
+        F.col("scenario").alias("channel"),
+        F.col("u").alias("removed_conv_ppm"),
+    )
+    touches = path.where(F.col("event_type") != "purchase").groupBy(
+        F.col("event_type").alias("channel")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_touches"))
+    eff = rem.crossJoin(F.broadcast(base)).withColumn(
+        "removal_effect_ppm",
+        F.expr("GREATEST(base_conv_ppm - removed_conv_ppm, 0)"),
+    )
+    return (
+        eff.join(touches, "channel")
+        .select(
+            "channel",
+            "n_touches",
+            F.col("base_conv_ppm").cast("long").alias("base_conv_ppm"),
+            F.col("removed_conv_ppm")
+            .cast("long")
+            .alias("removed_conv_ppm"),
+            F.col("removal_effect_ppm")
+            .cast("long")
+            .alias("removal_effect_ppm"),
+            F.expr(
+                "CAST(1000000 * removal_effect_ppm DIV NULLIF("
+                "SUM(removal_effect_ppm) OVER (), 0) AS BIGINT)"
+            ).alias("attribution_ppm"),
+        )
+    )

@@ -915,3 +915,163 @@ def ann_recall_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mrr_ppm"),
         )
     )
+
+
+# ------------------------------------- incremental IVF index maintenance
+
+
+@register(
+    "ivf_incremental_assign",
+    oracle=f"""
+    WITH long AS (
+        SELECT vec_id, d, CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) AS v
+        FROM embeddings, (SELECT unnest(range(0, 64)) AS d)
+    ),
+    old_ids AS (SELECT vec_id FROM embeddings WHERE vec_id % 10 <> 9),
+    a0 AS (SELECT vec_id, vec_id % 16 AS cell FROM old_ids),
+    c0 AS (
+        SELECT cell, d, round(avg(v), 4) AS cv
+        FROM long JOIN a0 USING (vec_id) GROUP BY cell, d
+    ),
+    sim1 AS (
+        SELECT l.vec_id, c.cell,
+               round(SUM(l.v * c.cv)
+                     / (sqrt(SUM(l.v * l.v)) * sqrt(SUM(c.cv * c.cv))),
+                     6) AS s
+        FROM long l JOIN c0 c USING (d)
+        WHERE l.vec_id IN (SELECT vec_id FROM old_ids)
+        GROUP BY l.vec_id, c.cell
+    ),
+    a1 AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY s DESC, cell
+                   ) AS rk
+            FROM sim1) WHERE rk = 1
+    ),
+    c1 AS (
+        SELECT cell, d, round(avg(v), 4) AS cv
+        FROM long JOIN a1 USING (vec_id) GROUP BY cell, d
+    ),
+    sim2 AS (
+        SELECT l.vec_id, c.cell,
+               round(SUM(l.v * c.cv)
+                     / (sqrt(SUM(l.v * l.v)) * sqrt(SUM(c.cv * c.cv))),
+                     6) AS s
+        FROM long l JOIN c1 c USING (d)
+        GROUP BY l.vec_id, c.cell
+    ),
+    assigned AS (
+        SELECT vec_id, cell,
+               CAST(ROUND(s * 1000000, 0) AS BIGINT) AS sim_micro,
+               vec_id % 10 = 9 AS is_new
+        FROM (
+            SELECT vec_id, cell, s,
+                   row_number() OVER (
+                       PARTITION BY vec_id ORDER BY s DESC, cell
+                   ) AS rk
+            FROM sim2) WHERE rk = 1
+    )
+    SELECT CAST(cell AS BIGINT) AS cell,
+           CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_old,
+           CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new,
+           CAST(1000000 * SUM(CASE WHEN is_new THEN 1 ELSE 0 END)
+                // NULLIF(SUM(CASE WHEN is_new THEN 0 ELSE 1 END), 0)
+                AS BIGINT) AS growth_ppm,
+           CAST(SUM(CASE WHEN is_new THEN 0 ELSE sim_micro END)
+                // NULLIF(SUM(CASE WHEN is_new THEN 0 ELSE 1 END), 0)
+                AS BIGINT) AS old_sim_micro,
+           CAST(SUM(CASE WHEN is_new THEN sim_micro ELSE 0 END)
+                // NULLIF(SUM(CASE WHEN is_new THEN 1 ELSE 0 END), 0)
+                AS BIGINT) AS new_sim_micro,
+           CAST(SUM(CASE WHEN is_new THEN sim_micro ELSE 0 END)
+                // NULLIF(SUM(CASE WHEN is_new THEN 1 ELSE 0 END), 0)
+                - SUM(CASE WHEN is_new THEN 0 ELSE sim_micro END)
+                // NULLIF(SUM(CASE WHEN is_new THEN 0 ELSE 1 END), 0)
+                AS BIGINT) AS drift_micro
+    FROM assigned GROUP BY cell
+    """,
+    tags=("vector", "index", "maintenance"),
+    doc="Incremental IVF index maintenance audit: the codebook is "
+    "trained (deterministic k-means, train_ivf_codebook) on the OLD "
+    "corpus only (vec_id % 10 != 9 — the data the index was built "
+    "on), the NEW batch (vec_id % 10 == 9) is assigned to the "
+    "existing cells without retraining, and the report compares the "
+    "two populations per cell: counts, growth ppm, and the mean "
+    "assignment cosine (micro-units, half-away rounding on both "
+    "engines) of old vs new members. A cell whose new members sit "
+    "much farther from the centroid than its old ones (negative "
+    "drift_micro) is the retrain signal a production ANN index "
+    "monitors as data arrives — this is the maintenance loop faiss "
+    "users run out-of-band, expressed as one Spark job. Scale: the "
+    "codebook is k x dim and broadcasts; assignment is the standard "
+    "IVF crossJoin+argmax (map-side fold variant available at "
+    "corpus scale, operators/similarity.py:347); the report is a "
+    "k-row aggregate. Ref parity: beyond-reference vector infra.",
+)
+def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import train_ivf_codebook
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    old = emb.where(F.col("vec_id") % 10 != 9)
+    cent = train_ivf_codebook(old, "vec_id", "embedding", k=16, iters=1)
+    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "s",
+        F.round(
+            F.try_divide(
+                _dot(F.col("embedding"), F.col("cv")),
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                * F.sqrt(_dot(F.col("cv"), F.col("cv"))),
+            ),
+            6,
+        ),
+    )
+    wr = W.partitionBy("vec_id").orderBy(F.desc("s"), "centroid_id")
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("centroid_id").alias("cell"),
+            F.expr("CAST(ROUND(s * 1000000, 0) AS BIGINT)").alias(
+                "sim_micro"
+            ),
+            (F.col("vec_id") % 10 == 9).alias("is_new"),
+        )
+    )
+    return assigned.groupBy("cell").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)"
+        ).alias("n_old"),
+        F.expr(
+            "CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_new"),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN is_new THEN 1 ELSE 0 END)"
+            " DIV NULLIF(SUM(CASE WHEN is_new THEN 0 ELSE 1 END), 0)"
+            " AS BIGINT)"
+        ).alias("growth_ppm"),
+        F.expr(
+            "CAST(SUM(CASE WHEN is_new THEN 0 ELSE sim_micro END)"
+            " DIV NULLIF(SUM(CASE WHEN is_new THEN 0 ELSE 1 END), 0)"
+            " AS BIGINT)"
+        ).alias("old_sim_micro"),
+        F.expr(
+            "CAST(SUM(CASE WHEN is_new THEN sim_micro ELSE 0 END)"
+            " DIV NULLIF(SUM(CASE WHEN is_new THEN 1 ELSE 0 END), 0)"
+            " AS BIGINT)"
+        ).alias("new_sim_micro"),
+        F.expr(
+            "CAST(SUM(CASE WHEN is_new THEN sim_micro ELSE 0 END)"
+            " DIV NULLIF(SUM(CASE WHEN is_new THEN 1 ELSE 0 END), 0)"
+            " - SUM(CASE WHEN is_new THEN 0 ELSE sim_micro END)"
+            " DIV NULLIF(SUM(CASE WHEN is_new THEN 0 ELSE 1 END), 0)"
+            " AS BIGINT)"
+        ).alias("drift_micro"),
+    ).select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_old", "n_new", "growth_ppm",
+        "old_sim_micro", "new_sim_micro", "drift_micro",
+    )

@@ -182,3 +182,186 @@ def test_interleave_mixture_shards_python_replay(spark):
         assert r.source_spread == max(per_shard) - min(per_shard)
         # round-robin balance guarantee
         assert r.source_spread <= 1
+
+
+# ------------------------------------- Markov removal-effect attribution
+
+
+def test_markov_attribution_python_replay(spark):
+    from etl_energy_tracker_spark.queries.insightops import (
+        _MAR_ITERS,
+        markov_attribution_removal,
+    )
+
+    got = {
+        r.channel: r
+        for r in markov_attribution_removal(spark, SF_DIR).collect()
+    }
+
+    ev = sorted(
+        _rows("events"), key=lambda e: (e["user_id"], e["ts"], e["event_id"])
+    )
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e["user_id"]].append(e["event_type"])
+
+    # truncate at first purchase; build edges
+    edges = Counter()
+    touches = Counter()
+    for types in by_user.values():
+        path = []
+        for t in types:
+            path.append(t)
+            if t == "purchase":
+                break
+        first = "__conv__" if path[0] == "purchase" else path[0]
+        edges[("__start__", first)] += 1
+        for i, t in enumerate(path):
+            if t == "purchase":
+                continue
+            touches[t] += 1
+            if i + 1 < len(path):
+                nxt = path[i + 1]
+                edges[(t, "__conv__" if nxt == "purchase" else nxt)] += 1
+            else:
+                edges[(t, "__null__")] += 1
+
+    src_tot = Counter()
+    for (s, _d), c in edges.items():
+        src_tot[s] += c
+    p = {k: 1000000 * c // src_tot[k[0]] for k, c in edges.items()}
+    channels = sorted({s for s, _ in p if s != "__start__"})
+
+    def absorption(removed: str | None) -> int:
+        m = defaultdict(int)
+        for (s, d), pp in p.items():
+            if s == removed:
+                continue
+            m[(s, "__null__" if d == removed else d)] += pp
+        states = {s for s, _ in m}
+        u = {s: 0 for s in states}
+        for _ in range(_MAR_ITERS):
+            nu = {}
+            for s in states:
+                acc = 0
+                for (src, d), pp in m.items():
+                    if src != s:
+                        continue
+                    if d == "__conv__":
+                        acc += pp * 1000000
+                    elif d == "__null__":
+                        pass
+                    else:
+                        acc += pp * u.get(d, 0)
+                nu[s] = acc // 1000000
+            u = nu
+        return u["__start__"]
+
+    base = absorption(None)
+    effects = {
+        ch: max(base - absorption(ch), 0) for ch in channels
+    }
+    tot_eff = sum(effects.values())
+    assert set(got) == set(channels)
+    for ch in channels:
+        r = got[ch]
+        assert r.n_touches == touches[ch]
+        assert r.base_conv_ppm == base
+        assert r.removal_effect_ppm == effects[ch]
+        assert r.removed_conv_ppm == base - effects[ch] or (
+            effects[ch] == 0 and r.removed_conv_ppm >= base
+        )
+        if tot_eff:
+            assert r.attribution_ppm == 1000000 * effects[ch] // tot_eff
+
+
+# --------------------------------------------- incremental IVF assign
+
+
+def _round_half_away(x: float, dp: int) -> float:
+    import math
+
+    scaled = x * 10**dp
+    return math.trunc(scaled + math.copysign(0.5, scaled)) / 10**dp
+
+
+def test_ivf_incremental_assign_python_replay(spark):
+    import math
+
+    from etl_energy_tracker_spark.queries.vectorops import (
+        ivf_incremental_assign,
+    )
+
+    got = {
+        r.cell: r for r in ivf_incremental_assign(spark, SF_DIR).collect()
+    }
+
+    emb = {e["vec_id"]: [float(x) for x in e["embedding"]]
+           for e in _rows("embeddings")}
+    old_ids = [i for i in emb if i % 10 != 9]
+
+    def centroids_from(assign: dict) -> dict:
+        cells = defaultdict(list)
+        for vid, cell in assign.items():
+            cells[cell].append(emb[vid])
+        return {
+            cell: [
+                _round_half_away(sum(v[d] for v in vs) / len(vs), 4)
+                for d in range(64)
+            ]
+            for cell, vs in cells.items()
+        }
+
+    def cos6(a, b) -> float | None:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        if na * nb == 0:
+            return None
+        return _round_half_away(dot / (na * nb), 6)
+
+    def assign(ids, cents) -> dict:
+        out = {}
+        for vid in ids:
+            best, best_cell = None, None
+            for cell in sorted(cents):
+                s = cos6(emb[vid], cents[cell])
+                if s is not None and (best is None or s > best):
+                    best, best_cell = s, cell
+            out[vid] = (best_cell, best)
+        return out
+
+    a0 = {vid: vid % 16 for vid in old_ids}
+    c0 = centroids_from(a0)
+    a1 = {vid: ca[0] for vid, ca in assign(old_ids, c0).items()}
+    c1 = centroids_from(a1)
+    final = assign(list(emb), c1)
+
+    stats = defaultdict(lambda: [0, 0, 0, 0])  # n_old n_new sum_old sum_new
+    for vid, (cell, s) in final.items():
+        micro = math.trunc(
+            s * 1000000 + math.copysign(0.5, s * 1000000)
+        )
+        if vid % 10 == 9:
+            stats[cell][1] += 1
+            stats[cell][3] += micro
+        else:
+            stats[cell][0] += 1
+            stats[cell][2] += micro
+
+    assert set(got) == set(stats)
+    for cell, (n_old, n_new, s_old, s_new) in stats.items():
+        r = got[cell]
+        assert (r.n_old, r.n_new) == (n_old, n_new)
+        exp_growth = None if n_old == 0 else 1000000 * n_new // n_old
+        assert r.growth_ppm == exp_growth
+        exp_old = None if n_old == 0 else (
+            s_old // n_old if s_old >= 0 else -((-s_old) // n_old)
+        )
+        exp_new = None if n_new == 0 else (
+            s_new // n_new if s_new >= 0 else -((-s_new) // n_new)
+        )
+        assert r.old_sim_micro == exp_old
+        assert r.new_sim_micro == exp_new
+        if exp_old is not None and exp_new is not None:
+            assert r.drift_micro == exp_new - exp_old

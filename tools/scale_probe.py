@@ -125,6 +125,8 @@ OPS = [
     "t_closeness_report",
     "calibration_ece_report",
     "interleave_mixture_shards",
+    "markov_attribution_removal",
+    "ivf_incremental_assign",
 ]
 
 
