@@ -201,6 +201,8 @@ EXTRA = [
     "interleave_mixture_shards",
     "markov_attribution_removal",
     "ivf_incremental_assign",
+    "source_lexical_distance",
+    "kcenter_coreset_sample",
 ]
 
 

@@ -311,7 +311,14 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "t_closeness_report", "calibration_ece_report",
     "interleave_mixture_shards",
     "markov_attribution_removal", "ivf_incremental_assign",
-) + _REVERIFY_HINT_ONLY
+) + _REVERIFY_HINT_ONLY + (
+    # late-r7 additions, deliberately queued BEHIND the hint-only tail:
+    # they land past the ~50 cap and get their first driver rows in r8
+    # (pytest replays + local sf0.01/sf0.001 oracle matrix green this
+    # round) — the backlog-clearing promise for the 24+23 names above
+    # stays intact
+    "source_lexical_distance", "kcenter_coreset_sample",
+)
 
 
 def _ordered() -> list[str]:

@@ -1201,3 +1201,130 @@ def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "risk_ppm",
         )
     )
+
+
+# ------------------------------------------ source lexical distance
+
+
+@register(
+    "source_lexical_distance",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    cells AS (
+        SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY source, tok
+    ),
+    dist AS (
+        SELECT source, tok,
+               1000000 * c // SUM(c) OVER (PARTITION BY source) AS p
+        FROM cells
+    ),
+    totals AS (
+        SELECT source, CAST(SUM(p) AS BIGINT) AS s_tot,
+               COUNT(*) AS vocab
+        FROM dist GROUP BY source
+    ),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(SUM(ABS(a.p - b.p) - a.p - b.p) AS BIGINT)
+                   AS shared_adj,
+               COUNT(*) AS shared_vocab
+        FROM dist a JOIN dist b
+          ON a.tok = b.tok AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT s.source_a, s.source_b,
+           CAST(ta.s_tot + tb.s_tot + s.shared_adj AS BIGINT) AS l1_ppm,
+           CAST(s.shared_vocab AS BIGINT) AS shared_vocab,
+           CAST(1000000 * s.shared_vocab
+                // (ta.vocab + tb.vocab - s.shared_vocab)
+                AS BIGINT) AS vocab_jaccard_ppm
+    FROM shared s
+    JOIN totals ta ON ta.source = s.source_a
+    JOIN totals tb ON tb.source = s.source_b
+    """,
+    tags=("stats", "corpus", "mixture"),
+    doc="Pairwise lexical distance between sources: the L1 distance "
+    "between each pair of per-source unigram distributions (ppm-"
+    "quantized, truncating on both engines), computed without "
+    "materializing the union vocabulary per pair — L1 = S_a + S_b + "
+    "sum over the SHARED vocabulary of (|p_a-p_b| - p_a - p_b), so "
+    "the only join is an inner token join between source "
+    "distributions, never a full-outer grid. Complements "
+    "source_overlap_matrix (which detects copied CONTENT windows): "
+    "this measures distributional/style divergence, the signal for "
+    "corpus-mixing weights and domain-shift monitoring. Also "
+    "reports shared vocabulary and vocabulary Jaccard. Scale: "
+    "corpus collapses to the (source, tok) count table once; the "
+    "pair join is vocab-bounded x sources (a bounded dimension); "
+    "output is sources^2/2 rows. Ref parity: beyond-reference.",
+)
+def source_lexical_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    cells = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    dist = cells.select(
+        "source",
+        "tok",
+        F.expr(
+            "1000000 * c DIV SUM(c) OVER (PARTITION BY source)"
+        ).alias("p"),
+    ).localCheckpoint(eager=False)
+    totals = dist.groupBy("source").agg(
+        F.sum("p").cast("long").alias("s_tot"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    b = dist.select(
+        F.col("source").alias("source_b"),
+        F.col("tok").alias("tok_b"),
+        F.col("p").alias("p_b"),
+    )
+    shared = (
+        dist.join(
+            b,
+            (F.col("tok") == F.col("tok_b"))
+            & (F.col("source") < F.col("source_b")),
+        )
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(
+            F.expr("CAST(SUM(ABS(p - p_b) - p - p_b) AS BIGINT)").alias(
+                "shared_adj"
+            ),
+            F.count(F.lit(1)).alias("shared_vocab"),
+        )
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"),
+        F.col("s_tot").alias("s_tot_a"),
+        F.col("vocab").alias("vocab_a"),
+    )
+    tb = totals.select(
+        F.col("source").alias("source_b"),
+        F.col("s_tot").alias("s_tot_b"),
+        F.col("vocab").alias("vocab_b"),
+    )
+    return (
+        shared.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.expr("CAST(s_tot_a + s_tot_b + shared_adj AS BIGINT)").alias(
+                "l1_ppm"
+            ),
+            F.col("shared_vocab").cast("long").alias("shared_vocab"),
+            F.expr(
+                "CAST(1000000 * shared_vocab"
+                " DIV (vocab_a + vocab_b - shared_vocab) AS BIGINT)"
+            ).alias("vocab_jaccard_ppm"),
+        )
+    )

@@ -1075,3 +1075,176 @@ def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_old", "n_new", "growth_ppm",
         "old_sim_micro", "new_sim_micro", "drift_micro",
     )
+
+
+# ------------------------------------------- k-center coreset sample
+
+_KC_PICKS = 8
+
+_KC_DIST = (
+    "1000000 - CAST(ROUND(" + _COS64.format(a="e.embedding", b="c.cv")
+    + " * 1000000, 0) AS BIGINT)"
+)
+
+
+def _kc_ctes(k: int) -> str:
+    """Unrolled greedy k-center rounds: cho{i} is the chosen set after
+    pick i; each round scores every unchosen vector by its min
+    distance (micro-units of 1 - rounded cosine) to the chosen set
+    and picks the farthest (ties -> lowest vec_id)."""
+    parts = [
+        """cho1 AS MATERIALIZED (
+        SELECT 1 AS pick_order, vec_id AS vid, embedding AS cv,
+               CAST(0 AS BIGINT) AS md
+        FROM embeddings
+        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    )"""
+    ]
+    for i in range(2, k + 1):
+        prev = f"cho{i - 1}"
+        parts.append(f"""md{i} AS MATERIALIZED (
+        SELECT e.vec_id, MIN({_KC_DIST}) AS md
+        FROM embeddings e CROSS JOIN {prev} c
+        WHERE e.vec_id NOT IN (SELECT vid FROM {prev})
+        GROUP BY e.vec_id
+    ),
+    pick{i} AS (
+        SELECT vec_id, md FROM md{i}
+        ORDER BY md DESC, vec_id LIMIT 1
+    ),
+    cho{i} AS MATERIALIZED (
+        SELECT * FROM {prev}
+        UNION ALL
+        SELECT {i} AS pick_order, p.vec_id AS vid, e.embedding AS cv,
+               p.md
+        FROM pick{i} p JOIN embeddings e ON e.vec_id = p.vec_id
+    )""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "kcenter_coreset_sample",
+    oracle=f"""
+    WITH {_kc_ctes(_KC_PICKS)},
+    radius AS (
+        SELECT CAST(MAX(md) AS BIGINT) AS coverage_radius_micro
+        FROM (
+            SELECT e.vec_id, MIN({_KC_DIST}) AS md
+            FROM embeddings e CROSS JOIN cho{_KC_PICKS} c
+            GROUP BY e.vec_id
+        )
+    )
+    SELECT CAST(c.pick_order AS BIGINT) AS pick_order,
+           CAST(c.vid AS BIGINT) AS vec_id,
+           CAST(c.md AS BIGINT) AS min_dist_micro,
+           r.coverage_radius_micro
+    FROM cho{_KC_PICKS} c CROSS JOIN radius r
+    """,
+    tags=("vector", "corpus", "sampling"),
+    doc="Greedy k-center coreset selection (farthest-point sampling) "
+    "over the embedding corpus: seed at the lowest vec_id, then 7 "
+    "rounds each pick the vector FARTHEST (max-min cosine distance, "
+    "micro-units, ties to lowest id) from the chosen set — the "
+    "classic 2-approximation to the k-center objective, used to "
+    "pick maximally-diverse exemplars for data pruning and eval-set "
+    "construction (the diversity complement of "
+    "cluster_balanced_sample's per-cell quotas). Reports each pick "
+    "with its selection-time distance plus the final coverage "
+    "radius (max distance of any vector to the coreset). All "
+    "comparison surfaces are rounded-cosine micro integers. Scale: "
+    "k scans of the corpus, each a broadcast of the <=k chosen "
+    "vectors and one map-side min + a 1-row argmax aggregate (no "
+    "global sort, no pair materialization) — linear in k x corpus; "
+    "in production k-center runs on a cluster-sampled subset, which "
+    "this operator is agnostic to. Ref parity: beyond-reference.",
+)
+def kcenter_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    ).localCheckpoint(eager=False)
+    seed = emb.orderBy("vec_id").limit(1)
+    chosen = seed.select(
+        F.lit(1).alias("pick_order"),
+        F.col("vec_id").alias("vid"),
+        F.col("embedding").alias("cv"),
+        F.lit(0).cast("long").alias("md"),
+    ).localCheckpoint(eager=False)
+
+    def scored(cho: DataFrame) -> DataFrame:
+        # min distance of every unchosen vector to the chosen set
+        return (
+            emb.join(
+                F.broadcast(cho.select("vid")),
+                emb.vec_id == F.col("vid"),
+                "left_anti",
+            )
+            .crossJoin(F.broadcast(cho.select("cv")))
+            .withColumn(
+                "s",
+                F.round(
+                    F.try_divide(
+                        _dot(F.col("embedding"), F.col("cv")),
+                        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                        * F.sqrt(_dot(F.col("cv"), F.col("cv"))),
+                    ),
+                    6,
+                ),
+            )
+            .select(
+                "vec_id",
+                (
+                    F.lit(1000000)
+                    - F.expr("CAST(ROUND(s * 1000000, 0) AS BIGINT)")
+                ).alias("dist"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("dist").alias("md"))
+        )
+
+    for i in range(2, _KC_PICKS + 1):
+        md = scored(chosen)
+        # deterministic argmax: max (md, -vec_id) struct, no global sort
+        pick = md.agg(
+            F.max(F.struct(F.col("md"), (-F.col("vec_id")).alias("nid")))
+            .alias("b")
+        ).select(
+            F.col("b.md").alias("md"),
+            (-F.col("b.nid")).alias("vec_id"),
+        )
+        new_row = pick.join(emb, "vec_id").select(
+            F.lit(i).alias("pick_order"),
+            F.col("vec_id").alias("vid"),
+            F.col("embedding").alias("cv"),
+            F.col("md").cast("long").alias("md"),
+        )
+        chosen = chosen.unionByName(new_row).localCheckpoint(eager=False)
+
+    radius = (
+        emb.crossJoin(F.broadcast(chosen.select("cv")))
+        .withColumn(
+            "s",
+            F.round(
+                F.try_divide(
+                    _dot(F.col("embedding"), F.col("cv")),
+                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                    * F.sqrt(_dot(F.col("cv"), F.col("cv"))),
+                ),
+                6,
+            ),
+        )
+        .select(
+            "vec_id",
+            (
+                F.lit(1000000)
+                - F.expr("CAST(ROUND(s * 1000000, 0) AS BIGINT)")
+            ).alias("dist"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min("dist").alias("md"))
+        .agg(F.max("md").cast("long").alias("coverage_radius_micro"))
+    )
+    return chosen.select(
+        F.col("pick_order").cast("long").alias("pick_order"),
+        F.col("vid").cast("long").alias("vec_id"),
+        F.col("md").cast("long").alias("min_dist_micro"),
+    ).crossJoin(F.broadcast(radius))

@@ -365,3 +365,94 @@ def test_ivf_incremental_assign_python_replay(spark):
         assert r.new_sim_micro == exp_new
         if exp_old is not None and exp_new is not None:
             assert r.drift_micro == exp_new - exp_old
+
+
+# --------------------------------------------- source lexical distance
+
+
+def test_source_lexical_distance_python_replay(spark):
+    from etl_energy_tracker_spark.queries.statops import (
+        source_lexical_distance,
+    )
+
+    got = {
+        (r.source_a, r.source_b): r
+        for r in source_lexical_distance(spark, SF_DIR).collect()
+    }
+
+    docs = _rows("documents")
+    per_src = defaultdict(Counter)
+    for d in docs:
+        per_src[d["source"]].update(_toks(d["text"]))
+    dist = {}
+    for src, tf in per_src.items():
+        n = sum(tf.values())
+        dist[src] = {t: 1000000 * c // n for t, c in tf.items()}
+
+    sources = sorted(per_src)
+    expected_pairs = {
+        (a, b) for i, a in enumerate(sources) for b in sources[i + 1:]
+    }
+    assert set(got) == expected_pairs
+    for a, b in expected_pairs:
+        da, db = dist[a], dist[b]
+        vocab = set(da) | set(db)
+        l1 = sum(abs(da.get(t, 0) - db.get(t, 0)) for t in vocab)
+        shared = set(da) & set(db)
+        r = got[(a, b)]
+        assert r.l1_ppm == l1
+        assert r.shared_vocab == len(shared)
+        assert r.vocab_jaccard_ppm == 1000000 * len(shared) // len(vocab)
+
+
+# ------------------------------------------------- k-center coreset
+
+
+def test_kcenter_coreset_python_replay(spark):
+    import math
+
+    from etl_energy_tracker_spark.queries.vectorops import (
+        _KC_PICKS,
+        kcenter_coreset_sample,
+    )
+
+    rows = kcenter_coreset_sample(spark, SF_DIR).collect()
+    got = {r.pick_order: r for r in rows}
+    assert len(got) == _KC_PICKS
+
+    emb = {
+        e["vec_id"]: [float(x) for x in e["embedding"]]
+        for e in _rows("embeddings")
+    }
+
+    def dist_micro(a, b) -> int:
+        dot = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        s = dot / (na * nb)
+        scaled6 = s * 10**6
+        s6 = math.trunc(scaled6 + math.copysign(0.5, scaled6)) / 10**6
+        sm = s6 * 1000000
+        return 1000000 - math.trunc(sm + math.copysign(0.5, sm))
+
+    chosen = [min(emb)]
+    mds = {1: 0}
+    for order in range(2, _KC_PICKS + 1):
+        best_md, best_id = None, None
+        for vid in emb:
+            if vid in chosen:
+                continue
+            md = min(dist_micro(emb[vid], emb[c]) for c in chosen)
+            if best_md is None or (md, -vid) > (best_md, -best_id):
+                best_md, best_id = md, vid
+        chosen.append(best_id)
+        mds[order] = best_md
+
+    radius = max(
+        min(dist_micro(emb[vid], emb[c]) for c in chosen) for vid in emb
+    )
+    for order, vid in enumerate(chosen, start=1):
+        r = got[order]
+        assert r.vec_id == vid
+        assert r.min_dist_micro == mds[order]
+        assert r.coverage_radius_micro == radius
