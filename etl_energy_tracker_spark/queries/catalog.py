@@ -318,6 +318,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # round) — the backlog-clearing promise for the 24+23 names above
     # stays intact
     "source_lexical_distance", "kcenter_coreset_sample",
+    "blocking_strategy_eval", "token_budget_waterfill",
 )
 
 

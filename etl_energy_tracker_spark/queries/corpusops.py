@@ -1558,3 +1558,147 @@ def interleave_mixture_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_spread",
         )
     )
+
+
+# -------------------------------------------- token budget water-fill
+
+_WF_MAX_EPOCHS = 4  # per-domain repetition cap
+_WF_BUDGET_EPOCHS = 2  # global budget = 2x the total available tokens
+
+
+@register(
+    "token_budget_waterfill",
+    oracle=f"""
+    WITH toks AS (
+        SELECT source,
+               CAST(LENGTH(trim(text))
+                    - LENGTH(REPLACE(trim(text), ' ', '')) + 1 AS BIGINT)
+                   AS n_tok
+        FROM documents
+    ),
+    doms AS (
+        SELECT source, CAST(SUM(n_tok) AS BIGINT) AS a,
+               CAST({_WF_MAX_EPOCHS} * SUM(n_tok) AS BIGINT) AS cap
+        FROM toks GROUP BY source
+    ),
+    tot AS (
+        SELECT COUNT(*) AS n,
+               CAST({_WF_BUDGET_EPOCHS} * SUM(a) AS BIGINT) AS b
+        FROM doms
+    ),
+    ranked AS (
+        SELECT source, a, cap,
+               ROW_NUMBER() OVER (ORDER BY cap, source) AS rn,
+               SUM(cap) OVER (ORDER BY cap, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM doms
+    ),
+    cand AS (
+        SELECT r.*, t.n, t.b,
+               (t.b - (r.cum - r.cap)) // (t.n - r.rn + 1) AS lvl
+        FROM ranked r CROSS JOIN tot t
+    ),
+    lev AS (
+        SELECT COALESCE(
+                   (SELECT MIN(lvl) FROM cand WHERE lvl < cap
+                    AND rn = (SELECT MIN(rn) FROM cand WHERE lvl < cap)),
+                   (SELECT MAX(cap) FROM doms)
+               ) AS level
+    ),
+    alloc AS (
+        SELECT c.source, c.a, c.cap, c.b,
+               LEAST(c.cap, l.level) AS alloc, l.level
+        FROM cand c CROSS JOIN lev l
+    )
+    SELECT source,
+           a AS avail_tokens,
+           cap AS cap_tokens,
+           CAST(alloc AS BIGINT) AS alloc_tokens,
+           CAST(1000 * alloc // a AS BIGINT) AS epochs_milli,
+           CAST(level AS BIGINT) AS level_tokens,
+           b AS budget_tokens,
+           CAST(b - SUM(alloc) OVER () AS BIGINT) AS leftover_tokens
+    FROM alloc
+    """,
+    tags=("corpus", "mixture", "training"),
+    doc="Token-budget water-filling across domains — the allocation "
+    "step of training-mixture design: each domain offers avail "
+    "tokens and may be repeated up to 4 epochs (cap = 4x avail); a "
+    "global budget of 2x the total available tokens is distributed "
+    "as alloc_d = min(cap_d, level) with the water level chosen as "
+    "the largest integer keeping the total inside budget — small "
+    "domains cap out at max epochs, large domains share the level, "
+    "exactly the up-sample-the-tail / cap-the-epochs policy of "
+    "published LLM data recipes. Everything is exact integer "
+    "arithmetic on the BOUNDED domain table (level from one sorted "
+    "window + truncating division — identical on both engines); the "
+    "corpus is touched once for per-domain token counts (the "
+    "space-count idiom, no explode). Reports per domain: available/ "
+    "cap/allocated tokens, epochs (milli), the water level, and the "
+    "global leftover. Ref parity: beyond-reference mixture design.",
+)
+def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source",
+        (
+            F.length(F.trim("text"))
+            - F.length(F.replace(F.trim("text"), F.lit(" "), F.lit("")))
+            + 1
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    doms = toks.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("a"),
+        (F.lit(_WF_MAX_EPOCHS) * F.sum("n_tok")).cast("long").alias("cap"),
+    )
+    tot = doms.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.lit(_WF_BUDGET_EPOCHS) * F.sum("a")).cast("long").alias("b"),
+    )
+    wo = W.orderBy("cap", "source")
+    ranked = doms.select(
+        "source",
+        "a",
+        "cap",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("cap")
+        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+    )
+    cand = ranked.crossJoin(F.broadcast(tot)).withColumn(
+        "lvl", F.expr("(b - (cum - cap)) DIV (n - rn + 1)")
+    ).localCheckpoint(eager=False)
+    first_valid = (
+        cand.where(F.col("lvl") < F.col("cap"))
+        .agg(F.min(F.struct("rn", "lvl")).alias("s"))
+        .select(F.col("s.lvl").alias("level"))
+    )
+    fallback = doms.agg(F.max("cap").alias("level"))
+    lev = first_valid.crossJoin(F.broadcast(fallback.withColumnRenamed("level", "fb"))).select(
+        F.coalesce(F.col("level"), F.col("fb")).alias("level")
+    )
+    alloc = cand.crossJoin(F.broadcast(lev)).select(
+        "source",
+        "a",
+        "cap",
+        "b",
+        F.least(F.col("cap"), F.col("level")).alias("alloc"),
+        "level",
+    )
+    return alloc.select(
+        "source",
+        F.col("a").alias("avail_tokens"),
+        F.col("cap").alias("cap_tokens"),
+        F.col("alloc").cast("long").alias("alloc_tokens"),
+        F.expr("CAST(1000 * alloc DIV a AS BIGINT)").alias("epochs_milli"),
+        F.col("level").cast("long").alias("level_tokens"),
+        F.col("b").alias("budget_tokens"),
+        F.expr("CAST(b - SUM(alloc) OVER () AS BIGINT)").alias(
+            "leftover_tokens"
+        ),
+    )

@@ -456,3 +456,134 @@ def test_kcenter_coreset_python_replay(spark):
         assert r.vec_id == vid
         assert r.min_dist_micro == mds[order]
         assert r.coverage_radius_micro == radius
+
+
+# --------------------------------------------- blocking strategy eval
+
+
+def test_blocking_strategy_eval_python_replay(spark):
+    from etl_energy_tracker_spark.queries.relational import (
+        _BSE_LEV,
+        _BSE_SAMPLE_MOD,
+        blocking_strategy_eval,
+    )
+
+    got = {
+        r.strategy: r
+        for r in blocking_strategy_eval(spark, SF_DIR).collect()
+    }
+    assert set(got) == {
+        "last_token", "first_token", "length_band", "hash_mod64"
+    }
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(
+                    prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)
+                ))
+            prev = cur
+        return prev[-1]
+
+    names = {}
+    for p in _rows("part"):
+        nm = p["p_name"]
+        names[nm] = min(names.get(nm, 1 << 60), p["p_partkey"])
+    sample = sorted(
+        nm for nm in names if _charhash(nm) % _BSE_SAMPLE_MOD == 0
+    )
+
+    def keys(nm: str):
+        toks = nm.split()
+        return {
+            "last_token": toks[-1],
+            "first_token": toks[0],
+            "length_band": len(nm) // 4,
+            "hash_mod64": _charhash(nm) % 64,
+        }
+
+    k = {nm: keys(nm) for nm in sample}
+    counters = {
+        s: Counter() for s in
+        ("last_token", "first_token", "length_band", "hash_mod64")
+    }
+    true_pairs = 0
+    n_pairs = 0
+    for i, a in enumerate(sample):
+        for b in sample[i + 1:]:
+            n_pairs += 1
+            is_match = lev(a, b) <= _BSE_LEV
+            true_pairs += is_match
+            for s, c in counters.items():
+                if k[a][s] == k[b][s]:
+                    c["cand"] += 1
+                    if is_match:
+                        c["cap"] += 1
+
+    for s, c in counters.items():
+        r = got[s]
+        assert r.true_pairs == true_pairs
+        assert r.candidate_pairs == c["cand"]
+        assert r.captured_pairs == c["cap"]
+        if true_pairs:
+            assert r.recall_ppm == 1000000 * c["cap"] // true_pairs
+        assert r.candidate_ppm == 1000000 * c["cand"] // n_pairs
+    # the designed key should beat the random baseline on recall
+    assert (
+        got["last_token"].recall_ppm >= got["hash_mod64"].recall_ppm
+    )
+
+
+# ----------------------------------------------- token budget waterfill
+
+
+def test_token_budget_waterfill_python_replay(spark):
+    from etl_energy_tracker_spark.queries.corpusops import (
+        _WF_BUDGET_EPOCHS,
+        _WF_MAX_EPOCHS,
+        token_budget_waterfill,
+    )
+
+    rows = token_budget_waterfill(spark, SF_DIR).collect()
+    got = {r.source: r for r in rows}
+
+    per_src = Counter()
+    for d in _rows("documents"):
+        per_src[d["source"]] += len(_toks(d["text"]))
+    doms = {s: (a, _WF_MAX_EPOCHS * a) for s, a in per_src.items()}
+    budget = _WF_BUDGET_EPOCHS * sum(a for a, _ in doms.values())
+    n = len(doms)
+
+    ranked = sorted(doms.items(), key=lambda kv: (kv[1][1], kv[0]))
+    cum = 0
+    level = None
+    for rn, (src, (a, cap)) in enumerate(ranked, start=1):
+        cum += cap
+        lvl = (budget - (cum - cap)) // (n - rn + 1)
+        if lvl < cap:
+            level = lvl
+            break
+    if level is None:
+        level = max(cap for _, cap in doms.values())
+
+    allocs = {s: min(cap, level) for s, (a, cap) in doms.items()}
+    total_alloc = sum(allocs.values())
+    # feasibility: the chosen level must keep the total inside budget
+    assert total_alloc <= budget
+    # maximality: raising the level by 1 must overshoot (when uncapped
+    # domains exist)
+    if any(cap > level for _, cap in doms.values()):
+        over = sum(min(cap, level + 1) for _, cap in doms.values())
+        assert over > budget
+
+    assert set(got) == set(doms)
+    for src, (a, cap) in doms.items():
+        r = got[src]
+        assert (r.avail_tokens, r.cap_tokens) == (a, cap)
+        assert r.alloc_tokens == allocs[src]
+        assert r.epochs_milli == 1000 * allocs[src] // a
+        assert r.level_tokens == level
+        assert r.budget_tokens == budget
+        assert r.leftover_tokens == budget - total_alloc

@@ -129,6 +129,8 @@ OPS = [
     "ivf_incremental_assign",
     "source_lexical_distance",
     "kcenter_coreset_sample",
+    "blocking_strategy_eval",
+    "token_budget_waterfill",
 ]
 
 
