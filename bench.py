@@ -205,6 +205,7 @@ EXTRA = [
     "kcenter_coreset_sample",
     "blocking_strategy_eval",
     "token_budget_waterfill",
+    "join_cardinality_audit",
 ]
 
 

@@ -393,6 +393,18 @@ def with_simhash(
     return df.withColumn(out, simhash_of(F.col(text_col)))
 
 
+# distinct-fingerprint count above which the pigeonhole join switches
+# from 4x15-bit segment keys (32768 buckets/segment) to the Manku-style
+# block-combination keys (C(6,3)=20 keys of 30 bits, ~1e9 buckets/key):
+# the x100 third-decade probe caught the 15-bit wall (227x at 6M docs —
+# one decade past the 32768-bucket space, within-bucket pairs grow
+# quadratically again). Both schemes generate candidate SUPERSETS of
+# all Hamming<=3 pairs and the exact bit_count verify follows, so the
+# final pair set is IDENTICAL under either key — the switch is a
+# result-neutral physical re-plan, priced to where each key wins.
+_SH_COMBO_MIN_FP = 1 << 20
+
+
 def simhash_near_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3, bits: int = 60
 ) -> DataFrame:
@@ -403,7 +415,15 @@ def simhash_near_pairs(
     buckets and unioning candidates gives FULL recall while keeping the
     join bounded by bucket collisions, never O(n²). (Replaces the
     round-1 upper-half bucket, which silently dropped pairs whose
-    differing bits straddled the prefix.)"""
+    differing bits straddled the prefix.)
+
+    Above ``_SH_COMBO_MIN_FP`` distinct fingerprints the key widens to
+    block-combination form (Manku et al. 2007): 6 blocks of 10 bits,
+    one key per 3-block combination — <=3 differing bits leave >=3
+    clean blocks, so some combination matches exactly; 20 keys of 30
+    bits keep bucket occupancy O(1) to ~1e9 distinct fingerprints.
+    The exact Hamming verify after candidate generation makes both
+    key schemes produce the identical final pair set."""
     n_seg = max_hamming + 1
     seg_bits = bits // n_seg
     from pyspark import StorageLevel
@@ -424,16 +444,43 @@ def simhash_near_pairs(
     # multiplicity factor. Doc pairs are re-expanded afterwards from the
     # (small) near-fingerprint pair set — signature-level
     # pre-aggregation, the same move exact_dedup makes before comparing.
-    fp = sh.select("simhash").distinct()
-    segs = fp.select(
-        "simhash",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {n_seg - 1}), s -> struct(s AS seg, "
-                f"(simhash div shiftleft(1L, s * {seg_bits})) % shiftleft(1L, {seg_bits}) AS bucket))"
+    fp = sh.select("simhash").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    # bounded-scalar count picks the key scheme (same precedent as the
+    # semdedup codebook size and the embedding-LSH plane count)
+    n_fp = fp.count()
+    if n_fp <= _SH_COMBO_MIN_FP or bits < 60 or max_hamming != 3:
+        segs = fp.select(
+            "simhash",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {n_seg - 1}), s -> struct(s AS seg, "
+                    f"(simhash div shiftleft(1L, s * {seg_bits})) % shiftleft(1L, {seg_bits}) AS bucket))"
+                )
+            ).alias("sb"),
+        ).select("simhash", F.col("sb.seg").alias("seg"), F.col("sb.bucket").alias("bucket"))
+    else:
+        # block-combination keys: 6 blocks of 10 bits, one key per
+        # 3-block combination (20 keys x 30 bits)
+        from itertools import combinations
+
+        def blk(j: int) -> str:
+            return (
+                f"(simhash div shiftleft(1L, {10 * j})) % shiftleft(1L, 10)"
             )
-        ).alias("sb"),
-    ).select("simhash", F.col("sb.seg").alias("seg"), F.col("sb.bucket").alias("bucket"))
+
+        structs = ", ".join(
+            f"struct({ci} AS seg, ({blk(b0)}) + ({blk(b1)}) * shiftleft(1L, 10)"
+            f" + ({blk(b2)}) * shiftleft(1L, 20) AS bucket)"
+            for ci, (b0, b1, b2) in enumerate(combinations(range(6), 3))
+        )
+        segs = fp.select(
+            "simhash",
+            F.explode(F.expr(f"array({structs})")).alias("sb"),
+        ).select(
+            "simhash",
+            F.col("sb.seg").alias("seg"),
+            F.col("sb.bucket").alias("bucket"),
+        )
     a, b = segs.alias("a"), segs.alias("b")
     ham_fp = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     near_fp = (

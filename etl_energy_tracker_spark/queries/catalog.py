@@ -212,10 +212,18 @@ _R6_VERIFIED: frozenset[str] = frozenset({
 # old code is not a green row on current code). These are pulled back
 # out of the verified-emit-last set and emitted FIRST so the capped
 # (~50/round) driver run re-checks the current code.
-# r7: empty at round start — the r06 run cleared the whole r6
-# re-verification queue. Any r7 impl change to a verified query must
-# add its name here.
-_REVERIFY: tuple[str, ...] = ()
+# r7: the x100 third-decade probe caught two superlinear kernels and
+# both were re-planned for scale; driver-SF results are provably
+# byte-identical (the new code paths are threshold-gated far above
+# every driver SF: simhash's block-combination keys activate at >2^20
+# distinct fingerprints and produce the same verified pair set at any
+# N; semdedup's two-level assignment activates at k>256 while driver
+# SFs resolve k<=50) — but impl changed after their green rows, so
+# both re-verify first per the house rule.
+_REVERIFY: tuple[str, ...] = (
+    "simhash_near_pairs",
+    "semdedup_prune",
+)
 
 # Hint-only / result-neutral physical changes (broadcast-hint
 # removal; explode -> explode_outer + notnull with an input
@@ -319,6 +327,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # stays intact
     "source_lexical_distance", "kcenter_coreset_sample",
     "blocking_strategy_eval", "token_budget_waterfill",
+    "join_cardinality_audit",
 )
 
 

@@ -296,7 +296,12 @@ _SIMHASH_SQL = f"""
     "upper-half bucket had a recall cliff; the r6 x30 probe then "
     "caught the 8-bit-segment variant going quadratic once distinct "
     "fingerprints outgrew its 256-bucket space — 32768 buckets per "
-    "segment is the standard Manku-et-al. 64-bit shape.)",
+    "segment is the standard Manku-et-al. 64-bit shape.) Past 2^20 "
+    "distinct fingerprints the r7 x100 probe caught the 15-bit wall "
+    "too; the key then widens to Manku block-combination form "
+    "(C(6,3)=20 keys of 30 bits) — a result-neutral re-plan, since "
+    "the exact Hamming verify after candidate generation yields the "
+    "identical pair set under either key (dedup.py:_SH_COMBO_MIN_FP).",
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir).repartition(

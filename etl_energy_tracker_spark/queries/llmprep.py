@@ -41,6 +41,10 @@ _SEM_TAU = 0.3  # within-cluster cosine above this = semantic duplicate
 # (past it, production would switch to the broadcast-join assignment).
 _SEM_CELL_TARGET = 100
 _SEM_K_CAP = 4096
+# above this k the flat n x k map-side argmax switches to two-level
+# IVF assignment (coarse sqrt(k) then fine within the coarse cell):
+# the x100 probe showed flat assignment ~n^2/100 while k still grows
+_SEM_TWO_LEVEL = 256
 _SEM_K_SQL = (
     f"(SELECT LEAST(GREATEST(16, COUNT(*) // {_SEM_CELL_TARGET}), "
     f"{_SEM_K_CAP}) FROM embeddings)"
@@ -94,9 +98,14 @@ _COS64_AB = """ROUND(
     "formation. k = clamp(n/100, 16, 4096) here — the x30 scale probe "
     "caught the original FIXED k=16 going superlinear (cells grew "
     "with data, so within-cell pairs grew quadratically; 712 s at "
-    "x30); scaling k with the corpus restores ~linear growth, and "
-    "past the cap production switches to the broadcast-join "
-    "assignment. Keep choice is deterministic (lowest id wins), so "
+    "x30); scaling k with the corpus restores ~linear growth. The "
+    "x100 third-decade probe then caught the FLAT n x k assignment "
+    "itself (~n^2/100 while k grows; 333 s at 500k vectors): above "
+    "k=256 assignment is two-level IVF — sqrt(k) coarse centroids "
+    "map-side, exact argmax within the coarse cell — n x 2sqrt(k) "
+    "cosines, the standard n_probe=1 approximation every production "
+    "SemDeDup run makes; driver SFs stay on the flat path the oracle "
+    "mirrors. Keep choice is deterministic (lowest id wins), so "
     "the output is reproducible under re-partitioning.",
 )
 def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -126,12 +135,107 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side assignment (codebook inlined as a literal): the corpus
     # is never shuffled for the argmax; it is then consumed three
     # times (both join sides + the keeper anti-join), so materialize
-    # the assignment once instead of re-scanning + re-scoring
-    assigned = (
-        with_ivf_cell_mapside(emb, cent, "embedding")
-        .select("vec_id", F.col("embedding").alias("ev"), "cell")
-        .localCheckpoint(eager=False)
-    )
+    # the assignment once instead of re-scanning + re-scoring.
+    # Above _SEM_TWO_LEVEL cells the flat argmax itself goes
+    # superlinear (n x k cosines with k ~ n/100 is ~n^2/100 — the x100
+    # third-decade probe measured 333 s at 500k vectors, k at its 4096
+    # cap) so assignment switches to the standard two-level IVF form:
+    # nearest of sqrt(k) coarse centroids map-side, then the exact
+    # argmax over only that coarse cell's fine centroids — n x 2sqrt(k)
+    # cosines. Driver SFs stay far below the threshold, so their
+    # results are byte-identical to the flat path the oracle mirrors;
+    # above it the assignment is the usual n_probe=1 IVF approximation
+    # (documented, like every production SemDeDup run at scale).
+    if k <= _SEM_TWO_LEVEL:
+        flat = with_ivf_cell_mapside(emb, cent, "embedding")
+    else:
+        import math
+
+        kc = math.isqrt(k)
+        coarse = (
+            cent.orderBy("centroid_id")
+            .limit(kc)
+            .select(
+                F.col("centroid_id").alias("coarse_tag"),
+                F.col("cv").alias("ccv"),
+            )
+        )
+        coarse_book = coarse.select(
+            F.col("coarse_tag").alias("centroid_id"),
+            F.col("ccv").alias("cv"),
+        )
+        # fine centroid -> coarse cell (k x sqrt(k), tiny)
+        cent_coarse = with_ivf_cell_mapside(
+            cent.withColumnRenamed("cv", "embedding"),
+            coarse_book,
+            "embedding",
+            out="coarse",
+        ).select(
+            "centroid_id", F.col("embedding").alias("cv"), "coarse"
+        )
+        # vector -> coarse cell, map-side (n x sqrt(k))
+        v_coarse = with_ivf_cell_mapside(
+            emb, coarse_book, "embedding", out="coarse"
+        )
+        # exact argmax over the coarse cell's fine centroids only
+        sim = F.round(
+            F.try_divide(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("embedding"),
+                        F.col("cv"),
+                        lambda p, q: p.cast("double") * q.cast("double"),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("embedding"),
+                            F.col("embedding"),
+                            lambda p, q: p.cast("double") * q.cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                )
+                * F.sqrt(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("cv"),
+                            F.col("cv"),
+                            lambda p, q: p.cast("double") * q.cast("double"),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                ),
+            ),
+            6,
+        )
+        flat = (
+            v_coarse.join(F.broadcast(cent_coarse), "coarse")
+            .select(
+                "vec_id",
+                "embedding",
+                F.struct(
+                    sim.alias("s"),
+                    (-F.col("centroid_id")).alias("nid"),
+                ).alias("cand"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.first("embedding").alias("embedding"),
+                F.max("cand").alias("best"),
+            )
+            .select(
+                "vec_id", "embedding", (-F.col("best.nid")).alias("cell")
+            )
+        )
+    assigned = flat.select(
+        "vec_id", F.col("embedding").alias("ev"), "cell"
+    ).localCheckpoint(eager=False)
     a = assigned.alias("a")
     b = assigned.alias("b")
 

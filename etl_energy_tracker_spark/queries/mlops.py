@@ -510,3 +510,117 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.v").cast("long").alias("v1_milli"),
         F.col("b.v").cast("long").alias("v2_milli"),
     )
+
+
+# --------------------------------------------- join cardinality audit
+
+# (join_name, left table, left key, right table, right key) — the
+# TPC-H foreign-key joins the optimizer estimates most often
+_JCA_JOINS = (
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _jca_oracle() -> str:
+    selects = []
+    for name, lt, lk, rt, rk in _JCA_JOINS:
+        selects.append(f"""
+    SELECT '{name}' AS join_name,
+           (SELECT COUNT(*) FROM {lt}) AS n_left,
+           (SELECT COUNT(*) FROM {rt}) AS n_right,
+           (SELECT COUNT(DISTINCT {lk}) FROM {lt}) AS ndv_left,
+           (SELECT COUNT(DISTINCT {rk}) FROM {rt}) AS ndv_right,
+           (SELECT COUNT(*) FROM {lt}) * (SELECT COUNT(*) FROM {rt})
+               // GREATEST((SELECT COUNT(DISTINCT {lk}) FROM {lt}),
+                           (SELECT COUNT(DISTINCT {rk}) FROM {rt}))
+               AS est_rows,
+           (SELECT COUNT(*) FROM {lt} l JOIN {rt} r
+             ON l.{lk} = r.{rk}) AS actual_rows""")
+    union = "\n    UNION ALL\n    ".join(selects)
+    return f"""
+    WITH per_join AS (
+    {union}
+    )
+    SELECT join_name,
+           CAST(n_left AS BIGINT) AS n_left,
+           CAST(n_right AS BIGINT) AS n_right,
+           CAST(ndv_left AS BIGINT) AS ndv_left,
+           CAST(ndv_right AS BIGINT) AS ndv_right,
+           CAST(est_rows AS BIGINT) AS est_rows,
+           CAST(actual_rows AS BIGINT) AS actual_rows,
+           CAST(1000 * GREATEST(est_rows, actual_rows)
+                // NULLIF(LEAST(est_rows, actual_rows), 0) AS BIGINT)
+               AS q_error_milli
+    FROM per_join
+    """
+
+
+@register(
+    "join_cardinality_audit",
+    oracle=_jca_oracle(),
+    tags=("stats", "tpch", "optimizer"),
+    doc="Join-cardinality estimation audit — the measurement behind "
+    "every cost-based join order: for each TPC-H foreign-key join, "
+    "compare the textbook uniform-containment estimate "
+    "|A|*|B|/max(ndv_A, ndv_B) (exactly what Catalyst's CBO and "
+    "ANALYZE-based planners compute from table stats, here with "
+    "EXACT ndv so the audit isolates the FORMULA error, not sketch "
+    "error) against the actual join cardinality, reporting the "
+    "q-error (max/min ratio, milli-units) per join. On clean FK data "
+    "q-error sits at 1000 (exact); drift above flags skew or "
+    "integrity damage the estimator will mis-plan on — the companion "
+    "to analyze_column_stats (which audits single-column stats) and "
+    "fk_integrity_audit (which audits the keys themselves). All "
+    "exact integer arithmetic. Scale: 7 independent co-partitioned "
+    "key joins, each collapsing to one count; stats are map-side "
+    "distinct aggregates. Ref parity: beyond-reference optimizer "
+    "instrumentation.",
+)
+def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for name, lt, lk, rt, rk in _JCA_JOINS:
+        left = load_table(spark, lt, sf_dir)
+        right = load_table(spark, rt, sf_dir)
+        lstats = left.agg(
+            F.count(F.lit(1)).cast("long").alias("n_left"),
+            F.countDistinct(lk).cast("long").alias("ndv_left"),
+        )
+        rstats = right.agg(
+            F.count(F.lit(1)).cast("long").alias("n_right"),
+            F.countDistinct(rk).cast("long").alias("ndv_right"),
+        )
+        actual = (
+            left.select(F.col(lk).alias("k"))
+            .join(right.select(F.col(rk).alias("k")), "k")
+            .agg(F.count(F.lit(1)).cast("long").alias("actual_rows"))
+        )
+        row = (
+            lstats.crossJoin(F.broadcast(rstats))
+            .crossJoin(F.broadcast(actual))
+            .select(
+                F.lit(name).alias("join_name"),
+                "n_left",
+                "n_right",
+                "ndv_left",
+                "ndv_right",
+                F.expr(
+                    "CAST(n_left * n_right"
+                    " DIV GREATEST(ndv_left, ndv_right) AS BIGINT)"
+                ).alias("est_rows"),
+                "actual_rows",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.select(
+        "*",
+        F.expr(
+            "CAST(1000 * GREATEST(est_rows, actual_rows)"
+            " DIV NULLIF(LEAST(est_rows, actual_rows), 0) AS BIGINT)"
+        ).alias("q_error_milli"),
+    )

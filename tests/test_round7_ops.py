@@ -587,3 +587,43 @@ def test_token_budget_waterfill_python_replay(spark):
         assert r.level_tokens == level
         assert r.budget_tokens == budget
         assert r.leftover_tokens == budget - total_alloc
+
+
+# ------------------------------------------------ join cardinality audit
+
+
+def test_join_cardinality_audit_python_replay(spark):
+    from etl_energy_tracker_spark.queries.mlops import (
+        _JCA_JOINS,
+        join_cardinality_audit,
+    )
+
+    got = {
+        r.join_name: r
+        for r in join_cardinality_audit(spark, SF_DIR).collect()
+    }
+    assert set(got) == {j[0] for j in _JCA_JOINS}
+
+    tables = {}
+    for name, lt, lk, rt, rk in _JCA_JOINS:
+        for t in (lt, rt):
+            if t not in tables:
+                tables[t] = _rows(t)
+
+    for name, lt, lk, rt, rk in _JCA_JOINS:
+        lrows, rrows = tables[lt], tables[rt]
+        n_left, n_right = len(lrows), len(rrows)
+        ndv_l = len({r[lk] for r in lrows})
+        ndv_r = len({r[rk] for r in rrows})
+        rcount = Counter(r[rk] for r in rrows)
+        actual = sum(rcount.get(r[lk], 0) for r in lrows)
+        est = n_left * n_right // max(ndv_l, ndv_r)
+        r = got[name]
+        assert (r.n_left, r.n_right) == (n_left, n_right)
+        assert (r.ndv_left, r.ndv_right) == (ndv_l, ndv_r)
+        assert r.est_rows == est
+        assert r.actual_rows == actual
+        if min(est, actual):
+            assert r.q_error_milli == (
+                1000 * max(est, actual) // min(est, actual)
+            )

@@ -131,6 +131,7 @@ OPS = [
     "kcenter_coreset_sample",
     "blocking_strategy_eval",
     "token_budget_waterfill",
+    "join_cardinality_audit",
 ]
 
 
