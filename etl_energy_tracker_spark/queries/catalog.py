@@ -207,51 +207,56 @@ _R6_VERIFIED: frozenset[str] = frozenset({
     "analyze_column_stats",
 })
 
+# Queries driver-verified green in CORRECTNESS_r07.json (50/50 green
+# on the final r7 commit — every row on current code). This run
+# cleared the whole backlog: the 2 r7 _REVERIFY names (x100-probe
+# re-plans), all 24 never-checked late-r6 ops, the 5 early-r7 ops,
+# and 19 of the 23 hint-only names.
+_R7_VERIFIED: frozenset[str] = frozenset({
+    "ab_test_zscore", "activity_streaks", "asof_join_next_purchase",
+    "autocorrelation_lags", "badword_filter_report",
+    "bitmap_intersection_audit", "bloom_decontaminate",
+    "boilerplate_ngrams", "brand_month_movers", "calibration_ece_report",
+    "cohort_ltv_curve", "conformal_prediction_interval",
+    "copurchase_item_similarity", "corpus_prep_e2e",
+    "cross_doc_paragraph_dedup", "dataset_card_report",
+    "decontaminate_hashed_ngrams", "decontaminate_ngrams",
+    "dict_encoding_audit", "dow_hour_heatmap", "dup_window_spans",
+    "fk_integrity_audit", "fuzzy_decontaminate_minhash",
+    "graph_modularity_score", "grouping_sets_report", "hll_daily_series",
+    "image_bucket_batching", "interleave_mixture_shards",
+    "ivf_incremental_assign", "label_centroid_similarity",
+    "markov_attribution_removal", "markov_steady_state",
+    "minhash_signatures", "near_dup_clusters", "near_dup_clusters_star",
+    "near_dup_keep_corpus", "ngram_jaccard_pairs", "ngram_lm_score",
+    "order_total_reconciliation", "preference_pairs_assemble",
+    "q14_promo_revenue", "q19_disjunctive_predicates",
+    "q21_waiting_orders", "q3_shipping_priority", "semdedup_prune",
+    "shingle_containment_pairs", "simhash_near_pairs",
+    "stream_conformal_alarm", "t_closeness_report",
+    "weighted_percentile_exact",
+})
+
 # Queries whose Spark implementation changed AFTER their last green
 # driver CORRECTNESS row (VERDICT r3 "What's wrong" §1: a green row on
 # old code is not a green row on current code). These are pulled back
 # out of the verified-emit-last set and emitted FIRST so the capped
 # (~50/round) driver run re-checks the current code.
-# r7: the x100 third-decade probe caught two superlinear kernels and
-# both were re-planned for scale; driver-SF results are provably
-# byte-identical (the new code paths are threshold-gated far above
-# every driver SF: simhash's block-combination keys activate at >2^20
-# distinct fingerprints and produce the same verified pair set at any
-# N; semdedup's two-level assignment activates at k>256 while driver
-# SFs resolve k<=50) — but impl changed after their green rows, so
-# both re-verify first per the house rule.
-_REVERIFY: tuple[str, ...] = (
-    "simhash_near_pairs",
-    "semdedup_prune",
-)
+# r8: blocking_strategy_eval's truth stage was re-bounded (hash%4
+# fraction -> fixed-K smallest-by-hash-rank, VERDICT r7 "What's
+# wrong" §1) — it is also never-driver-checked, so it sits in the
+# never-checked head below rather than here. Names land here as r8
+# impl changes touch verified queries.
+_REVERIFY: tuple[str, ...] = ()
 
-# Hint-only / result-neutral physical changes (broadcast-hint
-# removal; explode -> explode_outer + notnull with an input
-# repartition in textops.shingle_pair_stats — the synthesized
-# size()>0 filter was evaluating the shingle transform twice, and
-# explode_outer provably emits the identical non-null row set). The
+# Hint-only / result-neutral physical changes whose re-check spilled
+# past the r7 cap (4 of the original 23 r4 broadcast-hint removals;
+# the other 19 got green r7 rows and are frozen in _R7_VERIFIED). The
 # RESULT provably cannot differ, only the physical plan, and every
-# entry re-passed the local sf0.01 oracle matrix after the change —
-# so these sit at the END of the priority queue: never-driver-checked
-# operators get the capped run's slots first.
+# entry re-passed the local sf0.01 oracle matrix after the change.
+# Per VERDICT r7 "What's wrong" §3: never-checked names now outrank
+# these, permanently.
 _REVERIFY_HINT_ONLY: tuple[str, ...] = (
-    # r5 explode_outer/repartition consumers (shingle_pair_stats,
-    # corpusops._doc_ngrams, hygieneops bigram/window/gram sites)
-    "ngram_jaccard_pairs", "shingle_containment_pairs",
-    "near_dup_clusters", "near_dup_clusters_star",
-    "near_dup_keep_corpus", "decontaminate_ngrams",
-    "boilerplate_ngrams", "decontaminate_hashed_ngrams",
-    "ngram_lm_score", "dup_window_spans", "bloom_decontaminate",
-    "corpus_prep_e2e",
-    # r5 token-count pre-filter (== non-empty-shingles, provably the
-    # same row set) replacing where(size(shingles)>0)
-    "minhash_signatures", "fuzzy_decontaminate_minhash",
-    # r5 coalesce'd join keys / posexplode_outer (expr-in-filter
-    # tripwire cleanup; values provably unchanged)
-    "cross_doc_paragraph_dedup",
-    # r4 broadcast-hint removals
-    "q3_shipping_priority", "q14_promo_revenue",
-    "q19_disjunctive_predicates", "q21_waiting_orders",
     "q9_product_profit", "q15_top_supplier", "q16_supplier_part_counts",
     "q20_potential_promotion",
 )
@@ -277,57 +282,21 @@ _R3_VERIFIED: frozenset[str] = frozenset({
 })
 
 # Within the unverified set, emit first the re-verification queue
-# (impl changed after the last green driver row), then the 24
-# never-driver-checked late-r6 additions (all past the r6 run's
-# 50-cap), then new r7 operators (appended as they land), then the
-# belt-and-braces hint-only tail (23 names whose r5 physical changes
-# are provably result-neutral and which re-passed the local sf0.01
-# matrix — queued last by design). 24 + new + 23 must stay ≤ ~50 so
-# round 7 clears the ENTIRE backlog for the first time.
+# (impl changed after the last green driver row — empty at r8 open),
+# then the 5 late-r7 additions that have never had a driver row
+# (VERDICT r7 top_next), then the 4 hint-only TPC-H spillovers, then
+# new r8 operators (appended as they land). 5 + 4 = 9 names against a
+# ~50 cap leaves ~41 free slots for r8 additions.
 _PRIORITY: tuple[str, ...] = _REVERIFY + (
-    # late-r6 ops whose PHYSICAL shape has no green precedent in the
-    # catalog (Expand operator, a new stateful kernel, bitwise-word
-    # aggregation) — riskiest first
-    "grouping_sets_report", "stream_conformal_alarm",
-    "bitmap_intersection_audit",
-    # r6 analytics additions with novel kernels (insightops.py)
-    "markov_steady_state", "weighted_percentile_exact",
-    "hll_daily_series", "conformal_prediction_interval",
-    # r6 mart-layer additions (martops.py), riskiest first
-    "asof_join_next_purchase", "copurchase_item_similarity",
-    "fk_integrity_audit", "graph_modularity_score",
-    "dow_hour_heatmap", "order_total_reconciliation",
-    "brand_month_movers",
-    # remaining insightops additions
-    "ab_test_zscore", "cohort_ltv_curve", "dict_encoding_audit",
-    "activity_streaks",
-    # r6 training-assembly addition past the r6 cap (mlops.py)
-    "preference_pairs_assemble",
-    # lowest-risk earlier-session r6 names: single-pass map-side
-    # reports with strong Python-replay pytests
-    "image_bucket_batching", "dataset_card_report",
-    "autocorrelation_lags", "label_centroid_similarity",
-    "badword_filter_report",
-    # r7 additions (never driver-checked): privacy-trio completion,
-    # eval-layer calibration, training-shard assembly, removal-effect
-    # attribution, incremental IVF maintenance. 24 + 5 new + 23
-    # hint-only = 52: if the driver cap is exactly 50, the LAST two
-    # hint-only names (both provably result-neutral TPC-H broadcast-
-    # hint removals that re-passed the local matrix) spill to r8 — a
-    # deliberate trade: fresh rows for genuinely new kernels carry
-    # more information than re-proving neutral physical hints.
-    "t_closeness_report", "calibration_ece_report",
-    "interleave_mixture_shards",
-    "markov_attribution_removal", "ivf_incremental_assign",
+    # late-r7 additions (never driver-checked), riskiest first:
+    # blocking_strategy_eval got its truth stage re-bounded this round
+    # (fixed-K sample, VERDICT r7 "What's wrong" §1) so its first row
+    # lands on the fixed code
+    "blocking_strategy_eval", "join_cardinality_audit",
+    "kcenter_coreset_sample", "source_lexical_distance",
+    "token_budget_waterfill",
 ) + _REVERIFY_HINT_ONLY + (
-    # late-r7 additions, deliberately queued BEHIND the hint-only tail:
-    # they land past the ~50 cap and get their first driver rows in r8
-    # (pytest replays + local sf0.01/sf0.001 oracle matrix green this
-    # round) — the backlog-clearing promise for the 24+23 names above
-    # stays intact
-    "source_lexical_distance", "kcenter_coreset_sample",
-    "blocking_strategy_eval", "token_budget_waterfill",
-    "join_cardinality_audit",
+    # r8 additions land here as they are written
 )
 
 
@@ -335,7 +304,7 @@ def _ordered() -> list[str]:
     names = list(CATALOG)
     verified = (
         _R1_VERIFIED | _R3_VERIFIED | _R4_VERIFIED | _R5_VERIFIED
-        | _R6_VERIFIED
+        | _R6_VERIFIED | _R7_VERIFIED
     ) - set(_PRIORITY)
     rank = {n: i for i, n in enumerate(_PRIORITY)}
     unverified = sorted(

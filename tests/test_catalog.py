@@ -45,20 +45,60 @@ def test_catalog_is_populated():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def _verified_frozensets() -> dict[str, frozenset]:
+    return {
+        attr: getattr(catalog, attr)
+        for attr in dir(catalog)
+        if attr.endswith("_VERIFIED") and isinstance(getattr(catalog, attr), frozenset)
+    }
+
+
 def test_priority_queue_names_resolve():
     # a typo in the re-verification bookkeeping would silently reorder
     # the driver's capped run — every queue name must be a real query
     names = set(QUERIES)
     assert set(catalog._PRIORITY) <= names
-    assert (
-        catalog._R1_VERIFIED
-        | catalog._R3_VERIFIED
-        | catalog._R4_VERIFIED
-        | catalog._R5_VERIFIED
-    ) <= names
+    for attr, fs in _verified_frozensets().items():
+        assert fs <= names, attr
     # and the ordering is a permutation of the catalog (no dupes/drops)
     ordered = catalog._ordered()
     assert sorted(ordered) == sorted(names)
+
+
+def test_verified_freeze_is_current():
+    """The round-close freeze ritual, mechanically enforced.
+
+    Rounds 4, 6 and 7 all ended with the newest CORRECTNESS greens
+    absent from the _RN_VERIFIED bookkeeping, so the next round's
+    capped (~50) driver run re-proved old rows instead of checking
+    never-verified queries (VERDICT r7 "What's wrong" §2). This test
+    fails until every green name in the NEWEST CORRECTNESS_r*.json is
+    frozen into some _RN_VERIFIED set — making the skip impossible.
+    """
+    import json
+    import re
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    runs = sorted(
+        repo.glob("CORRECTNESS_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.name).group(1)),
+    )
+    if not runs:
+        pytest.skip("no driver CORRECTNESS file yet")
+    newest = runs[-1]
+    rows = json.loads(newest.read_text())
+    greens = {
+        name
+        for name, row in rows.items()
+        if row.get("rows_match") and row.get("err") is None
+    }
+    frozen = frozenset().union(*_verified_frozensets().values())
+    missing = sorted(greens - frozen)
+    assert not missing, (
+        f"{newest.name} greens not frozen into any _RN_VERIFIED set "
+        f"(run the round-close freeze ritual): {missing}"
+    )
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
