@@ -280,9 +280,11 @@ _CODEPAGE_SPECIAL = {
 
 
 def _codec_for(codepage: int) -> str:
+    import codecs
+
     codec = _CODEPAGE_SPECIAL.get(codepage, f"cp{codepage}")
     try:
-        b"\x41".decode(codec)
+        codecs.lookup(codec)
     except LookupError:
         return "latin-1"
     return codec
@@ -314,6 +316,13 @@ def read_xls_grid(content: bytes, sheet: str) -> list[list]:
     biff8 = bof_vers == 0x0600
     codec = "cp1252"  # BIFF5 default; overridden by CODEPAGE below
 
+    def _b5_str(buf: bytes, pos: int, cch: int) -> str:
+        # BIFF5 cch counts CHARACTERS; under CODEPAGE 1200 (utf-16-le)
+        # each character is 2 bytes, so slicing cch bytes would halve
+        # and garble the string (xlrd doubles the byte count there too)
+        nbytes = 2 * cch if codec == "utf-16-le" else cch
+        return buf[pos : pos + nbytes].decode(codec, "replace")
+
     # ---- globals substream: sheet directory + shared strings
     sheets: list[tuple[str, int]] = []  # (name, substream offset)
     sst: list[str] = []
@@ -337,7 +346,7 @@ def read_xls_grid(content: bytes, sheet: str) -> list[list]:
                 name, _ = _short_unicode(payload, 6)
             else:  # BIFF5: u8 length + codepage bytes, no grbit flag
                 cch = payload[6]
-                name = payload[7 : 7 + cch].decode(codec, "replace")
+                name = _b5_str(payload, 7, cch)
             sheets.append((name, pos_bof))
         elif opcode == 0x000A:  # EOF of globals
             break
@@ -398,7 +407,7 @@ def read_xls_grid(content: bytes, sheet: str) -> list[list]:
                 )
             else:  # BIFF5: codepage byte string, no grbit flag;
                 # RSTRING's trailing format runs fall outside cch
-                v = payload[8 : 8 + cch].decode(codec, "replace")
+                v = _b5_str(payload, 8, cch)
             put(r, c, v)
         elif opcode == 0x0006:  # FORMULA: cached result or STRING next
             r, c, _xf = struct.unpack_from("<HHH", payload)
@@ -425,7 +434,7 @@ def read_xls_grid(content: bytes, sheet: str) -> list[list]:
                     else raw[:cch].decode("latin-1")
                 )
             else:  # BIFF5: codepage byte string, no grbit flag
-                v = payload[2 : 2 + cch].decode(codec, "replace")
+                v = _b5_str(payload, 2, cch)
             put(*pending_formula, v)
             pending_formula = None
 

@@ -426,17 +426,19 @@ def simhash_near_pairs(
     key schemes produce the identical final pair set."""
     n_seg = max_hamming + 1
     seg_bits = bits // n_seg
-    from pyspark import StorageLevel
 
     # the signature table (id, int64) is referenced by the bucket join,
-    # the same-fingerprint join, and both expansion joins — persist it
-    # so the text-scanning fingerprint UDF runs ONCE (the in-session
-    # equivalent of materializing signatures before joining; at scale
-    # this table is 16 bytes/doc and the write is the right call).
+    # the same-fingerprint join, and both expansion joins — materialize
+    # it ONCE so the text-scanning fingerprint UDF never re-runs (at
+    # scale this table is 16 bytes/doc and the write is the right
+    # call). localCheckpoint, not persist(): checkpoint blocks are
+    # released by the ContextCleaner when the DataFrame goes out of
+    # scope, whereas persist() pins the table in the session cache
+    # manager forever — repeated calls were accumulating cached tables.
     sh = (
         with_simhash(df.select(id_col, text_col), text_col, bits=bits)
         .select(F.col(id_col).alias("id"), "simhash")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     # Bucket DISTINCT fingerprints, not documents: duplicated content
     # collapses to one signature, so the segment join scales with the
@@ -444,10 +446,16 @@ def simhash_near_pairs(
     # multiplicity factor. Doc pairs are re-expanded afterwards from the
     # (small) near-fingerprint pair set — signature-level
     # pre-aggregation, the same move exact_dedup makes before comparing.
-    fp = sh.select("simhash").distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    # bounded-scalar count picks the key scheme (same precedent as the
-    # semdedup codebook size and the embedding-LSH plane count)
-    n_fp = fp.count()
+    fp = sh.select("simhash").distinct().localCheckpoint(eager=False)
+    if bits >= 60 and max_hamming == 3:
+        # bounded-scalar count picks the key scheme (same precedent as
+        # the semdedup codebook size and embedding-LSH plane count);
+        # it doubles as the fp checkpoint materialization, so the job
+        # is not extra work. Skipped entirely when (bits, max_hamming)
+        # already force the segment scheme.
+        n_fp = fp.count()
+    else:
+        n_fp = 0
     if n_fp <= _SH_COMBO_MIN_FP or bits < 60 or max_hamming != 3:
         segs = fp.select(
             "simhash",

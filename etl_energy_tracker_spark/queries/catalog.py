@@ -245,9 +245,19 @@ _R7_VERIFIED: frozenset[str] = frozenset({
 # r8: blocking_strategy_eval's truth stage was re-bounded (hash%4
 # fraction -> fixed-K smallest-by-hash-rank, VERDICT r7 "What's
 # wrong" §1) — it is also never-driver-checked, so it sits in the
-# never-checked head below rather than here. Names land here as r8
-# impl changes touch verified queries.
-_REVERIFY: tuple[str, ...] = ()
+# never-checked head below rather than here.
+# simhash_near_pairs: persist() -> localCheckpoint + gated scheme
+# count (ADVICE r7: cache accumulation). Result provably unchanged
+# (same plan features, local oracle green) but impl changed after its
+# r7 green row, so it re-verifies first per the house rule.
+# semdedup_prune: ORACLE extended with the conditional two-level
+# assignment (ADVICE r7) — contract artifact changed after its green
+# row; verified locally at sf0.01/sf0.1 (flat) and at a synthetic 30k
+# vectors (two-level, k=300) — both hash-match.
+_REVERIFY: tuple[str, ...] = (
+    "simhash_near_pairs",
+    "semdedup_prune",
+)
 
 # Hint-only / result-neutral physical changes whose re-check spilled
 # past the r7 cap (4 of the original 23 r4 broadcast-hint removals;

@@ -62,13 +62,18 @@ _COS64_AB = """ROUND(
 
 @register(
     "semdedup_prune",
+    # The oracle mirrors BOTH assignment regimes the implementation
+    # switches between (flat n x k argmax below _SEM_TWO_LEVEL cells,
+    # two-level n_probe=1 IVF above), selected by the same k formula —
+    # so the impl/oracle contract holds at EVERY SF, not only the ones
+    # where k resolves below the threshold.
     oracle=f"""
     WITH cent AS (
         SELECT vec_id AS centroid_id, embedding AS cv
         FROM embeddings WHERE vec_id >= 100
         ORDER BY vec_id LIMIT {_SEM_K_SQL}
     ),
-    assigned AS (
+    assigned_flat AS (
         SELECT vec_id, ev, cell FROM (
             SELECT e.vec_id, e.embedding AS ev, centroid_id AS cell,
                    row_number() OVER (PARTITION BY e.vec_id
@@ -76,6 +81,45 @@ _COS64_AB = """ROUND(
                                 centroid_id) AS rk
             FROM embeddings e CROSS JOIN cent
         ) WHERE rk = 1
+    ),
+    coarse AS (
+        SELECT centroid_id AS coarse_tag, cv AS ccv FROM cent
+        ORDER BY centroid_id
+        LIMIT (SELECT CAST(FLOOR(SQRT({_SEM_K_SQL})) AS BIGINT))
+    ),
+    cent_coarse AS (
+        SELECT centroid_id, cv, coarse FROM (
+            SELECT c.centroid_id, c.cv, k.coarse_tag AS coarse,
+                   row_number() OVER (PARTITION BY c.centroid_id
+                       ORDER BY {_COS64_AB.format(a='c.cv', b='k.ccv')} DESC,
+                                k.coarse_tag) AS rk
+            FROM cent c CROSS JOIN coarse k
+        ) WHERE rk = 1
+    ),
+    v_coarse AS (
+        SELECT vec_id, ev, coarse FROM (
+            SELECT e.vec_id, e.embedding AS ev, k.coarse_tag AS coarse,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_COS64_AB.format(a='e.embedding', b='k.ccv')} DESC,
+                                k.coarse_tag) AS rk
+            FROM embeddings e CROSS JOIN coarse k
+        ) WHERE rk = 1
+    ),
+    assigned_two AS (
+        SELECT vec_id, ev, cell FROM (
+            SELECT v.vec_id, v.ev, c.centroid_id AS cell,
+                   row_number() OVER (PARTITION BY v.vec_id
+                       ORDER BY {_COS64_AB.format(a='v.ev', b='c.cv')} DESC,
+                                c.centroid_id) AS rk
+            FROM v_coarse v JOIN cent_coarse c ON v.coarse = c.coarse
+        ) WHERE rk = 1
+    ),
+    assigned AS (
+        SELECT * FROM assigned_flat
+        WHERE {_SEM_K_SQL} <= {_SEM_TWO_LEVEL}
+        UNION ALL
+        SELECT * FROM assigned_two
+        WHERE {_SEM_K_SQL} > {_SEM_TWO_LEVEL}
     ),
     drops AS (
         SELECT DISTINCT a.vec_id

@@ -536,13 +536,14 @@ def _jca_oracle() -> str:
            (SELECT COUNT(*) FROM {rt}) AS n_right,
            (SELECT COUNT(DISTINCT {lk}) FROM {lt}) AS ndv_left,
            (SELECT COUNT(DISTINCT {rk}) FROM {rt}) AS ndv_right,
-           (SELECT COUNT(*) FROM {lt}) * (SELECT COUNT(*) FROM {rt})
-               // GREATEST((SELECT COUNT(DISTINCT {lk}) FROM {lt}),
-                           (SELECT COUNT(DISTINCT {rk}) FROM {rt}))
-               AS est_rows,
            (SELECT COUNT(*) FROM {lt} l JOIN {rt} r
              ON l.{lk} = r.{rk}) AS actual_rows""")
     union = "\n    UNION ALL\n    ".join(selects)
+    # est_rows = n_left*n_right // g computed as
+    # (n_left // g)*n_right + ((n_left % g)*n_right) // g — exact, and
+    # intermediates stay <= GREATEST(ndv)*n_right (~2e18 at SF1000)
+    # instead of n_left*n_right (~9e18, int64 wrap in Spark vs silent
+    # HUGEINT promotion in DuckDB).
     return f"""
     WITH per_join AS (
     {union}
@@ -552,7 +553,10 @@ def _jca_oracle() -> str:
            CAST(n_right AS BIGINT) AS n_right,
            CAST(ndv_left AS BIGINT) AS ndv_left,
            CAST(ndv_right AS BIGINT) AS ndv_right,
-           CAST(est_rows AS BIGINT) AS est_rows,
+           CAST((n_left // GREATEST(ndv_left, ndv_right)) * n_right
+                + ((n_left % GREATEST(ndv_left, ndv_right)) * n_right)
+                  // GREATEST(ndv_left, ndv_right) AS BIGINT)
+               AS est_rows,
            CAST(actual_rows AS BIGINT) AS actual_rows,
            CAST(1000 * GREATEST(est_rows, actual_rows)
                 // NULLIF(LEAST(est_rows, actual_rows), 0) AS BIGINT)
@@ -609,9 +613,15 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_right",
                 "ndv_left",
                 "ndv_right",
+                # exact divide-before-multiply: == n_left*n_right DIV g
+                # with intermediates bounded by g*n_right, not
+                # n_left*n_right (int64 wrap at SF1000 lineitem joins)
                 F.expr(
-                    "CAST(n_left * n_right"
-                    " DIV GREATEST(ndv_left, ndv_right) AS BIGINT)"
+                    "CAST((n_left DIV GREATEST(ndv_left, ndv_right))"
+                    " * n_right"
+                    " + ((n_left % GREATEST(ndv_left, ndv_right))"
+                    " * n_right) DIV GREATEST(ndv_left, ndv_right)"
+                    " AS BIGINT)"
                 ).alias("est_rows"),
                 "actual_rows",
             )

@@ -424,7 +424,10 @@ def test_read_xls_grid_v4_container():
 
 def _biff5_rec_label(op: int, r: int, c: int, s: str, codec: str) -> bytes:
     raw = s.encode(codec)
-    return _rec(op, struct.pack("<HHHH", r, c, 0, len(raw)) + raw)
+    # BIFF5 cch is a CHARACTER count: equals byte count for single-byte
+    # codepages, half the byte count under CODEPAGE 1200 (utf-16-le)
+    cch = len(s) if codec == "utf-16-le" else len(raw)
+    return _rec(op, struct.pack("<HHHH", r, c, 0, cch) + raw)
 
 
 def build_biff5_stream(
@@ -458,9 +461,10 @@ def build_biff5_stream(
 
     def boundsheet(name: str, pos: int) -> bytes:
         raw = name.encode(codec)
+        cch = len(name) if codec == "utf-16-le" else len(raw)
         return _rec(
             0x0085,
-            struct.pack("<IBB", pos, 0, 0) + bytes([len(raw)]) + raw,
+            struct.pack("<IBB", pos, 0, 0) + bytes([cch]) + raw,
         )
 
     offsets = [0] * len(sheets)
@@ -500,6 +504,25 @@ def test_biff5_decodes_natively():
     assert read_xls_grid(blob, "Otra")[0][0] == "x"
     # read_excel_grid routes OLE2 containers through the same decoder
     assert read_excel_grid(blob, "Hoja")[3][4] == 22.5
+
+
+def test_biff5_codepage_1200_utf16_strings():
+    """CODEPAGE 1200 makes BIFF5 byte strings utf-16-le; cch counts
+    CHARACTERS at 2 bytes each, so the decoder must slice 2*cch bytes
+    (a cch-byte slice halves and garbles every string)."""
+    cells = {
+        (0, 0): "Informe I90 — año 2024",
+        (1, 0): "Total",
+        (1, 1): 12.5,
+    }
+    stream = build_biff5_stream(
+        [("Hoja añeja", cells)], codepage=1200, codec="utf-16-le"
+    )
+    blob = build_cfb(stream + b"\x00" * 4096)
+    grid = read_xls_grid(blob, "Hoja añeja")
+    assert grid[0][0] == "Informe I90 — año 2024"
+    assert grid[1][0] == "Total"
+    assert grid[1][1] == 12.5
 
 
 def test_biff5_formula_string_and_rstring():
