@@ -56,6 +56,33 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+# Last-driven streaming query's physical plan, captured for the plan
+# tripwire (tools/plan_audit.py): streaming plans live in the
+# streaming runtime, not the returned memory-sink DataFrame, so the
+# drive path records explainInternal() before stopping the query.
+_LAST_STREAM_PLAN: list[str | None] = [None]
+
+
+def last_stream_plan() -> str | None:
+    return _LAST_STREAM_PLAN[0]
+
+
+def _finish(q, wait: str = "processAll") -> None:
+    """Drive a streaming query to completion, capture its executed
+    physical plan for the tripwire, then stop it."""
+    try:
+        if wait == "await":
+            q.awaitTermination()
+        else:
+            q.processAllAvailable()
+        try:
+            _LAST_STREAM_PLAN[0] = q._jsq.explainInternal(False)
+        except Exception:
+            _LAST_STREAM_PLAN[0] = None
+    finally:
+        q.stop()
+
+
 class _scoped_shuffle_partitions:
     """Bounded stream drives don't need the session's full shuffle
     width — every extra shuffle partition is another state-store
@@ -117,10 +144,7 @@ def hourly_event_agg_stream(
             .queryName(name)
             .start()
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        _finish(q)
     return spark.table(name)
 
 
@@ -200,10 +224,7 @@ def stateful_user_totals_stream(
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
+        _finish(q, wait="await")
     # update mode appends one row per (user, batch); keep the final state
     from pyspark.sql import Window as W
 
@@ -282,10 +303,7 @@ def scd1_upsert_stream(
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
+        _finish(q, wait="await")
     # update mode appends one row per (user, batch); keep the final state
     from pyspark.sql import Window as W
 
@@ -349,10 +367,7 @@ def clicks_purchases_join_stream(
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
     with _scoped_shuffle_partitions(spark, shuffle_partitions):
         q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        _finish(q)
     return spark.table(name)
 
 
@@ -389,10 +404,7 @@ def dedup_events_stream(
             .queryName(name)
             .start()
         )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        _finish(q)
     return spark.table(name)
 
 
@@ -467,10 +479,7 @@ def funnel_stage_stream(
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
+        _finish(q, wait="await")
     # update mode emits one row per (user, batch); the furthest-
     # advanced state row is the final one (stages only move forward)
     from pyspark.sql import Window as W
@@ -587,10 +596,7 @@ def ewma_anomaly_stream(
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
+        _finish(q, wait="await")
     return spark.table(name)
 
 
@@ -656,10 +662,7 @@ def cusum_alarm_stream(
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
+        _finish(q, wait="await")
     return spark.table(name)
 
 
@@ -739,8 +742,5 @@ def conformal_band_alarm_stream(
             .trigger(availableNow=True)
             .start()
         )
-        try:
-            q.awaitTermination()
-        finally:
-            q.stop()
+        _finish(q, wait="await")
     return spark.table(name)

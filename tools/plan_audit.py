@@ -26,8 +26,11 @@ sys.path.insert(0, "/root/repo")
 from etl_energy_tracker_spark.queries import catalog  # noqa: E402
 from etl_energy_tracker_spark.session import get_spark  # noqa: E402
 
-# queries that synchronously drive a stream (plan lives in the
-# streaming runtime, not a batch DataFrame)
+# queries that synchronously drive a stream: the plan lives in the
+# streaming runtime, not the returned memory-sink DataFrame, so the
+# audit drives the stream and reads the captured explainInternal()
+# from streaming.jobs.last_stream_plan() (VERDICT r7 task 5 — these 9
+# were the tripwire's blind spot).
 _STREAMING = {
     "streaming_hourly_agg", "stateful_user_totals", "stream_stream_join",
     "session_window_agg", "stream_dedup", "stream_funnel_stage",
@@ -36,14 +39,22 @@ _STREAMING = {
 
 
 def audit(sf_dir: str) -> list[dict]:
+    from etl_energy_tracker_spark.streaming import jobs as stream_jobs
+
     spark = get_spark("plan-audit")
     rows = []
     for name, fn in catalog.queries().items():
-        if name in _STREAMING:
-            continue
         try:
             df = fn(spark, sf_dir)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            if name in _STREAMING:
+                plan = stream_jobs.last_stream_plan()
+                if plan is None:
+                    rows.append(
+                        {"query": name, "error": "no streaming plan captured"}
+                    )
+                    continue
+            else:
+                plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as ex:  # pragma: no cover - diagnostic tool
             rows.append({"query": name, "error": str(ex)[:120]})
             continue

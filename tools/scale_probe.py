@@ -29,7 +29,20 @@ blowup, not algorithmic growth):
 - lineitem: 10 replicas with shifted order/part/supp keys — 10
   disjoint co-purchase graphs, so the wedge set grows exactly 10x.
 
-Usage: python tools/scale_probe.py [--replicas N] [--keep]
+NDV-growth mode (``--ndv``, VERDICT r7 task 4): the default replica
+construction shifts KEYS but copies name-like content verbatim, so
+kernels whose cost is bounded by a distinct-VALUE count (part-name
+blocking, prefix indexes) collapse all replicas in their first
+groupBy and the probe cannot see their walls. With ``--ndv``, part
+names in replica r>0 get a per-replica suffix appended to the LAST
+token without a space (``x`` + the replica digit repeated 5 times):
+distinct names and blocking keys grow exactly ``replicas``x, the
+within-replica block structure and Levenshtein<=4 match set are
+preserved verbatim, and any cross-replica name pair is >=5 edits
+apart — so no cross-replica matches form and growth on the NDV axis
+is the pure linear regime the claims are about.
+
+Usage: python tools/scale_probe.py [--replicas N] [--keep] [--ndv]
 Writes probe parquet under .scale_probe/ (gitignored), prints one
 JSON line per operator and a summary verdict.
 """
@@ -135,8 +148,20 @@ OPS = [
 ]
 
 
-def build(spark, replicas: int) -> str:
-    out = os.path.join(PROBE, f"x{replicas}")
+# Kernels whose cost bound is a distinct-VALUE count rather than a row
+# count — probed with --ndv so the bounding axis actually grows.
+NDV_OPS = [
+    "blocking_strategy_eval",
+    "fuzzy_name_match_pairs",
+    "entity_resolution_golden",
+    "prefix_filter_jaccard_join",
+    "near_dup_clusters",
+    "near_dup_clusters_star",
+]
+
+
+def build(spark, replicas: int, ndv: bool = False) -> str:
+    out = os.path.join(PROBE, f"x{replicas}{'_ndv' if ndv else ''}")
     reps = spark.range(replicas).select(F.col("id").cast("int").alias("r"))
 
     docs = spark.read.parquet(f"{BASE}/documents.parquet").crossJoin(reps)
@@ -192,9 +217,23 @@ def build(spark, replicas: int) -> str:
     # integrity is preserved per replica); nation/region are
     # constant-size dims, copied verbatim
     part = spark.read.parquet(f"{BASE}/part.parquet").crossJoin(reps)
+    name_col = (
+        F.when(F.col("r") == 0, F.col("p_name"))
+        .otherwise(
+            F.concat(
+                F.col("p_name"),
+                F.lit("x"),
+                F.expr("repeat(CAST(r AS STRING), 5)"),
+            )
+        )
+        .alias("p_name")
+        if ndv
+        else F.col("p_name")
+    )
     part = part.select(
         (F.col("p_partkey") + F.col("r").cast("long") * 10_000_000).alias("p_partkey"),
-        *[c for c in part.columns if c not in ("p_partkey", "r")],
+        name_col,
+        *[c for c in part.columns if c not in ("p_partkey", "p_name", "r")],
     )
     part.repartition(8).write.mode("overwrite").parquet(f"{out}/part.parquet")
     supp = spark.read.parquet(f"{BASE}/supplier.parquet").crossJoin(reps)
@@ -241,12 +280,13 @@ def main() -> None:
     replicas = 10
     if "--replicas" in sys.argv:
         replicas = int(sys.argv[sys.argv.index("--replicas") + 1])
-    ops = OPS
+    ndv = "--ndv" in sys.argv
+    ops = NDV_OPS if ndv else OPS
     if "--ops" in sys.argv:  # comma-separated subset re-run
         ops = sys.argv[sys.argv.index("--ops") + 1].split(",")
     spark = get_spark("scale-probe")
     qs = catalog.queries()
-    probe_dir = build(spark, replicas)
+    probe_dir = build(spark, replicas, ndv=ndv)
     results = {}
     for name in ops:
         t_small = time_op(spark, qs, name, BASE)
