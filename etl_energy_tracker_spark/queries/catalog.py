@@ -75,6 +75,7 @@ def _load_all() -> None:
     from . import mlops  # noqa: F401
     from . import martops  # noqa: F401
     from . import insightops  # noqa: F401
+    from . import nlops  # noqa: F401
 
 
 # Queries already driver-verified green in CORRECTNESS_r01.json or
@@ -307,6 +308,8 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "token_budget_waterfill",
 ) + _REVERIFY_HINT_ONLY + (
     # r8 additions land here as they are written
+    "nl_price_volume_join", "nl_avg_daily_price",
+    "nl_avg_volume_latest_day",
 )
 
 
