@@ -310,6 +310,8 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # r8 additions land here as they are written
     "nl_price_volume_join", "nl_avg_daily_price",
     "nl_avg_volume_latest_day",
+    "misra_gries_heavy_hitters", "sorted_neighborhood_pairs",
+    "doremi_domain_weights", "lsh_parameter_plan",
 )
 
 

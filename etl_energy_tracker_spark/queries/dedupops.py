@@ -917,3 +917,127 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard_ppm"
         ),
     )
+
+
+# ---------------------------------------------- LSH parameter planner
+
+_LPP_K = 64  # signature budget to split into (bands, rows)
+_LPP_T_CENTI = 50  # target jaccard threshold (s = 0.50)
+
+
+def _pow_chain(base: str, n: int) -> str:
+    """Exponentiation-by-squaring as an explicit multiply chain — pure
+    IEEE multiplications in a FIXED order, so Spark and DuckDB produce
+    bit-identical doubles (pow()/POWER() may route through exp/log and
+    differ in the last ulp between libm implementations)."""
+    if n == 1:
+        return base
+    half = _pow_chain(base, n // 2)
+    sq = f"(({half}) * ({half}))"
+    return f"(({sq}) * ({base}))" if n % 2 else sq
+
+
+def _lpp_p_ppm(r: int, b: int) -> str:
+    # P(candidate | jaccard = s) = 1 - (1 - s^r)^b, s = s_centi/100.0;
+    # rounded ONCE to integer ppm so every downstream sum is exact
+    s = "(s_centi / 100.0)"
+    sr = _pow_chain(s, r)
+    miss = _pow_chain(f"(1.0 - {sr})", b)
+    return f"CAST(ROUND((1.0 - {miss}) * 1000000) AS BIGINT)"
+
+
+def _lpp_splits() -> list[tuple[int, int]]:
+    return [(_LPP_K // r, r) for r in (2, 4, 8, 16, 32) ]
+
+
+def _lpp_oracle() -> str:
+    branches = " ".join(
+        f"WHEN rows_per_band = {r} THEN {_lpp_p_ppm(r, b)}"
+        for b, r in _lpp_splits()
+    )
+    values = ", ".join(f"({b}, {r})" for b, r in _lpp_splits())
+    return f"""
+    WITH splits(bands, rows_per_band) AS (VALUES {values}),
+    grid AS (SELECT unnest(range(1, 100)) AS s_centi),
+    curve AS (
+        SELECT bands, rows_per_band, s_centi,
+               CASE {branches} END AS p_ppm
+        FROM splits CROSS JOIN grid
+    )
+    SELECT bands, rows_per_band,
+           CAST(MIN(CASE WHEN p_ppm >= 500000 THEN s_centi END) AS BIGINT)
+               AS s50_centi,
+           CAST(SUM(CASE WHEN s_centi < {_LPP_T_CENTI} THEN p_ppm
+                         ELSE 0 END) // 99 AS BIGINT) AS fp_ppm,
+           CAST(SUM(CASE WHEN s_centi >= {_LPP_T_CENTI}
+                         THEN 1000000 - p_ppm ELSE 0 END) // 99
+               AS BIGINT) AS fn_ppm,
+           CAST((SUM(CASE WHEN s_centi < {_LPP_T_CENTI} THEN p_ppm
+                          ELSE 1000000 - p_ppm END)) // 99 AS BIGINT)
+               AS total_err_ppm
+    FROM curve
+    GROUP BY bands, rows_per_band
+    """
+
+
+@register(
+    "lsh_parameter_plan",
+    oracle=_lpp_oracle(),
+    tags=("dedup", "planning"),
+    doc="MinHash-LSH parameter planning — the sizing step every "
+    "production near-dup deployment runs before committing a "
+    "signature budget: for each (bands b, rows r) split of a K=64 "
+    "signature, evaluate the S-curve P(s) = 1-(1-s^r)^b on a "
+    "similarity grid and report the s50 threshold, the integrated "
+    "false-positive mass below the target jaccard (candidates that "
+    "waste verify work) and false-negative mass above it (missed "
+    "near-dups LSH never surfaces) — argmin total error picks the "
+    "deployment split; the repo's own (b=4, r=4 at K=16) choice sits "
+    "on the same curve. Determinism: powers are explicit "
+    "exponentiation-by-squaring multiply chains (bit-identical IEEE "
+    "doubles on both engines — no pow()/exp/log), each curve point is "
+    "rounded ONCE to integer ppm, and every aggregate is an exact "
+    "integer sum. Scale: 5 splits x 99 grid points — a constant-size "
+    "planning table; at 100 TB this query costs nothing and decides "
+    "everything downstream. Ref parity: beyond-reference planning for "
+    "the minhash_lsh_pairs family.",
+)
+def lsh_parameter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    splits = spark.createDataFrame(
+        _lpp_splits(), "bands int, rows_per_band int"
+    )
+    grid = spark.range(1, 100).select(
+        F.col("id").cast("int").alias("s_centi")
+    )
+    branches = " ".join(
+        f"WHEN rows_per_band = {r} THEN {_lpp_p_ppm(r, b)}"
+        for b, r in _lpp_splits()
+    )
+    curve = (
+        splits.crossJoin(grid)
+        .select(
+            "bands",
+            "rows_per_band",
+            "s_centi",
+            F.expr(f"CASE {branches} END").alias("p_ppm"),
+        )
+    )
+    t = _LPP_T_CENTI
+    return curve.groupBy("bands", "rows_per_band").agg(
+        F.expr(
+            "CAST(MIN(CASE WHEN p_ppm >= 500000 THEN s_centi END)"
+            " AS BIGINT)"
+        ).alias("s50_centi"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN s_centi < {t} THEN p_ppm ELSE 0 END)"
+            " DIV 99 AS BIGINT)"
+        ).alias("fp_ppm"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN s_centi >= {t} THEN 1000000 - p_ppm"
+            " ELSE 0 END) DIV 99 AS BIGINT)"
+        ).alias("fn_ppm"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN s_centi < {t} THEN p_ppm"
+            " ELSE 1000000 - p_ppm END) DIV 99 AS BIGINT)"
+        ).alias("total_err_ppm"),
+    )

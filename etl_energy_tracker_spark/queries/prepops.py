@@ -1281,3 +1281,142 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DIV COUNT(1) AS BIGINT)"
         ).alias("en_share_ppm"),
     )
+
+
+# -------------------------------------- DoReMi-style domain reweighting
+
+_DRM_ITERS = 8
+
+
+def _doremi_oracle() -> str:
+    base = """
+    base AS MATERIALIZED (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+')))
+                    AS BIGINT) AS toks
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(toks) AS t FROM base),
+    it0 AS MATERIALIZED (
+        SELECT source, n_docs, toks,
+               toks * 1000000 // n_docs AS loss_u,
+               toks * 1000000 // (SELECT t FROM tot) AS ref_ppm,
+               toks * 1000000 // (SELECT t FROM tot) AS a
+        FROM base
+    )"""
+    steps = []
+    prev = "it0"
+    for i in range(1, _DRM_ITERS + 1):
+        steps.append(f"""
+    s{i} AS MATERIALIZED (SELECT SUM(a * loss_u) // 1000000 AS avg_u FROM {prev}),
+    r{i} AS MATERIALIZED (
+        SELECT source, n_docs, toks, loss_u, ref_ppm,
+               GREATEST((a * ((loss_u * 1000000)
+                   // GREATEST((SELECT avg_u FROM s{i}), 1)))
+                   // 1000000, 1) AS a_raw
+        FROM {prev}
+    ),
+    n{i} AS MATERIALIZED (SELECT SUM(a_raw) AS tot_a FROM r{i}),
+    it{i} AS MATERIALIZED (
+        SELECT source, n_docs, toks, loss_u, ref_ppm,
+               a_raw * 1000000 // (SELECT tot_a FROM n{i}) AS a
+        FROM r{i}
+    )""")
+        prev = f"it{i}"
+    return (
+        "WITH" + base + "," + ",".join(steps)
+        + f"""
+    SELECT source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           toks,
+           CAST(loss_u AS BIGINT) AS loss_micro,
+           CAST(ref_ppm AS BIGINT) AS ref_ppm,
+           CAST(a AS BIGINT) AS doremi_ppm
+    FROM it{_DRM_ITERS}
+    """
+    )
+
+
+@register(
+    "doremi_domain_weights",
+    oracle=_doremi_oracle(),
+    tags=("corpus", "sampling", "iterative"),
+    doc="DoReMi-style domain-mixture reweighting (Xie et al. 2023, "
+    "'DoReMi: Optimizing Data Mixtures Speeds Up Language Model "
+    "Pretraining'): starting from the reference token-share weights, "
+    "run Group-DRO-flavoured multiplicative updates that upweight "
+    "domains whose loss proxy exceeds the current mixture-weighted "
+    "average (here the per-domain mean tokens/doc stands in for the "
+    "per-domain excess loss a proxy model would supply — the Spark "
+    "plumbing is the real thing, the loss column is pluggable). All "
+    "arithmetic is integer micro/ppm units — exact multiplicative "
+    "update formulated ratio-first so every intermediate stays "
+    "positive — making 8 chained iterations bit-identical across "
+    "engines with no float surface. Scale: the corpus is scanned "
+    "ONCE for per-domain stats; every iteration then runs on the "
+    "<=sources-row weight table (broadcast-sized), checkpointed per "
+    "step to kill the agg/update plan diamond. Ref parity: "
+    "beyond-reference corpus-mixture optimization, the planning "
+    "companion to mixture_resample / token_budget_waterfill.",
+)
+def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    base = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+            .cast("long")
+            .alias("toks"),
+        )
+    )
+    tot = base.agg(F.sum("toks").alias("t"))
+    cur = (
+        base.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "toks",
+            F.expr("toks * 1000000 DIV n_docs").alias("loss_u"),
+            F.expr("toks * 1000000 DIV t").alias("ref_ppm"),
+            F.expr("toks * 1000000 DIV t").alias("a"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(_DRM_ITERS):
+        avg = cur.agg(
+            F.expr("SUM(a * loss_u) DIV 1000000").alias("avg_u")
+        )
+        raw = cur.crossJoin(F.broadcast(avg)).select(
+            "source",
+            "n_docs",
+            "toks",
+            "loss_u",
+            "ref_ppm",
+            F.expr(
+                "GREATEST((a * ((loss_u * 1000000)"
+                " DIV GREATEST(avg_u, 1))) DIV 1000000, 1)"
+            ).alias("a_raw"),
+        )
+        norm = raw.agg(F.sum("a_raw").alias("tot_a"))
+        cur = (
+            raw.crossJoin(F.broadcast(norm))
+            .select(
+                "source",
+                "n_docs",
+                "toks",
+                "loss_u",
+                "ref_ppm",
+                F.expr("a_raw * 1000000 DIV tot_a").alias("a"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cur.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "toks",
+        F.col("loss_u").cast("long").alias("loss_micro"),
+        F.col("ref_ppm").cast("long").alias("ref_ppm"),
+        F.col("a").cast("long").alias("doremi_ppm"),
+    )

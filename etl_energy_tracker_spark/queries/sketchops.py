@@ -1067,3 +1067,83 @@ def hll_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("m_est", 4).alias("merged_hll_est"),
         )
     )
+
+
+# ------------------------------------- Misra-Gries heavy hitters
+
+_MG_K = 64  # counters per partition summary; threshold = n / k
+
+
+@register(
+    "misra_gries_heavy_hitters",
+    oracle=f"""
+    WITH toks AS ({_TOKS_DUCK}),
+    n AS (SELECT COUNT(*) AS c FROM toks),
+    exact AS (SELECT tok, COUNT(*) AS exact_c FROM toks GROUP BY tok)
+    SELECT tok,
+           CAST(exact_c AS BIGINT) AS exact_c,
+           CAST(exact_c * 1000000 // (SELECT c FROM n) AS BIGINT)
+               AS share_ppm
+    FROM exact
+    WHERE exact_c * {_MG_K} > (SELECT c FROM n)
+    """,
+    tags=("sketch", "aggregate"),
+    doc="Misra-Gries heavy hitters with exact verification: every "
+    "partition builds a k-counter MG summary in one pass (bounded "
+    "state regardless of token cardinality — the mergeable-summary "
+    "property: an item with global count > n/k must survive at least "
+    "one partition's summary, since sum_p(c_p - n_p/k) > 0 forces "
+    "c_p > n_p/k somewhere), the union of candidates (<= k x "
+    "partitions rows) is broadcast back, and only candidate tokens "
+    "get exact counts — the final output is the EXACT set "
+    "{{count*k > n}}, deterministic despite MG's order-dependence, "
+    "so the oracle is plain SQL. At 100 TB this replaces an "
+    "unboundedly wide exact groupBy with one bounded-state pass plus "
+    "a groupBy over <= k*partitions candidate keys. MG stage is an "
+    "Arrow mapInPandas (no row-at-a-time Python).",
+)
+def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    )
+
+    def mg_summaries(batches):
+        import pandas as pd
+
+        # batch-merge formulation: vectorized value_counts per Arrow
+        # batch, then the MG summary MERGE (add counts; if over k
+        # counters, subtract the (k+1)-th largest and drop <=0). Same
+        # c_hat >= c - n/k guarantee as item-at-a-time MG, without a
+        # per-token Python loop.
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, c in pdf["tok"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(c)
+            if len(counters) > _MG_K:
+                kth = sorted(counters.values(), reverse=True)[_MG_K]
+                counters = {
+                    t: c - kth for t, c in counters.items() if c > kth
+                }
+        yield pd.DataFrame({"tok": list(counters.keys())})
+
+    candidates = (
+        toks.mapInPandas(mg_summaries, "tok string").distinct()
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("c"))
+    exact = (
+        toks.join(F.broadcast(candidates), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_c"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(total))
+        .where(F.col("exact_c") * _MG_K > F.col("c"))
+        .select(
+            "tok",
+            F.col("exact_c").cast("long").alias("exact_c"),
+            F.expr("CAST(exact_c * 1000000 DIV c AS BIGINT)").alias(
+                "share_ppm"
+            ),
+        )
+    )

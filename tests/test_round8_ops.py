@@ -1,0 +1,209 @@
+"""Independent Python replays for the round-8 operators.
+
+Same protocol as test_round7_ops.py: the driver's DuckDB-oracle hash
+compare is the primary gate; each test here is a THIRD implementation
+(plain Python over the same parquet, no SQL) so a shared Spark/DuckDB
+misconception can't pass silently. Plus the structural guarantees the
+oracles can't see: the Misra-Gries candidate superset, the
+sorted-neighborhood candidate bound, the DoReMi weight invariants.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pyarrow.parquet as pq
+
+from etl_energy_tracker_spark.queries.dedupops import (
+    _LPP_K,
+    _lpp_splits,
+    lsh_parameter_plan,
+)
+from etl_energy_tracker_spark.queries.prepops import (
+    _DRM_ITERS,
+    doremi_domain_weights,
+)
+from etl_energy_tracker_spark.queries.relational import (
+    _SN_W,
+    sorted_neighborhood_pairs,
+)
+from etl_energy_tracker_spark.queries.sketchops import (
+    _MG_K,
+    misra_gries_heavy_hitters,
+)
+
+from conftest import SF_DIR
+
+
+def _rows(table: str) -> list[dict]:
+    return pq.read_table(f"{SF_DIR}/{table}.parquet").to_pylist()
+
+
+def _toks(text: str) -> list[str]:
+    return re.split(r"\s+", text.strip(), flags=re.ASCII)
+
+
+# --------------------------------------------------- MG heavy hitters
+
+
+def test_misra_gries_python_replay(spark):
+    counts = Counter()
+    for d in _rows("documents"):
+        counts.update(_toks(d["text"]))
+    n = sum(counts.values())
+    want = {
+        tok: (c, c * 1000000 // n)
+        for tok, c in counts.items()
+        if c * _MG_K > n
+    }
+    got = {
+        r.tok: (r.exact_c, r.share_ppm)
+        for r in misra_gries_heavy_hitters(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_misra_gries_summary_is_superset():
+    """The mergeable-summary guarantee itself: run the batch-merge MG
+    over an adversarial stream in several partition layouts and check
+    every true heavy hitter survives in the candidate union."""
+    import pandas as pd
+
+    stream = (
+        ["hot"] * 500
+        + ["warm"] * 200
+        + [f"cold{i}" for i in range(400)] * 2
+        + ["hot"] * 100
+    )
+    k = 16
+    n = len(stream)
+    truth = {t for t, c in Counter(stream).items() if c * k > n}
+
+    def mg(tokens):
+        counters: dict[str, int] = {}
+        for tok, c in pd.Series(tokens).value_counts().items():
+            counters[tok] = counters.get(tok, 0) + int(c)
+        if len(counters) > k:
+            kth = sorted(counters.values(), reverse=True)[k]
+            counters = {t: c - kth for t, c in counters.items() if c > kth}
+        return set(counters)
+
+    for parts in (1, 3, 7):
+        step = (n + parts - 1) // parts
+        cand = set()
+        for p in range(parts):
+            cand |= mg(stream[p * step : (p + 1) * step])
+        assert truth <= cand, parts
+
+
+# --------------------------------------------- sorted neighborhood
+
+
+def test_sorted_neighborhood_replay(spark):
+    names = sorted({p["p_name"] for p in _rows("part")})
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    want = set()
+    for i, a in enumerate(names):
+        for j in range(i + 1, min(i + _SN_W, len(names))):
+            if lev(a, names[j]) <= 4:
+                want.add((a, names[j], j - i))
+    got = {
+        (r.name_a, r.name_b, r.rank_dist)
+        for r in sorted_neighborhood_pairs(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # candidate bound: emitted pairs all within the window
+    assert all(1 <= d < _SN_W for _, _, d in got)
+
+
+# ----------------------------------------------------------- DoReMi
+
+
+def test_doremi_python_replay(spark):
+    docs = _rows("documents")
+    toks: dict[str, int] = {}
+    ndocs: dict[str, int] = {}
+    for d in docs:
+        toks[d["source"]] = toks.get(d["source"], 0) + len(_toks(d["text"]))
+        ndocs[d["source"]] = ndocs.get(d["source"], 0) + 1
+    sources = sorted(toks)
+    tot = sum(toks.values())
+    loss = {s: toks[s] * 1000000 // ndocs[s] for s in sources}
+    a = {s: toks[s] * 1000000 // tot for s in sources}
+    ref = dict(a)
+    for _ in range(_DRM_ITERS):
+        avg = sum(a[s] * loss[s] for s in sources) // 1000000
+        raw = {
+            s: max((a[s] * ((loss[s] * 1000000) // max(avg, 1))) // 1000000, 1)
+            for s in sources
+        }
+        t = sum(raw.values())
+        a = {s: raw[s] * 1000000 // t for s in sources}
+    got = {r.source: r for r in doremi_domain_weights(spark, SF_DIR).collect()}
+    assert set(got) == set(sources)
+    for s in sources:
+        assert got[s].ref_ppm == ref[s], s
+        assert got[s].doremi_ppm == a[s], s
+        assert got[s].loss_micro == loss[s], s
+    # invariants: weights stay a (truncated) distribution and mass
+    # moves toward higher-loss domains
+    assert 1000000 - len(sources) <= sum(a.values()) <= 1000000
+    hi = max(sources, key=lambda s: loss[s])
+    lo = min(sources, key=lambda s: loss[s])
+    assert a[hi] >= ref[hi]
+    assert a[lo] <= ref[lo]
+
+
+# ------------------------------------------------- LSH parameter plan
+
+
+def test_lsh_parameter_plan_replay(spark):
+    rows = {
+        (r.bands, r.rows_per_band): r
+        for r in lsh_parameter_plan(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {(_LPP_K // r, r) for _, r in _lpp_splits()}
+    def powc(x: float, n: int) -> float:
+        # the same exponentiation-by-squaring multiply chain the SQL
+        # uses — plain x**n may differ in the last ulp and flip a ppm
+        if n == 1:
+            return x
+        half = powc(x, n // 2)
+        sq = half * half
+        return sq * x if n % 2 else sq
+
+    for (b, r), row in rows.items():
+        # python replay of the S-curve in ppm
+        p = {
+            s: round((1.0 - powc(1.0 - powc(s / 100.0, r), b)) * 1000000)
+            for s in range(1, 100)
+        }
+        s50 = min(s for s in p if p[s] >= 500000)
+        assert row.s50_centi == s50, (b, r)
+        assert row.fp_ppm == sum(v for s, v in p.items() if s < 50) // 99
+        assert row.fn_ppm == (
+            sum(1000000 - v for s, v in p.items() if s >= 50) // 99
+        )
+        assert row.total_err_ppm == (
+            sum(v for s, v in p.items() if s < 50)
+            + sum(1000000 - v for s, v in p.items() if s >= 50)
+        ) // 99
+    # more rows per band -> tighter curve -> higher s50 threshold
+    s50s = [rows[(b, r)].s50_centi for b, r in sorted(rows, key=lambda x: x[1])]
+    assert s50s == sorted(s50s)
