@@ -312,6 +312,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "nl_avg_volume_latest_day",
     "misra_gries_heavy_hitters", "sorted_neighborhood_pairs",
     "doremi_domain_weights", "lsh_parameter_plan",
+    "kmv_theta_setops", "rendezvous_shard_rebalance",
 )
 
 

@@ -1394,3 +1394,119 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("lev") <= _BSE_LEV)
     )
+
+
+# -------------------------------------- rendezvous shard rebalance
+
+_HRW_N = 12  # shard count before the topology change
+_HRW_MOD = 1_000_000_007
+
+
+def _hrw_score(s_expr: str) -> str:
+    # highest-random-weight score for (key, shard): reduce the key mod
+    # M BEFORE multiplying so probe-shifted ids stay inside int64
+    return (
+        f"(((user_id % {_HRW_MOD}) * (({s_expr} * 2654435761 + 97)"
+        f" % {_HRW_MOD}) + {s_expr}) % {_HRW_MOD})"
+    )
+
+
+def _hrw_duck(n: int, out: str) -> str:
+    # argmax over shards: rank (score DESC, shard ASC) — lowest shard
+    # wins score ties, matching the Spark fold's strictly-greater rule
+    return f"""
+        SELECT user_id, {out} FROM (
+            SELECT user_id, s AS {out},
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY {_hrw_score('s')} DESC, s) AS rk
+            FROM keys, (SELECT unnest(range(0, {n})) AS s) shards
+        ) WHERE rk = 1
+    """
+
+
+def _hrw_spark(df: DataFrame, n: int, out: str) -> DataFrame:
+    def score(s):
+        # same formula as _hrw_score, built as Column arithmetic so the
+        # lambda-bound shard variable resolves
+        m = F.lit(_HRW_MOD).cast("long")
+        mult = (s.cast("long") * F.lit(2654435761) + F.lit(97)) % m
+        return ((F.col("user_id") % m) * mult + s.cast("long")) % m
+
+    scored = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda s: F.struct(
+            score(s).cast("long").alias("score"),
+            s.cast("int").alias("s"),
+        ),
+    )
+    # fold keeps the first maximum (ascending shard visit + strictly
+    # greater replace) == oracle's ORDER BY score DESC, s
+    best = F.aggregate(
+        scored,
+        F.struct(
+            F.lit(-1).cast("long").alias("score"),
+            F.lit(-1).cast("int").alias("s"),
+        ),
+        lambda acc, c: F.when(c["score"] > acc["score"], c).otherwise(acc),
+    )
+    return df.withColumn(out, best["s"])
+
+
+@register(
+    "rendezvous_shard_rebalance",
+    oracle=f"""
+    WITH keys AS (SELECT DISTINCT user_id FROM events),
+    before AS ({_hrw_duck(_HRW_N, "shard_before")}),
+    after AS ({_hrw_duck(_HRW_N + 1, "shard_after")}),
+    joined AS (
+        SELECT b.user_id, b.shard_before, a.shard_after
+        FROM before b JOIN after a ON b.user_id = a.user_id
+    )
+    SELECT CAST(shard_after AS BIGINT) AS shard,
+           CAST(SUM(CASE WHEN shard_before = shard_after
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_stayed,
+           CAST(SUM(CASE WHEN shard_before <> shard_after
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in,
+           CAST(COUNT(*) AS BIGINT) AS n_after
+    FROM joined
+    GROUP BY shard_after
+    """,
+    tags=("layout", "hash"),
+    doc="Rendezvous (highest-random-weight) shard rebalance audit: "
+    "assign every key to argmax-score shard under N=12 and N=13 "
+    "topologies and report, per new shard, how many keys stayed vs "
+    "moved in. HRW's guarantee — only ~1/(N+1) of keys move on a "
+    "shard ADD, and every move lands on the NEW shard (a key's "
+    "argmax over the old shard set is unchanged unless the new "
+    "shard's score beats it) — is pinned in pytest; contrast with "
+    "mod-N sharding where nearly all keys move. Scale shape: the "
+    "score argmax is a map-side fold over the N-shard array (zero "
+    "shuffle, same idiom as the IVF codebook assignment); the audit "
+    "aggregate shuffles once on shard id. Deterministic integer "
+    "scores; ids reduced mod M before multiplying so probe-shifted "
+    "ids stay inside int64. Ref parity: beyond-reference layout/"
+    "placement tooling (companion to compaction_bin_packing and "
+    "zorder_layout_stats).",
+)
+def rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = (
+        load_table(spark, "events", sf_dir)
+        .select("user_id")
+        .distinct()
+    )
+    before = _hrw_spark(keys, _HRW_N, "shard_before")
+    both = _hrw_spark(before, _HRW_N + 1, "shard_after")
+    return (
+        both.groupBy(F.col("shard_after").cast("long").alias("shard"))
+        .agg(
+            F.sum(
+                F.when(F.col("shard_before") == F.col("shard_after"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_stayed"),
+            F.sum(
+                F.when(F.col("shard_before") != F.col("shard_after"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_moved_in"),
+            F.count(F.lit(1)).cast("long").alias("n_after"),
+        )
+    )

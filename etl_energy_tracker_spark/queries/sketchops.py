@@ -1147,3 +1147,103 @@ def misra_gries_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------- KMV (theta) sketch set algebra
+
+_KMV_K = 256
+_KMV_MOD = 1_000_000_007
+# integer id hash: reduce BEFORE multiplying so the product stays
+# under int64 even for probe-shifted ids (~1e10)
+_KMV_H = (
+    "((user_id % 1000000007) * 2654435761 + 40503) % 1000000007"
+)
+
+
+def _kmv_sql(div: str) -> str:
+    """Engine-shared KMV query text; ``div`` is the integer-division
+    token (Spark ``DIV``, DuckDB ``//``) — the only dialect delta."""
+    k, m = _KMV_K, _KMV_MOD
+    est_u = f"({k - 1} * CAST({m} AS BIGINT)) {div} thu"
+    return f"""
+    WITH a_ids AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    ),
+    b_ids AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    ),
+    ha AS (SELECT DISTINCT {_KMV_H} AS h FROM a_ids),
+    hb AS (SELECT DISTINCT {_KMV_H} AS h FROM b_ids),
+    ka AS (SELECT h FROM ha ORDER BY h LIMIT {k}),
+    kb AS (SELECT h FROM hb ORDER BY h LIMIT {k}),
+    u AS (
+        SELECT DISTINCT h FROM (
+            SELECT h FROM ka UNION ALL SELECT h FROM kb
+        ) z
+    ),
+    ku AS (SELECT h FROM u ORDER BY h LIMIT {k}),
+    stats AS (
+        SELECT
+            (SELECT COUNT(*) FROM a_ids) AS ea,
+            (SELECT COUNT(*) FROM b_ids) AS eb,
+            (SELECT COUNT(*) FROM (
+                SELECT user_id FROM a_ids
+                UNION SELECT user_id FROM b_ids) x) AS eu,
+            (SELECT COUNT(*) FROM (
+                SELECT user_id FROM a_ids
+                INTERSECT SELECT user_id FROM b_ids) x) AS ei,
+            (SELECT COUNT(*) FROM ha) AS nha,
+            (SELECT COUNT(*) FROM hb) AS nhb,
+            (SELECT COUNT(*) FROM u) AS nu,
+            (SELECT MAX(h) FROM ka) AS tha,
+            (SELECT MAX(h) FROM kb) AS thb,
+            (SELECT MAX(h) FROM ku) AS thu,
+            (SELECT COUNT(*) FROM ku
+              JOIN ka ON ku.h = ka.h JOIN kb ON ku.h = kb.h) AS matches
+        FROM (SELECT 1 AS one) o
+    )
+    SELECT CAST(ea AS BIGINT) AS exact_a,
+           CAST(eb AS BIGINT) AS exact_b,
+           CAST(eu AS BIGINT) AS exact_union,
+           CAST(ei AS BIGINT) AS exact_inter,
+           CAST(CASE WHEN nha <= {k} THEN nha
+                ELSE ({k - 1} * CAST({m} AS BIGINT)) {div} tha END
+               AS BIGINT) AS est_a,
+           CAST(CASE WHEN nhb <= {k} THEN nhb
+                ELSE ({k - 1} * CAST({m} AS BIGINT)) {div} thb END
+               AS BIGINT) AS est_b,
+           CAST(CASE WHEN nu <= {k} THEN nu
+                ELSE {est_u} END AS BIGINT) AS est_union,
+           CAST(CASE WHEN nu <= {k} THEN matches
+                ELSE (matches * ({est_u})) {div} {k} END
+               AS BIGINT) AS est_inter
+    FROM stats
+    """
+
+
+@register(
+    "kmv_theta_setops",
+    oracle=_kmv_sql("//"),
+    tags=("sketch", "setops"),
+    doc="KMV / theta-sketch set algebra (the Apache DataSketches theta "
+    "family): each side keeps only its k=256 smallest distinct hash "
+    "values — a mergeable, bounded summary; distinct-count estimate "
+    "(k-1)*M/theta from the k-th smallest, union by re-truncating the "
+    "merged sketch, intersection by counting sketch members present "
+    "in both sides (est_inter = matches * est_union / k). Unlike HLL "
+    "(hll_set_union_intersect), theta sketches support set "
+    "INTERSECTION natively instead of inclusion-exclusion — the "
+    "reason DataSketches deploys them for audience-overlap queries. "
+    "Exact counts reported alongside for the error audit; below k "
+    "distinct values the sketch is provably exact and the estimate "
+    "switches to the count (pinned here). Fully deterministic: "
+    "integer id hash (reduced mod M BEFORE the multiply so "
+    "probe-shifted ids stay inside int64), k-smallest is an "
+    "ORDER BY/LIMIT (TakeOrderedAndProject: per-partition top-k, one "
+    "k-row merge — never a global sort), all arithmetic integer. "
+    "Identical SQL text on both engines modulo the DIV token. Ref "
+    "parity: beyond-reference sketch algebra.",
+)
+def kmv_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
+    return spark.sql(_kmv_sql("DIV"))

@@ -207,3 +207,98 @@ def test_lsh_parameter_plan_replay(spark):
     # more rows per band -> tighter curve -> higher s50 threshold
     s50s = [rows[(b, r)].s50_centi for b, r in sorted(rows, key=lambda x: x[1])]
     assert s50s == sorted(s50s)
+
+
+# ------------------------------------------------- KMV theta sketch
+
+
+def test_kmv_theta_python_replay(spark):
+    from etl_energy_tracker_spark.queries.sketchops import (
+        _KMV_K,
+        _KMV_MOD,
+        kmv_theta_setops,
+    )
+
+    ev = _rows("events")
+    a = {e["user_id"] for e in ev if e["event_type"] == "click"}
+    b = {e["user_id"] for e in ev if e["event_type"] == "purchase"}
+
+    def h(uid: int) -> int:
+        return ((uid % _KMV_MOD) * 2654435761 + 40503) % _KMV_MOD
+
+    ha, hb = {h(x) for x in a}, {h(x) for x in b}
+    ka = set(sorted(ha)[:_KMV_K])
+    kb = set(sorted(hb)[:_KMV_K])
+    u = ha | hb if len(ka | kb) <= _KMV_K else None
+    ku = set(sorted(ka | kb)[:_KMV_K])
+    row = kmv_theta_setops(spark, SF_DIR).collect()[0]
+    assert row.exact_a == len(a)
+    assert row.exact_b == len(b)
+    assert row.exact_union == len(a | b)
+    assert row.exact_inter == len(a & b)
+
+    def est(hs, ks):
+        if len(hs) <= _KMV_K:
+            return len(hs)
+        return (_KMV_K - 1) * _KMV_MOD // max(ks)
+
+    assert row.est_a == est(ha, ka)
+    assert row.est_b == est(hb, kb)
+    nu = len(ha | hb)
+    matches = len(ku & ka & kb)
+    if nu <= _KMV_K:
+        assert row.est_union == nu
+        assert row.est_inter == matches
+    else:
+        eu = (_KMV_K - 1) * _KMV_MOD // max(ku)
+        assert row.est_union == eu
+        assert row.est_inter == matches * eu // _KMV_K
+    # sketch-regime sanity when it applies: estimate within 25% of exact
+    if len(ha) > _KMV_K:
+        assert abs(row.est_a - row.exact_a) * 4 <= row.exact_a
+
+
+# ------------------------------------------- rendezvous rebalance
+
+
+def test_rendezvous_python_replay(spark):
+    from etl_energy_tracker_spark.queries.relational import (
+        _HRW_MOD,
+        _HRW_N,
+        rendezvous_shard_rebalance,
+    )
+
+    keys = sorted({e["user_id"] for e in _rows("events")})
+
+    def shard(uid: int, n: int) -> int:
+        best, bs = -1, -1
+        for s in range(n):
+            sc = ((uid % _HRW_MOD) * ((s * 2654435761 + 97) % _HRW_MOD) + s) % _HRW_MOD
+            if sc > best:
+                best, bs = sc, s
+        return bs
+
+    before = {k: shard(k, _HRW_N) for k in keys}
+    after = {k: shard(k, _HRW_N + 1) for k in keys}
+    want = {}
+    for k in keys:
+        s = after[k]
+        st, mv, na = want.get(s, (0, 0, 0))
+        want[s] = (
+            st + (before[k] == s),
+            mv + (before[k] != s),
+            na + 1,
+        )
+    got = {
+        r.shard: (r.n_stayed, r.n_moved_in, r.n_after)
+        for r in rendezvous_shard_rebalance(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # HRW guarantee: every moved key lands on the NEW shard (the old
+    # argmax is unchanged unless the new shard's score beats it), and
+    # the moved fraction is about 1/(N+1)
+    moved = sum(mv for _, mv, _ in got.values())
+    for s, (_, mv, _) in got.items():
+        if s != _HRW_N:
+            assert mv == 0, s
+    assert moved <= 2 * len(keys) // (_HRW_N + 1) + 5
