@@ -313,6 +313,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "misra_gries_heavy_hitters", "sorted_neighborhood_pairs",
     "doremi_domain_weights", "lsh_parameter_plan",
     "kmv_theta_setops", "rendezvous_shard_rebalance",
+    "fim_transform_spans", "pass_at_k_eval",
 )
 
 

@@ -1340,3 +1340,96 @@ def calibration_ece_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(overall))
         .crossJoin(F.broadcast(brier))
     )
+
+
+# ----------------------------------------------------- pass@k metric
+
+_PAK_KS = (1, 5, 10)
+_PAK_SCALE = 1_000_000_000_000  # fold precision; ppm after final DIV
+
+
+def _pak_fold_duck(k: int) -> str:
+    # fail ratio C(n-c, k)/C(n, k) as the exact telescoping product
+    # prod_{i<k} (n-c-i)/(n-i), folded in scaled integers — identical
+    # truncation sequence on both engines
+    return (
+        f"list_reduce(list_prepend(CAST({_PAK_SCALE} AS BIGINT), "
+        f"list_transform(range(0, {k}), i -> CAST(i AS BIGINT))), "
+        "(acc, i) -> (acc * GREATEST(n - c - i, 0)) // (n - i))"
+    )
+
+
+def _pak_fold_spark(k: int) -> str:
+    return (
+        f"aggregate(sequence(0, {k - 1}), CAST({_PAK_SCALE} AS BIGINT), "
+        "(acc, i) -> (acc * GREATEST(n - c - i, 0L)) DIV (n - i))"
+    )
+
+
+def _pak_pass_ppm(k: int, fold: str, div: str = "//") -> str:
+    return f"""CASE WHEN c = 0 THEN 0
+         WHEN n - c < {k} THEN 1000000
+         ELSE 1000000 - ({fold}) {div} 1000000 END"""
+
+
+@register(
+    "pass_at_k_eval",
+    oracle=f"""
+    WITH per_task AS (
+        SELECT user_id,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN value >= 100 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM events GROUP BY user_id
+    ),
+    scored AS (
+        SELECT user_id,
+               {", ".join(f"CAST({_pak_pass_ppm(k, _pak_fold_duck(k)).replace(chr(10), ' ')} AS BIGINT) AS p{k}" for k in _PAK_KS)}
+        FROM per_task
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_tasks,
+           {", ".join(f"CAST(SUM(p{k}) // COUNT(*) AS BIGINT) AS mean_pass_at_{k}_ppm" for k in _PAK_KS)}
+    FROM scored
+    """,
+    tags=("eval", "metrics"),
+    doc="pass@k evaluation metric (Chen et al. 2021, HumanEval): per "
+    "task the unbiased estimator 1 - C(n-c,k)/C(n,k) over n sampled "
+    "attempts with c correct, averaged across tasks — THE metric for "
+    "sampled LLM evals (here users stand in for tasks and their "
+    "events for attempts; correct = value >= 100). The binomial "
+    "ratio is the telescoping product prod(n-c-i)/(n-i), folded in "
+    "scaled integers with an identical truncation sequence on both "
+    "engines — exact, no factorials, no floats, no overflow (acc <= "
+    "1e12 x attempts). Degenerate cases pinned: c = 0 -> 0; n-c < k "
+    "-> 1 (some correct sample always survives every size-k draw). "
+    "Scale: one groupBy over attempts, then a constant-width map-side "
+    "fold per task; the final mean is a single aggregate. Ref "
+    "parity: beyond-reference eval layer (companion to "
+    "classifier_auc_eval / calibration_ece_report).",
+)
+def pass_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    per_task = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("value") >= 100, 1).otherwise(0))
+        .cast("long")
+        .alias("c"),
+    )
+    scored = per_task.select(
+        "user_id",
+        *[
+            F.expr(
+                f"CAST({_pak_pass_ppm(k, _pak_fold_spark(k), 'DIV')} AS BIGINT)"
+            ).alias(f"p{k}")
+            for k in _PAK_KS
+        ],
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_tasks"),
+        *[
+            F.expr(f"CAST(SUM(p{k}) DIV COUNT(*) AS BIGINT)").alias(
+                f"mean_pass_at_{k}_ppm"
+            )
+            for k in _PAK_KS
+        ],
+    )

@@ -1171,3 +1171,164 @@ def span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg_text(in_tok).alias("inputs"),
         agg_text(tgt_tok).alias("targets"),
     )
+
+
+# ------------------------------------------------ fill-in-the-middle
+
+_FIM_RATE_PCT = 50  # share of docs FIM-transformed (the paper's 50%)
+_FIM_MIN_TOKS = 8
+_FIM_MOD = 1_000_000_007
+
+
+def _fim_duck() -> str:
+    h1 = f"((doc_id % {_FIM_MOD}) * 2654435761 + 13) % {_FIM_MOD}"
+    h2 = f"((doc_id % {_FIM_MOD}) * 2654435761 + 31337) % {_FIM_MOD}"
+    h3 = f"((doc_id % {_FIM_MOD}) * 2654435761 + 271828) % {_FIM_MOD}"
+    h4 = f"((doc_id % {_FIM_MOD}) * 2654435761 + 997) % {_FIM_MOD}"
+    return f"""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS toks,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n
+        FROM documents
+    ),
+    cuts AS (
+        SELECT doc_id, toks, n,
+               CASE WHEN n >= {_FIM_MIN_TOKS}
+                         AND ({h4}) % 100 < {_FIM_RATE_PCT}
+                    THEN CASE WHEN ({h3}) % 2 = 0
+                              THEN 'psm' ELSE 'spm' END
+                    ELSE 'plain' END AS fim_mode,
+               LEAST(1 + ({h1}) % (n - 1), 1 + ({h2}) % (n - 1)) AS c1,
+               GREATEST(1 + ({h1}) % (n - 1), 1 + ({h2}) % (n - 1)) AS c2
+        FROM t
+    ),
+    parts AS (
+        SELECT doc_id, fim_mode, n, c1, c2,
+               COALESCE(array_to_string(toks[1:CAST(c1 AS INT)], ' '),
+                        '') AS pj,
+               COALESCE(array_to_string(
+                   toks[CAST(c1 + 1 AS INT):CAST(c2 AS INT)], ' '),
+                   '') AS mj,
+               COALESCE(array_to_string(
+                   toks[CAST(c2 + 1 AS INT):CAST(n AS INT)], ' '),
+                   '') AS sj,
+               array_to_string(toks, ' ') AS plain
+        FROM cuts
+    ),
+    outs AS (
+        SELECT doc_id, fim_mode, n,
+               CASE fim_mode
+                    WHEN 'plain' THEN plain
+                    WHEN 'psm' THEN 'P|' || pj || '|S|' || sj || '|M|' || mj
+                    ELSE 'S|' || sj || '|P|' || pj || '|M|' || mj
+               END AS out,
+               CASE WHEN fim_mode = 'plain' THEN CAST(n AS BIGINT)
+                    ELSE CAST(c1 AS BIGINT) END AS len_prefix,
+               CASE WHEN fim_mode = 'plain' THEN CAST(0 AS BIGINT)
+                    ELSE CAST(c2 - c1 AS BIGINT) END AS len_middle,
+               CASE WHEN fim_mode = 'plain' THEN CAST(0 AS BIGINT)
+                    ELSE CAST(n - c2 AS BIGINT) END AS len_suffix
+        FROM parts
+    )
+    SELECT doc_id, fim_mode,
+           CAST(n AS BIGINT) AS n_tokens,
+           len_prefix, len_middle, len_suffix,
+           {duckdb_charhash("out")} AS out_hash
+    FROM outs
+    """
+
+
+@register(
+    "fim_transform_spans",
+    oracle=_fim_duck(),
+    tags=("corpus", "training", "reshape"),
+    doc="Fill-in-the-middle transform (Bavarian et al. 2022, 'Efficient "
+    "Training of Language Models to Fill in the Middle'): 50% of "
+    "eligible documents get two deterministic hash-derived cut points "
+    "splitting them into prefix/middle/suffix, re-serialized in PSM "
+    "or SPM order (hash-chosen per doc, the paper's joint mode) with "
+    "sentinel markers; the rest pass through. Emits per-doc mode, "
+    "segment token lengths, and the portable hash of the transformed "
+    "text so the reassembly itself is oracle-checked, not just the "
+    "bookkeeping. Everything derives from doc_id hashes — "
+    "reproducible under any partitioning, no RNG state. Scale: pure "
+    "map-side projection (split, slice, concat), zero shuffles; at "
+    "100 TB this transform streams. Ref parity: beyond-reference "
+    "training-data assembly (companion to span_corruption_pairs).",
+)
+def fim_transform_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    m = _FIM_MOD
+    h = "((doc_id % {m}) * 2654435761 + {salt}) % {m}"
+    h1, h2, h3, h4 = (
+        h.format(m=m, salt=s) for s in (13, 31337, 271828, 997)
+    )
+    t = docs.select(
+        "doc_id",
+        F.split(F.trim("text"), r"\s+").alias("toks"),
+    ).withColumn("n", F.size("toks").cast("long"))
+    cuts = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.expr(
+            f"CASE WHEN n >= {_FIM_MIN_TOKS} AND ({h4}) % 100 < "
+            f"{_FIM_RATE_PCT} THEN CASE WHEN ({h3}) % 2 = 0 THEN 'psm' "
+            "ELSE 'spm' END ELSE 'plain' END"
+        ).alias("fim_mode"),
+        F.expr(
+            f"LEAST(1 + ({h1}) % (n - 1), 1 + ({h2}) % (n - 1))"
+        ).alias("c1"),
+        F.expr(
+            f"GREATEST(1 + ({h1}) % (n - 1), 1 + ({h2}) % (n - 1))"
+        ).alias("c2"),
+    )
+    parts = cuts.select(
+        "doc_id",
+        "fim_mode",
+        "n",
+        "c1",
+        "c2",
+        F.expr("array_join(slice(toks, 1, CAST(c1 AS INT)), ' ')").alias("pj"),
+        F.expr(
+            "array_join(slice(toks, CAST(c1 + 1 AS INT),"
+            " CAST(c2 - c1 AS INT)), ' ')"
+        ).alias("mj"),
+        F.expr(
+            "array_join(slice(toks, CAST(c2 + 1 AS INT),"
+            " CAST(n - c2 AS INT)), ' ')"
+        ).alias("sj"),
+        F.expr("array_join(toks, ' ')").alias("plain"),
+    )
+    outs = parts.select(
+        "doc_id",
+        "fim_mode",
+        "n",
+        F.expr(
+            "CASE fim_mode WHEN 'plain' THEN plain"
+            " WHEN 'psm' THEN concat('P|', pj, '|S|', sj, '|M|', mj)"
+            " ELSE concat('S|', sj, '|P|', pj, '|M|', mj) END"
+        ).alias("out"),
+        F.expr(
+            "CAST(CASE WHEN fim_mode = 'plain' THEN n ELSE c1 END"
+            " AS BIGINT)"
+        ).alias("len_prefix"),
+        F.expr(
+            "CAST(CASE WHEN fim_mode = 'plain' THEN 0 ELSE c2 - c1 END"
+            " AS BIGINT)"
+        ).alias("len_middle"),
+        F.expr(
+            "CAST(CASE WHEN fim_mode = 'plain' THEN 0 ELSE n - c2 END"
+            " AS BIGINT)"
+        ).alias("len_suffix"),
+    )
+    return outs.select(
+        "doc_id",
+        "fim_mode",
+        F.col("n").alias("n_tokens"),
+        "len_prefix",
+        "len_middle",
+        "len_suffix",
+        F.expr(spark_charhash("out")).alias("out_hash"),
+    )

@@ -464,7 +464,7 @@ def test_kcenter_coreset_python_replay(spark):
 def test_blocking_strategy_eval_python_replay(spark):
     from etl_energy_tracker_spark.queries.relational import (
         _BSE_LEV,
-        _BSE_SAMPLE_MOD,
+        _BSE_SAMPLE_K,
         blocking_strategy_eval,
     )
 
@@ -491,8 +491,10 @@ def test_blocking_strategy_eval_python_replay(spark):
     for p in _rows("part"):
         nm = p["p_name"]
         names[nm] = min(names.get(nm, 1 << 60), p["p_partkey"])
+    # r8: fixed-K smallest-by-(hash, name) rank sample (absolute
+    # bound on the all-pairs truth stage at any NDV)
     sample = sorted(
-        nm for nm in names if _charhash(nm) % _BSE_SAMPLE_MOD == 0
+        sorted(names, key=lambda nm: (_charhash(nm), nm))[:_BSE_SAMPLE_K]
     )
 
     def keys(nm: str):

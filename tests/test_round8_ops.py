@@ -302,3 +302,116 @@ def test_rendezvous_python_replay(spark):
         if s != _HRW_N:
             assert mv == 0, s
     assert moved <= 2 * len(keys) // (_HRW_N + 1) + 5
+
+
+# --------------------------------------------------- FIM transform
+
+
+def test_fim_transform_python_replay(spark):
+    from etl_energy_tracker_spark.functions.hashing import MOD
+    from etl_energy_tracker_spark.queries.llmprep import (
+        _FIM_MIN_TOKS,
+        _FIM_RATE_PCT,
+        fim_transform_spans,
+    )
+
+    def ch(s: str) -> int:
+        h = 7
+        for c in s:
+            h = (h * 31 + ord(c)) % MOD
+        return h
+
+    want = {}
+    n_fim = 0
+    for d in _rows("documents"):
+        did = d["doc_id"]
+        toks = _toks(d["text"])
+        n = len(toks)
+        h1 = ((did % MOD) * 2654435761 + 13) % MOD
+        h2 = ((did % MOD) * 2654435761 + 31337) % MOD
+        h3 = ((did % MOD) * 2654435761 + 271828) % MOD
+        h4 = ((did % MOD) * 2654435761 + 997) % MOD
+        if n >= _FIM_MIN_TOKS and h4 % 100 < _FIM_RATE_PCT:
+            mode = "psm" if h3 % 2 == 0 else "spm"
+        else:
+            mode = "plain"
+        c1 = min(1 + h1 % (n - 1), 1 + h2 % (n - 1))
+        c2 = max(1 + h1 % (n - 1), 1 + h2 % (n - 1))
+        if mode == "plain":
+            out = " ".join(toks)
+            lens = (n, 0, 0)
+        else:
+            pj = " ".join(toks[:c1])
+            mj = " ".join(toks[c1:c2])
+            sj = " ".join(toks[c2:])
+            out = (
+                f"P|{pj}|S|{sj}|M|{mj}"
+                if mode == "psm"
+                else f"S|{sj}|P|{pj}|M|{mj}"
+            )
+            lens = (c1, c2 - c1, n - c2)
+            n_fim += 1
+        want[did] = (mode, n, *lens, ch(out))
+    got = {
+        r.doc_id: (
+            r.fim_mode,
+            r.n_tokens,
+            r.len_prefix,
+            r.len_middle,
+            r.len_suffix,
+            r.out_hash,
+        )
+        for r in fim_transform_spans(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # the FIM rate actually lands near 50% of eligible docs
+    assert n_fim > 0.3 * len(want)
+
+
+# ------------------------------------------------------- pass@k
+
+
+def test_pass_at_k_python_replay(spark):
+    from math import comb
+
+    from etl_energy_tracker_spark.queries.evalops import (
+        _PAK_KS,
+        _PAK_SCALE,
+        pass_at_k_eval,
+    )
+
+    tasks: dict[int, list[float]] = {}
+    for e in _rows("events"):
+        tasks.setdefault(e["user_id"], []).append(e["value"])
+
+    def pass_ppm(n: int, c: int, k: int) -> int:
+        if c == 0:
+            return 0
+        if n - c < k:
+            return 1000000
+        acc = _PAK_SCALE
+        for i in range(k):
+            acc = acc * max(n - c - i, 0) // (n - i)
+        return 1000000 - acc // 1000000
+
+    per_k = {k: [] for k in _PAK_KS}
+    for vals in tasks.values():
+        n, c = len(vals), sum(v >= 100 for v in vals)
+        for k in _PAK_KS:
+            per_k[k].append(pass_ppm(n, c, k))
+            # the scaled-integer fold tracks the exact binomial ratio
+            # to within 1 ppm
+            if c > 0 and n - c >= k:
+                exact = 1000000 - comb(n - c, k) * 1000000 // comb(n, k)
+                assert abs(per_k[k][-1] - exact) <= 1
+    row = pass_at_k_eval(spark, SF_DIR).collect()[0]
+    assert row.n_tasks == len(tasks)
+    for k in _PAK_KS:
+        want = sum(per_k[k]) // len(tasks)
+        assert getattr(row, f"mean_pass_at_{k}_ppm") == want, k
+    # monotone in k: sampling more attempts can only help
+    assert (
+        row.mean_pass_at_1_ppm
+        <= row.mean_pass_at_5_ppm
+        <= row.mean_pass_at_10_ppm
+    )
