@@ -145,6 +145,20 @@ OPS = [
     "blocking_strategy_eval",
     "token_budget_waterfill",
     "join_cardinality_audit",
+    # round-8: bounded-summary heavy hitters, rank-join neighborhood
+    # blocking, broadcast-table mixture iterations, constant planning
+    # grid, k-smallest sketches, map-side shard argmax, map-side FIM
+    # projection, per-task fold metric, NL-template plans
+    "misra_gries_heavy_hitters",
+    "sorted_neighborhood_pairs",
+    "doremi_domain_weights",
+    "lsh_parameter_plan",
+    "kmv_theta_setops",
+    "rendezvous_shard_rebalance",
+    "fim_transform_spans",
+    "pass_at_k_eval",
+    "nl_avg_daily_price",
+    "nl_price_volume_join",
 ]
 
 
