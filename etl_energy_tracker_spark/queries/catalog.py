@@ -314,6 +314,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "doremi_domain_weights", "lsh_parameter_plan",
     "kmv_theta_setops", "rendezvous_shard_rebalance",
     "fim_transform_spans", "pass_at_k_eval",
+    "ndcg_at_k_eval", "burst_detection_viterbi",
 )
 
 

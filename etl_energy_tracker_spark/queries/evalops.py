@@ -1433,3 +1433,121 @@ def pass_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in _PAK_KS
         ],
     )
+
+
+# ------------------------------------------------------- nDCG@k
+
+_NDCG_K = 10
+# integer discount table: round(1e9 / log2(rank+1)) for rank 1..10,
+# precomputed ONCE in Python and inlined as literals into BOTH SQLs —
+# log2 never runs inside either engine, so there is no libm surface
+_NDCG_D = (
+    1000000000, 630929754, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464877, 301029996, 289064826,
+)
+_NDCG_GAIN = "CASE WHEN value >= 200 THEN 7 WHEN value >= 100 THEN 3 WHEN value >= 50 THEN 1 ELSE 0 END"
+_NDCG_H = "((event_id % 1000000007) * 2654435761 + 101) % 1000000007"
+
+
+def _ndcg_disc(rank_col: str) -> str:
+    branches = " ".join(
+        f"WHEN {rank_col} = {r} THEN {d}"
+        for r, d in enumerate(_NDCG_D, start=1)
+    )
+    return f"CASE {branches} ELSE 0 END"
+
+
+@register(
+    "ndcg_at_k_eval",
+    oracle=f"""
+    WITH scored AS (
+        SELECT user_id, event_id,
+               CAST({_NDCG_GAIN} AS BIGINT) AS gain,
+               {_NDCG_H} AS model_score
+        FROM events
+    ),
+    ranked AS (
+        SELECT user_id, gain,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY model_score DESC, event_id) AS rk,
+               row_number() OVER (PARTITION BY user_id
+                   ORDER BY gain DESC, event_id) AS ideal_rk
+        FROM scored
+    ),
+    per_q AS (
+        SELECT user_id,
+               SUM(CASE WHEN rk <= {_NDCG_K}
+                   THEN gain * {_ndcg_disc("rk")} ELSE 0 END) AS dcg,
+               SUM(CASE WHEN ideal_rk <= {_NDCG_K}
+                   THEN gain * {_ndcg_disc("ideal_rk")} ELSE 0 END)
+                   AS idcg
+        FROM ranked GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN idcg > 0
+                    THEN dcg * 1000000 // idcg ELSE 1000000 END)
+                // COUNT(*) AS BIGINT) AS mean_ndcg_ppm,
+           CAST(SUM(CASE WHEN idcg = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_relevance
+    FROM per_q
+    """,
+    tags=("eval", "search", "metrics"),
+    doc="nDCG@10 ranking evaluation: per query (user) rank candidates "
+    "by a deterministic pseudo-model score, grade relevance from the "
+    "value column (0/1/3/7 exponential gains — the 2^rel - 1 "
+    "convention), and compute DCG against the ideal ordering. The "
+    "1/log2(rank+1) discounts are precomputed integer literals "
+    "inlined into BOTH engines' SQL, so no transcendental ever runs "
+    "in-engine and every DCG is an exact integer (libm log is not "
+    "bit-portable — the memory the repo's DSIR/NB ops already "
+    "encode). Zero-relevance queries conventionally score 1 (nothing "
+    "to rank correctly), counted separately. Scale: two windows "
+    "partitioned BY QUERY (parallel, no global window) + one grouped "
+    "sum; candidate lists are per-query bounded. Ref parity: "
+    "beyond-reference eval layer (companion to ann_recall_mrr_eval, "
+    "which grades retrieval recall; this grades RANKING quality).",
+)
+def ndcg_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    scored = ev.select(
+        "user_id",
+        "event_id",
+        F.expr(f"CAST({_NDCG_GAIN} AS BIGINT)").alias("gain"),
+        F.expr(_NDCG_H).alias("model_score"),
+    )
+    ranked = scored.select(
+        "user_id",
+        "gain",
+        F.row_number()
+        .over(
+            W.partitionBy("user_id").orderBy(
+                F.desc("model_score"), "event_id"
+            )
+        )
+        .alias("rk"),
+        F.row_number()
+        .over(
+            W.partitionBy("user_id").orderBy(F.desc("gain"), "event_id")
+        )
+        .alias("ideal_rk"),
+    )
+    per_q = ranked.groupBy("user_id").agg(
+        F.expr(
+            f"SUM(CASE WHEN rk <= {_NDCG_K} THEN gain * "
+            f"{_ndcg_disc('rk')} ELSE 0 END)"
+        ).alias("dcg"),
+        F.expr(
+            f"SUM(CASE WHEN ideal_rk <= {_NDCG_K} THEN gain * "
+            f"{_ndcg_disc('ideal_rk')} ELSE 0 END)"
+        ).alias("idcg"),
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.expr(
+            "CAST(SUM(CASE WHEN idcg > 0 THEN dcg * 1000000 DIV idcg"
+            " ELSE 1000000 END) DIV COUNT(*) AS BIGINT)"
+        ).alias("mean_ndcg_ppm"),
+        F.expr(
+            "CAST(SUM(CASE WHEN idcg = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_zero_relevance"),
+    )

@@ -1118,3 +1118,192 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_alarms"),
         )
     )
+
+
+# ------------------------------------------- burst detection (Viterbi)
+
+# Two-state burst model in the shape of Kleinberg 2002 ("Bursty and
+# Hierarchical Structure in Streams"): base state expects the mean
+# hourly rate, burst state twice the mean; switching states costs
+# gamma. Costs are exact integers (|n_t*H - s*total|, gamma = total),
+# so the Viterbi recurrence is bit-identical on every engine — no
+# log-likelihood float surface. The per-hour label is the FILTERED
+# (online) argmin of the running Viterbi costs, not the smoothed
+# backtrack — the variant a streaming monitor can actually emit.
+
+
+def _burst_oracle() -> str:
+    return """
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(epoch_us(MIN(ts)) // 3600000000 AS BIGINT) AS h0,
+               CAST(epoch_us(MAX(ts)) // 3600000000 AS BIGINT) AS h1
+        FROM events
+    ),
+    spine AS (
+        SELECT unnest(generate_series(
+            (SELECT h0 FROM bounds), (SELECT h1 FROM bounds))) AS t
+    ),
+    counts AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS t,
+               COUNT(*) AS c
+        FROM events GROUP BY event_type, 2
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (
+        SELECT ty.event_type,
+               s.t - (SELECT h0 FROM bounds) + 1 AS idx,
+               CAST(COALESCE(c.c, 0) AS BIGINT) AS n
+        FROM types ty CROSS JOIN spine s
+        LEFT JOIN counts c ON c.event_type = ty.event_type AND c.t = s.t
+    ),
+    tot AS (
+        SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS hh
+        FROM grid GROUP BY event_type
+    ),
+    em AS (
+        SELECT g.event_type, g.idx,
+               ABS(g.n * t.hh - t.total) AS e0,
+               ABS(g.n * t.hh - 2 * t.total) AS e1,
+               t.total AS gamma
+        FROM grid g JOIN tot t USING (event_type)
+    ),
+    steps AS (
+        SELECT event_type, idx, e0 AS v0, e1 + gamma AS v1, gamma
+        FROM em WHERE idx = 1
+        UNION ALL
+        SELECT e.event_type, e.idx,
+               e.e0 + LEAST(s.v0, s.v1 + s.gamma),
+               e.e1 + LEAST(s.v1, s.v0 + s.gamma),
+               s.gamma
+        FROM steps s JOIN em e
+          ON e.event_type = s.event_type AND e.idx = s.idx + 1
+    ),
+    labeled AS (
+        SELECT event_type, idx,
+               CASE WHEN v1 < v0 THEN 1 ELSE 0 END AS b, v0, v1
+        FROM steps
+    ),
+    islands AS (
+        SELECT event_type, grp, COUNT(*) AS len FROM (
+            SELECT event_type,
+                   idx - row_number() OVER (
+                       PARTITION BY event_type ORDER BY idx) AS grp
+            FROM labeled WHERE b = 1
+        ) GROUP BY event_type, grp
+    ),
+    finals AS (
+        SELECT event_type, LEAST(v0, v1) AS final_cost
+        FROM labeled
+        WHERE idx = (SELECT MAX(idx) FROM labeled)
+    )
+    SELECT l.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(l.b) AS BIGINT) AS n_burst_hours,
+           CAST(COALESCE((SELECT MAX(len) FROM islands i
+                          WHERE i.event_type = l.event_type), 0)
+               AS BIGINT) AS longest_burst,
+           CAST(MIN(f.final_cost) AS BIGINT) AS final_cost
+    FROM labeled l JOIN finals f USING (event_type)
+    GROUP BY l.event_type
+    """
+
+
+@register(
+    "burst_detection_viterbi",
+    oracle=_burst_oracle(),
+    tags=("time", "anomaly", "iterative"),
+    doc="Two-state burst detection in the shape of Kleinberg 2002: "
+    "per event type, hourly counts on a complete hour spine feed a "
+    "Viterbi recurrence with integer emission costs |n_t*H - s*total| "
+    "(base s=1, burst s=2) and transition penalty gamma = total; the "
+    "per-hour burst label is the filtered argmin of the running "
+    "costs (the online variant a streaming monitor emits — no "
+    "backward pass). Reports burst-hour count, the longest burst "
+    "run, and the final path cost per type. All-integer costs make "
+    "the 720-step recurrence bit-identical across engines; the "
+    "oracle replays it as a recursive CTE. Scale: counts collapse "
+    "map-side to the (types x hours) grid — the sequential kernel "
+    "runs per TYPE on that bounded grid via applyInPandas (the "
+    "GroupState precedent), never on raw events; a year of hourly "
+    "data is 8760 rows per type no matter the corpus size. "
+    "Complements ewma_anomaly/cusum_changepoint (point alarms) with "
+    "state-duration structure. Ref parity: beyond-reference "
+    "time-series analytics.",
+)
+def burst_detection_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hours = ev.select(
+        "event_type",
+        (F.unix_timestamp("ts") / 3600).cast("long").alias("t"),
+    )
+    bounds = hours.agg(
+        F.min("t").alias("h0"), F.max("t").alias("h1")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("h0", "h1")).alias("t"),
+        F.col("h0"),
+    )
+    counts = hours.groupBy("event_type", "t").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(spine))
+        .join(counts, ["event_type", "t"], "left")
+        .select(
+            "event_type",
+            (F.col("t") - F.col("h0") + 1).alias("idx"),
+            F.coalesce("c", F.lit(0)).cast("long").alias("n"),
+        )
+    )
+    tot = grid.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("hh"),
+    )
+    em = grid.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "idx",
+        F.abs(F.col("n") * F.col("hh") - F.col("total")).alias("e0"),
+        F.abs(F.col("n") * F.col("hh") - 2 * F.col("total")).alias("e1"),
+        F.col("total").alias("gamma"),
+    )
+
+    def viterbi(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("idx")
+        gamma = int(pdf["gamma"].iloc[0])
+        v0 = v1 = None
+        n_burst = longest = cur = 0
+        for e0, e1 in zip(pdf["e0"].to_numpy(), pdf["e1"].to_numpy()):
+            e0, e1 = int(e0), int(e1)
+            if v0 is None:
+                v0, v1 = e0, e1 + gamma
+            else:
+                v0, v1 = (
+                    e0 + min(v0, v1 + gamma),
+                    e1 + min(v1, v0 + gamma),
+                )
+            if v1 < v0:
+                cur += 1
+                n_burst += 1
+                longest = max(longest, cur)
+            else:
+                cur = 0
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_hours": [len(pdf)],
+                "n_burst_hours": [n_burst],
+                "longest_burst": [longest],
+                "final_cost": [min(v0, v1)],
+            }
+        )
+
+    return em.groupBy("event_type").applyInPandas(
+        viterbi,
+        "event_type string, n_hours long, n_burst_hours long, "
+        "longest_burst long, final_cost long",
+    )

@@ -415,3 +415,105 @@ def test_pass_at_k_python_replay(spark):
         <= row.mean_pass_at_5_ppm
         <= row.mean_pass_at_10_ppm
     )
+
+
+# ------------------------------------------------------- nDCG@10
+
+
+def test_ndcg_python_replay(spark):
+    from etl_energy_tracker_spark.queries.evalops import (
+        _NDCG_D,
+        _NDCG_K,
+        ndcg_at_k_eval,
+    )
+
+    per_user: dict[int, list[tuple[int, int, int]]] = {}
+    M = 1_000_000_007
+    for e in _rows("events"):
+        v = e["value"]
+        gain = 7 if v >= 200 else 3 if v >= 100 else 1 if v >= 50 else 0
+        score = ((e["event_id"] % M) * 2654435761 + 101) % M
+        per_user.setdefault(e["user_id"], []).append(
+            (gain, score, e["event_id"])
+        )
+    total = 0
+    zero = 0
+    for items in per_user.values():
+        by_model = sorted(items, key=lambda x: (-x[1], x[2]))
+        by_ideal = sorted(items, key=lambda x: (-x[0], x[2]))
+        dcg = sum(
+            g * _NDCG_D[r]
+            for r, (g, _, _) in enumerate(by_model[:_NDCG_K])
+        )
+        idcg = sum(
+            g * _NDCG_D[r]
+            for r, (g, _, _) in enumerate(by_ideal[:_NDCG_K])
+        )
+        if idcg > 0:
+            total += dcg * 1000000 // idcg
+        else:
+            total += 1000000
+            zero += 1
+    row = ndcg_at_k_eval(spark, SF_DIR).collect()[0]
+    assert row.n_queries == len(per_user)
+    assert row.mean_ndcg_ppm == total // len(per_user)
+    assert row.n_zero_relevance == zero
+    # random model scores should land strictly between 0 and perfect
+    assert 0 < row.mean_ndcg_ppm < 1000000
+
+
+# --------------------------------------------------- burst Viterbi
+
+
+def test_burst_viterbi_python_replay(spark):
+    from etl_energy_tracker_spark.queries.timeops import (
+        burst_detection_viterbi,
+    )
+
+    counts: dict[str, dict[int, int]] = {}
+    ts_all = []
+    for e in _rows("events"):
+        t = int(e["ts"].timestamp() // 3600)
+        ts_all.append(t)
+        counts.setdefault(e["event_type"], {}).setdefault(t, 0)
+        counts[e["event_type"]][t] += 1
+    h0, h1 = min(ts_all), max(ts_all)
+    want = {}
+    for ty, per_h in counts.items():
+        ns = [per_h.get(t, 0) for t in range(h0, h1 + 1)]
+        hh = len(ns)
+        total = sum(ns)
+        gamma = total
+        v0 = v1 = None
+        n_burst = longest = cur = 0
+        for n in ns:
+            e0 = abs(n * hh - total)
+            e1 = abs(n * hh - 2 * total)
+            if v0 is None:
+                v0, v1 = e0, e1 + gamma
+            else:
+                v0, v1 = (
+                    e0 + min(v0, v1 + gamma),
+                    e1 + min(v1, v0 + gamma),
+                )
+            if v1 < v0:
+                cur += 1
+                n_burst += 1
+                longest = max(longest, cur)
+            else:
+                cur = 0
+        want[ty] = (hh, n_burst, longest, min(v0, v1))
+    got = {
+        r.event_type: (
+            r.n_hours,
+            r.n_burst_hours,
+            r.longest_burst,
+            r.final_cost,
+        )
+        for r in burst_detection_viterbi(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # the label run structure is consistent: longest streak can't
+    # exceed the burst-hour total, and some type shows a real burst
+    assert all(l <= b for _, b, l, _ in got.values())
+    assert any(b > 0 for _, b, _, _ in got.values())
