@@ -159,6 +159,8 @@ OPS = [
     "pass_at_k_eval",
     "nl_avg_daily_price",
     "nl_price_volume_join",
+    "ndcg_at_k_eval",
+    "burst_detection_viterbi",
 ]
 
 
