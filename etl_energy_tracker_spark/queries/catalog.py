@@ -315,6 +315,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "kmv_theta_setops", "rendezvous_shard_rebalance",
     "fim_transform_spans", "pass_at_k_eval",
     "ndcg_at_k_eval", "burst_detection_viterbi",
+    "asof_join_feature_staleness", "vopt_histogram_boundaries",
 )
 
 

@@ -1510,3 +1510,91 @@ def rendezvous_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_after"),
         )
     )
+
+
+# ------------------------------------------ V-optimal histogram search
+
+_VH_BUCKETS = 4  # enumerate all 3-cut splits of the ordered value set
+
+
+def _vh_cost(n: str, s: str, q: str) -> str:
+    # bucket SSE in exact micro-units around the milli-truncated mean:
+    # q*1e6 - 2*m*s*1e3 + n*m^2 with m = s*1000/n. Never forms s^2
+    # (which wraps int64 once SUM(c*v) passes ~3e9); every term stays
+    # <= ~1.5e18 at x1000 scale. Truncation of m is identical on both
+    # engines, so split selection is deterministic.
+    m = f"(({s}) * 1000 {{d}} NULLIF(({n}), 0))"
+    return (
+        f"(CASE WHEN ({n}) = 0 THEN 0 ELSE "
+        f"({q}) * 1000000 - 2 * {m} * ({s}) * 1000 + ({n}) * {m} * {m} "
+        "END)"
+    )
+
+
+def _vh_sql(div: str) -> str:
+    d = div
+    b1 = _vh_cost("a.pn", "a.ps", "a.pq").format(d=d)
+    b2 = _vh_cost("b.pn - a.pn", "b.ps - a.ps", "b.pq - a.pq").format(d=d)
+    b3 = _vh_cost("c.pn - b.pn", "c.ps - b.ps", "c.pq - b.pq").format(d=d)
+    b4 = _vh_cost("t.pn - c.pn", "t.ps - c.ps", "t.pq - c.pq").format(d=d)
+    return f"""
+    WITH vals AS (
+        SELECT CAST(l_quantity AS BIGINT) AS v,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1
+    ),
+    pre AS (
+        SELECT v,
+               SUM(c) OVER w AS pn,
+               SUM(c * v) OVER w AS ps,
+               SUM(c * v * v) OVER w AS pq
+        FROM vals
+        WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    tot AS (
+        SELECT MAX(pn) AS pn, MAX(ps) AS ps, MAX(pq) AS pq FROM pre
+    ),
+    splits AS (
+        SELECT a.v AS cut1, b.v AS cut2, c.v AS cut3,
+               CAST({b1} + {b2} + {b3} + {b4} AS BIGINT) AS sse_micro
+        FROM pre a
+        JOIN pre b ON b.v > a.v
+        JOIN pre c ON c.v > b.v
+        CROSS JOIN tot t
+        WHERE c.v < (SELECT MAX(v) FROM pre)
+    )
+    SELECT CAST(cut1 AS BIGINT) AS cut1,
+           CAST(cut2 AS BIGINT) AS cut2,
+           CAST(cut3 AS BIGINT) AS cut3,
+           sse_micro
+    FROM splits
+    ORDER BY sse_micro, cut1, cut2, cut3
+    LIMIT 1
+    """
+
+
+@register(
+    "vopt_histogram_boundaries",
+    oracle=_vh_sql("//"),
+    tags=("stats", "optimizer"),
+    doc="V-optimal histogram construction (Jagadish et al., VLDB'98 — "
+    "the histogram class planners prefer because it minimizes "
+    "estimation variance): choose the 4-bucket boundaries over "
+    "l_quantity's value domain minimizing total within-bucket SSE, "
+    "by exact enumeration of all 3-cut splits over the ORDERED "
+    "DISTINCT-VALUE prefix-sum table. The value domain is "
+    "histogram-bounded (~50 quantities), so the split space is "
+    "C(V-1,3) ~ 18k rows of O(1) prefix arithmetic — independent of "
+    "corpus size; the corpus contributes ONE map-side collapse to "
+    "(value, count). SSE uses the milli-truncated-mean micro-unit "
+    "form, never s^2 (int64 wrap at SF1000 — same trap "
+    "join_cardinality_audit fixed). Companion to "
+    "histogram_quantile_estimate (equi-depth) and analyze_column_"
+    "stats: this one picks WHERE the bucket edges should go. Ref "
+    "parity: beyond-reference optimizer instrumentation.",
+)
+def vopt_histogram_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, "lineitem", sf_dir).createOrReplaceTempView(
+        "lineitem"
+    )
+    return spark.sql(_vh_sql("DIV"))

@@ -1307,3 +1307,95 @@ def burst_detection_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n_hours long, n_burst_hours long, "
         "longest_burst long, final_cost long",
     )
+
+
+# -------------------------------- point-in-time feature join (staleness)
+
+_FS_TOL_S = 3600  # serving tolerance: features older than 1h are stale
+
+
+@register(
+    "asof_join_feature_staleness",
+    oracle=f"""
+    WITH stream AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN event_type = 'view' THEN ts END AS f_ts,
+               CASE WHEN event_type = 'view' THEN value END AS f_val,
+               CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS ord
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    joined AS (
+        SELECT event_id, user_id, ts, event_type,
+               last_value(f_ts IGNORE NULLS) OVER w AS feat_ts,
+               last_value(f_val IGNORE NULLS) OVER w AS feat_val
+        FROM stream
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, ord, event_id
+                     ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT event_id, user_id, ts,
+           CAST(CASE WHEN feat_ts IS NULL THEN NULL
+                ELSE (epoch_us(ts) - epoch_us(feat_ts)) // 1000000 END
+               AS BIGINT) AS staleness_s,
+           CASE WHEN feat_ts IS NOT NULL
+                     AND (epoch_us(ts) - epoch_us(feat_ts)) // 1000000
+                         <= {_FS_TOL_S}
+                THEN feat_val END AS feature_value,
+           CASE WHEN feat_ts IS NOT NULL
+                     AND (epoch_us(ts) - epoch_us(feat_ts)) // 1000000
+                         <= {_FS_TOL_S}
+                THEN 1 ELSE 0 END AS is_fresh
+    FROM joined WHERE event_type = 'purchase'
+    """,
+    tags=("time", "join", "features"),
+    doc="Point-in-time feature join with a staleness tolerance — the "
+    "feature-store serving-correctness primitive: each serving "
+    "request (purchase) gets the latest feature value (view) for its "
+    "user AS OF request time, but values older than the 1h tolerance "
+    "are withheld (NULL) and flagged stale — exactly what online "
+    "stores (Feast-style ttl) enforce so models never consume "
+    "expired features; training data built this way matches serving "
+    "(no training/serving skew). Extends asof_join_last_click "
+    "(backward, no tolerance) and asof_join_next_purchase (forward). "
+    "Same single-shuffle union+window shape: one partition-by-user "
+    "window covers the as-of semantics, tolerance is a map-side "
+    "integer-seconds comparison — no range join, no per-request "
+    "probe. Ref parity: beyond-reference feature-pipeline layer.",
+)
+def asof_join_feature_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    stream = ev.where(F.col("event_type").isin("view", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "view", F.col("ts")).alias("f_ts"),
+        F.when(F.col("event_type") == "view", F.col("value")).alias("f_val"),
+    )
+    from pyspark.sql import Window as W
+
+    order = F.when(F.col("event_type") == "view", 0).otherwise(1)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", order, "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    joined = stream.withColumn(
+        "feat_ts", F.last("f_ts", ignorenulls=True).over(w)
+    ).withColumn("feat_val", F.last("f_val", ignorenulls=True).over(w))
+    stale_s = F.expr(
+        "(unix_micros(ts) - unix_micros(feat_ts)) DIV 1000000"
+    )
+    fresh = F.col("feat_ts").isNotNull() & (stale_s <= _FS_TOL_S)
+    return (
+        joined.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(F.col("feat_ts").isNotNull(), stale_s)
+            .cast("long")
+            .alias("staleness_s"),
+            F.when(fresh, F.col("feat_val")).alias("feature_value"),
+            F.when(fresh, F.lit(1)).otherwise(F.lit(0)).alias("is_fresh"),
+        )
+    )

@@ -517,3 +517,111 @@ def test_burst_viterbi_python_replay(spark):
     # exceed the burst-hour total, and some type shows a real burst
     assert all(l <= b for _, b, l, _ in got.values())
     assert any(b > 0 for _, b, _, _ in got.values())
+
+
+# ------------------------------------- feature-staleness as-of join
+
+
+def test_feature_staleness_python_replay(spark):
+    from etl_energy_tracker_spark.queries.timeops import (
+        _FS_TOL_S,
+        asof_join_feature_staleness,
+    )
+
+    per_user: dict[int, list] = {}
+    for e in _rows("events"):
+        if e["event_type"] in ("view", "purchase"):
+            per_user.setdefault(e["user_id"], []).append(e)
+    want = {}
+    for u, evs in per_user.items():
+        evs.sort(
+            key=lambda e: (
+                e["ts"],
+                0 if e["event_type"] == "view" else 1,
+                e["event_id"],
+            )
+        )
+        f_ts = f_val = None
+        for e in evs:
+            if e["event_type"] == "view":
+                f_ts, f_val = e["ts"], e["value"]
+            else:
+                if f_ts is None:
+                    want[e["event_id"]] = (None, None, 0)
+                else:
+                    st = (
+                        int(e["ts"].timestamp() * 1e6)
+                        - int(f_ts.timestamp() * 1e6)
+                    ) // 1000000
+                    fresh = st <= _FS_TOL_S
+                    want[e["event_id"]] = (
+                        st,
+                        f_val if fresh else None,
+                        1 if fresh else 0,
+                    )
+    got = {
+        r.event_id: (r.staleness_s, r.feature_value, r.is_fresh)
+        for r in asof_join_feature_staleness(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # the tolerance actually bites: some requests are stale
+    assert any(f == 0 for _, _, f in got.values())
+    assert any(f == 1 for _, _, f in got.values())
+
+
+# --------------------------------------------- V-optimal histogram
+
+
+def test_vopt_histogram_python_replay(spark):
+    from etl_energy_tracker_spark.queries.relational import (
+        vopt_histogram_boundaries,
+    )
+
+    counts: dict[int, int] = {}
+    for li in _rows("lineitem"):
+        v = int(li["l_quantity"])
+        counts[v] = counts.get(v, 0) + 1
+    vals = sorted(counts)
+    pre = []
+    pn = ps = pq = 0
+    for v in vals:
+        c = counts[v]
+        pn += c
+        ps += c * v
+        pq += c * v * v
+        pre.append((v, pn, ps, pq))
+    tot = pre[-1]
+
+    def cost(n, s, q):
+        if n == 0:
+            return 0
+        m = s * 1000 // n
+        return q * 1000000 - 2 * m * s * 1000 + n * m * m
+
+    best = None
+    for i in range(len(pre)):
+        for j in range(i + 1, len(pre)):
+            for k in range(j + 1, len(pre) - 1):
+                a, b, c = pre[i], pre[j], pre[k]
+                sse = (
+                    cost(a[1], a[2], a[3])
+                    + cost(b[1] - a[1], b[2] - a[2], b[3] - a[3])
+                    + cost(c[1] - b[1], c[2] - b[2], c[3] - b[3])
+                    + cost(tot[1] - c[1], tot[2] - c[2], tot[3] - c[3])
+                )
+                key = (sse, a[0], b[0], c[0])
+                if best is None or key < best:
+                    best = key
+    row = vopt_histogram_boundaries(spark, SF_DIR).collect()[0]
+    assert (row.sse_micro, row.cut1, row.cut2, row.cut3) == best
+    # V-optimal beats (or ties) the naive equi-width split
+    ew = [vals[len(vals) // 4], vals[len(vals) // 2], vals[3 * len(vals) // 4]]
+    idx = {v: p for p, (v, *_ ) in enumerate(pre)}
+    a, b, c = (pre[idx[x]] for x in ew)
+    ew_sse = (
+        cost(a[1], a[2], a[3])
+        + cost(b[1] - a[1], b[2] - a[2], b[3] - a[3])
+        + cost(c[1] - b[1], c[2] - b[2], c[3] - b[3])
+        + cost(tot[1] - c[1], tot[2] - c[2], tot[3] - c[3])
+    )
+    assert row.sse_micro <= ew_sse
