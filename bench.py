@@ -206,6 +206,22 @@ EXTRA = [
     "blocking_strategy_eval",
     "token_budget_waterfill",
     "join_cardinality_audit",
+    # r8 additions
+    "misra_gries_heavy_hitters",
+    "sorted_neighborhood_pairs",
+    "doremi_domain_weights",
+    "lsh_parameter_plan",
+    "kmv_theta_setops",
+    "rendezvous_shard_rebalance",
+    "fim_transform_spans",
+    "pass_at_k_eval",
+    "nl_avg_daily_price",
+    "nl_avg_volume_latest_day",
+    "nl_price_volume_join",
+    "ndcg_at_k_eval",
+    "burst_detection_viterbi",
+    "asof_join_feature_staleness",
+    "vopt_histogram_boundaries",
 ]
 
 
