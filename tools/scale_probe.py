@@ -161,6 +161,8 @@ OPS = [
     "nl_price_volume_join",
     "ndcg_at_k_eval",
     "burst_detection_viterbi",
+    "asof_join_feature_staleness",
+    "vopt_histogram_boundaries",
 ]
 
 
