@@ -625,3 +625,131 @@ def test_vopt_histogram_python_replay(spark):
         + cost(tot[1] - c[1], tot[2] - c[2], tot[3] - c[3])
     )
     assert row.sse_micro <= ew_sse
+
+
+# --------------------------- hypothesis properties for r8 kernels
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from([f"t{i}" for i in range(30)]),
+        min_size=1,
+        max_size=400,
+    ),
+    st.integers(2, 5),
+)
+def test_mg_superset_property(stream, parts):
+    """Misra-Gries batch-merge superset guarantee under random streams
+    and partition layouts (the property the production fan-out rests
+    on)."""
+    import pandas as pd
+
+    k = 8
+    n = len(stream)
+    truth = {t for t, c in Counter(stream).items() if c * k > n}
+
+    def mg(tokens):
+        counters: dict[str, int] = {}
+        for tok, c in pd.Series(tokens).value_counts().items():
+            counters[tok] = counters.get(tok, 0) + int(c)
+        if len(counters) > k:
+            kth = sorted(counters.values(), reverse=True)[k]
+            counters = {t: c - kth for t, c in counters.items() if c > kth}
+        return set(counters)
+
+    step = (n + parts - 1) // parts
+    cand = set()
+    for p in range(parts):
+        chunk = stream[p * step : (p + 1) * step]
+        if chunk:
+            cand |= mg(chunk)
+    assert truth <= cand
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.integers(1, 10**12), min_size=1, max_size=60, unique=True),
+    st.integers(2, 20),
+)
+def test_hrw_minimal_movement_property(keys, n):
+    """HRW guarantee under arbitrary keys and shard counts: adding a
+    shard only ever moves keys TO the new shard."""
+    M = 1_000_000_007
+
+    def shard(uid, nn):
+        best, bs = -1, -1
+        for s in range(nn):
+            sc = ((uid % M) * ((s * 2654435761 + 97) % M) + s) % M
+            if sc > best:
+                best, bs = sc, s
+        return bs
+
+    for k in keys:
+        b, a = shard(k, n), shard(k, n + 1)
+        assert a == b or a == n
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.sets(st.integers(0, 10**6), min_size=1, max_size=800),
+    st.sets(st.integers(0, 10**6), min_size=1, max_size=800),
+)
+def test_kmv_estimator_property(a, b):
+    """KMV estimate is exact below k and within the ~1/sqrt(k) error
+    band above it, for random id sets; the union sketch never
+    over-counts the exact union by more than the same band."""
+    M = 1_000_000_007
+    K = 64
+
+    def h(uid):
+        return ((uid % M) * 2654435761 + 40503) % M
+
+    def est(ids):
+        hs = sorted({h(x) for x in ids})
+        if len(hs) <= K:
+            return len(hs)
+        return (K - 1) * M // hs[K - 1]
+
+    for s in (a, b, a | b):
+        e = est(s)
+        hs = {h(x) for x in s}
+        if len(hs) <= K:
+            assert e == len(hs)
+        else:
+            # 5 standard deviations of the KMV estimator
+            assert abs(e - len(hs)) <= 5 * len(hs) // 8 + 2
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(st.integers(0, 50), min_size=3, max_size=120),
+    st.integers(1, 40),
+)
+def test_burst_viterbi_cost_property(ns, gamma):
+    """The two-state Viterbi running cost is always <= the stay-in-base
+    path cost, and labels respond to the transition penalty
+    monotonically (higher gamma never creates MORE bursts)."""
+
+    def run(g):
+        hh, total = len(ns), sum(ns)
+        v0 = v1 = None
+        n_burst = 0
+        base_path = 0
+        for n in ns:
+            e0 = abs(n * hh - total)
+            e1 = abs(n * hh - 2 * total)
+            base_path += e0
+            if v0 is None:
+                v0, v1 = e0, e1 + g
+            else:
+                v0, v1 = e0 + min(v0, v1 + g), e1 + min(v1, v0 + g)
+            if v1 < v0:
+                n_burst += 1
+            assert min(v0, v1) <= base_path
+        return n_burst
+
+    assert run(gamma * 10**6) <= 1 or run(gamma) >= run(gamma * 10**6)
