@@ -170,6 +170,7 @@ OPS = [
 # count — probed with --ndv so the bounding axis actually grows.
 NDV_OPS = [
     "blocking_strategy_eval",
+    "sorted_neighborhood_pairs",
     "fuzzy_name_match_pairs",
     "entity_resolution_golden",
     "prefix_filter_jaccard_join",
