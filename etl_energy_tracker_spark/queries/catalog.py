@@ -316,6 +316,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "fim_transform_spans", "pass_at_k_eval",
     "ndcg_at_k_eval", "burst_detection_viterbi",
     "asof_join_feature_staleness", "vopt_histogram_boundaries",
+    "nl_total_volume_by_market",
 )
 
 

@@ -239,3 +239,30 @@ def nl_price_volume_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hourly prices joined with volumes per market for the week of "
         "2024-01-05"
     )
+
+
+@register(
+    "nl_total_volume_by_market",
+    oracle=f"""
+    WITH {_DUCK_VOLUMENES}
+    SELECT id_mercado, ROUND(SUM(volumenes), 2) AS total_volumenes
+    FROM volumenes_i90
+    WHERE datetime_utc >= TIMESTAMP '2024-01-01 00:00:00'
+      AND datetime_utc < TIMESTAMP '2024-01-31 00:00:00' + INTERVAL 1 DAY
+    GROUP BY id_mercado ORDER BY id_mercado
+    """,
+    tags=("nl", "read", "aggregate"),
+    doc="NL→SQL template path, all-market breakdown form: 'suma de "
+    "volumenes por mercado entre 2024-01-01 y 2024-01-31' — the "
+    "grammar's total/by-market branch (r8 extension): no market-name "
+    "filter is required, the GROUP BY covers every market in the "
+    "window. Same safety gate and execution path as the other NL "
+    "rows. Scale: a pruned scan + one grouped aggregate.",
+)
+def nl_total_volume_by_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..read.nl2sql import NLQueryGenerator
+
+    _nl_views(spark, sf_dir)
+    return NLQueryGenerator(spark).execute_query(
+        "suma de volumenes por mercado entre 2024-01-01 y 2024-01-31"
+    )

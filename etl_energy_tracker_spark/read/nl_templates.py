@@ -21,6 +21,10 @@ Grammar (case- and diacritic-insensitive):
      | on|el|de <YYYY-MM-DD>
      | latest day|ultimo dia]
 
+    total|sum|suma (price|...|volume|...) by market|por mercado
+    [<date clause as above>]              -- all-market breakdown,
+                                          -- no market name required
+
 Every produced statement is a single read-only SELECT over the
 registered lake views, so it passes the same ``postprocess`` safety
 gate as LLM output.
@@ -57,6 +61,8 @@ _AVG = re.compile(r"\baverage\b|\bavg\b|\bmedio\b|\bmedia\b")
 _DAILY = re.compile(r"\bdaily\b|\bdiari[oa]\b|\bpor dia\b")
 _PRICE = re.compile(r"\bprecios?\b|\bprices?\b")
 _VOLUME = re.compile(r"\bvolumen(?:es)?\b|\bvolumes?\b")
+_TOTAL = re.compile(r"\btotal(?:es)?\b|\bsum\b|\bsuma\b")
+_BY_MARKET = re.compile(r"by market|per market|por mercado")
 
 
 def _find_market(q: str) -> object | None:
@@ -74,14 +80,17 @@ def match_template(question: str) -> str | None:
     is_volume = bool(_VOLUME.search(q))
     if not (is_price or is_volume):
         return None
+    by_market = bool(_TOTAL.search(q)) and bool(_BY_MARKET.search(q))
     market = _find_market(q)
-    if market is None:
+    if market is None and not by_market:
         return None
 
     table = "precios" if is_price else "volumenes_i90"
     value = "precio" if is_price else "volumenes"
 
-    conds = [f"id_mercado = {market.id}"]
+    # "total ... by market" is a breakdown across ALL markets — no
+    # market-name filter required (or honored if one was given)
+    conds = [] if market is None else [f"id_mercado = {market.id}"]
     m = _RANGE.search(q)
     if m:
         conds.append(
@@ -102,8 +111,14 @@ def match_template(question: str) -> str | None:
                 f"CAST(datetime_utc AS DATE) = (SELECT MAX(CAST(datetime_utc "
                 f"AS DATE)) FROM {table} WHERE id_mercado = {market.id})"
             )
-    where = " AND ".join(conds)
+    where = " AND ".join(conds) if conds else "1 = 1"
 
+    if by_market:
+        return (
+            f"SELECT id_mercado, ROUND(SUM({value}), 2) AS total_{value} "
+            f"FROM {table} WHERE {where} "
+            f"GROUP BY id_mercado ORDER BY id_mercado"
+        )
     if _AVG.search(q):
         if _DAILY.search(q):
             return (

@@ -83,3 +83,22 @@ def test_template_sql_executes_on_lake_view(spark):
         "precio medio de Diario del último día"
     ).collect()
     assert latest[0].avg_precio == 99.0
+
+
+def test_total_by_market_template():
+    from etl_energy_tracker_spark.read.nl_templates import match_template
+
+    sql = match_template(
+        "suma de volumenes por mercado entre 2024-01-01 y 2024-01-31"
+    )
+    assert sql is not None
+    assert "GROUP BY id_mercado" in sql
+    assert "SUM(volumenes)" in sql
+    assert "id_mercado =" not in sql  # breakdown: no market filter
+    assert "2024-01-01" in sql and "2024-01-31" in sql
+    # English phrasing, price table, no date clause
+    sql2 = match_template("total price by market")
+    assert sql2 is not None and "precios" in sql2 and "WHERE 1 = 1" in sql2
+    # a named market is honored as a filter even in breakdown form
+    sql3 = match_template("total volumen by market of Diario")
+    assert sql3 is not None and "id_mercado = 1" in sql3
