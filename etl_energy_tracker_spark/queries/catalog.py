@@ -306,8 +306,9 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "blocking_strategy_eval", "join_cardinality_audit",
     "kcenter_coreset_sample", "source_lexical_distance",
     "token_budget_waterfill",
-) + _REVERIFY_HINT_ONLY + (
-    # r8 additions land here as they are written
+    # r8 additions (never driver-checked) — per VERDICT r7 "What's
+    # wrong" §3, never-checked outranks the result-neutral hint-only
+    # re-checks, which close the queue
     "nl_price_volume_join", "nl_avg_daily_price",
     "nl_avg_volume_latest_day",
     "misra_gries_heavy_hitters", "sorted_neighborhood_pairs",
@@ -317,7 +318,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "ndcg_at_k_eval", "burst_detection_viterbi",
     "asof_join_feature_staleness", "vopt_histogram_boundaries",
     "nl_total_volume_by_market",
-)
+) + _REVERIFY_HINT_ONLY
 
 
 def _ordered() -> list[str]:
