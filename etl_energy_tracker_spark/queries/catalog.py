@@ -318,6 +318,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "ndcg_at_k_eval", "burst_detection_viterbi",
     "asof_join_feature_staleness", "vopt_histogram_boundaries",
     "nl_total_volume_by_market",
+    "salt_plan_report", "shuffle_partition_advisor",
 ) + _REVERIFY_HINT_ONLY
 
 

@@ -1598,3 +1598,175 @@ def vopt_histogram_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lineitem"
     )
     return spark.sql(_vh_sql("DIV"))
+
+
+# --------------------------------------------- skew-salt planning
+
+_SALT_TARGET_ROWS = 500  # rows per task a salted hot key should carry
+
+
+@register(
+    "salt_plan_report",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT event_type AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY event_type
+    )
+    SELECT key, cnt,
+           CAST((cnt + {_SALT_TARGET_ROWS} - 1) {'//'} {_SALT_TARGET_ROWS}
+               AS BIGINT) AS salt_n,
+           CAST((cnt + ((cnt + {_SALT_TARGET_ROWS} - 1)
+                        {'//'} {_SALT_TARGET_ROWS}) - 1)
+               {'//'} ((cnt + {_SALT_TARGET_ROWS} - 1)
+                       {'//'} {_SALT_TARGET_ROWS}) AS BIGINT)
+               AS max_task_rows
+    FROM keyed
+    """,
+    tags=("layout", "planning", "skew"),
+    doc="Skew-salting planner — the sizing step in front of "
+    "salted_skew_join: per join/agg key, the salt factor "
+    "ceil(cnt / target_rows_per_task) that caps any single task's "
+    "rows at the target, and the resulting per-task ceiling "
+    "ceil(cnt / salt_n). salted_skew_join EXECUTES a salted join "
+    "with a fixed factor; this query derives the factor per key "
+    "from the measured histogram — what an auto-salting layer "
+    "broadcasts before planning the shuffle (AQE's skew split does "
+    "the same arithmetic on partition sizes at runtime; doing it on "
+    "KEY histograms lets the plan pre-split before the skewed "
+    "exchange even materializes). The key histogram is one map-side "
+    "combine; everything after runs on the bounded key table. Exact "
+    "integer ceilings on both engines.",
+)
+def salt_plan_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    keyed = ev.groupBy(F.col("event_type").alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    t = _SALT_TARGET_ROWS
+    salt = F.expr(f"(cnt + {t} - 1) DIV {t}")
+    return keyed.select(
+        "key",
+        "cnt",
+        salt.cast("long").alias("salt_n"),
+        F.expr(
+            f"CAST((cnt + ((cnt + {t} - 1) DIV {t}) - 1)"
+            f" DIV ((cnt + {t} - 1) DIV {t}) AS BIGINT)"
+        ).alias("max_task_rows"),
+    )
+
+
+# ------------------------------------- shuffle-partition advisor
+
+# byte-width model per column kind (the planner convention: fixed
+# widths for numerics/timestamps, measured payload + offset overhead
+# for variable-length kinds) — ONE shared table so the Spark side and
+# the oracle price identical schemas
+_SPA_TABLES: dict[str, list[tuple[str, str]]] = {
+    "lineitem": [
+        ("l_orderkey", "fixed8"), ("l_partkey", "fixed8"),
+        ("l_suppkey", "fixed8"), ("l_linenumber", "fixed4"),
+        ("l_quantity", "fixed8"), ("l_extendedprice", "fixed8"),
+        ("l_discount", "fixed8"), ("l_tax", "fixed8"),
+        ("l_returnflag", "str"), ("l_linestatus", "str"),
+        ("l_shipdate", "fixed8"),
+    ],
+    "orders": [
+        ("o_orderkey", "fixed8"), ("o_custkey", "fixed8"),
+        ("o_orderstatus", "str"), ("o_totalprice", "fixed8"),
+        ("o_orderdate", "fixed8"), ("o_orderpriority", "str"),
+    ],
+    "events": [
+        ("event_id", "fixed8"), ("ts", "fixed8"),
+        ("user_id", "fixed8"), ("event_type", "str"),
+        ("value", "fixed8"), ("props", "str"),
+    ],
+    "documents": [
+        ("doc_id", "fixed8"), ("text", "str"), ("lang", "str"),
+        ("source", "str"), ("n_chars", "fixed8"),
+    ],
+    "embeddings": [
+        ("vec_id", "fixed8"), ("embedding", "floatlist"),
+        ("label", "fixed4"),
+    ],
+}
+
+_SPA_TARGET_BYTES = 134_217_728  # 128 MiB per shuffle partition
+
+
+def _spa_width(col: str, kind: str, engine: str) -> str:
+    if kind == "fixed8":
+        return "8"
+    if kind == "fixed4":
+        return "4"
+    if kind == "str":
+        return f"(LENGTH({col}) + 4)"
+    # floatlist: 4 bytes per element + offset word
+    if engine == "duck":
+        return f"(len({col}) * 4 + 4)"
+    return f"(size({col}) * 4 + 4)"
+
+
+def _spa_oracle() -> str:
+    parts = []
+    for t, cols in _SPA_TABLES.items():
+        width = " + ".join(_spa_width(c, k, "duck") for c, k in cols)
+        parts.append(f"""
+    SELECT '{t}' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM({width}) AS BIGINT) AS est_bytes
+    FROM {t}""")
+    union = "\n    UNION ALL\n    ".join(parts)
+    return f"""
+    WITH sized AS (
+    {union}
+    )
+    SELECT table_name, n_rows, est_bytes,
+           CAST(GREATEST((est_bytes + {_SPA_TARGET_BYTES} - 1)
+                // {_SPA_TARGET_BYTES}, 1) AS BIGINT)
+               AS suggested_partitions,
+           CAST(est_bytes // GREATEST(n_rows, 1) AS BIGINT)
+               AS avg_row_bytes
+    FROM sized
+    """
+
+
+@register(
+    "shuffle_partition_advisor",
+    oracle=_spa_oracle(),
+    tags=("layout", "planning", "stats"),
+    doc="Shuffle-partition sizing advisor — the spill-aware "
+    "spark.sql.shuffle.partitions calculation as a first-class "
+    "query: per table, estimated in-memory bytes from a shared "
+    "column-width model (fixed widths for numerics/timestamps, "
+    "measured payload + offset overhead for strings/arrays — the "
+    "same convention planners use for row-size estimates) and the "
+    "partition count that lands each shuffle partition at ~128 MiB. "
+    "Undersized partition counts are the classic OOM/spill cause at "
+    "100 TB; oversized ones drown the scheduler — this query turns "
+    "the rule of thumb into a measured per-table number (AQE "
+    "coalesces DOWN at runtime but cannot raise an undersized "
+    "initial count). One map-side SUM per table; exact integer "
+    "arithmetic on both engines.",
+)
+def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, cols in _SPA_TABLES.items():
+        width = " + ".join(_spa_width(c, k, "spark") for c, k in cols)
+        df = load_table(spark, t, sf_dir).agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr(f"CAST(SUM({width}) AS BIGINT)").alias("est_bytes"),
+        ).select(F.lit(t).alias("table_name"), "n_rows", "est_bytes")
+        out = df if out is None else out.unionByName(df)
+    tb = _SPA_TARGET_BYTES
+    return out.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        F.expr(
+            f"CAST(GREATEST((est_bytes + {tb} - 1) DIV {tb}, 1)"
+            " AS BIGINT)"
+        ).alias("suggested_partitions"),
+        F.expr(
+            "CAST(est_bytes DIV GREATEST(n_rows, 1) AS BIGINT)"
+        ).alias("avg_row_bytes"),
+    )

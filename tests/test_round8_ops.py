@@ -753,3 +753,69 @@ def test_burst_viterbi_cost_property(ns, gamma):
         return n_burst
 
     assert run(gamma * 10**6) <= 1 or run(gamma) >= run(gamma * 10**6)
+
+
+# ------------------------------------------------ planner advisors
+
+
+def test_salt_plan_python_replay(spark):
+    from etl_energy_tracker_spark.queries.relational import (
+        _SALT_TARGET_ROWS,
+        salt_plan_report,
+    )
+
+    cnt = Counter(e["event_type"] for e in _rows("events"))
+    t = _SALT_TARGET_ROWS
+    want = {}
+    for k, c in cnt.items():
+        salt = (c + t - 1) // t
+        want[k] = (c, salt, (c + salt - 1) // salt)
+    got = {
+        r.key: (r.cnt, r.salt_n, r.max_task_rows)
+        for r in salt_plan_report(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # the plan actually caps per-task rows at the target
+    assert all(m <= t for _, _, m in got.values())
+
+
+def test_shuffle_advisor_python_replay(spark):
+    from etl_energy_tracker_spark.queries.relational import (
+        _SPA_TABLES,
+        _SPA_TARGET_BYTES,
+        shuffle_partition_advisor,
+    )
+
+    want = {}
+    for t, cols in _SPA_TABLES.items():
+        rows = _rows(t)
+        total = 0
+        for r in rows:
+            w = 0
+            for c, kind in cols:
+                if kind == "fixed8":
+                    w += 8
+                elif kind == "fixed4":
+                    w += 4
+                elif kind == "str":
+                    w += len(r[c]) + 4
+                else:
+                    w += len(r[c]) * 4 + 4
+            total += w
+        n = len(rows)
+        want[t] = (
+            n,
+            total,
+            max((total + _SPA_TARGET_BYTES - 1) // _SPA_TARGET_BYTES, 1),
+            total // max(n, 1),
+        )
+    got = {
+        r.table_name: (
+            r.n_rows,
+            r.est_bytes,
+            r.suggested_partitions,
+            r.avg_row_bytes,
+        )
+        for r in shuffle_partition_advisor(spark, SF_DIR).collect()
+    }
+    assert got == want
