@@ -222,6 +222,9 @@ EXTRA = [
     "burst_detection_viterbi",
     "asof_join_feature_staleness",
     "vopt_histogram_boundaries",
+    "nl_total_volume_by_market",
+    "salt_plan_report",
+    "shuffle_partition_advisor",
 ]
 
 

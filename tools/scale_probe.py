@@ -163,6 +163,8 @@ OPS = [
     "burst_detection_viterbi",
     "asof_join_feature_staleness",
     "vopt_histogram_boundaries",
+    "salt_plan_report",
+    "shuffle_partition_advisor",
 ]
 
 
