@@ -974,3 +974,109 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("attribution_ppm"),
         )
     )
+
+
+# -------------------------------------------- sequential SPRT monitor
+
+# Wald SPRT for the purchase-conversion rate, H0: p=0.18 vs H1:
+# p=0.22, error bounds alpha=beta=0.05. Log-likelihood increments and
+# thresholds are precomputed integer micro-nats (ln never runs
+# in-engine): s = ln(p1/p0)*1e6 per success, f = ln((1-p1)/(1-p0))*1e6
+# per failure, cross at +/- ln(19)*1e6.
+_SPRT_S = 200671
+_SPRT_F = -50010
+_SPRT_A = 2944439
+_SPRT_BUCKETS = 16
+
+
+@register(
+    "sequential_sprt_monitor",
+    oracle=f"""
+    WITH obs AS (
+        SELECT user_id % {_SPRT_BUCKETS} AS bucket, ts, event_id,
+               CASE WHEN event_type = 'purchase'
+                    THEN {_SPRT_S} ELSE {_SPRT_F} END AS llr
+        FROM events
+    ),
+    walked AS (
+        SELECT bucket,
+               row_number() OVER w AS rn,
+               CAST(SUM(llr) OVER (PARTITION BY bucket
+                   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS cum
+        FROM obs
+        WINDOW w AS (PARTITION BY bucket ORDER BY ts, event_id)
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(MIN(CASE WHEN cum >= {_SPRT_A} OR cum <= -{_SPRT_A}
+                    THEN rn END) AS BIGINT) AS first_cross_n,
+           CASE WHEN MIN(CASE WHEN cum >= {_SPRT_A} THEN rn END)
+                     <= COALESCE(MIN(CASE WHEN cum <= -{_SPRT_A}
+                                     THEN rn END), 9223372036854775807)
+                THEN 'h1'
+                WHEN MIN(CASE WHEN cum <= -{_SPRT_A} THEN rn END)
+                     IS NOT NULL THEN 'h0'
+                ELSE 'undecided' END AS decision,
+           CAST(MAX(CASE WHEN rn = (SELECT MAX(rn) FROM walked w2
+                                    WHERE w2.bucket = walked.bucket)
+                    THEN cum END) AS BIGINT) AS final_llr_micro
+    FROM walked
+    GROUP BY bucket
+    """,
+    tags=("stats", "eval", "sequential"),
+    doc="Wald sequential probability ratio test (SPRT, Wald 1945) "
+    "monitoring the purchase-conversion rate across 16 independent "
+    "hash-bucket replicates: each observation adds a precomputed "
+    "integer micro-nat log-likelihood increment (success ln(p1/p0), "
+    "failure ln((1-p1)/(1-p0)) — computed ONCE in Python, no "
+    "in-engine transcendentals) and the test stops at the first "
+    "+/-ln(19) crossing — the always-valid early-stopping companion "
+    "to ab_test_zscore's fixed-horizon test (peeking at a z-test "
+    "inflates false positives; SPRT is DESIGNED to be peeked at "
+    "every observation). Reports per replicate: observations to "
+    "decision, the decision, and the final statistic. Scale: one "
+    "window partitioned BY BUCKET (parallel — buckets are the unit "
+    "a streaming monitor shards on), exact integer cumsum, bounded "
+    "output. Ref parity: beyond-reference experimentation layer.",
+)
+def sequential_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    obs = ev.select(
+        (F.col("user_id") % _SPRT_BUCKETS).alias("bucket"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit(_SPRT_S))
+        .otherwise(F.lit(_SPRT_F))
+        .alias("llr"),
+    )
+    from pyspark.sql import Window as W
+
+    wo = W.partitionBy("bucket").orderBy("ts", "event_id")
+    walked = obs.select(
+        "bucket",
+        F.row_number().over(wo).alias("rn"),
+        F.sum("llr")
+        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("cum"),
+    )
+    a = _SPRT_A
+    big = 9223372036854775807
+    return walked.groupBy(F.col("bucket").cast("long").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.expr(
+            f"CAST(MIN(CASE WHEN cum >= {a} OR cum <= -{a} THEN rn END)"
+            " AS BIGINT)"
+        ).alias("first_cross_n"),
+        F.expr(
+            f"CASE WHEN MIN(CASE WHEN cum >= {a} THEN rn END)"
+            f" <= COALESCE(MIN(CASE WHEN cum <= -{a} THEN rn END),"
+            f" {big}) THEN 'h1'"
+            f" WHEN MIN(CASE WHEN cum <= -{a} THEN rn END) IS NOT NULL"
+            " THEN 'h0' ELSE 'undecided' END"
+        ).alias("decision"),
+        F.expr(
+            "CAST(MAX_BY(cum, rn) AS BIGINT)"
+        ).alias("final_llr_micro"),
+    )

@@ -819,3 +819,37 @@ def test_shuffle_advisor_python_replay(spark):
         for r in shuffle_partition_advisor(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------- SPRT monitor
+
+
+def test_sprt_python_replay(spark):
+    from etl_energy_tracker_spark.queries.insightops import (
+        _SPRT_A,
+        _SPRT_BUCKETS,
+        _SPRT_F,
+        _SPRT_S,
+        sequential_sprt_monitor,
+    )
+
+    per_bucket: dict[int, list] = {}
+    for e in _rows("events"):
+        per_bucket.setdefault(e["user_id"] % _SPRT_BUCKETS, []).append(e)
+    want = {}
+    for b, evs in per_bucket.items():
+        evs.sort(key=lambda e: (e["ts"], e["event_id"]))
+        cum = 0
+        first = None
+        decision = "undecided"
+        for i, e in enumerate(evs, 1):
+            cum += _SPRT_S if e["event_type"] == "purchase" else _SPRT_F
+            if first is None and (cum >= _SPRT_A or cum <= -_SPRT_A):
+                first = i
+                decision = "h1" if cum >= _SPRT_A else "h0"
+        want[b] = (len(evs), first, decision, cum)
+    got = {
+        r.bucket: (r.n_obs, r.first_cross_n, r.decision, r.final_llr_micro)
+        for r in sequential_sprt_monitor(spark, SF_DIR).collect()
+    }
+    assert got == want
