@@ -225,6 +225,7 @@ EXTRA = [
     "nl_total_volume_by_market",
     "salt_plan_report",
     "shuffle_partition_advisor",
+    "sequential_sprt_monitor",
 ]
 
 

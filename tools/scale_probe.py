@@ -165,6 +165,7 @@ OPS = [
     "vopt_histogram_boundaries",
     "salt_plan_report",
     "shuffle_partition_advisor",
+    "sequential_sprt_monitor",
 ]
 
 
