@@ -226,6 +226,7 @@ EXTRA = [
     "salt_plan_report",
     "shuffle_partition_advisor",
     "sequential_sprt_monitor",
+    "hourly_trend_regression",
 ]
 
 

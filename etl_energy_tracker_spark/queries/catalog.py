@@ -319,7 +319,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "asof_join_feature_staleness", "vopt_histogram_boundaries",
     "nl_total_volume_by_market",
     "salt_plan_report", "shuffle_partition_advisor",
-    "sequential_sprt_monitor",
+    "sequential_sprt_monitor", "hourly_trend_regression",
 ) + _REVERIFY_HINT_ONLY
 
 

@@ -1399,3 +1399,109 @@ def asof_join_feature_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(fresh, F.lit(1)).otherwise(F.lit(0)).alias("is_fresh"),
         )
     )
+
+
+# --------------------------------------------- hourly trend regression
+
+
+@register(
+    "hourly_trend_regression",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(epoch_us(MIN(ts)) // 3600000000 AS BIGINT) AS h0
+        FROM events
+    ),
+    grid AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT)
+                   - (SELECT h0 FROM bounds) AS x,
+               CAST(COUNT(*) AS BIGINT) AS w,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events GROUP BY event_type, 2
+    ),
+    pts AS (
+        SELECT event_type, x, cents // w AS ym FROM grid
+    ),
+    sums AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(ym) AS BIGINT) AS sy,
+               CAST(SUM(x * ym) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n,
+           CAST(1000000 * (n * sxy - sx * sy)
+                // NULLIF(n * sxx - sx * sx, 0) AS BIGINT)
+               AS slope_microcents_per_hour,
+           CAST((sy - ((1000000 * (n * sxy - sx * sy)
+                        // NULLIF(n * sxx - sx * sx, 0)) * sx)
+                       // (n * 1000000)) // n AS BIGINT)
+               AS intercept_cents
+    FROM sums
+    """,
+    tags=("time", "stats", "aggregate"),
+    doc="Per-type trend line: OLS slope/intercept of the MEAN hourly "
+    "value (integer cents) over the hour index — the trend-detection "
+    "primitive behind capacity planning and drift alerts, computed in "
+    "exact integers: slope = 1e6*(n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) in "
+    "micro-cents/hour. The overflow discipline is the design point: "
+    "the corpus collapses MAP-SIDE to the (type, hour) grid first, "
+    "and the regression runs on per-hour MEANS (cents // w), so every "
+    "OLS sum is bounded by the grid size (~720 points, x < 2^10, "
+    "y < 2^15) regardless of corpus size — n*Sxy stays ~1e13 at ANY "
+    "SF, where a raw-row regression's n*Sxy wraps int64 around SF100 "
+    "(the trap that killed the raw CUPED/regression formulations). "
+    "Complements seasonal_decompose_ma (cyclic structure) and "
+    "burst_detection_viterbi (state structure) with the secular "
+    "component. Ref parity: beyond-reference time-series analytics.",
+)
+def hourly_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    h0 = ev.agg(
+        F.expr("CAST(unix_micros(MIN(ts)) DIV 3600000000 AS BIGINT)").alias(
+            "h0"
+        )
+    )
+    grid = (
+        ev.crossJoin(F.broadcast(h0))
+        .groupBy(
+            "event_type",
+            F.expr(
+                "CAST(unix_micros(ts) DIV 3600000000 AS BIGINT) - h0"
+            ).alias("x"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("w"),
+            F.expr(
+                "CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    pts = grid.select(
+        "event_type", "x", F.expr("cents DIV w").alias("ym")
+    )
+    sums = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("ym").cast("long").alias("sy"),
+        F.expr("CAST(SUM(x * ym) AS BIGINT)").alias("sxy"),
+        F.expr("CAST(SUM(x * x) AS BIGINT)").alias("sxx"),
+    )
+    slope = (
+        "1000000 * (n * sxy - sx * sy)"
+        " DIV NULLIF(n * sxx - sx * sx, 0)"
+    )
+    return sums.select(
+        "event_type",
+        "n",
+        F.expr(f"CAST({slope} AS BIGINT)").alias(
+            "slope_microcents_per_hour"
+        ),
+        F.expr(
+            f"CAST((sy - (({slope}) * sx) DIV (n * 1000000)) DIV n"
+            " AS BIGINT)"
+        ).alias("intercept_cents"),
+    )

@@ -853,3 +853,56 @@ def test_sprt_python_replay(spark):
         for r in sequential_sprt_monitor(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+# ------------------------------------------- hourly trend regression
+
+
+def test_hourly_trend_python_replay(spark):
+    from etl_energy_tracker_spark.queries.timeops import (
+        hourly_trend_regression,
+    )
+
+    h0 = min(
+        int(e["ts"].timestamp() * 1e6) // 3600000000 for e in _rows("events")
+    )
+    grid: dict[tuple, list[int]] = {}
+    for e in _rows("events"):
+        x = int(e["ts"].timestamp() * 1e6) // 3600000000 - h0
+        v = e["value"]
+        cents = int(v * 100 + (0.5 if v >= 0 else -0.5))
+        key = (e["event_type"], x)
+        g = grid.setdefault(key, [0, 0])
+        g[0] += 1
+        g[1] += cents
+    per_type: dict[str, list[tuple[int, int]]] = {}
+    for (ty, x), (w, cents) in grid.items():
+        # both engines truncate integer division toward zero
+        q = abs(cents) // w
+        ym = q if cents >= 0 else -q
+        per_type.setdefault(ty, []).append((x, ym))
+    want = {}
+    for ty, pts in per_type.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        den = n * sxx - sx * sx
+
+        def tdiv(a, b):
+            q = abs(a) // abs(b)
+            return q if (a >= 0) == (b >= 0) else -q
+
+        slope = tdiv(1000000 * (n * sxy - sx * sy), den)
+        intercept = tdiv(sy - tdiv(slope * sx, n * 1000000), n)
+        want[ty] = (n, slope, intercept)
+    got = {
+        r.event_type: (
+            r.n,
+            r.slope_microcents_per_hour,
+            r.intercept_cents,
+        )
+        for r in hourly_trend_regression(spark, SF_DIR).collect()
+    }
+    assert got == want

@@ -166,6 +166,7 @@ OPS = [
     "salt_plan_report",
     "shuffle_partition_advisor",
     "sequential_sprt_monitor",
+    "hourly_trend_regression",
 ]
 
 
