@@ -1423,37 +1423,53 @@ def asof_join_feature_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts AS (
         SELECT event_type, x, cents // w AS ym FROM grid
     ),
-    sums AS (
+    centers AS (
         SELECT event_type,
                CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(x) AS BIGINT) AS sx,
-               CAST(SUM(ym) AS BIGINT) AS sy,
-               CAST(SUM(x * ym) AS BIGINT) AS sxy,
-               CAST(SUM(x * x) AS BIGINT) AS sxx
+               CAST(SUM(x) AS BIGINT) AS sx
         FROM pts GROUP BY event_type
+    ),
+    sums AS (
+        SELECT p.event_type, c.n, c.sx,
+               CAST(SUM(p.x - c.sx // c.n) AS BIGINT) AS sxc,
+               CAST(SUM(p.ym) AS BIGINT) AS sy,
+               CAST(SUM((p.x - c.sx // c.n) * p.ym) AS BIGINT) AS sxyc,
+               CAST(SUM((p.x - c.sx // c.n) * (p.x - c.sx // c.n))
+                   AS BIGINT) AS sxxc
+        FROM pts p JOIN centers c USING (event_type)
+        GROUP BY p.event_type, c.n, c.sx
     )
     SELECT event_type, n,
-           CAST(1000000 * (n * sxy - sx * sy)
-                // NULLIF(n * sxx - sx * sx, 0) AS BIGINT)
+           CAST(ROUND(1000000.0
+                * (CAST(n AS DOUBLE) * CAST(sxyc AS DOUBLE)
+                   - CAST(sxc AS DOUBLE) * CAST(sy AS DOUBLE))
+                / NULLIF(CAST(n AS DOUBLE) * CAST(sxxc AS DOUBLE)
+                         - CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE),
+                         0.0)) AS BIGINT)
                AS slope_microcents_per_hour,
-           CAST((sy - ((1000000 * (n * sxy - sx * sy)
-                        // NULLIF(n * sxx - sx * sx, 0)) * sx)
-                       // (n * 1000000)) // n AS BIGINT)
-               AS intercept_cents
+           CAST(ROUND((CAST(sy AS DOUBLE)
+                - ((CAST(n AS DOUBLE) * CAST(sxyc AS DOUBLE)
+                    - CAST(sxc AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / NULLIF(CAST(n AS DOUBLE) * CAST(sxxc AS DOUBLE)
+                            - CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE),
+                            0.0)) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE)) AS BIGINT) AS intercept_cents
     FROM sums
     """,
     tags=("time", "stats", "aggregate"),
     doc="Per-type trend line: OLS slope/intercept of the MEAN hourly "
     "value (integer cents) over the hour index — the trend-detection "
-    "primitive behind capacity planning and drift alerts, computed in "
-    "exact integers: slope = 1e6*(n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) in "
-    "micro-cents/hour. The overflow discipline is the design point: "
-    "the corpus collapses MAP-SIDE to the (type, hour) grid first, "
-    "and the regression runs on per-hour MEANS (cents // w), so every "
-    "OLS sum is bounded by the grid size (~720 points, x < 2^10, "
-    "y < 2^15) regardless of corpus size — n*Sxy stays ~1e13 at ANY "
-    "SF, where a raw-row regression's n*Sxy wraps int64 around SF100 "
-    "(the trap that killed the raw CUPED/regression formulations). "
+    "primitive behind capacity planning and drift alerts. The corpus "
+    "collapses MAP-SIDE to the (type, hour) grid first and the "
+    "regression runs on per-hour MEANS (cents // w): every OLS sum "
+    "is an EXACT integer over the grid, and the final slope uses the "
+    "MEAN-CENTERED form (x - Sx//n) in double — exact-integer "
+    "operands, one fixed sequence of correctly-rounded IEEE ops, so "
+    "both engines produce the identical double and the identical "
+    "rounded micro-cents. The centered form is what survives scale: "
+    "the r8 x30 probe caught the raw n*Sxx - Sx^2 integer form "
+    "wrapping int64 once the time RANGE grows (30-year probe spine) "
+    "— centering removes the n*range^2*mean^2 magnitude entirely. "
     "Complements seasonal_decompose_ma (cyclic structure) and "
     "burst_detection_viterbi (state structure) with the secular "
     "component. Ref parity: beyond-reference time-series analytics.",
@@ -1483,25 +1499,38 @@ def hourly_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = grid.select(
         "event_type", "x", F.expr("cents DIV w").alias("ym")
     )
-    sums = pts.groupBy("event_type").agg(
+    centers = pts.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("x").cast("long").alias("sx"),
-        F.sum("ym").cast("long").alias("sy"),
-        F.expr("CAST(SUM(x * ym) AS BIGINT)").alias("sxy"),
-        F.expr("CAST(SUM(x * x) AS BIGINT)").alias("sxx"),
     )
-    slope = (
-        "1000000 * (n * sxy - sx * sy)"
-        " DIV NULLIF(n * sxx - sx * sx, 0)"
+    sums = (
+        pts.join(F.broadcast(centers), "event_type")
+        .groupBy("event_type", "n", "sx")
+        .agg(
+            F.expr("CAST(SUM(x - sx DIV n) AS BIGINT)").alias("sxc"),
+            F.sum("ym").cast("long").alias("sy"),
+            F.expr("CAST(SUM((x - sx DIV n) * ym) AS BIGINT)").alias(
+                "sxyc"
+            ),
+            F.expr(
+                "CAST(SUM((x - sx DIV n) * (x - sx DIV n)) AS BIGINT)"
+            ).alias("sxxc"),
+        )
+    )
+    slope_frac = (
+        "(CAST(n AS DOUBLE) * CAST(sxyc AS DOUBLE)"
+        " - CAST(sxc AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / NULLIF(CAST(n AS DOUBLE) * CAST(sxxc AS DOUBLE)"
+        " - CAST(sxc AS DOUBLE) * CAST(sxc AS DOUBLE), 0.0)"
     )
     return sums.select(
         "event_type",
         "n",
-        F.expr(f"CAST({slope} AS BIGINT)").alias(
-            "slope_microcents_per_hour"
-        ),
         F.expr(
-            f"CAST((sy - (({slope}) * sx) DIV (n * 1000000)) DIV n"
-            " AS BIGINT)"
+            f"CAST(ROUND(1000000.0 * ({slope_frac})) AS BIGINT)"
+        ).alias("slope_microcents_per_hour"),
+        F.expr(
+            f"CAST(ROUND((CAST(sy AS DOUBLE) - ({slope_frac})"
+            " * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)) AS BIGINT)"
         ).alias("intercept_cents"),
     )

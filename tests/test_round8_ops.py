@@ -885,17 +885,19 @@ def test_hourly_trend_python_replay(spark):
     for ty, pts in per_type.items():
         n = len(pts)
         sx = sum(x for x, _ in pts)
+        # centered form, exactly as both engines compute it: integer
+        # center m = sx trunc-div n (x >= 0 so // == trunc here), then
+        # exact integer sums, then one fixed IEEE double sequence
+        m = sx // n
+        sxc = sum(x - m for x, _ in pts)
         sy = sum(y for _, y in pts)
-        sxy = sum(x * y for x, y in pts)
-        sxx = sum(x * x for x, _ in pts)
-        den = n * sxx - sx * sx
-
-        def tdiv(a, b):
-            q = abs(a) // abs(b)
-            return q if (a >= 0) == (b >= 0) else -q
-
-        slope = tdiv(1000000 * (n * sxy - sx * sy), den)
-        intercept = tdiv(sy - tdiv(slope * sx, n * 1000000), n)
+        sxyc = sum((x - m) * y for x, y in pts)
+        sxxc = sum((x - m) * (x - m) for x, _ in pts)
+        frac = (float(n) * float(sxyc) - float(sxc) * float(sy)) / (
+            float(n) * float(sxxc) - float(sxc) * float(sxc)
+        )
+        slope = int(round(1000000.0 * frac))
+        intercept = int(round((float(sy) - frac * float(sx)) / float(n)))
         want[ty] = (n, slope, intercept)
     got = {
         r.event_type: (
