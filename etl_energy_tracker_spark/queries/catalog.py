@@ -238,38 +238,70 @@ _R7_VERIFIED: frozenset[str] = frozenset({
     "weighted_percentile_exact",
 })
 
+# Queries driver-verified green in CORRECTNESS_r08.json (50/50 green).
+# This run cleared the backlog completely: all 25 never-driver-checked
+# names (5 late-r7 + 20 r8 additions), the 2 r8 _REVERIFY names
+# (simhash localCheckpoint re-plan, semdedup oracle extension), the 4
+# hint-only TPC-H spillovers, and 19 TPC-H re-proves. After this
+# freeze: 307 queries, 307 ever driver-checked, zero never-checked.
+_R8_VERIFIED: frozenset[str] = frozenset({
+    "asof_join_feature_staleness", "blocking_strategy_eval",
+    "burst_detection_viterbi", "doremi_domain_weights",
+    "filter_date_between", "fim_transform_spans",
+    "hourly_trend_regression", "join_cardinality_audit",
+    "kcenter_coreset_sample", "kmv_theta_setops", "lsh_parameter_plan",
+    "misra_gries_heavy_hitters", "ndcg_at_k_eval", "nl_avg_daily_price",
+    "nl_avg_volume_latest_day", "nl_price_volume_join",
+    "nl_total_volume_by_market", "pass_at_k_eval", "q10_returned_items",
+    "q11_important_stock", "q12_shipping_modes",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_part_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_disjunctive_predicates",
+    "q1_pricing_summary", "q20_potential_promotion", "q21_waiting_orders",
+    "q22_global_sales_opportunity", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "rendezvous_shard_rebalance", "salt_plan_report", "semdedup_prune",
+    "sequential_sprt_monitor", "shuffle_partition_advisor",
+    "simhash_near_pairs", "sorted_neighborhood_pairs",
+    "source_lexical_distance", "token_budget_waterfill",
+    "vopt_histogram_boundaries",
+})
+
 # Queries whose Spark implementation changed AFTER their last green
 # driver CORRECTNESS row (VERDICT r3 "What's wrong" §1: a green row on
 # old code is not a green row on current code). These are pulled back
 # out of the verified-emit-last set and emitted FIRST so the capped
 # (~50/round) driver run re-checks the current code.
-# r8: blocking_strategy_eval's truth stage was re-bounded (hash%4
-# fraction -> fixed-K smallest-by-hash-rank, VERDICT r7 "What's
-# wrong" §1) — it is also never-driver-checked, so it sits in the
-# never-checked head below rather than here.
-# simhash_near_pairs: persist() -> localCheckpoint + gated scheme
-# count (ADVICE r7: cache accumulation). Result provably unchanged
-# (same plan features, local oracle green) but impl changed after its
-# r7 green row, so it re-verifies first per the house rule.
-# semdedup_prune: ORACLE extended with the conditional two-level
-# assignment (ADVICE r7) — contract artifact changed after its green
-# row; verified locally at sf0.01/sf0.1 (flat) and at a synthetic 30k
-# vectors (two-level, k=300) — both hash-match.
+# r9 queue (VERDICT r8 "What's wrong" §3): the 10 catalog queries that
+# drive streaming/jobs.py changed drive path in the r8 _finish()
+# refactor (explainInternal capture for the plan tripwire) AFTER their
+# last green rows. The change is result-neutral by construction
+# (identical processAllAvailable/awaitTermination + stop semantics),
+# but the house rule says impl-changed names re-verify. All are cheap
+# (≤1.5s at sf0.1). sessionization / session_window_agg /
+# multimodal_* are batch formulations that never touch jobs.py.
 _REVERIFY: tuple[str, ...] = (
-    "simhash_near_pairs",
-    "semdedup_prune",
-)
-
-# Hint-only / result-neutral physical changes whose re-check spilled
-# past the r7 cap (4 of the original 23 r4 broadcast-hint removals;
-# the other 19 got green r7 rows and are frozen in _R7_VERIFIED). The
-# RESULT provably cannot differ, only the physical plan, and every
-# entry re-passed the local sf0.01 oracle matrix after the change.
-# Per VERDICT r7 "What's wrong" §3: never-checked names now outrank
-# these, permanently.
-_REVERIFY_HINT_ONLY: tuple[str, ...] = (
-    "q9_product_profit", "q15_top_supplier", "q16_supplier_part_counts",
-    "q20_potential_promotion",
+    "streaming_hourly_agg", "stateful_user_totals", "stream_scd1_upsert",
+    "stream_stream_join", "stream_dedup", "stream_funnel_stage",
+    "stream_topk_trending", "stream_ewma_anomaly", "stream_cusum_alarm",
+    "stream_conformal_alarm",
+    # r9 ADVICE fixes, impl changed after the r8 green rows:
+    # fim_transform_spans: '% (n-1)' -> '% GREATEST(n-1,1)' in both
+    # engines (modulo-by-zero on <=1-token docs; latent — testdata min
+    # is 10 tokens, python replay still byte-identical).
+    # pass_at_k_eval: fold restructured divide-before-multiply with
+    # remainder (int64-safe to n~3e9; proven result-identical by the
+    # unlimited-precision replay, but the expression changed).
+    # nl_avg_volume_latest_day + siblings: match_template's latest-day
+    # clause gained a market=None guard (ADVICE r8 crash); the SQL
+    # emitted for these four phrasings is byte-identical, but
+    # match_template is in their drive path, so they re-verify per the
+    # same rule the r8 streaming refactor follows.
+    "fim_transform_spans", "pass_at_k_eval",
+    "nl_avg_volume_latest_day", "nl_avg_daily_price",
+    "nl_price_volume_join", "nl_total_volume_by_market",
 )
 
 # Queries driver-verified green in CORRECTNESS_r03.json whose code is
@@ -293,41 +325,25 @@ _R3_VERIFIED: frozenset[str] = frozenset({
 })
 
 # Within the unverified set, emit first the re-verification queue
-# (impl changed after the last green driver row — empty at r8 open),
-# then the 5 late-r7 additions that have never had a driver row
-# (VERDICT r7 top_next), then the 4 hint-only TPC-H spillovers, then
-# new r8 operators (appended as they land). 5 + 4 = 9 names against a
-# ~50 cap leaves ~41 free slots for r8 additions.
+# (impl changed after the last green driver row — at r9 open: the 10
+# streaming drive-path names from the r8 _finish() refactor), then new
+# r9 operators (appended as they land). 10 names against a ~50 cap
+# leaves ~40 free slots for r9 additions. Per VERDICT r8 top_next §1:
+# every CORRECTNESS_r08 green is frozen in _R8_VERIFIED above AND
+# pruned from this tuple — _ordered() subtracts set(_PRIORITY) from
+# the verified set, so a stale entry here would silently re-prove a
+# frozen name and burn a cap slot (the loophole
+# test_frozen_names_pruned_from_priority now closes mechanically).
 _PRIORITY: tuple[str, ...] = _REVERIFY + (
-    # late-r7 additions (never driver-checked), riskiest first:
-    # blocking_strategy_eval got its truth stage re-bounded this round
-    # (fixed-K sample, VERDICT r7 "What's wrong" §1) so its first row
-    # lands on the fixed code
-    "blocking_strategy_eval", "join_cardinality_audit",
-    "kcenter_coreset_sample", "source_lexical_distance",
-    "token_budget_waterfill",
-    # r8 additions (never driver-checked) — per VERDICT r7 "What's
-    # wrong" §3, never-checked outranks the result-neutral hint-only
-    # re-checks, which close the queue
-    "nl_price_volume_join", "nl_avg_daily_price",
-    "nl_avg_volume_latest_day",
-    "misra_gries_heavy_hitters", "sorted_neighborhood_pairs",
-    "doremi_domain_weights", "lsh_parameter_plan",
-    "kmv_theta_setops", "rendezvous_shard_rebalance",
-    "fim_transform_spans", "pass_at_k_eval",
-    "ndcg_at_k_eval", "burst_detection_viterbi",
-    "asof_join_feature_staleness", "vopt_histogram_boundaries",
-    "nl_total_volume_by_market",
-    "salt_plan_report", "shuffle_partition_advisor",
-    "sequential_sprt_monitor", "hourly_trend_regression",
-) + _REVERIFY_HINT_ONLY
+    # r9 additions (never driver-checked) append here as they land
+)
 
 
 def _ordered() -> list[str]:
     names = list(CATALOG)
     verified = (
         _R1_VERIFIED | _R3_VERIFIED | _R4_VERIFIED | _R5_VERIFIED
-        | _R6_VERIFIED | _R7_VERIFIED
+        | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED
     ) - set(_PRIORITY)
     rank = {n: i for i, n in enumerate(_PRIORITY)}
     unverified = sorted(

@@ -1351,18 +1351,25 @@ _PAK_SCALE = 1_000_000_000_000  # fold precision; ppm after final DIV
 def _pak_fold_duck(k: int) -> str:
     # fail ratio C(n-c, k)/C(n, k) as the exact telescoping product
     # prod_{i<k} (n-c-i)/(n-i), folded in scaled integers — identical
-    # truncation sequence on both engines
+    # truncation sequence on both engines. Divide-before-multiply with
+    # remainder (ADVICE r8; same form as join_cardinality_audit):
+    # acc*m DIV d == (acc DIV d)*m + ((acc%d)*m) DIV d exactly, but the
+    # intermediates stay <= max(SCALE, d*m) < n^2 instead of SCALE*n —
+    # int64-safe (and HUGEINT-divergence-free) to n ~ 3e9 attempts per
+    # task rather than ~9.2e6.
     return (
         f"list_reduce(list_prepend(CAST({_PAK_SCALE} AS BIGINT), "
         f"list_transform(range(0, {k}), i -> CAST(i AS BIGINT))), "
-        "(acc, i) -> (acc * GREATEST(n - c - i, 0)) // (n - i))"
+        "(acc, i) -> (acc // (n - i)) * GREATEST(n - c - i, 0)"
+        " + ((acc % (n - i)) * GREATEST(n - c - i, 0)) // (n - i))"
     )
 
 
 def _pak_fold_spark(k: int) -> str:
     return (
         f"aggregate(sequence(0, {k - 1}), CAST({_PAK_SCALE} AS BIGINT), "
-        "(acc, i) -> (acc * GREATEST(n - c - i, 0L)) DIV (n - i))"
+        "(acc, i) -> (acc DIV (n - i)) * GREATEST(n - c - i, 0L)"
+        " + ((acc % (n - i)) * GREATEST(n - c - i, 0L)) DIV (n - i))"
     )
 
 
@@ -1399,8 +1406,10 @@ def _pak_pass_ppm(k: int, fold: str, div: str = "//") -> str:
     "events for attempts; correct = value >= 100). The binomial "
     "ratio is the telescoping product prod(n-c-i)/(n-i), folded in "
     "scaled integers with an identical truncation sequence on both "
-    "engines — exact, no factorials, no floats, no overflow (acc <= "
-    "1e12 x attempts). Degenerate cases pinned: c = 0 -> 0; n-c < k "
+    "engines — exact, no factorials, no floats; divide-before-multiply "
+    "with remainder keeps every intermediate <= max(1e12, n^2), "
+    "int64-safe to n ~ 3e9 attempts/task. Degenerate cases pinned: "
+    "c = 0 -> 0; n-c < k "
     "-> 1 (some correct sample always survives every size-k draw). "
     "Scale: one groupBy over attempts, then a constant-width map-side "
     "fold per task; the final mean is a single aggregate. Ref "

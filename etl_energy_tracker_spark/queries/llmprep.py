@@ -1199,8 +1199,8 @@ def _fim_duck() -> str:
                     THEN CASE WHEN ({h3}) % 2 = 0
                               THEN 'psm' ELSE 'spm' END
                     ELSE 'plain' END AS fim_mode,
-               LEAST(1 + ({h1}) % (n - 1), 1 + ({h2}) % (n - 1)) AS c1,
-               GREATEST(1 + ({h1}) % (n - 1), 1 + ({h2}) % (n - 1)) AS c2
+               LEAST(1 + ({h1}) % GREATEST(n - 1, 1), 1 + ({h2}) % GREATEST(n - 1, 1)) AS c1,
+               GREATEST(1 + ({h1}) % GREATEST(n - 1, 1), 1 + ({h2}) % GREATEST(n - 1, 1)) AS c2
         FROM t
     ),
     parts AS (
@@ -1278,10 +1278,12 @@ def fim_transform_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ELSE 'spm' END ELSE 'plain' END"
         ).alias("fim_mode"),
         F.expr(
-            f"LEAST(1 + ({h1}) % (n - 1), 1 + ({h2}) % (n - 1))"
+            f"LEAST(1 + ({h1}) % GREATEST(n - 1, 1),"
+            f" 1 + ({h2}) % GREATEST(n - 1, 1))"
         ).alias("c1"),
         F.expr(
-            f"GREATEST(1 + ({h1}) % (n - 1), 1 + ({h2}) % (n - 1))"
+            f"GREATEST(1 + ({h1}) % GREATEST(n - 1, 1),"
+            f" 1 + ({h2}) % GREATEST(n - 1, 1))"
         ).alias("c2"),
     )
     parts = cuts.select(

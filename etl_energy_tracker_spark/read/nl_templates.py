@@ -107,9 +107,14 @@ def match_template(question: str) -> str | None:
                 f"+ INTERVAL 1 DAY"
             )
         elif _LATEST.search(q):
+            # the by-market form has no market filter: latest day is
+            # the global max, not a per-market one (ADVICE r8: the
+            # unguarded market.id crashed 'total ... by market latest
+            # day' with AttributeError)
+            scope = "" if market is None else f" WHERE id_mercado = {market.id}"
             conds.append(
                 f"CAST(datetime_utc AS DATE) = (SELECT MAX(CAST(datetime_utc "
-                f"AS DATE)) FROM {table} WHERE id_mercado = {market.id})"
+                f"AS DATE)) FROM {table}{scope})"
             )
     where = " AND ".join(conds) if conds else "1 = 1"
 

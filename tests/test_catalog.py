@@ -101,6 +101,23 @@ def test_verified_freeze_is_current():
     )
 
 
+def test_frozen_names_pruned_from_priority():
+    """Freeze-without-prune loophole, closed (VERDICT r8 top_next §2).
+
+    _ordered() computes `verified - set(_PRIORITY)`, so a frozen name
+    left in _PRIORITY silently re-emits first and burns a slot of the
+    driver's ~50-row cap. A frozen name may sit in the queue ONLY via
+    _REVERIFY (impl changed after its green row — the documented,
+    dated rationale lives in the comment above that tuple).
+    """
+    frozen = frozenset().union(*_verified_frozensets().values())
+    stale = sorted((set(catalog._PRIORITY) - set(catalog._REVERIFY)) & frozen)
+    assert not stale, (
+        "frozen names in _PRIORITY without a _REVERIFY rationale "
+        f"(prune them or move to _REVERIFY with a dated comment): {stale}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_runs(spark, name):
     df = QUERIES[name](spark, SF_DIR)

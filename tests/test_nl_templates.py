@@ -102,3 +102,30 @@ def test_total_by_market_template():
     # a named market is honored as a filter even in breakdown form
     sql3 = match_template("total volumen by market of Diario")
     assert sql3 is not None and "id_mercado = 1" in sql3
+
+
+def test_total_by_market_latest_day(spark):
+    # ADVICE r8: market=None + 'latest day' interpolated market.id and
+    # crashed with AttributeError; latest day must scope globally here
+    sql = match_template("total price by market latest day")
+    assert sql is not None
+    assert "GROUP BY id_mercado" in sql
+    assert "MAX(CAST(datetime_utc" in sql
+    assert "id_mercado =" not in sql.split("GROUP BY")[0].split("(SELECT")[0]
+    import datetime as dt
+
+    rows = [
+        (dt.datetime(2024, 3, 1, 10, 0), 1, 50.0),
+        (dt.datetime(2024, 3, 2, 10, 0), 1, 99.0),
+        (dt.datetime(2024, 3, 2, 11, 0), 2, 10.0),
+        (dt.datetime(2024, 3, 1, 10, 0), 2, 777.0),  # not latest day
+    ]
+    spark.createDataFrame(
+        rows, "datetime_utc timestamp, id_mercado int, precio double"
+    ).createOrReplaceTempView("precios")
+    from etl_energy_tracker_spark.read.nl2sql import NLQueryGenerator
+
+    out = NLQueryGenerator(spark).execute_query(
+        "total price by market latest day"
+    ).collect()
+    assert [(r.id_mercado, r.total_precio) for r in out] == [(1, 99.0), (2, 10.0)]

@@ -368,6 +368,39 @@ def test_fim_transform_python_replay(spark):
     assert n_fim > 0.3 * len(want)
 
 
+def test_fim_transform_degenerate_docs(spark, tmp_path):
+    # ADVICE r8: '% (n - 1)' was unguarded — an empty or single-token
+    # doc made it modulo-by-zero (REMAINDER_BY_ZERO under Spark 4 ANSI
+    # while DuckDB returned NULL). Now '% GREATEST(n - 1, 1)' in both
+    # engines; tiny docs must pass through as 'plain' without crashing.
+    import duckdb
+
+    from etl_energy_tracker_spark.queries.llmprep import fim_transform_spans
+    from etl_energy_tracker_spark.queries.catalog import oracle_sql
+
+    rows = [
+        (1, "", "en", "web", 0),
+        (2, "word", "en", "web", 4),
+        (3, "   ", "en", "web", 3),
+        (4, "two words here now make ten tokens for fim eligibility", "en", "web", 55),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = fim_transform_spans(spark, str(tmp_path)).collect()
+    got = {r.doc_id: (r.fim_mode, r.n_tokens) for r in out}
+    assert got[1][0] == "plain" and got[2][0] == "plain" and got[3][0] == "plain"
+    # oracle side runs on the same degenerate table without NULL rows
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    orows = con.sql(oracle_sql()["fim_transform_spans"]).fetchall()
+    assert len(orows) == len(out)
+    assert all(v is not None for row in orows for v in row)
+
+
 # ------------------------------------------------------- pass@k
 
 
@@ -415,6 +448,37 @@ def test_pass_at_k_python_replay(spark):
         <= row.mean_pass_at_5_ppm
         <= row.mean_pass_at_10_ppm
     )
+
+
+def test_pass_at_k_fold_large_n_no_overflow(spark):
+    # ADVICE r8: the old fold's acc * (n-c-i) intermediate hit int64 at
+    # n ~ 9.2e6 (Spark ANSI overflow error; DuckDB silently promoted to
+    # HUGEINT — an engine divergence). The divide-before-multiply form
+    # is exact and int64-safe to n ~ 3e9; prove it at n = 2e7, which
+    # the old form could not evaluate, against unlimited-precision
+    # Python on all three engines' truncation sequence.
+    import duckdb
+
+    from etl_energy_tracker_spark.queries.evalops import (
+        _PAK_SCALE,
+        _pak_fold_duck,
+        _pak_fold_spark,
+    )
+
+    n, c, k = 20_000_000, 3, 10
+    sdf = spark.sql(
+        f"SELECT CAST({n} AS BIGINT) AS n, CAST({c} AS BIGINT) AS c"
+    ).selectExpr(f"{_pak_fold_spark(k)} AS acc")
+    got_spark = sdf.collect()[0].acc
+    got_duck = duckdb.sql(
+        f"SELECT {_pak_fold_duck(k)} AS acc FROM "
+        f"(SELECT CAST({n} AS BIGINT) AS n, CAST({c} AS BIGINT) AS c)"
+    ).fetchone()[0]
+    acc = _PAK_SCALE
+    for i in range(k):  # exact reference: python ints never overflow
+        acc = acc * max(n - c - i, 0) // (n - i)
+    assert got_spark == got_duck == acc
+    assert 0 < acc < _PAK_SCALE
 
 
 # ------------------------------------------------------- nDCG@10
