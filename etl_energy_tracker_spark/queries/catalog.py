@@ -336,6 +336,7 @@ _R3_VERIFIED: frozenset[str] = frozenset({
 # test_frozen_names_pruned_from_priority now closes mechanically).
 _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # r9 additions (never driver-checked) append here as they land
+    "facility_location_select",
 )
 
 

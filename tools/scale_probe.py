@@ -159,6 +159,7 @@ OPS = [
     "pass_at_k_eval",
     "nl_avg_daily_price",
     "nl_price_volume_join",
+    "nl_avg_volume_latest_day",
     "ndcg_at_k_eval",
     "burst_detection_viterbi",
     "asof_join_feature_staleness",
@@ -167,6 +168,9 @@ OPS = [
     "shuffle_partition_advisor",
     "sequential_sprt_monitor",
     "hourly_trend_regression",
+    # round-9: greedy submodular coverage — k map-side scans of the
+    # n x 16 broadcast-codebook similarity table
+    "facility_location_select",
 ]
 
 
