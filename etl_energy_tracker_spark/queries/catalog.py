@@ -336,7 +336,8 @@ _R3_VERIFIED: frozenset[str] = frozenset({
 # test_frozen_names_pruned_from_priority now closes mechanically).
 _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # r9 additions (never driver-checked) append here as they land
-    "facility_location_select",
+    "facility_location_select", "mmr_diverse_rank",
+    "mann_whitney_u_test",
 )
 
 

@@ -1328,3 +1328,131 @@ def source_lexical_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vocab_jaccard_ppm"),
         )
     )
+
+
+# ------------------------------------------- Mann-Whitney U test
+
+# z = (U - nA*nB/2) / sigma with the tie-corrected variance
+# sigma^2 = nA*nB/12 * ((n+1) - T/(n*(n-1))), T = sum(t^3 - t) over
+# tied value groups. All inputs are exact BIGINTs (U2 = 2U keeps the
+# mid-rank arithmetic integer); ONE fixed-shape double chain at the
+# end, same discipline as _SPEAR_RHO.
+_MWU_Z = (
+    "CAST(FLOOR(1000000.0 * (CAST(u2 AS DOUBLE) "
+    "- CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) / "
+    "NULLIF(2.0 * SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0 "
+    "* (CAST(n AS DOUBLE) + 1.0 - CAST(tie_t AS DOUBLE) "
+    "/ (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))), 0.0)) "
+    "AS BIGINT)"
+)
+
+
+@register(
+    "mann_whitney_u_test",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, user_id % 2 AS arm, value AS x
+        FROM events
+    ),
+    r AS (
+        SELECT event_type, arm,
+               2 * RANK() OVER (PARTITION BY event_type ORDER BY x)
+                   + COUNT(*) OVER (PARTITION BY event_type, x) - 1
+                   AS r2
+        FROM base
+    ),
+    ties AS (
+        SELECT event_type,
+               CAST(SUM(t * t * t - t) AS BIGINT) AS tie_t
+        FROM (
+            SELECT event_type, x, CAST(COUNT(*) AS BIGINT) AS t
+            FROM base GROUP BY event_type, x
+        ) GROUP BY event_type
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS na,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nb,
+               CAST(SUM(CASE WHEN arm = 0 THEN r2 ELSE 0 END)
+                    AS BIGINT) AS ra2
+        FROM r GROUP BY event_type
+    ),
+    u AS (
+        SELECT s.event_type, n, na, nb, tie_t,
+               CAST(ra2 - na * (na + 1) AS BIGINT) AS u2
+        FROM s JOIN ties USING (event_type)
+    )
+    SELECT event_type,
+           na AS n_a, nb AS n_b,
+           u2 AS u2_a,
+           tie_t AS tie_term,
+           CAST(1000000 * u2 // (na * nb) - 1000000
+                AS BIGINT) AS rank_biserial_ppm,
+           {_MWU_Z} AS z_ppm
+    FROM u
+    """,
+    tags=("stats", "events"),
+    doc="Two-sample Mann-Whitney U test per event type (arms = "
+    "user_id parity, the ab_test_zscore split): doubled pooled "
+    "mid-ranks keep U exact in BIGINT (u2_a = 2U), the tie term "
+    "sum(t^3-t) comes from exact per-value counts, the rank-biserial "
+    "effect size is exact integer ppm (numerator u2_a is "
+    "non-negative, so truncating DIV and DuckDB floor-// agree), and "
+    "the tie-corrected z lands through ONE fixed-shape IEEE double "
+    "chain — the nonparametric counterpart of ab_test_zscore for "
+    "skewed metrics where the Welch test's normality assumption "
+    "fails. Scale: ranks from per-type windows (range-partitioned "
+    "sort, never a single global window); tie counts collapse "
+    "map-side per distinct value; integer rank sums stay in BIGINT "
+    "to ~2e6 rows per type (past that the same sums switch to the "
+    "double path — noted, not hidden, same bound discipline as "
+    "spearman_rank_corr).",
+)
+def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("arm"),
+        F.col("value").alias("x"),
+    )
+    r = base.select(
+        "event_type",
+        "arm",
+        (
+            2 * F.rank().over(W.partitionBy("event_type").orderBy("x"))
+            + F.count(F.lit(1)).over(W.partitionBy("event_type", "x"))
+            - 1
+        ).alias("r2"),
+    )
+    ties = (
+        base.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(F.sum(F.expr("t * t * t - t")).cast("long").alias("tie_t"))
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("na"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("nb"),
+        F.sum(F.when(F.col("arm") == 0, F.col("r2")).otherwise(0))
+        .cast("long")
+        .alias("ra2"),
+    )
+    return (
+        s.join(ties, "event_type")
+        .withColumn("u2", F.expr("CAST(ra2 - na * (na + 1) AS BIGINT)"))
+        .select(
+            "event_type",
+            F.col("na").alias("n_a"),
+            F.col("nb").alias("n_b"),
+            F.col("u2").alias("u2_a"),
+            F.col("tie_t").alias("tie_term"),
+            F.expr(
+                "CAST(1000000 * u2 DIV (na * nb) - 1000000 AS BIGINT)"
+            ).alias("rank_biserial_ppm"),
+            F.expr(_MWU_Z).alias("z_ppm"),
+        )
+    )

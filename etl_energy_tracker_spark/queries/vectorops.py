@@ -1412,3 +1412,152 @@ def facility_location_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pick_order long, centroid_id long, gain_micro long, objective_micro long",
     )
     return out
+
+
+# ------------------------------------------------- MMR diverse rank
+
+_MMR_CANDS = 24
+_MMR_PICKS = 8
+_MMR_LAMBDA10 = 7  # lambda = 0.7, scaled x10 to stay integer
+
+
+def _mmr_ctes(k: int) -> str:
+    """Unrolled MMR rounds over the top-C candidate pool: sel{r} is
+    the ranked list after pick r; each round scores every unselected
+    candidate by lambda*rel - (1-lambda)*max-sim-to-selected (integer
+    deci-micro units) and picks the max (ties -> lowest vec_id)."""
+    lam, com = _MMR_LAMBDA10, 10 - _MMR_LAMBDA10
+    parts = [
+        f"""q AS (
+        SELECT embedding AS qv FROM embeddings
+        WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+    ),
+    cand AS MATERIALIZED (
+        SELECT vec_id, embedding AS ev,
+               {_FL_S.format(a="e.embedding", b="qv")} AS rel
+        FROM embeddings e CROSS JOIN q
+        ORDER BY rel DESC, vec_id LIMIT {_MMR_CANDS}
+    ),
+    ps AS MATERIALIZED (
+        SELECT a.vec_id AS av, b.vec_id AS bv,
+               {_FL_S.format(a="a.ev", b="b.ev")} AS s
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+    ),
+    sel1 AS MATERIALIZED (
+        SELECT 1 AS pick_order, vec_id, rel,
+               CAST(-1000000 AS BIGINT) AS ms
+        FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for r in range(2, k + 1):
+        prev = f"sel{r - 1}"
+        parts.append(f"""ms{r} AS (
+        SELECT c.vec_id, c.rel, MAX(p.s) AS ms
+        FROM cand c JOIN ps p ON p.av = c.vec_id
+         AND p.bv IN (SELECT vec_id FROM {prev})
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev})
+        GROUP BY c.vec_id, c.rel
+    ),
+    pick{r} AS (
+        SELECT {r} AS pick_order, vec_id, rel, ms FROM ms{r}
+        ORDER BY {lam} * rel - {com} * ms DESC, vec_id LIMIT 1
+    ),
+    sel{r} AS MATERIALIZED (
+        SELECT * FROM {prev} UNION ALL SELECT * FROM pick{r}
+    )""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "mmr_diverse_rank",
+    oracle=f"""
+    WITH {_mmr_ctes(_MMR_PICKS)}
+    SELECT CAST(pick_order AS BIGINT) AS pick_order,
+           CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(rel AS BIGINT) AS rel_micro,
+           CAST(ms AS BIGINT) AS maxsim_micro,
+           CAST({_MMR_LAMBDA10} * rel - {10 - _MMR_LAMBDA10} * ms
+                AS BIGINT) AS score_dmicro
+    FROM sel{_MMR_PICKS}
+    """,
+    tags=("vector", "search", "sampling"),
+    doc="Maximal Marginal Relevance re-ranking (Carbonell & Goldstein "
+    "1998): query = the lowest-vec_id embedding; the top-24 "
+    "candidates by rounded-cosine relevance are re-ranked by 8 greedy "
+    "MMR rounds scoring lambda*rel - (1-lambda)*max-sim-to-selected "
+    "(lambda=0.7, integer deci-micro units, ties to lowest vec_id) — "
+    "the standard relevance/diversity tradeoff for retrieval and "
+    "eval-set assembly, the tunable middle ground between "
+    "ann_cosine_topk (pure relevance) and kcenter_coreset_sample "
+    "(pure diversity). Emits each pick with its relevance, its "
+    "max-sim to the prior picks at selection time (-1e6 sentinel for "
+    "the seed pick), and the MMR score. Scale: relevance is one "
+    "map-side scan against the broadcast query vector; top-C is a "
+    "distributed TakeOrdered (per-partition heaps, no global sort); "
+    "the greedy re-rank runs on the C-row bounded artifact (C^2 x k "
+    "integer ops driver-side, same precedent as the codebook "
+    "collect). Ref parity: beyond-reference retrieval layer.",
+)
+def mmr_diverse_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    qrow = emb.orderBy("vec_id").limit(1).collect()[0]  # bounded: 1 x dim
+    qv = F.array(*[F.lit(float(x)) for x in qrow["embedding"]])
+    import math
+
+    qnorm = math.sqrt(sum(float(x) ** 2 for x in qrow["embedding"]))
+    v = F.col("embedding")
+    rel = F.coalesce(
+        F.expr("CAST(ROUND(r6 * 1000000, 0) AS BIGINT)"),
+        F.lit(-1000000).cast("long"),
+    )
+    cand = (
+        emb.withColumn(
+            "r6",
+            F.round(
+                F.try_divide(_dot(v, qv), F.sqrt(_dot(v, v)) * F.lit(qnorm)), 6
+            ),
+        )
+        .select("vec_id", "embedding", rel.alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_MMR_CANDS)
+    )
+    rows = cand.collect()  # bounded artifact: C x dim
+
+    def cos_micro(a, b) -> int:
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        if na == 0.0 or nb == 0.0:
+            return -1000000
+        # mirror the two-step rounding (round(cos,6) then x1e6)
+        return int(round(round(num / (na * nb), 6) * 1000000))
+
+    lam, com = _MMR_LAMBDA10, 10 - _MMR_LAMBDA10
+    pool = {int(r["vec_id"]): (int(r["rel"]), list(r["embedding"])) for r in rows}
+    sel: list[tuple[int, int, int, int]] = []  # (order, vid, rel, ms)
+    while pool and len(sel) < _MMR_PICKS:
+        best = None
+        for vid, (rl, ev) in pool.items():
+            ms = (
+                max(cos_micro(ev, pool_sel_ev) for _, _, _, _, pool_sel_ev in sel)
+                if sel
+                else -1000000
+            )
+            key = (-(lam * rl - com * ms), vid)
+            if best is None or key < best[0]:
+                best = (key, vid, rl, ms)
+        _, vid, rl, ms = best
+        sel.append((len(sel) + 1, vid, rl, ms, pool.pop(vid)[1]))
+    out = spark.createDataFrame(
+        [
+            (o, vid, rl, ms, lam * rl - com * ms)
+            for o, vid, rl, ms, _ in sel
+        ],
+        "pick_order long, vec_id long, rel_micro long, "
+        "maxsim_micro long, score_dmicro long",
+    )
+    return out

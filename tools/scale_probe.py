@@ -169,8 +169,11 @@ OPS = [
     "sequential_sprt_monitor",
     "hourly_trend_regression",
     # round-9: greedy submodular coverage — k map-side scans of the
-    # n x 16 broadcast-codebook similarity table
+    # n x 16 broadcast-codebook similarity table; MMR re-rank over a
+    # TakeOrdered top-C pool; rank-window U test
     "facility_location_select",
+    "mmr_diverse_rank",
+    "mann_whitney_u_test",
 ]
 
 
