@@ -337,7 +337,7 @@ _R3_VERIFIED: frozenset[str] = frozenset({
 _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # r9 additions (never driver-checked) append here as they land
     "facility_location_select", "mmr_diverse_rank",
-    "mann_whitney_u_test",
+    "mann_whitney_u_test", "logistic_regression_gd",
 )
 
 

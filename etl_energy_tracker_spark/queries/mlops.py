@@ -634,3 +634,220 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV NULLIF(LEAST(est_rows, actual_rows), 0) AS BIGINT)"
         ).alias("q_error_milli"),
     )
+
+
+# ------------------------------------- logistic regression, on-engine
+
+# Full-batch gradient descent for a 3-feature + bias logistic probe
+# (predict lang = 'en' from length/punctuation/stopword ratios), run
+# entirely in exact integer micro arithmetic so every engine and any
+# row order produces the IDENTICAL weight trajectory:
+# - features are micro ratios (BIGINT);
+# - the link is the "fast sigmoid" 0.5*(1 + z/(1+|z|)) — in micro
+#   units p = 500000*(z + 1e6 + |z|) // (1e6 + |z|), a single exact
+#   non-negative integer division (no EXP: transcendentals are the
+#   one surface where JVM Math and libm may differ by a ULP, and this
+#   module's contract is bit-identical parity — pca_power_iteration
+#   precedent);
+# - per-step gradients are exact BIGINT sums collected as a 1-row
+#   bounded artifact; the weight update (floor-divide, clamp +-1e7
+#   micro) happens in Python // arithmetic, which the DuckDB oracle
+#   mirrors with its floor-dividing // in unrolled step CTEs.
+_LRGD_STEPS = 8
+_LRGD_LR_DEN = 2  # lr = 1/2 as a floor divide of the micro gradient
+_LRGD_CLAMP = 10_000_000
+_LRGD_ZOFF = 40_000_000_000_000  # >= 4 * clamp * 1e6, multiple of 1e6
+# English-only stoplist: the stopword-ratio feature must DISCRIMINATE
+# lang='en' (a mixed EN/ES list made x3 uninformative and the probe
+# collapsed to the majority class)
+_LRGD_STOPS = "'the','of','and','is','was','to','in','that','it','for'"
+
+_LRGD_FEAT_DUCK = f"""
+        SELECT CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END
+                    AS BIGINT) AS y6,
+               CAST(1000000 AS BIGINT) AS x0,
+               CAST(10000 * LEAST(len(regexp_split_to_array(trim(text),
+                    '\\s+')), 100) AS BIGINT) AS x1,
+               CAST(1000000 * (length(text) - length(replace(replace(
+                    replace(replace(text, '.', ''), ',', ''), '!', ''),
+                    '?', ''))) // GREATEST(length(text), 1)
+                    AS BIGINT) AS x2,
+               CAST(1000000 * len(list_filter(
+                        regexp_split_to_array(trim(text), '\\s+'),
+                        t -> lower(t) IN ({_LRGD_STOPS})))
+                    // GREATEST(len(regexp_split_to_array(trim(text),
+                        '\\s+')), 1) AS BIGINT) AS x3
+        FROM documents
+"""
+
+
+def _lrgd_duck(steps: int) -> str:
+    """Unrolled GD: w{t} is the 1-row weight CTE after step t (micro
+    ints); each step scores with the previous weights and floor-
+    divides the exact gradient sums."""
+    parts = [
+        f"rawfeat AS MATERIALIZED ({_LRGD_FEAT_DUCK})",
+        # mean-center the non-bias features (floor-divide means, exact
+        # ints) so the bias and slopes learn independently
+        "m AS (SELECT SUM(x1) // COUNT(*) AS m1, SUM(x2) // COUNT(*) AS m2,"
+        " SUM(x3) // COUNT(*) AS m3 FROM rawfeat)",
+        "feat AS MATERIALIZED (SELECT y6, x0, x1 - m1 AS x1,"
+        " x2 - m2 AS x2, x3 - m3 AS x3 FROM rawfeat CROSS JOIN m)",
+        "w0s AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,"
+        " CAST(0 AS BIGINT) AS w2, CAST(0 AS BIGINT) AS w3)"]
+    upd = (
+        "GREATEST(-{c}, LEAST({c}, {w} - (SUM((p - y6) * {x}) "
+        "// (COUNT(*) * 1000000)) // {d}))"
+    )
+    for t in range(1, steps + 1):
+        prev = f"w{t - 1}s"
+        parts.append(f"""p{t} AS (
+        SELECT f.*, 500000 * (z + 1000000 + ABS(z)) // (1000000 + ABS(z)) AS p
+        FROM (
+            SELECT f.*,
+                   (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2
+                    + w.w3 * f.x3 + {_LRGD_ZOFF}) // 1000000
+                    - {_LRGD_ZOFF // 1000000} AS z
+            FROM feat f CROSS JOIN {prev} w
+        ) f
+    ),
+    w{t}s AS (
+        SELECT
+            {upd.format(c=_LRGD_CLAMP, w="w.w0", x="x0", d=_LRGD_LR_DEN)} AS w0,
+            {upd.format(c=_LRGD_CLAMP, w="w.w1", x="x1", d=_LRGD_LR_DEN)} AS w1,
+            {upd.format(c=_LRGD_CLAMP, w="w.w2", x="x2", d=_LRGD_LR_DEN)} AS w2,
+            {upd.format(c=_LRGD_CLAMP, w="w.w3", x="x3", d=_LRGD_LR_DEN)} AS w3
+        FROM p{t} CROSS JOIN {prev} w
+        GROUP BY w.w0, w.w1, w.w2, w.w3
+    )""")
+    return ",\n    ".join(parts)
+
+
+@register(
+    "logistic_regression_gd",
+    oracle=f"""
+    WITH {_lrgd_duck(_LRGD_STEPS)},
+    scored AS (
+        SELECT f.y6,
+               500000 * (z + 1000000 + ABS(z)) // (1000000 + ABS(z)) AS p
+        FROM (
+            SELECT f.*,
+                   (w.w0 * f.x0 + w.w1 * f.x1 + w.w2 * f.x2
+                    + w.w3 * f.x3 + {_LRGD_ZOFF}) // 1000000
+                    - {_LRGD_ZOFF // 1000000} AS z
+            FROM feat f CROSS JOIN w{_LRGD_STEPS}s w
+        ) f
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(w.w0 AS BIGINT) AS w0_micro,
+           CAST(w.w1 AS BIGINT) AS w1_micro,
+           CAST(w.w2 AS BIGINT) AS w2_micro,
+           CAST(w.w3 AS BIGINT) AS w3_micro,
+           CAST(1000000 * SUM(CASE WHEN (p >= 500000) = (y6 = 1000000)
+                THEN 1 ELSE 0 END) // COUNT(*) AS BIGINT) AS train_acc_ppm,
+           CAST(1000000 * SUM(CASE WHEN y6 = 1000000 THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS pos_rate_ppm
+    FROM scored CROSS JOIN w{_LRGD_STEPS}s w
+    GROUP BY w.w0, w.w1, w.w2, w.w3
+    """,
+    tags=("ml", "training", "corpus"),
+    doc="On-engine logistic-probe training: 4 full-batch gradient-"
+    "descent steps for a 3-feature + bias classifier (predict lang = "
+    "'en' from capped token count, punctuation density, stopword "
+    "ratio), the quality-classifier bootstrap a corpus pipeline "
+    "distills from (fastText-style). Every quantity is an exact "
+    "integer: micro features, the fast-sigmoid link 0.5*(1+z/(1+|z|)) "
+    "as one non-negative integer division, exact BIGINT gradient "
+    "sums, floor-divide lr=1/4 updates clamped to +-10 (micro 1e7) — "
+    "so the weight trajectory is bit-identical on any engine and any "
+    "partitioning (pca_power_iteration's discipline; no EXP, whose "
+    "ULP behavior differs between JVM Math and libm). Emits final "
+    "weights, training accuracy, and class balance. On THIS synthetic "
+    "corpus the text carries no lexical language signal (uniform tech "
+    "vocabulary, zero punctuation), so GD provably converges to the "
+    "class prior — the separable-corpus unit test proves the same "
+    "loop learns (>90% acc) when signal exists. Scale: each step "
+    "is one map-side scan producing a 4-value gradient aggregate "
+    "(the classic data-parallel GD shape — gradients collected as a "
+    "1-row bounded artifact, weights re-broadcast as literals); "
+    "gradient sums stay in int64 to ~9e6 docs per 1e12 unit, "
+    "noted like spearman_rank_corr's bound. Ref parity: beyond-"
+    "reference ML-training layer.",
+)
+def logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    feat = docs.selectExpr(
+        "CAST(CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS BIGINT) AS y6",
+        "CAST(1000000 AS BIGINT) AS x0",
+        "CAST(10000 * LEAST(size(split(trim(text), '\\\\s+')), 100)"
+        " AS BIGINT) AS x1",
+        "CAST(1000000 * (length(text) - length(replace(replace("
+        "replace(replace(text, '.', ''), ',', ''), '!', ''), '?', '')))"
+        " DIV GREATEST(length(text), 1) AS BIGINT) AS x2",
+        "CAST(1000000 * size(filter(split(trim(text), '\\\\s+'),"
+        f" t -> lower(t) IN ({_LRGD_STOPS})))"
+        " DIV GREATEST(size(split(trim(text), '\\\\s+')), 1)"
+        " AS BIGINT) AS x3",
+    ).localCheckpoint(eager=False)
+    # mean-center the non-bias features (floor-divide means, exact
+    # ints; 1-row bounded artifact) so bias and slopes learn
+    # independently — mirrors the oracle's m/feat CTEs
+    mrow = feat.selectExpr(
+        "SUM(x1) AS s1", "SUM(x2) AS s2", "SUM(x3) AS s3", "COUNT(*) AS n"
+    ).collect()[0]
+    m1 = int(mrow["s1"]) // int(mrow["n"])
+    m2 = int(mrow["s2"]) // int(mrow["n"])
+    m3 = int(mrow["s3"]) // int(mrow["n"])
+    feat = feat.selectExpr(
+        "y6", "x0", f"x1 - {m1} AS x1", f"x2 - {m2} AS x2",
+        f"x3 - {m3} AS x3"
+    ).localCheckpoint(eager=False)
+
+    w = [0, 0, 0, 0]  # micro weights (bias, x1, x2, x3)
+    zoff = _LRGD_ZOFF
+
+    def z_expr() -> str:
+        num = (
+            f"({w[0]} * x0 + {w[1]} * x1 + {w[2]} * x2 + {w[3]} * x3"
+            f" + {zoff})"
+        )
+        # numerator offset keeps the dividend non-negative so Spark's
+        # truncating DIV and DuckDB/Python floor-// agree exactly
+        return f"({num} DIV 1000000 - {zoff // 1000000})"
+
+    p_expr_t = (
+        "(500000 * ({z} + 1000000 + ABS({z})))"
+        " DIV (1000000 + ABS({z}))"
+    )
+    for _ in range(_LRGD_STEPS):
+        z = z_expr()
+        p = p_expr_t.format(z=z)
+        g = feat.selectExpr(
+            f"(({p}) - y6) AS d", "x0", "x1", "x2", "x3"
+        ).selectExpr(
+            "SUM(d * x0) AS g0", "SUM(d * x1) AS g1",
+            "SUM(d * x2) AS g2", "SUM(d * x3) AS g3",
+            "COUNT(*) AS n",
+        ).collect()[0]  # bounded 1-row gradient artifact per step
+        n = int(g["n"])
+        for j in range(4):
+            grad = int(g[f"g{j}"]) // (n * 1000000)  # floor, == oracle //
+            w[j] = max(
+                -_LRGD_CLAMP, min(_LRGD_CLAMP, w[j] - grad // _LRGD_LR_DEN)
+            )
+
+    z = z_expr()
+    p = p_expr_t.format(z=z)
+    return feat.selectExpr(
+        f"({p}) AS p", "y6"
+    ).selectExpr(
+        "CAST(COUNT(*) AS BIGINT) AS n_docs",
+        f"CAST({w[0]} AS BIGINT) AS w0_micro",
+        f"CAST({w[1]} AS BIGINT) AS w1_micro",
+        f"CAST({w[2]} AS BIGINT) AS w2_micro",
+        f"CAST({w[3]} AS BIGINT) AS w3_micro",
+        "CAST(1000000 * SUM(CASE WHEN (p >= 500000) = (y6 = 1000000)"
+        " THEN 1 ELSE 0 END) DIV COUNT(*) AS BIGINT) AS train_acc_ppm",
+        "CAST(1000000 * SUM(CASE WHEN y6 = 1000000 THEN 1 ELSE 0 END)"
+        " DIV COUNT(*) AS BIGINT) AS pos_rate_ppm",
+    )

@@ -1,0 +1,220 @@
+"""Round-9 operator tests: facility-location / MMR selection, the
+Mann-Whitney U test, and the on-engine logistic-regression probe.
+Each mirrors the operator in plain Python over collected rows (the
+catalog contract tests cover the DuckDB oracle; these pin the
+semantics against an independent reimplementation)."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from conftest import SF_DIR
+
+
+def _duck_rows(sql: str):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "events"):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con.sql(sql).fetchall()
+
+
+def _emb_rows():
+    return _duck_rows("SELECT vec_id, embedding FROM embeddings")
+
+
+def _cos_micro(a, b) -> int:
+    num = sum(float(x) * float(y) for x, y in zip(a, b))
+    na = math.sqrt(sum(float(x) ** 2 for x in a))
+    nb = math.sqrt(sum(float(y) ** 2 for y in b))
+    if na == 0.0 or nb == 0.0:
+        return -1000000
+    return int(round(round(num / (na * nb), 6) * 1000000))
+
+
+# ------------------------------------------ facility location
+
+
+def test_facility_location_python_replay(spark):
+    from etl_energy_tracker_spark.queries.vectorops import (
+        _FL_CANDS,
+        _FL_PICKS,
+        facility_location_select,
+    )
+
+    rows = _emb_rows()
+    cents = sorted(
+        [(vid, ev) for vid, ev in rows if vid >= 100], key=lambda t: t[0]
+    )[:_FL_CANDS]
+    sims = {
+        vid: [_cos_micro(ev, cv) for _, cv in cents] for vid, ev in rows
+    }
+    cur = {vid: 0 for vid, _ in rows}
+    picked, chosen = [], set()
+    for r in range(1, _FL_PICKS + 1):
+        gains = [
+            sum(max(s[i] - cur[vid], 0) for vid, s in sims.items())
+            if i not in chosen
+            else None
+            for i in range(len(cents))
+        ]
+        best = min(
+            (i for i in range(len(cents)) if i not in chosen),
+            key=lambda i: (-gains[i], cents[i][0]),
+        )
+        picked.append((r, cents[best][0], gains[best]))
+        chosen.add(best)
+        for vid in cur:
+            cur[vid] = max(cur[vid], sims[vid][best])
+    got = [
+        (r.pick_order, r.centroid_id, r.gain_micro, r.objective_micro)
+        for r in facility_location_select(spark, SF_DIR).collect()
+    ]
+    want = [
+        (po, cid, g, sum(p[2] for p in picked[:po]))
+        for po, cid, g in picked
+    ]
+    assert sorted(got) == want
+    # objective is non-decreasing and gains are non-increasing
+    gains = [g for _, _, g in picked]
+    assert gains == sorted(gains, reverse=True)  # submodularity
+
+
+# --------------------------------------------------- MMR
+
+
+def test_mmr_python_replay(spark):
+    from etl_energy_tracker_spark.queries.vectorops import (
+        _MMR_CANDS,
+        _MMR_LAMBDA10,
+        _MMR_PICKS,
+        mmr_diverse_rank,
+    )
+
+    rows = _emb_rows()
+    qv = min(rows, key=lambda t: t[0])[1]
+    scored = sorted(
+        [(vid, ev, _cos_micro(ev, qv)) for vid, ev in rows],
+        key=lambda t: (-t[2], t[0]),
+    )[:_MMR_CANDS]
+    lam, com = _MMR_LAMBDA10, 10 - _MMR_LAMBDA10
+    pool = {vid: (rel, ev) for vid, ev, rel in scored}
+    sel = []
+    while pool and len(sel) < _MMR_PICKS:
+        best = None
+        for vid, (rel, ev) in pool.items():
+            ms = (
+                max(_cos_micro(ev, sev) for *_, sev in sel)
+                if sel
+                else -1000000
+            )
+            key = (-(lam * rel - com * ms), vid)
+            if best is None or key < best[0]:
+                best = (key, vid, rel, ms)
+        _, vid, rel, ms = best
+        sel.append((len(sel) + 1, vid, rel, ms, pool.pop(vid)[1]))
+    got = [
+        (r.pick_order, r.vec_id, r.rel_micro, r.maxsim_micro, r.score_dmicro)
+        for r in mmr_diverse_rank(spark, SF_DIR).collect()
+    ]
+    want = [
+        (o, vid, rel, ms, lam * rel - com * ms) for o, vid, rel, ms, _ in sel
+    ]
+    assert sorted(got) == want
+    # first pick is the pure-relevance argmax
+    assert got and sorted(got)[0][2] == max(r for _, _, r in
+                                            [(v, e, rl) for v, e, rl in scored])
+
+
+# -------------------------------------------- Mann-Whitney U
+
+
+def test_mann_whitney_python_replay(spark):
+    from etl_energy_tracker_spark.queries.statops import mann_whitney_u_test
+
+    rows = _duck_rows(
+        "SELECT event_type, user_id % 2 AS arm, value FROM events"
+    )
+    by_type: dict[str, list[tuple[int, float]]] = {}
+    for et, arm, x in rows:
+        by_type.setdefault(et, []).append((int(arm), float(x)))
+    want = {}
+    for et, pairs in by_type.items():
+        xs = sorted(x for _, x in pairs)
+        # doubled mid-rank per value
+        first = {}
+        cnt = {}
+        for i, x in enumerate(xs, 1):
+            first.setdefault(x, i)
+            cnt[x] = cnt.get(x, 0) + 1
+        r2 = {x: 2 * first[x] + cnt[x] - 1 for x in first}
+        na = sum(1 for a, _ in pairs if a == 0)
+        nb = len(pairs) - na
+        ra2 = sum(r2[x] for a, x in pairs if a == 0)
+        u2 = ra2 - na * (na + 1)
+        tie_t = sum(t**3 - t for t in cnt.values())
+        n = len(pairs)
+        sigma = math.sqrt(na * nb / 12.0 * (n + 1.0 - tie_t / (n * (n - 1.0))))
+        z_ppm = math.floor(1000000.0 * (u2 - na * nb) / (2.0 * sigma))
+        rb = 1000000 * u2 // (na * nb) - 1000000
+        want[et] = (na, nb, u2, tie_t, rb, z_ppm)
+    got = {
+        r.event_type: (
+            r.n_a, r.n_b, r.u2_a, r.tie_term, r.rank_biserial_ppm, r.z_ppm
+        )
+        for r in mann_whitney_u_test(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # |rank-biserial| <= 1 in ppm
+    for _, _, _, _, rb, _ in got.values():
+        assert -1000000 <= rb <= 1000000
+
+
+# ---------------------------------------- logistic regression GD
+
+
+def test_logistic_gd_learns_separable_corpus(spark, tmp_path):
+    """The driver-facing run on the signal-free synthetic corpus
+    converges to the class prior (documented); this builds a corpus
+    WITH lexical signal and asserts the same operator actually
+    learns it — the training loop moves the weights, not just the
+    bookkeeping."""
+    from etl_energy_tracker_spark.queries.mlops import logistic_regression_gd
+
+    rows = []
+    for i in range(400):
+        if i % 2 == 0:
+            text = "the of and is was to in that it for " * 5  # stopword-dense
+            lang = "en"
+        else:
+            text = "tabla valor consulta linea datos columna " * 8
+            lang = "es"
+        rows.append((i, text.strip(), lang, f"src{i % 4}", len(text)))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    row = logistic_regression_gd(spark, str(tmp_path)).collect()[0]
+    assert row.n_docs == 400
+    assert row.pos_rate_ppm == 500000
+    assert row.train_acc_ppm >= 900000  # actually learned, not the prior
+    assert row.w3_micro > 0  # stopword ratio predicts English
+
+
+def test_logistic_gd_weights_bounded_and_deterministic(spark):
+    from etl_energy_tracker_spark.queries.mlops import (
+        _LRGD_CLAMP,
+        logistic_regression_gd,
+    )
+
+    a = logistic_regression_gd(spark, SF_DIR).collect()[0]
+    b = logistic_regression_gd(spark, SF_DIR).collect()[0]
+    assert a == b  # same trajectory on every run / partitioning
+    for w in (a.w0_micro, a.w1_micro, a.w2_micro, a.w3_micro):
+        assert -_LRGD_CLAMP <= w <= _LRGD_CLAMP

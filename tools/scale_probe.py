@@ -174,6 +174,7 @@ OPS = [
     "facility_location_select",
     "mmr_diverse_rank",
     "mann_whitney_u_test",
+    "logistic_regression_gd",
 ]
 
 
