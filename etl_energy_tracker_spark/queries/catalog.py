@@ -338,6 +338,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # r9 additions (never driver-checked) append here as they land
     "facility_location_select", "mmr_diverse_rank",
     "mann_whitney_u_test", "logistic_regression_gd",
+    "contrastive_hard_negatives", "kmeans_lloyd_refine",
 )
 
 

@@ -1561,3 +1561,312 @@ def mmr_diverse_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "maxsim_micro long, score_dmicro long",
     )
     return out
+
+
+# ------------------------------------- contrastive hard negatives
+
+_CHN_CELLS = 16
+
+
+@register(
+    "contrastive_hard_negatives",
+    oracle=f"""
+    WITH cent AS (
+        SELECT vec_id AS centroid_id, embedding AS cv
+        FROM embeddings WHERE vec_id >= 100
+        ORDER BY vec_id LIMIT {_CHN_CELLS}
+    ),
+    assigned AS MATERIALIZED (
+        SELECT vec_id, ev, label, cell FROM (
+            SELECT e.vec_id, e.embedding AS ev, e.label,
+                   centroid_id AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_COS64.format(a="e.embedding", b="cv")} DESC,
+                                centroid_id) AS rk
+            FROM embeddings e CROSS JOIN cent
+        ) WHERE rk = 1
+    ),
+    pairs AS (
+        SELECT a.vec_id AS anchor_id, a.cell,
+               b.vec_id AS negative_id,
+               {_FL_S.format(a="a.ev", b="b.ev")} AS sim,
+               row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY {_FL_S.format(a="a.ev", b="b.ev")} DESC,
+                            b.vec_id) AS rk
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.label <> b.label
+    )
+    SELECT CAST(anchor_id AS BIGINT) AS anchor_id,
+           CAST(negative_id AS BIGINT) AS negative_id,
+           CAST(sim AS BIGINT) AS sim_micro,
+           CAST(cell AS BIGINT) AS cell
+    FROM pairs WHERE rk = 1
+    """,
+    tags=("vector", "training", "corpus"),
+    doc="Contrastive hard-negative mining (SimCLR/DPR-style): every "
+    "vector is IVF-assigned to its nearest of 16 deterministic "
+    "centroids (the semdedup_prune codebook recipe), and within each "
+    "cell the hardest negative per anchor is the most-similar vector "
+    "with a DIFFERENT label (rounded-cosine micro, ties to lowest "
+    "id) — the standard way to assemble triplet/contrastive batches "
+    "without an all-pairs scan: candidates are confined to the "
+    "anchor's cell, the exact regime ANN-based negative mining uses "
+    "in production. Scale: assignment is map-side against the "
+    "broadcast codebook (zero shuffle), pair formation shuffles on "
+    "the cell key only, and at 100 TB the codebook size scales with "
+    "the corpus (k ~ n/target, the probed semdedup recipe) so "
+    "per-cell pair work stays bounded. Ref parity: beyond-reference "
+    "training-assembly layer (companion to preference_pairs_assemble "
+    "and skipgram_negative_samples).",
+)
+def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import with_ivf_cell_mapside
+
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", "embedding", "label")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    cent = (
+        emb.where(F.col("vec_id") >= 100)
+        .orderBy("vec_id")
+        .limit(_CHN_CELLS)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("cv"),
+        )
+    )
+    assigned = with_ivf_cell_mapside(emb, cent, "embedding").localCheckpoint(
+        eager=False
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("av"),
+        F.col("label").alias("al"),
+        "cell",
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("embedding").alias("bv"),
+        F.col("label").alias("bl"),
+        F.col("cell").alias("bcell"),
+    )
+    sim = F.coalesce(
+        F.expr("CAST(ROUND(s6 * 1000000, 0) AS BIGINT)"),
+        F.lit(-1000000).cast("long"),
+    )
+    pairs = (
+        a.join(b, (a.cell == b.bcell) & (a.al != b.bl))
+        .withColumn(
+            "s6",
+            F.round(
+                F.try_divide(
+                    _dot(F.col("av"), F.col("bv")),
+                    F.sqrt(_dot(F.col("av"), F.col("av")))
+                    * F.sqrt(_dot(F.col("bv"), F.col("bv"))),
+                ),
+                6,
+            ),
+        )
+        .select("anchor_id", "cell", "negative_id", sim.alias("sim"))
+    )
+    best = pairs.groupBy("anchor_id", "cell").agg(
+        F.max(F.struct(F.col("sim"), (-F.col("negative_id")).alias("nid")))
+        .alias("b")
+    )
+    return best.select(
+        F.col("anchor_id").cast("long").alias("anchor_id"),
+        (-F.col("b.nid")).cast("long").alias("negative_id"),
+        F.col("b.sim").cast("long").alias("sim_micro"),
+        F.col("cell").cast("long").alias("cell"),
+    )
+
+
+# --------------------------------------- k-means Lloyd refinement
+
+_KM_CELLS = 16
+_KM_ROUNDS = 2
+# quantized-micro cosine between two BIGINT lists (DuckDB side)
+_KM_COS = """ROUND(
+    list_sum(list_transform(range(1, 65),
+        i -> CAST({a}[CAST(i AS INT)] AS DOUBLE) * CAST({b}[CAST(i AS INT)] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(range(1, 65),
+        i -> CAST({a}[CAST(i AS INT)] AS DOUBLE) * CAST({a}[CAST(i AS INT)] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(range(1, 65),
+        i -> CAST({b}[CAST(i AS INT)] AS DOUBLE) * CAST({b}[CAST(i AS INT)] AS DOUBLE))))),
+    6)"""
+
+
+def _km_round_duck(r: int) -> str:
+    """One Lloyd round: assign to nearest centroid of c{r-1}, then
+    per-dimension floor-divide means (offset keeps the dividend
+    non-negative so // and truncating DIV agree) with empty cells
+    keeping their previous centroid."""
+    prev = f"c{r - 1}"
+    return f"""a{r} AS MATERIALIZED (
+        SELECT vec_id, q, cell FROM (
+            SELECT e.vec_id, e.q, c.cid AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY {_KM_COS.format(a="e.q", b="c.cv")} DESC,
+                                c.cid) AS rk
+            FROM qe e CROSS JOIN {prev} c
+        ) WHERE rk = 1
+    ),
+    m{r} AS (
+        SELECT cell, list(v ORDER BY i) AS nv,
+               MAX(cnt) AS n_assigned
+        FROM (
+            SELECT cell, i,
+                   (SUM(q[CAST(i AS INT)]) + COUNT(*) * 1000000)
+                       // COUNT(*) - 1000000 AS v,
+                   COUNT(*) AS cnt
+            FROM a{r}, range(1, 65) t(i)
+            GROUP BY cell, i
+        ) GROUP BY cell
+    ),
+    c{r} AS MATERIALIZED (
+        SELECT p.cid, COALESCE(m.nv, p.cv) AS cv,
+               COALESCE(m.n_assigned, 0) AS n_assigned,
+               CASE WHEN m.nv IS NULL THEN CAST(0 AS BIGINT)
+                    ELSE CAST(list_sum(list_transform(range(1, 65),
+                        i -> ABS(m.nv[CAST(i AS INT)]
+                                 - p.cv[CAST(i AS INT)]))) AS BIGINT)
+               END AS shift_l1
+        FROM {prev} p LEFT JOIN m{r} m ON m.cell = p.cid
+    )"""
+
+
+@register(
+    "kmeans_lloyd_refine",
+    oracle=f"""
+    WITH qe AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding,
+            x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000, 0) AS BIGINT))
+            AS q
+        FROM embeddings
+    ),
+    c0 AS MATERIALIZED (
+        SELECT vec_id AS cid, q AS cv FROM qe
+        WHERE vec_id >= 100 ORDER BY vec_id LIMIT {_KM_CELLS}
+    ),
+    {",".join(_km_round_duck(r) for r in range(1, _KM_ROUNDS + 1))}
+    {" UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, CAST(cid AS BIGINT) AS cell,"
+        f" CAST(n_assigned AS BIGINT) AS n_assigned,"
+        f" CAST(shift_l1 AS BIGINT) AS shift_l1 FROM c{r}"
+        for r in range(1, _KM_ROUNDS + 1)
+    )}
+    """,
+    tags=("vector", "ml", "scale"),
+    doc="On-engine k-means codebook refinement: 2 Lloyd iterations "
+    "over micro-quantized embeddings from the 16 deterministic seeds "
+    "(the semdedup_prune recipe) — assignment is nearest rounded "
+    "cosine (ties to lowest centroid id), the update is the exact "
+    "per-dimension floor-divide mean (offset keeps dividends "
+    "non-negative so every engine's integer division agrees), empty "
+    "cells keep their centroid. Emits per (round, cell): assigned "
+    "count and the L1 centroid shift — the trained-codebook upgrade "
+    "path for every IVF consumer here (ann_ivf_topk, semdedup_prune, "
+    "contrastive_hard_negatives). Integer end-to-end: the centroid "
+    "trajectory is bit-identical on any engine/partitioning "
+    "(pca_power_iteration's discipline). Scale: the classic "
+    "data-parallel Lloyd shape — map-side assignment against the "
+    "broadcast codebook, per-dimension partial sums combine map-side "
+    "in one k x dim-bounded shuffle, and the k x dim centroid table "
+    "is the bounded driver artifact faiss keeps in RAM. Ref parity: "
+    "beyond-reference ML layer.",
+)
+def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_table(spark, "embeddings", sf_dir)
+        .select("vec_id", "embedding")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    qe = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)"
+            " * 1000000, 0) AS BIGINT))"
+        ).alias("q"),
+    ).localCheckpoint(eager=False)
+    seed_rows = sorted(
+        qe.where(F.col("vec_id") >= 100).orderBy("vec_id").limit(_KM_CELLS)
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    cents = {int(r["vec_id"]): [int(x) for x in r["q"]] for r in seed_rows}
+
+    import math
+
+    report = []
+    for rnd in range(1, _KM_ROUNDS + 1):
+        # map-side assignment against the literal codebook (argmax of
+        # rounded cosine, lowest cid on ties) — zero shuffle
+        structs = []
+        for cid in sorted(cents):
+            cv = cents[cid]
+            cnorm = math.sqrt(sum(float(x) ** 2 for x in cv))
+            structs.append(
+                F.struct(
+                    F.round(
+                        F.try_divide(
+                            _dot(
+                                F.col("q"),
+                                F.array(*[F.lit(float(x)) for x in cv]),
+                            ),
+                            F.sqrt(_dot(F.col("q"), F.col("q")))
+                            * F.lit(cnorm),
+                        ),
+                        6,
+                    ).alias("sim"),
+                    F.lit(cid).alias("cid"),
+                )
+            )
+        first_cid = sorted(cents)[0]
+        best = F.aggregate(
+            F.array(*structs),
+            F.struct(
+                F.lit(None).cast("double").alias("sim"),
+                F.lit(first_cid).alias("cid"),
+            ),
+            lambda acc, c: F.when(
+                c["sim"].isNotNull()
+                & (acc["sim"].isNull() | (c["sim"] > acc["sim"])),
+                c,
+            ).otherwise(acc),
+        )
+        assigned = qe.withColumn("cell", best["cid"])
+        # per-dimension exact sums: one k x dim-bounded shuffle
+        sums = (
+            assigned.select("cell", F.posexplode("q").alias("i", "qi"))
+            .groupBy("cell", "i")
+            .agg(
+                F.sum("qi").cast("long").alias("s"),
+                F.count(F.lit(1)).cast("long").alias("cnt"),
+            )
+            .collect()
+        )  # bounded artifact: k x dim rows
+        per_cell: dict[int, dict[int, tuple[int, int]]] = {}
+        for row in sums:
+            per_cell.setdefault(int(row["cell"]), {})[int(row["i"])] = (
+                int(row["s"]),
+                int(row["cnt"]),
+            )
+        for cid in sorted(cents):
+            dims = per_cell.get(cid)
+            if not dims:
+                report.append((rnd, cid, 0, 0))
+                continue
+            old = cents[cid]
+            new = [
+                (dims[i][0] + dims[i][1] * 1000000) // dims[i][1] - 1000000
+                for i in range(len(old))
+            ]
+            shift = sum(abs(a - b) for a, b in zip(new, old))
+            n_assigned = dims[0][1]
+            cents[cid] = new
+            report.append((rnd, cid, n_assigned, shift))
+
+    return spark.createDataFrame(
+        report, "round long, cell long, n_assigned long, shift_l1 long"
+    )

@@ -218,3 +218,106 @@ def test_logistic_gd_weights_bounded_and_deterministic(spark):
     assert a == b  # same trajectory on every run / partitioning
     for w in (a.w0_micro, a.w1_micro, a.w2_micro, a.w3_micro):
         assert -_LRGD_CLAMP <= w <= _LRGD_CLAMP
+
+
+# ------------------------------------ contrastive hard negatives
+
+
+def test_hard_negatives_python_replay(spark):
+    from etl_energy_tracker_spark.queries.vectorops import (
+        _CHN_CELLS,
+        contrastive_hard_negatives,
+    )
+
+    rows = _duck_rows("SELECT vec_id, embedding, label FROM embeddings")
+    cents = sorted(
+        [(vid, ev) for vid, ev, _ in rows if vid >= 100], key=lambda t: t[0]
+    )[:_CHN_CELLS]
+
+    def cell_of(ev):
+        best = None
+        for cid, cv in cents:
+            s = _cos_micro(ev, cv) / 1e6
+            if best is None or s > best[0]:
+                best = (s, cid)
+        return best[1]
+
+    assigned = [(vid, ev, lb, cell_of(ev)) for vid, ev, lb in rows]
+    want = {}
+    for vid, ev, lb, cl in assigned:
+        cands = [
+            (b_vid, _cos_micro(ev, b_ev))
+            for b_vid, b_ev, b_lb, b_cl in assigned
+            if b_cl == cl and b_lb != lb
+        ]
+        if cands:
+            neg, s = min(cands, key=lambda t: (-t[1], t[0]))
+            want[vid] = (neg, s, cl)
+    got = {
+        r.anchor_id: (r.negative_id, r.sim_micro, r.cell)
+        for r in contrastive_hard_negatives(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # every anchor's hard negative really is a different-label vector
+    labels = {vid: lb for vid, _, lb in rows}
+    for a, (n, _, _) in got.items():
+        assert labels[a] != labels[n]
+
+
+# ------------------------------------------- k-means Lloyd
+
+
+def test_kmeans_lloyd_python_replay(spark):
+    from etl_energy_tracker_spark.queries.vectorops import (
+        _KM_CELLS,
+        _KM_ROUNDS,
+        kmeans_lloyd_refine,
+    )
+
+    rows = _duck_rows("SELECT vec_id, embedding FROM embeddings")
+    q = {vid: [int(round(float(x) * 1e6)) for x in ev] for vid, ev in rows}
+    cents = {
+        vid: list(q[vid])
+        for vid in sorted(v for v, _ in rows if v >= 100)[:_KM_CELLS]
+    }
+
+    def cos6(a, b):
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return round(num / (na * nb), 6) if na and nb else None
+
+    want = []
+    for rnd in range(1, _KM_ROUNDS + 1):
+        buckets: dict[int, list[int]] = {cid: [] for cid in cents}
+        for vid, qv in q.items():
+            best = None
+            for cid in sorted(cents):
+                s = cos6(qv, cents[cid])
+                if s is not None and (best is None or s > best[0]):
+                    best = (s, cid)
+            buckets[best[1]].append(vid)
+        for cid in sorted(cents):
+            vids = buckets[cid]
+            if not vids:
+                want.append((rnd, cid, 0, 0))
+                continue
+            n = len(vids)
+            old = cents[cid]
+            new = [
+                (sum(q[v][i] for v in vids) + n * 1000000) // n - 1000000
+                for i in range(len(old))
+            ]
+            want.append(
+                (rnd, cid, n, sum(abs(a - b) for a, b in zip(new, old)))
+            )
+            cents[cid] = new
+    got = sorted(
+        (r.round, r.cell, r.n_assigned, r.shift_l1)
+        for r in kmeans_lloyd_refine(spark, SF_DIR).collect()
+    )
+    assert got == sorted(want)
+    # round-2 shifts are smaller in aggregate than round-1 (converging)
+    s1 = sum(s for rnd, _, _, s in want if rnd == 1)
+    s2 = sum(s for rnd, _, _, s in want if rnd == 2)
+    assert s2 < s1

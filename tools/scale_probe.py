@@ -175,6 +175,8 @@ OPS = [
     "mmr_diverse_rank",
     "mann_whitney_u_test",
     "logistic_regression_gd",
+    "contrastive_hard_negatives",
+    "kmeans_lloyd_refine",
 ]
 
 
