@@ -1456,3 +1456,126 @@ def mann_whitney_u_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_MWU_Z).alias("z_ppm"),
         )
     )
+
+
+# ------------------------------------------- Poisson bootstrap CI
+
+# deterministic Poisson(1) weights: one portable integer hash per
+# (event, replica) quantized through the exact Poisson CDF thresholds
+# (ppm). This is the distributed bootstrap: resampling n rows with
+# replacement ~ giving each row an independent Poisson(1) multiplicity
+# (Chamandy et al. 2012, "Estimating Uncertainty for Massive Data
+# Streams" — the standard MapReduce bootstrap).
+_PB_REPS = 32
+_PB_MOD = 1_000_000_007
+_PB_W = """CASE
+    WHEN u < 367879 THEN 0 WHEN u < 735759 THEN 1
+    WHEN u < 919699 THEN 2 WHEN u < 981012 THEN 3
+    WHEN u < 996340 THEN 4 WHEN u < 999406 THEN 5
+    WHEN u < 999917 THEN 6 ELSE 7 END"""
+# two-round mix: the replica index must pass through a second
+# multiplication AFTER the modulus, otherwise the additive b-term
+# collapses under the final % 1e6 (1000003 = 3 mod 1e6) and every
+# replica draws identical weights
+_PB_U = (
+    f"(((event_id % {_PB_MOD}) * 2654435761 % {_PB_MOD} + (b + 1) * 97)"
+    f" * 2654435761 % {_PB_MOD} % 1000000)"
+)
+
+
+@register(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    reps AS (
+        SELECT b.range AS b FROM range(0, {_PB_REPS}) b
+    ),
+    weighted AS (
+        SELECT event_type, b,
+               {_PB_W.replace("u", f"({_PB_U})")} AS w,
+               cents
+        FROM base CROSS JOIN reps
+    ),
+    means AS (
+        SELECT event_type, b,
+               SUM(w * cents) // GREATEST(SUM(w), 1) AS m
+        FROM weighted GROUP BY event_type, b
+    ),
+    ranked AS (
+        SELECT event_type, m,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY m, b) AS rk
+        FROM means
+    ),
+    point AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean_cents
+        FROM base GROUP BY event_type
+    )
+    SELECT p.event_type, p.n_events, p.mean_cents,
+           CAST(MAX(CASE WHEN rk = 2 THEN m END) AS BIGINT)
+               AS ci_lo_cents,
+           CAST(MAX(CASE WHEN rk = {_PB_REPS - 1} THEN m END) AS BIGINT)
+               AS ci_hi_cents
+    FROM point p JOIN ranked r ON r.event_type = p.event_type
+    GROUP BY p.event_type, p.n_events, p.mean_cents
+    """,
+    tags=("stats", "events", "scale"),
+    doc="Poisson-bootstrap confidence interval for the mean event "
+    "value per event type (Chamandy et al. 2012): each of 32 replicas "
+    "gives every row an independent Poisson(1) multiplicity derived "
+    "from a portable integer hash quantized through the exact "
+    "Poisson CDF thresholds — the one bootstrap that distributes "
+    "(no resampling pass, no shared RNG state; weights are a pure "
+    "projection). Replica means are exact floor-divide cents; the "
+    "~95% interval is the 2nd / 31st ranked replica mean "
+    "(deterministic tie-break by replica id). Scale: the 32x "
+    "map-side fan-out combines partially before one shuffle of "
+    "types x replicas partial sums — shuffle volume is independent "
+    "of row count; the rank window runs over 32 rows per type. Ref "
+    "parity: beyond-reference uncertainty layer (companion to "
+    "ab_test_zscore / conformal_prediction_interval).",
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    )
+    reps = spark.range(_PB_REPS).select(F.col("id").cast("long").alias("b"))
+    weighted = base.crossJoin(F.broadcast(reps)).select(
+        "event_type",
+        "b",
+        F.expr(_PB_W.replace("u", f"({_PB_U})")).alias("w"),
+        "cents",
+    )
+    means = weighted.groupBy("event_type", "b").agg(
+        F.expr("SUM(w * cents) DIV GREATEST(SUM(w), 1)").alias("m")
+    )
+    ranked = means.select(
+        "event_type",
+        "m",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("m", "b"))
+        .alias("rk"),
+    )
+    point = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)").alias("mean_cents"),
+    )
+    ci = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rk") == 2, F.col("m")))
+        .cast("long")
+        .alias("ci_lo_cents"),
+        F.max(F.when(F.col("rk") == _PB_REPS - 1, F.col("m")))
+        .cast("long")
+        .alias("ci_hi_cents"),
+    )
+    return point.join(ci, "event_type").select(
+        "event_type", "n_events", "mean_cents", "ci_lo_cents", "ci_hi_cents"
+    )

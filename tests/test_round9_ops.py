@@ -321,3 +321,61 @@ def test_kmeans_lloyd_python_replay(spark):
     s1 = sum(s for rnd, _, _, s in want if rnd == 1)
     s2 = sum(s for rnd, _, _, s in want if rnd == 2)
     assert s2 < s1
+
+
+# ------------------------------------------ Poisson bootstrap
+
+
+def test_poisson_bootstrap_python_replay(spark):
+    from etl_energy_tracker_spark.queries.statops import (
+        _PB_MOD,
+        _PB_REPS,
+        poisson_bootstrap_ci,
+    )
+
+    rows = _duck_rows(
+        "SELECT event_id, event_type, CAST(FLOOR(value * 100) AS BIGINT)"
+        " FROM events"
+    )
+    thresholds = (
+        (367879, 0), (735759, 1), (919699, 2), (981012, 3),
+        (996340, 4), (999406, 5), (999917, 6),
+    )
+
+    def w_of(eid: int, b: int) -> int:
+        u = (
+            ((eid % _PB_MOD) * 2654435761 % _PB_MOD + (b + 1) * 97)
+            * 2654435761 % _PB_MOD % 1000000
+        )
+        for t, w in thresholds:
+            if u < t:
+                return w
+        return 7
+
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for eid, et, c in rows:
+        by_type.setdefault(et, []).append((int(eid), int(c)))
+    want = {}
+    for et, evs in by_type.items():
+        means = []
+        for b in range(_PB_REPS):
+            sw = swx = 0
+            for eid, c in evs:
+                w = w_of(eid, b)
+                sw += w
+                swx += w * c
+            means.append((swx // max(sw, 1), b))
+        means.sort()
+        point = sum(c for _, c in evs) // len(evs)
+        want[et] = (
+            len(evs), point, means[1][0], means[_PB_REPS - 2][0]
+        )
+    got = {
+        r.event_type: (r.n_events, r.mean_cents, r.ci_lo_cents, r.ci_hi_cents)
+        for r in poisson_bootstrap_ci(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # the interval is non-degenerate and brackets the point estimate
+    for n, m, lo, hi in got.values():
+        assert lo < hi
+        assert lo <= m <= hi

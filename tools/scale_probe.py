@@ -177,6 +177,7 @@ OPS = [
     "logistic_regression_gd",
     "contrastive_hard_negatives",
     "kmeans_lloyd_refine",
+    "poisson_bootstrap_ci",
 ]
 
 
