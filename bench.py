@@ -227,6 +227,14 @@ EXTRA = [
     "shuffle_partition_advisor",
     "sequential_sprt_monitor",
     "hourly_trend_regression",
+    # round-9 additions
+    "facility_location_select",
+    "mmr_diverse_rank",
+    "mann_whitney_u_test",
+    "logistic_regression_gd",
+    "contrastive_hard_negatives",
+    "kmeans_lloyd_refine",
+    "poisson_bootstrap_ci",
 ]
 
 
