@@ -235,6 +235,7 @@ EXTRA = [
     "contrastive_hard_negatives",
     "kmeans_lloyd_refine",
     "poisson_bootstrap_ci",
+    "isotonic_calibration_pav",
 ]
 
 

@@ -339,7 +339,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "facility_location_select", "mmr_diverse_rank",
     "mann_whitney_u_test", "logistic_regression_gd",
     "contrastive_hard_negatives", "kmeans_lloyd_refine",
-    "poisson_bootstrap_ci",
+    "poisson_bootstrap_ci", "isotonic_calibration_pav",
 )
 
 

@@ -1560,3 +1560,127 @@ def ndcg_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CASE WHEN idcg = 0 THEN 1 ELSE 0 END) AS BIGINT)"
         ).alias("n_zero_relevance"),
     )
+
+
+# ------------------------------------------ isotonic calibration
+
+# PAV via the minimax identity iso(i) = max_{j<=i} min_{k>=i}
+# mean(j..k) over the ordered reliability bins — with <=10 bins the
+# full (i,j,k) enumeration is a bounded-table computation, and the
+# quantized range means (1e6 * sum_y // n, floor) make the fit exact
+# integer arithmetic on every engine.
+
+
+@register(
+    "isotonic_calibration_pav",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               (SUM({_HLC_W_DUCK}) + 1000 * COUNT(*)) * 500 // COUNT(*)
+                   AS prob_ppm,
+               1000000 * SUM(CASE WHEN {_AUC_STOP_SQL} THEN 1 ELSE 0 END)
+                   // COUNT(*) BETWEEN {_AUC_LO} AND {_AUC_HI} AS good
+        FROM toks GROUP BY doc_id
+    ),
+    bins AS (
+        SELECT LEAST(prob_ppm // 100000, 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT) AS ys
+        FROM per_doc GROUP BY bin
+    ),
+    ob AS (
+        SELECT bin, n_docs, ys,
+               row_number() OVER (ORDER BY bin) AS idx
+        FROM bins
+    ),
+    rng AS (
+        SELECT j.idx AS j, k.idx AS k,
+               1000000 * SUM(x.ys) // SUM(x.n_docs) AS avg_ppm
+        FROM ob j JOIN ob k ON j.idx <= k.idx
+        JOIN ob x ON x.idx BETWEEN j.idx AND k.idx
+        GROUP BY j.idx, k.idx
+    ),
+    mm AS (
+        SELECT i.idx AS i, r.j, MIN(r.avg_ppm) AS mn
+        FROM ob i JOIN rng r ON r.j <= i.idx AND r.k >= i.idx
+        GROUP BY i.idx, r.j
+    ),
+    cal AS (
+        SELECT i AS idx, CAST(MAX(mn) AS BIGINT) AS cal_ppm
+        FROM mm GROUP BY i
+    )
+    SELECT CAST(o.bin AS BIGINT) AS bin,
+           o.n_docs,
+           CAST(1000000 * o.ys // o.n_docs AS BIGINT) AS raw_acc_ppm,
+           c.cal_ppm
+    FROM ob o JOIN cal c ON c.idx = o.idx
+    """,
+    tags=("ml", "eval", "quality"),
+    doc="Isotonic calibration of the hashed linear classifier's "
+    "reliability table (pool-adjacent-violators via the minimax "
+    "identity iso(i) = max_{{j<=i}} min_{{k>=i}} mean(j..k) over the "
+    "ordered confidence bins): the monotone regression every "
+    "production scorer applies before thresholding when the raw "
+    "per-bin accuracies invert (Zadrozny & Elkan 2002). Range means "
+    "are quantized floor-divide ppm, so the fitted curve is exact "
+    "integer and identical on every engine; outputs the raw vs "
+    "calibrated accuracy per bin (calibrated column is non-"
+    "decreasing by construction — pinned in pytest). Scale: the "
+    "per-doc scoring pass is the same map-side collapse as "
+    "calibration_ece_report; everything after operates on the "
+    "<=10-row bin table (a bounded artifact — the (i,j,k) "
+    "enumeration is at most 10^3). Ref parity: beyond-reference "
+    "eval layer.",
+)
+def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.expr(
+            f"(SUM({_HLC_W_SPARK}) + 1000 * COUNT(*)) * 500 DIV COUNT(*)"
+        ).alias("prob_ppm"),
+        F.expr(
+            f"1000000 * SUM(CASE WHEN {_AUC_STOP_SQL} THEN 1 ELSE 0 END)"
+            f" DIV COUNT(*) BETWEEN {_AUC_LO} AND {_AUC_HI}"
+        ).alias("good"),
+    )
+    bins = (
+        per_doc.groupBy(
+            F.expr("LEAST(prob_ppm DIV 100000, 9L)").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.expr("CASE WHEN good THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias("ys"),
+        )
+        .collect()
+    )  # bounded artifact: <= 10 reliability bins
+    ob = sorted(
+        ((int(r["bin"]), int(r["n_docs"]), int(r["ys"])) for r in bins)
+    )
+    m = len(ob)
+
+    def avg(j: int, k: int) -> int:  # floor ppm mean of bins j..k
+        n = sum(ob[t][1] for t in range(j, k + 1))
+        y = sum(ob[t][2] for t in range(j, k + 1))
+        return 1000000 * y // n
+
+    out = []
+    for i in range(m):
+        cal = max(
+            min(avg(j, k) for k in range(i, m)) for j in range(i + 1)
+        )
+        b, n, y = ob[i]
+        out.append((b, n, 1000000 * y // n, cal))
+    return spark.createDataFrame(
+        out, "bin long, n_docs long, raw_acc_ppm long, cal_ppm long"
+    )

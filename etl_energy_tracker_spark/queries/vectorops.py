@@ -1566,6 +1566,16 @@ def mmr_diverse_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------- contrastive hard negatives
 
 _CHN_CELLS = 16
+# negative-CANDIDATE cap per cell: without it, fixed cells make
+# within-cell pairs grow quadratically with the corpus (the semdedup
+# x30 probe bug pattern — the r9 x10 probe measured 12.7x at 10x
+# data). Candidates are the K smallest-by-hash-rank rows per cell
+# (the blocking_strategy_eval fixed-K precedent): anchors stay
+# unrestricted, so pair volume is n x K — linear. At driver SFs every
+# cell holds < K vectors, so the capped pool is the full cell and the
+# hardest negative is exact; past it, this is the bounded-candidate
+# approximation every production ANN-based miner makes (documented).
+_CHN_CAND_K = 64
 
 
 @register(
@@ -1586,6 +1596,14 @@ _CHN_CELLS = 16
             FROM embeddings e CROSS JOIN cent
         ) WHERE rk = 1
     ),
+    cands AS MATERIALIZED (
+        SELECT vec_id, ev, label, cell FROM (
+            SELECT *, row_number() OVER (PARTITION BY cell
+                ORDER BY (vec_id * 2654435761) % 1000000007, vec_id)
+                AS crk
+            FROM assigned
+        ) WHERE crk <= {_CHN_CAND_K}
+    ),
     pairs AS (
         SELECT a.vec_id AS anchor_id, a.cell,
                b.vec_id AS negative_id,
@@ -1593,7 +1611,7 @@ _CHN_CELLS = 16
                row_number() OVER (PARTITION BY a.vec_id
                    ORDER BY {_FL_S.format(a="a.ev", b="b.ev")} DESC,
                             b.vec_id) AS rk
-        FROM assigned a JOIN assigned b
+        FROM assigned a JOIN cands b
           ON a.cell = b.cell AND a.label <> b.label
     )
     SELECT CAST(anchor_id AS BIGINT) AS anchor_id,
@@ -1610,12 +1628,15 @@ _CHN_CELLS = 16
     "with a DIFFERENT label (rounded-cosine micro, ties to lowest "
     "id) — the standard way to assemble triplet/contrastive batches "
     "without an all-pairs scan: candidates are confined to the "
-    "anchor's cell, the exact regime ANN-based negative mining uses "
-    "in production. Scale: assignment is map-side against the "
-    "broadcast codebook (zero shuffle), pair formation shuffles on "
-    "the cell key only, and at 100 TB the codebook size scales with "
-    "the corpus (k ~ n/target, the probed semdedup recipe) so "
-    "per-cell pair work stays bounded. Ref parity: beyond-reference "
+    "anchor's cell AND capped at the 64 smallest-by-hash-rank rows "
+    "per cell (blocking_strategy_eval's fixed-K precedent — the r9 "
+    "x10 probe caught the uncapped within-cell join growing "
+    "quadratically, 12.7x at 10x data), so pair volume is n x K — "
+    "linear on the corpus axis, the bounded-candidate regime "
+    "ANN-based negative mining uses in production. At driver SFs "
+    "every cell holds < K vectors so the hardest negative is exact. "
+    "Scale: assignment is map-side against the broadcast codebook "
+    "(zero shuffle); pair formation shuffles on the cell key only. Ref parity: beyond-reference "
     "training-assembly layer (companion to preference_pairs_assemble "
     "and skipgram_negative_samples).",
 )
@@ -1645,11 +1666,20 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("al"),
         "cell",
     )
-    b = assigned.select(
-        F.col("vec_id").alias("negative_id"),
-        F.col("embedding").alias("bv"),
-        F.col("label").alias("bl"),
-        F.col("cell").alias("bcell"),
+    crk = F.row_number().over(
+        W.partitionBy("cell").orderBy(
+            F.expr("(vec_id * 2654435761) % 1000000007"), F.col("vec_id")
+        )
+    )
+    b = (
+        assigned.withColumn("crk", crk)
+        .where(F.col("crk") <= _CHN_CAND_K)
+        .select(
+            F.col("vec_id").alias("negative_id"),
+            F.col("embedding").alias("bv"),
+            F.col("label").alias("bl"),
+            F.col("cell").alias("bcell"),
+        )
     )
     sim = F.coalesce(
         F.expr("CAST(ROUND(s6 * 1000000, 0) AS BIGINT)"),

@@ -379,3 +379,28 @@ def test_poisson_bootstrap_python_replay(spark):
     for n, m, lo, hi in got.values():
         assert lo < hi
         assert lo <= m <= hi
+
+
+# ------------------------------------------ isotonic calibration
+
+
+def test_isotonic_calibration_monotone_and_pav(spark):
+    from etl_energy_tracker_spark.queries.evalops import (
+        isotonic_calibration_pav,
+    )
+
+    rows = sorted(
+        (r.bin, r.n_docs, r.raw_acc_ppm, r.cal_ppm)
+        for r in isotonic_calibration_pav(spark, SF_DIR).collect()
+    )
+    cals = [c for *_, c in rows]
+    assert cals == sorted(cals)  # isotonic by construction
+    # PAV preserves the weighted mean level within floor-div error
+    tot = sum(n for _, n, _, _ in rows)
+    raw_mean = sum(n * a for _, n, a, _ in rows) // tot
+    cal_mean = sum(n * c for _, n, _, c in rows) // tot
+    assert abs(raw_mean - cal_mean) <= len(rows)  # quantization slack
+    # where raw accuracies are already monotone, PAV leaves them alone
+    raw = [a for _, _, a, _ in rows]
+    if raw == sorted(raw):
+        assert raw == cals

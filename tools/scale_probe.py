@@ -178,6 +178,7 @@ OPS = [
     "contrastive_hard_negatives",
     "kmeans_lloyd_refine",
     "poisson_bootstrap_ci",
+    "isotonic_calibration_pav",
 ]
 
 
