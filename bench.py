@@ -236,6 +236,8 @@ EXTRA = [
     "kmeans_lloyd_refine",
     "poisson_bootstrap_ci",
     "isotonic_calibration_pav",
+    "permutation_test_fdr",
+    "cuped_variance_reduction",
 ]
 
 

@@ -340,6 +340,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "mann_whitney_u_test", "logistic_regression_gd",
     "contrastive_hard_negatives", "kmeans_lloyd_refine",
     "poisson_bootstrap_ci", "isotonic_calibration_pav",
+    "permutation_test_fdr", "cuped_variance_reduction",
 )
 
 

@@ -1579,3 +1579,356 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return point.join(ci, "event_type").select(
         "event_type", "n_events", "mean_cents", "ci_lo_cents", "ci_hi_cents"
     )
+
+
+# ------------------------------- permutation test + BH step-up FDR
+
+# Deterministic permutation test: B = 63 null re-splits of USERS (the
+# cluster unit — all of a user's events flip together, same as the
+# observed parity split) from the portable integer hash, plus the
+# observed split at b = 0. The per-(type, replica) statistic is the
+# arm mean difference in ONE fixed-shape IEEE chain floored to
+# milli-cents, so every downstream comparison is exact integer; the
+# permutation p-value is the exact rational (1 + #{null >= obs}) / 64
+# — no normal approximation, no EXP/erf across the engine boundary.
+_PT_REPS = 64  # replica 0 = observed, 1..63 = null re-splits
+_PT_MOD = 1_000_000_007
+_PT_ARM = (
+    "CASE WHEN b = 0 THEN user_id % 2 ELSE "
+    f"(((user_id % {_PT_MOD}) * 2654435761 % {_PT_MOD} + b * 97 + 13)"
+    f" * 2654435761 % {_PT_MOD}) % 2 END"
+)
+_PT_T = (
+    "CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE "
+    "CAST(FLOOR(1000.0 * (CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) "
+    "- CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))) AS BIGINT) END"
+)
+
+
+@register(
+    "permutation_test_fdr",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, user_id,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    reps AS (SELECT b.range AS b FROM range(0, {_PT_REPS}) b),
+    arms AS (
+        SELECT event_type, b, {_PT_ARM} AS arm, cents
+        FROM base CROSS JOIN reps
+    ),
+    tstat AS (
+        SELECT event_type, b, {_PT_T} AS t FROM (
+            SELECT event_type, b,
+                   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS na,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS nb,
+                   CAST(SUM(CASE WHEN arm = 0 THEN cents ELSE 0 END)
+                        AS BIGINT) AS sa,
+                   CAST(SUM(CASE WHEN arm = 1 THEN cents ELSE 0 END)
+                        AS BIGINT) AS sb
+            FROM arms GROUP BY event_type, b
+        )
+    ),
+    obs AS (SELECT event_type, t AS t_obs FROM tstat WHERE b = 0),
+    pval AS (
+        SELECT o.event_type, o.t_obs,
+               CAST(1 + SUM(CASE WHEN s.b > 0 AND s.t IS NOT NULL
+                    AND ABS(s.t) >= ABS(o.t_obs) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS p_count
+        FROM obs o JOIN tstat s ON s.event_type = o.event_type
+        WHERE o.t_obs IS NOT NULL
+        GROUP BY o.event_type, o.t_obs
+    ),
+    ranked AS (
+        SELECT event_type, t_obs, p_count,
+               CAST(row_number() OVER (ORDER BY p_count, event_type)
+                    AS BIGINT) AS bh_rank,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM pval
+    ),
+    cutoff AS (
+        SELECT *,
+               MAX(CASE WHEN 20 * p_count * m <= bh_rank * {_PT_REPS}
+                   THEN bh_rank END) OVER () AS k
+        FROM ranked
+    )
+    SELECT event_type, t_obs AS t_obs_milli, p_count,
+           CAST(1000 * p_count // {_PT_REPS} AS BIGINT) AS p_milli,
+           bh_rank,
+           CAST(CASE WHEN k IS NOT NULL AND bh_rank <= k
+                THEN 1 ELSE 0 END AS BIGINT) AS discovered
+    FROM cutoff
+    """,
+    tags=("stats", "events", "eval"),
+    doc="Deterministic permutation test with Benjamini-Hochberg "
+    "step-up FDR control (alpha = 5%) over the per-event-type A/B "
+    "mean difference: 63 null re-splits of USERS from the portable "
+    "integer hash (cluster-level permutation — every event of a user "
+    "flips together, matching the observed parity split's assignment "
+    "unit), observed statistic at replica 0; the permutation p-value "
+    "is the exact rational (1 + #{null >= obs}) / 64, so the BH "
+    "comparison p_(i) <= i*alpha/m becomes the pure integer predicate "
+    "20*p_count*m <= rank*64 — no normal approximation, no erf/EXP "
+    "across the engine boundary (the blocker that keeps classical "
+    "p-value FDR out of exact-integer engines). The per-replica "
+    "statistic is ONE fixed-shape IEEE chain floored to milli-cents "
+    "(the ab_test_zscore recipe). Scale: the 64x map-side fan-out "
+    "combines partially before one shuffle of types x replicas "
+    "partial sums — shuffle volume independent of row count; the BH "
+    "window runs over the bounded type dimension. Ref parity: "
+    "beyond-reference experimentation layer (the multiple-testing "
+    "companion of ab_test_zscore / sequential_sprt_monitor).",
+)
+def permutation_test_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_type",
+        "user_id",
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    )
+    reps = spark.range(_PT_REPS).select(F.col("id").cast("long").alias("b"))
+    arms = base.crossJoin(F.broadcast(reps)).select(
+        "event_type", "b", F.expr(_PT_ARM).alias("arm"), "cents"
+    )
+    tstat = (
+        arms.groupBy("event_type", "b")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("na"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("nb"),
+            F.sum(F.when(F.col("arm") == 0, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("sa"),
+            F.sum(F.when(F.col("arm") == 1, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("sb"),
+        )
+        .select("event_type", "b", F.expr(_PT_T).alias("t"))
+    )
+    obs = tstat.where("b = 0").select(
+        "event_type", F.col("t").alias("t_obs")
+    ).where("t_obs IS NOT NULL")
+    pval = (
+        obs.join(tstat.alias("s"), "event_type")
+        .groupBy("event_type", "t_obs")
+        .agg(
+            F.expr(
+                "CAST(1 + SUM(CASE WHEN b > 0 AND t IS NOT NULL "
+                "AND ABS(t) >= ABS(t_obs) THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("p_count")
+        )
+    )
+    ranked = pval.select(
+        "event_type",
+        "t_obs",
+        "p_count",
+        F.row_number()
+        .over(W.orderBy("p_count", "event_type"))
+        .cast("long")
+        .alias("bh_rank"),
+        F.count(F.lit(1)).over(W.partitionBy()).cast("long").alias("m"),
+    )
+    cutoff = ranked.withColumn(
+        "k",
+        F.expr(
+            f"MAX(CASE WHEN 20 * p_count * m <= bh_rank * {_PT_REPS} "
+            "THEN bh_rank END)"
+        ).over(W.partitionBy()),
+    )
+    return cutoff.select(
+        "event_type",
+        F.col("t_obs").alias("t_obs_milli"),
+        "p_count",
+        F.expr(f"CAST(1000 * p_count DIV {_PT_REPS} AS BIGINT)").alias(
+            "p_milli"
+        ),
+        "bh_rank",
+        F.expr(
+            "CAST(CASE WHEN k IS NOT NULL AND bh_rank <= k "
+            "THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("discovered"),
+    )
+
+
+# ------------------------------------- CUPED variance reduction
+
+# All ratios live in ONE fixed-shape IEEE chain per output column,
+# over exact BIGINT sufficient statistics (n, Sx, Sy, Sxx, Sxy, Syy
+# and the per-arm splits). theta and the adjusted difference are
+# computed at the AGGREGATE level — diff_adj = (ybar_a - ybar_b) -
+# theta*(xbar_a - xbar_b) — so no per-row float adjustment exists to
+# accumulate rounding. Integer headroom: Sxx is exact to ~9e8 users
+# per type at per-user pre-period sums of 1e5 cents (the
+# spearman_rank_corr bound discipline — noted, not hidden).
+_CUPED_COV = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_CUPED_VARX = (
+    "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_CUPED_VARY = (
+    "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+)
+_CUPED_THETA = (
+    f"CASE WHEN {_CUPED_VARX} <= 0.0 THEN NULL ELSE "
+    f"CAST(FLOOR(1000.0 * {_CUPED_COV} / {_CUPED_VARX}) AS BIGINT) END"
+)
+_CUPED_RAW = (
+    "CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE "
+    "CAST(FLOOR(1000.0 * (CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) "
+    "- CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE))) AS BIGINT) END"
+)
+_CUPED_ADJ = (
+    f"CASE WHEN na = 0 OR nb = 0 OR {_CUPED_VARX} <= 0.0 THEN NULL ELSE "
+    "CAST(FLOOR(1000.0 * ((CAST(sya AS DOUBLE) / CAST(na AS DOUBLE) "
+    "- CAST(syb AS DOUBLE) / CAST(nb AS DOUBLE)) "
+    f"- {_CUPED_COV} / {_CUPED_VARX} "
+    "* (CAST(sxa AS DOUBLE) / CAST(na AS DOUBLE) "
+    "- CAST(sxb AS DOUBLE) / CAST(nb AS DOUBLE)))) AS BIGINT) END"
+)
+_CUPED_VR = (
+    f"CASE WHEN {_CUPED_VARX} <= 0.0 OR {_CUPED_VARY} <= 0.0 THEN NULL "
+    f"ELSE CAST(FLOOR(1000000.0 * {_CUPED_COV} * {_CUPED_COV} "
+    f"/ ({_CUPED_VARX} * {_CUPED_VARY})) AS BIGINT) END"
+)
+
+
+@register(
+    "cuped_variance_reduction",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, user_id, epoch_us(ts) AS us,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    bounds AS (
+        SELECT MIN(us) + (MAX(us) - MIN(us)) // 2 AS split_us FROM c
+    ),
+    per_user AS (
+        SELECT event_type, user_id, user_id % 2 AS arm,
+               CAST(SUM(CASE WHEN us < split_us THEN cents ELSE 0 END)
+                    AS BIGINT) AS x,
+               CAST(SUM(CASE WHEN us >= split_us THEN cents ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM c CROSS JOIN bounds GROUP BY event_type, user_id
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb,
+               CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT)
+                   AS sxa,
+               CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT)
+                   AS sxb,
+               CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+                   AS sya,
+               CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+                   AS syb
+        FROM per_user GROUP BY event_type
+    )
+    SELECT event_type, n AS n_users, na AS n_a, nb AS n_b,
+           {_CUPED_THETA} AS theta_milli,
+           {_CUPED_RAW} AS diff_raw_milli,
+           {_CUPED_ADJ} AS diff_cuped_milli,
+           {_CUPED_VR} AS var_reduction_ppm
+    FROM s
+    """,
+    tags=("stats", "events", "eval"),
+    doc="CUPED variance reduction (Deng et al. 2013) for the per-"
+    "event-type A/B readout: each user's PRE-period value sum (before "
+    "the global midpoint timestamp) is the control covariate for "
+    "their POST-period sum; theta = cov(x,y)/var(x) from exact BIGINT "
+    "sufficient statistics, and the adjusted treatment difference is "
+    "computed at the aggregate level — (ybar_a - ybar_b) - "
+    "theta*(xbar_a - xbar_b) — so no per-row float adjustment "
+    "accumulates rounding. var_reduction_ppm is the squared x,y "
+    "correlation (the exact fraction of metric variance CUPED "
+    "removes — the experimentation-platform sizing number). Every "
+    "output is ONE fixed-shape IEEE chain over the integer sums, "
+    "floored to milli/ppm — identical expression tree on both "
+    "engines. Scale: one map-side-combinable per-(type,user) "
+    "aggregate, then a per-type rollup of 12 BIGINT sufficient "
+    "statistics; the split point is one global min/max broadcast "
+    "scalar; no window, no sort, no per-row float. Ref parity: "
+    "beyond-reference experimentation layer (companion to "
+    "ab_test_zscore and permutation_test_fdr).",
+)
+def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.select(
+        "event_type",
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    )
+    bounds = c.agg(
+        F.expr("MIN(us) + (MAX(us) - MIN(us)) DIV 2").alias("split_us")
+    )
+    per_user = (
+        c.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN us < split_us THEN cents ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(SUM(CASE WHEN us >= split_us THEN cents ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("y"),
+        )
+        .withColumn("arm", F.expr("user_id % 2"))
+    )
+    s = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.expr("CAST(SUM(x * x) AS BIGINT)").alias("sxx"),
+        F.expr("CAST(SUM(x * y) AS BIGINT)").alias("sxy"),
+        F.expr("CAST(SUM(y * y) AS BIGINT)").alias("syy"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("na"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("nb"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT)"
+        ).alias("sxa"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT)"
+        ).alias("sxb"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)"
+        ).alias("sya"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)"
+        ).alias("syb"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.col("na").alias("n_a"),
+        F.col("nb").alias("n_b"),
+        F.expr(_CUPED_THETA).alias("theta_milli"),
+        F.expr(_CUPED_RAW).alias("diff_raw_milli"),
+        F.expr(_CUPED_ADJ).alias("diff_cuped_milli"),
+        F.expr(_CUPED_VR).alias("var_reduction_ppm"),
+    )

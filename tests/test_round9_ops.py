@@ -404,3 +404,159 @@ def test_isotonic_calibration_monotone_and_pav(spark):
     raw = [a for _, _, a, _ in rows]
     if raw == sorted(raw):
         assert raw == cals
+
+
+# ------------------------------------------ permutation test + BH
+
+
+def test_permutation_fdr_python_replay(spark):
+    from etl_energy_tracker_spark.queries.statops import (
+        _PT_MOD,
+        _PT_REPS,
+        permutation_test_fdr,
+    )
+
+    rows = _duck_rows(
+        "SELECT event_type, user_id, CAST(FLOOR(value * 100) AS BIGINT)"
+        " FROM events"
+    )
+
+    def arm_of(uid: int, b: int) -> int:
+        if b == 0:
+            return uid % 2
+        return (
+            ((uid % _PT_MOD) * 2654435761 % _PT_MOD + b * 97 + 13)
+            * 2654435761 % _PT_MOD
+        ) % 2
+
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for et, uid, c in rows:
+        by_type.setdefault(et, []).append((int(uid), int(c)))
+    stats = {}
+    for et, evs in by_type.items():
+        ts = []
+        for b in range(_PT_REPS):
+            na = nb = sa = sb = 0
+            for uid, c in evs:
+                if arm_of(uid, b) == 0:
+                    na += 1
+                    sa += c
+                else:
+                    nb += 1
+                    sb += c
+            if na == 0 or nb == 0:
+                ts.append(None)
+            else:
+                ts.append(math.floor(1000.0 * (sa / na - sb / nb)))
+        t_obs = ts[0]
+        if t_obs is None:
+            continue
+        p = 1 + sum(
+            1 for t in ts[1:] if t is not None and abs(t) >= abs(t_obs)
+        )
+        stats[et] = (t_obs, p)
+    ranked = sorted(stats.items(), key=lambda kv: (kv[1][1], kv[0]))
+    m = len(ranked)
+    k = max(
+        (i + 1 for i, (_, (_, p)) in enumerate(ranked)
+         if 20 * p * m <= (i + 1) * _PT_REPS),
+        default=None,
+    )
+    want = {}
+    for i, (et, (t_obs, p)) in enumerate(ranked):
+        rk = i + 1
+        want[et] = (
+            t_obs, p, 1000 * p // _PT_REPS, rk,
+            1 if k is not None and rk <= k else 0,
+        )
+    got = {
+        r.event_type: (
+            r.t_obs_milli, r.p_count, r.p_milli, r.bh_rank, r.discovered
+        )
+        for r in permutation_test_fdr(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # the parity split is a null split: nothing should be discovered
+    # at alpha=5% with high probability, and p-values must be valid
+    for t_obs, p, p_milli, rk, disc in got.values():
+        assert 1 <= p <= _PT_REPS
+        assert 0 <= p_milli <= 1000
+
+
+# ------------------------------------------ CUPED
+
+
+def test_cuped_python_replay(spark):
+    from etl_energy_tracker_spark.queries.statops import (
+        cuped_variance_reduction,
+    )
+
+    rows = _duck_rows(
+        "SELECT event_type, user_id, epoch_us(ts),"
+        " CAST(FLOOR(value * 100) AS BIGINT) FROM events"
+    )
+    us = [r[2] for r in rows]
+    split = min(us) + (max(us) - min(us)) // 2
+    per = {}
+    for et, uid, t, c in rows:
+        key = (et, int(uid))
+        x, y = per.get(key, (0, 0))
+        if t < split:
+            x += int(c)
+        else:
+            y += int(c)
+        per[key] = (x, y)
+    by_type: dict[str, list] = {}
+    for (et, uid), (x, y) in per.items():
+        by_type.setdefault(et, []).append((uid, uid % 2, x, y))
+    want = {}
+    for et, users in by_type.items():
+        n = len(users)
+        sx = sum(x for _, _, x, _ in users)
+        sy = sum(y for _, _, _, y in users)
+        sxx = sum(x * x for _, _, x, _ in users)
+        sxy = sum(x * y for _, _, x, y in users)
+        syy = sum(y * y for _, _, _, y in users)
+        na = sum(1 for _, a, _, _ in users if a == 0)
+        nb = n - na
+        sxa = sum(x for _, a, x, _ in users if a == 0)
+        sxb = sx - sxa
+        sya = sum(y for _, a, _, y in users if a == 0)
+        syb = sy - sya
+        cov = float(n) * float(sxy) - float(sx) * float(sy)
+        varx = float(n) * float(sxx) - float(sx) * float(sx)
+        vary = float(n) * float(syy) - float(sy) * float(sy)
+        theta = (
+            math.floor(1000.0 * cov / varx) if varx > 0.0 else None
+        )
+        raw = (
+            math.floor(1000.0 * (sya / na - syb / nb))
+            if na and nb
+            else None
+        )
+        adj = (
+            math.floor(
+                1000.0
+                * ((sya / na - syb / nb) - cov / varx * (sxa / na - sxb / nb))
+            )
+            if na and nb and varx > 0.0
+            else None
+        )
+        vr = (
+            math.floor(1000000.0 * cov * cov / (varx * vary))
+            if varx > 0.0 and vary > 0.0
+            else None
+        )
+        want[et] = (n, na, nb, theta, raw, adj, vr)
+    got = {
+        r.event_type: (
+            r.n_users, r.n_a, r.n_b, r.theta_milli, r.diff_raw_milli,
+            r.diff_cuped_milli, r.var_reduction_ppm,
+        )
+        for r in cuped_variance_reduction(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # r^2 is a fraction of variance: inside [0, 1e6] up to floor
+    for *_, vr in got.values():
+        if vr is not None:
+            assert 0 <= vr <= 1000000

@@ -179,6 +179,8 @@ OPS = [
     "kmeans_lloyd_refine",
     "poisson_bootstrap_ci",
     "isotonic_calibration_pav",
+    "permutation_test_fdr",
+    "cuped_variance_reduction",
 ]
 
 
