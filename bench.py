@@ -238,6 +238,8 @@ EXTRA = [
     "isotonic_calibration_pav",
     "permutation_test_fdr",
     "cuped_variance_reduction",
+    "bradley_terry_mm",
+    "best_of_n_curve",
 ]
 
 

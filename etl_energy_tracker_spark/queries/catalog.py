@@ -341,6 +341,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "contrastive_hard_negatives", "kmeans_lloyd_refine",
     "poisson_bootstrap_ci", "isotonic_calibration_pav",
     "permutation_test_fdr", "cuped_variance_reduction",
+    "bradley_terry_mm", "best_of_n_curve",
 )
 
 

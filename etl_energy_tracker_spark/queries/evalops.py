@@ -1684,3 +1684,107 @@ def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "bin long, n_docs long, raw_acc_ppm long, cal_ppm long"
     )
+
+
+# ------------------------------------------- best-of-n scaling curve
+
+
+def _bon_w(n: int) -> str:
+    """ppm weight of ascending order-stat i among n_s samples in the
+    exact best-of-n estimator: C(i-1, n-1) / C(n_s, n), composed as a
+    product of <=1 ratios so every intermediate stays inside double
+    exactness at ANY corpus size (no big factorial products). For
+    i < n one factor is exactly zero, so out-of-support ranks weight
+    0 without a branch. Identical expression string on both engines.
+    """
+    factors = " * ".join(
+        f"(CAST(i - {j} AS DOUBLE) / CAST(n_s - {j} AS DOUBLE))"
+        for j in range(1, n)
+    )
+    return (
+        f"CAST(FLOOR(1000000.0 * {n}.0 * {factors} "
+        "/ CAST(n_s AS DOUBLE)) AS BIGINT)"
+    )
+
+
+_BON_E = {
+    n: (
+        f"CASE WHEN MAX(n_s) >= {n} THEN "
+        f"CAST(FLOOR(CAST(SUM(cents * ({_bon_w(n)})) AS DOUBLE) / 100.0)"
+        " AS BIGINT) ELSE NULL END"
+    )
+    for n in (2, 4, 8)
+}
+
+
+@register(
+    "best_of_n_curve",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, cents,
+               CAST(row_number() OVER (PARTITION BY event_type
+                    ORDER BY cents, event_id) AS BIGINT) AS i,
+               CAST(COUNT(*) OVER (PARTITION BY event_type)
+                    AS BIGINT) AS n_s
+        FROM base
+    )
+    SELECT event_type,
+           CAST(MAX(n_s) AS BIGINT) AS n_samples,
+           CAST(MAX(cents) AS BIGINT) AS max_cents,
+           {_BON_E[2]} AS eb2_decimilli,
+           {_BON_E[4]} AS eb4_decimilli,
+           {_BON_E[8]} AS eb8_decimilli
+    FROM ranked GROUP BY event_type
+    """,
+    tags=("eval", "events", "stats"),
+    doc="Best-of-n scaling curve: the unbiased estimator of the "
+    "expected MAXIMUM of n samples drawn without replacement from "
+    "each event type's empirical value distribution, for n in "
+    "(2, 4, 8) — the exact combinatorial identity E[best-of-n] = "
+    "sum_i value_(i) * C(i-1, n-1)/C(N, n) over ascending order "
+    "statistics (the max analog of the pass@k estimator; the "
+    "inference-time-scaling readout that says how much a best-of-n "
+    "reranker buys before anyone runs it). Per-rank weights are "
+    "composed as products of <=1 ratios so every intermediate stays "
+    "inside double exactness at ANY N (no factorial blowup, the "
+    "pass_at_k_eval overflow lesson applied up front); the weighted "
+    "sum accumulates exactly in BIGINT and one final floor lands on "
+    "deci-milli-cents. Rank ties share identical weights in "
+    "aggregate regardless of internal tie order, so the result is "
+    "partition- and engine-invariant. Scale: one per-type rank "
+    "window (range-partitioned sort), one map-side-combinable "
+    "aggregate; no pair joins, no per-row state. Ref parity: "
+    "beyond-reference eval layer (companion to pass_at_k_eval and "
+    "ndcg_at_k_eval).",
+)
+def best_of_n_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    )
+    ranked = base.select(
+        "event_type",
+        "cents",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("cents", "event_id"))
+        .cast("long")
+        .alias("i"),
+        F.count(F.lit(1))
+        .over(W.partitionBy("event_type"))
+        .cast("long")
+        .alias("n_s"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n_s").cast("long").alias("n_samples"),
+        F.max("cents").cast("long").alias("max_cents"),
+        F.expr(_BON_E[2]).alias("eb2_decimilli"),
+        F.expr(_BON_E[4]).alias("eb4_decimilli"),
+        F.expr(_BON_E[8]).alias("eb8_decimilli"),
+    )

@@ -851,3 +851,277 @@ def logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(1000000 * SUM(CASE WHEN y6 = 1000000 THEN 1 ELSE 0 END)"
         " DIV COUNT(*) AS BIGINT) AS pos_rate_ppm",
     )
+
+
+# ---------------------------------------- Bradley-Terry MM fit
+
+# Pairwise doubled-win counts between sources come from per-source
+# score HISTOGRAMS (the Mann-Whitney trick): for ordered pair (i, j),
+# 2*wins_ij = sum over the shared score grid of at_i(s) *
+# (2*cum_below_j(s) + at_j(s)) — ties count half for each side, kept
+# doubled so everything stays integer. w2_ij + w2_ji == 2*n_i*n_j
+# exactly (pinned in pytest). Win counts are converted to per-pair
+# ppm RATES before the MM fit, so the fit's integers are bounded by
+# 2e6 regardless of corpus size; the histogram pass itself is exact
+# to ~2e6 docs per source (w2 and 1e6*w2 inside BIGINT) — noted, not
+# hidden (the spearman_rank_corr bound discipline).
+_BT_SCALE = 1_000_000
+
+
+@register(
+    "bradley_terry_mm",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    scores AS (
+        SELECT doc_id, source, CAST(SUM({_HLC_W_DUCK}) AS BIGINT) AS s
+        FROM toks GROUP BY doc_id, source
+    ),
+    hist AS (
+        SELECT source, s, CAST(COUNT(*) AS BIGINT) AS c
+        FROM scores GROUP BY source, s
+    ),
+    srcs AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM hist
+        GROUP BY source
+    ),
+    grid AS (
+        SELECT r.source, g.s, COALESCE(h.c, 0) AS at_c,
+               COALESCE(SUM(COALESCE(h.c, 0)) OVER (
+                   PARTITION BY r.source ORDER BY g.s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS below_c
+        FROM (SELECT DISTINCT s FROM hist) g
+        CROSS JOIN (SELECT source FROM srcs) r
+        LEFT JOIN hist h ON h.source = r.source AND h.s = g.s
+    ),
+    pairw AS (
+        SELECT a.source AS si, b.source AS sj,
+               CAST(SUM(a.at_c * (2 * b.below_c + b.at_c)) AS BIGINT)
+                   AS w2
+        FROM grid a JOIN grid b
+          ON a.s = b.s AND a.source <> b.source
+        GROUP BY a.source, b.source
+    ),
+    rates AS (
+        SELECT p.si, p.sj,
+               CAST({_BT_SCALE} * p.w2 // (ni.n * nj.n) AS BIGINT) AS r2
+        FROM pairw p
+        JOIN srcs ni ON ni.source = p.si
+        JOIN srcs nj ON nj.source = p.sj
+    ),
+    pr AS (
+        SELECT a.si, a.sj, a.r2, b.r2 AS r2rev
+        FROM rates a JOIN rates b ON b.si = a.sj AND b.sj = a.si
+    ),
+    w1 AS (
+        SELECT si AS source, CAST(SUM(r2) AS BIGINT) AS wsum,
+               CAST(SUM((r2 + r2rev) * {_BT_SCALE}
+                        // (2 * {_BT_SCALE})) AS BIGINT) AS d
+        FROM pr GROUP BY si
+    ),
+    raw1 AS (
+        SELECT source, wsum,
+               CAST(wsum * {_BT_SCALE} // d AS BIGINT) AS raw
+        FROM w1
+    ),
+    s1 AS (
+        SELECT source, wsum,
+               CAST(raw * ({_BT_SCALE} * (SELECT COUNT(*) FROM raw1))
+                    // (SELECT SUM(raw) FROM raw1) AS BIGINT) AS v
+        FROM raw1
+    ),
+    d2 AS (
+        SELECT p.si AS source,
+               CAST(SUM((p.r2 + p.r2rev) * {_BT_SCALE}
+                        // (a.v + b.v)) AS BIGINT) AS d
+        FROM pr p
+        JOIN s1 a ON a.source = p.si
+        JOIN s1 b ON b.source = p.sj
+        GROUP BY p.si
+    ),
+    raw2 AS (
+        SELECT w1.source,
+               CAST(w1.wsum * {_BT_SCALE} // d2.d AS BIGINT) AS raw
+        FROM w1 JOIN d2 ON d2.source = w1.source
+    ),
+    s2 AS (
+        SELECT source,
+               CAST(raw * ({_BT_SCALE} * (SELECT COUNT(*) FROM raw2))
+                    // (SELECT SUM(raw) FROM raw2) AS BIGINT) AS v
+        FROM raw2
+    )
+    SELECT s1.source, n.n AS n_docs,
+           CAST(s1.wsum // (2 * ((SELECT COUNT(*) FROM s1) - 1))
+                AS BIGINT) AS win_rate_ppm,
+           s1.v AS strength1_ppm, s2.v AS strength2_ppm
+    FROM s1
+    JOIN srcs n ON n.source = s1.source
+    JOIN s2 ON s2.source = s1.source
+    """,
+    tags=("ml", "eval", "corpus"),
+    doc="Bradley-Terry source-strength fit by two unrolled MM "
+    "iterations (Hunter 2004) — the pairwise-preference model behind "
+    "reward-model and arena-style rankings, here fit to exact "
+    "pairwise dominance counts of the hashed-linear-classifier doc "
+    "score between sources. Doubled win counts come from per-source "
+    "score histograms via the Mann-Whitney cumulative trick (never "
+    "doc x doc pairs; w2_ij + w2_ji == 2*n_i*n_j exactly, pinned in "
+    "pytest), are normalized to per-pair ppm rates so the MM fit's "
+    "integers are bounded regardless of corpus size, and the MM "
+    "update s_i' = W_i / sum_j(N_ij/(s_i+s_j)) runs in truncating "
+    "integer arithmetic with per-iteration sum normalization — "
+    "bit-identical on any engine and partitioning (the "
+    "markov_steady_state / pca_power_iteration recipe). Scale: one "
+    "token shuffle to per-doc scores, one map-side histogram "
+    "collapse; the score grid is |scores| x sources rows (a bounded "
+    "source dimension), the pair tables and both MM iterations live "
+    "on the sources^2 table. Ref parity: beyond-reference "
+    "training-eval layer (companion to preference_pairs_assemble "
+    "and isotonic_calibration_pav).",
+)
+def bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    scores = toks.groupBy("doc_id", "source").agg(
+        F.sum(F.expr(_HLC_W_SPARK)).cast("long").alias("s")
+    )
+    hist = (
+        scores.groupBy("source", "s")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    srcs = hist.groupBy("source").agg(F.sum("c").cast("long").alias("n"))
+    grid = (
+        hist.select("s")
+        .distinct()
+        .crossJoin(srcs.select("source"))
+        .join(hist, ["source", "s"], "left")
+        .select(
+            "source",
+            "s",
+            F.coalesce(F.col("c"), F.lit(0)).alias("at_c"),
+        )
+        .withColumn(
+            "below_c",
+            F.coalesce(
+                F.sum("at_c").over(
+                    W.partitionBy("source")
+                    .orderBy("s")
+                    .rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+    )
+    a, b = grid.alias("a"), grid.alias("b")
+    pairw = (
+        a.join(
+            b,
+            (F.expr("a.s = b.s")) & (F.expr("a.source <> b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("si"), F.col("b.source").alias("sj")
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(a.at_c * (2 * b.below_c + b.at_c)) AS BIGINT)"
+            ).alias("w2")
+        )
+    )
+    ni = srcs.select(F.col("source").alias("si"), F.col("n").alias("n_i"))
+    nj = srcs.select(F.col("source").alias("sj"), F.col("n").alias("n_j"))
+    rates = (
+        pairw.join(ni, "si")
+        .join(nj, "sj")
+        .select(
+            "si",
+            "sj",
+            F.expr(f"CAST({_BT_SCALE} * w2 DIV (n_i * n_j) AS BIGINT)").alias(
+                "r2"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rev = rates.select(
+        F.col("si").alias("sj"),
+        F.col("sj").alias("si"),
+        F.col("r2").alias("r2rev"),
+    )
+    pr = rates.join(rev, ["si", "sj"]).localCheckpoint(eager=False)
+    w1 = pr.groupBy(F.col("si").alias("source")).agg(
+        F.sum("r2").cast("long").alias("wsum"),
+        F.expr(
+            f"CAST(SUM((r2 + r2rev) * {_BT_SCALE} DIV (2 * {_BT_SCALE}))"
+            " AS BIGINT)"
+        ).alias("d"),
+    )
+    raw1 = w1.select(
+        "source",
+        "wsum",
+        F.expr(f"CAST(wsum * {_BT_SCALE} DIV d AS BIGINT)").alias("raw"),
+    )
+    tot1 = raw1.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("raw").cast("long").alias("rsum"),
+    )
+    s1 = (
+        raw1.crossJoin(F.broadcast(tot1))
+        .select(
+            "source",
+            "wsum",
+            F.expr(
+                f"CAST(raw * ({_BT_SCALE} * k) DIV rsum AS BIGINT)"
+            ).alias("v"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    sa = s1.select(F.col("source").alias("si"), F.col("v").alias("v_i"))
+    sb = s1.select(F.col("source").alias("sj"), F.col("v").alias("v_j"))
+    d2 = (
+        pr.join(sa, "si")
+        .join(sb, "sj")
+        .groupBy(F.col("si").alias("source"))
+        .agg(
+            F.expr(
+                f"CAST(SUM((r2 + r2rev) * {_BT_SCALE} DIV (v_i + v_j))"
+                " AS BIGINT)"
+            ).alias("d")
+        )
+    )
+    raw2 = w1.select("source", "wsum").join(d2, "source").select(
+        "source",
+        F.expr(f"CAST(wsum * {_BT_SCALE} DIV d AS BIGINT)").alias("raw"),
+    )
+    tot2 = raw2.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("raw").cast("long").alias("rsum"),
+    )
+    s2 = raw2.crossJoin(F.broadcast(tot2)).select(
+        "source",
+        F.expr(f"CAST(raw * ({_BT_SCALE} * k) DIV rsum AS BIGINT)").alias(
+            "v2"
+        ),
+    )
+    kcnt = s1.agg(F.count(F.lit(1)).cast("long").alias("k_all"))
+    return (
+        s1.join(srcs, "source")
+        .join(s2, "source")
+        .crossJoin(F.broadcast(kcnt))
+        .select(
+            "source",
+            F.col("n").alias("n_docs"),
+            F.expr("CAST(wsum DIV (2 * (k_all - 1)) AS BIGINT)").alias(
+                "win_rate_ppm"
+            ),
+            F.col("v").alias("strength1_ppm"),
+            F.col("v2").alias("strength2_ppm"),
+        )
+    )

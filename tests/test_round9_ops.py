@@ -560,3 +560,145 @@ def test_cuped_python_replay(spark):
     for *_, vr in got.values():
         if vr is not None:
             assert 0 <= vr <= 1000000
+
+
+# ------------------------------------------ Bradley-Terry MM
+
+
+def test_bradley_terry_python_replay(spark):
+    from etl_energy_tracker_spark.queries.mlops import (
+        _BT_SCALE,
+        bradley_terry_mm,
+    )
+    from etl_energy_tracker_spark.queries.prepops import _HLC_W_DUCK
+
+    rows = _duck_rows(
+        "WITH toks AS (SELECT doc_id, source,"
+        " unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok"
+        " FROM documents)"
+        f" SELECT source, CAST(SUM({_HLC_W_DUCK}) AS BIGINT)"
+        " FROM toks GROUP BY doc_id, source"
+    )
+    by_src: dict[str, list[int]] = {}
+    for src, s in rows:
+        by_src.setdefault(src, []).append(int(s))
+    srcs = sorted(by_src)
+    n = {k: len(v) for k, v in by_src.items()}
+    # doubled dominance counts by direct enumeration (test-size only)
+    w2 = {}
+    for i in srcs:
+        for j in srcs:
+            if i == j:
+                continue
+            w2[(i, j)] = sum(
+                2 if a > b else (1 if a == b else 0)
+                for a in by_src[i]
+                for b in by_src[j]
+            )
+    for i in srcs:
+        for j in srcs:
+            if i < j:
+                assert w2[(i, j)] + w2[(j, i)] == 2 * n[i] * n[j]
+    r2 = {
+        (i, j): _BT_SCALE * w for (i, j), w in w2.items()
+    }
+    r2 = {k: v // (n[k[0]] * n[k[1]]) for k, v in r2.items()}
+    wsum = {i: sum(r2[(i, j)] for j in srcs if j != i) for i in srcs}
+
+    def mm(strength):
+        raw = {}
+        for i in srcs:
+            d = sum(
+                (r2[(i, j)] + r2[(j, i)]) * _BT_SCALE
+                // (strength[i] + strength[j])
+                for j in srcs
+                if j != i
+            )
+            raw[i] = wsum[i] * _BT_SCALE // d
+        tot = sum(raw.values())
+        return {i: raw[i] * (_BT_SCALE * len(srcs)) // tot for i in srcs}
+
+    s0 = {i: _BT_SCALE for i in srcs}
+    s1 = mm(s0)
+    s2 = mm(s1)
+    want = {
+        i: (n[i], wsum[i] // (2 * (len(srcs) - 1)), s1[i], s2[i])
+        for i in srcs
+    }
+    got = {
+        r.source: (
+            r.n_docs, r.win_rate_ppm, r.strength1_ppm, r.strength2_ppm
+        )
+        for r in bradley_terry_mm(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # normalization holds: strengths average to ~1e6
+    tot2 = sum(v[3] for v in got.values())
+    assert abs(tot2 - _BT_SCALE * len(got)) <= len(got)
+
+
+# ------------------------------------------ best-of-n curve
+
+
+def test_best_of_n_identity_exact():
+    # the order-statistic identity E[max of n] = sum_i s_(i) *
+    # C(i-1, n-1)/C(N, n) against brute-force subset enumeration
+    from fractions import Fraction
+    from itertools import combinations
+    from math import comb
+
+    vals = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5, 8]
+    for nn in (2, 4, 8):
+        brute = Fraction(
+            sum(max(c) for c in combinations(vals, nn)),
+            comb(len(vals), nn),
+        )
+        s = sorted(vals)
+        ident = sum(
+            Fraction(s[i - 1] * comb(i - 1, nn - 1), comb(len(s), nn))
+            for i in range(1, len(s) + 1)
+        )
+        assert brute == ident
+
+
+def test_best_of_n_python_replay(spark):
+    from etl_energy_tracker_spark.queries.evalops import best_of_n_curve
+
+    rows = _duck_rows(
+        "SELECT event_id, event_type, CAST(FLOOR(value * 100) AS BIGINT)"
+        " FROM events"
+    )
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for eid, et, c in rows:
+        by_type.setdefault(et, []).append((int(c), int(eid)))
+    want = {}
+    for et, evs in by_type.items():
+        evs.sort()
+        ns = len(evs)
+        out = [ns, max(c for c, _ in evs)]
+        for nn in (2, 4, 8):
+            if ns < nn:
+                out.append(None)
+                continue
+            total = 0
+            for idx, (c, _) in enumerate(evs):
+                i = idx + 1
+                w = 1000000.0 * float(nn)
+                for j in range(1, nn):
+                    w = w * (float(i - j) / float(ns - j))
+                w = math.floor(w / float(ns))
+                total += c * w
+            out.append(math.floor(float(total) / 100.0))
+        want[et] = tuple(out)
+    got = {
+        r.event_type: (
+            r.n_samples, r.max_cents,
+            r.eb2_decimilli, r.eb4_decimilli, r.eb8_decimilli,
+        )
+        for r in best_of_n_curve(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # the curve is monotone in n and bounded by the observed max
+    for ns, mx, e2, e4, e8 in got.values():
+        if e8 is not None:
+            assert e2 <= e4 <= e8 <= mx * 10000

@@ -181,6 +181,8 @@ OPS = [
     "isotonic_calibration_pav",
     "permutation_test_fdr",
     "cuped_variance_reduction",
+    "bradley_terry_mm",
+    "best_of_n_curve",
 ]
 
 
