@@ -240,6 +240,8 @@ EXTRA = [
     "cuped_variance_reduction",
     "bradley_terry_mm",
     "best_of_n_curve",
+    "matryoshka_dim_recall",
+    "shapley_channel_attribution",
 ]
 
 

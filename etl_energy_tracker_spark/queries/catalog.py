@@ -342,6 +342,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "poisson_bootstrap_ci", "isotonic_calibration_pav",
     "permutation_test_fdr", "cuped_variance_reduction",
     "bradley_terry_mm", "best_of_n_curve",
+    "matryoshka_dim_recall", "shapley_channel_attribution",
 )
 
 

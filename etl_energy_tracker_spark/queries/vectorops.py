@@ -1900,3 +1900,166 @@ def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         report, "round long, cell long, n_assigned long, shift_l1 long"
     )
+
+
+# --------------------------------------- Matryoshka dimension recall
+
+_MDR_DIMS = (8, 16, 32)
+
+
+@register(
+    "matryoshka_dim_recall",
+    oracle=f"""
+    WITH truth AS (SELECT * FROM ({_CATALOG["ann_cosine_topk"].oracle}) t),
+    truth_rk AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY cosine DESC, vec_id) AS rk
+        FROM truth
+    ),
+    dimset AS (SELECT unnest([{", ".join(str(d) for d in _MDR_DIMS)}])
+               AS dims),
+    q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < {_N_QUERIES}
+    ),
+    c AS (
+        SELECT vec_id, embedding AS cv
+        FROM embeddings WHERE vec_id >= {_N_QUERIES}
+    ),
+    scored AS (
+        SELECT query_id, dims, vec_id,
+               ROUND(
+                 list_sum(list_transform(range(1, dims + 1),
+                     i -> CAST(qv[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(cv[CAST(i AS INT)] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, dims + 1),
+                     i -> CAST(qv[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(qv[CAST(i AS INT)] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, dims + 1),
+                     i -> CAST(cv[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(cv[CAST(i AS INT)] AS DOUBLE))))),
+               6) AS cosine
+        FROM q CROSS JOIN dimset CROSS JOIN c
+    ),
+    trunc_rk AS (
+        SELECT query_id, dims, vec_id,
+               row_number() OVER (PARTITION BY query_id, dims
+                   ORDER BY cosine DESC, vec_id) AS rk
+        FROM scored
+    ),
+    trunc_top AS (SELECT * FROM trunc_rk WHERE rk <= {_TOP_K}),
+    hits AS (
+        SELECT a.query_id, a.dims, COUNT(*) AS n_hits
+        FROM trunc_top a JOIN truth_rk t
+          ON t.query_id = a.query_id AND t.vec_id = a.vec_id
+        GROUP BY a.query_id, a.dims
+    ),
+    nn AS (
+        SELECT t.query_id, d.dims, COALESCE(MIN(a.rk), 0) AS nn_rank
+        FROM truth_rk t
+        CROSS JOIN dimset d
+        LEFT JOIN trunc_top a
+          ON a.query_id = t.query_id AND a.dims = d.dims
+         AND a.vec_id = t.vec_id
+        WHERE t.rk = 1
+        GROUP BY t.query_id, d.dims
+    )
+    SELECT n.query_id, CAST(n.dims AS BIGINT) AS dims,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           CAST((1000000 * COALESCE(h.n_hits, 0)) // {_TOP_K} AS BIGINT)
+               AS recall_ppm,
+           CAST(n.nn_rank AS BIGINT) AS nn_rank
+    FROM nn n
+    LEFT JOIN hits h ON h.query_id = n.query_id AND h.dims = n.dims
+    """,
+    tags=("vector", "eval", "topk"),
+    doc="Matryoshka / truncated-dimension retrieval audit (Kusupati "
+    "et al. 2022): brute-force cosine top-k over only the FIRST d "
+    "dims (d = 8/16/32) scored against the full-64-dim ground truth "
+    "(ann_cosine_topk's oracle SQL reused verbatim as a subquery, the "
+    "ann_recall_mrr_eval discipline) — recall@k in exact integer ppm "
+    "and the rank the true nearest neighbor lands at under each "
+    "truncation. This is the measurement that decides how far an "
+    "MRL-style embedding can be truncated for the cheap first-pass "
+    "retrieval tier before the full-dim rerank. Same ROUND(...,6) "
+    "float-parity contract as every cosine op in this engine. Scale: "
+    "corpus scanned once with a (queries x dims)-bounded broadcast "
+    "fan-out (15 rows); per-(query,dims) top-k windows; the eval "
+    "joins touch k*queries*dims rows. Ref parity: beyond-reference "
+    "similarity-eval layer.",
+)
+def matryoshka_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    truth = ann_cosine_topk(spark, sf_dir)
+    wt = W.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    truth_rk = truth.withColumn("rk", F.row_number().over(wt)).select(
+        "query_id", "vec_id", "rk"
+    )
+    dimset = spark.createDataFrame(
+        [(d,) for d in _MDR_DIMS], "dims int"
+    )
+    q = emb.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.where(F.col("vec_id") >= _N_QUERIES).select(
+        "vec_id", F.col("embedding").alias("cv")
+    )
+    dot = (
+        "aggregate(zip_with(slice({a}, 1, dims), slice({b}, 1, dims), "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    scored = c.crossJoin(
+        F.broadcast(q.crossJoin(dimset))
+    ).withColumn(
+        "cosine",
+        F.expr(
+            f"ROUND({dot.format(a='qv', b='cv')} / "
+            f"(sqrt({dot.format(a='qv', b='qv')}) * "
+            f"sqrt({dot.format(a='cv', b='cv')})), 6)"
+        ),
+    )
+    wtd = W.partitionBy("query_id", "dims").orderBy(
+        F.desc("cosine"), "vec_id"
+    )
+    trunc_top = (
+        scored.withColumn("rk", F.row_number().over(wtd))
+        .where(F.col("rk") <= _TOP_K)
+        .select("query_id", "dims", "vec_id", "rk")
+    )
+    hits = (
+        trunc_top.join(truth_rk.select("query_id", "vec_id"),
+                       ["query_id", "vec_id"])
+        .groupBy("query_id", "dims")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    nn = (
+        truth_rk.where(F.col("rk") == 1)
+        .select("query_id", "vec_id")
+        .crossJoin(F.broadcast(dimset))
+        .join(
+            trunc_top.select(
+                "query_id", "dims", "vec_id", F.col("rk").alias("ark")
+            ),
+            ["query_id", "dims", "vec_id"],
+            "left",
+        )
+        .groupBy("query_id", "dims")
+        .agg(F.coalesce(F.min("ark"), F.lit(0)).alias("nn_rank"))
+    )
+    return (
+        nn.join(hits, ["query_id", "dims"], "left")
+        .select(
+            "query_id",
+            F.col("dims").cast("long").alias("dims"),
+            F.coalesce(F.col("n_hits"), F.lit(0))
+            .cast("long")
+            .alias("n_hits"),
+            F.expr(
+                f"CAST((1000000 * coalesce(n_hits, 0)) DIV {_TOP_K} "
+                "AS BIGINT)"
+            ).alias("recall_ppm"),
+            F.col("nn_rank").cast("long").alias("nn_rank"),
+        )
+    )

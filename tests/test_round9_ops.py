@@ -702,3 +702,130 @@ def test_best_of_n_python_replay(spark):
     for ns, mx, e2, e4, e8 in got.values():
         if e8 is not None:
             assert e2 <= e4 <= e8 <= mx * 10000
+
+
+# ------------------------------------------ matryoshka recall
+
+
+def test_matryoshka_python_replay(spark):
+    from etl_energy_tracker_spark.queries.vectorops import (
+        _MDR_DIMS,
+        _N_QUERIES,
+        _TOP_K,
+        matryoshka_dim_recall,
+    )
+
+    rows = _emb_rows()
+    qs = [(vid, ev) for vid, ev in rows if vid < _N_QUERIES]
+    cs = [(vid, ev) for vid, ev in rows if vid >= _N_QUERIES]
+
+    def cos(a, b, d):
+        num = sum(float(x) * float(y) for x, y in zip(a[:d], b[:d]))
+        na = math.sqrt(sum(float(x) ** 2 for x in a[:d]))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b[:d]))
+        return round(num / (na * nb), 6)
+
+    truth = {}
+    for qid, qv in qs:
+        ranked = sorted(
+            ((cos(qv, cv, 64), vid) for vid, cv in cs),
+            key=lambda t: (-t[0], t[1]),
+        )[:_TOP_K]
+        truth[qid] = [vid for _, vid in ranked]
+    want = {}
+    for qid, qv in qs:
+        for d in _MDR_DIMS:
+            ranked = sorted(
+                ((cos(qv, cv, d), vid) for vid, cv in cs),
+                key=lambda t: (-t[0], t[1]),
+            )[:_TOP_K]
+            ids = [vid for _, vid in ranked]
+            hits = len(set(ids) & set(truth[qid]))
+            nn = truth[qid][0]
+            nn_rank = ids.index(nn) + 1 if nn in ids else 0
+            want[(qid, d)] = (hits, 1000000 * hits // _TOP_K, nn_rank)
+    got = {
+        (r.query_id, r.dims): (r.n_hits, r.recall_ppm, r.nn_rank)
+        for r in matryoshka_dim_recall(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # recall should not degrade (weakly) as dims grow, per query,
+    # and 32 of 64 dims should recover most of the list on average
+    for qid, _ in qs:
+        r8 = got[(qid, 8)][1]
+        r32 = got[(qid, 32)][1]
+        assert r32 >= r8 - 200000  # allow mild non-monotonicity
+
+
+# ------------------------------------------ exact Shapley
+
+
+def test_shapley_python_replay(spark):
+    from math import factorial
+
+    from etl_energy_tracker_spark.queries.insightops import (
+        shapley_channel_attribution,
+    )
+
+    rows = _duck_rows(
+        "SELECT user_id, event_type, epoch_us(ts), event_id FROM events"
+    )
+    by_user: dict[int, list] = {}
+    for uid, et, us, eid in rows:
+        by_user.setdefault(int(uid), []).append((us, int(eid), et))
+    touch: dict[int, set] = {}
+    conv: dict[int, int] = {}
+    for uid, evs in by_user.items():
+        evs.sort()
+        seen = set()
+        purchased = False
+        for _, _, et in evs:
+            if et == "purchase":
+                purchased = True
+                break
+            seen.add(et)
+        conv[uid] = 1 if any(et == "purchase" for _, _, et in evs) else 0
+        touch[uid] = seen if purchased else {
+            et for _, _, et in evs if et != "purchase"
+        }
+    channels = sorted({c for s in touch.values() for c in s})
+    cidx = {c: i for i, c in enumerate(channels)}
+    cc = len(channels)
+    mstats: dict[int, int] = {}
+    for uid in conv:
+        mask = sum(1 << cidx[c] for c in touch[uid])
+        mstats[mask] = mstats.get(mask, 0) + conv[uid]
+
+    def v(s):
+        return sum(cv for m, cv in mstats.items() if (m & s) == m)
+
+    vt = [v(s) for s in range(1 << cc)]
+    want = {}
+    v_full, v_empty = vt[(1 << cc) - 1], vt[0]
+    fact_c = factorial(cc)
+    tot_phi = 0
+    for c in channels:
+        bit = 1 << cidx[c]
+        phi = sum(
+            factorial(bin(s).count("1"))
+            * factorial(cc - bin(s).count("1") - 1)
+            * (vt[s + bit] - vt[s])
+            for s in range(1 << cc)
+            if not s & bit
+        )
+        tot_phi += phi
+        touched = sum(1 for u, s in touch.items() if c in s)
+        want[c] = (
+            touched,
+            1000 * phi // fact_c,
+            1000000 * phi // (fact_c * (v_full - v_empty)),
+        )
+    # efficiency axiom, exactly
+    assert tot_phi == fact_c * (v_full - v_empty)
+    got = {
+        r.channel: (
+            r.n_users_touched, r.conv_attributed_milli, r.share_ppm
+        )
+        for r in shapley_channel_attribution(spark, SF_DIR).collect()
+    }
+    assert got == want
