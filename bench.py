@@ -242,6 +242,8 @@ EXTRA = [
     "best_of_n_curve",
     "matryoshka_dim_recall",
     "shapley_channel_attribution",
+    "classifier_fairness_audit",
+    "nelson_aalen_hazard",
 ]
 
 

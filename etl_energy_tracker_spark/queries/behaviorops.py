@@ -773,3 +773,127 @@ def winsorized_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hi_centi",
         "winsor_mean_centi",
     )
+
+
+# ------------------------------------- Nelson-Aalen cumulative hazard
+
+
+@register(
+    "nelson_aalen_hazard",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'purchase'
+                   THEN epoch_us(ts) END) AS conv_us,
+               MIN(epoch_us(ts)) AS first_us,
+               MAX(epoch_us(ts)) AS last_us
+        FROM events GROUP BY user_id
+    ),
+    durs AS (
+        SELECT CASE WHEN conv_us IS NOT NULL
+                    THEN (conv_us - first_us) // 3600000000
+                    ELSE (last_us - first_us) // 3600000000
+               END AS t_hours,
+               CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM per_user
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM durs),
+    hist AS (
+        SELECT t_hours, CAST(SUM(ev) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS leave_n
+        FROM durs GROUP BY t_hours
+    ),
+    risk AS (
+        SELECT t_hours, d,
+               t.n_total - CAST(COALESCE(SUM(leave_n) OVER (
+                   ORDER BY t_hours
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS n_risk
+        FROM hist CROSS JOIN tot t
+    )
+    SELECT t_hours, n_risk, d AS d_events,
+           CAST(1000000 * d // n_risk AS BIGINT) AS hazard_ppm,
+           CAST(SUM(1000000 * d // n_risk) OVER (
+               ORDER BY t_hours
+           ) AS BIGINT) AS cum_hazard_ppm
+    FROM risk WHERE d > 0
+    """,
+    tags=("events", "stats", "eval"),
+    doc="Nelson-Aalen cumulative-hazard estimator for time-to-"
+    "conversion: each user's duration runs from their first event to "
+    "their first purchase, right-CENSORED at their last event when "
+    "they never convert — the survival-analysis readout (hazard per "
+    "hour-bucket and its cumulative sum) that funnel conversion "
+    "rates misstate when observation windows differ per user. "
+    "Nelson-Aalen is the estimator that stays pure-ADDITIVE integer "
+    "(H(t) = sum of d/n_risk terms, each an exact truncating ppm "
+    "division of non-negative counts) — the Kaplan-Meier product "
+    "form would need a float cumulative product across the engine "
+    "boundary; NA is its first-order equivalent and the standard "
+    "large-sample choice. Scale: one per-user aggregate collapses "
+    "the stream; the duration histogram is bounded by the "
+    "observation span in hours, and the risk-set suffix counts plus "
+    "both windows run on that bounded grid (total-count broadcast "
+    "scalar). Ref parity: beyond-reference survival layer (companion "
+    "to time_to_convert_cohorts, which buckets means; this estimates "
+    "the hazard function itself, censoring-correct).",
+)
+def nelson_aalen_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, "events", sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(
+            "MIN(CASE WHEN event_type = 'purchase'"
+            " THEN unix_micros(ts) END)"
+        ).alias("conv_us"),
+        F.expr("MIN(unix_micros(ts))").alias("first_us"),
+        F.expr("MAX(unix_micros(ts))").alias("last_us"),
+    )
+    durs = per_user.select(
+        F.expr(
+            "CASE WHEN conv_us IS NOT NULL"
+            " THEN (conv_us - first_us) DIV 3600000000"
+            " ELSE (last_us - first_us) DIV 3600000000 END"
+        ).alias("t_hours"),
+        F.expr(
+            "CASE WHEN conv_us IS NOT NULL THEN 1 ELSE 0 END"
+        ).alias("ev"),
+    )
+    tot = durs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    hist = durs.groupBy("t_hours").agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("leave_n"),
+    )
+    risk = (
+        hist.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(
+                F.sum("leave_n").over(
+                    W.orderBy("t_hours").rowsBetween(
+                        W.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    return (
+        risk.where("d > 0")
+        .select(
+            "t_hours",
+            "n_risk",
+            F.col("d").alias("d_events"),
+            F.expr("CAST(1000000 * d DIV n_risk AS BIGINT)").alias(
+                "hazard_ppm"
+            ),
+        )
+        .withColumn(
+            "cum_hazard_ppm",
+            F.sum("hazard_ppm")
+            .over(W.orderBy("t_hours"))
+            .cast("long"),
+        )
+    )

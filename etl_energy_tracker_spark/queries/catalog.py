@@ -343,6 +343,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "permutation_test_fdr", "cuped_variance_reduction",
     "bradley_terry_mm", "best_of_n_curve",
     "matryoshka_dim_recall", "shapley_channel_attribution",
+    "classifier_fairness_audit", "nelson_aalen_hazard",
 )
 
 

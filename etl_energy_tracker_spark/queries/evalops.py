@@ -1788,3 +1788,148 @@ def best_of_n_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_BON_E[4]).alias("eb4_decimilli"),
         F.expr(_BON_E[8]).alias("eb8_decimilli"),
     )
+
+
+# ------------------------------------------ fairness audit
+
+
+@register(
+    "classifier_fairness_audit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, lang,
+               CAST(SUM({_HLC_W_DUCK}) AS BIGINT) > 0 AS pred,
+               1000000 * SUM(CASE WHEN {_AUC_STOP_SQL} THEN 1 ELSE 0 END)
+                   // COUNT(*) BETWEEN {_AUC_LO} AND {_AUC_HI} AS good
+        FROM toks GROUP BY doc_id, lang
+    ),
+    by_lang AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pred,
+               CAST(SUM(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_good,
+               CAST(SUM(CASE WHEN pred AND good THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN pred AND NOT good THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp
+        FROM per_doc GROUP BY lang
+    ),
+    g_all AS (
+        SELECT CAST(1000000 * SUM(n_pred) // SUM(n) AS BIGINT) AS g_sel,
+               CAST(1000000 * SUM(tp) // NULLIF(SUM(n_good), 0)
+                    AS BIGINT) AS g_tpr,
+               CAST(1000000 * SUM(fp) // NULLIF(SUM(n) - SUM(n_good), 0)
+                    AS BIGINT) AS g_fpr
+        FROM by_lang
+    ),
+    rates AS (
+        SELECT lang, n,
+               CAST(1000000 * n_pred // n AS BIGINT) AS sel_ppm,
+               CAST(1000000 * tp // NULLIF(n_good, 0) AS BIGINT)
+                   AS tpr_ppm,
+               CAST(1000000 * fp // NULLIF(n - n_good, 0) AS BIGINT)
+                   AS fpr_ppm
+        FROM by_lang
+    )
+    SELECT r.lang, r.n AS n_docs, r.sel_ppm, r.tpr_ppm, r.fpr_ppm,
+           ABS(r.sel_ppm - g.g_sel) AS dp_gap_ppm,
+           CASE WHEN r.tpr_ppm IS NULL OR r.fpr_ppm IS NULL THEN NULL
+                ELSE GREATEST(ABS(r.tpr_ppm - g.g_tpr),
+                              ABS(r.fpr_ppm - g.g_fpr)) END
+               AS eo_gap_ppm
+    FROM rates r CROSS JOIN g_all g
+    """,
+    tags=("eval", "ml", "quality"),
+    doc="Group-fairness audit of the hashed linear quality classifier "
+    "across languages (the protected-attribute stand-in): per lang "
+    "the selection rate (demographic-parity input), TPR and FPR "
+    "against the stopword-band rule label (equalized-odds inputs, "
+    "Hardt et al. 2016), and each group's gap to the pooled global "
+    "rate — all exact integer ppm (truncating division on "
+    "non-negative counts, identical on both engines; groups with no "
+    "positives/negatives emit NULL instead of a fabricated rate). "
+    "This is the audit a data-quality filter must pass before it "
+    "gates a multilingual corpus: a filter with a large dp/eo gap "
+    "silently depletes one language. Scale: one token shuffle to "
+    "per-doc (pred, label), one map-side-combinable per-lang "
+    "aggregate; the global row is a broadcast scalar. Ref parity: "
+    "beyond-reference eval layer (companion to classifier_auc_eval "
+    "and calibration_ece_report).",
+)
+def classifier_fairness_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    per_doc = toks.groupBy("doc_id", "lang").agg(
+        (F.sum(F.expr(_HLC_W_SPARK)).cast("long") > 0).alias("pred"),
+        F.expr(
+            f"1000000 * SUM(CASE WHEN {_AUC_STOP_SQL} THEN 1 ELSE 0"
+            f" END) DIV COUNT(*) BETWEEN {_AUC_LO} AND {_AUC_HI}"
+        ).alias("good"),
+    )
+    by_lang = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "CAST(SUM(CASE WHEN pred THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_pred"),
+        F.expr(
+            "CAST(SUM(CASE WHEN good THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("n_good"),
+        F.expr(
+            "CAST(SUM(CASE WHEN pred AND good THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("tp"),
+        F.expr(
+            "CAST(SUM(CASE WHEN pred AND NOT good THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("fp"),
+    )
+    glob = by_lang.agg(
+        F.expr(
+            "CAST(1000000 * SUM(n_pred) DIV SUM(n) AS BIGINT)"
+        ).alias("g_sel"),
+        F.expr(
+            "CAST(1000000 * SUM(tp) DIV NULLIF(SUM(n_good), 0)"
+            " AS BIGINT)"
+        ).alias("g_tpr"),
+        F.expr(
+            "CAST(1000000 * SUM(fp) DIV NULLIF(SUM(n) - SUM(n_good), 0)"
+            " AS BIGINT)"
+        ).alias("g_fpr"),
+    )
+    rates = by_lang.select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.expr("CAST(1000000 * n_pred DIV n AS BIGINT)").alias("sel_ppm"),
+        F.expr(
+            "CAST(1000000 * tp DIV NULLIF(n_good, 0) AS BIGINT)"
+        ).alias("tpr_ppm"),
+        F.expr(
+            "CAST(1000000 * fp DIV NULLIF(n - n_good, 0) AS BIGINT)"
+        ).alias("fpr_ppm"),
+    )
+    return rates.crossJoin(F.broadcast(glob)).select(
+        "lang",
+        "n_docs",
+        "sel_ppm",
+        "tpr_ppm",
+        "fpr_ppm",
+        F.expr("ABS(sel_ppm - g_sel)").alias("dp_gap_ppm"),
+        F.expr(
+            "CASE WHEN tpr_ppm IS NULL OR fpr_ppm IS NULL THEN NULL "
+            "ELSE GREATEST(ABS(tpr_ppm - g_tpr), ABS(fpr_ppm - g_fpr))"
+            " END"
+        ).alias("eo_gap_ppm"),
+    )

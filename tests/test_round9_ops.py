@@ -829,3 +829,111 @@ def test_shapley_python_replay(spark):
         for r in shapley_channel_attribution(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+# ------------------------------------------ fairness audit
+
+
+def test_fairness_audit_python_replay(spark):
+    from etl_energy_tracker_spark.queries.evalops import (
+        _AUC_HI,
+        _AUC_LO,
+        classifier_fairness_audit,
+    )
+    from etl_energy_tracker_spark.queries.prepops import _HLC_W_DUCK
+
+    rows = _duck_rows(
+        "WITH toks AS (SELECT doc_id, lang,"
+        " unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok"
+        " FROM documents)"
+        f" SELECT lang, CAST(SUM({_HLC_W_DUCK}) AS BIGINT) > 0,"
+        " 1000000 * SUM(CASE WHEN tok IN ('a', 'the') THEN 1 ELSE 0 END)"
+        f" // COUNT(*) BETWEEN {_AUC_LO} AND {_AUC_HI}"
+        " FROM toks GROUP BY doc_id, lang"
+    )
+    st: dict[str, list[int]] = {}
+    for lang, pred, good in rows:
+        n, np_, ng, tp, fp = st.setdefault(lang, [0, 0, 0, 0, 0])
+        st[lang] = [
+            n + 1,
+            np_ + (1 if pred else 0),
+            ng + (1 if good else 0),
+            tp + (1 if pred and good else 0),
+            fp + (1 if pred and not good else 0),
+        ]
+    tn = sum(v[0] for v in st.values())
+    tnp = sum(v[1] for v in st.values())
+    tng = sum(v[2] for v in st.values())
+    ttp = sum(v[3] for v in st.values())
+    tfp = sum(v[4] for v in st.values())
+    g_sel = 1000000 * tnp // tn
+    g_tpr = 1000000 * ttp // tng if tng else None
+    g_fpr = 1000000 * tfp // (tn - tng) if tn - tng else None
+    want = {}
+    for lang, (n, np_, ng, tp, fp) in st.items():
+        sel = 1000000 * np_ // n
+        tpr = 1000000 * tp // ng if ng else None
+        fpr = 1000000 * fp // (n - ng) if n - ng else None
+        eo = (
+            max(abs(tpr - g_tpr), abs(fpr - g_fpr))
+            if tpr is not None and fpr is not None
+            else None
+        )
+        want[lang] = (n, sel, tpr, fpr, abs(sel - g_sel), eo)
+    got = {
+        r.lang: (
+            r.n_docs, r.sel_ppm, r.tpr_ppm, r.fpr_ppm,
+            r.dp_gap_ppm, r.eo_gap_ppm,
+        )
+        for r in classifier_fairness_audit(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+# ------------------------------------------ Nelson-Aalen
+
+
+def test_nelson_aalen_python_replay(spark):
+    from etl_energy_tracker_spark.queries.behaviorops import (
+        nelson_aalen_hazard,
+    )
+
+    rows = _duck_rows(
+        "SELECT user_id, event_type, epoch_us(ts) FROM events"
+    )
+    per: dict[int, list] = {}
+    for uid, et, us in rows:
+        per.setdefault(int(uid), []).append((us, et))
+    durs = []
+    for uid, evs in per.items():
+        first = min(us for us, _ in evs)
+        last = max(us for us, _ in evs)
+        convs = [us for us, et in evs if et == "purchase"]
+        if convs:
+            durs.append(((min(convs) - first) // 3600000000, 1))
+        else:
+            durs.append(((last - first) // 3600000000, 0))
+    hist: dict[int, list[int]] = {}
+    for t, ev in durs:
+        d, n = hist.setdefault(t, [0, 0])
+        hist[t] = [d + ev, n + 1]
+    total = len(durs)
+    want = []
+    cum_leave = 0
+    cum_h = 0
+    for t in sorted(hist):
+        d, leave = hist[t]
+        n_risk = total - cum_leave
+        cum_leave += leave
+        if d > 0:
+            h = 1000000 * d // n_risk
+            cum_h += h
+            want.append((t, n_risk, d, h, cum_h))
+    got = sorted(
+        (r.t_hours, r.n_risk, r.d_events, r.hazard_ppm, r.cum_hazard_ppm)
+        for r in nelson_aalen_hazard(spark, SF_DIR).collect()
+    )
+    assert got == want
+    # risk set is non-increasing and the cumulative hazard increases
+    risks = [n for _, n, *_ in got]
+    assert risks == sorted(risks, reverse=True)

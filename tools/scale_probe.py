@@ -185,6 +185,8 @@ OPS = [
     "best_of_n_curve",
     "matryoshka_dim_recall",
     "shapley_channel_attribution",
+    "classifier_fairness_audit",
+    "nelson_aalen_hazard",
 ]
 
 
