@@ -344,6 +344,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "bradley_terry_mm", "best_of_n_curve",
     "matryoshka_dim_recall", "shapley_channel_attribution",
     "classifier_fairness_audit", "nelson_aalen_hazard",
+    "delta_method_ratio_ci", "difference_in_differences",
 )
 
 

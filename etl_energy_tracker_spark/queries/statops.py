@@ -1932,3 +1932,261 @@ def cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_CUPED_ADJ).alias("diff_cuped_milli"),
         F.expr(_CUPED_VR).alias("var_reduction_ppm"),
     )
+
+
+# ------------------------------------ delta-method ratio-metric CI
+
+# Ratio metrics (value per event) break the iid assumption the plain
+# Welch z uses: the randomization unit is the USER, so the variance
+# must come from per-user totals via the delta method (linearization):
+# Var(Y/X) ~ (var_y - 2R cov_xy + R^2 var_x) / (n * xbar^2). All
+# sufficient statistics are exact BIGINT; R, SE, and the CI bounds
+# are each ONE fixed-shape IEEE chain floored to milli-units.
+_DM_R = "(CAST(sy AS DOUBLE) / CAST(sx AS DOUBLE))"
+_DM_VY = (
+    "((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+)
+_DM_VX = (
+    "((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+)
+_DM_CXY = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
+)
+_DM_XBAR = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+_DM_SE = (
+    f"SQRT(({_DM_VY} - 2.0 * {_DM_R} * {_DM_CXY}"
+    f" + {_DM_R} * {_DM_R} * {_DM_VX})"
+    f" / (CAST(n AS DOUBLE) * {_DM_XBAR} * {_DM_XBAR}))"
+)
+
+
+@register(
+    "delta_method_ratio_ci",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT event_type, user_id,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)
+                   AS y
+        FROM events GROUP BY event_type, user_id
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM per_user GROUP BY event_type
+    )
+    SELECT event_type, n AS n_users,
+           CAST(FLOOR(1000.0 * {_DM_R}) AS BIGINT) AS ratio_milli,
+           CAST(FLOOR(1000.0 * {_DM_SE}) AS BIGINT) AS se_milli,
+           CAST(FLOOR(1000.0 * ({_DM_R} - 1.96 * {_DM_SE})) AS BIGINT)
+               AS ci_lo_milli,
+           CAST(FLOOR(1000.0 * ({_DM_R} + 1.96 * {_DM_SE})) AS BIGINT)
+               AS ci_hi_milli
+    FROM s
+    """,
+    tags=("stats", "events", "eval"),
+    doc="Delta-method confidence interval for the ratio metric "
+    "cents-per-event, per event type, with the USER as the "
+    "randomization unit (Deng et al. 2017): per-user totals (x = "
+    "events, y = value cents) collapse to exact BIGINT sufficient "
+    "statistics, and Var(Y/X) is linearized as (var_y - 2R*cov + "
+    "R^2*var_x)/(n*xbar^2) — the correction that plain event-level "
+    "variance gets wrong whenever users contribute unequal event "
+    "counts (i.e. always). R, SE, and each CI bound are ONE "
+    "fixed-shape IEEE chain over the integer sums, floored to milli "
+    "— identical on both engines. Scale: one map-side-combinable "
+    "per-(type,user) aggregate, then a per-type rollup of 6 BIGINT "
+    "sums; no window, no sort. Integer headroom: syy exact to ~9e8 "
+    "users/type at 1e5-cent user totals (the CUPED bound, noted). "
+    "Ref parity: beyond-reference experimentation layer (completes "
+    "ab_test_zscore / cuped_variance_reduction / "
+    "permutation_test_fdr).",
+)
+def delta_method_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x"),
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("y"),
+    )
+    s = per_user.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.expr("CAST(SUM(x * x) AS BIGINT)").alias("sxx"),
+        F.expr("CAST(SUM(x * y) AS BIGINT)").alias("sxy"),
+        F.expr("CAST(SUM(y * y) AS BIGINT)").alias("syy"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_users"),
+        F.expr(f"CAST(FLOOR(1000.0 * {_DM_R}) AS BIGINT)").alias(
+            "ratio_milli"
+        ),
+        F.expr(f"CAST(FLOOR(1000.0 * {_DM_SE}) AS BIGINT)").alias(
+            "se_milli"
+        ),
+        F.expr(
+            f"CAST(FLOOR(1000.0 * ({_DM_R} - 1.96 * {_DM_SE}))"
+            " AS BIGINT)"
+        ).alias("ci_lo_milli"),
+        F.expr(
+            f"CAST(FLOOR(1000.0 * ({_DM_R} + 1.96 * {_DM_SE}))"
+            " AS BIGINT)"
+        ).alias("ci_hi_milli"),
+    )
+
+
+# ------------------------------------ difference-in-differences
+
+# 2x2 DiD on the (arm, period) grid: arm = user parity, period =
+# global midpoint split. The estimate and its z use only the four
+# cell means/variances — exact BIGINT cell sums, ONE IEEE chain per
+# output. SE is the independent-cells form sqrt(sum var_cell/n_cell).
+_DID_CELL_MEAN = (
+    "(CAST(s{c} AS DOUBLE) / CAST(n{c} AS DOUBLE))"
+)
+_DID_CELL_VARN = (
+    "((CAST(n{c} AS DOUBLE) * CAST(q{c} AS DOUBLE)"
+    " - CAST(s{c} AS DOUBLE) * CAST(s{c} AS DOUBLE))"
+    " / (CAST(n{c} AS DOUBLE) * CAST(n{c} AS DOUBLE)"
+    " * CAST(n{c} AS DOUBLE)))"
+)
+_DID_EST = (
+    f"(({_DID_CELL_MEAN.format(c='tp')} - {_DID_CELL_MEAN.format(c='t0')})"
+    f" - ({_DID_CELL_MEAN.format(c='cp')} - {_DID_CELL_MEAN.format(c='c0')}))"
+)
+_DID_SE = (
+    f"SQRT({_DID_CELL_VARN.format(c='tp')} + {_DID_CELL_VARN.format(c='t0')}"
+    f" + {_DID_CELL_VARN.format(c='cp')} + {_DID_CELL_VARN.format(c='c0')})"
+)
+_DID_GUARD = (
+    "n_tp = 0 OR n_t0 = 0 OR n_cp = 0 OR n_c0 = 0"
+).replace("n_", "n")  # ntp/nt0/ncp/nc0
+
+
+@register(
+    "difference_in_differences",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, user_id % 2 AS arm, epoch_us(ts) AS us,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    bounds AS (
+        SELECT MIN(us) + (MAX(us) - MIN(us)) // 2 AS split_us FROM c
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN arm = 1 AND us >= split_us THEN 1 ELSE 0 END) AS BIGINT) AS ntp,
+               CAST(SUM(CASE WHEN arm = 1 AND us >= split_us THEN cents ELSE 0 END) AS BIGINT) AS stp,
+               CAST(SUM(CASE WHEN arm = 1 AND us >= split_us THEN cents * cents ELSE 0 END) AS BIGINT) AS qtp,
+               CAST(SUM(CASE WHEN arm = 1 AND us < split_us THEN 1 ELSE 0 END) AS BIGINT) AS nt0,
+               CAST(SUM(CASE WHEN arm = 1 AND us < split_us THEN cents ELSE 0 END) AS BIGINT) AS st0,
+               CAST(SUM(CASE WHEN arm = 1 AND us < split_us THEN cents * cents ELSE 0 END) AS BIGINT) AS qt0,
+               CAST(SUM(CASE WHEN arm = 0 AND us >= split_us THEN 1 ELSE 0 END) AS BIGINT) AS ncp,
+               CAST(SUM(CASE WHEN arm = 0 AND us >= split_us THEN cents ELSE 0 END) AS BIGINT) AS scp,
+               CAST(SUM(CASE WHEN arm = 0 AND us >= split_us THEN cents * cents ELSE 0 END) AS BIGINT) AS qcp,
+               CAST(SUM(CASE WHEN arm = 0 AND us < split_us THEN 1 ELSE 0 END) AS BIGINT) AS nc0,
+               CAST(SUM(CASE WHEN arm = 0 AND us < split_us THEN cents ELSE 0 END) AS BIGINT) AS sc0,
+               CAST(SUM(CASE WHEN arm = 0 AND us < split_us THEN cents * cents ELSE 0 END) AS BIGINT) AS qc0
+        FROM c CROSS JOIN bounds GROUP BY event_type
+    )
+    SELECT event_type,
+           ntp + nt0 AS n_treat, ncp + nc0 AS n_control,
+           CASE WHEN {_DID_GUARD} THEN NULL ELSE
+               CAST(FLOOR(1000.0 * {_DID_EST}) AS BIGINT) END
+               AS did_milli,
+           CASE WHEN {_DID_GUARD} THEN NULL ELSE
+               CAST(FLOOR(1000.0 * {_DID_SE}) AS BIGINT) END
+               AS se_milli,
+           CASE WHEN {_DID_GUARD} THEN NULL ELSE
+               CAST(FLOOR(1000.0 * {_DID_EST}
+                    / NULLIF({_DID_SE}, 0.0)) AS BIGINT) END
+               AS z_milli
+    FROM s
+    """,
+    tags=("stats", "events", "eval"),
+    doc="Difference-in-differences on the 2x2 (arm x period) grid "
+    "per event type — arm from user parity, period from the global "
+    "midpoint split: DiD = (treat_post - treat_pre) - (control_post "
+    "- control_pre), the panel estimator that removes both the "
+    "shared time trend and the fixed arm offset that a naive "
+    "post-period comparison confounds. Cell sufficient statistics "
+    "are exact BIGINT; the estimate, its independent-cells SE, and "
+    "z are each ONE fixed-shape IEEE chain floored to milli (empty "
+    "cells emit NULL on both engines rather than NaN). Scale: one "
+    "map-side-combinable aggregate to 12 BIGINT sums per type; the "
+    "split is a broadcast scalar; no window, no sort. Ref parity: "
+    "beyond-reference experimentation layer (the quasi-experimental "
+    "companion to cuped_variance_reduction).",
+)
+def difference_in_differences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("arm"),
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    )
+    bounds = c.agg(
+        F.expr("MIN(us) + (MAX(us) - MIN(us)) DIV 2").alias("split_us")
+    )
+    cells = []
+    for tag, cond in (
+        ("tp", "arm = 1 AND us >= split_us"),
+        ("t0", "arm = 1 AND us < split_us"),
+        ("cp", "arm = 0 AND us >= split_us"),
+        ("c0", "arm = 0 AND us < split_us"),
+    ):
+        cells += [
+            F.expr(
+                f"CAST(SUM(CASE WHEN {cond} THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias(f"n{tag}"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN {cond} THEN cents ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias(f"s{tag}"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN {cond} THEN cents * cents"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias(f"q{tag}"),
+        ]
+    s = (
+        c.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(*cells)
+    )
+    return s.select(
+        "event_type",
+        F.expr("ntp + nt0").alias("n_treat"),
+        F.expr("ncp + nc0").alias("n_control"),
+        F.expr(
+            f"CASE WHEN {_DID_GUARD} THEN NULL ELSE "
+            f"CAST(FLOOR(1000.0 * {_DID_EST}) AS BIGINT) END"
+        ).alias("did_milli"),
+        F.expr(
+            f"CASE WHEN {_DID_GUARD} THEN NULL ELSE "
+            f"CAST(FLOOR(1000.0 * {_DID_SE}) AS BIGINT) END"
+        ).alias("se_milli"),
+        F.expr(
+            f"CASE WHEN {_DID_GUARD} THEN NULL ELSE "
+            f"CAST(FLOOR(1000.0 * {_DID_EST}"
+            f" / NULLIF({_DID_SE}, 0.0)) AS BIGINT) END"
+        ).alias("z_milli"),
+    )

@@ -937,3 +937,118 @@ def test_nelson_aalen_python_replay(spark):
     # risk set is non-increasing and the cumulative hazard increases
     risks = [n for _, n, *_ in got]
     assert risks == sorted(risks, reverse=True)
+
+
+# ------------------------------------------ delta method
+
+
+def test_delta_method_python_replay(spark):
+    from etl_energy_tracker_spark.queries.statops import (
+        delta_method_ratio_ci,
+    )
+
+    rows = _duck_rows(
+        "SELECT event_type, user_id, CAST(FLOOR(value * 100) AS BIGINT)"
+        " FROM events"
+    )
+    per: dict[tuple, list[int]] = {}
+    for et, uid, c in rows:
+        x, y = per.get((et, uid), (0, 0))
+        per[(et, uid)] = (x + 1, y + int(c))
+    by_type: dict[str, list] = {}
+    for (et, _), (x, y) in per.items():
+        by_type.setdefault(et, []).append((x, y))
+    want = {}
+    for et, us in by_type.items():
+        n = len(us)
+        sx = sum(x for x, _ in us)
+        sy = sum(y for _, y in us)
+        sxx = sum(x * x for x, _ in us)
+        sxy = sum(x * y for x, y in us)
+        syy = sum(y * y for _, y in us)
+        r = sy / sx
+        vy = (n * syy - sy * sy) / (n * n)
+        vx = (n * sxx - sx * sx) / (n * n)
+        cxy = (n * sxy - sx * sy) / (n * n)
+        xbar = sx / n
+        se = math.sqrt(
+            (vy - 2.0 * r * cxy + r * r * vx) / (n * xbar * xbar)
+        )
+        want[et] = (
+            n,
+            math.floor(1000.0 * r),
+            math.floor(1000.0 * se),
+            math.floor(1000.0 * (r - 1.96 * se)),
+            math.floor(1000.0 * (r + 1.96 * se)),
+        )
+    got = {
+        r.event_type: (
+            r.n_users, r.ratio_milli, r.se_milli,
+            r.ci_lo_milli, r.ci_hi_milli,
+        )
+        for r in delta_method_ratio_ci(spark, SF_DIR).collect()
+    }
+    assert got == want
+    for n, rr, se, lo, hi in got.values():
+        assert lo <= rr <= hi
+        assert se >= 0
+
+
+# ------------------------------------------ diff-in-diff
+
+
+def test_did_python_replay(spark):
+    from etl_energy_tracker_spark.queries.statops import (
+        difference_in_differences,
+    )
+
+    rows = _duck_rows(
+        "SELECT event_type, user_id % 2, epoch_us(ts),"
+        " CAST(FLOOR(value * 100) AS BIGINT) FROM events"
+    )
+    us_all = [r[2] for r in rows]
+    split = min(us_all) + (max(us_all) - min(us_all)) // 2
+    cells: dict[str, dict[str, list[int]]] = {}
+    for et, arm, t, cts in rows:
+        tag = ("t" if arm == 1 else "c") + ("p" if t >= split else "0")
+        n, s, q = cells.setdefault(et, {}).setdefault(tag, [0, 0, 0])
+        cells[et][tag] = [n + 1, s + int(cts), q + int(cts) * int(cts)]
+    want = {}
+    for et, cc in cells.items():
+
+        def stat(tag):
+            return cc.get(tag, [0, 0, 0])
+
+        ntp, stp, qtp = stat("tp")
+        nt0, st0, qt0 = stat("t0")
+        ncp, scp, qcp = stat("cp")
+        nc0, sc0, qc0 = stat("c0")
+        if 0 in (ntp, nt0, ncp, nc0):
+            want[et] = (ntp + nt0, ncp + nc0, None, None, None)
+            continue
+
+        def m(s, n):
+            return s / n
+
+        def vn(n, q, s):
+            return (n * q - s * s) / (n * n * n)
+
+        est = (m(stp, ntp) - m(st0, nt0)) - (m(scp, ncp) - m(sc0, nc0))
+        se = math.sqrt(
+            vn(ntp, qtp, stp) + vn(nt0, qt0, st0)
+            + vn(ncp, qcp, scp) + vn(nc0, qc0, sc0)
+        )
+        want[et] = (
+            ntp + nt0,
+            ncp + nc0,
+            math.floor(1000.0 * est),
+            math.floor(1000.0 * se),
+            math.floor(1000.0 * est / se) if se != 0.0 else None,
+        )
+    got = {
+        r.event_type: (
+            r.n_treat, r.n_control, r.did_milli, r.se_milli, r.z_milli
+        )
+        for r in difference_in_differences(spark, SF_DIR).collect()
+    }
+    assert got == want

@@ -187,6 +187,8 @@ OPS = [
     "shapley_channel_attribution",
     "classifier_fairness_audit",
     "nelson_aalen_hazard",
+    "delta_method_ratio_ci",
+    "difference_in_differences",
 ]
 
 
