@@ -246,6 +246,7 @@ EXTRA = [
     "nelson_aalen_hazard",
     "delta_method_ratio_ci",
     "difference_in_differences",
+    "stream_session_window",
 ]
 
 

@@ -345,6 +345,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "matryoshka_dim_recall", "shapley_channel_attribution",
     "classifier_fairness_audit", "nelson_aalen_hazard",
     "delta_method_ratio_ci", "difference_in_differences",
+    "stream_session_window",
 )
 
 

@@ -571,3 +571,54 @@ def stream_conformal_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import conformal_band_alarm_stream
 
     return conformal_band_alarm_stream(spark, sf_dir)
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        FROM gaps
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) + 1800000000 AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+               AS sum_value
+    FROM sessions GROUP BY user_id, sid
+    """,
+    tags=("streaming", "window", "aggregate"),
+    doc="Native Structured Streaming SESSION windows: per-user "
+    "session aggregation with session_window(ts, '30 minutes') — the "
+    "state store merges events whose event-time gap is < 30 min into "
+    "one growing window (end = last event + gap), the engine-native "
+    "form of what the batch `sessionization` op builds with "
+    "lag+cumsum windows. Driven to completion in complete mode (the "
+    "streaming_hourly_agg convention — production uses append where "
+    "the watermark closes and evicts finished sessions), so the "
+    "batch gap-split SQL is its exact oracle; the boundary rule is "
+    "Spark's (a gap of EXACTLY the threshold starts a new session, "
+    "hence >= in the oracle, not > as in the batch op's own "
+    "convention). The value sum crosses DECIMAL(38,6) so the double "
+    "is partition-order-independent. Scale: state is one in-flight "
+    "session per active user (bounded by the watermark in append "
+    "mode); the shuffle is keyed by user. SURVEY §2.9: "
+    "beyond-reference streaming upgrade.",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import session_window_agg_stream
+
+    return session_window_agg_stream(spark, sf_dir)

@@ -744,3 +744,57 @@ def conformal_band_alarm_stream(
         )
         _finish(q, wait="await")
     return spark.table(name)
+
+
+def session_window_agg_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    output_mode: str = "complete",
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Native Structured Streaming SESSION windows: per-user session
+    aggregation via ``session_window(ts, gap)`` — Spark merges events
+    whose event-time gap is < gap into one growing window (end = last
+    event + gap) inside the streaming state store, the engine-native
+    upgrade of the batch lag+cumsum sessionization. ``complete`` mode
+    is the synchronous oracle drive over the bounded source (the
+    hourly_event_agg_stream convention); production uses ``append``
+    where the watermark closes and evicts finished sessions. The
+    value sum goes through DECIMAL(38,6) so the emitted double is
+    partition-order-independent (the streaming_hourly_agg recipe)."""
+    stream = _events_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(
+            F.session_window("ts", gap), F.col("user_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.expr("unix_micros(session_window.start)").alias(
+                "session_start_us"
+            ),
+            F.expr("unix_micros(session_window.end)").alias(
+                "session_end_us"
+            ),
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"sess_out_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
+        q = (
+            agg.writeStream.outputMode(output_mode)
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        _finish(q)
+    return spark.table(name)

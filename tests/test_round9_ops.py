@@ -1052,3 +1052,43 @@ def test_did_python_replay(spark):
         for r in difference_in_differences(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+# ------------------------------------------ streaming session window
+
+
+def test_stream_session_window_python_replay(spark):
+    from etl_energy_tracker_spark.queries.streamops import (
+        stream_session_window,
+    )
+
+    rows = _duck_rows(
+        "SELECT user_id, epoch_us(ts), event_id, value FROM events"
+    )
+    per: dict[int, list] = {}
+    for uid, us, eid, val in rows:
+        per.setdefault(int(uid), []).append((us, int(eid), float(val)))
+    gap = 1_800_000_000
+    want = set()
+    for uid, evs in per.items():
+        evs.sort(key=lambda t: (t[0], t[1]))
+        cur = []
+        for us, eid, val in evs:
+            if cur and us - cur[-1][0] >= gap:
+                want.add(
+                    (uid, cur[0][0], cur[-1][0] + gap, len(cur),
+                     round(sum(v for _, _, v in cur), 6))
+                )
+                cur = []
+            cur.append((us, eid, val))
+        if cur:
+            want.add(
+                (uid, cur[0][0], cur[-1][0] + gap, len(cur),
+                 round(sum(v for _, _, v in cur), 6))
+            )
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events,
+         round(r.sum_value, 6))
+        for r in stream_session_window(spark, SF_DIR).collect()
+    }
+    assert got == want
