@@ -247,6 +247,8 @@ EXTRA = [
     "delta_method_ratio_ci",
     "difference_in_differences",
     "stream_session_window",
+    "loo_source_influence",
+    "post_stratified_effect",
 ]
 
 

@@ -346,6 +346,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "classifier_fairness_audit", "nelson_aalen_hazard",
     "delta_method_ratio_ci", "difference_in_differences",
     "stream_session_window",
+    "loo_source_influence", "post_stratified_effect",
 )
 
 

@@ -1933,3 +1933,279 @@ def classifier_fairness_audit(
             " END"
         ).alias("eo_gap_ppm"),
     )
+
+
+# ------------------------------- leave-one-source-out data valuation
+
+_LOO_EVAL_MOD = 17  # eval pool = doc_id % 17 == 0 (bounded sample)
+
+
+def _loo_oracle() -> str:
+    il2 = _NB_ILOG2_DUCK
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source, lang,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    cnt_s AS (
+        SELECT source AS s, lang AS c, tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks GROUP BY source, lang, tok
+    ),
+    cnt_all AS (
+        SELECT c, tok, CAST(SUM(n) AS BIGINT) AS n_all
+        FROM cnt_s GROUP BY c, tok
+    ),
+    tot_s AS (
+        SELECT s, c, CAST(SUM(n) AS BIGINT) AS t_s
+        FROM cnt_s GROUP BY s, c
+    ),
+    tot_all AS (
+        SELECT c, CAST(SUM(n_all) AS BIGINT) AS t_all
+        FROM cnt_all GROUP BY c
+    ),
+    tok_s AS (
+        SELECT s, tok, CAST(SUM(n) AS BIGINT) AS ts_n
+        FROM cnt_s GROUP BY s, tok
+    ),
+    tokall AS (
+        SELECT tok, CAST(SUM(n_all) AS BIGINT) AS all_n
+        FROM cnt_all GROUP BY tok
+    ),
+    sources AS (SELECT DISTINCT source AS s FROM documents),
+    classes AS (SELECT DISTINCT lang AS c FROM documents),
+    vocab_s AS (
+        SELECT so.s,
+               CAST(SUM(CASE WHEN ta.all_n - COALESCE(tsn.ts_n, 0) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS v
+        FROM tokall ta CROSS JOIN sources so
+        LEFT JOIN tok_s tsn ON tsn.s = so.s AND tsn.tok = ta.tok
+        GROUP BY so.s
+    ),
+    vocab_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM tokall),
+    ev AS (
+        SELECT doc_id, lang, tok FROM toks
+        WHERE doc_id % {_LOO_EVAL_MOD} = 0
+    ),
+    scored_loo AS (
+        SELECT e.doc_id, so.s, e.lang AS actual, cl.c,
+               CAST(SUM({il2.format(
+                   x="COALESCE(ca.n_all, 0) - COALESCE(cs.n, 0) + 1")})
+                    - COUNT(*) * ({il2.format(
+                   x="tall.t_all - COALESCE(tso.t_s, 0) + vs.v")})
+                    AS BIGINT) AS score
+        FROM ev e
+        CROSS JOIN sources so
+        CROSS JOIN classes cl
+        LEFT JOIN cnt_all ca ON ca.c = cl.c AND ca.tok = e.tok
+        LEFT JOIN cnt_s cs
+            ON cs.s = so.s AND cs.c = cl.c AND cs.tok = e.tok
+        JOIN tot_all tall ON tall.c = cl.c
+        LEFT JOIN tot_s tso ON tso.s = so.s AND tso.c = cl.c
+        JOIN vocab_s vs ON vs.s = so.s
+        GROUP BY e.doc_id, so.s, e.lang, cl.c,
+                 tall.t_all, tso.t_s, vs.v
+    ),
+    pred_loo AS (
+        SELECT s, actual, c AS predicted,
+               row_number() OVER (PARTITION BY doc_id, s
+                   ORDER BY score DESC, c ASC) AS rn
+        FROM scored_loo
+    ),
+    acc_loo AS (
+        SELECT s, CAST(COUNT(*) AS BIGINT) AS n_eval,
+               CAST(1000000 * SUM(CASE WHEN actual = predicted
+                                       THEN 1 ELSE 0 END)
+                    // COUNT(*) AS BIGINT) AS loo_acc_ppm
+        FROM pred_loo WHERE rn = 1 GROUP BY s
+    ),
+    scored_full AS (
+        SELECT e.doc_id, e.lang AS actual, cl.c,
+               CAST(SUM({il2.format(x="COALESCE(ca.n_all, 0) + 1")})
+                    - COUNT(*) * ({il2.format(x="tall.t_all + va.v")})
+                    AS BIGINT) AS score
+        FROM ev e
+        CROSS JOIN classes cl
+        LEFT JOIN cnt_all ca ON ca.c = cl.c AND ca.tok = e.tok
+        JOIN tot_all tall ON tall.c = cl.c
+        CROSS JOIN vocab_all va
+        GROUP BY e.doc_id, e.lang, cl.c, tall.t_all, va.v
+    ),
+    pred_full AS (
+        SELECT actual, c AS predicted,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, c ASC) AS rn
+        FROM scored_full
+    ),
+    acc_full AS (
+        SELECT CAST(1000000 * SUM(CASE WHEN actual = predicted
+                                       THEN 1 ELSE 0 END)
+                    // COUNT(*) AS BIGINT) AS full_acc_ppm
+        FROM pred_full WHERE rn = 1
+    ),
+    train AS (
+        SELECT source AS s, CAST(COUNT(*) AS BIGINT) AS n_train_docs
+        FROM documents GROUP BY source
+    )
+    SELECT a.s AS source, t.n_train_docs, a.n_eval,
+           f.full_acc_ppm, a.loo_acc_ppm,
+           f.full_acc_ppm - a.loo_acc_ppm AS influence_ppm
+    FROM acc_loo a
+    JOIN train t ON t.s = a.s
+    CROSS JOIN acc_full f
+    """
+
+
+@register(
+    "loo_source_influence",
+    oracle=_loo_oracle(),
+    tags=("ml", "corpus", "eval"),
+    doc="Leave-one-source-out data valuation (the LOO core of Data "
+    "Shapley, Ghorbani & Zou 2019): for every source, the accuracy "
+    "of the naive-Bayes language classifier on a fixed hash-sampled "
+    "eval pool when that source is REMOVED from training, versus the "
+    "full-corpus model — influence_ppm > 0 means the source helps, "
+    "< 0 means it actively hurts (the signal that retires a corpus "
+    "slice). All S leave-out models come from ONE counting pass by "
+    "count subtraction (the nb_crossval_accuracy trick: model_s = "
+    "global_counts - source_s_counts, with per-source vocabulary and "
+    "class totals derived the same way) — the corpus is never "
+    "re-scanned per source. Scoring uses the integer-log2 "
+    "likelihoods, so every score and both accuracies are exact "
+    "integers. Scale: model tables are O(S x V x C) and broadcast; "
+    "the scoring join fans the BOUNDED eval pool out by sources x "
+    "classes (documented constants), never the corpus; training "
+    "counts collapse map-side. Ref parity: beyond-reference "
+    "data-valuation layer (companion to doremi_domain_weights and "
+    "source_lexical_distance).",
+)
+def loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    il2 = _NB_ILOG2_SPARK
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    cnt_s = (
+        toks.groupBy(
+            F.col("source").alias("s"), F.col("lang").alias("c"), "tok"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    cnt_all = cnt_s.groupBy("c", "tok").agg(
+        F.sum("n").cast("long").alias("n_all")
+    )
+    tot_s = cnt_s.groupBy("s", "c").agg(
+        F.sum("n").cast("long").alias("t_s")
+    )
+    tot_all = cnt_all.groupBy("c").agg(
+        F.sum("n_all").cast("long").alias("t_all")
+    )
+    tok_s = cnt_s.groupBy("s", "tok").agg(
+        F.sum("n").cast("long").alias("ts_n")
+    )
+    tokall = cnt_all.groupBy("tok").agg(
+        F.sum("n_all").cast("long").alias("all_n")
+    )
+    sources = docs.select(F.col("source").alias("s")).distinct()
+    classes = docs.select(F.col("lang").alias("c")).distinct()
+    vocab_s = (
+        tokall.crossJoin(F.broadcast(sources))
+        .join(F.broadcast(tok_s), ["s", "tok"], "left")
+        .groupBy("s")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("all_n") - F.coalesce("ts_n", F.lit(0)) > 0, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("v")
+        )
+    )
+    vocab_all = tokall.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    ev = toks.where(f"doc_id % {_LOO_EVAL_MOD} = 0").select(
+        "doc_id", "lang", "tok"
+    )
+    scored_loo = (
+        ev.crossJoin(F.broadcast(sources))
+        .crossJoin(F.broadcast(classes))
+        .join(F.broadcast(cnt_all), ["c", "tok"], "left")
+        .join(F.broadcast(cnt_s), ["s", "c", "tok"], "left")
+        .join(F.broadcast(tot_all), "c")
+        .join(F.broadcast(tot_s), ["s", "c"], "left")
+        .join(F.broadcast(vocab_s), "s")
+        .groupBy(
+            "doc_id", "s", F.col("lang").alias("actual"), "c",
+            "t_all", "t_s", "v",
+        )
+        .agg(
+            F.expr(
+                f"CAST(SUM({il2.format(x='COALESCE(n_all, 0) - COALESCE(n, 0) + 1')})"
+                f" - COUNT(*) * ({il2.format(x='t_all - COALESCE(t_s, 0) + v')})"
+                " AS BIGINT)"
+            ).alias("score")
+        )
+    )
+    wloo = W.partitionBy("doc_id", "s").orderBy(
+        F.col("score").desc(), F.col("c").asc()
+    )
+    acc_loo = (
+        scored_loo.withColumn("rn", F.row_number().over(wloo))
+        .where("rn = 1")
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.expr(
+                "CAST(1000000 * SUM(CASE WHEN actual = c THEN 1 ELSE 0"
+                " END) DIV COUNT(*) AS BIGINT)"
+            ).alias("loo_acc_ppm"),
+        )
+    )
+    scored_full = (
+        ev.crossJoin(F.broadcast(classes))
+        .join(F.broadcast(cnt_all), ["c", "tok"], "left")
+        .join(F.broadcast(tot_all), "c")
+        .crossJoin(F.broadcast(vocab_all))
+        .groupBy(
+            "doc_id", F.col("lang").alias("actual"), "c", "t_all", "v"
+        )
+        .agg(
+            F.expr(
+                f"CAST(SUM({il2.format(x='COALESCE(n_all, 0) + 1')})"
+                f" - COUNT(*) * ({il2.format(x='t_all + v')})"
+                " AS BIGINT)"
+            ).alias("score")
+        )
+    )
+    wfull = W.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("c").asc()
+    )
+    acc_full = (
+        scored_full.withColumn("rn", F.row_number().over(wfull))
+        .where("rn = 1")
+        .agg(
+            F.expr(
+                "CAST(1000000 * SUM(CASE WHEN actual = c THEN 1 ELSE 0"
+                " END) DIV COUNT(*) AS BIGINT)"
+            ).alias("full_acc_ppm")
+        )
+    )
+    train = docs.groupBy(F.col("source").alias("s")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_train_docs")
+    )
+    return (
+        acc_loo.join(train, "s")
+        .crossJoin(F.broadcast(acc_full))
+        .select(
+            F.col("s").alias("source"),
+            "n_train_docs",
+            "n_eval",
+            "full_acc_ppm",
+            "loo_acc_ppm",
+            F.expr("full_acc_ppm - loo_acc_ppm").alias("influence_ppm"),
+        )
+    )

@@ -2190,3 +2190,157 @@ def difference_in_differences(
             f" / NULLIF({_DID_SE}, 0.0)) AS BIGINT) END"
         ).alias("z_milli"),
     )
+
+
+# ------------------------------------ post-stratified effect estimate
+
+# Post-stratification (the observational-causal counterpart of CUPED):
+# users are stratified into pre-period activity quartiles, the arm
+# effect is estimated WITHIN each stratum, and the overall estimate
+# re-weights strata by their user counts — removing the confounding
+# that a raw arm comparison absorbs when assignment correlates with
+# activity. Per-stratum contributions floor to exact integer milli
+# BEFORE the cross-stratum sum, so the overall estimate never sums
+# floats across partitions (the engine-parity rule for cross-group
+# float aggregation).
+_PSE_EFF = (
+    "CASE WHEN nt = 0 OR nc = 0 THEN NULL ELSE "
+    "CAST(FLOOR(1000.0 * (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) "
+    "- CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))) AS BIGINT) END"
+)
+_PSE_CONTRIB = (
+    "CASE WHEN nt = 0 OR nc = 0 THEN NULL ELSE "
+    "CAST(FLOOR(1000.0 * CAST(n AS DOUBLE) "
+    "* (CAST(st AS DOUBLE) / CAST(nt AS DOUBLE) "
+    "- CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE))) AS BIGINT) END"
+)
+
+
+@register(
+    "post_stratified_effect",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, epoch_us(ts) AS us,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    bounds AS (
+        SELECT MIN(us) + (MAX(us) - MIN(us)) // 2 AS split_us FROM c
+    ),
+    per_user AS (
+        SELECT user_id, user_id % 2 AS arm,
+               CAST(SUM(CASE WHEN us < split_us THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pre_cnt,
+               CAST(SUM(CASE WHEN us >= split_us THEN cents ELSE 0 END)
+                    AS BIGINT) AS post_val
+        FROM c CROSS JOIN bounds GROUP BY user_id
+    ),
+    strat AS (
+        SELECT *,
+               CAST(ntile(4) OVER (ORDER BY pre_cnt, user_id)
+                    AS BIGINT) AS stratum
+        FROM per_user
+    ),
+    s AS (
+        SELECT stratum,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nt,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS nc,
+               CAST(SUM(CASE WHEN arm = 1 THEN post_val ELSE 0 END)
+                    AS BIGINT) AS st,
+               CAST(SUM(CASE WHEN arm = 0 THEN post_val ELSE 0 END)
+                    AS BIGINT) AS sc
+        FROM strat GROUP BY stratum
+    ),
+    overall AS (
+        SELECT CASE WHEN COUNT({_PSE_CONTRIB}) < COUNT(*) THEN NULL
+               ELSE CAST(FLOOR(CAST(SUM({_PSE_CONTRIB}) AS DOUBLE)
+                    / CAST(SUM(n) AS DOUBLE)) AS BIGINT) END
+                   AS overall_milli
+        FROM s
+    )
+    SELECT s.stratum, s.n AS n_users, s.nt AS n_treat, s.nc AS n_control,
+           {_PSE_EFF} AS effect_milli,
+           o.overall_milli
+    FROM s CROSS JOIN overall o
+    """,
+    tags=("stats", "events", "eval"),
+    doc="Post-stratified treatment-effect estimate: users stratified "
+    "into pre-period activity quartiles (ntile over exact pre-period "
+    "event counts with user_id tie-break), the arm difference of "
+    "post-period value estimated WITHIN each stratum, and the overall "
+    "effect re-weighted by stratum sizes — the adjustment that "
+    "removes activity confounding a raw arm comparison absorbs "
+    "(Miratrix et al. 2013; the stratified sibling of "
+    "cuped_variance_reduction). Per-stratum contributions floor to "
+    "exact integer milli BEFORE the cross-stratum sum, so no float "
+    "ever sums across groups; any stratum with an empty arm NULLs "
+    "the overall estimate on both engines instead of silently "
+    "dropping weight. Scale: one per-user aggregate, one ntile sort "
+    "over users (range-partitioned, documented), a 4-row stratum "
+    "rollup and a broadcast scalar. Ref parity: beyond-reference "
+    "experimentation layer.",
+)
+def post_stratified_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    )
+    bounds = c.agg(
+        F.expr("MIN(us) + (MAX(us) - MIN(us)) DIV 2").alias("split_us")
+    )
+    per_user = (
+        c.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN us < split_us THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("pre_cnt"),
+            F.expr(
+                "CAST(SUM(CASE WHEN us >= split_us THEN cents ELSE 0"
+                " END) AS BIGINT)"
+            ).alias("post_val"),
+        )
+        .withColumn("arm", F.expr("user_id % 2"))
+    )
+    strat = per_user.withColumn(
+        "stratum",
+        F.ntile(4).over(W.orderBy("pre_cnt", "user_id")).cast("long"),
+    )
+    s = strat.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("nt"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("nc"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN post_val ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("st"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN post_val ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("sc"),
+    )
+    overall = s.agg(
+        F.expr(
+            f"CASE WHEN COUNT({_PSE_CONTRIB}) < COUNT(*) THEN NULL "
+            f"ELSE CAST(FLOOR(CAST(SUM({_PSE_CONTRIB}) AS DOUBLE)"
+            " / CAST(SUM(n) AS DOUBLE)) AS BIGINT) END"
+        ).alias("overall_milli")
+    )
+    return s.crossJoin(F.broadcast(overall)).select(
+        "stratum",
+        F.col("n").alias("n_users"),
+        F.col("nt").alias("n_treat"),
+        F.col("nc").alias("n_control"),
+        F.expr(_PSE_EFF).alias("effect_milli"),
+        "overall_milli",
+    )

@@ -1092,3 +1092,165 @@ def test_stream_session_window_python_replay(spark):
         for r in stream_session_window(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+# ------------------------------------------ LOO source influence
+
+
+def test_loo_source_influence_invariants(spark):
+    from etl_energy_tracker_spark.queries.evalops import (
+        loo_source_influence,
+    )
+
+    rows = {
+        r.source: (
+            r.n_train_docs, r.n_eval, r.full_acc_ppm, r.loo_acc_ppm,
+            r.influence_ppm,
+        )
+        for r in loo_source_influence(spark, SF_DIR).collect()
+    }
+    n_docs = _duck_rows("SELECT source, COUNT(*) FROM documents GROUP BY source")
+    assert {s for s, _ in n_docs} == set(rows)
+    n_eval = _duck_rows(
+        "SELECT COUNT(DISTINCT doc_id) FROM documents WHERE doc_id % 17 = 0"
+    )[0][0]
+    for s, cnt in n_docs:
+        nt, ne, full, loo, infl = rows[s]
+        assert nt == cnt
+        assert ne == n_eval
+        assert infl == full - loo
+        assert 0 <= full <= 1000000 and 0 <= loo <= 1000000
+    # all rows share the same full-model accuracy
+    assert len({v[2] for v in rows.values()}) == 1
+
+
+def test_loo_source_influence_detects_harmful_source(spark):
+    # a synthetic corpus where one source's labels are flipped:
+    # removing it must IMPROVE accuracy (negative influence for the
+    # clean sources' sakes — i.e. positive loo gain <=> influence < 0)
+    import duckdb
+
+    from etl_energy_tracker_spark.queries import catalog
+
+    con = duckdb.connect()
+    rows = []
+    # eval pool = doc_id % 17 == 0. The six en "foo bar baz qux" docs
+    # take exactly those ids, so the eval set is all-en-foo. The en
+    # class is DILUTED by 20 other-text docs, so the 40 poisoned fr
+    # copies of the foo text dominate P(foo|fr) and flip the full
+    # model's prediction on every eval doc; removing the poison
+    # source restores en. (A pure single-text class can never be
+    # out-conditioned — dilution is what makes poisoning effective.)
+    eval_ids = [0, 17, 34, 51, 68, 85]
+    for i in eval_ids:
+        rows.append((i, "foo bar baz qux", "en", "clean_a", 15))
+    nxt = (x for x in range(1, 10000) if x % 17 != 0)
+    for _ in range(20):
+        rows.append(
+            (next(nxt), "one two three four five six seven eight",
+             "en", "clean_a", 39)
+        )
+    for _ in range(10):
+        rows.append(
+            (next(nxt), "alpha beta gamma delta", "fr", "clean_b", 22)
+        )
+    for _ in range(40):
+        rows.append((next(nxt), "foo bar baz qux", "fr", "poison", 15))
+    import os
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    con.sql(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR,"
+        " lang VARCHAR, source VARCHAR, n_chars BIGINT)"
+    )
+    con.executemany("INSERT INTO documents VALUES (?,?,?,?,?)", rows)
+    con.sql(
+        f"COPY documents TO '{tmp}/documents.parquet' (FORMAT PARQUET)"
+    )
+    catalog._load_all()
+    out = {
+        r.source: r.influence_ppm
+        for r in catalog.CATALOG["loo_source_influence"]
+        .fn(spark, tmp)
+        .collect()
+    }
+    # removing the poisoned source improves eval accuracy
+    assert out["poison"] < 0
+    for f in os.listdir(tmp):
+        os.remove(os.path.join(tmp, f))
+    os.rmdir(tmp)
+
+
+# ------------------------------------------ post-stratification
+
+
+def test_post_stratified_python_replay(spark):
+    from etl_energy_tracker_spark.queries.statops import (
+        post_stratified_effect,
+    )
+
+    rows = _duck_rows(
+        "SELECT user_id, epoch_us(ts), CAST(FLOOR(value * 100) AS BIGINT)"
+        " FROM events"
+    )
+    us_all = [r[1] for r in rows]
+    split = min(us_all) + (max(us_all) - min(us_all)) // 2
+    per: dict[int, list[int]] = {}
+    for uid, t, cts in rows:
+        pre, post = per.get(int(uid), (0, 0))
+        if t < split:
+            pre += 1
+        else:
+            post += int(cts)
+        per[int(uid)] = (pre, post)
+    users = sorted(
+        ((pre, uid, post) for uid, (pre, post) in per.items())
+    )
+    n = len(users)
+    # ntile(4): first (n % 4) tiles get ceil(n/4)
+    base, extra = divmod(n, 4)
+    sizes = [base + (1 if i < extra else 0) for i in range(4)]
+    strata = {}
+    i = 0
+    for t, sz in enumerate(sizes, start=1):
+        for _ in range(sz):
+            pre, uid, post = users[i]
+            strata.setdefault(t, []).append((uid, post))
+            i += 1
+    want = {}
+    contribs = []
+    tot_n = 0
+    for t, us in strata.items():
+        nn = len(us)
+        nt = sum(1 for uid, _ in us if uid % 2 == 1)
+        nc = nn - nt
+        st = sum(p for uid, p in us if uid % 2 == 1)
+        sc = sum(p for uid, p in us if uid % 2 == 0)
+        eff = (
+            math.floor(1000.0 * (st / nt - sc / nc))
+            if nt and nc
+            else None
+        )
+        contribs.append(
+            math.floor(1000.0 * float(nn) * (st / nt - sc / nc))
+            if nt and nc
+            else None
+        )
+        tot_n += nn
+        want[t] = (nn, nt, nc, eff)
+    overall = (
+        math.floor(sum(contribs) / float(tot_n))
+        if all(c is not None for c in contribs)
+        else None
+    )
+    got = {
+        r.stratum: (r.n_users, r.n_treat, r.n_control, r.effect_milli)
+        for r in post_stratified_effect(spark, SF_DIR).collect()
+    }
+    assert got == want
+    ovs = {
+        r.overall_milli
+        for r in post_stratified_effect(spark, SF_DIR).collect()
+    }
+    assert ovs == {overall}

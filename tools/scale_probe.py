@@ -189,6 +189,8 @@ OPS = [
     "nelson_aalen_hazard",
     "delta_method_ratio_ci",
     "difference_in_differences",
+    "loo_source_influence",
+    "post_stratified_effect",
 ]
 
 
