@@ -249,6 +249,8 @@ EXTRA = [
     "stream_session_window",
     "loo_source_influence",
     "post_stratified_effect",
+    "nb_learning_curve",
+    "brier_decomposition",
 ]
 
 

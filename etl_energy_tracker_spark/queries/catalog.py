@@ -347,6 +347,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "delta_method_ratio_ci", "difference_in_differences",
     "stream_session_window",
     "loo_source_influence", "post_stratified_effect",
+    "nb_learning_curve", "brier_decomposition",
 )
 
 

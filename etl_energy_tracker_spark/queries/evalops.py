@@ -2209,3 +2209,388 @@ def loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("full_acc_ppm - loo_acc_ppm").alias("influence_ppm"),
         )
     )
+
+
+# ------------------------------------------- NB learning curve
+
+_NLC_BUCKETS = 4
+
+
+def _nlc_oracle() -> str:
+    il2 = _NB_ILOG2_DUCK
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % {_NLC_BUCKETS} AS b,
+               doc_id % {_LOO_EVAL_MOD} = 0 AS is_eval, lang,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    cnt_b AS (
+        SELECT b, lang AS c, tok, CAST(COUNT(*) AS BIGINT) AS n
+        FROM toks WHERE NOT is_eval GROUP BY b, lang, tok
+    ),
+    ks AS (SELECT unnest(range(1, {_NLC_BUCKETS} + 1)) AS k),
+    cnt_k AS (
+        SELECT ks.k, cb.c, cb.tok, CAST(SUM(cb.n) AS BIGINT) AS n
+        FROM cnt_b cb JOIN ks ON cb.b < ks.k
+        GROUP BY ks.k, cb.c, cb.tok
+    ),
+    tot_k AS (
+        SELECT k, c, CAST(SUM(n) AS BIGINT) AS t_k
+        FROM cnt_k GROUP BY k, c
+    ),
+    vocab_k AS (
+        SELECT k, CAST(COUNT(DISTINCT tok) AS BIGINT) AS v
+        FROM cnt_k GROUP BY k
+    ),
+    train_n AS (
+        SELECT ks.k, CAST(COUNT(*) AS BIGINT) AS n_train_docs
+        FROM (SELECT DISTINCT doc_id, doc_id % {_NLC_BUCKETS} AS b
+              FROM documents
+              WHERE doc_id % {_LOO_EVAL_MOD} <> 0) d
+        JOIN ks ON d.b < ks.k GROUP BY ks.k
+    ),
+    classes AS (SELECT DISTINCT lang AS c FROM documents),
+    ev AS (
+        SELECT doc_id, lang, tok FROM toks WHERE is_eval
+    ),
+    scored AS (
+        SELECT e.doc_id, ks.k, e.lang AS actual, cl.c,
+               CAST(SUM({il2.format(x="COALESCE(ck.n, 0) + 1")})
+                    - COUNT(*) * ({il2.format(
+                   x="COALESCE(tk.t_k, 0) + vk.v")})
+                    AS BIGINT) AS score
+        FROM ev e
+        CROSS JOIN ks
+        CROSS JOIN classes cl
+        LEFT JOIN cnt_k ck
+            ON ck.k = ks.k AND ck.c = cl.c AND ck.tok = e.tok
+        LEFT JOIN tot_k tk ON tk.k = ks.k AND tk.c = cl.c
+        JOIN vocab_k vk ON vk.k = ks.k
+        GROUP BY e.doc_id, ks.k, e.lang, cl.c, tk.t_k, vk.v
+    ),
+    pred AS (
+        SELECT k, actual, c AS predicted,
+               row_number() OVER (PARTITION BY doc_id, k
+                   ORDER BY score DESC, c ASC) AS rn
+        FROM scored
+    )
+    SELECT CAST(p.k AS BIGINT) AS quarters,
+           t.n_train_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(1000000 * SUM(CASE WHEN actual = predicted
+                                   THEN 1 ELSE 0 END)
+                // COUNT(*) AS BIGINT) AS accuracy_ppm
+    FROM pred p JOIN train_n t ON t.k = p.k
+    WHERE rn = 1 GROUP BY p.k, t.n_train_docs
+    """
+
+
+@register(
+    "nb_learning_curve",
+    oracle=_nlc_oracle(),
+    tags=("ml", "corpus", "eval"),
+    doc="Learning curve of the naive-Bayes language classifier: "
+    "accuracy on a FIXED held-out eval pool (hash-sampled and "
+    "excluded from all training counts) as the training set grows "
+    "through 1/4, 2/4, 3/4 and 4/4 of the corpus (cumulative hash "
+    "buckets) — the data-scaling readout that says whether more of "
+    "the same corpus still buys accuracy (the 'is more data worth "
+    "it' question every scaling decision starts with). All four "
+    "models come from ONE counting pass: per-bucket counts are "
+    "aggregated once and the k-quarter model is the b < k cumulative "
+    "sum (the count-composition sibling of nb_crossval's count "
+    "subtraction); per-k vocabulary and class totals derive the same "
+    "way; scoring uses integer-log2 likelihoods, exact end to end. "
+    "Scale: model tables are O(k x V x C) and broadcast; the scoring "
+    "join fans out only the bounded eval pool; training counts "
+    "collapse map-side. Ref parity: beyond-reference data-scaling "
+    "layer (companion to loo_source_influence).",
+)
+def nb_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    il2 = _NB_ILOG2_SPARK
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _NLC_BUCKETS).alias("b"),
+        F.expr(f"doc_id % {_LOO_EVAL_MOD} = 0").alias("is_eval"),
+        "lang",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    cnt_b = (
+        toks.where("NOT is_eval")
+        .groupBy("b", F.col("lang").alias("c"), "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    ks = spark.range(1, _NLC_BUCKETS + 1).select(
+        F.col("id").cast("long").alias("k")
+    )
+    cnt_k = (
+        cnt_b.crossJoin(F.broadcast(ks))
+        .where("b < k")
+        .groupBy("k", "c", "tok")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    tot_k = cnt_k.groupBy("k", "c").agg(
+        F.sum("n").cast("long").alias("t_k")
+    )
+    vocab_k = cnt_k.groupBy("k").agg(
+        F.countDistinct("tok").cast("long").alias("v")
+    )
+    train_n = (
+        docs.where(f"doc_id % {_LOO_EVAL_MOD} <> 0")
+        .select("doc_id", (F.col("doc_id") % _NLC_BUCKETS).alias("b"))
+        .distinct()
+        .crossJoin(F.broadcast(ks))
+        .where("b < k")
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_train_docs"))
+    )
+    classes = docs.select(F.col("lang").alias("c")).distinct()
+    ev = toks.where("is_eval").select("doc_id", "lang", "tok")
+    scored = (
+        ev.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(classes))
+        .join(F.broadcast(cnt_k), ["k", "c", "tok"], "left")
+        .join(F.broadcast(tot_k), ["k", "c"], "left")
+        .join(F.broadcast(vocab_k), "k")
+        .groupBy(
+            "doc_id", "k", F.col("lang").alias("actual"), "c",
+            "t_k", "v",
+        )
+        .agg(
+            F.expr(
+                f"CAST(SUM({il2.format(x='COALESCE(n, 0) + 1')})"
+                f" - COUNT(*) * ({il2.format(x='COALESCE(t_k, 0) + v')})"
+                " AS BIGINT)"
+            ).alias("score")
+        )
+    )
+    wpred = W.partitionBy("doc_id", "k").orderBy(
+        F.col("score").desc(), F.col("c").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(wpred))
+        .where("rn = 1")
+        .groupBy(F.col("k").alias("quarters"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval"),
+            F.expr(
+                "CAST(1000000 * SUM(CASE WHEN actual = c THEN 1 ELSE 0"
+                " END) DIV COUNT(*) AS BIGINT)"
+            ).alias("accuracy_ppm"),
+        )
+        .join(train_n.withColumnRenamed("k", "quarters"), "quarters")
+        .select("quarters", "n_train_docs", "n_eval", "accuracy_ppm")
+    )
+
+
+# ---------------------------------- Brier score decomposition
+
+# Generalized Murphy decomposition (Stephenson et al. 2008) over the
+# 10 confidence bins: Brier = REL - RES + UNC + WBV - 2*WBC, where
+# WBV/WBC are the within-bin forecast variance and forecast-outcome
+# covariance that the textbook 3-term form silently assumes away
+# (it only holds when every forecast in a bin is identical). Each
+# component is a per-bin FLOOR(double chain) over exact BIGINT bin
+# sums, summed exactly, with one final floor-divide by N — so the
+# identity holds to within the documented quantization (<= bins + 3
+# micro, pinned in pytest).
+_BRD_P = "(SUM({w}) + 1000 * COUNT(*)) * 500 // COUNT(*)"
+
+
+@register(
+    "brier_decomposition",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               {_BRD_P.format(w=_HLC_W_DUCK)} AS p,
+               CASE WHEN 1000000 * SUM(CASE WHEN {_AUC_STOP_SQL}
+                        THEN 1 ELSE 0 END) // COUNT(*)
+                        BETWEEN {_AUC_LO} AND {_AUC_HI}
+                    THEN 1 ELSE 0 END AS y
+        FROM toks GROUP BY doc_id
+    ),
+    bins AS (
+        SELECT LEAST(p // 100000, 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(p) AS BIGINT) AS sp,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(p * p) AS BIGINT) AS spp,
+               CAST(SUM(p * y) AS BIGINT) AS spy,
+               CAST(SUM((p - 1000000 * y) * (p - 1000000 * y))
+                    AS BIGINT) AS s2
+        FROM per_doc GROUP BY LEAST(p // 100000, 9)
+    ),
+    g AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_total,
+               CAST(SUM(sy) AS BIGINT) AS y_total,
+               CAST(SUM(s2) AS BIGINT) AS s2_total
+        FROM bins
+    ),
+    terms AS (
+        SELECT
+            CAST(FLOOR(
+                (CAST(sp AS DOUBLE) - 1000000.0 * CAST(sy AS DOUBLE))
+                * (CAST(sp AS DOUBLE) - 1000000.0 * CAST(sy AS DOUBLE))
+                / CAST(n AS DOUBLE) / 1000000.0) AS BIGINT) AS rel_c,
+            CAST(FLOOR(CAST(n AS DOUBLE)
+                * (1000000.0 * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                   - 1000000.0 * CAST(g.y_total AS DOUBLE)
+                     / CAST(g.n_total AS DOUBLE))
+                * (1000000.0 * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                   - 1000000.0 * CAST(g.y_total AS DOUBLE)
+                     / CAST(g.n_total AS DOUBLE))
+                / 1000000.0) AS BIGINT) AS res_c,
+            CAST(FLOOR((CAST(spp AS DOUBLE)
+                - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+                  / CAST(n AS DOUBLE)) / 1000000.0) AS BIGINT) AS wbv_c,
+            CAST(FLOOR((1000000.0 * CAST(spy AS DOUBLE)
+                - CAST(sp AS DOUBLE) * 1000000.0 * CAST(sy AS DOUBLE)
+                  / CAST(n AS DOUBLE)) / 1000000.0) AS BIGINT) AS wbc_c
+        FROM bins CROSS JOIN g
+    )
+    SELECT g.n_total,
+           CAST(FLOOR(CAST(g.s2_total AS DOUBLE)
+                / CAST(g.n_total AS DOUBLE) / 1000000.0) AS BIGINT)
+               AS brier_micro,
+           CAST(FLOOR(CAST(SUM(t.rel_c) AS DOUBLE)
+                / CAST(g.n_total AS DOUBLE)) AS BIGINT) AS rel_micro,
+           CAST(FLOOR(CAST(SUM(t.res_c) AS DOUBLE)
+                / CAST(g.n_total AS DOUBLE)) AS BIGINT) AS res_micro,
+           CAST(FLOOR(1000000.0
+                * (CAST(g.y_total AS DOUBLE) / CAST(g.n_total AS DOUBLE))
+                * (1.0 - CAST(g.y_total AS DOUBLE)
+                   / CAST(g.n_total AS DOUBLE))) AS BIGINT) AS unc_micro,
+           CAST(FLOOR(CAST(SUM(t.wbv_c) AS DOUBLE)
+                / CAST(g.n_total AS DOUBLE)) AS BIGINT) AS wbv_micro,
+           CAST(FLOOR(CAST(SUM(t.wbc_c) AS DOUBLE)
+                / CAST(g.n_total AS DOUBLE)) AS BIGINT) AS wbc_micro
+    FROM terms t CROSS JOIN g
+    GROUP BY g.n_total, g.y_total, g.s2_total
+    """,
+    tags=("ml", "quality", "eval"),
+    doc="Brier-score decomposition of the hashed linear classifier "
+    "(same confidence mapping and rule label as "
+    "calibration_ece_report): the GENERALIZED Murphy decomposition "
+    "Brier = reliability - resolution + uncertainty + within-bin "
+    "variance - 2*within-bin covariance — the two within-bin terms "
+    "are what the textbook 3-term identity silently assumes away "
+    "(exactly zero only when every forecast in a bin is identical), "
+    "and reporting them is what makes the decomposition actually "
+    "reconcile. Every component is a per-bin FLOOR(IEEE chain) over "
+    "exact BIGINT bin sums, summed exactly, one final floor per "
+    "component; the reconstruction identity is pinned in pytest to "
+    "the documented quantization bound. Scale: one token shuffle to "
+    "per-doc (p, y), one map-side 10-bin collapse; everything after "
+    "runs on the bounded bin table. Ref parity: beyond-reference "
+    "eval layer (completes calibration_ece_report / "
+    "isotonic_calibration_pav).",
+)
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.expr(
+            _BRD_P.format(w=_HLC_W_SPARK).replace("//", "DIV")
+        ).alias("p"),
+        F.expr(
+            f"CASE WHEN 1000000 * SUM(CASE WHEN {_AUC_STOP_SQL}"
+            " THEN 1 ELSE 0 END) DIV COUNT(*)"
+            f" BETWEEN {_AUC_LO} AND {_AUC_HI}"
+            " THEN 1 ELSE 0 END"
+        ).alias("y"),
+    )
+    bins = per_doc.groupBy(
+        F.expr("LEAST(p DIV 100000, 9)").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("p").cast("long").alias("sp"),
+        F.sum("y").cast("long").alias("sy"),
+        F.expr("CAST(SUM(p * p) AS BIGINT)").alias("spp"),
+        F.expr("CAST(SUM(p * y) AS BIGINT)").alias("spy"),
+        F.expr(
+            "CAST(SUM((p - 1000000 * y) * (p - 1000000 * y))"
+            " AS BIGINT)"
+        ).alias("s2"),
+    )
+    g = bins.agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.sum("sy").cast("long").alias("y_total"),
+        F.sum("s2").cast("long").alias("s2_total"),
+    )
+    terms = bins.crossJoin(F.broadcast(g)).select(
+        "n_total",
+        "y_total",
+        "s2_total",
+        F.expr(
+            "CAST(FLOOR((CAST(sp AS DOUBLE) - 1000000.0 *"
+            " CAST(sy AS DOUBLE)) * (CAST(sp AS DOUBLE) - 1000000.0 *"
+            " CAST(sy AS DOUBLE)) / CAST(n AS DOUBLE) / 1000000.0)"
+            " AS BIGINT)"
+        ).alias("rel_c"),
+        F.expr(
+            "CAST(FLOOR(CAST(n AS DOUBLE)"
+            " * (1000000.0 * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"
+            "    - 1000000.0 * CAST(y_total AS DOUBLE)"
+            "      / CAST(n_total AS DOUBLE))"
+            " * (1000000.0 * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"
+            "    - 1000000.0 * CAST(y_total AS DOUBLE)"
+            "      / CAST(n_total AS DOUBLE))"
+            " / 1000000.0) AS BIGINT)"
+        ).alias("res_c"),
+        F.expr(
+            "CAST(FLOOR((CAST(spp AS DOUBLE)"
+            " - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)"
+            "   / CAST(n AS DOUBLE)) / 1000000.0) AS BIGINT)"
+        ).alias("wbv_c"),
+        F.expr(
+            "CAST(FLOOR((1000000.0 * CAST(spy AS DOUBLE)"
+            " - CAST(sp AS DOUBLE) * 1000000.0 * CAST(sy AS DOUBLE)"
+            "   / CAST(n AS DOUBLE)) / 1000000.0) AS BIGINT)"
+        ).alias("wbc_c"),
+    )
+    return terms.groupBy("n_total", "y_total", "s2_total").agg(
+        F.sum("rel_c").cast("long").alias("rel_s"),
+        F.sum("res_c").cast("long").alias("res_s"),
+        F.sum("wbv_c").cast("long").alias("wbv_s"),
+        F.sum("wbc_c").cast("long").alias("wbc_s"),
+    ).select(
+        "n_total",
+        F.expr(
+            "CAST(FLOOR(CAST(s2_total AS DOUBLE)"
+            " / CAST(n_total AS DOUBLE) / 1000000.0) AS BIGINT)"
+        ).alias("brier_micro"),
+        F.expr(
+            "CAST(FLOOR(CAST(rel_s AS DOUBLE)"
+            " / CAST(n_total AS DOUBLE)) AS BIGINT)"
+        ).alias("rel_micro"),
+        F.expr(
+            "CAST(FLOOR(CAST(res_s AS DOUBLE)"
+            " / CAST(n_total AS DOUBLE)) AS BIGINT)"
+        ).alias("res_micro"),
+        F.expr(
+            "CAST(FLOOR(1000000.0"
+            " * (CAST(y_total AS DOUBLE) / CAST(n_total AS DOUBLE))"
+            " * (1.0 - CAST(y_total AS DOUBLE)"
+            "    / CAST(n_total AS DOUBLE))) AS BIGINT)"
+        ).alias("unc_micro"),
+        F.expr(
+            "CAST(FLOOR(CAST(wbv_s AS DOUBLE)"
+            " / CAST(n_total AS DOUBLE)) AS BIGINT)"
+        ).alias("wbv_micro"),
+        F.expr(
+            "CAST(FLOOR(CAST(wbc_s AS DOUBLE)"
+            " / CAST(n_total AS DOUBLE)) AS BIGINT)"
+        ).alias("wbc_micro"),
+    )

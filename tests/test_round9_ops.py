@@ -1254,3 +1254,49 @@ def test_post_stratified_python_replay(spark):
         for r in post_stratified_effect(spark, SF_DIR).collect()
     }
     assert ovs == {overall}
+
+
+# ------------------------------------------ learning curve
+
+
+def test_nb_learning_curve_invariants(spark):
+    from etl_energy_tracker_spark.queries.evalops import (
+        nb_learning_curve,
+    )
+
+    rows = sorted(
+        (r.quarters, r.n_train_docs, r.n_eval, r.accuracy_ppm)
+        for r in nb_learning_curve(spark, SF_DIR).collect()
+    )
+    assert [q for q, *_ in rows] == [1, 2, 3, 4]
+    # training size strictly grows with k; eval pool is fixed
+    sizes = [n for _, n, _, _ in rows]
+    assert sizes == sorted(sizes) and sizes[0] < sizes[-1]
+    assert len({ne for _, _, ne, _ in rows}) == 1
+    total_train = _duck_rows(
+        "SELECT COUNT(*) FROM documents WHERE doc_id % 17 <> 0"
+    )[0][0]
+    assert sizes[-1] == total_train
+    for *_, acc in rows:
+        assert 0 <= acc <= 1000000
+
+
+# ------------------------------------------ Brier decomposition
+
+
+def test_brier_decomposition_identity(spark):
+    from etl_energy_tracker_spark.queries.evalops import (
+        brier_decomposition,
+    )
+
+    (row,) = brier_decomposition(spark, SF_DIR).collect()
+    # generalized Murphy identity, up to the documented per-component
+    # floor quantization (<= 10 bins + 3 final floors, in micro)
+    recomposed = (
+        row.rel_micro - row.res_micro + row.unc_micro
+        + row.wbv_micro - 2 * row.wbc_micro
+    )
+    assert abs(row.brier_micro - recomposed) <= 20
+    assert 0 <= row.unc_micro <= 250000
+    assert row.rel_micro >= 0 and row.res_micro >= 0
+    assert row.wbv_micro >= 0

@@ -191,6 +191,8 @@ OPS = [
     "difference_in_differences",
     "loo_source_influence",
     "post_stratified_effect",
+    "nb_learning_curve",
+    "brier_decomposition",
 ]
 
 
