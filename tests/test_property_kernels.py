@@ -307,3 +307,90 @@ def test_twopass_median_generated(spark, groups):
         assert r.bin_rows == sum(
             1 for x in s if x // _TPM_BIN == med // _TPM_BIN
         )
+
+
+# ------------------------------- best-of-n order-statistic identity
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(min_value=-1000, max_value=1000),
+             min_size=8, max_size=16),
+    st.sampled_from([2, 4, 8]),
+)
+def test_best_of_n_identity_generated(vals, nn):
+    """The exact combinatorial identity behind best_of_n_curve:
+    E[max of n draws without replacement] computed by brute-force
+    subset enumeration equals the order-statistic weighted sum
+    sum_i s_(i) * C(i-1, n-1)/C(N, n) — as exact fractions, for any
+    multiset including duplicates and negatives."""
+    from fractions import Fraction
+    from itertools import combinations
+    from math import comb
+
+    brute = Fraction(
+        sum(max(c) for c in combinations(vals, nn)),
+        comb(len(vals), nn),
+    )
+    s = sorted(vals)
+    ident = sum(
+        Fraction(s[i - 1] * comb(i - 1, nn - 1), comb(len(s), nn))
+        for i in range(1, len(s) + 1)
+    )
+    assert brute == ident
+
+
+# ------------------------------- PAV minimax identity
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=1, max_value=50),
+                  st.integers(min_value=0, max_value=1_000_000)),
+        min_size=1, max_size=10,
+    )
+)
+def test_pav_minimax_matches_pool_adjacent_violators(bins):
+    """isotonic_calibration_pav computes the isotonic fit via the
+    minimax identity iso(i) = max_{j<=i} min_{k>=i} mean(j..k); this
+    pins it against the classical stack-based PAV algorithm on
+    arbitrary weighted bin tables (weights = bin counts)."""
+    # minimax form (quantized ppm floor-divide, as the operator does)
+    def wmean(j, k):
+        num = sum(n * a for n, a in bins[j:k + 1])
+        den = sum(n for n, _ in bins[j:k + 1])
+        return num // den
+
+    mini = [
+        max(
+            min(wmean(j, k) for k in range(i, len(bins)))
+            for j in range(0, i + 1)
+        )
+        for i in range(len(bins))
+    ]
+    # classical PAV on exact fractions, then floor to the same units
+    from fractions import Fraction
+
+    stack = []  # (weight, mean as Fraction)
+    for n, a in bins:
+        cur = (n, Fraction(a))
+        while stack and stack[-1][1] >= cur[1]:
+            pn, pm = stack.pop()
+            w = pn + cur[0]
+            cur = (w, (pn * pm + cur[0] * cur[1]) / w)
+        stack.append(cur)
+    pav = []
+    for w, m in stack:
+        pav.extend([m] * w)
+    # expand mini by weights for comparison
+    mini_x = []
+    for (n, _), v in zip(bins, mini):
+        mini_x.extend([v] * n)
+    # each PAV level IS the exact weighted mean of a contiguous block,
+    # and the minimax form attains the same block partition — so the
+    # floor-divide minimax solution equals floor(exact PAV) exactly
+    # (accuracies are non-negative, so Fraction truncation == floor)
+    assert [int(m) for m in pav] == mini_x
+    # and monotonicity of the minimax fit
+    assert mini == sorted(mini)
