@@ -326,9 +326,11 @@ _R3_VERIFIED: frozenset[str] = frozenset({
 
 # Within the unverified set, emit first the re-verification queue
 # (impl changed after the last green driver row — at r9 open: the 10
-# streaming drive-path names from the r8 _finish() refactor), then new
-# r9 operators (appended as they land). 10 names against a ~50 cap
-# leaves ~40 free slots for r9 additions. Per VERDICT r8 top_next §1:
+# streaming drive-path names from the r8 _finish() refactor plus the
+# 6 ADVICE-fix names), then new r9 operators (appended as they land).
+# At r9 close: 16 re-verifies + 31 new = 47 names against the ~50
+# cap — additions stopped there deliberately so every priority name
+# gets a driver slot. Per VERDICT r8 top_next §1:
 # every CORRECTNESS_r08 green is frozen in _R8_VERIFIED above AND
 # pruned from this tuple — _ordered() subtracts set(_PRIORITY) from
 # the verified set, so a stale entry here would silently re-prove a
