@@ -394,3 +394,37 @@ def test_pav_minimax_matches_pool_adjacent_violators(bins):
     assert [int(m) for m in pav] == mini_x
     # and monotonicity of the minimax fit
     assert mini == sorted(mini)
+
+
+# ------------------------------- Benjamini-Hochberg integer form
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.lists(st.integers(min_value=1, max_value=64),
+             min_size=1, max_size=12)
+)
+def test_bh_integer_predicate_matches_textbook(p_counts):
+    """permutation_test_fdr's pure-integer BH predicate
+    20*p_count*m <= rank*64 must select exactly the textbook step-up
+    set {i <= k : k = max i with p_(i) <= i*alpha/m} at alpha = 0.05
+    with p = p_count/64 — as exact fractions, for any p-vector."""
+    from fractions import Fraction
+
+    ps = sorted(p_counts)
+    m = len(ps)
+    alpha = Fraction(5, 100)
+    k_ref = max(
+        (i for i in range(1, m + 1)
+         if Fraction(ps[i - 1], 64) <= i * alpha / m),
+        default=None,
+    )
+    k_int = max(
+        (i for i in range(1, m + 1) if 20 * ps[i - 1] * m <= i * 64),
+        default=None,
+    )
+    assert k_ref == k_int
+    ref_set = set(range(1, (k_ref or 0) + 1))
+    int_set = {i for i in range(1, m + 1)
+               if k_int is not None and i <= k_int}
+    assert ref_set == int_set
