@@ -1959,10 +1959,16 @@ _DM_CXY = (
     " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))"
 )
 _DM_XBAR = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+# GREATEST(.., 0.0): the linearized variance is the variance of
+# (y - R*x), non-negative mathematically, but double rounding of the
+# exact-integer sums can land epsilon-negative when a type is nearly
+# collinear — SQRT(negative) is NaN, whose BIGINT cast THROWS under
+# Spark ANSI while DuckDB emits NULL (an engine divergence, not just
+# a crash). Clamp before the root on both engines.
 _DM_SE = (
-    f"SQRT(({_DM_VY} - 2.0 * {_DM_R} * {_DM_CXY}"
+    f"SQRT(GREATEST(({_DM_VY} - 2.0 * {_DM_R} * {_DM_CXY}"
     f" + {_DM_R} * {_DM_R} * {_DM_VX})"
-    f" / (CAST(n AS DOUBLE) * {_DM_XBAR} * {_DM_XBAR}))"
+    f" / (CAST(n AS DOUBLE) * {_DM_XBAR} * {_DM_XBAR}), 0.0))"
 )
 
 
@@ -2068,9 +2074,14 @@ _DID_EST = (
     f"(({_DID_CELL_MEAN.format(c='tp')} - {_DID_CELL_MEAN.format(c='t0')})"
     f" - ({_DID_CELL_MEAN.format(c='cp')} - {_DID_CELL_MEAN.format(c='c0')}))"
 )
+# GREATEST clamp for the same reason as _DM_SE: each cell's n*q - s*s
+# is non-negative exactly, but the double products round past 2^53 at
+# scale and a zero-variance cell can land epsilon-negative.
 _DID_SE = (
-    f"SQRT({_DID_CELL_VARN.format(c='tp')} + {_DID_CELL_VARN.format(c='t0')}"
-    f" + {_DID_CELL_VARN.format(c='cp')} + {_DID_CELL_VARN.format(c='c0')})"
+    f"SQRT(GREATEST({_DID_CELL_VARN.format(c='tp')}"
+    f" + {_DID_CELL_VARN.format(c='t0')}"
+    f" + {_DID_CELL_VARN.format(c='cp')}"
+    f" + {_DID_CELL_VARN.format(c='c0')}, 0.0))"
 )
 _DID_GUARD = (
     "n_tp = 0 OR n_t0 = 0 OR n_cp = 0 OR n_c0 = 0"

@@ -972,7 +972,8 @@ def test_delta_method_python_replay(spark):
         cxy = (n * sxy - sx * sy) / (n * n)
         xbar = sx / n
         se = math.sqrt(
-            (vy - 2.0 * r * cxy + r * r * vx) / (n * xbar * xbar)
+            max((vy - 2.0 * r * cxy + r * r * vx) / (n * xbar * xbar),
+                0.0)
         )
         want[et] = (
             n,
@@ -1035,8 +1036,8 @@ def test_did_python_replay(spark):
 
         est = (m(stp, ntp) - m(st0, nt0)) - (m(scp, ncp) - m(sc0, nc0))
         se = math.sqrt(
-            vn(ntp, qtp, stp) + vn(nt0, qt0, st0)
-            + vn(ncp, qcp, scp) + vn(nc0, qc0, sc0)
+            max(vn(ntp, qtp, stp) + vn(nt0, qt0, st0)
+                + vn(ncp, qcp, scp) + vn(nc0, qc0, sc0), 0.0)
         )
         want[et] = (
             ntp + nt0,
