@@ -2488,7 +2488,10 @@ _BRD_P = "(SUM({w}) + 1000 * COUNT(*)) * 500 // COUNT(*)"
     "reconcile. Every component is a per-bin FLOOR(IEEE chain) over "
     "exact BIGINT bin sums, summed exactly, one final floor per "
     "component; the reconstruction identity is pinned in pytest to "
-    "the documented quantization bound. Scale: one token shuffle to "
+    "the documented quantization bound. Integer headroom: the ppm^2 "
+    "sums (spp, s2) are exact BIGINT to ~9.2e6 docs per bin — noted, "
+    "not hidden (the spearman_rank_corr bound discipline). Scale: "
+    "one token shuffle to "
     "per-doc (p, y), one map-side 10-bin collapse; everything after "
     "runs on the bounded bin table. Ref parity: beyond-reference "
     "eval layer (completes calibration_ece_report / "

@@ -428,3 +428,55 @@ def test_bh_integer_predicate_matches_textbook(p_counts):
     int_set = {i for i in range(1, m + 1)
                if k_int is not None and i <= k_int}
     assert ref_set == int_set
+
+
+# ------------------------------- Shapley axioms on random games
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=15),  # masks over 4 channels
+        st.integers(min_value=0, max_value=50),  # conversions
+        min_size=1, max_size=12,
+    )
+)
+def test_shapley_axioms_on_random_mask_games(mstats):
+    """The exact lattice Shapley computation used by
+    shapley_channel_attribution, on arbitrary mask->conversion
+    histograms: efficiency (sum phi = v(full) - v(empty)), the null
+    player axiom (a channel in no mask gets exactly 0), and symmetry
+    (channels that appear in exactly the same masks get equal phi)."""
+    from math import factorial
+
+    cc = 4
+
+    def v(s):
+        return sum(cv for m, cv in mstats.items() if (m & s) == m)
+
+    vt = [v(s) for s in range(1 << cc)]
+    phis = []
+    for c in range(cc):
+        bit = 1 << c
+        phi = sum(
+            factorial(bin(s).count("1"))
+            * factorial(cc - bin(s).count("1") - 1)
+            * (vt[s + bit] - vt[s])
+            for s in range(1 << cc)
+            if not s & bit
+        )
+        phis.append(phi)
+    fact_c = factorial(cc)
+    # efficiency, exactly
+    assert sum(phis) == fact_c * (vt[(1 << cc) - 1] - vt[0])
+    # null player: channel absent from every mask contributes nothing
+    for c in range(cc):
+        if all(not (m >> c) & 1 for m in mstats):
+            assert phis[c] == 0
+    # symmetry: identical mask membership -> identical phi
+    for a in range(cc):
+        for b in range(a + 1, cc):
+            if all(((m >> a) & 1) == ((m >> b) & 1) for m in mstats):
+                assert phis[a] == phis[b]
+    # monotone game: every marginal is non-negative
+    assert all(p >= 0 for p in phis)
