@@ -1,8 +1,15 @@
-"""Round-9 operator tests: facility-location / MMR selection, the
-Mann-Whitney U test, and the on-engine logistic-regression probe.
-Each mirrors the operator in plain Python over collected rows (the
-catalog contract tests cover the DuckDB oracle; these pin the
-semantics against an independent reimplementation)."""
+"""Round-9 operator tests: selection (facility location, MMR),
+training (logistic GD, k-means refine, contrastive negatives,
+Bradley-Terry), uncertainty (Poisson bootstrap, permutation+BH,
+CUPED, delta method, DiD, post-stratification), eval (isotonic PAV,
+best-of-n, matryoshka recall, fairness, learning curve, Brier
+decomposition), survival (Nelson-Aalen), attribution (exact
+Shapley), data valuation (LOO source influence), and the native
+session-window stream. Each mirrors the operator in plain Python
+over collected rows (the catalog contract tests cover the DuckDB
+oracle; these pin the semantics against an independent
+reimplementation), plus behavioral proofs on synthetic corpora
+(separable-corpus GD learning, poisoned-source detection)."""
 
 from __future__ import annotations
 
