@@ -758,7 +758,9 @@ def _lrgd_duck(steps: int) -> str:
     "distills from (fastText-style). Every quantity is an exact "
     "integer: micro features, the fast-sigmoid link 0.5*(1+z/(1+|z|)) "
     "as one non-negative integer division, exact BIGINT gradient "
-    "sums, floor-divide lr=1/4 updates clamped to +-10 (micro 1e7) — "
+    "sums, truncating-divide lr=1/2 updates clamped to +-10 (micro "
+    "1e7; truncation = Spark DIV = DuckDB //, which TRUNCATES on "
+    "negatives — not Python floor) — "
     "so the weight trajectory is bit-identical on any engine and any "
     "partitioning (pca_power_iteration's discipline; no EXP, whose "
     "ULP behavior differs between JVM Math and libm). Emits final "
@@ -812,7 +814,8 @@ def logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + {zoff})"
         )
         # numerator offset keeps the dividend non-negative so Spark's
-        # truncating DIV and DuckDB/Python floor-// agree exactly
+        # truncating DIV and DuckDB // (both truncate) and Python floor
+        # // all agree exactly
         return f"({num} DIV 1000000 - {zoff // 1000000})"
 
     p_expr_t = (
@@ -830,10 +833,21 @@ def logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "COUNT(*) AS n",
         ).collect()[0]  # bounded 1-row gradient artifact per step
         n = int(g["n"])
+
+        def tdiv(a: int, b: int) -> int:
+            # truncate toward zero — DuckDB's integer `//` TRUNCATES on
+            # negatives (-7 // 2 = -3), same as Spark SQL's DIV; Python's
+            # // floors, which diverged by one unit per step on the
+            # negative gradients at sf0.1 (caught by the belt-and-braces
+            # sf0.1 oracle sweep, invisible at sf0.01)
+            q = abs(a) // b
+            return q if a >= 0 else -q
+
         for j in range(4):
-            grad = int(g[f"g{j}"]) // (n * 1000000)  # floor, == oracle //
+            grad = tdiv(int(g[f"g{j}"]), n * 1000000)  # == oracle //
             w[j] = max(
-                -_LRGD_CLAMP, min(_LRGD_CLAMP, w[j] - grad // _LRGD_LR_DEN)
+                -_LRGD_CLAMP,
+                min(_LRGD_CLAMP, w[j] - tdiv(grad, _LRGD_LR_DEN)),
             )
 
     z = z_expr()

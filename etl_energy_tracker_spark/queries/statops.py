@@ -1400,7 +1400,9 @@ _MWU_Z = (
     "mid-ranks keep U exact in BIGINT (u2_a = 2U), the tie term "
     "sum(t^3-t) comes from exact per-value counts, the rank-biserial "
     "effect size is exact integer ppm (numerator u2_a is "
-    "non-negative, so truncating DIV and DuckDB floor-// agree), and "
+    "non-negative, so Spark DIV and DuckDB // agree — both truncate; "
+    "on negatives they also agree with each other but NOT with Python "
+    "floor), and "
     "the tie-corrected z lands through ONE fixed-shape IEEE double "
     "chain — the nonparametric counterpart of ab_test_zscore for "
     "skewed metrics where the Welch test's normality assumption "
