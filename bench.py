@@ -251,6 +251,8 @@ EXTRA = [
     "post_stratified_effect",
     "nb_learning_curve",
     "brier_decomposition",
+    "power_analysis_sample_size",
+    "srm_check",
 ]
 
 

@@ -350,6 +350,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "stream_session_window",
     "loo_source_influence", "post_stratified_effect",
     "nb_learning_curve", "brier_decomposition",
+    "power_analysis_sample_size", "srm_check",
 )
 
 

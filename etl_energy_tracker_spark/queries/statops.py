@@ -2357,3 +2357,200 @@ def post_stratified_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_PSE_EFF).alias("effect_milli"),
         "overall_milli",
     )
+
+
+# ------------------------------------ power analysis / sample sizing
+
+# (z_{alpha/2} + z_{power})^2 for alpha = 5% two-sided, power = 80%:
+# (1.959964 + 0.841621)^2 — fixed to the literal 7.849 on BOTH
+# engines (the constant is part of the operator contract, like 1.96
+# in delta_method_ratio_ci).
+_PWR_K = "7.849"
+_PWR_VAR = (
+    "GREATEST((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 0.0)"
+)
+_PWR_DELTA = (
+    "CASE WHEN na = 0 OR nb = 0 THEN NULL ELSE "
+    "ABS(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE) "
+    "- CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) END"
+)
+
+
+@register(
+    "power_analysis_sample_size",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_type, user_id % 2 AS arm,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents * cents) AS BIGINT) AS q,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb,
+               CAST(SUM(CASE WHEN arm = 0 THEN cents ELSE 0 END)
+                    AS BIGINT) AS sa,
+               CAST(SUM(CASE WHEN arm = 1 THEN cents ELSE 0 END)
+                    AS BIGINT) AS sb
+        FROM base GROUP BY event_type
+    )
+    SELECT event_type, n AS n_events,
+           CAST(FLOOR(1000.0 * {_PWR_DELTA}) AS BIGINT)
+               AS observed_delta_milli,
+           CASE WHEN {_PWR_DELTA} IS NULL OR {_PWR_DELTA} = 0.0
+                     OR {_PWR_VAR} = 0.0 THEN NULL
+                ELSE CAST(FLOOR(2.0 * {_PWR_K} * {_PWR_VAR}
+                     / ({_PWR_DELTA} * {_PWR_DELTA})) AS BIGINT) + 1
+                END AS n_req_per_arm,
+           CASE WHEN na = 0 OR nb = 0 OR {_PWR_VAR} = 0.0 THEN NULL
+                ELSE CAST(FLOOR(1000.0 * SQRT(2.0 * {_PWR_K}
+                     * {_PWR_VAR} / CAST(LEAST(na, nb) AS DOUBLE)))
+                     AS BIGINT) END AS mde_milli
+    FROM s
+    """,
+    tags=("stats", "events", "eval"),
+    doc="Power analysis for the per-event-type A/B readout: from the "
+    "pooled population variance (exact BIGINT sums) and the observed "
+    "arm delta, the required per-arm sample size n = 2*(z_a+z_b)^2 * "
+    "var / delta^2 to detect the observed effect at alpha = 5% "
+    "two-sided with 80% power, and the minimum detectable effect at "
+    "the CURRENT smaller-arm size — the two numbers that decide "
+    "whether an experiment is worth continuing before anyone waits "
+    "for it (the sizing companion that closes the ab_test_zscore / "
+    "cuped / permutation loop). The z-constant is fixed to the "
+    "literal 7.849 on both engines; every output is ONE fixed-shape "
+    "IEEE chain over the integer sums, floored, with NULL on "
+    "degenerate (zero-delta / zero-variance / empty-arm) types "
+    "rather than an Inf cast that would diverge engines. Scale: one "
+    "map-side-combinable aggregate per type; no window, no sort. "
+    "Ref parity: beyond-reference experimentation layer.",
+)
+def power_analysis_sample_size(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("arm"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    )
+    s = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.expr("CAST(SUM(cents * cents) AS BIGINT)").alias("q"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("na"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("nb"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN cents ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("sa"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN cents ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("sb"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.expr(
+            f"CAST(FLOOR(1000.0 * {_PWR_DELTA}) AS BIGINT)"
+        ).alias("observed_delta_milli"),
+        F.expr(
+            f"CASE WHEN {_PWR_DELTA} IS NULL OR {_PWR_DELTA} = 0.0"
+            f" OR {_PWR_VAR} = 0.0 THEN NULL"
+            f" ELSE CAST(FLOOR(2.0 * {_PWR_K} * {_PWR_VAR}"
+            f" / ({_PWR_DELTA} * {_PWR_DELTA})) AS BIGINT) + 1 END"
+        ).alias("n_req_per_arm"),
+        F.expr(
+            f"CASE WHEN na = 0 OR nb = 0 OR {_PWR_VAR} = 0.0 THEN NULL"
+            f" ELSE CAST(FLOOR(1000.0 * SQRT(2.0 * {_PWR_K}"
+            f" * {_PWR_VAR} / CAST(LEAST(na, nb) AS DOUBLE)))"
+            " AS BIGINT) END"
+        ).alias("mde_milli"),
+    )
+
+
+# ------------------------------------------ sample-ratio mismatch
+
+# Pure integer: chi2 for a 50/50 split collapses to (na-nb)^2/(na+nb);
+# milli-units via 1000*(na-nb)^2 // (na+nb) — numerator non-negative,
+# so Spark DIV and DuckDB // agree. Exact to ~3e6 users per arm
+# difference at milli scale (|na-nb|^2 * 1000 inside BIGINT) — noted.
+_SRM_CRIT_MILLI = 3841  # chi-square 1-dof critical value at alpha=5%
+
+
+@register(
+    "srm_check",
+    oracle=f"""
+    WITH users AS (
+        SELECT event_type, user_id, user_id % 2 AS arm
+        FROM events GROUP BY event_type, user_id, user_id % 2
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb
+        FROM users GROUP BY event_type
+    )
+    SELECT event_type, na AS n_arm_a, nb AS n_arm_b,
+           CAST(1000 * (na - nb) * (na - nb) // (na + nb) AS BIGINT)
+               AS chi2_milli,
+           CAST(CASE WHEN 1000 * (na - nb) * (na - nb) // (na + nb)
+                          > {_SRM_CRIT_MILLI}
+                THEN 1 ELSE 0 END AS BIGINT) AS srm_flag
+    FROM s
+    """,
+    tags=("stats", "events", "quality"),
+    doc="Sample-ratio-mismatch check — the first health gate every "
+    "experimentation platform runs before reading any metric: per "
+    "event type, the USER-level arm counts under the parity split "
+    "tested against the designed 50/50 allocation with the 1-dof "
+    "chi-square, which for an even split collapses to the pure "
+    "integer form (na-nb)^2/(na+nb) — computed as exact truncating "
+    "integer milli on both engines (non-negative numerator), flagged "
+    "against the 3.841 critical value as an integer compare. An SRM "
+    "flag means the assignment itself is broken and every downstream "
+    "readout (ab_test_zscore, CUPED, DiD) is invalid — which is why "
+    "it must be cheap enough to run always: one distinct-user "
+    "collapse and a two-count aggregate per type. Integer headroom "
+    "noted in the module comment. Ref parity: beyond-reference "
+    "experimentation layer.",
+)
+def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    users = ev.select(
+        "event_type", "user_id", (F.col("user_id") % 2).alias("arm")
+    ).distinct()
+    s = users.groupBy("event_type").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("na"),
+        F.expr(
+            "CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("nb"),
+    )
+    return s.select(
+        "event_type",
+        F.col("na").alias("n_arm_a"),
+        F.col("nb").alias("n_arm_b"),
+        F.expr(
+            "CAST(1000 * (na - nb) * (na - nb) DIV (na + nb) AS BIGINT)"
+        ).alias("chi2_milli"),
+        F.expr(
+            "CAST(CASE WHEN 1000 * (na - nb) * (na - nb) DIV (na + nb)"
+            f" > {_SRM_CRIT_MILLI} THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("srm_flag"),
+    )

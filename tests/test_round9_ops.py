@@ -1308,3 +1308,86 @@ def test_brier_decomposition_identity(spark):
     assert 0 <= row.unc_micro <= 250000
     assert row.rel_micro >= 0 and row.res_micro >= 0
     assert row.wbv_micro >= 0
+
+
+# ------------------------------------------ power analysis
+
+
+def test_power_analysis_python_replay(spark):
+    from etl_energy_tracker_spark.queries.statops import (
+        power_analysis_sample_size,
+    )
+
+    rows = _duck_rows(
+        "SELECT event_type, user_id % 2, CAST(FLOOR(value * 100)"
+        " AS BIGINT) FROM events"
+    )
+    st: dict[str, list[int]] = {}
+    for et, arm, c in rows:
+        n, s, q, na, nb, sa, sb = st.setdefault(et, [0] * 7)
+        st[et] = [
+            n + 1, s + int(c), q + int(c) * int(c),
+            na + (arm == 0), nb + (arm == 1),
+            sa + (int(c) if arm == 0 else 0),
+            sb + (int(c) if arm == 1 else 0),
+        ]
+    want = {}
+    for et, (n, s, q, na, nb, sa, sb) in st.items():
+        var = max((n * q - s * s) / (n * n), 0.0)
+        delta = (
+            abs(sa / na - sb / nb) if na and nb else None
+        )
+        od = math.floor(1000.0 * delta) if delta is not None else None
+        nreq = (
+            math.floor(2.0 * 7.849 * var / (delta * delta)) + 1
+            if delta not in (None, 0.0) and var != 0.0
+            else None
+        )
+        mde = (
+            math.floor(1000.0 * math.sqrt(2.0 * 7.849 * var / min(na, nb)))
+            if na and nb and var != 0.0
+            else None
+        )
+        want[et] = (n, od, nreq, mde)
+    got = {
+        r.event_type: (
+            r.n_events, r.observed_delta_milli, r.n_req_per_arm,
+            r.mde_milli,
+        )
+        for r in power_analysis_sample_size(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # sizing sanity: a smaller observed delta demands a larger n
+    rows2 = sorted(
+        (od, nr) for _, od, nr, _ in got.values()
+        if od is not None and nr is not None and od > 0
+    )
+    for (od1, nr1), (od2, nr2) in zip(rows2, rows2[1:]):
+        if od1 < od2:
+            assert nr1 >= nr2
+
+
+# ------------------------------------------ SRM check
+
+
+def test_srm_python_replay(spark):
+    from etl_energy_tracker_spark.queries.statops import srm_check
+
+    rows = _duck_rows(
+        "SELECT DISTINCT event_type, user_id FROM events"
+    )
+    st: dict[str, list[int]] = {}
+    for et, uid in rows:
+        na, nb = st.setdefault(et, [0, 0])
+        st[et] = [na + (uid % 2 == 0), nb + (uid % 2 == 1)]
+    want = {}
+    for et, (na, nb) in st.items():
+        chi2 = 1000 * (na - nb) * (na - nb) // (na + nb)
+        want[et] = (na, nb, chi2, 1 if chi2 > 3841 else 0)
+    got = {
+        r.event_type: (r.n_arm_a, r.n_arm_b, r.chi2_milli, r.srm_flag)
+        for r in srm_check(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # the parity split is balanced by construction: no SRM expected
+    assert all(f == 0 for *_, f in got.values())

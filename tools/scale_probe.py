@@ -193,6 +193,8 @@ OPS = [
     "post_stratified_effect",
     "nb_learning_curve",
     "brier_decomposition",
+    "power_analysis_sample_size",
+    "srm_check",
 ]
 
 
