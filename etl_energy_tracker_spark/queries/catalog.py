@@ -269,39 +269,60 @@ _R8_VERIFIED: frozenset[str] = frozenset({
     "vopt_histogram_boundaries",
 })
 
+# Queries driver-verified green in CORRECTNESS_r09.json (50/50 green
+# on the final r9 commit). This run cleared the whole r9 queue: the 16
+# _REVERIFY names (10 streaming drive-path + 6 ADVICE-fix), all 25 r9
+# additions (including the two final-commit ops
+# power_analysis_sample_size / srm_check, independently re-verified at
+# sf0.1 by the r9 judge), and 9 TPC-H re-proves. After this freeze:
+# 332 queries, 332 ever driver-checked, zero never-checked, zero red.
+_R9_VERIFIED: frozenset[str] = frozenset({
+    "best_of_n_curve", "bradley_terry_mm", "brier_decomposition",
+    "classifier_fairness_audit", "contrastive_hard_negatives",
+    "cuped_variance_reduction", "delta_method_ratio_ci",
+    "difference_in_differences", "facility_location_select",
+    "fim_transform_spans", "isotonic_calibration_pav",
+    "kmeans_lloyd_refine", "logistic_regression_gd",
+    "loo_source_influence", "mann_whitney_u_test",
+    "matryoshka_dim_recall", "mmr_diverse_rank", "nb_learning_curve",
+    "nelson_aalen_hazard", "nl_avg_daily_price",
+    "nl_avg_volume_latest_day", "nl_price_volume_join",
+    "nl_total_volume_by_market", "pass_at_k_eval",
+    "permutation_test_fdr", "poisson_bootstrap_ci",
+    "post_stratified_effect", "power_analysis_sample_size",
+    "q10_returned_items", "q14_promo_revenue",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q1_pricing_summary", "q22_global_sales_opportunity",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "shapley_channel_attribution", "srm_check",
+    "stateful_user_totals", "stream_conformal_alarm",
+    "stream_cusum_alarm", "stream_dedup", "stream_ewma_anomaly",
+    "stream_funnel_stage", "stream_scd1_upsert",
+    "stream_session_window", "stream_stream_join",
+    "stream_topk_trending", "streaming_hourly_agg",
+})
+
 # Queries whose Spark implementation changed AFTER their last green
 # driver CORRECTNESS row (VERDICT r3 "What's wrong" §1: a green row on
 # old code is not a green row on current code). These are pulled back
 # out of the verified-emit-last set and emitted FIRST so the capped
 # (~50/round) driver run re-checks the current code.
-# r9 queue (VERDICT r8 "What's wrong" §3): the 10 catalog queries that
-# drive streaming/jobs.py changed drive path in the r8 _finish()
-# refactor (explainInternal capture for the plan tripwire) AFTER their
-# last green rows. The change is result-neutral by construction
-# (identical processAllAvailable/awaitTermination + stop semantics),
-# but the house rule says impl-changed names re-verify. All are cheap
-# (≤1.5s at sf0.1). sessionization / session_window_agg /
-# multimodal_* are batch formulations that never touch jobs.py.
+# r10 queue — ADVICE/VERDICT r9 fixes, impl changed after the r9
+# green rows:
+# best_of_n_curve: weight denominator NULLIF-guarded (ANSI
+#   DIVIDE_BY_ZERO on n_s < n groups; result-identical on shipped
+#   data, small-group test added).
+# shapley_channel_attribution: output milli/ppm divisions
+#   restructured divide-before-multiply-with-remainder (the 1e6
+#   pre-multiply tightened the BIGINT ceiling ~6 orders; proven
+#   result-identical by the exact python replay).
+# post_stratified_effect: global per-user ntile replaced by exact
+#   rank-select quartile cut points over the pre_cnt histogram
+#   (result SEMANTICS changed: boundary ties now lump low) — both
+#   engines re-pointed together, re-proved at sf0.01+sf0.1 in-round.
 _REVERIFY: tuple[str, ...] = (
-    "streaming_hourly_agg", "stateful_user_totals", "stream_scd1_upsert",
-    "stream_stream_join", "stream_dedup", "stream_funnel_stage",
-    "stream_topk_trending", "stream_ewma_anomaly", "stream_cusum_alarm",
-    "stream_conformal_alarm",
-    # r9 ADVICE fixes, impl changed after the r8 green rows:
-    # fim_transform_spans: '% (n-1)' -> '% GREATEST(n-1,1)' in both
-    # engines (modulo-by-zero on <=1-token docs; latent — testdata min
-    # is 10 tokens, python replay still byte-identical).
-    # pass_at_k_eval: fold restructured divide-before-multiply with
-    # remainder (int64-safe to n~3e9; proven result-identical by the
-    # unlimited-precision replay, but the expression changed).
-    # nl_avg_volume_latest_day + siblings: match_template's latest-day
-    # clause gained a market=None guard (ADVICE r8 crash); the SQL
-    # emitted for these four phrasings is byte-identical, but
-    # match_template is in their drive path, so they re-verify per the
-    # same rule the r8 streaming refactor follows.
-    "fim_transform_spans", "pass_at_k_eval",
-    "nl_avg_volume_latest_day", "nl_avg_daily_price",
-    "nl_price_volume_join", "nl_total_volume_by_market",
+    "best_of_n_curve", "shapley_channel_attribution",
+    "post_stratified_effect",
 )
 
 # Queries driver-verified green in CORRECTNESS_r03.json whose code is
@@ -325,32 +346,15 @@ _R3_VERIFIED: frozenset[str] = frozenset({
 })
 
 # Within the unverified set, emit first the re-verification queue
-# (impl changed after the last green driver row — at r9 open: the 10
-# streaming drive-path names from the r8 _finish() refactor plus the
-# 6 ADVICE-fix names), then new r9 operators (appended as they land).
-# At r9 close: 16 re-verifies + 31 new = 47 names against the ~50
-# cap — additions stopped there deliberately so every priority name
-# gets a driver slot. Per VERDICT r8 top_next §1:
-# every CORRECTNESS_r08 green is frozen in _R8_VERIFIED above AND
-# pruned from this tuple — _ordered() subtracts set(_PRIORITY) from
-# the verified set, so a stale entry here would silently re-prove a
-# frozen name and burn a cap slot (the loophole
-# test_frozen_names_pruned_from_priority now closes mechanically).
+# (impl changed after the last green driver row), then new r10
+# operators (appended as they land). Per the freeze ritual: every
+# CORRECTNESS_r09 green is frozen in _R9_VERIFIED above AND pruned
+# from this tuple — _ordered() subtracts set(_PRIORITY) from the
+# verified set, so a stale entry here would silently re-prove a
+# frozen name and burn a cap slot
+# (test_frozen_names_pruned_from_priority closes the loophole).
 _PRIORITY: tuple[str, ...] = _REVERIFY + (
-    # r9 additions (never driver-checked) append here as they land
-    "facility_location_select", "mmr_diverse_rank",
-    "mann_whitney_u_test", "logistic_regression_gd",
-    "contrastive_hard_negatives", "kmeans_lloyd_refine",
-    "poisson_bootstrap_ci", "isotonic_calibration_pav",
-    "permutation_test_fdr", "cuped_variance_reduction",
-    "bradley_terry_mm", "best_of_n_curve",
-    "matryoshka_dim_recall", "shapley_channel_attribution",
-    "classifier_fairness_audit", "nelson_aalen_hazard",
-    "delta_method_ratio_ci", "difference_in_differences",
-    "stream_session_window",
-    "loo_source_influence", "post_stratified_effect",
-    "nb_learning_curve", "brier_decomposition",
-    "power_analysis_sample_size", "srm_check",
+    # r10 additions (never driver-checked) append here as they land
 )
 
 
@@ -358,7 +362,7 @@ def _ordered() -> list[str]:
     names = list(CATALOG)
     verified = (
         _R1_VERIFIED | _R3_VERIFIED | _R4_VERIFIED | _R5_VERIFIED
-        | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED
+        | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED | _R9_VERIFIED
     ) - set(_PRIORITY)
     rank = {n: i for i, n in enumerate(_PRIORITY)}
     unverified = sorted(

@@ -1695,10 +1695,16 @@ def _bon_w(n: int) -> str:
     product of <=1 ratios so every intermediate stays inside double
     exactness at ANY corpus size (no big factorial products). For
     i < n one factor is exactly zero, so out-of-support ranks weight
-    0 without a branch. Identical expression string on both engines.
+    0 without a branch. The denominator is NULLIF-guarded: a group
+    with n_s < n hits n_s - j = 0 at j = n_s, which under ANSI Spark
+    would abort the whole query with DIVIDE_BY_ZERO (ADVICE r9); with
+    NULLIF the weight goes NULL, the SUM over the all-NULL group goes
+    NULL, and the MAX(n_s) >= n CASE guard returns the same NULL
+    DuckDB produces. For n_s >= n, n_s - j >= n_s - (n-1) >= 1, so
+    NULLIF never fires. Identical expression string on both engines.
     """
     factors = " * ".join(
-        f"(CAST(i - {j} AS DOUBLE) / CAST(n_s - {j} AS DOUBLE))"
+        f"(CAST(i - {j} AS DOUBLE) / CAST(NULLIF(n_s - {j}, 0) AS DOUBLE))"
         for j in range(1, n)
     )
     return (

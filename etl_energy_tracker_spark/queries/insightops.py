@@ -1092,8 +1092,13 @@ def sequential_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # keeping phi scaled by C! until the final division. Supported to
 # C = 12 channels (12! and the 4096-row subset table; phi_scaled is
 # exact in BIGINT to ~1.9e10 conversions at C = 12 — noted, not
-# hidden). v is monotone, so every marginal is non-negative and all
-# truncating divisions agree across engines.
+# hidden). The output divisions use divide-before-multiply with
+# remainder (ADVICE r9: the earlier 1e6 * phi_scaled pre-multiply
+# silently tightened the ceiling to ~1.9e4 conversions): exact via
+# k*phi DIV f = k*(phi DIV f) + k*(phi % f) DIV f and the nested
+# floor identity, so the phi_scaled ceiling itself is the binding
+# bound again. v is monotone, so every marginal is non-negative and
+# all truncating divisions agree across engines.
 _SHAP_BITS = ", ".join(f"({i}, {1 << i})" for i in range(13))
 _SHAP_FACT = ", ".join(f"({n}, {__import__('math').factorial(n)})"
                        for n in range(13))
@@ -1185,10 +1190,12 @@ _SHAP_FACT = ", ".join(f"({n}, {__import__('math').factorial(n)})"
     SELECT ct.channel,
            CAST(COALESCE(t.n_users_touched, 0) AS BIGINT)
                AS n_users_touched,
-           CAST(1000 * ct.phi_scaled // tt.fact_c AS BIGINT)
-               AS conv_attributed_milli,
-           CAST(1000000 * ct.phi_scaled
-                // NULLIF(tt.fact_c * (tt.v_full - tt.v_empty), 0)
+           CAST(1000 * (ct.phi_scaled // tt.fact_c)
+                + (1000 * (ct.phi_scaled % tt.fact_c)) // tt.fact_c
+                AS BIGINT) AS conv_attributed_milli,
+           CAST((1000000 * (ct.phi_scaled // tt.fact_c)
+                 + (1000000 * (ct.phi_scaled % tt.fact_c)) // tt.fact_c)
+                // NULLIF(tt.v_full - tt.v_empty, 0)
                 AS BIGINT) AS share_ppm
     FROM contrib ct
     LEFT JOIN (
@@ -1211,7 +1218,10 @@ _SHAP_FACT = ", ".join(f"({n}, {__import__('math').factorial(n)})"
     "v(full) - v(empty) is pinned exactly in pytest — the property "
     "U-shaped / Markov-removal heuristics do not have. Supported to "
     "C = 12 channels (documented cap; the 4096-row subset table and "
-    "12! weights stay far inside BIGINT). Scale: one per-user window "
+    "12! weights stay far inside BIGINT; output milli/ppm divisions "
+    "are divide-before-multiply-with-remainder so phi_scaled's own "
+    "~1.9e10-conversion ceiling is the binding bound, not a "
+    "pre-multiply). Scale: one per-user window "
     "+ distinct collapse to user masks, one map-side mask histogram; "
     "everything after — subset lattice, marginals, weights — lives "
     "on bounded tables, independent of corpus size. Ref parity: "
@@ -1356,11 +1366,14 @@ def shapley_channel_attribution(
             .cast("long")
             .alias("n_users_touched"),
             F.expr(
-                "CAST(1000 * phi_scaled DIV fact_c AS BIGINT)"
+                "CAST(1000 * (phi_scaled DIV fact_c)"
+                " + (1000 * (phi_scaled % fact_c)) DIV fact_c"
+                " AS BIGINT)"
             ).alias("conv_attributed_milli"),
             F.expr(
-                "CAST(1000000 * phi_scaled DIV "
-                "NULLIF(fact_c * (v_full - v_empty), 0) AS BIGINT)"
+                "CAST((1000000 * (phi_scaled DIV fact_c)"
+                " + (1000000 * (phi_scaled % fact_c)) DIV fact_c)"
+                " DIV NULLIF(v_full - v_empty, 0) AS BIGINT)"
             ).alias("share_ppm"),
         )
     )

@@ -1216,16 +1216,25 @@ def test_post_stratified_python_replay(spark):
         ((pre, uid, post) for uid, (pre, post) in per.items())
     )
     n = len(users)
-    # ntile(4): first (n % 4) tiles get ceil(n/4)
-    base, extra = divmod(n, 4)
-    sizes = [base + (1 if i < extra else 0) for i in range(4)]
+    # r10 re-plan: exact rank-select cut points over the pre_cnt
+    # histogram; c_k = smallest pre_cnt whose cumulative user count
+    # reaches ceil(k*n/4); boundary ties lump into the lower stratum.
+    from collections import Counter
+
+    hist = sorted(Counter(pre for pre, _, _ in users).items())
+    cuts = []
+    for k in (1, 2, 3):
+        thr = (k * n + 3) // 4
+        cum = 0
+        for v, cnt in hist:
+            cum += cnt
+            if cum >= thr:
+                cuts.append(v)
+                break
     strata = {}
-    i = 0
-    for t, sz in enumerate(sizes, start=1):
-        for _ in range(sz):
-            pre, uid, post = users[i]
-            strata.setdefault(t, []).append((uid, post))
-            i += 1
+    for pre, uid, post in users:
+        t = 1 + sum(1 for c in cuts if pre > c)
+        strata.setdefault(t, []).append((uid, post))
     want = {}
     contribs = []
     tot_n = 0
