@@ -16,7 +16,12 @@ import sys
 
 sys.path.insert(0, "/root/repo/tools")
 
-from plan_audit import SNAPSHOT_PATH, SNAPSHOT_SF_DIR, snapshot  # noqa: E402
+from plan_audit import (  # noqa: E402
+    BOUNDED_SINGLE_PARTITION,
+    SNAPSHOT_PATH,
+    SNAPSHOT_SF_DIR,
+    snapshot,
+)
 
 
 def test_plans_match_snapshot(spark):
@@ -43,4 +48,31 @@ def test_plans_match_snapshot(spark):
                 f"{name}: row-at-a-time Python eval appeared "
                 f"({cur['row_python']} BatchEvalPython nodes)"
             )
+        # VERDICT r9 task 7: a single-partition exchange that is NOT a
+        # keyless scalar aggregate moves the full child relation
+        # through one task — it may only exist with a documented
+        # bounded-input allowlist entry, and may not silently multiply.
+        sp_glob = cur.get("sp_global", 0)
+        if sp_glob and name not in BOUNDED_SINGLE_PARTITION:
+            problems.append(
+                f"{name}: {sp_glob} undocumented non-scalar-agg "
+                "single-partition exchange(s) — re-plan or add a "
+                "BOUNDED_SINGLE_PARTITION entry naming the bounded "
+                "input (tools/plan_audit.py)"
+            )
+        if sp_glob > pin.get("sp_global", sp_glob):
+            problems.append(
+                f"{name}: sp_global grew "
+                f"{pin.get('sp_global')} -> {sp_glob}"
+            )
     assert not problems, "plan regressions:\n" + "\n".join(problems)
+
+
+def test_single_partition_allowlist_names_resolve():
+    """Every allowlist entry names a live catalog query (no rot)."""
+    sys.path.insert(0, "/root/repo")
+    from etl_energy_tracker_spark.queries import catalog
+
+    catalog._load_all()
+    dead = sorted(set(BOUNDED_SINGLE_PARTITION) - set(catalog.CATALOG))
+    assert not dead, f"allowlist entries for dead queries: {dead}"

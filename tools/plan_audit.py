@@ -37,6 +37,115 @@ _STREAMING = {
     "stream_topk_trending", "stream_ewma_anomaly", "stream_cusum_alarm",
 }
 
+# Queries allowed a NON-scalar-agg single-partition exchange
+# (sp_global > 0), each mapped to the bounded input the docstring
+# documents (VERDICT r9 task 7). Keyless-aggregate single-partition
+# exchanges are auto-benign (one partial row per partition in, one
+# row out) and need no entry. A new query whose plan gains a global
+# window/sort through one partition fails tests/test_plan_regression
+# until it either re-plans or lands here with its bound stated.
+BOUNDED_SINGLE_PARTITION: dict[str, str] = {
+    "classifier_auc_eval": "distinct-score histogram window + decile "
+        "ntile over the EVAL SET (documented bounded sample)",
+    "compaction_bin_packing": "running-sum window over the FILE LIST "
+        "(metadata rows, not data)",
+    "dow_hour_heatmap": "margin windows over the <=168-cell day*hour "
+        "grid",
+    "histogram_quantile_estimate": "cumulative window over the 256-bin "
+        "fixed-width histogram (exact-answer side is the documented "
+        "full-sort comparison baseline)",
+    "key_skew_report": "top-n window over the per-key count table "
+        "(post-aggregate, << fact table)",
+    "markov_attribution_removal": "iteration windows on the "
+        "(channels+1) x states^2 bounded matrix",
+    "nelson_aalen_hazard": "risk-set suffix windows on the "
+        "observation-span hour grid (bounded by span, not rows)",
+    "neyman_allocation_sample": "O(strata) allocation table window "
+        "(per-stratum rank documented with the hash-threshold swap "
+        "at 100 TB)",
+    "p48_tecnologias_update": "parity tracking-dim tables (UP / "
+        "technology dimensions — bounded by construction)",
+    "pareto_frontier": "prefix-min window over the distinct-quantity "
+        "relation (bounded objective domain)",
+    "permutation_test_fdr": "BH predicate window over the bounded "
+        "event-type dimension",
+    "perplexity_tertile_split": "exact NTILE needs a total order — "
+        "documented single-partition with the broadcast-boundary "
+        "100 TB variant stated in the docstring",
+    "post_stratified_effect": "cumsum window over the pre_cnt "
+        "histogram (NDV bounded by max per-user activity)",
+    "rfm_segmentation": "quintile ntile over the USER-level relation "
+        "(documented bounded-input assumption + percentile_approx "
+        "swap)",
+    "sorted_neighborhood_pairs": "bucket-offset cumsum over the "
+        "<=B-row bucket table (row ranks are per-bucket parallel)",
+    "token_budget_waterfill": "water-level sorted window over the "
+        "bounded domain table",
+    "vopt_histogram_boundaries": "DP windows over the ~50-value "
+        "histogram / C(V-1,3) split lattice",
+    "zipf_octave_profile": "LAG window over <64 frequency octaves",
+    "zorder_layout_stats": "NTILE-over-zkey = repartitionByRange + "
+        "per-file stats at cluster scale (documented); stats windows "
+        "on the file table",
+}
+
+
+def _sp_classify(plan: str) -> tuple[int, int]:
+    """Classify every ``Exchange SinglePartition`` node by consumer.
+
+    Returns ``(sp_scalar_agg, sp_global)``: a single-partition exchange
+    whose first non-pass-through ancestor is a KEYLESS aggregate
+    (``keys=[]`` / ``key=[]``) is structurally benign — the exchange
+    moves one partial-agg row per input partition, never the data.
+    Every OTHER consumer (global Window, global Sort feeding a
+    non-aggregate, coalesce(1)-style shuffles) moves the full child
+    relation through one task and counts as ``sp_global`` — those
+    queries must carry a BOUNDED_SINGLE_PARTITION allowlist entry
+    naming the bounded input, or the plan-regression test fails
+    (VERDICT r9 task 7: the post_stratified_effect per-user ntile hid
+    for a round inside the WindowExec warning noise).
+
+    The tree is parsed from toString() indentation: a node's parent is
+    the nearest preceding line whose node text starts further left.
+    """
+    import re
+
+    lines = plan.splitlines()
+    depths: list[tuple[int, str]] = []
+    for ln in lines:
+        m = re.search(r"[A-Za-z*]", ln)
+        if not m:
+            continue
+        txt = ln[m.start():]
+        txt = re.sub(r"^\*\(\d+\)\s*", "", txt)  # codegen annotation
+        depths.append((m.start(), txt))
+    # pass-through ancestors between an exchange and its real consumer
+    passthrough = (
+        "Sort ", "Sort[", "InputAdapter", "AQEShuffleRead",
+        "ShuffleQueryStage", "CollectMetrics", "Project",
+    )
+    scalar = glob = 0
+    for i, (d, txt) in enumerate(depths):
+        if not txt.startswith("Exchange SinglePartition"):
+            continue
+        consumer = None
+        for j in range(i - 1, -1, -1):
+            pd, ptxt = depths[j]
+            if pd < d:
+                if ptxt.startswith(passthrough):
+                    d = pd  # keep walking up through pass-throughs
+                    continue
+                consumer = ptxt
+                break
+        if consumer is not None and (
+            ("Aggregate" in consumer.split("(")[0])
+            and ("keys=[]" in consumer or "key=[]" in consumer)
+        ):
+            scalar += 1
+        else:
+            glob += 1
+    return scalar, glob
+
 
 def audit(sf_dir: str) -> list[dict]:
     from etl_energy_tracker_spark.streaming import jobs as stream_jobs
@@ -76,12 +185,14 @@ def audit(sf_dir: str) -> list[dict]:
                 or "aggregate(" in line
             )
         )
+        sp_scalar, sp_global = _sp_classify(plan)
         rows.append(
             {
                 "query": name,
                 "shuffles": plan.count("Exchange hashpartitioning")
                 + plan.count("Exchange rangepartitioning"),
                 "single_partition": plan.count("Exchange SinglePartition"),
+                "sp_global": sp_global,
                 "broadcasts": plan.count("BroadcastExchange"),
                 "pushed_filters": "PushedFilters: [" in plan
                 and "PushedFilters: []" not in plan,

@@ -21,9 +21,15 @@ Steps (any failure → non-zero exit):
    `extra_queries`) appears in BASELINE.md — a first-bench figure the
    2x-gate reader can find.
 
-Usage: python tools/round_close.py [--skip-snapshot]
+3b. Both-SF sweep (VERDICT r9 task 6): every name still in the
+   priority queue (new or impl-changed this round) re-proves green
+   against the DuckDB oracle at sf0.1 — the axis that caught the r9
+   logistic_regression_gd divergence the sf0.01 gate missed.
+
+Usage: python tools/round_close.py [--skip-snapshot] [--skip-sf01-sweep]
 (--skip-snapshot: plans unchanged this round — still verifies the
-committed snapshot passes the regression test.)
+committed snapshot passes the regression test. --skip-sf01-sweep:
+the queue's sf0.1 rows were just recorded by hand this session.)
 """
 
 from __future__ import annotations
@@ -60,6 +66,18 @@ def main() -> None:
         "tests/test_catalog.py::test_frozen_names_pruned_from_priority",
         "tests/test_plan_regression.py",
     ])
+    # 3b. both-SF rule (VERDICT r9 task 6): every name still in the
+    # priority queue (new or impl-changed this round) must prove green
+    # at sf0.1 too — the second-SF sweep is what caught the r9
+    # logistic_regression_gd floor-vs-truncate divergence that the
+    # driver's sf0.01 gate could not. Incremental: only queue names run.
+    sys.path.insert(0, REPO)
+    from etl_energy_tracker_spark.queries import catalog
+
+    queue = list(dict.fromkeys(catalog._PRIORITY))
+    if queue and "--skip-sf01-sweep" not in sys.argv:
+        run([py, "tools/check_correctness.py", "/root/testdata/sf0.1",
+             *queue])
     # 4. every benched query has a BASELINE.md row the 2x gate can read
     with open(os.path.join(REPO, "bench_extra.json")) as f:
         bench = json.load(f)
