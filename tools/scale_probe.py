@@ -42,7 +42,14 @@ preserved verbatim, and any cross-replica name pair is >=5 edits
 apart — so no cross-replica matches form and growth on the NDV axis
 is the pure linear regime the claims are about.
 
-Usage: python tools/scale_probe.py [--replicas N] [--keep] [--ndv]
+NDV(users) mode (``--ndv-users``, VERDICT r9 task 4): remaps
+user_id -> user_id * N + pmod(hash(event_id), N) on an events-only
+probe dir — distinct users grow ~Nx at CONSTANT rows, isolating the
+per-user-collapse axis for the experimentation kernels (the default
+replica build already grows users Nx, but rows grow with them).
+
+Usage: python tools/scale_probe.py [--replicas N] [--keep]
+                                   [--ndv | --ndv-users]
 Writes probe parquet under .scale_probe/ (gitignored), prints one
 JSON line per operator and a summary verdict.
 """
@@ -210,6 +217,43 @@ NDV_OPS = [
     "near_dup_clusters_star",
 ]
 
+# Per-user experimentation kernels probed on the NDV(users) axis
+# (``--ndv-users``, VERDICT r9 task 4). Note the default replica
+# events build ALREADY grows distinct users `replicas`x (user_id
+# shifts by r*10M), so the r9 x10/x30/x100 rows did grow the user
+# dimension — but rows grew with it, per-user activity constant.
+# This mode isolates the axis the "per-user collapse" claims lean
+# on: user_id remaps to user_id * M + pmod(hash(event_id), M), so
+# distinct users grow ~Mx at CONSTANT event rows — the collapsed
+# per-user relation (the window/aggregate input) grows toward the
+# row count while the scan stays fixed. A kernel that is flat here
+# collapses map-side; one that grows faster than the per-user
+# relation has user-pair or user-global work hiding behind the
+# collapse claim.
+NDV_USER_OPS = [
+    "post_stratified_effect",
+    "srm_check",
+    "cuped_variance_reduction",
+    "delta_method_ratio_ci",
+    "rfm_segmentation",
+    # classifier_auc_eval's decile runs over DOCUMENTS (its eval
+    # set); its NDV axis is the doc replica axis, already probed —
+    # see the r9 x10/x30 row ("ntile over the eval set").
+]
+
+
+def build_users(spark, mult: int) -> str:
+    """Events-only probe dir: ~mult x distinct users, SAME rows."""
+    out = os.path.join(PROBE, f"u{mult}")
+    ev = spark.read.parquet(f"{BASE}/events.parquet")
+    ev = ev.withColumn(
+        "user_id",
+        (F.col("user_id") * mult + F.expr(f"pmod(hash(event_id), {mult})"))
+        .cast("long"),
+    )
+    ev.repartition(32).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    return out
+
 
 def build(spark, replicas: int, ndv: bool = False) -> str:
     out = os.path.join(PROBE, f"x{replicas}{'_ndv' if ndv else ''}")
@@ -332,12 +376,16 @@ def main() -> None:
     if "--replicas" in sys.argv:
         replicas = int(sys.argv[sys.argv.index("--replicas") + 1])
     ndv = "--ndv" in sys.argv
-    ops = NDV_OPS if ndv else OPS
+    ndv_users = "--ndv-users" in sys.argv
+    ops = NDV_USER_OPS if ndv_users else NDV_OPS if ndv else OPS
     if "--ops" in sys.argv:  # comma-separated subset re-run
         ops = sys.argv[sys.argv.index("--ops") + 1].split(",")
     spark = get_spark("scale-probe")
     qs = catalog.queries()
-    probe_dir = build(spark, replicas, ndv=ndv)
+    if ndv_users:
+        probe_dir = build_users(spark, replicas)
+    else:
+        probe_dir = build(spark, replicas, ndv=ndv)
     results = {}
     for name in ops:
         t_small = time_op(spark, qs, name, BASE)
