@@ -253,6 +253,8 @@ EXTRA = [
     "brier_decomposition",
     "power_analysis_sample_size",
     "srm_check",
+    # round-10 additions
+    "stream_session_window_append",
 ]
 
 

@@ -355,6 +355,7 @@ _R3_VERIFIED: frozenset[str] = frozenset({
 # (test_frozen_names_pruned_from_priority closes the loophole).
 _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # r10 additions (never driver-checked) append here as they land
+    "stream_session_window_append",
 )
 
 

@@ -622,3 +622,67 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import session_window_agg_stream
 
     return session_window_agg_stream(spark, sf_dir)
+
+
+@register(
+    "stream_session_window_append",
+    oracle="""
+    WITH gaps AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                            >= 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+               CAST(SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+        FROM gaps
+    ),
+    wm AS (
+        SELECT MAX(epoch_us(ts)) - 7200000000 AS wm_us FROM events
+    )
+    SELECT user_id, session_start_us, session_end_us, n_events,
+           sum_value
+    FROM (
+        SELECT user_id,
+               epoch_us(MIN(ts)) AS session_start_us,
+               epoch_us(MAX(ts)) + 1800000000 AS session_end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sum_value
+        FROM sessions GROUP BY user_id, sid
+    ) s CROSS JOIN wm
+    WHERE s.session_end_us <= wm.wm_us
+    """,
+    tags=("streaming", "window", "aggregate", "stateful"),
+    doc="Append-mode session windows — the PRODUCTION shape of "
+    "stream_session_window: the 2-hour event-time watermark closes "
+    "each session once no event can extend it, emits it exactly "
+    "once, and EVICTS its state — bounded state on an unbounded "
+    "stream, which complete mode (the oracle drive) never proves. "
+    "Over the bounded source the emitted set is exactly the batch "
+    "gap-split sessions whose end precedes the final watermark "
+    "(max event time - 2h); the boundary rule is pinned empirically: "
+    "a session whose end EQUALS the watermark is emitted (<=, not <, "
+    "in the oracle). Late-data filtering is on the WINDOW, not the "
+    "event time: a late event is admitted (as its OWN session, never "
+    "merged into evicted state) while ts+gap still ends past the "
+    "watermark, and dropped only once ts+gap <= watermark "
+    "(test_streaming_misc pins eviction, the non-merge, and the "
+    "window-based drop). In-flight tail sessions stay in state and "
+    "never emit — the watermark-truncation this op exists to prove. "
+    "Scale: state is one in-flight session per active user, bounded "
+    "by the watermark horizon; shuffle keyed by user. SURVEY §2.9: "
+    "beyond-reference streaming upgrade (VERDICT r9 task 5).",
+)
+def stream_session_window_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.jobs import session_window_agg_stream
+
+    return session_window_agg_stream(spark, sf_dir, output_mode="append")

@@ -297,3 +297,108 @@ def test_stream_topk_trending_ranks_and_bounds(spark):
         ]
         if others and len(rows) == 3:
             assert max(others) <= ns[-1]
+
+
+def test_session_window_append_evicts_and_drops_late(spark, tmp_path):
+    """Append-mode session windows (VERDICT r9 task 5): the watermark
+    (1) closes and emits a finished session exactly once — including
+    at the EXACT boundary, a session whose end equals the watermark
+    is emitted (<=, the rule the stream_session_window_append oracle
+    encodes); (2) evicts its state, so a late event near the closed
+    session is NEVER merged back into it — it forms its own new
+    session when its prospective window still ends past the
+    watermark; (3) drops a late event entirely when even its
+    prospective session window (ts + gap) ends at or before the
+    watermark (Spark filters late data on the WINDOW, not the raw
+    event time — pinned here because the first draft of this test
+    assumed event-time filtering and was wrong)."""
+    import uuid
+
+    src = str(tmp_path / "sess_src")
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    schema = "ts timestamp, user_id long, value double"
+    # batch 1 — gap 30 min, watermark 10 min:
+    #   user 1: event at 10:00  -> session end 10:30
+    #   user 9: event at 10:40  -> batch max; watermark -> 10:30
+    # user 1's session end EQUALS the watermark: boundary case.
+    spark.createDataFrame(
+        [(base, 1, 1.0), (base + dt.timedelta(minutes=40), 9, 1.0)],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("start"),
+            F.col("session_window.end").alias("end"),
+            "n",
+        )
+    )
+    name = f"sessapp_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        emitted1 = {
+            (r.user_id, r.start, r.end, r.n)
+            for r in spark.table(name).collect()
+        }
+        # boundary emission: user 1's session (end == watermark) is out
+        assert (1, base, base + dt.timedelta(minutes=30), 1) in emitted1
+        # batch 2: user 1 returns at 11:30 (a NEW session — the old
+        # state was evicted); a late event at 10:05 whose prospective
+        # window [10:05, 10:35) still ends past the 10:30 watermark
+        # (admitted, but as its OWN session — never merged into the
+        # closed one); and a very late event at 09:00 whose window
+        # [09:00, 09:30) ends before the watermark (dropped).
+        spark.createDataFrame(
+            [
+                (base + dt.timedelta(minutes=90), 1, 1.0),
+                (base + dt.timedelta(minutes=5), 1, 1.0),
+                (base - dt.timedelta(minutes=60), 1, 1.0),
+                (base + dt.timedelta(minutes=150), 9, 1.0),
+            ],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    emitted = {
+        (r.user_id, r.start, r.end, r.n)
+        for r in spark.table(name).collect()
+    }
+    # the 10:00 session was emitted once, with n=1 — never re-emitted,
+    # never extended by the late 10:05 event (state eviction is real)
+    u1 = sorted(t for t in emitted if t[0] == 1)
+    assert (1, base, base + dt.timedelta(minutes=30), 1) in emitted
+    # the admitted-late 10:05 event is its OWN [10:05, 10:35) session
+    assert (
+        1,
+        base + dt.timedelta(minutes=5),
+        base + dt.timedelta(minutes=35),
+        1,
+    ) in emitted
+    # user 1's return at 11:30 forms a separate session (closed by the
+    # advanced watermark 12:20 after batch 2's max ts 12:30)
+    assert (
+        1,
+        base + dt.timedelta(minutes=90),
+        base + dt.timedelta(minutes=120),
+        1,
+    ) in emitted
+    # and the 09:00 event (window fully behind the watermark) produced
+    # NO session — exactly three user-1 sessions, none at 09:00
+    assert len(u1) == 3, u1
+    assert not any(t[1] == base - dt.timedelta(minutes=60) for t in u1)
