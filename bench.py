@@ -255,6 +255,12 @@ EXTRA = [
     "srm_check",
     # round-10 additions
     "stream_session_window_append",
+    "grpo_advantage",
+    "length_controlled_win_rate",
+    "mcnemar_paired_test",
+    "cluster_purity_nmi",
+    "edge_triangle_support",
+    "chunk_overlap_stitch",
 ]
 
 

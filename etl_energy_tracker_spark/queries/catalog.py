@@ -356,6 +356,12 @@ _R3_VERIFIED: frozenset[str] = frozenset({
 _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # r10 additions (never driver-checked) append here as they land
     "stream_session_window_append",
+    "grpo_advantage",
+    "length_controlled_win_rate",
+    "mcnemar_paired_test",
+    "cluster_purity_nmi",
+    "edge_triangle_support",
+    "chunk_overlap_stitch",
 )
 
 

@@ -2603,3 +2603,129 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(n_total AS DOUBLE)) AS BIGINT)"
         ).alias("wbc_micro"),
     )
+
+
+# ---------------------------------- length-controlled win rate
+
+# Simplified AlpacaEval-2.0-style length control (Dubois et al.
+# 2024): raw pairwise win rates reward verbosity, so the rate is
+# re-read inside length-difference strata. Model A = even-numbered
+# sources, model B = odd; responses pair within a lang (the prompt
+# group) by doc_id rank; the judge is the deterministic hashed
+# linear score. win2 counts 2 per win / 1 per tie so everything
+# stays integer. The controlled rate equal-weights the A-longer and
+# B-longer strata — first-order removal of the length preference —
+# and the reported bias is the between-strata rate gap.
+_LCW_WIN2 = "CASE WHEN sa > sb THEN 2 WHEN sa = sb THEN 1 ELSE 0 END"
+_LCW_AGG = """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(1000000 * SUM(win2) {div} (2 * COUNT(*)) AS BIGINT)
+               AS raw_win_ppm,
+           CAST(CASE WHEN SUM(CASE WHEN la > lb THEN 1 ELSE 0 END) > 0
+                      AND SUM(CASE WHEN la < lb THEN 1 ELSE 0 END) > 0
+                THEN (1000000 * SUM(CASE WHEN la > lb THEN win2 ELSE 0 END)
+                          {div} (2 * SUM(CASE WHEN la > lb THEN 1 ELSE 0 END))
+                      + 1000000 * SUM(CASE WHEN la < lb THEN win2 ELSE 0 END)
+                          {div} (2 * SUM(CASE WHEN la < lb THEN 1 ELSE 0 END)))
+                     {div} 2
+                ELSE 1000000 * SUM(win2) {div} (2 * COUNT(*)) END
+                AS BIGINT) AS lc_win_ppm,
+           CAST(CASE WHEN SUM(CASE WHEN la > lb THEN 1 ELSE 0 END) > 0
+                      AND SUM(CASE WHEN la < lb THEN 1 ELSE 0 END) > 0
+                THEN 1000000 * SUM(CASE WHEN la > lb THEN win2 ELSE 0 END)
+                         {div} (2 * SUM(CASE WHEN la > lb THEN 1 ELSE 0 END))
+                     - 1000000 * SUM(CASE WHEN la < lb THEN win2 ELSE 0 END)
+                         {div} (2 * SUM(CASE WHEN la < lb THEN 1 ELSE 0 END))
+                ELSE NULL END AS BIGINT) AS length_bias_ppm
+    FROM lcw_pairs GROUP BY lang
+"""
+
+
+@register(
+    "length_controlled_win_rate",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source, n_chars,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, source, n_chars,
+               CAST(SUM({{hlc}}) AS BIGINT) AS score,
+               CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 0
+                    THEN 'a' ELSE 'b' END AS side
+        FROM toks GROUP BY doc_id, lang, source, n_chars
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY lang, side ORDER BY doc_id) AS rk
+        FROM scored
+    ),
+    lcw_pairs AS (
+        SELECT a.lang, a.score AS sa, b.score AS sb,
+               a.n_chars AS la, b.n_chars AS lb,
+               {_LCW_WIN2} AS win2
+        FROM ranked a JOIN ranked b
+          ON a.lang = b.lang AND a.rk = b.rk
+         AND a.side = 'a' AND b.side = 'b'
+    )
+    {_LCW_AGG}
+    """.replace("{hlc}", "%%HLC%%").replace("{div}", "//")
+    .replace("%%HLC%%", _HLC_W_DUCK),
+    tags=("eval", "documents", "stats"),
+    doc="Length-controlled pairwise win rate (the AlpacaEval 2.0 "
+    "idea, Dubois et al. 2024, in its deterministic stratified "
+    "form): model A (even sources) vs model B (odd sources), "
+    "responses paired per lang by doc_id rank, judged by the hashed "
+    "linear score; the raw win rate is reported next to a "
+    "length-CONTROLLED rate that equal-weights the A-longer and "
+    "B-longer strata (first-order removal of judge length bias) and "
+    "the bias itself (between-strata rate gap — the number that says "
+    "how much of the raw rate is verbosity). win2 integer units "
+    "(2 win / 1 tie) keep every rate an exact truncating division. "
+    "Scale: one token-explode aggregate per doc (map-side "
+    "combinable), rank windows partitioned by (lang, side) — never "
+    "single-partition — one co-partitioned rank equi-join, per-lang "
+    "rollup. Ref parity: beyond-reference eval layer (companion to "
+    "bradley_terry_mm: same judge, pairwise instead of listwise).",
+)
+def length_controlled_win_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    scored = toks.groupBy("doc_id", "lang", "source", "n_chars").agg(
+        F.sum(F.expr(_HLC_W_SPARK)).cast("long").alias("score")
+    ).withColumn(
+        "side",
+        F.expr(
+            "CASE WHEN CAST(SUBSTR(source, 4) AS INT) % 2 = 0"
+            " THEN 'a' ELSE 'b' END"
+        ),
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("lang", "side").orderBy("doc_id")
+        ),
+    )
+    a = ranked.where("side = 'a'").select(
+        "lang", "rk",
+        F.col("score").alias("sa"), F.col("n_chars").alias("la"),
+    )
+    b = ranked.where("side = 'b'").select(
+        "lang", "rk",
+        F.col("score").alias("sb"), F.col("n_chars").alias("lb"),
+    )
+    pairs = a.join(b, ["lang", "rk"]).select(
+        "lang", "sa", "sb", "la", "lb", F.expr(_LCW_WIN2).alias("win2")
+    )
+    pairs.createOrReplaceTempView("lcw_pairs")
+    return spark.sql(_LCW_AGG.replace("{div}", " DIV "))

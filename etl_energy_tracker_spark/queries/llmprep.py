@@ -1334,3 +1334,167 @@ def fim_transform_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "len_suffix",
         F.expr(spark_charhash("out")).alias("out_hash"),
     )
+
+
+# --------------------------------------- chunk-overlap stitch audit
+
+# RAG ingestion writes OVERLAPPING chunks (doc_chunk_windows); the
+# inverse operation — detect which chunk follows which by matching a
+# chunk's trailing tokens to another's leading tokens — is how a
+# pipeline stitches retrieved chunks back into passages and how an
+# auditor proves the chunk store still covers its corpus. Window
+# W = 30 tokens, stride S = 20 (10-token overlap by construction);
+# docs shorter than W form one whole-doc chunk. The stitch is one
+# equi-join on the 10-token boundary string: a chunk's last-10 key
+# against every chunk's first-10 key. Per doc, a fully-stitchable
+# chain has exactly n_chunks - 1 internal next-chunk edges;
+# cross-doc (or non-adjacent) key collisions are reported as foreign
+# edges, not errors — at corpus scale they are real boilerplate
+# signals.
+_COS_W, _COS_S, _COS_KEY = 30, 20, 10
+
+
+@register(
+    "chunk_overlap_stitch",
+    oracle=f"""
+    WITH arrs AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS arr,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id, i.i AS chunk_id,
+               CASE WHEN n < {_COS_W} THEN list_slice(arr, 1, n)
+                    ELSE list_slice(arr, i.i * {_COS_S} + 1,
+                                    i.i * {_COS_S} + {_COS_W}) END AS ck
+        FROM arrs,
+             LATERAL (SELECT unnest(range(0,
+                 CASE WHEN n >= {_COS_W}
+                      THEN (n - {_COS_W}) // {_COS_S} + 1
+                      ELSE 1 END)) AS i) i
+    ),
+    keyed AS (
+        SELECT doc_id, chunk_id,
+               array_to_string(list_slice(ck, 1, {_COS_KEY}), ' ')
+                   AS first_key,
+               array_to_string(list_slice(ck,
+                   GREATEST(len(ck) - {_COS_KEY} + 1, 1), len(ck)), ' ')
+                   AS last_key
+        FROM chunks
+    ),
+    edges AS (
+        SELECT a.doc_id AS a_doc, a.chunk_id AS a_chunk,
+               b.doc_id AS b_doc, b.chunk_id AS b_chunk
+        FROM keyed a JOIN keyed b ON a.last_key = b.first_key
+        WHERE NOT (a.doc_id = b.doc_id AND a.chunk_id = b.chunk_id)
+    ),
+    per_doc AS (
+        SELECT k.doc_id,
+               CAST(COUNT(DISTINCT k.chunk_id) AS BIGINT) AS n_chunks,
+               CAST(COALESCE(SUM(CASE WHEN e.b_doc = k.doc_id
+                    AND e.b_chunk = k.chunk_id + 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS internal_edges,
+               CAST(COALESCE(SUM(CASE WHEN NOT (e.b_doc = k.doc_id
+                    AND e.b_chunk = k.chunk_id + 1) THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS foreign_edges
+        FROM keyed k LEFT JOIN edges e
+          ON e.a_doc = k.doc_id AND e.a_chunk = k.chunk_id
+        GROUP BY k.doc_id
+    )
+    SELECT doc_id, n_chunks, internal_edges, foreign_edges,
+           internal_edges = n_chunks - 1 AS stitched_ok
+    FROM per_doc
+    """,
+    tags=("llm", "documents", "dedup", "join"),
+    doc="Chunk-overlap stitch audit: re-chunk every doc into W=30 / "
+    "stride-20 token windows (10-token overlap by construction — the "
+    "doc_chunk_windows recipe), then recover chunk adjacency with ONE "
+    "equi-join of trailing-10-token keys against leading-10-token "
+    "keys — the stitch a RAG pipeline runs to merge retrieved chunks "
+    "into passages, inverted into a coverage audit: a doc is "
+    "stitched_ok iff its internal next-chunk edge count equals "
+    "n_chunks - 1 (pinned in pytest on the shipped corpus); key "
+    "collisions landing on non-adjacent chunks surface as "
+    "foreign_edges (repeated boilerplate at corpus scale), never "
+    "silently dropped. Scale: chunking is one map-side "
+    "sequence-explode (corpus-linear in chunks); the stitch shuffles "
+    "once on the 10-token boundary key — join fan-out bounded by key "
+    "multiplicity, the same df-cap argument ngram_jaccard_pairs "
+    "documents. Ref parity: beyond-reference RAG-prep layer "
+    "(inverse companion to doc_chunk_windows).",
+)
+def chunk_overlap_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    arrs = docs.select(
+        "doc_id",
+        F.split(F.trim("text"), r"\s+").alias("arr"),
+    ).withColumn("n", F.size("arr"))
+    chunks = arrs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"sequence(0, CASE WHEN n >= {_COS_W}"
+                f" THEN (n - {_COS_W}) DIV {_COS_S} ELSE 0 END)"
+            )
+        ).alias("chunk_id"),
+        "arr",
+        "n",
+    ).select(
+        "doc_id",
+        "chunk_id",
+        F.expr(
+            f"CASE WHEN n < {_COS_W} THEN slice(arr, 1, n)"
+            f" ELSE slice(arr, chunk_id * {_COS_S} + 1, {_COS_W}) END"
+        ).alias("ck"),
+    )
+    keyed = chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.expr(
+            f"array_join(slice(ck, 1, {_COS_KEY}), ' ')"
+        ).alias("first_key"),
+        F.expr(
+            f"array_join(slice(ck, GREATEST(size(ck) - {_COS_KEY} + 1,"
+            f" 1), {_COS_KEY}), ' ')"
+        ).alias("last_key"),
+    ).localCheckpoint(eager=False)
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    edges = a.join(
+        b, F.col("a.last_key") == F.col("b.first_key")
+    ).where(
+        "NOT (a.doc_id = b.doc_id AND a.chunk_id = b.chunk_id)"
+    ).select(
+        F.col("a.doc_id").alias("a_doc"),
+        F.col("a.chunk_id").alias("a_chunk"),
+        F.col("b.doc_id").alias("b_doc"),
+        F.col("b.chunk_id").alias("b_chunk"),
+    )
+    k = keyed.alias("k")
+    e = edges.alias("e")
+    per_doc = (
+        k.join(
+            e,
+            (F.col("e.a_doc") == F.col("k.doc_id"))
+            & (F.col("e.a_chunk") == F.col("k.chunk_id")),
+            "left",
+        )
+        .groupBy(F.col("k.doc_id").alias("doc_id"))
+        .agg(
+            F.countDistinct("k.chunk_id").cast("long").alias("n_chunks"),
+            F.expr(
+                "CAST(COALESCE(SUM(CASE WHEN e.b_doc = k.doc_id"
+                " AND e.b_chunk = k.chunk_id + 1 THEN 1 ELSE 0 END), 0)"
+                " AS BIGINT)"
+            ).alias("internal_edges"),
+            F.expr(
+                "CAST(COALESCE(SUM(CASE WHEN NOT (e.b_doc = k.doc_id"
+                " AND e.b_chunk = k.chunk_id + 1) THEN 1 ELSE 0 END), 0)"
+                " AS BIGINT)"
+            ).alias("foreign_edges"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_chunks", "internal_edges", "foreign_edges",
+        F.expr("internal_edges = n_chunks - 1").alias("stitched_ok"),
+    )

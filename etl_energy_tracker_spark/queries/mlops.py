@@ -1139,3 +1139,90 @@ def bradley_terry_mm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v2").alias("strength2_ppm"),
         )
     )
+
+
+# --------------------------- group-relative advantage (GRPO-style)
+
+# Per-sample advantage from GROUP statistics only — the
+# value-function-free policy-gradient normalization (Shao et al.
+# 2024, DeepSeekMath GRPO): within each prompt group, A_i =
+# (r_i - mean_g) / std_g. Identity used on both engines:
+# (c - s/n) / (sqrt((n*q - s^2)) / n) = (n*c - s) / sqrt(n*q - s^2),
+# with (n, s, q) = (count, sum, sum-of-squares) of integer cent
+# rewards — so the numerator is exact in BIGINT-valued doubles and
+# the ONLY float ops are one sqrt and one division of exact integer
+# inputs (IEEE-identical on both engines, no order-dependent
+# accumulation). The population variance products are formed in
+# DOUBLE (exact to 2^53: |n*q| < 9e15 for n ~ 1e6 groups at cents <=
+# 1e5 — stated, not hidden; past that the mean shift c - s DIV n
+# keeps q small).
+_GRPO_SD = (
+    "SQRT(GREATEST(CAST(n AS DOUBLE) * CAST(q AS DOUBLE)"
+    " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE), 0.0))"
+)
+_GRPO_ADV = (
+    f"CASE WHEN {_GRPO_SD} = 0.0 THEN NULL ELSE "
+    "CAST(FLOOR(1000.0 * (CAST(n AS DOUBLE) * CAST(cents AS DOUBLE)"
+    f" - CAST(s AS DOUBLE)) / {_GRPO_SD}) AS BIGINT) END"
+)
+
+
+@register(
+    "grpo_advantage",
+    oracle=f"""
+    WITH base AS (
+        SELECT event_id, event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(SUM(cents * cents) AS BIGINT) AS q
+        FROM base GROUP BY event_type
+    )
+    SELECT b.event_id, b.event_type, b.cents AS reward_cents,
+           {_GRPO_ADV} AS advantage_milli,
+           CAST(g.n AS BIGINT) AS group_n
+    FROM base b JOIN g USING (event_type)
+    """,
+    tags=("ml", "events", "eval"),
+    doc="GRPO-style group-relative advantage (Shao et al. 2024): "
+    "per-sample policy-gradient advantage computed from GROUP "
+    "statistics alone — A_i = (r_i - mean_group)/std_group over each "
+    "prompt group's rollout rewards, the value-function-free "
+    "normalization that makes best-of-n rollout batches trainable "
+    "(pairs with best_of_n_curve: that op scores the selector, this "
+    "one emits the training signal). Engine parity: the algebraic "
+    "identity (n*c - s)/sqrt(n*q - s^2) keeps every input an exact "
+    "integer-valued double; the only float ops are one IEEE sqrt and "
+    "one division, so no order-dependent accumulation exists and "
+    "FLOOR lands identically on both engines; a zero-variance group "
+    "yields NULL advantages (every reward identical - no signal), "
+    "never a division crash. Scale: one map-side-combinable per-type "
+    "aggregate (3 BIGINTs), broadcast back over one co-partitioned "
+    "join; per-sample output is corpus-linear by construction and "
+    "the DOUBLE-exactness bound (|n*q| < 2^53) is stated in the "
+    "module constant. Ref parity: beyond-reference RL-training "
+    "layer.",
+)
+def grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    )
+    g = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.expr("cents * cents")).cast("long").alias("q"),
+    )
+    return base.join(F.broadcast(g), "event_type").select(
+        "event_id",
+        "event_type",
+        F.col("cents").alias("reward_cents"),
+        F.expr(_GRPO_ADV).alias("advantage_milli"),
+        F.col("n").cast("long").alias("group_n"),
+    )

@@ -2625,3 +2625,113 @@ def srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" > {_SRM_CRIT_MILLI} THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("srm_flag"),
     )
+
+
+# ------------------------------------ McNemar paired classifier test
+
+# McNemar (1947) — the PAIRED comparison two independent accuracy
+# readings cannot give: both classifiers label the SAME documents,
+# and only the discordant cells matter. Classifier 1 is the
+# stopword-rate band rule, classifier 2 the hashed linear score sign
+# (both deterministic, both already catalog judges); truth is the
+# AUC band "good" label. chi2 with continuity correction
+# (|b - c| - 1)^2 / (b + c), in exact integer milli.
+
+
+@register(
+    "mcnemar_paired_test",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               1000000 * SUM(CASE WHEN {_AUC_STOP_SQL} THEN 1 ELSE 0 END)
+                   // COUNT(*)
+                   BETWEEN {_AUC_LO + 20_000} AND {_AUC_HI + 20_000}
+                   AS pred1,
+               CAST(SUM({_HLC_W_DUCK}) AS BIGINT) > 0 AS pred2,
+               1000000 * SUM(CASE WHEN {_AUC_STOP_SQL} THEN 1 ELSE 0 END)
+                   // COUNT(*) BETWEEN {_AUC_LO} AND {_AUC_HI} AS good
+        FROM toks GROUP BY doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN (pred1 = good) AND (pred2 = good)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+           CAST(SUM(CASE WHEN (pred1 = good) AND (pred2 <> good) THEN 1 ELSE 0 END) AS BIGINT) AS b_only1,
+           CAST(SUM(CASE WHEN (pred1 <> good) AND (pred2 = good) THEN 1 ELSE 0 END) AS BIGINT) AS c_only2,
+           CAST(SUM(CASE WHEN (pred1 <> good) AND (pred2 <> good)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong,
+           CAST(CASE WHEN SUM(CASE WHEN (pred1 = good) AND (pred2 <> good) THEN 1 ELSE 0 END) + SUM(CASE WHEN (pred1 <> good) AND (pred2 = good) THEN 1 ELSE 0 END) = 0 THEN NULL
+                ELSE 1000 * (ABS(SUM(CASE WHEN (pred1 = good) AND (pred2 <> good) THEN 1 ELSE 0 END) - SUM(CASE WHEN (pred1 <> good) AND (pred2 = good) THEN 1 ELSE 0 END)) - 1)
+                     * (ABS(SUM(CASE WHEN (pred1 = good) AND (pred2 <> good) THEN 1 ELSE 0 END) - SUM(CASE WHEN (pred1 <> good) AND (pred2 = good) THEN 1 ELSE 0 END)) - 1)
+                     // (SUM(CASE WHEN (pred1 = good) AND (pred2 <> good) THEN 1 ELSE 0 END) + SUM(CASE WHEN (pred1 <> good) AND (pred2 = good) THEN 1 ELSE 0 END)) END AS BIGINT) AS chi2_milli
+    FROM per_doc
+    """,
+    tags=("stats", "documents", "eval"),
+    doc="McNemar paired classifier test (McNemar 1947, with Edwards "
+    "continuity correction): both deterministic judges — the "
+    "stopword-band rule and the hashed-linear-score sign — label the "
+    "SAME documents against the band truth, and the test reads ONLY "
+    "the discordant cells b (classifier 1 right alone) and c "
+    "(classifier 2 right alone): chi2 = (|b-c|-1)^2/(b+c), exact "
+    "integer milli, NULL when no discordant pair exists (the "
+    "statistic is undefined, not zero). The full 2x2 concordance "
+    "table ships alongside so the chi2 is auditable. Scale: one "
+    "token-explode aggregate per doc, then one map-side-combinable "
+    "global rollup to 6 BIGINTs; no window, no join. Ref parity: "
+    "beyond-reference eval layer (the paired sibling of "
+    "nb_crossval_accuracy's unpaired accuracy readings).",
+)
+def mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    # pred1: a DELIBERATELY different band than truth (shifted lower
+    # bound) so the two classifiers disagree with truth and each
+    # other on real rows; pred2: hashed linear sign.
+    per_doc = toks.groupBy("doc_id").agg(
+        F.expr(
+            f"1000000 * SUM(CASE WHEN {_AUC_STOP_SQL} THEN 1 ELSE 0"
+            f" END) DIV COUNT(*) BETWEEN {_AUC_LO + 20_000} AND"
+            f" {_AUC_HI + 20_000}"
+        ).alias("pred1"),
+        F.expr(f"CAST(SUM({_HLC_W_SPARK}) AS BIGINT) > 0").alias(
+            "pred2"
+        ),
+        F.expr(
+            f"1000000 * SUM(CASE WHEN {_AUC_STOP_SQL} THEN 1 ELSE 0"
+            f" END) DIV COUNT(*) BETWEEN {_AUC_LO} AND {_AUC_HI}"
+        ).alias("good"),
+    )
+    b_expr = (
+        "SUM(CASE WHEN (pred1 = good) AND (pred2 <> good) THEN 1"
+        " ELSE 0 END)"
+    )
+    c_expr = (
+        "SUM(CASE WHEN (pred1 <> good) AND (pred2 = good) THEN 1"
+        " ELSE 0 END)"
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(
+            "CAST(SUM(CASE WHEN (pred1 = good) AND (pred2 = good)"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("both_right"),
+        F.expr(f"CAST({b_expr} AS BIGINT)").alias("b_only1"),
+        F.expr(f"CAST({c_expr} AS BIGINT)").alias("c_only2"),
+        F.expr(
+            "CAST(SUM(CASE WHEN (pred1 <> good) AND (pred2 <> good)"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("both_wrong"),
+        F.expr(
+            f"CAST(CASE WHEN {b_expr} + {c_expr} = 0 THEN NULL"
+            f" ELSE 1000 * (ABS({b_expr} - {c_expr}) - 1)"
+            f" * (ABS({b_expr} - {c_expr}) - 1)"
+            f" DIV ({b_expr} + {c_expr}) END AS BIGINT)"
+        ).alias("chi2_milli"),
+    )

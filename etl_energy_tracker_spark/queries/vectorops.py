@@ -2063,3 +2063,213 @@ def matryoshka_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nn_rank").cast("long").alias("nn_rank"),
         )
     )
+
+
+# ------------------------------------ cluster purity / NMI audit
+
+# External cluster-quality audit: assign the corpus with the SAME
+# deterministic one-iteration trained codebook ann_ivf_trained uses
+# (init cell = vec_id mod k, 4-dp per-dim means, 6-dp cosine argmax
+# with centroid tie-break), then score the assignment against the
+# ground-truth labels: purity (fraction captured by each cluster's
+# majority label) and NMI. Engine parity for NMI follows the
+# collocation-lift idiom: each cell/margin contributes
+# count * ROUND(ln(rational-of-exact-integers), 6)*1e6 — one ln per
+# DISTINCT contingency cell (<= k*labels rows), integer micro-nat
+# sums across cells (no float accumulation), and a single final
+# sqrt+divide+floor.
+_CPN_K = 8
+_CPN_SIM1 = _KMEANS_SIM.format(cent="c0")
+_CPN_SIM2 = _KMEANS_SIM.format(cent="c1")
+
+
+@register(
+    "cluster_purity_nmi",
+    oracle=f"""
+    WITH long AS (
+        SELECT vec_id, d, CAST(embedding[CAST(d AS INT) + 1] AS DOUBLE) AS v
+        FROM embeddings, (SELECT unnest(range(0, 64)) AS d)
+    ),
+    a0 AS (SELECT vec_id, vec_id % {_CPN_K} AS cell FROM embeddings),
+    c0 AS (
+        SELECT cell, d, round(avg(v), 4) AS cv
+        FROM long JOIN a0 USING (vec_id) GROUP BY cell, d
+    ),
+    sim1 AS ({_CPN_SIM1}),
+    a1 AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell) AS rk
+            FROM sim1) WHERE rk = 1
+    ),
+    c1 AS (
+        SELECT cell, d, round(avg(v), 4) AS cv
+        FROM long JOIN a1 USING (vec_id) GROUP BY cell, d
+    ),
+    sim2 AS ({_CPN_SIM2}),
+    a2 AS (
+        SELECT vec_id, cell FROM (
+            SELECT vec_id, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY s DESC, cell) AS rk
+            FROM sim2) WHERE rk = 1
+    ),
+    ct AS (
+        SELECT a2.cell, e.label,
+               CAST(COUNT(*) AS BIGINT) AS n_cl
+        FROM a2 JOIN embeddings e USING (vec_id)
+        GROUP BY a2.cell, e.label
+    ),
+    margins AS (
+        SELECT cell, CAST(SUM(n_cl) AS BIGINT) AS n_c FROM ct GROUP BY cell
+    ),
+    lmargins AS (
+        SELECT label, CAST(SUM(n_cl) AS BIGINT) AS n_l FROM ct GROUP BY label
+    ),
+    tot AS (SELECT CAST(SUM(n_cl) AS BIGINT) AS n FROM ct),
+    mi AS (
+        SELECT CAST(SUM(ct.n_cl * CAST(ROUND(ln(
+                   (CAST(t.n AS DOUBLE) * CAST(ct.n_cl AS DOUBLE))
+                   / (CAST(m.n_c AS DOUBLE) * CAST(l.n_l AS DOUBLE))
+               ), 6) * 1000000 AS BIGINT)) AS BIGINT) AS mi_un
+        FROM ct JOIN margins m USING (cell)
+        JOIN lmargins l USING (label) CROSS JOIN tot t
+    ),
+    hc AS (
+        SELECT CAST(SUM(n_c * CAST(ROUND(ln(
+                   CAST(t.n AS DOUBLE) / CAST(n_c AS DOUBLE)
+               ), 6) * 1000000 AS BIGINT)) AS BIGINT) AS hc_un
+        FROM margins CROSS JOIN tot t
+    ),
+    hl AS (
+        SELECT CAST(SUM(n_l * CAST(ROUND(ln(
+                   CAST(t.n AS DOUBLE) / CAST(n_l AS DOUBLE)
+               ), 6) * 1000000 AS BIGINT)) AS BIGINT) AS hl_un
+        FROM lmargins CROSS JOIN tot t
+    ),
+    pur AS (
+        SELECT CAST(SUM(mx) AS BIGINT) AS pure_n FROM (
+            SELECT cell, MAX(n_cl) AS mx FROM ct GROUP BY cell)
+    )
+    SELECT t.n AS n_vecs,
+           CAST((SELECT COUNT(*) FROM margins) AS BIGINT) AS n_clusters,
+           CAST((SELECT COUNT(*) FROM lmargins) AS BIGINT) AS n_labels,
+           CAST(1000000 * p.pure_n // t.n AS BIGINT) AS purity_ppm,
+           CAST(CASE WHEN h1.hc_un <= 0 OR h2.hl_un <= 0 THEN NULL
+                ELSE FLOOR(1000.0 * CAST(m.mi_un AS DOUBLE)
+                     / SQRT(CAST(h1.hc_un AS DOUBLE)
+                            * CAST(h2.hl_un AS DOUBLE)))
+                END AS BIGINT) AS nmi_milli
+    FROM tot t CROSS JOIN pur p CROSS JOIN mi m
+    CROSS JOIN hc h1 CROSS JOIN hl h2
+    """,
+    tags=("vector", "eval", "stats"),
+    doc="External cluster-quality audit — purity and NMI of the "
+    "deterministic trained-codebook assignment against ground-truth "
+    "labels (the readout run before trusting cluster structure for "
+    "SemDeDup pruning or mixture balancing; companion to "
+    "label_centroid_similarity, which audits geometry, and "
+    "ann_recall_mrr_eval, which audits retrieval). Assignment is the "
+    "exact ann_ivf_trained recipe at k=8 (mod-k init, one Lloyd "
+    "iteration, 4-dp means, 6-dp cosine argmax). NMI engine parity: "
+    "one ln per DISTINCT contingency cell rounded to 6 dp and scaled "
+    "to integer micro-nats, count-weighted INTEGER sums across cells "
+    "(no order-dependent float accumulation), one final "
+    "sqrt-divide-floor; zero-entropy margins yield NULL (undefined), "
+    "not a crash. Scale: assignment is a k-row broadcast crossJoin + "
+    "per-vec argmax (corpus-linear); the contingency table is "
+    "k x labels (bounded), everything after lives on it. Ref parity: "
+    "beyond-reference vector-eval layer.",
+)
+def cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine, train_ivf_codebook
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cent = train_ivf_codebook(
+        emb, "vec_id", "embedding", k=_CPN_K, iters=1
+    )
+    scored = (
+        emb.select("vec_id", "label", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "_sim",
+            F.round(cosine(F.col("embedding"), F.col("cv")), 6),
+        )
+    )
+    w = W.partitionBy("vec_id").orderBy(F.desc("_sim"), "centroid_id")
+    assigned = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where("_rk = 1")
+        .select("vec_id", "label", F.col("centroid_id").alias("cell"))
+    )
+    ct = assigned.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cl")
+    ).localCheckpoint(eager=False)
+    margins = ct.groupBy("cell").agg(
+        F.sum("n_cl").cast("long").alias("n_c")
+    )
+    lmargins = ct.groupBy("label").agg(
+        F.sum("n_cl").cast("long").alias("n_l")
+    )
+    tot = ct.agg(F.sum("n_cl").cast("long").alias("n"))
+    mi = (
+        ct.join(F.broadcast(margins), "cell")
+        .join(F.broadcast(lmargins), "label")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.expr(
+                "CAST(SUM(n_cl * CAST(ROUND(ln("
+                "(CAST(n AS DOUBLE) * CAST(n_cl AS DOUBLE))"
+                " / (CAST(n_c AS DOUBLE) * CAST(n_l AS DOUBLE))"
+                "), 6) * 1000000 AS BIGINT)) AS BIGINT)"
+            ).alias("mi_un")
+        )
+    )
+    hc = margins.crossJoin(F.broadcast(tot)).agg(
+        F.expr(
+            "CAST(SUM(n_c * CAST(ROUND(ln("
+            "CAST(n AS DOUBLE) / CAST(n_c AS DOUBLE)"
+            "), 6) * 1000000 AS BIGINT)) AS BIGINT)"
+        ).alias("hc_un")
+    )
+    hl = lmargins.crossJoin(F.broadcast(tot)).agg(
+        F.expr(
+            "CAST(SUM(n_l * CAST(ROUND(ln("
+            "CAST(n AS DOUBLE) / CAST(n_l AS DOUBLE)"
+            "), 6) * 1000000 AS BIGINT)) AS BIGINT)"
+        ).alias("hl_un")
+    )
+    pur = (
+        ct.groupBy("cell")
+        .agg(F.max("n_cl").alias("mx"))
+        .agg(F.sum("mx").cast("long").alias("pure_n"))
+    )
+    n_cl_count = margins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    n_lb_count = lmargins.agg(
+        F.count(F.lit(1)).cast("long").alias("n_labels")
+    )
+    return (
+        tot.crossJoin(F.broadcast(pur))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(n_cl_count))
+        .crossJoin(F.broadcast(n_lb_count))
+        .select(
+            F.col("n").alias("n_vecs"),
+            "n_clusters",
+            "n_labels",
+            F.expr("CAST(1000000 * pure_n DIV n AS BIGINT)").alias(
+                "purity_ppm"
+            ),
+            F.expr(
+                "CAST(CASE WHEN hc_un <= 0 OR hl_un <= 0 THEN NULL"
+                " ELSE FLOOR(1000.0 * CAST(mi_un AS DOUBLE)"
+                " / SQRT(CAST(hc_un AS DOUBLE) * CAST(hl_un AS DOUBLE)))"
+                " END AS BIGINT)"
+            ).alias("nmi_milli"),
+        )
+    )
