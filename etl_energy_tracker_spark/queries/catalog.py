@@ -362,6 +362,10 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "cluster_purity_nmi",
     "edge_triangle_support",
     "chunk_overlap_stitch",
+    "nucleus_topp_cutoff",
+    "greedy_unigram_acceptance",
+    "krippendorff_alpha",
+    "stream_stream_left_outer",
 )
 
 

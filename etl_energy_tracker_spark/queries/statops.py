@@ -2735,3 +2735,134 @@ def mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" DIV ({b_expr} + {c_expr}) END AS BIGINT)"
         ).alias("chi2_milli"),
     )
+
+
+# ---------------------------------- Krippendorff alpha (nominal)
+
+# Inter-rater reliability beyond two raters: Krippendorff's alpha
+# (nominal data, complete ratings) over THREE deterministic judges —
+# the stopword band, the shifted band, and the hashed-linear sign —
+# each labeling every document. With binary categories the
+# coincidence algebra collapses to exact integer sufficient stats:
+# per-unit disagreement n_u1 * n_u0, margins n1 / n0; alpha =
+# 1 - Do/De where Do = sum(n_u1*n_u0) / (N*m*(m-1)) and
+# De = n1*n0 / (n_all*(n_all-1)). Both ratios are one IEEE division
+# of exact integers (no big cross-multiplied products to overflow,
+# no order-dependent accumulation), then one final floor to milli.
+
+
+@register(
+    "krippendorff_alpha",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    rated AS (
+        SELECT doc_id,
+               CAST(1000000 * SUM(CASE WHEN {_AUC_STOP_SQL} THEN 1 ELSE 0
+                    END) // COUNT(*)
+                    BETWEEN {_AUC_LO} AND {_AUC_HI} AS INT)
+             + CAST(1000000 * SUM(CASE WHEN {_AUC_STOP_SQL} THEN 1 ELSE 0
+                    END) // COUNT(*)
+                    BETWEEN {_AUC_LO + 20_000} AND {_AUC_HI + 20_000}
+                    AS INT)
+             + CAST(CAST(SUM({_HLC_W_DUCK}) AS BIGINT) > 0 AS INT)
+                   AS n_u1
+        FROM toks GROUP BY doc_id
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+               CAST(SUM(n_u1) AS BIGINT) AS n1,
+               CAST(SUM(3 - n_u1) AS BIGINT) AS n0,
+               CAST(SUM(n_u1 * (3 - n_u1)) AS BIGINT) AS du_sum
+        FROM rated
+    )
+    SELECT n_units,
+           CAST(3 AS BIGINT) AS n_raters,
+           n1 AS n_pos_ratings,
+           n0 AS n_neg_ratings,
+           CAST(FLOOR(1000000.0 * CAST(du_sum AS DOUBLE)
+                / (CAST(n_units AS DOUBLE) * 6.0)) AS BIGINT)
+               AS do_micro,
+           CAST(FLOOR(1000000.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                / (CAST(n1 + n0 AS DOUBLE)
+                   * CAST(n1 + n0 - 1 AS DOUBLE))) AS BIGINT)
+               AS de_micro,
+           CAST(CASE WHEN n1 = 0 OR n0 = 0 THEN NULL
+                ELSE FLOOR(1000.0 * (1.0
+                     - (CAST(du_sum AS DOUBLE)
+                        / (CAST(n_units AS DOUBLE) * 6.0))
+                       / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)
+                          / (CAST(n1 + n0 AS DOUBLE)
+                             * CAST(n1 + n0 - 1 AS DOUBLE)))))
+                END AS BIGINT) AS alpha_milli
+    FROM s
+    """,
+    tags=("stats", "documents", "eval"),
+    doc="Krippendorff's alpha, nominal data, three raters (the "
+    "generalization cohens_kappa_agreement cannot make past two): "
+    "the stopword band, the shifted band, and the hashed-linear sign "
+    "each label every document; with binary categories the "
+    "coincidence algebra collapses to per-unit n_u1*n_u0 "
+    "disagreements and the n1/n0 margins, so Do and De are each ONE "
+    "IEEE division of exact BIGINT sufficient stats (m*(m-1) = 6 a "
+    "literal) — no cross-multiplied overflow surface at any corpus "
+    "size, no float accumulation, one final floor to milli; a "
+    "single-category corpus (n1 or n0 zero) yields NULL (alpha "
+    "undefined), never a crash. Scale: one token-explode per-doc "
+    "aggregate, then one map-side-combinable global rollup to 4 "
+    "BIGINTs. Ref parity: beyond-reference eval layer.",
+)
+def krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    rated = toks.groupBy("doc_id").agg(
+        F.expr(
+            f"CAST(1000000 * SUM(CASE WHEN {_AUC_STOP_SQL} THEN 1"
+            f" ELSE 0 END) DIV COUNT(*)"
+            f" BETWEEN {_AUC_LO} AND {_AUC_HI} AS INT)"
+            f" + CAST(1000000 * SUM(CASE WHEN {_AUC_STOP_SQL} THEN 1"
+            f" ELSE 0 END) DIV COUNT(*)"
+            f" BETWEEN {_AUC_LO + 20_000} AND {_AUC_HI + 20_000}"
+            f" AS INT)"
+            f" + CAST(CAST(SUM({_HLC_W_SPARK}) AS BIGINT) > 0 AS INT)"
+        ).alias("n_u1")
+    )
+    s = rated.agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum("n_u1").cast("long").alias("n1"),
+        F.expr("CAST(SUM(3 - n_u1) AS BIGINT)").alias("n0"),
+        F.expr("CAST(SUM(n_u1 * (3 - n_u1)) AS BIGINT)").alias(
+            "du_sum"
+        ),
+    )
+    return s.select(
+        "n_units",
+        F.lit(3).cast("long").alias("n_raters"),
+        F.col("n1").alias("n_pos_ratings"),
+        F.col("n0").alias("n_neg_ratings"),
+        F.expr(
+            "CAST(FLOOR(1000000.0 * CAST(du_sum AS DOUBLE)"
+            " / (CAST(n_units AS DOUBLE) * 6.0)) AS BIGINT)"
+        ).alias("do_micro"),
+        F.expr(
+            "CAST(FLOOR(1000000.0 * CAST(n1 AS DOUBLE)"
+            " * CAST(n0 AS DOUBLE) / (CAST(n1 + n0 AS DOUBLE)"
+            " * CAST(n1 + n0 - 1 AS DOUBLE))) AS BIGINT)"
+        ).alias("de_micro"),
+        F.expr(
+            "CAST(CASE WHEN n1 = 0 OR n0 = 0 THEN NULL"
+            " ELSE FLOOR(1000.0 * (1.0"
+            " - (CAST(du_sum AS DOUBLE)"
+            " / (CAST(n_units AS DOUBLE) * 6.0))"
+            " / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)"
+            " / (CAST(n1 + n0 AS DOUBLE)"
+            " * CAST(n1 + n0 - 1 AS DOUBLE)))))"
+            " END AS BIGINT)"
+        ).alias("alpha_milli"),
+    )

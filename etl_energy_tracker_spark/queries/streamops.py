@@ -686,3 +686,62 @@ def stream_session_window_append(
     from ..streaming.jobs import session_window_agg_stream
 
     return session_window_agg_stream(spark, sf_dir, output_mode="append")
+
+
+@register(
+    "stream_stream_left_outer",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT LEAST(
+            (SELECT MAX(epoch_us(ts)) FROM events
+              WHERE event_type = 'click'),
+            (SELECT MAX(epoch_us(ts)) FROM events
+              WHERE event_type = 'purchase')
+        ) - 3600000000 AS wm_us
+    ),
+    m AS (
+        SELECT p.user_id, p.purchase_id, c.click_id,
+               epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS lag_us,
+               epoch_us(p.purchase_ts) AS p_us
+        FROM p LEFT JOIN c
+          ON c.c_user = p.user_id
+         AND c.click_ts >= p.purchase_ts - INTERVAL 60 MINUTE
+         AND c.click_ts <= p.purchase_ts
+    )
+    SELECT user_id, purchase_id,
+           CAST(click_id AS BIGINT) AS click_id,
+           CAST(lag_us AS BIGINT) AS lag_us
+    FROM m CROSS JOIN wm
+    WHERE click_id IS NOT NULL OR p_us < wm.wm_us
+    """,
+    tags=("streaming", "join", "stateful"),
+    doc="Watermarked stream-stream LEFT OUTER join — the state-"
+    "eviction proof stream_stream_join (inner) cannot give: an "
+    "unmatched purchase is buffered until the GLOBAL watermark (the "
+    "MIN of both sides' event-time watermarks) strictly passes its "
+    "join window, then emitted exactly once with NULL click columns "
+    "and evicted; matched pairs emit as found, identical to the "
+    "inner join. Both the min-of-watermarks gate and its STRICT "
+    "boundary (a purchase at exactly the watermark stays in state) "
+    "are pinned empirically against synthetic two-batch sources and "
+    "encoded in the oracle: batch left join restricted to matched "
+    "rows plus nulls with purchase_ts < min(side maxima) - 1h. "
+    "Scale: state is bounded by the watermark horizon on both sides "
+    "(the contract unbounded outer joins require); shuffle keyed by "
+    "user. SURVEY §2.9: beyond-reference streaming upgrade "
+    "(VERDICT r9 task 8's named candidate).",
+)
+def stream_stream_left_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.jobs import clicks_purchases_left_outer_stream
+
+    return clicks_purchases_left_outer_stream(spark, sf_dir)

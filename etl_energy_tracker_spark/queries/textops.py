@@ -884,3 +884,242 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_ppm"),
         )
     )
+
+
+# ------------------------------------- nucleus (top-p) mass cutoff
+
+# The sampling-curve readout: per source, sort the unigram
+# distribution by count and find the NUCLEUS — the smallest
+# high-probability vocabulary prefix covering p = 90% of token mass
+# (Holtzman et al. 2020 top-p). Reported per source: vocab size,
+# nucleus size, the nucleus' exact mass, and the share of vocabulary
+# the nucleus is — the numbers that say how peaked each source's
+# token distribution is (a near-1 nucleus share means flat/noisy
+# text, a tiny one means template boilerplate). All integer: the
+# cutoff predicate is 10 * cum_count >= 9 * total_count on exact
+# BIGINT counts; ties in count break by token string so both engines
+# walk the identical prefix.
+
+
+@register(
+    "nucleus_topp_cutoff",
+    oracle="""
+    WITH toks AS (
+        SELECT source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    tf AS (
+        SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks GROUP BY source, tok
+    ),
+    walked AS (
+        SELECT source, tok, c,
+               CAST(SUM(c) OVER (PARTITION BY source
+                   ORDER BY c DESC, tok
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS tot,
+               CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+                   AS vocab
+        FROM tf
+    )
+    SELECT source,
+           MAX(tot) AS n_tokens,
+           MAX(vocab) AS vocab_size,
+           CAST(MIN(CASE WHEN 10 * cum >= 9 * tot THEN rk END)
+                AS BIGINT) AS nucleus_size,
+           CAST(MIN(CASE WHEN 10 * cum >= 9 * tot THEN cum END)
+                AS BIGINT) AS nucleus_mass,
+           CAST(1000000 * MIN(CASE WHEN 10 * cum >= 9 * tot THEN rk END)
+                // MAX(vocab) AS BIGINT) AS nucleus_vocab_ppm
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                  ORDER BY c DESC, tok) AS BIGINT) AS rk
+        FROM walked
+    ) GROUP BY source
+    """,
+    tags=("text", "documents", "stats"),
+    doc="Nucleus (top-p, p=0.9) mass cutoff per source (Holtzman et "
+    "al. 2020): the smallest count-descending vocabulary prefix "
+    "covering 90% of token mass, with its exact mass and its share "
+    "of the vocabulary — the peakedness readout that separates "
+    "template boilerplate (tiny nucleus) from flat noise (nucleus ~ "
+    "whole vocab) before sampling-temperature or quality decisions. "
+    "Exact integer throughout: cutoff predicate 10*cum >= 9*tot on "
+    "BIGINT counts, (count DESC, token) tie-break so both engines "
+    "walk the identical prefix. Scale: one map-side-combinable "
+    "(source, token) count, then rank/cumsum windows PARTITIONED BY "
+    "SOURCE over the per-source vocabulary (parallel across sources; "
+    "within one source the window input is the collapsed vocab "
+    "table, not the corpus). Ref parity: beyond-reference text-"
+    "analysis layer (companion to zipf_octave_profile and "
+    "gini_token_concentration, which read the same distribution's "
+    "tail shape and inequality).",
+)
+def nucleus_topp_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "source",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wsrc = W.partitionBy("source")
+    word = wsrc.orderBy(F.desc("c"), "tok")
+    walked = tf.select(
+        "source",
+        "c",
+        F.sum("c")
+        .over(word.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("cum"),
+        F.sum("c").over(wsrc).cast("long").alias("tot"),
+        F.count(F.lit(1)).over(wsrc).cast("long").alias("vocab"),
+        F.row_number().over(word).cast("long").alias("rk"),
+    )
+    return walked.groupBy("source").agg(
+        F.max("tot").alias("n_tokens"),
+        F.max("vocab").alias("vocab_size"),
+        F.expr(
+            "CAST(MIN(CASE WHEN 10 * cum >= 9 * tot THEN rk END)"
+            " AS BIGINT)"
+        ).alias("nucleus_size"),
+        F.expr(
+            "CAST(MIN(CASE WHEN 10 * cum >= 9 * tot THEN cum END)"
+            " AS BIGINT)"
+        ).alias("nucleus_mass"),
+        F.expr(
+            "CAST(1000000 * MIN(CASE WHEN 10 * cum >= 9 * tot THEN rk"
+            " END) DIV MAX(vocab) AS BIGINT)"
+        ).alias("nucleus_vocab_ppm"),
+    )
+
+
+# ------------------------- speculative greedy-acceptance readout
+
+# Speculative decoding ships a cheap DRAFT model and accepts its
+# guesses where the target agrees (Leviathan et al. 2023); the
+# acceptance RATE is the whole speedup model. This op measures the
+# corpus-intrinsic analog: how often the cheapest possible draft —
+# the corpus-global greedy bigram table, argmax continuation of the
+# previous token — already matches the actual next token, per
+# source. A high acceptance source is predictable text (templates,
+# boilerplate) where a small draft model will fly; a low one needs
+# the full model nearly every step.
+
+
+@register(
+    "greedy_unigram_acceptance",
+    oracle="""
+    WITH seq AS (
+        SELECT doc_id, source, s.i AS pos, s.tok
+        FROM documents,
+             LATERAL (
+                 SELECT unnest(regexp_split_to_array(trim(text), '\\s+'))
+                            AS tok,
+                        generate_subscripts(
+                            regexp_split_to_array(trim(text), '\\s+'), 1)
+                            AS i
+             ) s
+    ),
+    bigrams AS (
+        SELECT a.tok AS prev, b.tok AS nxt,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq a JOIN seq b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        GROUP BY a.tok, b.tok
+    ),
+    draft AS (
+        SELECT prev, nxt AS guess FROM (
+            SELECT prev, nxt,
+                   ROW_NUMBER() OVER (PARTITION BY prev
+                       ORDER BY c DESC, nxt) AS rk
+            FROM bigrams
+        ) WHERE rk = 1
+    ),
+    steps AS (
+        SELECT a.source, b.tok AS actual, d.guess
+        FROM seq a
+        JOIN seq b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        JOIN draft d ON d.prev = a.tok
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_steps,
+           CAST(SUM(CASE WHEN actual = guess THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_accepted,
+           CAST(1000000 * SUM(CASE WHEN actual = guess THEN 1 ELSE 0
+                END) // COUNT(*) AS BIGINT) AS acceptance_ppm
+    FROM steps GROUP BY source
+    """,
+    tags=("text", "documents", "ml", "eval"),
+    doc="Speculative-decoding acceptance-rate readout (Leviathan et "
+    "al. 2023, corpus-intrinsic form): the cheapest possible draft "
+    "model — the corpus-global greedy bigram table, argmax "
+    "continuation per previous token with (count DESC, token) "
+    "tie-break — scored against every actual next token, per source: "
+    "acceptance_ppm IS the expected draft hit rate that decides "
+    "whether speculative execution pays for that slice of the "
+    "corpus. Scale: token positions explode once (map-side); the "
+    "bigram table is one (prev, next) count shuffle; the draft "
+    "argmax is a window over each prev's continuation set (token-"
+    "keyed, parallel); scoring re-joins steps to the draft on the "
+    "prev token — join fan-out exactly 1 by construction (draft is "
+    "rk = 1). Ref parity: beyond-reference text-analysis layer "
+    "(the predictive companion to ngram_lm_score's perplexity and "
+    "vocab_oov_coverage's coverage).",
+)
+def greedy_unigram_acceptance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, "documents", sf_dir)
+    seq = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("i", "tok"),
+    ).select(
+        "doc_id", "source", (F.col("i") + 1).alias("pos"), "tok"
+    )
+    a = seq.alias("a")
+    b = seq.alias("b")
+    steps_raw = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("b.pos") == F.col("a.pos") + 1),
+    ).select(
+        F.col("a.source").alias("source"),
+        F.col("a.tok").alias("prev"),
+        F.col("b.tok").alias("actual"),
+    ).localCheckpoint(eager=False)
+    bigrams = steps_raw.groupBy("prev", F.col("actual").alias("nxt")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    draft = (
+        bigrams.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("prev").orderBy(F.desc("c"), "nxt")
+            ),
+        )
+        .where("rk = 1")
+        .select("prev", F.col("nxt").alias("guess"))
+    )
+    return (
+        steps_raw.join(draft, "prev")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_steps"),
+            F.expr(
+                "CAST(SUM(CASE WHEN actual = guess THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_accepted"),
+            F.expr(
+                "CAST(1000000 * SUM(CASE WHEN actual = guess THEN 1"
+                " ELSE 0 END) DIV COUNT(*) AS BIGINT)"
+            ).alias("acceptance_ppm"),
+        )
+    )

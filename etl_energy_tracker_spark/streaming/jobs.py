@@ -371,6 +371,65 @@ def clicks_purchases_join_stream(
     return spark.table(name)
 
 
+def clicks_purchases_left_outer_stream(
+    spark: SparkSession, sf_dir: str, shuffle_partitions: int | None = 8
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the eviction proof
+    the inner join cannot give: a purchase with no click in its
+    preceding hour is buffered until the GLOBAL watermark (the MIN of
+    both sides' event-time watermarks) passes its join window, then
+    emitted exactly once with NULL click columns and evicted.
+    Emission is STRICT: a purchase whose ts equals the global
+    watermark stays in state (pinned empirically — the synthetic
+    boundary test emitted nothing at equality, only strictly-older
+    rows). Matched pairs emit as found, identical to the inner join.
+    Over the bounded source the emitted set is therefore the batch
+    left join restricted to: all matched rows, plus null rows whose
+    purchase_ts < min(max click ts, max purchase ts) - 1h."""
+
+    def src() -> DataFrame:
+        return _events_stream(spark, sf_dir)
+
+    clicks = (
+        src()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        src()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "c_user = user_id AND click_ts >= purchase_ts - INTERVAL 60 MINUTES "
+            "AND click_ts <= purchase_ts"
+        ),
+        "left_outer",
+    ).select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
+        q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+        _finish(q)
+    return spark.table(name)
+
+
 def dedup_events_stream(
     spark: SparkSession,
     sf_dir: str,

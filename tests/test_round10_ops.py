@@ -87,3 +87,218 @@ def test_best_of_n_small_groups(spark, tmp_path):
         for r in con.sql(oracle_sql()["best_of_n_curve"]).fetchall()
     }
     assert orows == got
+
+
+# ------------------------------------------ GRPO advantage
+
+
+def test_grpo_advantage_python_replay(spark):
+    from etl_energy_tracker_spark.queries.mlops import grpo_advantage
+
+    rows = _duck_rows(
+        "SELECT event_id, event_type,"
+        " CAST(FLOOR(value * 100) AS BIGINT) FROM events"
+    )
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for eid, et, c in rows:
+        by_type.setdefault(et, []).append((int(eid), int(c)))
+    want = {}
+    for et, evs in by_type.items():
+        n = len(evs)
+        s = sum(c for _, c in evs)
+        q = sum(c * c for _, c in evs)
+        sd = math.sqrt(max(float(n) * float(q) - float(s) * float(s), 0.0))
+        for eid, c in evs:
+            adv = (
+                None
+                if sd == 0.0
+                else math.floor(
+                    1000.0 * (float(n) * float(c) - float(s)) / sd
+                )
+            )
+            want[eid] = (et, c, adv, n)
+    got = {
+        r.event_id: (
+            r.event_type, r.reward_cents, r.advantage_milli, r.group_n
+        )
+        for r in grpo_advantage(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # advantages sum to ~0 within each group (floor drift < n millis)
+    for et, evs in by_type.items():
+        tot = sum(
+            got[eid][2] for eid, _ in evs if got[eid][2] is not None
+        )
+        assert abs(tot) <= 1000 * len(evs)
+
+
+# ------------------------------------------ edge triangle support
+
+
+def test_edge_triangle_support_reconciles_triangle_count(spark):
+    """sum(support) = 3 * n_triangles and both ops agree on the
+    global triangle count and edge count (the docstring invariant)."""
+    from etl_energy_tracker_spark.queries.graphops import (
+        edge_triangle_support,
+        triangle_count,
+    )
+
+    ets = edge_triangle_support(spark, SF_DIR).collect()[0]
+    tc = triangle_count(spark, SF_DIR).collect()[0]
+    assert ets.n_edges == tc.n_edges
+    assert ets.n_triangles == tc.n_triangles
+    # truss edge counts are a partition-free cumulative: monotone
+    assert ets.truss3_edges >= ets.truss4_edges >= ets.truss5_edges
+    assert ets.truss3_edges <= ets.n_edges
+    assert ets.max_support >= 3 or ets.truss5_edges == 0
+
+
+# ------------------------------------------ chunk overlap stitch
+
+
+def test_chunk_overlap_stitch_full_coverage(spark):
+    """Every doc re-chunked at W=30/S=20 stitches back: exactly
+    n_chunks - 1 internal next-chunk edges per doc."""
+    from etl_energy_tracker_spark.queries.llmprep import (
+        chunk_overlap_stitch,
+    )
+
+    rows = chunk_overlap_stitch(spark, SF_DIR).collect()
+    assert rows
+    assert all(r.stitched_ok for r in rows)
+    assert all(r.internal_edges == r.n_chunks - 1 for r in rows)
+    # chunk counts match the independent token-count derivation
+    toks = _duck_rows(
+        "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+'))"
+        " FROM documents"
+    )
+    want = {
+        d: ((n - 30) // 20 + 1 if n >= 30 else 1) for d, n in toks
+    }
+    got = {r.doc_id: r.n_chunks for r in rows}
+    assert got == want
+
+
+# ------------------------------------------ nucleus top-p cutoff
+
+
+def test_nucleus_topp_cutoff_python_replay(spark):
+    from etl_energy_tracker_spark.queries.textops import (
+        nucleus_topp_cutoff,
+    )
+
+    rows = _duck_rows(
+        "SELECT source, unnest(regexp_split_to_array(trim(text),"
+        " '\\s+')) FROM documents"
+    )
+    from collections import Counter
+
+    per_src: dict[str, Counter] = {}
+    for src, tok in rows:
+        per_src.setdefault(src, Counter())[tok] += 1
+    want = {}
+    for src, cnt in per_src.items():
+        tot = sum(cnt.values())
+        vocab = len(cnt)
+        cum = 0
+        for rk, (tok, c) in enumerate(
+            sorted(cnt.items(), key=lambda t: (-t[1], t[0])), start=1
+        ):
+            cum += c
+            if 10 * cum >= 9 * tot:
+                want[src] = (tot, vocab, rk, cum, 1000000 * rk // vocab)
+                break
+    got = {
+        r.source: (
+            r.n_tokens, r.vocab_size, r.nucleus_size, r.nucleus_mass,
+            r.nucleus_vocab_ppm,
+        )
+        for r in nucleus_topp_cutoff(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+# ------------------------------------------ greedy acceptance
+
+
+def test_greedy_unigram_acceptance_python_replay(spark):
+    from etl_energy_tracker_spark.queries.textops import (
+        greedy_unigram_acceptance,
+    )
+
+    docs = _duck_rows("SELECT doc_id, source, trim(text) FROM documents")
+    from collections import Counter, defaultdict
+
+    bigrams: Counter = Counter()
+    steps = []
+    for _, src, text in docs:
+        toks = text.split()
+        for aa, bb in zip(toks, toks[1:]):
+            bigrams[(aa, bb)] += 1
+            steps.append((src, aa, bb))
+    best: dict[str, str] = {}
+    for (aa, bb), c in sorted(
+        bigrams.items(), key=lambda t: (t[0][0], -t[1], t[0][1])
+    ):
+        best.setdefault(aa, bb)
+    agg: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for src, aa, bb in steps:
+        agg[src][0] += 1
+        agg[src][1] += int(best[aa] == bb)
+    want = {
+        src: (n, acc, 1000000 * acc // n)
+        for src, (n, acc) in agg.items()
+    }
+    got = {
+        r.source: (r.n_steps, r.n_accepted, r.acceptance_ppm)
+        for r in greedy_unigram_acceptance(spark, SF_DIR).collect()
+    }
+    assert got == want
+    # acceptance is a real signal, not ~0 and not saturated
+    rates = [v[2] for v in got.values()]
+    assert 0 < max(rates) < 1000000
+
+
+# ------------------------------------------ Krippendorff alpha
+
+
+def test_krippendorff_alpha_python_replay(spark):
+    from etl_energy_tracker_spark.queries.statops import (
+        krippendorff_alpha,
+    )
+    from etl_energy_tracker_spark.queries.evalops import (
+        _AUC_HI,
+        _AUC_LO,
+    )
+    from etl_energy_tracker_spark.queries.prepops import _HLC_W_DUCK
+
+    rows = _duck_rows(
+        "WITH toks AS (SELECT doc_id,"
+        " unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok"
+        " FROM documents)"
+        " SELECT doc_id,"
+        " 1000000 * SUM(CASE WHEN tok IN ('a', 'the') THEN 1 ELSE 0"
+        " END) // COUNT(*),"
+        f" CAST(SUM({_HLC_W_DUCK}) AS BIGINT)"
+        " FROM toks GROUP BY doc_id"
+    )
+    n_units = len(rows)
+    n1 = du = 0
+    for _, ratio, hlc in rows:
+        r1 = _AUC_LO <= ratio <= _AUC_HI
+        r2 = _AUC_LO + 20_000 <= ratio <= _AUC_HI + 20_000
+        r3 = hlc > 0
+        u1 = int(r1) + int(r2) + int(r3)
+        n1 += u1
+        du += u1 * (3 - u1)
+    n0 = 3 * n_units - n1
+    do = du / (n_units * 6.0)
+    de = (n1 * n0) / ((n1 + n0) * (n1 + n0 - 1.0))
+    want = math.floor(1000.0 * (1.0 - do / de))
+    row = krippendorff_alpha(spark, SF_DIR).collect()[0]
+    assert row.n_units == n_units
+    assert row.n_pos_ratings == n1 and row.n_neg_ratings == n0
+    assert row.alpha_milli == want
+    # three raters with two correlated bands: alpha must be positive
+    # but far from perfect on this corpus
+    assert 0 < row.alpha_milli < 1000

@@ -402,3 +402,78 @@ def test_session_window_append_evicts_and_drops_late(spark, tmp_path):
     # NO session — exactly three user-1 sessions, none at 09:00
     assert len(u1) == 3, u1
     assert not any(t[1] == base - dt.timedelta(minutes=60) for t in u1)
+
+
+def test_left_outer_join_global_watermark_strict(spark, tmp_path):
+    """Stream-stream LEFT OUTER null emission (VERDICT r9 task 8):
+    an unmatched left row emits its NULL-extended result only when
+    the GLOBAL watermark — the MIN of both sides' watermarks —
+    STRICTLY passes its join window: a purchase at exactly the
+    watermark stays in state; one strictly below emits exactly once;
+    one above emits nothing. (First draft of the catalog oracle
+    assumed the left side's own watermark with <=; both wrong —
+    pinned here so the rule cannot drift.)"""
+    import uuid
+
+    src = str(tmp_path / "lo_src")
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    schema = "ts timestamp, user_id long, event_type string, event_id long"
+    # clicks max 14:00 and purchases max 14:00 -> both watermarks and
+    # the global watermark are 13:00 (1h delay).
+    rows = [
+        (base + dt.timedelta(hours=4), 99, "click", 1),
+        (base + dt.timedelta(hours=4), 98, "purchase", 5),
+        (base + dt.timedelta(hours=3), 1, "purchase", 2),      # == wm
+        (base + dt.timedelta(minutes=30), 2, "purchase", 3),   # < wm
+        (base + dt.timedelta(minutes=210), 3, "purchase", 4),  # > wm
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    clicks = (
+        stream.where("event_type = 'click'")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.where("event_type = 'purchase'")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "c_user = user_id"
+            " AND click_ts >= purchase_ts - INTERVAL 60 MINUTES"
+            " AND click_ts <= purchase_ts"
+        ),
+        "left_outer",
+    )
+    name = f"lo_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.purchase_id, r.click_id)
+        for r in spark.table(name).collect()
+    )
+    # only purchase 3 (strictly below the 13:00 global watermark)
+    # emitted a null row; the boundary row 2 and the ahead row 4
+    # stayed in state; 5 (at max ts, matched window empty) too.
+    assert got == [(3, None)]
