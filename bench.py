@@ -265,6 +265,9 @@ EXTRA = [
     "greedy_unigram_acceptance",
     "krippendorff_alpha",
     "stream_stream_left_outer",
+    "stream_hourly_agg_append",
+    "stream_dedup_within_watermark",
+    "dup_substring_maxlen",
 ]
 
 

@@ -745,3 +745,80 @@ def stream_stream_left_outer(
     from ..streaming.jobs import clicks_purchases_left_outer_stream
 
     return clicks_purchases_left_outer_stream(spark, sf_dir)
+
+
+@register(
+    "stream_hourly_agg_append",
+    oracle="""
+    WITH wm AS (
+        SELECT MAX(epoch_us(ts)) - 7200000000 AS wm_us FROM events
+    )
+    SELECT hour_ts, event_type, n, sum_value
+    FROM (
+        SELECT date_trunc('hour', ts) AS hour_ts,
+               event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        GROUP BY date_trunc('hour', ts), event_type
+    ) h CROSS JOIN wm
+    WHERE epoch_us(hour_ts) + 3600000000 <= wm.wm_us
+    """,
+    tags=("streaming", "time", "aggregate", "stateful"),
+    doc="Append-mode tumbling-window aggregation — the PRODUCTION "
+    "shape of streaming_hourly_agg: each 1-hour window is emitted "
+    "exactly once when the 2-hour event-time watermark passes its "
+    "end, then its state is evicted — bounded state on an unbounded "
+    "stream, which the complete-mode oracle drive never proves. Over "
+    "the bounded source the emitted set is exactly the batch hourly "
+    "rollup restricted to windows whose END is at or before the "
+    "final watermark (max event time - 2h); the boundary is "
+    "INCLUSIVE (window end == watermark emits — pinned empirically "
+    "on a synthetic source, same rule as "
+    "stream_session_window_append's evictions). The in-flight tail "
+    "windows stay in state and never emit. Scale: state is one "
+    "aggregate row per open (window, type) inside the watermark "
+    "horizon; shuffle keyed by (window, type). SURVEY §2.9: "
+    "beyond-reference streaming upgrade.",
+)
+def stream_hourly_agg_append(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.jobs import hourly_event_agg_stream
+
+    return hourly_event_agg_stream(spark, sf_dir, output_mode="append")
+
+
+@register(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_id,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_id
+    """,
+    tags=("streaming", "dedup", "stateful"),
+    doc="Streaming dedup with BOUNDED state: "
+    "dropDuplicatesWithinWatermark(event_id) keeps each key's state "
+    "only while the 2-hour event-time watermark can still see a "
+    "duplicate, then evicts it — the production upgrade of "
+    "stream_dedup's unbounded dropDuplicates (whose state grows "
+    "forever on an unbounded stream). The shipped events table has "
+    "unique event_ids, so the oracle is the trivial per-key count "
+    "(= 1 per id, every row survives); the semantic DIFFERENCE — a "
+    "duplicate arriving within the horizon is dropped, one arriving "
+    "after eviction is re-admitted (at-least-once, not exactly-once, "
+    "past the horizon) — cannot show on unique data and is pinned in "
+    "a synthetic two-batch pytest instead "
+    "(test_streaming_misc.py::test_dedup_within_watermark_eviction). "
+    "Scale: state is one key per event inside the watermark horizon "
+    "(vs ALL keys ever for plain dropDuplicates); shuffle keyed by "
+    "event_id. SURVEY §2.9: beyond-reference streaming upgrade.",
+)
+def stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.jobs import dedup_within_watermark_stream
+
+    return dedup_within_watermark_stream(spark, sf_dir)

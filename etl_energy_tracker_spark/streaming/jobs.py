@@ -467,6 +467,34 @@ def dedup_events_stream(
     return spark.table(name)
 
 
+def dedup_within_watermark_stream(
+    spark: SparkSession, sf_dir: str, shuffle_partitions: int | None = 8
+) -> DataFrame:
+    """dropDuplicatesWithinWatermark on event_id: per-key dedup state
+    lives only inside the 2h watermark horizon, then evicts — the
+    bounded-state production form of dedup_events_stream. Emits one
+    row per surviving event with a per-key count of 1 (the shipped
+    source has unique ids; the synthetic pytest proves the
+    within-vs-past-horizon duplicate semantics)."""
+    stream = _events_stream(spark, sf_dir)
+    deduped = (
+        stream.withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    name = f"ddw_out_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
+        q = (
+            deduped.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        _finish(q)
+    return spark.table(name)
+
+
 def funnel_stage_stream(
     spark: SparkSession, sf_dir: str, shuffle_partitions: int | None = 8
 ) -> DataFrame:

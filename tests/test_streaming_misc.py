@@ -477,3 +477,60 @@ def test_left_outer_join_global_watermark_strict(spark, tmp_path):
     # emitted a null row; the boundary row 2 and the ahead row 4
     # stayed in state; 5 (at max ts, matched window empty) too.
     assert got == [(3, None)]
+
+
+def test_dedup_within_watermark_eviction(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics the unique-id catalog
+    source cannot show: a duplicate key arriving while its state is
+    inside the watermark horizon is DROPPED; after the horizon passes
+    and the key's state evicts, the same key is RE-ADMITTED
+    (at-least-once beyond the horizon — the documented trade for
+    bounded state vs plain dropDuplicates)."""
+    import uuid
+
+    src = str(tmp_path / "ddw_src")
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    schema = "ts timestamp, event_id long"
+    # batch 1: key 1 at 10:00; filler at 15:00 -> watermark (2h) 13:00
+    # advances past key 1's expiry (10:00 + 2h = 12:00): state evicts.
+    spark.createDataFrame(
+        [(base, 1), (base + dt.timedelta(hours=5), 9)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "2 hours")\
+        .dropDuplicatesWithinWatermark(["event_id"])
+    name = f"ddw_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: key 1 again at 15:30 (state evicted -> re-admitted);
+        # key 2 at 14:30 and its duplicate at 14:40 (same batch, inside
+        # horizon -> second copy dropped).
+        spark.createDataFrame(
+            [
+                (base + dt.timedelta(minutes=330), 1),
+                (base + dt.timedelta(minutes=270), 2),
+                (base + dt.timedelta(minutes=280), 2),
+            ],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from collections import Counter
+
+    counts = Counter(
+        r.event_id for r in spark.table(name).collect()
+    )
+    assert counts[1] == 2  # re-admitted after state eviction
+    assert counts[2] == 1  # in-horizon duplicate dropped
+    assert counts[9] == 1

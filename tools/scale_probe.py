@@ -202,6 +202,22 @@ OPS = [
     "brier_decomposition",
     "power_analysis_sample_size",
     "srm_check",
+    # round-10: group-stat broadcast map (GRPO), rank-pair join +
+    # stratified rollup (LC win rate), single global rollups
+    # (McNemar, Krippendorff), bounded contingency (purity/NMI),
+    # edge-iterator + bounded credit shuffle (truss support),
+    # boundary-key stitch join (chunk stitch), per-source vocab
+    # windows (nucleus), bigram argmax + re-join (acceptance)
+    "grpo_advantage",
+    "length_controlled_win_rate",
+    "mcnemar_paired_test",
+    "cluster_purity_nmi",
+    "edge_triangle_support",
+    "chunk_overlap_stitch",
+    "nucleus_topp_cutoff",
+    "greedy_unigram_acceptance",
+    "krippendorff_alpha",
+    "dup_substring_maxlen",
 ]
 
 
