@@ -268,6 +268,8 @@ EXTRA = [
     "stream_hourly_agg_append",
     "stream_dedup_within_watermark",
     "dup_substring_maxlen",
+    "hilbert_layout_stats",
+    "preference_cycle_audit",
 ]
 
 

@@ -369,6 +369,8 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "stream_hourly_agg_append",
     "stream_dedup_within_watermark",
     "dup_substring_maxlen",
+    "hilbert_layout_stats",
+    "preference_cycle_audit",
 )
 
 

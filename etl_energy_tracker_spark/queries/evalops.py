@@ -2729,3 +2729,170 @@ def length_controlled_win_rate(
     )
     pairs.createOrReplaceTempView("lcw_pairs")
     return spark.sql(_LCW_AGG.replace("{div}", " DIV "))
+
+
+# ------------------------------- preference transitivity audit
+
+# Pairwise preference data is only as trustworthy as its
+# TRANSITIVITY: Bradley-Terry (bradley_terry_mm) fits a total order,
+# silently averaging away any A>B>C>A cycles in the comparisons.
+# This op measures the cycles directly: a round-robin tournament
+# over sources (docs paired per lang by rank, judged by the hashed
+# linear score, majority win2 decides each source pair; the
+# lower-named source takes exact 50/50 ties, stated), then the exact
+# count of cyclic triples among all C(S,3) — the fraction a listwise
+# fit will misrepresent.
+
+
+@register(
+    "preference_cycle_audit",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, source,
+               unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, lang, source,
+               CAST(SUM({{hlc}}) AS BIGINT) AS score
+        FROM toks GROUP BY doc_id, lang, source
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY lang, source ORDER BY doc_id) AS rk
+        FROM scored
+    ),
+    duels AS (
+        SELECT a.source AS s1, b.source AS s2,
+               SUM(CASE WHEN a.score > b.score THEN 2
+                        WHEN a.score = b.score THEN 1
+                        ELSE 0 END) AS win2,
+               2 * COUNT(*) AS tot2
+        FROM ranked a JOIN ranked b
+          ON a.lang = b.lang AND a.rk = b.rk AND a.source < b.source
+        GROUP BY a.source, b.source
+    ),
+    edges AS (
+        SELECT CASE WHEN 2 * win2 >= tot2 THEN s1 ELSE s2 END AS w,
+               CASE WHEN 2 * win2 >= tot2 THEN s2 ELSE s1 END AS l
+        FROM duels
+    ),
+    cyc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cyclic
+        FROM edges e1
+        JOIN edges e2 ON e2.w = e1.l
+        JOIN edges e3 ON e3.w = e2.l AND e3.l = e1.w
+        WHERE e1.w < e2.w AND e1.w < e3.w
+    ),
+    meta AS (
+        SELECT CAST(COUNT(DISTINCT s1) + 1 AS BIGINT) AS n_sources,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM duels
+    )
+    SELECT m.n_sources,
+           m.n_pairs,
+           CAST(m.n_sources * (m.n_sources - 1) * (m.n_sources - 2)
+                / 6 AS BIGINT) AS n_triples,
+           c.n_cyclic,
+           CAST(1000000 * (m.n_sources * (m.n_sources - 1)
+                * (m.n_sources - 2) / 6 - c.n_cyclic)
+                // (m.n_sources * (m.n_sources - 1)
+                    * (m.n_sources - 2) / 6) AS BIGINT)
+               AS transitivity_ppm
+    FROM meta m CROSS JOIN cyc c
+    """.replace("{hlc}", _HLC_W_DUCK),
+    tags=("eval", "documents", "stats"),
+    doc="Preference-transitivity audit: round-robin source tournament "
+    "(docs paired per lang by doc_id rank, judged by the hashed "
+    "linear score; majority win2 decides each of the C(S,2) duels, "
+    "the lower-named source taking exact ties — stated, "
+    "deterministic), then the EXACT count of cyclic A>B>C>A triples "
+    "among all C(S,3) — the comparisons a Bradley-Terry fit "
+    "(bradley_terry_mm) silently averages away; transitivity_ppm is "
+    "the fraction of triples a listwise ranking can actually honor. "
+    "Scale: the duel matrix aggregates from one rank equi-join "
+    "(co-partitioned on (lang, rk)); cycle counting is a 3-way "
+    "self-join on the C(S,2)-row edge table — bounded by the SOURCE "
+    "dimension, independent of corpus size. Ref parity: beyond-"
+    "reference eval layer.",
+)
+def preference_cycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    )
+    scored = toks.groupBy("doc_id", "lang", "source").agg(
+        F.sum(F.expr(_HLC_W_SPARK)).cast("long").alias("score")
+    )
+    ranked = scored.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("lang", "source").orderBy("doc_id")
+        ),
+    )
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    duels = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.rk") == F.col("b.rk"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("s1"), F.col("b.source").alias("s2")
+        )
+        .agg(
+            F.expr(
+                "SUM(CASE WHEN a.score > b.score THEN 2"
+                " WHEN a.score = b.score THEN 1 ELSE 0 END)"
+            ).alias("win2"),
+            F.expr("2 * COUNT(*)").alias("tot2"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    edges = duels.select(
+        F.expr("CASE WHEN 2 * win2 >= tot2 THEN s1 ELSE s2 END").alias(
+            "w"
+        ),
+        F.expr("CASE WHEN 2 * win2 >= tot2 THEN s2 ELSE s1 END").alias(
+            "l"
+        ),
+    ).localCheckpoint(eager=False)
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    cyc = (
+        e1.join(e2, F.col("e2.w") == F.col("e1.l"))
+        .join(
+            e3,
+            (F.col("e3.w") == F.col("e2.l"))
+            & (F.col("e3.l") == F.col("e1.w")),
+        )
+        .where("e1.w < e2.w AND e1.w < e3.w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cyclic"))
+    )
+    meta = duels.agg(
+        F.expr("CAST(COUNT(DISTINCT s1) + 1 AS BIGINT)").alias(
+            "n_sources"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    return meta.crossJoin(F.broadcast(cyc)).select(
+        "n_sources",
+        "n_pairs",
+        F.expr(
+            "CAST(n_sources * (n_sources - 1) * (n_sources - 2) DIV 6"
+            " AS BIGINT)"
+        ).alias("n_triples"),
+        "n_cyclic",
+        F.expr(
+            "CAST(1000000 * (n_sources * (n_sources - 1)"
+            " * (n_sources - 2) DIV 6 - n_cyclic)"
+            " DIV (n_sources * (n_sources - 1) * (n_sources - 2)"
+            " DIV 6) AS BIGINT)"
+        ).alias("transitivity_ppm"),
+    )

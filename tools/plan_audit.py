@@ -87,6 +87,9 @@ BOUNDED_SINGLE_PARTITION: dict[str, str] = {
     "zorder_layout_stats": "NTILE-over-zkey = repartitionByRange + "
         "per-file stats at cluster scale (documented); stats windows "
         "on the file table",
+    "hilbert_layout_stats": "NTILE-over-hilbert-key = "
+        "repartitionByRange + per-file stats at cluster scale (same "
+        "documented exemption as zorder_layout_stats)",
 }
 
 

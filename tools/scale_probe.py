@@ -218,6 +218,8 @@ OPS = [
     "greedy_unigram_acceptance",
     "krippendorff_alpha",
     "dup_substring_maxlen",
+    "hilbert_layout_stats",
+    "preference_cycle_audit",
 ]
 
 
