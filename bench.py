@@ -270,6 +270,7 @@ EXTRA = [
     "dup_substring_maxlen",
     "hilbert_layout_stats",
     "preference_cycle_audit",
+    "psi_drift_report",
 ]
 
 

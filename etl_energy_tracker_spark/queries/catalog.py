@@ -371,6 +371,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "dup_substring_maxlen",
     "hilbert_layout_stats",
     "preference_cycle_audit",
+    "psi_drift_report",
 )
 
 

@@ -58,6 +58,7 @@ import math
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from ..functions.portable_math import ln_micro_rational
 from ..sources.registry import load_table
 from .catalog import register
 from .evalops import _AUC_HI, _AUC_LO, _AUC_STOP_SQL
@@ -2865,4 +2866,135 @@ def krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * CAST(n1 + n0 - 1 AS DOUBLE)))))"
             " END AS BIGINT)"
         ).alias("alpha_milli"),
+    )
+
+
+# ------------------------------- population stability index (PSI)
+
+# The credit-risk / feature-monitoring classic: PSI between a
+# baseline and a current window, sum (p_i - q_i) * ln(p_i / q_i)
+# over fixed bins — the one drift readout (beside ks_drift_stat and
+# distribution_drift_chi2) production scorecards actually alarm on
+# (0.1 / 0.25 industry thresholds). Baseline = each type's first
+# half by event time, current = second half, 10 equal-width cent
+# bins from the type's own min/max. Engine parity: per-bin ln of a
+# rational of exact integers, rounded to 6 dp and scaled to
+# micro-nats, then integer-summed (the collocation-lift idiom);
+# Laplace +1 on both counts so empty bins stay finite.
+
+
+@register(
+    "psi_drift_report",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, epoch_us(ts) AS us,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    ext AS (
+        SELECT event_type,
+               MIN(us) + (MAX(us) - MIN(us)) // 2 AS split_us,
+               MIN(cents) AS cmin, MAX(cents) AS cmax
+        FROM base GROUP BY event_type
+    ),
+    binned AS (
+        SELECT b.event_type,
+               CASE WHEN b.us < e.split_us THEN 0 ELSE 1 END AS win,
+               LEAST((b.cents - e.cmin) * 10
+                     // GREATEST(e.cmax - e.cmin + 1, 1), 9) AS bin
+        FROM base b JOIN ext e USING (event_type)
+    ),
+    cells AS (
+        SELECT event_type, bin,
+               CAST(SUM(CASE WHEN win = 0 THEN 1 ELSE 0 END) + 1
+                    AS BIGINT) AS p1,
+               CAST(SUM(CASE WHEN win = 1 THEN 1 ELSE 0 END) + 1
+                    AS BIGINT) AS q1
+        FROM binned GROUP BY event_type, bin
+    ),
+    tots AS (
+        SELECT event_type,
+               CAST(SUM(p1) AS BIGINT) AS pt,
+               CAST(SUM(q1) AS BIGINT) AS qt
+        FROM cells GROUP BY event_type
+    )
+    SELECT c.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_bins,
+           CAST(SUM(
+               (1000000 * c.p1 // t.pt - 1000000 * c.q1 // t.qt)
+               * CAST(FLOOR((CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS DOUBLE) * CAST(0.6931471805599453 AS DOUBLE) + CAST(2 AS DOUBLE) * (((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE))) * (CAST(1 AS DOUBLE) + ((((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE))) * (((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE)))) * ((CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE)) + ((((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE))) * (((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE)))) * ((CAST(1 AS DOUBLE) / CAST(5 AS DOUBLE)) + ((((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE))) * (((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE)))) * ((CAST(1 AS DOUBLE) / CAST(7 AS DOUBLE)) + ((((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE))) * (((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE)))) * ((CAST(1 AS DOUBLE) / CAST(9 AS DOUBLE)) + ((((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE))) * (((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE)))) * ((CAST(1 AS DOUBLE) / CAST(11 AS DOUBLE)) + ((((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE))) * (((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE)))) * (CAST(1 AS DOUBLE) / CAST(13 AS DOUBLE))))))))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           ) AS BIGINT) AS psi_pico,
+           SUM(
+               (1000000 * c.p1 // t.pt - 1000000 * c.q1 // t.qt)
+               * CAST(FLOOR((CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS DOUBLE) * CAST(0.6931471805599453 AS DOUBLE) + CAST(2 AS DOUBLE) * (((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE))) * (CAST(1 AS DOUBLE) + ((((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE))) * (((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE)))) * ((CAST(1 AS DOUBLE) / CAST(3 AS DOUBLE)) + ((((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE))) * (((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE)))) * ((CAST(1 AS DOUBLE) / CAST(5 AS DOUBLE)) + ((((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE))) * (((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE)))) * ((CAST(1 AS DOUBLE) / CAST(7 AS DOUBLE)) + ((((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE))) * (((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE)))) * ((CAST(1 AS DOUBLE) / CAST(9 AS DOUBLE)) + ((((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE))) * (((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE)))) * ((CAST(1 AS DOUBLE) / CAST(11 AS DOUBLE)) + ((((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE))) * (((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) - CAST(1 AS DOUBLE)) / ((CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.p1 * t.qt AS BIGINT) * (CAST(1 AS BIGINT) << CAST(-(CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) ELSE CAST(c.p1 * t.qt AS BIGINT) END) AS DOUBLE) / CAST((CASE WHEN (CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) < 0 THEN CAST(c.q1 * t.pt AS BIGINT) ELSE CAST(c.q1 * t.pt AS BIGINT) * (CAST(1 AS BIGINT) << CAST((CAST(LENGTH(FORMAT('{:b}', c.p1 * t.qt)) AS BIGINT) - CAST(LENGTH(FORMAT('{:b}', c.q1 * t.pt)) AS BIGINT)) AS INT)) END) AS DOUBLE)) + CAST(1 AS DOUBLE)))) * (CAST(1 AS DOUBLE) / CAST(13 AS DOUBLE))))))))) * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+           ) >= 100000000000 AS drift_alarm
+    FROM cells c JOIN tots t USING (event_type)
+    GROUP BY c.event_type
+    """,
+    tags=("stats", "events", "eval"),
+    doc="Population Stability Index per event type: first half of "
+    "each type's time range as baseline, second half as current, 10 "
+    "equal-width cent bins from the type's own min/max, PSI = "
+    "sum (p-q) ln(p/q) with Laplace +1 so empty bins stay finite — "
+    "the scorecard drift metric production risk systems alarm on "
+    "(industry thresholds 0.1 warn / 0.25 act; drift_alarm fires at "
+    "0.1), complementing ks_drift_stat (supremum gap) and "
+    "distribution_drift_chi2 (significance) with the magnitude "
+    "readout. Engine parity: bin shares are exact ppm integers, each "
+    "bin's ln is one 6-dp-rounded double of an exact integer "
+    "rational, products integer-summed across the 10 bins (psi_pico "
+    "= PSI * 1e12) — no float accumulation. Scale: one "
+    "map-side-combinable per-(type, window, bin) count after a "
+    "broadcast min/max pre-pass; everything after lives on the "
+    "types x 10 cell table. Ref parity: beyond-reference "
+    "drift-monitoring layer.",
+)
+def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "event_type",
+        F.expr("unix_micros(ts)").alias("us"),
+        F.expr("CAST(FLOOR(value * 100) AS BIGINT)").alias("cents"),
+    )
+    ext = base.groupBy("event_type").agg(
+        F.expr("MIN(us) + (MAX(us) - MIN(us)) DIV 2").alias("split_us"),
+        F.min("cents").alias("cmin"),
+        F.max("cents").alias("cmax"),
+    )
+    binned = base.join(F.broadcast(ext), "event_type").select(
+        "event_type",
+        F.expr("CASE WHEN us < split_us THEN 0 ELSE 1 END").alias("win"),
+        F.expr(
+            "LEAST((cents - cmin) * 10"
+            " DIV GREATEST(cmax - cmin + 1, 1), 9)"
+        ).alias("bin"),
+    )
+    cells = binned.groupBy("event_type", "bin").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN win = 0 THEN 1 ELSE 0 END) + 1"
+            " AS BIGINT)"
+        ).alias("p1"),
+        F.expr(
+            "CAST(SUM(CASE WHEN win = 1 THEN 1 ELSE 0 END) + 1"
+            " AS BIGINT)"
+        ).alias("q1"),
+    )
+    tots = cells.groupBy("event_type").agg(
+        F.sum("p1").cast("long").alias("pt"),
+        F.sum("q1").cast("long").alias("qt"),
+    )
+    term = (
+        "(1000000 * p1 DIV pt - 1000000 * q1 DIV qt) * "
+        + ln_micro_rational("p1 * qt", "q1 * pt", "spark")
+    )
+    return (
+        cells.join(F.broadcast(tots), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bins"),
+            F.expr(f"CAST(SUM({term}) AS BIGINT)").alias("psi_pico"),
+            F.expr(f"SUM({term}) >= 100000000000").alias(
+                "drift_alarm"
+            ),
+        )
     )

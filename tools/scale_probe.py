@@ -220,6 +220,7 @@ OPS = [
     "dup_substring_maxlen",
     "hilbert_layout_stats",
     "preference_cycle_audit",
+    "psi_drift_report",
 ]
 
 
