@@ -271,6 +271,7 @@ EXTRA = [
     "hilbert_layout_stats",
     "preference_cycle_audit",
     "psi_drift_report",
+    "readability_index_report",
 ]
 
 

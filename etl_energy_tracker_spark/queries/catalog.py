@@ -372,6 +372,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "hilbert_layout_stats",
     "preference_cycle_audit",
     "psi_drift_report",
+    "readability_index_report",
 )
 
 

@@ -1123,3 +1123,95 @@ def greedy_unigram_acceptance(
             ).alias("acceptance_ppm"),
         )
     )
+
+
+# ----------------------------------- readability index per source
+
+# Flesch reading ease with the standard automatable proxies: words =
+# whitespace tokens, sentences = period/question/exclamation runs
+# (min 1), syllables = vowel GROUPS per word (the [aeiouy]+ run
+# count every automated Flesch implementation uses). 206.835 -
+# 1.015 * words/sentences - 84.6 * syllables/words, all in exact
+# integer counts with the two ratios evaluated as single IEEE
+# divisions and one final floor to milli.
+
+
+@register(
+    "readability_index_report",
+    oracle="""
+    WITH per_doc AS (
+        SELECT doc_id, source,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+                    AS BIGINT) AS words,
+               CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')),
+                    1) AS BIGINT) AS sentences,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS syllables
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(words) AS BIGINT) AS words,
+               CAST(SUM(sentences) AS BIGINT) AS sentences,
+               CAST(SUM(syllables) AS BIGINT) AS syllables
+        FROM per_doc GROUP BY source
+    )
+    SELECT source, n_docs, words, sentences, syllables,
+           CAST(FLOOR(CAST(206835 AS DOUBLE)
+                - CAST(1015 AS DOUBLE) * (CAST(words AS DOUBLE)
+                  / CAST(sentences AS DOUBLE))
+                - CAST(84600 AS DOUBLE) * (CAST(syllables AS DOUBLE)
+                  / CAST(words AS DOUBLE))) AS BIGINT)
+               AS flesch_milli
+    FROM per_src
+    """,
+    tags=("text", "documents", "stats"),
+    doc="Flesch reading-ease per source with the standard automatable "
+    "proxies (whitespace words, [.!?]+ sentence runs clamped to >= 1, "
+    "vowel-group syllables — the counting every automated Flesch "
+    "implementation uses): 206.835 - 1.015 w/s - 84.6 syl/w, scaled "
+    "to milli with exact integer sufficient stats and exactly two "
+    "IEEE divisions + one floor (no float accumulation — the counts "
+    "sum as BIGINTs). The corpus-quality readout that separates "
+    "telegraphic boilerplate from prose before sampling decisions; "
+    "complements text_quality_score (per-doc band) with a "
+    "per-source aggregate. Scale: one regexp map pass per doc, one "
+    "map-side-combinable rollup to 4 BIGINTs per source. Ref "
+    "parity: beyond-reference text-analysis layer.",
+)
+def readability_index_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.expr(
+            r"CAST(size(split(trim(text), '\\s+')) AS BIGINT)"
+        ).alias("words"),
+        F.expr(
+            r"CAST(GREATEST(size(regexp_extract_all(text,"
+            r" '[.!?]+', 0)), 1) AS BIGINT)"
+        ).alias("sentences"),
+        F.expr(
+            r"CAST(size(regexp_extract_all(lower(text),"
+            r" '[aeiouy]+', 0)) AS BIGINT)"
+        ).alias("syllables"),
+    )
+    per_src = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("words").cast("long").alias("words"),
+        F.sum("sentences").cast("long").alias("sentences"),
+        F.sum("syllables").cast("long").alias("syllables"),
+    )
+    return per_src.select(
+        "source", "n_docs", "words", "sentences", "syllables",
+        F.expr(
+            "CAST(FLOOR(CAST(206835 AS DOUBLE)"
+            " - CAST(1015 AS DOUBLE) * (CAST(words AS DOUBLE)"
+            " / CAST(sentences AS DOUBLE))"
+            " - CAST(84600 AS DOUBLE) * (CAST(syllables AS DOUBLE)"
+            " / CAST(words AS DOUBLE))) AS BIGINT)"
+        ).alias("flesch_milli"),
+    )

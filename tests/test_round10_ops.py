@@ -302,3 +302,184 @@ def test_krippendorff_alpha_python_replay(spark):
     # three raters with two correlated bands: alpha must be positive
     # but far from perfect on this corpus
     assert 0 < row.alpha_milli < 1000
+
+
+# ------------------------------------------ Hilbert curve key
+
+
+def _py_xy2d(x: int, y: int, bits: int = 8) -> int:
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_unrolled_matches_reference_walk(spark):
+    """The unrolled SQL xy2d is the textbook algorithm: bijective on
+    the full 256x256 grid and equal to the python reference at every
+    point; consecutive d values are spatially adjacent (the locality
+    property Z-order lacks)."""
+    from etl_energy_tracker_spark.queries.hygieneops import (
+        _hilbert_steps,
+    )
+
+    grid = spark.sql(
+        "SELECT CAST(0 AS BIGINT) AS d, CAST(x.id AS BIGINT) AS x,"
+        " CAST(y.id AS BIGINT) AS y, CAST(x.id AS BIGINT) AS x0,"
+        " CAST(y.id AS BIGINT) AS y0"
+        " FROM range(256) x CROSS JOIN range(256) y"
+    )
+    for d, x, y in _hilbert_steps():
+        grid = grid.selectExpr(
+            f"CAST({d} AS BIGINT) AS d",
+            f"CAST({x} AS BIGINT) AS x",
+            f"CAST({y} AS BIGINT) AS y",
+            "x0",
+            "y0",
+        )
+    rows = grid.select("x0", "y0", "d").collect()
+    assert len(rows) == 65536
+    seen = {}
+    for r in rows:
+        assert r.d == _py_xy2d(r.x0, r.y0), (r.x0, r.y0)
+        seen[r.d] = (r.x0, r.y0)
+    assert len(seen) == 65536 and min(seen) == 0 and max(seen) == 65535
+    # locality: curve-consecutive cells are grid-adjacent
+    for d in range(0, 65535, 997):
+        (x1, y1), (x2, y2) = seen[d], seen[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+# ------------------------------------------ PSI drift
+
+
+def _py_ln_micro(num: int, den: int) -> int:
+    """Python replay of portable_math.ln_micro_rational — same IEEE
+    double sequence, so exactly equal, not approximately."""
+    k = num.bit_length() - den.bit_length()
+    if k < 0:
+        num_s, den_s = num * (1 << -k), den
+    else:
+        num_s, den_s = num, den * (1 << k)
+    m = float(num_s) / float(den_s)
+    z = (m - 1.0) / (m + 1.0)
+    z2 = z * z
+    horner = 1.0 + z2 * (
+        (1.0 / 3.0) + z2 * ((1.0 / 5.0) + z2 * ((1.0 / 7.0) + z2 * (
+            (1.0 / 9.0) + z2 * ((1.0 / 11.0) + z2 * (
+                (1.0 / 13.0) + z2 * (1.0 / 15.0)))))))
+    ln = float(k) * 0.6931471805599453 + 2.0 * z * horner
+    return math.floor(ln * 1000000.0 + 0.5)
+
+
+def test_psi_drift_python_replay(spark):
+    from etl_energy_tracker_spark.queries.statops import (
+        psi_drift_report,
+    )
+
+    rows = _duck_rows(
+        "SELECT event_type, epoch_us(ts),"
+        " CAST(FLOOR(value * 100) AS BIGINT) FROM events"
+    )
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for et, us, c in rows:
+        by_type.setdefault(et, []).append((int(us), int(c)))
+    want = {}
+    for et, evs in by_type.items():
+        uss = [u for u, _ in evs]
+        cs = [c for _, c in evs]
+        split = min(uss) + (max(uss) - min(uss)) // 2
+        cmin, cmax = min(cs), max(cs)
+        cells: dict[int, list[int]] = {}
+        for u, c in evs:
+            b = min((c - cmin) * 10 // max(cmax - cmin + 1, 1), 9)
+            cell = cells.setdefault(b, [1, 1])  # Laplace +1
+            cell[0 if u < split else 1] += 1
+        pt = sum(p for p, _ in cells.values())
+        qt = sum(q for _, q in cells.values())
+        psi = 0
+        for p, q in cells.values():
+            share = 1000000 * p // pt - 1000000 * q // qt
+            psi += share * _py_ln_micro(p * qt, q * pt)
+        want[et] = (len(cells), psi, psi >= 100000000000)
+    got = {
+        r.event_type: (r.n_bins, r.psi_pico, r.drift_alarm)
+        for r in psi_drift_report(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+# ------------------------------------------ preference cycles
+
+
+def test_preference_cycle_python_replay(spark):
+    from etl_energy_tracker_spark.queries.evalops import (
+        preference_cycle_audit,
+    )
+    from etl_energy_tracker_spark.queries.prepops import _HLC_W_DUCK
+
+    rows = _duck_rows(
+        "WITH toks AS (SELECT doc_id, lang, source,"
+        " unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok"
+        " FROM documents)"
+        f" SELECT doc_id, lang, source, CAST(SUM({_HLC_W_DUCK}) AS"
+        " BIGINT) FROM toks GROUP BY doc_id, lang, source"
+    )
+    from collections import defaultdict
+
+    ranked: dict[tuple[str, str], list[tuple[int, int]]] = defaultdict(
+        list
+    )
+    for did, lang, src, score in rows:
+        ranked[(lang, src)].append((int(did), int(score)))
+    for v in ranked.values():
+        v.sort()
+    duel: dict[tuple[str, str], list[int]] = defaultdict(
+        lambda: [0, 0]
+    )
+    langs = {lang for lang, _ in ranked}
+    srcs = sorted({src for _, src in ranked})
+    for lang in langs:
+        for i, s1 in enumerate(srcs):
+            for s2 in srcs[i + 1:]:
+                a = ranked.get((lang, s1), [])
+                b = ranked.get((lang, s2), [])
+                for (_, sa), (_, sb) in zip(a, b):
+                    d = duel[(s1, s2)]
+                    d[0] += 2
+                    d[1] += 2 if sa > sb else (1 if sa == sb else 0)
+    edges = set()
+    for (s1, s2), (tot2, win2) in duel.items():
+        if 2 * win2 >= tot2:
+            edges.add((s1, s2))
+        else:
+            edges.add((s2, s1))
+    n_cyc = 0
+    for a, b, c in (
+        (a, b, c)
+        for a in srcs
+        for b in srcs
+        for c in srcs
+        if a < b and a < c and b != c
+    ):
+        if (a, b) in edges and (b, c) in edges and (c, a) in edges:
+            n_cyc += 1
+    row = preference_cycle_audit(spark, SF_DIR).collect()[0]
+    n = len(srcs)
+    assert row.n_sources == n
+    assert row.n_pairs == n * (n - 1) // 2
+    assert row.n_triples == n * (n - 1) * (n - 2) // 6
+    assert row.n_cyclic == n_cyc
+    assert (
+        row.transitivity_ppm
+        == 1000000 * (row.n_triples - n_cyc) // row.n_triples
+    )

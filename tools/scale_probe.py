@@ -221,6 +221,7 @@ OPS = [
     "hilbert_layout_stats",
     "preference_cycle_audit",
     "psi_drift_report",
+    "readability_index_report",
 ]
 
 
