@@ -272,6 +272,7 @@ EXTRA = [
     "preference_cycle_audit",
     "psi_drift_report",
     "readability_index_report",
+    "weighted_jaccard_pairs",
 ]
 
 

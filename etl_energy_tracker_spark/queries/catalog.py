@@ -373,6 +373,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "preference_cycle_audit",
     "psi_drift_report",
     "readability_index_report",
+    "weighted_jaccard_pairs",
 )
 
 

@@ -1215,3 +1215,148 @@ def readability_index_report(
             " / CAST(words AS DOUBLE))) AS BIGINT)"
         ).alias("flesch_milli"),
     )
+
+
+# ------------------------------------ weighted Jaccard pairs
+
+# Multiset (frequency-weighted) Jaccard over word TRIGRAMS: J_W =
+# sum min(c_a,c_b) / sum max(c_a,c_b) — the similarity that counts
+# HOW MANY times a phrase repeats, separating genuinely-duplicated
+# prose from docs that merely share vocabulary (and the exact
+# quantity consistent-weighted-sampling sketches estimate at scale).
+# Key rarity is the whole design problem, and two drafts proved it:
+# this corpus' VOCABULARY does not grow with corpus size, so capped
+# unigrams left zero pairs even at sf0.01, and bigrams (931 distinct
+# at sf0.1, median df 285) saturated the df-cap at the larger SF —
+# zero pairs again. Trigrams are the first key rare enough to
+# survive the cap at every SF (the same reason ngram_jaccard_pairs
+# shingles at 3).
+# Same df-cap + key-bucket join shape as ngram_jaccard_pairs, never
+# all-pairs; the identity sum max = total_a + total_b - sum min
+# turns the pair reduction into one SUM(LEAST) over shared bigrams.
+_WJ_DF_CAP = 128
+_WJ_THRESH = "0.5"
+
+
+@register(
+    "weighted_jaccard_pairs",
+    oracle=f"""
+    WITH arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id,
+               t[CAST(i.i AS INT)] || ' ' || t[CAST(i.i AS INT) + 1]
+                   || ' ' || t[CAST(i.i AS INT) + 2] AS g
+        FROM arr,
+             LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) i
+    ),
+    tf AS (
+        SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tri GROUP BY doc_id, g
+    ),
+    totals AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total
+        FROM tf GROUP BY doc_id
+    ),
+    df AS (
+        SELECT g FROM tf GROUP BY g
+        HAVING COUNT(*) <= {_WJ_DF_CAP}
+    ),
+    capped AS (SELECT tf.* FROM tf JOIN df USING (g)),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS inter_min
+        FROM capped a JOIN capped b
+          ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter_min * 1.0
+                 / (ta.total + tb.total - inter_min), 6) AS wjaccard
+    FROM inter
+    JOIN totals ta ON ta.doc_id = doc_a
+    JOIN totals tb ON tb.doc_id = doc_b
+    WHERE inter_min * 1.0 / (ta.total + tb.total - inter_min)
+          >= {_WJ_THRESH}
+    """,
+    tags=("text", "dedup", "join"),
+    doc="Frequency-weighted (multiset) Jaccard near-dup pairs over "
+    "word trigrams: J_W = sum min(tf_a, tf_b) / sum max(tf_a, tf_b) "
+    ">= 0.5 — the repeat-count-aware similarity that separates "
+    "duplicated prose from mere vocabulary overlap, and the exact "
+    "baseline a consistent-weighted-sampling sketch would be "
+    "validated against at scale. Trigram keys by necessity, not "
+    "choice: unigrams all exceeded the df-cap (zero pairs), bigrams "
+    "saturated it at sf0.1 (931 distinct, median df 285 — zero "
+    "pairs again); the df-cap/key-rarity interplay is THE design "
+    "decision for any weighted-similarity join and both failed "
+    "drafts are documented in the module comment. sum max rewrites "
+    "as total_a + total_b - sum min, so the pair reduction is ONE "
+    "SUM(LEAST) over shared trigrams. Scale: df-cap (<= {cap} docs "
+    "per trigram) + key-bucket self-join, never O(n^2). Ref parity: "
+    "beyond-reference dedup layer.".format(cap=_WJ_DF_CAP),
+)
+def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tri = (
+        docs.select(
+            "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> concat(t[i - 1], ' ', t[i], ' ', t[i + 1]))"
+                )
+            ).alias("g"),
+        )
+    )
+    tf = tri.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)
+    totals = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("total")
+    )
+    df_ok = (
+        tf.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _WJ_DF_CAP)
+        .select("g")
+    )
+    capped = tf.join(df_ok, "g")
+    a = capped.alias("a")
+    b = capped.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.expr("CAST(SUM(LEAST(a.c, b.c)) AS BIGINT)").alias(
+                "inter_min"
+            )
+        )
+    )
+    ta = totals.select(
+        F.col("doc_id").alias("doc_a"), F.col("total").alias("ta")
+    )
+    tb = totals.select(
+        F.col("doc_id").alias("doc_b"), F.col("total").alias("tb")
+    )
+    wj = F.col("inter_min") * 1.0 / (
+        F.col("ta") + F.col("tb") - F.col("inter_min")
+    )
+    return (
+        inter.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(wj >= float(_WJ_THRESH))
+        .select("doc_a", "doc_b", F.round(wj, 6).alias("wjaccard"))
+    )

@@ -483,3 +483,57 @@ def test_preference_cycle_python_replay(spark):
         row.transitivity_ppm
         == 1000000 * (row.n_triples - n_cyc) // row.n_triples
     )
+
+
+# ------------------------------------------ weighted Jaccard
+
+
+def test_weighted_jaccard_python_replay(spark):
+    from etl_energy_tracker_spark.queries.textops import (
+        _WJ_DF_CAP,
+        weighted_jaccard_pairs,
+    )
+
+    rows = _duck_rows(
+        "SELECT doc_id, source, trim(text) FROM documents"
+    )
+    from collections import Counter, defaultdict
+
+    tf: dict[int, Counter] = {}
+    for did, _, text in rows:
+        toks = text.split()
+        tf[int(did)] = Counter(
+            f"{a} {b} {c}"
+            for a, b, c in zip(toks, toks[1:], toks[2:])
+        )
+    df: Counter = Counter()
+    for cnt in tf.values():
+        for tok in cnt:
+            df[tok] += 1
+    keep = {t for t, d in df.items() if d <= _WJ_DF_CAP}
+    totals = {d: sum(c.values()) for d, c in tf.items()}
+    by_tok: dict[str, list[int]] = defaultdict(list)
+    for d, cnt in tf.items():
+        for t in cnt:
+            if t in keep:
+                by_tok[t].append(d)
+    inter: dict[tuple[int, int], int] = defaultdict(int)
+    for t, docs_with in by_tok.items():
+        docs_with.sort()
+        for i, a in enumerate(docs_with):
+            for b in docs_with[i + 1:]:
+                inter[(a, b)] += min(tf[a][t], tf[b][t])
+    want = {}
+    for (a, b), im in inter.items():
+        wj = im / (totals[a] + totals[b] - im)
+        if wj >= 0.5:
+            want[(a, b)] = round(wj, 6)
+    got = {
+        (r.doc_a, r.doc_b): r.wjaccard
+        for r in weighted_jaccard_pairs(spark, SF_DIR).collect()
+    }
+    assert got == want
+    assert got, "corpus has designed near-dups; pairs must exist"
+    # weighted <= plain set-Jaccard never holds in general, but both
+    # are in (0, 1]
+    assert all(0 < v <= 1 for v in got.values())

@@ -222,6 +222,7 @@ OPS = [
     "preference_cycle_audit",
     "psi_drift_report",
     "readability_index_report",
+    "weighted_jaccard_pairs",
 ]
 
 
