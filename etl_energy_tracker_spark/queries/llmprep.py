@@ -1608,12 +1608,16 @@ def dup_substring_maxlen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where("nd >= 2")
         .select("lvl", "h")
     )
-    # Pass 2 — regenerate grams map-side, keep only candidate hashes
-    # (broadcast), verify on exact strings.
+    # Pass 2 — regenerate grams map-side, keep only candidate hashes,
+    # verify on exact strings. The candidate table is CORPUS-SCALED
+    # (it grows with the duplicated-substring count), so it joins by
+    # shuffle — the x30 probe OOM'd the driver when a draft
+    # force-broadcast it; AQE still picks broadcast when it is
+    # genuinely small.
     cand_grams = (
         explode_grams(base)
         .withColumn("h", F.xxhash64("lvl", "sub"))
-        .join(F.broadcast(cand), ["lvl", "h"])
+        .join(cand, ["lvl", "h"])
         .select("lvl", "doc_id", "sub")
         .distinct()
         .localCheckpoint(eager=False)
