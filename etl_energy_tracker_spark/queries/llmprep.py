@@ -1620,25 +1620,23 @@ def dup_substring_maxlen(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cand, ["lvl", "h"])
         .select("lvl", "doc_id", "sub")
         .distinct()
-        .localCheckpoint(eager=False)
     )
-    dup = (
-        cand_grams.groupBy("lvl", "sub")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-        .where("n_docs >= 2")
-        .select("lvl", "sub")
-    )
-    stats = (
-        cand_grams.join(dup, ["lvl", "sub"])
-        .groupBy("lvl")
-        .agg(
-            F.countDistinct("sub").cast("long").alias(
-                "n_dup_substrings"
-            ),
-            F.countDistinct("doc_id").cast("long").alias(
-                "n_docs_involved"
-            ),
-        )
+    # verify + aggregate in ONE consumption: per-(lvl, sub) doc count
+    # as a window over the same shuffle the distinct used, filter to
+    # true duplicates, roll up. No join-back and no checkpoint — the
+    # candidate-gram relation is corpus-sized, and caching it is what
+    # OOM'd the x30 probe in the previous draft (the second of two
+    # memory lessons this op taught; the first was the force-
+    # broadcast of the candidate hash table).
+    wsub = W.partitionBy("lvl", "sub")
+    flagged = cand_grams.withColumn(
+        "nd", F.count(F.lit(1)).over(wsub)
+    ).where("nd >= 2")
+    stats = flagged.groupBy("lvl").agg(
+        F.countDistinct("sub").cast("long").alias("n_dup_substrings"),
+        F.countDistinct("doc_id").cast("long").alias(
+            "n_docs_involved"
+        ),
     )
     return (
         levels.join(stats, "lvl", "left")
