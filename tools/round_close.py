@@ -105,6 +105,22 @@ def main() -> None:
             f"row (add first-bench figures): {missing}"
         )
         sys.exit(1)
+    # 4b. every new/changed op this round is actually benched: a name
+    # in the priority queue that never entered bench.py's HEADLINE or
+    # EXTRA list would ship with no perf row at all (the gap the
+    # bench_extra check above cannot see, since it only reads names
+    # that DID get benched).
+    bench_src = open(os.path.join(REPO, "bench.py")).read()
+    unbenched = sorted(
+        q for q in dict.fromkeys(catalog._PRIORITY)
+        if f'"{q}"' not in bench_src
+    )
+    if unbenched:
+        print(
+            "ROUND-CLOSE RED: priority-queue ops missing from bench.py "
+            f"HEADLINE/EXTRA (add them): {unbenched}"
+        )
+        sys.exit(1)
     # uncommitted derived artifacts are a half-done close
     r = subprocess.run(
         ["git", "status", "--porcelain", "QUERIES.md", "tools/plan_snapshot.json"],
