@@ -273,6 +273,7 @@ EXTRA = [
     "psi_drift_report",
     "readability_index_report",
     "weighted_jaccard_pairs",
+    "stream_full_outer_join",
 ]
 
 

@@ -374,6 +374,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "psi_drift_report",
     "readability_index_report",
     "weighted_jaccard_pairs",
+    "stream_full_outer_join",
 )
 
 

@@ -822,3 +822,65 @@ def stream_dedup_within_watermark(
     from ..streaming.jobs import dedup_within_watermark_stream
 
     return dedup_within_watermark_stream(spark, sf_dir)
+
+
+@register(
+    "stream_full_outer_join",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT LEAST(
+            (SELECT MAX(epoch_us(ts)) FROM events
+              WHERE event_type = 'click'),
+            (SELECT MAX(epoch_us(ts)) FROM events
+              WHERE event_type = 'purchase')
+        ) - 3600000000 AS wm_us
+    ),
+    m AS (
+        SELECT COALESCE(p.user_id, c.c_user) AS user_id,
+               p.purchase_id, c.click_id,
+               epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS lag_us,
+               epoch_us(p.purchase_ts) AS p_us,
+               epoch_us(c.click_ts) AS c_us
+        FROM p FULL JOIN c
+          ON c.c_user = p.user_id
+         AND c.click_ts >= p.purchase_ts - INTERVAL 60 MINUTE
+         AND c.click_ts <= p.purchase_ts
+    )
+    SELECT user_id,
+           CAST(purchase_id AS BIGINT) AS purchase_id,
+           CAST(click_id AS BIGINT) AS click_id,
+           CAST(lag_us AS BIGINT) AS lag_us
+    FROM m CROSS JOIN wm
+    WHERE (purchase_id IS NOT NULL AND click_id IS NOT NULL)
+       OR (click_id IS NULL AND p_us < wm.wm_us)
+       OR (purchase_id IS NULL AND c_us + 3600000000 < wm.wm_us)
+    """,
+    tags=("streaming", "join", "stateful"),
+    doc="Watermarked stream-stream FULL OUTER join — both unmatched "
+    "sides surface, under ONE uniform eviction rule pinned "
+    "empirically on synthetic boundary sources: a buffered row emits "
+    "null-extended when its OWN side's join-window END falls "
+    "STRICTLY below the global (min-of-sides) watermark. The "
+    "purchase window ends at purchase_ts; the click window ends at "
+    "click_ts + 60 min, so unmatched clicks linger exactly one join "
+    "horizon longer than unmatched purchases — visible in the "
+    "oracle's two predicates (p_us < wm vs c_us + 1h < wm; a click "
+    "whose window end EQUALS the watermark stays in state, same "
+    "strictness as the left-outer op). Matched rows emit as found, "
+    "batch-identical. Scale: state bounded by the watermark horizon "
+    "on both sides; shuffle keyed by user. SURVEY §2.9: beyond-"
+    "reference streaming upgrade (completes the inner / left-outer "
+    "/ full-outer join family).",
+)
+def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import clicks_purchases_full_outer_stream
+
+    return clicks_purchases_full_outer_stream(spark, sf_dir)

@@ -467,6 +467,63 @@ def dedup_events_stream(
     return spark.table(name)
 
 
+def clicks_purchases_full_outer_stream(
+    spark: SparkSession, sf_dir: str, shuffle_partitions: int | None = 8
+) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER join. Null-row emission
+    follows ONE uniform rule, pinned empirically for both sides: a
+    buffered row emits null-extended when its OWN side's join-window
+    END falls STRICTLY below the GLOBAL watermark (min of both
+    sides). The left (purchase) window ends at purchase_ts (clicks
+    must precede purchases); the right (click) window ends at
+    click_ts + 60 min (a purchase may follow a click by up to an
+    hour) — so unmatched clicks linger an hour longer than unmatched
+    purchases before their null row appears. Matched pairs emit as
+    found."""
+
+    def src() -> DataFrame:
+        return _events_stream(spark, sf_dir)
+
+    clicks = (
+        src()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        src()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "c_user = user_id AND click_ts >= purchase_ts - INTERVAL 60 MINUTES "
+            "AND click_ts <= purchase_ts"
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("user_id"), F.col("c_user")).alias("user_id"),
+        "purchase_id",
+        "click_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
+        q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+        _finish(q)
+    return spark.table(name)
+
+
 def dedup_within_watermark_stream(
     spark: SparkSession, sf_dir: str, shuffle_partitions: int | None = 8
 ) -> DataFrame:

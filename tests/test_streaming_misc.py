@@ -534,3 +534,77 @@ def test_dedup_within_watermark_eviction(spark, tmp_path):
     assert counts[1] == 2  # re-admitted after state eviction
     assert counts[2] == 1  # in-horizon duplicate dropped
     assert counts[9] == 1
+
+
+def test_full_outer_join_own_window_end_rule(spark, tmp_path):
+    """Full-outer stream-stream null emission: ONE uniform rule for
+    both sides — a buffered row emits null-extended when its OWN
+    side's join-window end is STRICTLY below the global watermark.
+    Purchase windows end at purchase_ts; click windows end at
+    click_ts + 60 min. A click whose window end equals the watermark
+    stays in state."""
+    import uuid
+
+    src = str(tmp_path / "fo_src")
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    schema = "ts timestamp, user_id long, event_type string, event_id long"
+    # both sides max 16:00 -> global watermark 15:00 (1h delay):
+    #   click 2 at 10:30 (window end 11:30 < wm)  -> null row
+    #   click 3 at 14:00 (window end 15:00 == wm) -> stays (strict)
+    #   click 4 at 14:30 (window end 15:30 > wm)  -> stays
+    #   purchase 5 at 10:45 (< wm)                -> null row
+    rows = [
+        (base + dt.timedelta(hours=6), 99, "click", 1),
+        (base + dt.timedelta(hours=6), 98, "purchase", 9),
+        (base + dt.timedelta(minutes=30), 2, "click", 2),
+        (base + dt.timedelta(minutes=240), 3, "click", 3),
+        (base + dt.timedelta(minutes=270), 4, "click", 4),
+        (base + dt.timedelta(minutes=45), 5, "purchase", 5),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    clicks = (
+        stream.where("event_type = 'click'")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.where("event_type = 'purchase'")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "c_user = user_id"
+            " AND click_ts >= purchase_ts - INTERVAL 60 MINUTES"
+            " AND click_ts <= purchase_ts"
+        ),
+        "full_outer",
+    )
+    name = f"fo_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.purchase_id or -1, r.click_id or -1)
+        for r in spark.table(name).collect()
+    )
+    assert got == [(-1, 2), (5, -1)]
