@@ -302,27 +302,55 @@ _R9_VERIFIED: frozenset[str] = frozenset({
     "stream_topk_trending", "streaming_hourly_agg",
 })
 
+# Queries driver-verified green in CORRECTNESS_r10.json (50/50 green
+# on the final r10 commit): the 3 _REVERIFY names (r9 ADVICE fixes),
+# all 20 r10 additions, all 22 TPC-H queries, and 5 filter parity
+# queries. After this freeze: 352 queries, 352 ever driver-checked,
+# zero never-checked, zero red.
+_R10_VERIFIED: frozenset[str] = frozenset({
+    "best_of_n_curve", "chunk_overlap_stitch", "cluster_purity_nmi",
+    "dup_substring_maxlen", "edge_triangle_support",
+    "filter_conditional", "filter_date_between", "filter_isin",
+    "filter_latest_day", "filter_nonzero_notnull",
+    "greedy_unigram_acceptance", "grpo_advantage",
+    "hilbert_layout_stats", "krippendorff_alpha",
+    "length_controlled_win_rate", "mcnemar_paired_test",
+    "nucleus_topp_cutoff", "post_stratified_effect",
+    "preference_cycle_audit", "psi_drift_report", "q10_returned_items",
+    "q11_important_stock", "q12_shipping_modes",
+    "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_predicates", "q1_pricing_summary",
+    "q20_potential_promotion", "q21_waiting_orders",
+    "q22_global_sales_opportunity", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "readability_index_report", "shapley_channel_attribution",
+    "stream_dedup_within_watermark", "stream_full_outer_join",
+    "stream_hourly_agg_append", "stream_session_window_append",
+    "stream_stream_left_outer", "weighted_jaccard_pairs",
+})
+
 # Queries whose Spark implementation changed AFTER their last green
 # driver CORRECTNESS row (VERDICT r3 "What's wrong" §1: a green row on
 # old code is not a green row on current code). These are pulled back
 # out of the verified-emit-last set and emitted FIRST so the capped
 # (~50/round) driver run re-checks the current code.
-# r10 queue — ADVICE/VERDICT r9 fixes, impl changed after the r9
-# green rows:
-# best_of_n_curve: weight denominator NULLIF-guarded (ANSI
-#   DIVIDE_BY_ZERO on n_s < n groups; result-identical on shipped
-#   data, small-group test added).
-# shapley_channel_attribution: output milli/ppm divisions
-#   restructured divide-before-multiply-with-remainder (the 1e6
-#   pre-multiply tightened the BIGINT ceiling ~6 orders; proven
-#   result-identical by the exact python replay).
-# post_stratified_effect: global per-user ntile replaced by exact
-#   rank-select quartile cut points over the pre_cnt histogram
-#   (result SEMANTICS changed: boundary ties now lump low) — both
-#   engines re-pointed together, re-proved at sf0.01+sf0.1 in-round.
+# r11 queue — VERDICT r10 fixes, impl changed after the r10 green
+# rows (names appended as the fixes land):
+# dup_substring_maxlen: pre-fan-out repartition re-sized from the
+#   literal 32 to spark.sparkContext.defaultParallelism (VERDICT r10
+#   "What's wrong" §1) — result-neutral (partition count only), but
+#   the freeze ritual demands a fresh driver green on current code.
+# stream_dedup_within_watermark: drive re-shaped to the production
+#   append-mode emit of surviving rows (VERDICT r10 task 3) — the
+#   complete-mode verification aggregate that held one row per key
+#   forever is now a batch groupBy over the emitted memory table.
 _REVERIFY: tuple[str, ...] = (
-    "best_of_n_curve", "shapley_channel_attribution",
-    "post_stratified_effect",
+    "dup_substring_maxlen",
+    "stream_dedup_within_watermark",
 )
 
 # Queries driver-verified green in CORRECTNESS_r03.json whose code is
@@ -354,27 +382,7 @@ _R3_VERIFIED: frozenset[str] = frozenset({
 # frozen name and burn a cap slot
 # (test_frozen_names_pruned_from_priority closes the loophole).
 _PRIORITY: tuple[str, ...] = _REVERIFY + (
-    # r10 additions (never driver-checked) append here as they land
-    "stream_session_window_append",
-    "grpo_advantage",
-    "length_controlled_win_rate",
-    "mcnemar_paired_test",
-    "cluster_purity_nmi",
-    "edge_triangle_support",
-    "chunk_overlap_stitch",
-    "nucleus_topp_cutoff",
-    "greedy_unigram_acceptance",
-    "krippendorff_alpha",
-    "stream_stream_left_outer",
-    "stream_hourly_agg_append",
-    "stream_dedup_within_watermark",
-    "dup_substring_maxlen",
-    "hilbert_layout_stats",
-    "preference_cycle_audit",
-    "psi_drift_report",
-    "readability_index_report",
-    "weighted_jaccard_pairs",
-    "stream_full_outer_join",
+    # r11 additions (never driver-checked) append here as they land
 )
 
 
@@ -383,6 +391,7 @@ def _ordered() -> list[str]:
     verified = (
         _R1_VERIFIED | _R3_VERIFIED | _R4_VERIFIED | _R5_VERIFIED
         | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED | _R9_VERIFIED
+        | _R10_VERIFIED
     ) - set(_PRIORITY)
     rank = {n: i for i, n in enumerate(_PRIORITY)}
     unverified = sorted(

@@ -812,6 +812,11 @@ def stream_hourly_agg_append(
     "past the horizon) — cannot show on unique data and is pinned in "
     "a synthetic two-batch pytest instead "
     "(test_streaming_misc.py::test_dedup_within_watermark_eviction). "
+    "Drive shape (r11, VERDICT r10 task 3): the STREAM emits the "
+    "surviving rows in append mode — total streaming state is the "
+    "watermark horizon's keys, matching the operator — and the "
+    "per-key count for the oracle compare is a BATCH groupBy over "
+    "the emitted memory table after the stream stops. "
     "Scale: state is one key per event inside the watermark horizon "
     "(vs ALL keys ever for plain dropDuplicates); shuffle keyed by "
     "event_id. SURVEY §2.9: beyond-reference streaming upgrade.",
@@ -821,7 +826,11 @@ def stream_dedup_within_watermark(
 ) -> DataFrame:
     from ..streaming.jobs import dedup_within_watermark_stream
 
-    return dedup_within_watermark_stream(spark, sf_dir)
+    survivors = dedup_within_watermark_stream(spark, sf_dir)
+    # batch-side summary of the emitted rows (NOT streaming state)
+    return survivors.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
 
 
 @register(

@@ -529,21 +529,29 @@ def dedup_within_watermark_stream(
 ) -> DataFrame:
     """dropDuplicatesWithinWatermark on event_id: per-key dedup state
     lives only inside the 2h watermark horizon, then evicts — the
-    bounded-state production form of dedup_events_stream. Emits one
-    row per surviving event with a per-key count of 1 (the shipped
-    source has unique ids; the synthetic pytest proves the
-    within-vs-past-horizon duplicate semantics)."""
+    bounded-state production form of dedup_events_stream.
+
+    Drive shape (VERDICT r10 task 3): APPEND-mode emit of the
+    surviving rows themselves — a surviving row emits once, in the
+    micro-batch it arrives, so the streaming plan's TOTAL state is
+    the watermark horizon's key set, exactly like the operator it
+    verifies. (The r10 drive wrapped the dedup in a complete-mode
+    groupBy(event_id), whose verification aggregate kept one row per
+    distinct key forever — corpus-sized state the operator itself
+    never holds.) Any summary aggregation for the oracle compare runs
+    BATCH-side over the emitted memory table, after the stream stops.
+    The shipped source has unique ids; the synthetic pytest proves the
+    within-vs-past-horizon duplicate semantics."""
     stream = _events_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", "2 hours")
         .dropDuplicatesWithinWatermark(["event_id"])
-        .groupBy("event_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("event_id", "user_id", "ts")
     )
     name = f"ddw_out_{uuid.uuid4().hex[:8]}"
     with _scoped_shuffle_partitions(spark, shuffle_partitions):
         q = (
-            deduped.writeStream.outputMode("complete")
+            deduped.writeStream.outputMode("append")
             .format("memory")
             .queryName(name)
             .start()

@@ -536,6 +536,29 @@ def test_dedup_within_watermark_eviction(spark, tmp_path):
     assert counts[9] == 1
 
 
+def test_dedup_within_watermark_drive_is_append(spark):
+    """The production drive (VERDICT r10 task 3): the catalog's driven
+    plan emits surviving ROWS in append mode — streaming state is the
+    watermark horizon, not a forever-growing complete-mode aggregate.
+    Over the unique-id shipped source every row survives, so the
+    emitted table is exactly the events table (ids) and the batch-side
+    per-key count is 1 everywhere."""
+    from etl_energy_tracker_spark.streaming.jobs import (
+        dedup_within_watermark_stream,
+    )
+
+    from conftest import SF_DIR
+
+    survivors = dedup_within_watermark_stream(spark, SF_DIR)
+    assert set(survivors.columns) == {"event_id", "user_id", "ts"}
+    n_events = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    assert survivors.count() == n_events
+    assert (
+        survivors.groupBy("event_id").count().filter("count > 1").count()
+        == 0
+    )
+
+
 def test_full_outer_join_own_window_end_rule(spark, tmp_path):
     """Full-outer stream-stream null emission: ONE uniform rule for
     both sides — a buffered row emits null-extended when its OWN
