@@ -274,6 +274,9 @@ EXTRA = [
     "readability_index_report",
     "weighted_jaccard_pairs",
     "stream_full_outer_join",
+    # round-11 additions
+    "ktruss_decomposition",
+    "icws_weighted_lsh_pairs",
 ]
 
 

@@ -383,6 +383,8 @@ _R3_VERIFIED: frozenset[str] = frozenset({
 # (test_frozen_names_pruned_from_priority closes the loophole).
 _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # r11 additions (never driver-checked) append here as they land
+    "ktruss_decomposition",
+    "icws_weighted_lsh_pairs",
 )
 
 

@@ -685,3 +685,223 @@ def edge_triangle_support(spark: SparkSession, sf_dir: str) -> DataFrame:
             "truss5_edges", "max_support",
         )
     )
+
+
+# -------------------------------------------- full k-truss peel
+
+# VERDICT r10 task 5: edge_triangle_support evaluates the truss
+# predicate ONCE; the full k-truss ITERATES it — recount support over
+# the survivors, drop edges below k-2, repeat — exactly the bounded-
+# round Pregel-on-DataFrames shape kcore_decomposition uses for
+# vertices. Input is the 1996 co-purchase graph (a yearly cohesion
+# analysis): the time window keeps every round's support evaluation
+# proportional to the SURVIVING subgraph, and this graph genuinely
+# peels (sf0.01: 2743 -> 381 -> 376 edges; sf0.1: 26027 -> 3140 ->
+# 3139), unlike the dense all-time graph where round 0 keeps ~99.9%.
+
+_TRUSS_K = 4
+_TRUSS_ROUNDS = 3
+_TRUSS_WINDOW = ("1996-01-01", "1997-01-01")
+
+
+def _truss_support(edges: DataFrame) -> DataFrame:
+    """Per-edge triangle support over an undirected (lo, hi) edge
+    list — the same degree-ordered edge-iterator enumeration as
+    edge_triangle_support (out-degree O(sqrt(m)), each triangle found
+    exactly once at its lowest-degree apex), each triangle crediting
+    its three undirected edges through one map-side explode and a
+    count shuffle bounded by 3 * triangles."""
+    deg = (
+        edges.select(F.col("lo").alias("v"))
+        .unionByName(edges.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dl = deg.alias("dl")
+    dh = deg.alias("dh")
+    lo_first = (F.col("dl.deg") < F.col("dh.deg")) | (
+        (F.col("dl.deg") == F.col("dh.deg")) & (F.col("lo") < F.col("hi"))
+    )
+    oriented = (
+        edges.join(dl, F.col("dl.v") == F.col("lo"))
+        .join(dh, F.col("dh.v") == F.col("hi"))
+        .select(
+            F.when(lo_first, F.col("lo")).otherwise(F.col("hi")).alias("src"),
+            F.when(lo_first, F.col("hi")).otherwise(F.col("lo")).alias("dst"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
+    )
+    e = oriented.alias("e")
+    tris = (
+        e.join(
+            adj.select(
+                F.col("src").alias("b_key"), F.col("nbrs").alias("nb_src")
+            ),
+            F.col("e.src") == F.col("b_key"),
+        )
+        .join(
+            adj.select(
+                F.col("src").alias("c_key"), F.col("nbrs").alias("nb_dst")
+            ),
+            F.col("e.dst") == F.col("c_key"),
+            "left",
+        )
+        .select(
+            F.col("e.src").alias("a"),
+            F.col("e.dst").alias("b"),
+            F.explode(
+                F.expr("array_intersect(nb_src, coalesce(nb_dst, array()))")
+            ).alias("c"),
+        )
+    )
+    tri_edges = (
+        tris.select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .unionByName(
+            tris.select(
+                F.least("a", "c").alias("lo"),
+                F.greatest("a", "c").alias("hi"),
+            )
+        )
+        .unionByName(
+            tris.select(
+                F.least("b", "c").alias("lo"),
+                F.greatest("b", "c").alias("hi"),
+            )
+        )
+    )
+    return tri_edges.groupBy("lo", "hi").agg(
+        F.count(F.lit(1)).cast("long").alias("sup")
+    )
+
+
+def _duck_truss_rounds(rounds: int, k: int) -> str:
+    parts = []
+    for r in range(rounds):
+        parts.append(f"""tri{r} AS (
+        SELECT a.lo AS a, a.hi AS b, c.hi AS c
+        FROM e{r} a JOIN e{r} b ON a.lo = b.lo AND a.hi < b.hi
+        JOIN e{r} c ON c.lo = a.hi AND c.hi = b.hi
+    ),
+    sup{r} AS (
+        SELECT lo, hi, COUNT(*) AS sup FROM (
+            SELECT a AS lo, b AS hi FROM tri{r}
+            UNION ALL SELECT a AS lo, c AS hi FROM tri{r}
+            UNION ALL SELECT b AS lo, c AS hi FROM tri{r}
+        ) GROUP BY lo, hi
+    ),
+    e{r + 1} AS (SELECT lo, hi FROM sup{r} WHERE sup >= {k - 2})""")
+    return ",\n    ".join(parts)
+
+
+def _duck_truss_round_rows(rounds: int) -> str:
+    rows = []
+    for r in range(rounds):
+        rows.append(f"""SELECT CAST({r} AS BIGINT) AS round,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r}) AS edges_in,
+               (SELECT CAST(COALESCE(SUM(sup), 0) // 3 AS BIGINT)
+                  FROM sup{r}) AS n_triangles,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e{r + 1})
+                   AS edges_kept""")
+    return "\n        UNION ALL\n        ".join(rows)
+
+
+@register(
+    "ktruss_decomposition",
+    oracle=f"""
+    WITH li96 AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_shipdate >= DATE '{_TRUSS_WINDOW[0]}'
+          AND l_shipdate < DATE '{_TRUSS_WINDOW[1]}'
+    ),
+    e0 AS (
+        SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+        FROM li96 a JOIN li96 b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    {_duck_truss_rounds(_TRUSS_ROUNDS, _TRUSS_K)}
+    SELECT * FROM (
+        {_duck_truss_round_rows(_TRUSS_ROUNDS)}
+    ) ORDER BY round
+    """,
+    tags=("graph", "iterative"),
+    doc=f"Full k-truss decomposition (k={_TRUSS_K}, {_TRUSS_ROUNDS} "
+    "peel rounds unrolled) of the 1996 co-purchase part graph — the "
+    "ITERATED form of edge_triangle_support's one-shot predicate "
+    "(VERDICT r10 task 5): each round recounts per-edge triangle "
+    "support over the survivors through the same degree-ordered "
+    "edge-iterator enumeration, then drops edges with support < k-2; "
+    "output is per-round (edges_in, n_triangles, edges_kept), with "
+    "n_triangles derived exactly as SUM(support) DIV 3 — the "
+    "sum-support reconciliation identity, so the count is read off "
+    "the support table instead of re-enumerating. The 1996 window "
+    "makes the peel real (sf0.1: 26027 -> 3140 -> 3139 edges, "
+    "converged) where the dense all-time graph keeps ~99.9% in round "
+    "0. Scale: each round's cost is the m^1.5 enumeration bound on "
+    "the SURVIVING edge set (monotonically shrinking), support "
+    "shuffle bounded by 3 * triangles, per-round localCheckpoint "
+    "cuts the lineage diamond exactly like kcore_decomposition's "
+    "rounds. Ref parity: beyond-reference graph layer.",
+)
+def ktruss_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit(_TRUSS_WINDOW[0]).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_TRUSS_WINDOW[1]).cast("timestamp"))
+    ).select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("lo"),
+            F.col("b.l_partkey").alias("hi"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    for r in range(_TRUSS_ROUNDS):
+        sup = _truss_support(edges).localCheckpoint(eager=False)
+        stats = (
+            edges.agg(F.count(F.lit(1)).cast("long").alias("edges_in"))
+            .crossJoin(
+                F.broadcast(
+                    sup.agg(
+                        F.expr(
+                            "CAST(COALESCE(SUM(sup), 0) DIV 3 AS BIGINT)"
+                        ).alias("n_triangles"),
+                        F.coalesce(
+                            F.sum(
+                                F.when(
+                                    F.col("sup") >= _TRUSS_K - 2, 1
+                                ).otherwise(0)
+                            ),
+                            F.lit(0),
+                        )
+                        .cast("long")
+                        .alias("edges_kept"),
+                    )
+                )
+            )
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                "edges_in",
+                "n_triangles",
+                "edges_kept",
+            )
+        )
+        out = stats if out is None else out.unionByName(stats)
+        edges = (
+            sup.filter(F.col("sup") >= _TRUSS_K - 2)
+            .select("lo", "hi")
+            .localCheckpoint(eager=False)
+        )
+    return out.orderBy("round")

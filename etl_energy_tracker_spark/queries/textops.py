@@ -1360,3 +1360,299 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(wj >= float(_WJ_THRESH))
         .select("doc_a", "doc_b", F.round(wj, 6).alias("wjaccard"))
     )
+
+
+# ------------------------- consistent weighted sampling LSH (sketch)
+
+# VERDICT r10 task 6: weighted_jaccard_pairs' docstring names the
+# consistent-weighted-sampling sketch as THE scale follow-on — this op
+# builds it and validates it against the exact pairs, the same
+# pattern as minhash_estimate_error validating MinHash.
+#
+# Sampler choice: the EXPANSION form of CWS, not Ioffe's gamma-ICWS.
+# For integer weights, replicating gram g with tf c into c distinct
+# elements (g,1)..(g,c) makes plain MinHash over the expanded set an
+# EXACT consistent weighted sampler: P[sig collision] = multiset
+# Jaccard = sum min / sum max (Haveliwala/Broder weighted-sampling
+# identity). Gamma-ICWS generalizes to real weights but needs
+# ln/exp/gamma draws per (gram, perm) — float transcendentals two
+# engines cannot be trusted to reproduce bit-identically (the r10
+# psi_drift 1-ulp libm divergence is the in-repo proof), whereas the
+# expansion sampler is pure int64 arithmetic both engines compute
+# identically, so even the SKETCH is oracle-pinned. tf counts ARE
+# integers here (and in any token-count corpus), so the expansion
+# form is exact, not a compromise; cost is sum(tf) elements = one
+# corpus-linear explode.
+
+_CWS_K = 16
+_CWS_BANDS = 4
+_CWS_ROWS = _CWS_K // _CWS_BANDS
+
+_CWS_MOD = 1_000_000_007
+
+_DUCK_WJ_BASE = f"""
+    arr AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    tri AS (
+        SELECT doc_id,
+               t[CAST(i.i AS INT)] || ' ' || t[CAST(i.i AS INT) + 1]
+                   || ' ' || t[CAST(i.i AS INT) + 2] AS g
+        FROM arr,
+             LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) i
+    ),
+    tf AS (
+        SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tri GROUP BY doc_id, g
+    ),
+    totals AS (
+        SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total
+        FROM tf GROUP BY doc_id
+    ),
+    df AS (
+        SELECT g FROM tf GROUP BY g
+        HAVING COUNT(*) <= {_WJ_DF_CAP}
+    ),
+    capped AS (SELECT tf.* FROM tf JOIN df USING (g))"""
+
+
+@register(
+    "icws_weighted_lsh_pairs",
+    oracle=f"""
+    WITH {_DUCK_WJ_BASE},
+    elem AS (
+        SELECT doc_id, (hg * 31 + ks.k) % {_CWS_MOD} AS eh
+        FROM (SELECT doc_id, {duckdb_charhash("g")} AS hg, c FROM tf),
+             LATERAL (SELECT unnest(range(1, c + 1)) AS k) ks
+    ),
+    sigp AS (
+        SELECT doc_id, ps.p,
+               MIN(((2 * ps.p + 1) * eh + (ps.p + 1) * 7919)
+                   % {_CWS_MOD}) AS v
+        FROM elem, (SELECT unnest(range(0, {_CWS_K})) AS p) ps
+        GROUP BY doc_id, ps.p
+    ),
+    sig AS (
+        SELECT doc_id, list(v ORDER BY p) AS sig
+        FROM sigp GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, bs.b,
+               array_to_string(
+                   sig[bs.b * {_CWS_ROWS} + 1 : bs.b * {_CWS_ROWS} + {_CWS_ROWS}],
+                   ',') AS bkey
+        FROM sig, (SELECT unnest(range(0, {_CWS_BANDS})) AS b) bs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, o.doc_id AS doc_b
+        FROM banded a JOIN banded o
+          ON a.b = o.b AND a.bkey = o.bkey AND a.doc_id < o.doc_id
+    ),
+    ver AS (
+        SELECT j.doc_a, j.doc_b
+        FROM (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS inter_min
+            FROM cand c
+            JOIN capped a ON a.doc_id = c.doc_a
+            JOIN capped b ON b.doc_id = c.doc_b AND b.g = a.g
+            GROUP BY c.doc_a, c.doc_b
+        ) j
+        JOIN totals ta ON ta.doc_id = j.doc_a
+        JOIN totals tb ON tb.doc_id = j.doc_b
+        WHERE inter_min * 1.0 / (ta.total + tb.total - inter_min)
+              >= {_WJ_THRESH}
+    ),
+    exact AS (
+        SELECT j.doc_a, j.doc_b
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS inter_min
+            FROM capped a JOIN capped b
+              ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ) j
+        JOIN totals ta ON ta.doc_id = j.doc_a
+        JOIN totals tb ON tb.doc_id = j.doc_b
+        WHERE inter_min * 1.0 / (ta.total + tb.total - inter_min)
+              >= {_WJ_THRESH}
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ver) AS n_verified,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ver
+             JOIN exact USING (doc_a, doc_b)) AS n_common,
+           (SELECT ROUND(
+               (SELECT COUNT(*) FROM ver JOIN exact USING (doc_a, doc_b))
+               * 1.0 / NULLIF((SELECT COUNT(*) FROM exact), 0), 6))
+               AS recall,
+           (SELECT ROUND(
+               (SELECT COUNT(*) FROM ver JOIN exact USING (doc_a, doc_b))
+               * 1.0 / NULLIF((SELECT COUNT(*) FROM ver), 0), 6))
+               AS precision
+    """,
+    tags=("text", "dedup", "hash", "join"),
+    doc="Consistent-weighted-sampling LSH for multiset Jaccard — the "
+    "scale sketch weighted_jaccard_pairs' docstring names as THE "
+    "follow-on, validated here against the exact pairs (the "
+    "minhash_estimate_error pattern). Integer tf weights make the "
+    "EXPANSION sampler exact CWS: gram g with count c becomes c "
+    "distinct elements (g,1)..(g,c), and plain k=16 MinHash over the "
+    "expanded set collides with probability = sum min / sum max "
+    "exactly — pure int64 arithmetic both engines reproduce "
+    "bit-identically, where gamma-ICWS's per-(gram,perm) "
+    "transcendentals could not be oracle-pinned (the psi_drift 1-ulp "
+    "libm lesson). 4 bands x 4 rows bucket the signatures (band key "
+    "kept as the digit string on BOTH engines so the candidate set "
+    "is identical; a production run swaps in xxhash64 8-byte keys "
+    "exactly as with_band_hashes does, collisions only ADD "
+    "exact-verified candidates); candidates verify with the exact "
+    "op's df-capped formula; output is one eval row: n_exact / "
+    "n_candidates / n_verified / n_common + recall and precision vs "
+    "the exact pair set. Scale: the expansion explode is sum(tf) = "
+    "corpus-linear, signatures reduce map-side through 16 min "
+    "aggregates in ONE doc_id shuffle, the bucket self-join is "
+    "bounded by band collisions, and the exact join runs only on "
+    "candidates. Ref parity: beyond-reference dedup layer.",
+)
+def icws_weighted_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tri = (
+        docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2),"
+                    " i -> concat(t[i - 1], ' ', t[i], ' ', t[i + 1]))"
+                )
+            ).alias("g"),
+        )
+    )
+    tf = tri.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint(eager=False)
+    totals = tf.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("total")
+    )
+    df_ok = (
+        tf.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= _WJ_DF_CAP)
+        .select("g")
+    )
+    capped = tf.join(df_ok, "g")
+    # expansion-CWS partial signature per (doc, gram): min over the c
+    # copies, all 16 permutations as columns so the doc-level reduce
+    # is 16 map-side-combining MIN aggregates in one shuffle
+    hashed = tf.withColumn("hg", F.expr(spark_charhash("g")))
+    partial_cols = [
+        F.expr(
+            f"array_min(transform(sequence(1, c), k -> "
+            f"({2 * p + 1}L * ((hg * 31L + k) % {_CWS_MOD}L) "
+            f"+ {(p + 1) * 7919}L) % {_CWS_MOD}L))"
+        ).alias(f"p{p}")
+        for p in range(_CWS_K)
+    ]
+    partials = hashed.select("doc_id", *partial_cols)
+    sig = partials.groupBy("doc_id").agg(
+        *[F.min(f"p{p}").alias(f"p{p}") for p in range(_CWS_K)]
+    ).select(
+        "doc_id",
+        F.array(*[F.col(f"p{p}") for p in range(_CWS_K)]).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_CWS_BANDS - 1}), b -> "
+                f"struct(b AS b, concat_ws(',', "
+                f"slice(sig, b * {_CWS_ROWS} + 1, {_CWS_ROWS})) AS bkey))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.b").alias("b"), F.col("bb.bkey").alias("bkey"))
+    o = banded.alias("o")
+    cand = (
+        banded.alias("a")
+        .join(
+            o,
+            (F.col("a.b") == F.col("o.b"))
+            & (F.col("a.bkey") == F.col("o.bkey"))
+            & (F.col("a.doc_id") < F.col("o.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("o.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    ca = capped.alias("ca")
+    cb = capped.alias("cb")
+    inter = (
+        cand.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(
+            cb,
+            (F.col("cb.doc_id") == F.col("doc_b"))
+            & (F.col("cb.g") == F.col("ca.g")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.expr("CAST(SUM(LEAST(ca.c, cb.c)) AS BIGINT)").alias(
+                "inter_min"
+            )
+        )
+    )
+    ta = totals.select(
+        F.col("doc_id").alias("doc_a"), F.col("total").alias("ta")
+    )
+    tb = totals.select(
+        F.col("doc_id").alias("doc_b"), F.col("total").alias("tb")
+    )
+    wj = F.col("inter_min") * 1.0 / (
+        F.col("ta") + F.col("tb") - F.col("inter_min")
+    )
+    ver = (
+        inter.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .where(wj >= float(_WJ_THRESH))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    exact = weighted_jaccard_pairs(spark, sf_dir).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint(eager=False)
+    n_exact = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    n_cand = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    n_ver = ver.agg(F.count(F.lit(1)).cast("long").alias("n_verified"))
+    n_common = ver.join(exact, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_ver))
+        .crossJoin(F.broadcast(n_common))
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_verified",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                * 1.0
+                / F.nullif(F.col("n_exact"), F.lit(0)),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.col("n_common")
+                * 1.0
+                / F.nullif(F.col("n_verified"), F.lit(0)),
+                6,
+            ).alias("precision"),
+        )
+    )

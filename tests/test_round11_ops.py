@@ -1,0 +1,169 @@
+"""Round-11 operator tests: the full k-truss peel (sum-support
+reconciliation against an independent triangle enumeration, peel
+invariants) plus the round's new operators. Each mirrors the operator
+in plain Python / an independent Spark derivation over collected rows
+(the catalog contract tests cover the DuckDB oracle at the driver
+gate)."""
+
+from __future__ import annotations
+
+from conftest import SF_DIR
+
+
+# ------------------------------------------ full k-truss peel
+
+
+def test_ktruss_round0_matches_independent_enumeration(spark):
+    """Round-0 stats reconcile against an independent lo<mid<hi
+    triangle enumeration (a DIFFERENT algorithm from the op's
+    degree-ordered edge iterator) on the same windowed graph — and
+    n_triangles is the SUM(support) DIV 3 identity, so this pins the
+    reconciliation end-to-end."""
+    from pyspark.sql import functions as F
+
+    from etl_energy_tracker_spark.queries.graphops import (
+        _TRUSS_WINDOW,
+        ktruss_decomposition,
+    )
+    from etl_energy_tracker_spark.sources.registry import load_table
+
+    rows = {
+        r.round: r for r in ktruss_decomposition(spark, SF_DIR).collect()
+    }
+    li = load_table(spark, "lineitem", SF_DIR).filter(
+        (F.col("l_shipdate") >= F.lit(_TRUSS_WINDOW[0]).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_TRUSS_WINDOW[1]).cast("timestamp"))
+    ).select("l_orderkey", "l_partkey")
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("lo"),
+            F.col("b.l_partkey").alias("hi"),
+        )
+        .distinct()
+    )
+    edges.createOrReplaceTempView("tt_e0")
+    n_edges = edges.count()
+    n_tris = spark.sql(
+        """
+        SELECT COUNT(*) AS n FROM tt_e0 a
+        JOIN tt_e0 b ON a.lo = b.lo AND a.hi < b.hi
+        JOIN tt_e0 c ON c.lo = a.hi AND c.hi = b.hi
+        """
+    ).collect()[0].n
+    assert rows[0].edges_in == n_edges
+    assert rows[0].n_triangles == n_tris
+
+
+def test_ktruss_peel_invariants(spark):
+    """Each round's survivors are the next round's input; the edge
+    set is monotonically non-increasing; triangles never grow."""
+    from etl_energy_tracker_spark.queries.graphops import (
+        _TRUSS_ROUNDS,
+        ktruss_decomposition,
+    )
+
+    rows = sorted(
+        ktruss_decomposition(spark, SF_DIR).collect(),
+        key=lambda r: r.round,
+    )
+    assert len(rows) == _TRUSS_ROUNDS
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.edges_in == prev.edges_kept
+        assert cur.edges_in <= prev.edges_in
+        assert cur.n_triangles <= prev.n_triangles
+    for r in rows:
+        assert 0 <= r.edges_kept <= r.edges_in
+
+
+# --------------------------------- expansion-CWS weighted-LSH sketch
+
+
+def test_icws_sketch_verified_subset_of_exact(spark):
+    """Verified candidates use the exact op's own df-capped formula
+    and threshold, so ver is a SUBSET of the exact pair set: precision
+    is identically 1.0 whenever anything verifies, n_common equals
+    n_verified, and recall is bounded by 1."""
+    from etl_energy_tracker_spark.queries.textops import (
+        icws_weighted_lsh_pairs,
+    )
+
+    row = icws_weighted_lsh_pairs(spark, SF_DIR).collect()[0]
+    assert row.n_common == row.n_verified
+    assert row.n_verified <= row.n_candidates
+    assert row.n_verified <= row.n_exact
+    if row.n_verified > 0:
+        assert row.precision == 1.0
+    if row.n_exact > 0:
+        assert 0.0 <= row.recall <= 1.0
+
+
+def test_icws_expansion_signature_identity(spark):
+    """The expansion-sampler determinism the sketch rests on, checked
+    via a pure-Python replay of the exact same int64 arithmetic:
+    identical tf multisets yield IDENTICAL k=16 signatures (so true
+    duplicates always collide on every band), and the per-position
+    value is min over (gram, copy) elements of the permuted hash —
+    i.e., plain MinHash over the expanded multiset."""
+    from etl_energy_tracker_spark.functions.hashing import MOD
+    from etl_energy_tracker_spark.queries.textops import _CWS_K, _CWS_MOD
+
+    assert _CWS_MOD == MOD
+
+    def charhash(s: str, seed: int = 7) -> int:
+        acc = seed
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % MOD
+        return acc
+
+    def signature(multiset: dict[str, int]) -> list[int]:
+        elems = [
+            (charhash(g) * 31 + k) % MOD
+            for g, c in multiset.items()
+            for k in range(1, c + 1)
+        ]
+        return [
+            min(((2 * p + 1) * e + (p + 1) * 7919) % MOD for e in elems)
+            for p in range(_CWS_K)
+        ]
+
+    m1 = {"a b c": 2, "b c a": 1, "c a b": 1}
+    m2 = dict(m1)
+    assert signature(m1) == signature(m2)
+    # changing ONE count changes the element set, and the signature
+    # of the superset is elementwise <= (extra elements can only
+    # lower a min) — the monotonicity plain MinHash has over sets
+    m3 = {"a b c": 3, "b c a": 1, "c a b": 1}
+    s1, s3 = signature(m1), signature(m3)
+    assert all(v3 <= v1 for v1, v3 in zip(s1, s3))
+    # and the Spark-side expression computes the same signature for
+    # the same multiset (one row, all 16 positions)
+    from pyspark.sql import Row
+
+    tf = spark.createDataFrame(
+        [Row(doc_id=1, g=g, c=c) for g, c in m1.items()]
+    )
+    from etl_energy_tracker_spark.functions.hashing import spark_charhash
+    from pyspark.sql import functions as F
+
+    hashed = tf.withColumn("hg", F.expr(spark_charhash("g")))
+    partial_cols = [
+        F.expr(
+            f"array_min(transform(sequence(1, c), k -> "
+            f"({2 * p + 1}L * ((hg * 31L + k) % {MOD}L) "
+            f"+ {(p + 1) * 7919}L) % {MOD}L))"
+        ).alias(f"p{p}")
+        for p in range(_CWS_K)
+    ]
+    got = (
+        hashed.select("doc_id", *partial_cols)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"p{p}").alias(f"p{p}") for p in range(_CWS_K)])
+        .collect()[0]
+    )
+    assert [got[f"p{p}"] for p in range(_CWS_K)] == signature(m1)

@@ -223,6 +223,12 @@ OPS = [
     "psi_drift_report",
     "readability_index_report",
     "weighted_jaccard_pairs",
+    # round-11: iterated truss peel — per-round enumeration on the
+    # monotonically-shrinking survivor set; expansion-CWS sketch —
+    # corpus-linear explode + banded bucket join + candidate-only
+    # exact verify
+    "ktruss_decomposition",
+    "icws_weighted_lsh_pairs",
 ]
 
 
@@ -261,6 +267,55 @@ NDV_USER_OPS = [
     # set); its NDV axis is the doc replica axis, already probed —
     # see the r9 x10/x30 row ("ntile over the eval set").
 ]
+
+
+def build_capped_graph(spark, replicas: int, cap: int) -> tuple[str, str]:
+    """Degree-bounded lineitem-only probe dirs (VERDICT r10 task 4).
+
+    The default replica construction grows disjoint copies of the
+    FULL co-purchase graph, and edge_triangle_support's x100 working
+    set (119.6M edges, m^1.5 intersect spill) exceeded this host's
+    ~30 GB scratch. Capping each order's basket at ``cap`` parts
+    (row_number <= cap, deterministic by l_partkey) bounds edges per
+    order at C(cap,2) — sf0.1 measures 364k edges at cap=3 vs 1.196M
+    uncapped — so the x100 replica graph lands at ~36M edges, the
+    scale the uncapped x30 decade already handled. Both scales use
+    the SAME capped construction (t_x1 on the capped base, t_xN on
+    its replicas), so the ratio isolates the replica axis; and the
+    capped regime is the realistic one — basket size does not grow
+    with corpus size at 100 TB, vertex degree does, which disjoint
+    replicas preserve per-copy by construction."""
+    li = spark.read.parquet(f"{BASE}/lineitem.parquet")
+    from pyspark.sql import Window
+
+    capped = (
+        li.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("l_orderkey").orderBy("l_partkey")
+            ),
+        )
+        .filter(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    base_dir = os.path.join(PROBE, f"cb{cap}_x1")
+    capped.repartition(32).write.mode("overwrite").parquet(
+        f"{base_dir}/lineitem.parquet"
+    )
+    reps = spark.range(replicas).select(F.col("id").cast("int").alias("r"))
+    big = spark.read.parquet(f"{base_dir}/lineitem.parquet").crossJoin(reps)
+    big = big.select(
+        (F.col("l_orderkey") + F.col("r").cast("long") * 100_000_000).alias("l_orderkey"),
+        (F.col("l_partkey") + F.col("r").cast("long") * 10_000_000).alias("l_partkey"),
+        (F.col("l_suppkey") + F.col("r").cast("long") * 1_000_000).alias("l_suppkey"),
+        "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+        "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+    )
+    big_dir = os.path.join(PROBE, f"cb{cap}_x{replicas}")
+    big.repartition(64).write.mode("overwrite").parquet(
+        f"{big_dir}/lineitem.parquet"
+    )
+    return base_dir, big_dir
 
 
 def build_users(spark, mult: int) -> str:
@@ -403,6 +458,26 @@ def main() -> None:
         ops = sys.argv[sys.argv.index("--ops") + 1].split(",")
     spark = get_spark("scale-probe")
     qs = catalog.queries()
+    if "--cap-basket" in sys.argv:
+        cap = int(sys.argv[sys.argv.index("--cap-basket") + 1])
+        base_dir, big_dir = build_capped_graph(spark, replicas, cap)
+        for name in ops:
+            t_small = time_op(spark, qs, name, base_dir)
+            t_big = time_op(spark, qs, name, big_dir)
+            ratio = round(t_big / t_small, 2) if t_small else None
+            verdict = (
+                "linear-ok"
+                if ratio is not None and ratio <= replicas * 1.5
+                else "SUPERLINEAR"
+            )
+            print(json.dumps({
+                "op": name, "cap_basket": cap, "t_x1": t_small,
+                f"t_x{replicas}": t_big, "ratio": ratio,
+                "verdict": verdict,
+            }), flush=True)
+        if "--keep" not in sys.argv:
+            shutil.rmtree(PROBE, ignore_errors=True)
+        return
     if ndv_users:
         probe_dir = build_users(spark, replicas)
     else:
