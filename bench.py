@@ -277,6 +277,9 @@ EXTRA = [
     # round-11 additions
     "ktruss_decomposition",
     "icws_weighted_lsh_pairs",
+    "stream_full_outer_asym_wm",
+    "dpo_pair_loss_stats",
+    "lrs_cross_doc_exact",
 ]
 
 

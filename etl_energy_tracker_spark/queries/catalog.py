@@ -385,6 +385,9 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # r11 additions (never driver-checked) append here as they land
     "ktruss_decomposition",
     "icws_weighted_lsh_pairs",
+    "stream_full_outer_asym_wm",
+    "dpo_pair_loss_stats",
+    "lrs_cross_doc_exact",
 )
 
 

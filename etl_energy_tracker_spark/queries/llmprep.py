@@ -1652,3 +1652,160 @@ def dup_substring_maxlen(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_docs_involved"),
         )
     )
+
+
+# ----------------------------- exact cross-doc longest repeated substring
+
+# VERDICT r10 task 7's named candidate: the exact op that closes
+# dup_substring_maxlen's doubling bracket. That op proves "the
+# longest substring shared by >= 2 distinct docs has length in
+# [L, 2L)" for the largest ladder level L with a duplicate; this op
+# computes the exact length by the suffix-adjacency argument:
+#
+#   max over cross-doc suffix pairs of LCP
+#     = max over sort-ADJACENT pairs with different doc_ids
+#
+# (for any cross-doc pair (i, j), LCP(i,j) = min of adjacent LCPs
+# between them, and the doc id changes at least once in that chain,
+# so some adjacent DIFFERENT-doc pair has LCP >= LCP(i,j) — the
+# classic suffix-array LCS argument, tie-order independent).
+#
+# Distribution: a global suffix sort would be a single-partition
+# window; instead suffixes bucket by their first 16 chars (the
+# ladder's floor) — any pair with LCP >= 16 shares the bucket, so
+# the within-bucket adjacency scan finds every candidate >= the
+# floor, and the window partitions by bucket key (distributed; hot
+# boilerplate prefixes are the documented skew caveat, the same one
+# the dup ladder's df-profile carries). Suffixes truncate at
+# 2*256 - 1 = 511 chars: exact wherever the answer < 512, i.e. the
+# whole range the ladder can bracket.
+
+_LRS_FLOOR = 16
+_LRS_TRUNC = 2 * _DSM_LEVELS[-1] - 1
+
+
+@register(
+    "lrs_cross_doc_exact",
+    oracle=f"""
+    WITH sfx AS (
+        SELECT doc_id,
+               substr(text, CAST(ii.i AS INT), {_LRS_TRUNC}) AS s
+        FROM documents,
+             LATERAL (SELECT unnest(range(1, length(text) - {_LRS_FLOOR - 2})) AS i) ii
+        WHERE length(text) >= {_LRS_FLOOR}
+    ),
+    b AS (SELECT substr(s, 1, {_LRS_FLOOR}) AS pre, doc_id, s FROM sfx),
+    adj AS (
+        SELECT pre, doc_id, s,
+               lag(doc_id) OVER w AS prev_doc,
+               lag(s) OVER w AS prev_s
+        FROM b
+        WINDOW w AS (PARTITION BY pre ORDER BY s, doc_id)
+    ),
+    lcps AS (
+        -- list_position yields 0 (not NULL) when no position differs,
+        -- same as Spark's array_position: 0 => strings equal over the
+        -- compared range => LCP is the shorter length
+        SELECT CASE WHEN COALESCE(p, 0) = 0
+                    THEN least(length(s), length(prev_s))
+                    ELSE p - 1 END AS lcp
+        FROM (
+            SELECT s, prev_s,
+                   list_position(list_transform(
+                       range(1, least(length(s), length(prev_s)) + 1),
+                       ii -> substr(s, CAST(ii AS INT), 1)
+                             = substr(prev_s, CAST(ii AS INT), 1)),
+                       false) AS p
+            FROM adj
+            WHERE prev_s IS NOT NULL AND prev_doc <> doc_id
+        )
+    ),
+    buckets AS (
+        SELECT pre FROM b GROUP BY pre
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT CAST(COALESCE((SELECT MAX(lcp) FROM lcps), 0) AS BIGINT)
+               AS lrs_len,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM sfx) AS n_suffixes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM buckets)
+               AS n_crossdoc_buckets
+    """,
+    tags=("text", "dedup"),
+    doc="EXACT cross-doc longest-repeated-substring length — the "
+    "validator that closes dup_substring_maxlen's [L, 2L) doubling "
+    "bracket (same duplicate definition: a substring counts if it "
+    "appears in >= 2 DISTINCT docs; the bracket reconciliation is "
+    "pinned in pytest). Suffixes (truncated at 511 = 2*256-1, exact "
+    "over the ladder's whole range) bucket by their 16-char prefix "
+    "— the ladder floor, so every pair with LCP >= 16 shares a "
+    "bucket and no global sort exists in the plan; within each "
+    "bucket a distributed sort-window takes adjacent-pair LCPs and "
+    "keeps those whose neighbors come from different docs, whose max "
+    "IS the cross-doc LRS by the suffix-adjacency argument (doc id "
+    "changes somewhere inside any cross-doc pair's adjacency chain). "
+    "LCP itself is one zip-compare over char arrays, O(len). Scale: "
+    "suffix volume is corpus chars x truncation window (linear on "
+    "the char axis, like the ladder op it validates); the bucket "
+    "window is the standard distributed suffix-array LCP scan; hot "
+    "boilerplate prefixes are the documented skew caveat. Ref "
+    "parity: beyond-reference dedup layer.",
+)
+def lrs_cross_doc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    sfx = (
+        docs.where(F.length("text") >= _LRS_FLOOR)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(1, length(text) - {_LRS_FLOOR - 1})")
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.expr(f"substr(text, i, {_LRS_TRUNC})").alias("s"),
+        )
+        # the single-file source reaches the explode in ~1 partition
+        # (the dup_substring_maxlen lesson); spread docs first
+        .localCheckpoint(eager=False)
+    )
+    b = sfx.select(
+        F.expr(f"substr(s, 1, {_LRS_FLOOR})").alias("pre"),
+        "doc_id",
+        "s",
+    )
+    w = W.partitionBy("pre").orderBy("s", "doc_id")
+    adj = b.select(
+        "pre",
+        "doc_id",
+        "s",
+        F.lag("doc_id").over(w).alias("prev_doc"),
+        F.lag("s").over(w).alias("prev_s"),
+    ).where(
+        F.col("prev_s").isNotNull() & (F.col("prev_doc") != F.col("doc_id"))
+    )
+    lcp = F.expr(
+        "CASE WHEN p = 0 THEN least(length(s), length(prev_s)) "
+        "ELSE p - 1 END"
+    )
+    lcps = adj.select(
+        F.expr(
+            "array_position(zip_with(split(s, ''), split(prev_s, ''), "
+            "(x, y) -> x <=> y), false)"
+        ).alias("p"),
+        "s",
+        "prev_s",
+    ).select(lcp.alias("lcp"))
+    max_lcp = lcps.agg(
+        F.coalesce(F.max("lcp"), F.lit(0)).cast("long").alias("lrs_len")
+    )
+    n_sfx = sfx.agg(F.count(F.lit(1)).cast("long").alias("n_suffixes"))
+    n_buckets = (
+        b.groupBy("pre")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where("nd >= 2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_crossdoc_buckets"))
+    )
+    return max_lcp.crossJoin(F.broadcast(n_sfx)).crossJoin(
+        F.broadcast(n_buckets)
+    )

@@ -1226,3 +1226,127 @@ def grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_GRPO_ADV).alias("advantage_milli"),
         F.col("n").cast("long").alias("group_n"),
     )
+
+
+# ------------------------------------------ DPO/IPO pair-loss stats
+
+# VERDICT r10 task 7's named candidate: pair-loss statistics atop
+# preference_pairs_assemble. The reward link is Bradley-Terry with
+# IDENTITY strengths (p(chosen beats rejected) = s_c / (s_c + s_r))
+# rather than the exp/sigmoid link: the scores are already integers,
+# the BT log-loss then reduces to ln((s_c+s_r)/s_c) — computable with
+# functions/portable_math.ln_rational, bit-identical on both engines,
+# where a sigmoid would need exp(), a transcendental the r10 psi_drift
+# 1-ulp incident showed cannot be oracle-pinned through libm. The IPO
+# quadratic uses tau = 1/(2*beta) = 5 nats (beta = 0.1) against the
+# log-strength margin h = ln(s_c/s_r), squared in exact micro-nat
+# INTEGER arithmetic. Strengths are the pair scores shifted affinely
+# to >= 1 (BT requires positive strengths; the shift is the global
+# min over pair scores, one broadcast scalar).
+
+_DPO_TAU_MICRO = 5_000_000  # tau = 5 nats = 1/(2*0.1)
+
+
+def _dpo_oracle() -> str:
+    from ..functions.portable_math import ln_micro_rational
+    from .catalog import CATALOG
+
+    pairs_sql = CATALOG["preference_pairs_assemble"].oracle
+    bt = ln_micro_rational("sc + sr", "sc", "duckdb")
+    h = ln_micro_rational("sc", "sr", "duckdb")
+    return f"""
+    WITH pairs AS ({pairs_sql}),
+    s AS (
+        SELECT lang, source, chosen_doc, rejected_doc, margin,
+               chosen_score
+                 - (SELECT MIN(LEAST(chosen_score, rejected_score))
+                      FROM pairs) + 1 AS sc,
+               rejected_score
+                 - (SELECT MIN(LEAST(chosen_score, rejected_score))
+                      FROM pairs) + 1 AS sr
+        FROM pairs
+    ),
+    losses AS (
+        SELECT lang, source, chosen_doc, rejected_doc, margin,
+               {bt} AS bt_nll_micro,
+               {h} AS h_micro,
+               CAST(CASE WHEN margin > 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS correct
+        FROM s
+    )
+    SELECT lang, source, chosen_doc, rejected_doc, margin,
+           bt_nll_micro, h_micro,
+           CAST(((h_micro - {_DPO_TAU_MICRO})
+                 * (h_micro - {_DPO_TAU_MICRO})) // 1000000 AS BIGINT)
+               AS ipo_loss_micro,
+           correct
+    FROM losses
+    """
+
+
+@register(
+    "dpo_pair_loss_stats",
+    oracle=_dpo_oracle(),
+    tags=("ml", "eval"),
+    doc="DPO/IPO pair-loss statistics over the assembled preference "
+    "pairs (reuses preference_pairs_assemble verbatim as its input "
+    "relation on BOTH engines): per pair, the Bradley-Terry NLL "
+    "under identity strengths -ln(s_c / (s_c + s_r)) = "
+    "ln((s_c+s_r)/s_c), the log-strength margin h = ln(s_c/s_r), "
+    "and the IPO quadratic (h - tau)^2 at tau = 1/(2 beta) = 5 nats "
+    "— all in micro-nat integers through the portable bit-length "
+    "range-reduced ln (no libm anywhere; the identity link replaces "
+    "the sigmoid exactly so NO exp() is needed), the square taken in "
+    "exact BIGINT micro arithmetic. Strengths are pair scores "
+    "shifted by the global min to >= 1 (one broadcast scalar). "
+    "Scale: pair table is 2 rows per (lang, source) group; the shift "
+    "is a 1-row broadcast crossJoin; everything else is map-side "
+    "arithmetic. Ref parity: beyond-reference eval layer.",
+)
+def dpo_pair_loss_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.portable_math import ln_micro_rational
+
+    pairs = preference_pairs_assemble(spark, sf_dir).localCheckpoint(
+        eager=False
+    )
+    smin = pairs.agg(
+        F.min(F.least("chosen_score", "rejected_score")).alias("smin")
+    )
+    s = pairs.crossJoin(F.broadcast(smin)).select(
+        "lang",
+        "source",
+        "chosen_doc",
+        "rejected_doc",
+        "margin",
+        (F.col("chosen_score") - F.col("smin") + 1).alias("sc"),
+        (F.col("rejected_score") - F.col("smin") + 1).alias("sr"),
+    )
+    losses = s.select(
+        "lang",
+        "source",
+        "chosen_doc",
+        "rejected_doc",
+        "margin",
+        F.expr(ln_micro_rational("sc + sr", "sc", "spark")).alias(
+            "bt_nll_micro"
+        ),
+        F.expr(ln_micro_rational("sc", "sr", "spark")).alias("h_micro"),
+        F.when(F.col("margin") > 0, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("correct"),
+    )
+    return losses.select(
+        "lang",
+        "source",
+        "chosen_doc",
+        "rejected_doc",
+        "margin",
+        "bt_nll_micro",
+        "h_micro",
+        F.expr(
+            f"CAST(((h_micro - {_DPO_TAU_MICRO})"
+            f" * (h_micro - {_DPO_TAU_MICRO})) DIV 1000000 AS BIGINT)"
+        ).alias("ipo_loss_micro"),
+        "correct",
+    )

@@ -893,3 +893,67 @@ def stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import clicks_purchases_full_outer_stream
 
     return clicks_purchases_full_outer_stream(spark, sf_dir)
+
+
+@register(
+    "stream_full_outer_asym_wm",
+    oracle="""
+    WITH c AS (
+        SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    wm AS (
+        SELECT LEAST(
+            (SELECT MAX(epoch_us(ts)) FROM events
+              WHERE event_type = 'click') - 7200000000,
+            (SELECT MAX(epoch_us(ts)) FROM events
+              WHERE event_type = 'purchase') - 1800000000
+        ) AS wm_us
+    ),
+    m AS (
+        SELECT COALESCE(p.user_id, c.c_user) AS user_id,
+               p.purchase_id, c.click_id,
+               epoch_us(p.purchase_ts) - epoch_us(c.click_ts) AS lag_us,
+               epoch_us(p.purchase_ts) AS p_us,
+               epoch_us(c.click_ts) AS c_us
+        FROM p FULL JOIN c
+          ON c.c_user = p.user_id
+         AND c.click_ts >= p.purchase_ts - INTERVAL 60 MINUTE
+         AND c.click_ts <= p.purchase_ts
+    )
+    SELECT user_id,
+           CAST(purchase_id AS BIGINT) AS purchase_id,
+           CAST(click_id AS BIGINT) AS click_id,
+           CAST(lag_us AS BIGINT) AS lag_us
+    FROM m CROSS JOIN wm
+    WHERE (purchase_id IS NOT NULL AND click_id IS NOT NULL)
+       OR (click_id IS NULL AND p_us < wm.wm_us)
+       OR (purchase_id IS NULL AND c_us + 3600000000 < wm.wm_us)
+    """,
+    tags=("streaming", "join", "stateful"),
+    doc="Full-outer stream-stream join with ASYMMETRIC per-side "
+    "watermark delays — clicks tolerate 2 h of lateness, purchases "
+    "30 min (the slow-backfill-meets-realtime configuration, and the "
+    "one join shape the r10 family left unpinned). Under Spark's "
+    "default multipleWatermarkPolicy=min the GLOBAL watermark is "
+    "min(max(click_ts) - 2h, max(purchase_ts) - 30min) — the "
+    "oracle's LEAST of two side-specific horizons — and the r10 "
+    "eviction rule carries over verbatim: a buffered row emits "
+    "null-extended when its OWN side's join-window end (purchase_ts "
+    "for purchases, click_ts + 60 min for clicks) falls STRICTLY "
+    "below that global watermark; the synthetic boundary pytest "
+    "proves the SLOWER side's delay is what gates BOTH sides' "
+    "evictions. Same join predicate and output shape as "
+    "stream_full_outer_join, isolating exactly one variable. Scale: "
+    "state bounded by the (asymmetric) watermark horizons per side; "
+    "shuffle keyed by user. SURVEY §2.9: beyond-reference streaming "
+    "upgrade.",
+)
+def stream_full_outer_asym_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import clicks_purchases_full_outer_asym_stream
+
+    return clicks_purchases_full_outer_asym_stream(spark, sf_dir)

@@ -524,6 +524,69 @@ def clicks_purchases_full_outer_stream(
     return spark.table(name)
 
 
+def clicks_purchases_full_outer_asym_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    click_delay: str = "2 hours",
+    purchase_delay: str = "30 minutes",
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Full-outer stream-stream join with ASYMMETRIC per-side
+    watermark delays (VERDICT r10 task 7's named missing shape): the
+    click side tolerates 2 hours of lateness, the purchase side 30
+    minutes — the realistic configuration when one feed is a slow
+    batchy backfill and the other near-real-time. Spark's default
+    multipleWatermarkPolicy=min makes the GLOBAL watermark
+    min(max(click_ts) - 2h, max(purchase_ts) - 30min), and the r10
+    eviction rule carries over unchanged: a buffered row emits
+    null-extended when its OWN side's join-window end falls STRICTLY
+    below that global watermark. Same join predicate and output shape
+    as clicks_purchases_full_outer_stream, so the two ops isolate
+    exactly one variable — the per-side delays."""
+
+    def src() -> DataFrame:
+        return _events_stream(spark, sf_dir)
+
+    clicks = (
+        src()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", click_delay)
+    )
+    purchases = (
+        src()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", purchase_delay)
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "c_user = user_id AND click_ts >= purchase_ts - INTERVAL 60 MINUTES "
+            "AND click_ts <= purchase_ts"
+        ),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("user_id"), F.col("c_user")).alias("user_id"),
+        "purchase_id",
+        "click_id",
+        (F.unix_micros("purchase_ts") - F.unix_micros("click_ts")).alias("lag_us"),
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
+        q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+        _finish(q)
+    return spark.table(name)
+
+
 def dedup_within_watermark_stream(
     spark: SparkSession, sf_dir: str, shuffle_partitions: int | None = 8
 ) -> DataFrame:

@@ -167,3 +167,36 @@ def test_icws_expansion_signature_identity(spark):
         .collect()[0]
     )
     assert [got[f"p{p}"] for p in range(_CWS_K)] == signature(m1)
+
+
+# -------------------------- exact cross-doc LRS / bracket reconciliation
+
+
+def test_lrs_closes_dup_substring_bracket(spark):
+    """The doubling-bracket claim, closed end-to-end: if L is the
+    largest ladder level where dup_substring_maxlen found a cross-doc
+    duplicate, the exact cross-doc LRS lies in [L, 2L) — capped at
+    the 511-char truncation, which equals the top bracket's maximum
+    measurable value by construction."""
+    from etl_energy_tracker_spark.queries.llmprep import (
+        _LRS_TRUNC,
+        dup_substring_maxlen,
+        lrs_cross_doc_exact,
+    )
+
+    ladder = {
+        r.level: r.n_dup_substrings
+        for r in dup_substring_maxlen(spark, SF_DIR).collect()
+    }
+    lrs = lrs_cross_doc_exact(spark, SF_DIR).collect()[0].lrs_len
+    dup_levels = [lvl for lvl, n in ladder.items() if n > 0]
+    if dup_levels:
+        top = max(dup_levels)
+        assert top <= lrs <= min(2 * top - 1, _LRS_TRUNC)
+    else:
+        assert lrs < 16
+    # and every ladder level at or below the LRS must have found dups
+    # (a repeat of length >= L contains duplicated L-grams)
+    for lvl, n in ladder.items():
+        if lvl <= lrs:
+            assert n > 0, f"level {lvl} should see the LRS's grams"

@@ -631,3 +631,77 @@ def test_full_outer_join_own_window_end_rule(spark, tmp_path):
         for r in spark.table(name).collect()
     )
     assert got == [(-1, 2), (5, -1)]
+
+
+def test_full_outer_asym_watermarks_min_policy(spark, tmp_path):
+    """Asymmetric per-side watermark delays (clicks 2 h, purchases 30
+    min): the GLOBAL watermark is the MIN of the two side-specific
+    horizons, and it gates BOTH sides' evictions. Construction: max
+    click 20:00 -> click horizon 18:00; max purchase 16:00 ->
+    purchase horizon 15:30; global = 15:30. Click 4 (window end
+    14:00) emits null-extended ONLY because the purchase side's
+    shorter delay pushed the global watermark past it — under
+    symmetric 2 h delays the global watermark would sit at 14:00 and
+    click 4 would stay (strict rule). Click 3 (end == 15:30) and
+    purchase 6 (ts == 15:30) pin the strictness on both sides."""
+    import uuid
+
+    src = str(tmp_path / "fo_asym_src")
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    schema = "ts timestamp, user_id long, event_type string, event_id long"
+    rows = [
+        (base + dt.timedelta(hours=10), 99, "click", 1),
+        (base + dt.timedelta(hours=6), 98, "purchase", 9),
+        (base + dt.timedelta(minutes=30), 2, "click", 2),
+        (base + dt.timedelta(minutes=270), 3, "click", 3),
+        (base + dt.timedelta(minutes=180), 4, "click", 4),
+        (base + dt.timedelta(minutes=45), 5, "purchase", 5),
+        (base + dt.timedelta(minutes=330), 6, "purchase", 6),
+    ]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    clicks = (
+        stream.where("event_type = 'click'")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        stream.where("event_type = 'purchase'")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "30 minutes")
+    )
+    joined = purchases.join(
+        clicks,
+        F.expr(
+            "c_user = user_id"
+            " AND click_ts >= purchase_ts - INTERVAL 60 MINUTES"
+            " AND click_ts <= purchase_ts"
+        ),
+        "full_outer",
+    )
+    name = f"foa_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.purchase_id or -1, r.click_id or -1)
+        for r in spark.table(name).collect()
+    )
+    assert got == [(-1, 2), (-1, 4), (5, -1)]
