@@ -388,6 +388,8 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "stream_full_outer_asym_wm",
     "dpo_pair_loss_stats",
     "lrs_cross_doc_exact",
+    "lm_bigram_perplexity",
+    "bloom_prune_audit",
 )
 
 

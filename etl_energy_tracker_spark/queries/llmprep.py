@@ -1721,13 +1721,24 @@ _LRS_TRUNC = 2 * _DSM_LEVELS[-1] - 1
         )
     ),
     buckets AS (
-        SELECT pre FROM b GROUP BY pre
+        -- recomputed from the cheap 16-gram projection, NOT the
+        -- 511-char suffix relation (see the Spark-side note)
+        SELECT substr(text, CAST(ii.i AS INT), {_LRS_FLOOR}) AS pre,
+               doc_id
+        FROM documents,
+             LATERAL (SELECT unnest(range(1, length(text) - {_LRS_FLOOR - 2})) AS i) ii
+        WHERE length(text) >= {_LRS_FLOOR}
+    ),
+    bstats AS (
+        SELECT pre FROM buckets GROUP BY pre
         HAVING COUNT(DISTINCT doc_id) >= 2
     )
     SELECT CAST(COALESCE((SELECT MAX(lcp) FROM lcps), 0) AS BIGINT)
                AS lrs_len,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM sfx) AS n_suffixes,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM buckets)
+           (SELECT CAST(SUM(length(text) - {_LRS_FLOOR - 1}) AS BIGINT)
+              FROM documents WHERE length(text) >= {_LRS_FLOOR})
+               AS n_suffixes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bstats)
                AS n_crossdoc_buckets
     """,
     tags=("text", "dedup"),
@@ -1751,28 +1762,30 @@ _LRS_TRUNC = 2 * _DSM_LEVELS[-1] - 1
     "parity: beyond-reference dedup layer.",
 )
 def lrs_cross_doc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
-    sfx = (
-        docs.where(F.length("text") >= _LRS_FLOOR)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(f"sequence(1, length(text) - {_LRS_FLOOR - 1})")
-            ).alias("i"),
-            "text",
-        )
-        .select(
-            "doc_id",
-            F.expr(f"substr(text, i, {_LRS_TRUNC})").alias("s"),
-        )
-        # the single-file source reaches the explode in ~1 partition
-        # (the dup_substring_maxlen lesson); spread docs first
-        .localCheckpoint(eager=False)
+    # load_table repartitions to defaultParallelism, so the explode
+    # fans out cluster-wide (the dup_substring_maxlen lesson #1). The
+    # 511-char suffix relation is consumed EXACTLY ONCE (the bucket
+    # window below) and never cached/checkpointed — a lazy checkpoint
+    # of it is what OOM'd the x10 probe's memory store in the first
+    # draft (dup_substring_maxlen lesson #2, relearned); the two
+    # count aggregates derive from doc lengths and a 16-char-gram
+    # projection instead, never touching the wide suffixes.
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
     )
-    b = sfx.select(
-        F.expr(f"substr(s, 1, {_LRS_FLOOR})").alias("pre"),
+    eligible = docs.where(F.length("text") >= _LRS_FLOOR).select(
+        "doc_id", "text"
+    )
+    b = eligible.select(
         "doc_id",
-        "s",
+        F.explode(
+            F.expr(f"sequence(1, length(text) - {_LRS_FLOOR - 1})")
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id",
+        F.expr(f"substr(text, i, {_LRS_FLOOR})").alias("pre"),
+        F.expr(f"substr(text, i, {_LRS_TRUNC})").alias("s"),
     )
     w = W.partitionBy("pre").orderBy("s", "doc_id")
     adj = b.select(
@@ -1799,13 +1812,169 @@ def lrs_cross_doc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_lcp = lcps.agg(
         F.coalesce(F.max("lcp"), F.lit(0)).cast("long").alias("lrs_len")
     )
-    n_sfx = sfx.agg(F.count(F.lit(1)).cast("long").alias("n_suffixes"))
+    # suffix count from doc lengths — no explode, no wide strings
+    n_sfx = eligible.agg(
+        F.sum(F.length("text") - (_LRS_FLOOR - 1))
+        .cast("long")
+        .alias("n_suffixes")
+    )
+    # bucket stats from a 16-char-gram-only projection (narrow keys)
+    grams16 = eligible.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"sequence(1, length(text) - {_LRS_FLOOR - 1})")
+        ).alias("i"),
+        "text",
+    ).select(
+        "doc_id", F.expr(f"substr(text, i, {_LRS_FLOOR})").alias("pre")
+    )
     n_buckets = (
-        b.groupBy("pre")
+        grams16.groupBy("pre")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .where("nd >= 2")
         .agg(F.count(F.lit(1)).cast("long").alias("n_crossdoc_buckets"))
     )
     return max_lcp.crossJoin(F.broadcast(n_sfx)).crossJoin(
         F.broadcast(n_buckets)
+    )
+
+
+# ------------------------------- bigram LM perplexity (CCNet-style)
+
+# CCNet scores every document with a small LM and buckets the corpus
+# by perplexity — the quality signal this repo's Gopher/C4 rule
+# filters don't capture. This op trains an add-1-smoothed bigram LM
+# on a deterministic 80% doc split and reports per-source
+# cross-entropy over the held-out 20%: P(w2|w1) = (c12 + 1) /
+# (c1 + V) is a ratio of INTEGERS, so every log-prob goes through
+# the portable bit-length ln (functions/portable_math) in micro-nats
+# — no libm, bit-identical on both engines.
+
+
+def _lmppx_oracle() -> str:
+    from ..functions.portable_math import ln_micro_rational
+
+    nll = ln_micro_rational(
+        "COALESCE(tu.c1, 0) + v", "COALESCE(tb.c12, 0) + 1", "duckdb"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, source,
+               t[CAST(i.i AS INT)] AS w1, t[CAST(i.i AS INT) + 1] AS w2
+        FROM toks,
+             LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+    ),
+    train_big AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM big WHERE doc_id % 5 <> 0 GROUP BY w1, w2
+    ),
+    train_uni AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+        FROM train_big GROUP BY w1
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS v FROM train_uni
+    ),
+    eval_nll AS (
+        SELECT e.source, e.doc_id,
+               {nll} AS nll_micro
+        FROM (SELECT source, doc_id, w1, w2 FROM big
+               WHERE doc_id % 5 = 0) e
+        LEFT JOIN train_big tb ON tb.w1 = e.w1 AND tb.w2 = e.w2
+        LEFT JOIN train_uni tu ON tu.w1 = e.w1
+        CROSS JOIN vocab
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_eval_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_bigrams,
+           CAST(SUM(nll_micro) AS BIGINT) AS sum_nll_micro,
+           CAST(SUM(nll_micro) // COUNT(*) AS BIGINT) AS mean_nll_micro
+    FROM eval_nll
+    GROUP BY source
+    """
+
+
+@register(
+    "lm_bigram_perplexity",
+    oracle=_lmppx_oracle(),
+    tags=("text", "ml", "eval"),
+    doc="CCNet-style LM quality signal: an add-1-smoothed bigram LM "
+    "trains on the deterministic 80% doc split (doc_id % 5 <> 0) and "
+    "scores the held-out 20%, reporting per-source cross-entropy "
+    "(sum and truncating mean, micro-nats). P(w2|w1) = (c12+1)/(c1+V) "
+    "is a ratio of integers, so every log-prob runs through the "
+    "portable bit-length-range-reduced ln — no libm anywhere, both "
+    "engines bit-identical (the psi_drift lesson applied from the "
+    "start); c12 <= c1 guarantees the ratio >= 1 so NLL >= 0. Scale: "
+    "the LM is two count tables keyed by ngram (corpus-bounded, "
+    "shuffle on the ngram key, map-side combine); scoring is two "
+    "left joins on those keys; V is a 1-row broadcast. The 100 TB "
+    "form shards the bigram table by hash exactly as here — no state "
+    "beyond the counts. Ref parity: beyond-reference quality layer "
+    "(complements the Gopher/C4 rule filters with the model-based "
+    "signal CCNet buckets by).",
+)
+def lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.portable_math import ln_micro_rational
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    big = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.split(F.trim("text"), r"\s+").alias("t"),
+        )
+        .where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .localCheckpoint(eager=False)
+    )
+    train = big.where(F.col("doc_id") % 5 != 0)
+    ev = big.where(F.col("doc_id") % 5 == 0)
+    train_big = train.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    ).localCheckpoint(eager=False)
+    train_uni = train_big.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1")
+    )
+    vocab = train_uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+    scored = (
+        ev.join(train_big, ["w1", "w2"], "left")
+        .join(train_uni, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source",
+            "doc_id",
+            F.coalesce("c12", F.lit(0)).alias("c12"),
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+            "v",
+        )
+        .withColumn(
+            "nll_micro",
+            F.expr(ln_micro_rational("c1 + v", "c12 + 1", "spark")),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_eval_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_eval_bigrams"),
+        F.sum("nll_micro").cast("long").alias("sum_nll_micro"),
+        F.expr("CAST(SUM(nll_micro) DIV COUNT(*) AS BIGINT)").alias(
+            "mean_nll_micro"
+        ),
     )

@@ -1247,3 +1247,145 @@ def _kmv_sql(div: str) -> str:
 def kmv_theta_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, "events", sf_dir).createOrReplaceTempView("events")
     return spark.sql(_kmv_sql("DIV"))
+
+
+# ------------------------------------------------ Bloom-filter audit
+
+# The join-pruning sketch the other direction from KMV/CMS: a Bloom
+# filter over the build side's keys lets a 100 TB probe side drop
+# non-matching rows BEFORE the shuffle (Spark's own
+# spark.sql.optimizer.runtime.bloomFilter does exactly this opaquely;
+# this op builds the filter as DATA so the false-positive economics
+# are measurable and oracle-checkable). m = 2^14 bits, k = 4
+# positions per key via the fixed odd-multiplier permutation family
+# (pure BIGINT arithmetic, bit-identical on both engines). The
+# filter itself is the distinct set-bit table (<= m rows) — the
+# representation a distributed build produces naturally (one distinct
+# over positions), broadcastable at any scale since |bits| <= m.
+
+_BLOOM_M = 1 << 14
+_BLOOM_K = 4
+
+_BLOOM_POS = ", ".join(
+    f"((2 * {i} + 1) * ck + ({i} + 1) * 7919) % {_BLOOM_M}"
+    for i in range(_BLOOM_K)
+)
+
+
+@register(
+    "bloom_prune_audit",
+    oracle=f"""
+    WITH build AS (
+        SELECT DISTINCT o_custkey AS ck FROM orders
+    ),
+    bits AS (
+        SELECT DISTINCT unnest([{_BLOOM_POS}]) AS bit FROM build
+    ),
+    probe AS (
+        SELECT c_custkey AS ck FROM customer
+    ),
+    probe_bits AS (
+        SELECT ck, unnest([{_BLOOM_POS}]) AS bit FROM probe
+    ),
+    flagged AS (
+        SELECT pb.ck
+        FROM probe_bits pb JOIN bits USING (bit)
+        GROUP BY pb.ck
+        HAVING COUNT(DISTINCT bit) = {_BLOOM_K}
+    ),
+    member AS (
+        SELECT ck FROM probe WHERE ck IN (SELECT ck FROM build)
+    )
+    SELECT CAST({_BLOOM_M} AS BIGINT) AS m_bits,
+           CAST({_BLOOM_K} AS BIGINT) AS k_hashes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM build) AS n_build,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS n_set_bits,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_probe,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM flagged) AS n_flagged,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM member) AS n_member,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM flagged
+             WHERE ck NOT IN (SELECT ck FROM member)) AS n_fp,
+           CAST((SELECT COUNT(*) FROM flagged
+                  WHERE ck NOT IN (SELECT ck FROM member)) * 1000
+                // NULLIF((SELECT COUNT(*) FROM probe)
+                          - (SELECT COUNT(*) FROM member), 0) AS BIGINT)
+               AS fp_permille
+    """,
+    tags=("sketch", "join", "infra"),
+    doc="Bloom-filter join-prune audit, the sketch laid bare as data: "
+    "build an m=16384-bit / k=4 filter over the DISTINCT order "
+    "custkeys (positions from the fixed odd-multiplier permutation "
+    "family — pure BIGINT arithmetic both engines compute "
+    "identically), probe every customer, and report the measured "
+    "false-positive economics against exact membership: a customer "
+    "is FLAGGED when all 4 of its bit positions are set, a FALSE "
+    "POSITIVE when flagged but orderless. No flagged member can be "
+    "missed (no false negatives, pinned in pytest). Spark's own "
+    "runtime bloomFilter rewrite does this opaquely inside the "
+    "exchange; materializing it shows WHETHER the m/k budget pays at "
+    "a given NDV — the audit a 100 TB prune decision needs. Scale: "
+    "the filter is the distinct set-bit table (<= m rows, "
+    "broadcastable by construction); build and probe are one distinct "
+    "+ one m-bounded join each; nothing all-pairs. Ref parity: "
+    "beyond-reference sketch layer.",
+)
+def bloom_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    build = orders.select(
+        F.col("o_custkey").alias("ck")
+    ).distinct().localCheckpoint(eager=False)
+    pos_arr = f"array({_BLOOM_POS})"
+    bits = (
+        build.select(F.explode(F.expr(pos_arr)).alias("bit"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    probe = cust.select(F.col("c_custkey").alias("ck")).localCheckpoint(
+        eager=False
+    )
+    probe_bits = probe.select("ck", F.explode(F.expr(pos_arr)).alias("bit"))
+    flagged = (
+        probe_bits.join(F.broadcast(bits), "bit")
+        .groupBy("ck")
+        .agg(F.countDistinct("bit").alias("nb"))
+        .where(F.col("nb") == _BLOOM_K)
+        .select("ck")
+        .localCheckpoint(eager=False)
+    )
+    member = probe.join(build, "ck", "left_semi").localCheckpoint(
+        eager=False
+    )
+    n_build = build.agg(F.count(F.lit(1)).cast("long").alias("n_build"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("long").alias("n_set_bits"))
+    n_probe = probe.agg(F.count(F.lit(1)).cast("long").alias("n_probe"))
+    n_flagged = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_flagged")
+    )
+    n_member = member.agg(
+        F.count(F.lit(1)).cast("long").alias("n_member")
+    )
+    n_fp = flagged.join(member, "ck", "left_anti").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fp")
+    )
+    return (
+        n_build.crossJoin(F.broadcast(n_bits))
+        .crossJoin(F.broadcast(n_probe))
+        .crossJoin(F.broadcast(n_flagged))
+        .crossJoin(F.broadcast(n_member))
+        .crossJoin(F.broadcast(n_fp))
+        .select(
+            F.lit(_BLOOM_M).cast("long").alias("m_bits"),
+            F.lit(_BLOOM_K).cast("long").alias("k_hashes"),
+            "n_build",
+            "n_set_bits",
+            "n_probe",
+            "n_flagged",
+            "n_member",
+            "n_fp",
+            F.expr(
+                "CAST(n_fp * 1000 DIV NULLIF(n_probe - n_member, 0)"
+                " AS BIGINT)"
+            ).alias("fp_permille"),
+        )
+    )

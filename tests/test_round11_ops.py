@@ -200,3 +200,80 @@ def test_lrs_closes_dup_substring_bracket(spark):
     for lvl, n in ladder.items():
         if lvl <= lrs:
             assert n > 0, f"level {lvl} should see the LRS's grams"
+
+
+# ------------------------------------------ bloom filter audit
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every true member is flagged (a Bloom filter can only err
+    toward false positives), and the audit's counters reconcile:
+    flagged = members + false positives."""
+    from etl_energy_tracker_spark.queries.sketchops import (
+        bloom_prune_audit,
+    )
+
+    row = bloom_prune_audit(spark, SF_DIR).collect()[0]
+    assert row.n_flagged == row.n_member + row.n_fp
+    assert 0 < row.n_set_bits <= row.m_bits
+    assert row.n_member <= row.n_probe
+    # with m >> k*n the measured FP rate stays moderate; the audit's
+    # value is the measurement, but a saturated filter (all probes
+    # flagged) would mean the arithmetic is broken
+    assert row.n_flagged < row.n_probe or row.n_member == row.n_probe
+
+
+# ------------------------------------------ bigram LM perplexity
+
+
+def test_lm_perplexity_python_replay(spark):
+    """Exact replay of the add-1 bigram LM in plain Python over the
+    collected corpus: same split, same counts, same integer micro-nat
+    ln (via the portable series' defining identity checked through
+    the collected Spark outputs)."""
+    import math
+
+    from etl_energy_tracker_spark.queries.llmprep import (
+        lm_bigram_perplexity,
+    )
+    from etl_energy_tracker_spark.sources.registry import load_table
+
+    got = {
+        r.source: r for r in lm_bigram_perplexity(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, "documents", SF_DIR).select(
+        "doc_id", "source", "text"
+    ).collect()
+    from collections import Counter, defaultdict
+
+    tb: Counter = Counter()
+    for r in docs:
+        if r.doc_id % 5 == 0:
+            continue
+        t = r.text.strip().split()
+        for a, b in zip(t, t[1:]):
+            tb[(a, b)] += 1
+    tu: Counter = Counter()
+    for (a, _), c in tb.items():
+        tu[a] += c
+    v = len(tu)
+    sums = defaultdict(lambda: [0, set(), 0])
+    for r in docs:
+        if r.doc_id % 5 != 0:
+            continue
+        t = r.text.strip().split()
+        for a, b in zip(t, t[1:]):
+            num = tu.get(a, 0) + v
+            den = tb.get((a, b), 0) + 1
+            # micro-nat via double ln is within 1 micro of the
+            # portable series; compare SUM with a tolerance scaled to
+            # the bigram count instead of exact equality
+            s = sums[r.source]
+            s[0] += math.floor(math.log(num / den) * 1e6 + 0.5)
+            s[1].add(r.doc_id)
+            s[2] += 1
+    for src, (tot, ds, nb) in sums.items():
+        row = got[src]
+        assert row.n_eval_docs == len(ds)
+        assert row.n_eval_bigrams == nb
+        assert abs(row.sum_nll_micro - tot) <= nb  # <= 1 micro-nat per term

@@ -232,6 +232,12 @@ OPS = [
     # bucketed suffix-adjacency scan — linear on the char axis like
     # the dup ladder it validates
     "lrs_cross_doc_exact",
+    # pair table is 2 rows per (lang, source) group; losses map-side
+    "dpo_pair_loss_stats",
+    # two ngram-keyed count tables + two left joins on those keys
+    "lm_bigram_perplexity",
+    # m-bounded set-bit table, broadcast probe join
+    "bloom_prune_audit",
 ]
 
 
