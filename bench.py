@@ -282,6 +282,8 @@ EXTRA = [
     "lrs_cross_doc_exact",
     "lm_bigram_perplexity",
     "bloom_prune_audit",
+    "mlm_masking_plan",
+    "hill_tail_index",
 ]
 
 

@@ -390,6 +390,8 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "lrs_cross_doc_exact",
     "lm_bigram_perplexity",
     "bloom_prune_audit",
+    "mlm_masking_plan",
+    "hill_tail_index",
 )
 
 

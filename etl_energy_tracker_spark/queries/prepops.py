@@ -1420,3 +1420,120 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ref_ppm").cast("long").alias("ref_ppm"),
         F.col("a").cast("long").alias("doremi_ppm"),
     )
+
+
+# ------------------------------------------------ MLM masking plan
+
+# BERT-style masked-LM data prep: select 15% of tokens, then replace
+# 80% of the selected with [MASK], 10% with a random token, keep 10%
+# verbatim. Production pipelines randomize per epoch; a DATA pipeline
+# must make the plan DETERMINISTIC and auditable — selection here
+# hashes (doc_id, position) through the portable polynomial fold, so
+# both engines (and any re-run) pick the identical token set, and the
+# op reports the per-source plan economics a trainer would consume.
+
+_MLM_SEL_PCT = 15  # of tokens selected
+_MLM_MASK_PCT = 80  # of selected -> [MASK]
+_MLM_RAND_PCT = 10  # of selected -> random token (remainder keeps)
+
+
+def _mlm_oracle() -> str:
+    h = duckdb_charhash("doc_id || ':' || CAST(i.i AS VARCHAR)")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    plan AS (
+        SELECT doc_id, source,
+               ({h}) % 100 AS sel_h,
+               (({h}) // 100) % 100 AS act_h
+        FROM toks,
+             LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) i
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN sel_h < {_MLM_SEL_PCT} THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_selected,
+           CAST(SUM(CASE WHEN sel_h < {_MLM_SEL_PCT}
+                          AND act_h < {_MLM_MASK_PCT}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_mask,
+           CAST(SUM(CASE WHEN sel_h < {_MLM_SEL_PCT}
+                          AND act_h >= {_MLM_MASK_PCT}
+                          AND act_h < {_MLM_MASK_PCT + _MLM_RAND_PCT}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_random,
+           CAST(SUM(CASE WHEN sel_h < {_MLM_SEL_PCT}
+                          AND act_h >= {_MLM_MASK_PCT + _MLM_RAND_PCT}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM plan
+    GROUP BY source
+    """
+
+
+@register(
+    "mlm_masking_plan",
+    oracle=_mlm_oracle(),
+    tags=("ml", "corpus", "prep"),
+    doc="Deterministic BERT-style MLM masking plan: token (doc, pos) "
+    "selects at 15% via the portable polynomial hash of "
+    "'doc_id:pos' mod 100, and the NEXT two hash digits split the "
+    "selected 80/10/10 into [MASK] / random-replace / keep — the "
+    "80-10-10 recipe, reproducible bit-identically on every engine "
+    "and every re-run (a DATA pipeline ships the plan, not a PRNG "
+    "state). Reports per-source plan economics (token, selected, "
+    "mask, random, keep counts); the two hash digits come from ONE "
+    "fold evaluation (mod vs div-mod), so selection and action are "
+    "independent digits of the same deterministic stream. Scale: "
+    "pure map-side explode + per-source rollup, one shuffle on "
+    "source; no state. Ref parity: beyond-reference LLM-prep layer.",
+)
+def mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    h = spark_charhash("concat(doc_id, ':', CAST(i AS STRING))")
+    plan = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.split(F.trim("text"), r"\s+").alias("t"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.expr("sequence(1, size(t))")).alias("i"),
+        )
+        .select(
+            "source",
+            F.expr(f"({h}) % 100").alias("sel_h"),
+            F.expr(f"(({h}) DIV 100) % 100").alias("act_h"),
+        )
+    )
+    sel = F.col("sel_h") < _MLM_SEL_PCT
+    return plan.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(sel, 1).otherwise(0)).cast("long").alias("n_selected"),
+        F.sum(
+            F.when(sel & (F.col("act_h") < _MLM_MASK_PCT), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mask"),
+        F.sum(
+            F.when(
+                sel
+                & (F.col("act_h") >= _MLM_MASK_PCT)
+                & (F.col("act_h") < _MLM_MASK_PCT + _MLM_RAND_PCT),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_random"),
+        F.sum(
+            F.when(
+                sel & (F.col("act_h") >= _MLM_MASK_PCT + _MLM_RAND_PCT), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_keep"),
+    )

@@ -277,3 +277,87 @@ def test_lm_perplexity_python_replay(spark):
         assert row.n_eval_docs == len(ds)
         assert row.n_eval_bigrams == nb
         assert abs(row.sum_nll_micro - tot) <= nb  # <= 1 micro-nat per term
+
+
+# ------------------------------------------ MLM masking plan
+
+
+def test_mlm_masking_plan_python_replay(spark):
+    """Exact replay of the deterministic plan: same hash, same
+    digits, same per-source counts; the 80/10/10 split partitions the
+    selected set exactly."""
+    from etl_energy_tracker_spark.queries.prepops import (
+        mlm_masking_plan,
+    )
+    from etl_energy_tracker_spark.sources.registry import load_table
+
+    MOD = 1_000_000_007
+
+    def charhash(s: str, seed: int = 7) -> int:
+        acc = seed
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % MOD
+        return acc
+
+    got = {r.source: r for r in mlm_masking_plan(spark, SF_DIR).collect()}
+    docs = load_table(spark, "documents", SF_DIR).select(
+        "doc_id", "source", "text"
+    ).collect()
+    from collections import defaultdict
+
+    exp = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for r in docs:
+        toks = r.text.strip().split()
+        for i in range(1, len(toks) + 1):
+            h = charhash(f"{r.doc_id}:{i}")
+            e = exp[r.source]
+            e[0] += 1
+            if h % 100 < 15:
+                e[1] += 1
+                a = (h // 100) % 100
+                if a < 80:
+                    e[2] += 1
+                elif a < 90:
+                    e[3] += 1
+                else:
+                    e[4] += 1
+    for src, (nt, ns, nm, nr, nk) in exp.items():
+        row = got[src]
+        assert (
+            row.n_tokens,
+            row.n_selected,
+            row.n_mask,
+            row.n_random,
+            row.n_keep,
+        ) == (nt, ns, nm, nr, nk)
+        assert row.n_selected == row.n_mask + row.n_random + row.n_keep
+
+
+# ------------------------------------------ Hill tail index
+
+
+def test_hill_tail_index_python_replay(spark):
+    """Replay: same top-(k+1) count multiset, same integer micro-nat
+    sum within 1 micro per term (double-ln replay vs the portable
+    series)."""
+    import math
+    from collections import Counter
+
+    from etl_energy_tracker_spark.queries.textops import hill_tail_index
+    from etl_energy_tracker_spark.sources.registry import load_table
+
+    row = hill_tail_index(spark, SF_DIR).collect()[0]
+    docs = load_table(spark, "documents", SF_DIR).select("text").collect()
+    tf = Counter()
+    for r in docs:
+        tf.update(r.text.strip().split())
+    counts = sorted(tf.values(), reverse=True)[:101]
+    k = len(counts) - 1
+    floor = counts[k]
+    s = sum(
+        math.floor(math.log(c / floor) * 1e6 + 0.5) for c in counts[:k]
+    )
+    assert row.k == k
+    assert row.c_floor == floor
+    assert abs(row.sum_lr_micro - s) <= k
+    assert row.gamma_micro == row.sum_lr_micro // k

@@ -238,6 +238,10 @@ OPS = [
     "lm_bigram_perplexity",
     # m-bounded set-bit table, broadcast probe join
     "bloom_prune_audit",
+    # map-side explode + per-source rollup
+    "mlm_masking_plan",
+    # token-count shuffle + k+1-row bounded top
+    "hill_tail_index",
 ]
 
 
