@@ -284,6 +284,8 @@ EXTRA = [
     "bloom_prune_audit",
     "mlm_masking_plan",
     "hill_tail_index",
+    "label_propagation_cc",
+    "cem_matching_att",
 ]
 
 

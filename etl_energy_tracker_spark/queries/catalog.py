@@ -392,6 +392,8 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "bloom_prune_audit",
     "mlm_masking_plan",
     "hill_tail_index",
+    "label_propagation_cc",
+    "cem_matching_att",
 )
 
 

@@ -2998,3 +2998,171 @@ def psi_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------- coarsened exact matching (CEM ATT)
+
+# Observational-causal counterpart to the randomized-arm kernels
+# (cuped/did/post_stratified): coarsen each user's PRE-period
+# activity into a bounded stratum key, match treated to control
+# WITHIN strata (drop strata missing either arm), and report the
+# ATT as the treated-count-weighted mean of per-stratum outcome
+# differences — Iacus/King/Porro's CEM with the repo's exact-integer
+# conventions (cents, truncating milli divisions, midpoint pre/post
+# split, user_id % 2 arm).
+
+_CEM_BIN_CAP = 10
+
+
+@register(
+    "cem_matching_att",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, user_id, epoch_us(ts) AS us,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    bounds AS (
+        SELECT MIN(us) + (MAX(us) - MIN(us)) // 2 AS split_us FROM c
+    ),
+    per_user AS (
+        SELECT event_type, user_id, user_id % 2 AS arm,
+               CAST(SUM(CASE WHEN us < split_us THEN 1 ELSE 0 END)
+                    AS BIGINT) AS pre_cnt,
+               CAST(SUM(CASE WHEN us >= split_us THEN cents ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM c CROSS JOIN bounds GROUP BY event_type, user_id
+    ),
+    strata AS (
+        SELECT event_type,
+               LEAST(pre_cnt, {_CEM_BIN_CAP}) AS bin,
+               CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS t_cnt,
+               CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS c_cnt,
+               CAST(SUM(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT)
+                   AS t_sum,
+               CAST(SUM(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT)
+                   AS c_sum
+        FROM per_user GROUP BY event_type, LEAST(pre_cnt, {_CEM_BIN_CAP})
+    ),
+    matched AS (
+        SELECT *,
+               t_sum * 1000 // t_cnt - c_sum * 1000 // c_cnt
+                   AS diff_milli
+        FROM strata WHERE t_cnt >= 1 AND c_cnt >= 1
+    )
+    SELECT s.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_strata_total,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM matched m
+             WHERE m.event_type = s.event_type) AS n_strata_matched,
+           (SELECT CAST(COALESCE(SUM(t_cnt), 0) AS BIGINT) FROM matched m
+             WHERE m.event_type = s.event_type) AS n_treated_matched,
+           (SELECT CAST(COALESCE(SUM(c_cnt), 0) AS BIGINT) FROM matched m
+             WHERE m.event_type = s.event_type) AS n_control_matched,
+           (SELECT CAST(SUM(t_cnt * diff_milli)
+                        // NULLIF(SUM(t_cnt), 0) AS BIGINT)
+              FROM matched m
+             WHERE m.event_type = s.event_type) AS att_milli
+    FROM strata s
+    GROUP BY s.event_type
+    """,
+    tags=("stats", "causal"),
+    doc="Coarsened exact matching ATT (Iacus/King/Porro): users "
+    "coarsen on pre-period event count (bins capped at 10), strata "
+    "missing either arm drop, and the ATT is the treated-count-"
+    "weighted mean of per-stratum post-outcome differences — the "
+    "observational-causal sibling of cuped/did/post_stratified, "
+    "under the repo's exact-integer conventions: cents outcomes, "
+    "midpoint pre/post split, user_id % 2 arm, truncating milli "
+    "divisions (both engines truncate identically; no floats "
+    "anywhere). Scale: one event shuffle to (type, user), one to "
+    "(type, bin) — strata are bounded by the bin cap, the ATT "
+    "reduction runs on <= 11 rows per type. Ref parity: "
+    "beyond-reference experimentation layer.",
+)
+def cem_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.select(
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = c.agg(
+        F.expr("MIN(us) + (MAX(us) - MIN(us)) DIV 2").alias("split_us")
+    )
+    per_user = (
+        c.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(F.when(F.col("us") < F.col("split_us"), 1).otherwise(0))
+            .cast("long")
+            .alias("pre_cnt"),
+            F.sum(
+                F.when(
+                    F.col("us") >= F.col("split_us"), F.col("cents")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y"),
+        )
+        .withColumn("arm", F.col("user_id") % 2)
+    )
+    strata = (
+        per_user.withColumn(
+            "bin", F.least(F.col("pre_cnt"), F.lit(_CEM_BIN_CAP))
+        )
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("t_cnt"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("c_cnt"),
+            F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("t_sum"),
+            F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("c_sum"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    matched = strata.where(
+        (F.col("t_cnt") >= 1) & (F.col("c_cnt") >= 1)
+    ).withColumn(
+        "diff_milli",
+        F.expr("t_sum * 1000 DIV t_cnt - c_sum * 1000 DIV c_cnt"),
+    )
+    totals = strata.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata_total")
+    )
+    magg = matched.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata_matched"),
+        F.coalesce(F.sum("t_cnt"), F.lit(0))
+        .cast("long")
+        .alias("n_treated_matched"),
+        F.coalesce(F.sum("c_cnt"), F.lit(0))
+        .cast("long")
+        .alias("n_control_matched"),
+        F.expr(
+            "CAST(SUM(t_cnt * diff_milli) DIV NULLIF(SUM(t_cnt), 0)"
+            " AS BIGINT)"
+        ).alias("att_milli"),
+    )
+    return totals.join(magg, "event_type", "left").select(
+        "event_type",
+        "n_strata_total",
+        F.coalesce("n_strata_matched", F.lit(0))
+        .cast("long")
+        .alias("n_strata_matched"),
+        F.coalesce("n_treated_matched", F.lit(0))
+        .cast("long")
+        .alias("n_treated_matched"),
+        F.coalesce("n_control_matched", F.lit(0))
+        .cast("long")
+        .alias("n_control_matched"),
+        "att_milli",
+    )

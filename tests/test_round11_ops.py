@@ -361,3 +361,87 @@ def test_hill_tail_index_python_replay(spark):
     assert row.c_floor == floor
     assert abs(row.sum_lr_micro - s) <= k
     assert row.gamma_micro == row.sum_lr_micro // k
+
+
+# ------------------------------------------ label propagation CC
+
+
+def test_label_propagation_invariants(spark):
+    """Min-label propagation is monotone: the distinct-label count
+    never increases across rounds, and a round with zero changes
+    fixes every later round (n_changed stays 0)."""
+    from etl_energy_tracker_spark.queries.graphops import (
+        _LP_ROUNDS,
+        label_propagation_cc,
+    )
+
+    rows = sorted(
+        label_propagation_cc(spark, SF_DIR).collect(),
+        key=lambda r: r.round,
+    )
+    assert len(rows) == _LP_ROUNDS
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_labels <= prev.n_labels
+        if prev.n_changed == 0:
+            assert cur.n_changed == 0
+    assert all(r.n_labels >= 1 for r in rows)
+
+
+# ------------------------------------------ CEM matching ATT
+
+
+def test_cem_matching_python_replay(spark):
+    """Exact integer replay of the CEM pipeline over collected events
+    (same midpoint split, bins, truncating milli divisions)."""
+    from collections import defaultdict
+
+    from etl_energy_tracker_spark.queries.statops import cem_matching_att
+    from etl_energy_tracker_spark.sources.registry import load_table
+
+    got = {r.event_type: r for r in cem_matching_att(spark, SF_DIR).collect()}
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_type", "user_id", "ts", "value"
+    ).collect()
+    import math
+
+    us = [int(r.ts.timestamp() * 1_000_000) for r in ev]
+    split = min(us) + (max(us) - min(us)) // 2
+    per_user = defaultdict(lambda: [0, 0])  # (pre_cnt, y)
+    for r, u in zip(ev, us):
+        k = (r.event_type, r.user_id)
+        if u < split:
+            per_user[k][0] += 1
+        else:
+            per_user[k][1] += math.floor(r.value * 100)
+    strata = defaultdict(lambda: [0, 0, 0, 0])  # t_cnt c_cnt t_sum c_sum
+    for (et, uid), (pre, y) in per_user.items():
+        s = strata[(et, min(pre, 10))]
+        if uid % 2 == 1:
+            s[0] += 1
+            s[2] += y
+        else:
+            s[1] += 1
+            s[3] += y
+
+    def trunc_div(a: int, b: int) -> int:
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    per_type = defaultdict(lambda: [0, 0, 0, 0, 0])
+    for (et, _), (tc, cc, ts_, cs) in strata.items():
+        p = per_type[et]
+        p[0] += 1
+        if tc >= 1 and cc >= 1:
+            diff = trunc_div(ts_ * 1000, tc) - trunc_div(cs * 1000, cc)
+            p[1] += 1
+            p[2] += tc
+            p[3] += cc
+            p[4] += tc * diff
+    for et, (nst, nsm, ntm, ncm, wsum) in per_type.items():
+        row = got[et]
+        assert row.n_strata_total == nst
+        assert row.n_strata_matched == nsm
+        assert row.n_treated_matched == ntm
+        assert row.n_control_matched == ncm
+        if ntm:
+            assert row.att_milli == trunc_div(wsum, ntm)

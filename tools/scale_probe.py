@@ -242,6 +242,10 @@ OPS = [
     "mlm_masking_plan",
     # token-count shuffle + k+1-row bounded top
     "hill_tail_index",
+    # per-round neighbor-min aggregate + vertex-keyed join
+    "label_propagation_cc",
+    # two keyed shuffles, <= 11 strata per type
+    "cem_matching_att",
 ]
 
 
