@@ -286,6 +286,8 @@ EXTRA = [
     "hill_tail_index",
     "label_propagation_cc",
     "cem_matching_att",
+    "qte_median",
+    "skyline_price_quantity",
 ]
 
 

@@ -394,6 +394,8 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "hill_tail_index",
     "label_propagation_cc",
     "cem_matching_att",
+    "qte_median",
+    "skyline_price_quantity",
 )
 
 

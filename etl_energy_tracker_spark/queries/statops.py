@@ -3166,3 +3166,126 @@ def cem_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_control_matched"),
         "att_milli",
     )
+
+
+# --------------------------------- quantile treatment effect (median)
+
+# Mean effects (cuped/did/cem) miss distributional shifts; the QTE at
+# the median compares per-arm EXACT lower medians of the per-user
+# post-period outcome. Exact order statistics, not percentile_approx:
+# the median is the ceil(n/2)-th smallest y by (y, user_id) rank —
+# deterministic on ties, identical on both engines, the same
+# rank-select idiom post_stratified_effect's quartile cut points use.
+
+
+@register(
+    "qte_median",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, user_id, epoch_us(ts) AS us,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    bounds AS (
+        SELECT MIN(us) + (MAX(us) - MIN(us)) // 2 AS split_us FROM c
+    ),
+    per_user AS (
+        SELECT event_type, user_id, user_id % 2 AS arm,
+               CAST(SUM(CASE WHEN us >= split_us THEN cents ELSE 0 END)
+                    AS BIGINT) AS y
+        FROM c CROSS JOIN bounds GROUP BY event_type, user_id
+    ),
+    ranked AS (
+        SELECT event_type, arm, y,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type, arm
+                   ORDER BY y, user_id) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type, arm) AS n
+        FROM per_user
+    ),
+    med AS (
+        SELECT event_type, arm, y AS median_cents, n
+        FROM ranked WHERE rk = (n + 1) // 2
+    )
+    SELECT t.event_type,
+           CAST(t.n AS BIGINT) AS n_treated,
+           CAST(ctl.n AS BIGINT) AS n_control,
+           t.median_cents AS t_median_cents,
+           ctl.median_cents AS c_median_cents,
+           t.median_cents - ctl.median_cents AS qte_cents
+    FROM (SELECT * FROM med WHERE arm = 1) t
+    JOIN (SELECT * FROM med WHERE arm = 0) ctl
+      ON ctl.event_type = t.event_type
+    """,
+    tags=("stats", "causal"),
+    doc="Quantile treatment effect at the median: per (event_type, "
+    "arm), the EXACT lower median of per-user post-period outcome "
+    "cents — the ceil(n/2)-th smallest by (y, user_id), a "
+    "deterministic rank-select (percentile_approx would be neither "
+    "exact nor engine-identical) — and the treated-minus-control "
+    "difference. Complements the mean-effect kernels (cuped/did/cem) "
+    "with the distributional comparison under identical conventions "
+    "(cents, midpoint split, user_id % 2 arm). Scale: one shuffle to "
+    "(type, user), one rank window per bounded (type, arm) group; "
+    "the median row is one filter, no sort materializes beyond the "
+    "window. Ref parity: beyond-reference experimentation layer.",
+)
+def qte_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.select(
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    bounds = c.agg(
+        F.expr("MIN(us) + (MAX(us) - MIN(us)) DIV 2").alias("split_us")
+    )
+    per_user = (
+        c.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("us") >= F.col("split_us"), F.col("cents")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("y")
+        )
+        .withColumn("arm", F.col("user_id") % 2)
+    )
+    grp = W.partitionBy("event_type", "arm")
+    ranked = per_user.select(
+        "event_type",
+        "arm",
+        "y",
+        F.row_number().over(grp.orderBy("y", "user_id")).alias("rk"),
+        F.count(F.lit(1)).over(grp).alias("n"),
+    )
+    med = ranked.where(F.col("rk") == F.expr("(n + 1) DIV 2")).select(
+        "event_type",
+        "arm",
+        F.col("y").alias("median_cents"),
+        F.col("n").cast("long").alias("n"),
+    )
+    t = med.where(F.col("arm") == 1).select(
+        "event_type",
+        F.col("n").alias("n_treated"),
+        F.col("median_cents").alias("t_median_cents"),
+    )
+    ctl = med.where(F.col("arm") == 0).select(
+        "event_type",
+        F.col("n").alias("n_control"),
+        F.col("median_cents").alias("c_median_cents"),
+    )
+    return t.join(ctl, "event_type").select(
+        "event_type",
+        "n_treated",
+        "n_control",
+        "t_median_cents",
+        "c_median_cents",
+        (F.col("t_median_cents") - F.col("c_median_cents")).alias(
+            "qte_cents"
+        ),
+    )

@@ -445,3 +445,80 @@ def test_cem_matching_python_replay(spark):
         assert row.n_control_matched == ncm
         if ntm:
             assert row.att_milli == trunc_div(wsum, ntm)
+
+
+# ------------------------------------------ QTE at the median
+
+
+def test_qte_median_python_replay(spark):
+    """Exact replay: lower median by (y, user_id) per (type, arm)."""
+    from collections import defaultdict
+
+    from etl_energy_tracker_spark.queries.statops import qte_median
+    from etl_energy_tracker_spark.sources.registry import load_table
+
+    import math
+
+    got = {r.event_type: r for r in qte_median(spark, SF_DIR).collect()}
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_type", "user_id", "ts", "value"
+    ).collect()
+    us = [int(r.ts.timestamp() * 1_000_000) for r in ev]
+    split = min(us) + (max(us) - min(us)) // 2
+    y = defaultdict(int)
+    for r, u in zip(ev, us):
+        if u >= split:
+            y[(r.event_type, r.user_id)] += math.floor(r.value * 100)
+        else:
+            y.setdefault((r.event_type, r.user_id), 0)
+    arms = defaultdict(list)
+    for (et, uid), v in y.items():
+        arms[(et, uid % 2)].append((v, uid))
+    for et, row in got.items():
+        for arm, med_col, n_col in (
+            (1, "t_median_cents", "n_treated"),
+            (0, "c_median_cents", "n_control"),
+        ):
+            vals = sorted(arms[(et, arm)])
+            assert getattr(row, n_col) == len(vals)
+            assert getattr(row, med_col) == vals[(len(vals) + 1) // 2 - 1][0]
+        assert row.qte_cents == row.t_median_cents - row.c_median_cents
+
+
+# ------------------------------------------ 2D skyline
+
+
+def test_skyline_is_pareto_frontier(spark):
+    """Every emitted point is non-dominated; every non-emitted
+    per-price max is dominated by some emitted point (checked against
+    a brute-force frontier over the collected histogram)."""
+    from collections import defaultdict
+
+    from etl_energy_tracker_spark.queries.relational import (
+        skyline_price_quantity,
+    )
+    from etl_energy_tracker_spark.sources.registry import load_table
+
+    import math
+
+    got = [
+        (r.price_cents, r.qty)
+        for r in skyline_price_quantity(spark, SF_DIR).collect()
+    ]
+    li = load_table(spark, "lineitem", SF_DIR).select(
+        "l_extendedprice", "l_quantity"
+    ).collect()
+    hist = defaultdict(int)
+    for r in li:
+        p = math.floor(r.l_extendedprice * 100)
+        hist[p] = max(hist[p], int(r.l_quantity))
+    pts = sorted(hist.items())
+    frontier, best = [], -1
+    for p, q in pts:
+        if q > best:
+            frontier.append((p, q))
+            best = q
+    assert got == frontier
+    # strictly increasing qty along increasing price = non-domination
+    for (p1, q1), (p2, q2) in zip(got, got[1:]):
+        assert p1 < p2 and q1 < q2

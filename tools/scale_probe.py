@@ -246,6 +246,10 @@ OPS = [
     "label_propagation_cc",
     # two keyed shuffles, <= 11 strata per type
     "cem_matching_att",
+    # rank window per bounded (type, arm) group
+    "qte_median",
+    # groupBy(price) collapse + price-NDV-bounded histogram scan
+    "skyline_price_quantity",
 ]
 
 
