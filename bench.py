@@ -288,6 +288,7 @@ EXTRA = [
     "cem_matching_att",
     "qte_median",
     "skyline_price_quantity",
+    "stream_rate_limit_window",
 ]
 
 

@@ -396,6 +396,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "cem_matching_att",
     "qte_median",
     "skyline_price_quantity",
+    "stream_rate_limit_window",
 )
 
 

@@ -957,3 +957,46 @@ def stream_full_outer_asym_wm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import clicks_purchases_full_outer_asym_stream
 
     return clicks_purchases_full_outer_asym_stream(spark, sf_dir)
+
+
+@register(
+    "stream_rate_limit_window",
+    oracle="""
+    WITH d AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id,
+                                epoch_us(ts) - epoch_us(ts) % 600000000
+                   ORDER BY epoch_us(ts), event_id
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_admitted,
+           CAST(SUM(CASE WHEN rn > 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rejected
+    FROM d GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+    doc="Per-user fixed-window rate limiter as a REAL custom stateful "
+    "streaming operator (applyInPandasWithState): admit an event iff "
+    "fewer than 3 were admitted in its epoch-aligned 10-minute "
+    "window; GroupState is 5 int64s per user (current window start, "
+    "its count, running totals) — the API-gateway/ingest-throttle "
+    "state shape, NEVER the event history, and a new window resets "
+    "the counter so state is O(users) regardless of stream length. "
+    "Driven availableNow over the bounded source, the decision "
+    "sequence equals the batch rank rule row_number per (user, "
+    "window) <= 3 — the exact SQL oracle (the admission decision is "
+    "deterministic, unlike a token bucket whose refill arithmetic "
+    "SQL cannot replay). Scale: shuffle keyed by user; state "
+    "evictable by idle-timeout in a production deployment "
+    "(GroupStateTimeout slot, documented). SURVEY §2.9 / §2.10: "
+    "beyond-reference stateful-streaming upgrade.",
+)
+def stream_rate_limit_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.jobs import rate_limit_fixed_window_stream
+
+    return rate_limit_fixed_window_stream(spark, sf_dir)

@@ -1013,3 +1013,94 @@ def session_window_agg_stream(
         )
         _finish(q)
     return spark.table(name)
+
+
+def rate_limit_fixed_window_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    limit: int = 3,
+    window_us: int = 600_000_000,
+    shuffle_partitions: int | None = 8,
+) -> DataFrame:
+    """Per-user fixed-window admission control (rate limiter) via
+    applyInPandasWithState: each user's GroupState holds ONLY the
+    current 10-minute window start, its admitted count, and running
+    totals — 5 int64s, the canonical API-gateway / ingest-throttle
+    state shape. An event admits iff fewer than ``limit`` events were
+    admitted in its (epoch-aligned) window; a new window resets the
+    counter, so state never grows with history. Events sort by
+    (ts_us, event_id) within each batch; across batches the decision
+    sequence is exact for in-order arrival, which a production
+    deployment guarantees with an event-time watermark and the
+    availableNow drive guarantees here (single bounded backlog).
+    Over the static source the decisions equal the batch rank rule
+    row_number per (user, window) <= limit — the exact SQL oracle."""
+    import uuid as _uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _events_stream(spark, sf_dir)
+    ev = stream.select(
+        "user_id", F.unix_micros("ts").alias("ts_us"), "event_id"
+    )
+
+    def update(key, pdfs, state: GroupState):
+        win, cnt, adm, rej, tot = (
+            state.get if state.exists else (-1, 0, 0, 0, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"])
+        for ts_us in batch["ts_us"]:
+            w = int(ts_us) - int(ts_us) % window_us
+            if w != win:
+                win, cnt = w, 0
+            tot += 1
+            if cnt < limit:
+                cnt += 1
+                adm += 1
+            else:
+                rej += 1
+        state.update((win, cnt, adm, rej, tot))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [tot],
+                "n_admitted": [adm],
+                "n_rejected": [rej],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_events long, n_admitted long, "
+            "n_rejected long"
+        ),
+        stateStructType=(
+            "win long, cnt long, adm long, rej long, tot long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"rl_out_{_uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        _finish(q, wait="await")
+    # update mode emits one row per (user, batch); totals only grow,
+    # so the final row is the max-n_events one
+    from pyspark.sql import Window as W
+
+    res = spark.table(name)
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        res.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "n_events", "n_admitted", "n_rejected")
+    )

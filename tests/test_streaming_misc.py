@@ -705,3 +705,93 @@ def test_full_outer_asym_watermarks_min_policy(spark, tmp_path):
         for r in spark.table(name).collect()
     )
     assert got == [(-1, 2), (-1, 4), (5, -1)]
+
+
+def test_rate_limit_window_reset_and_cap(spark, tmp_path):
+    """Synthetic two-batch drive: 5 events inside one 10-min window
+    admit only 3; the next window resets the counter; a second
+    micro-batch continues the same window's count across batches."""
+    import uuid
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = str(tmp_path / "rl_src")
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    schema = "ts timestamp, user_id long, event_id long"
+    # batch 1: user 1 gets 4 events in window [10:00, 10:10)
+    spark.createDataFrame(
+        [(base + dt.timedelta(minutes=m), 1, m) for m in range(4)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: 1 more in the same window (rejected: count persisted),
+    # then 2 in the next window (both admitted: counter reset)
+    spark.createDataFrame(
+        [
+            (base + dt.timedelta(minutes=9), 1, 9),
+            (base + dt.timedelta(minutes=11), 1, 11),
+            (base + dt.timedelta(minutes=12), 1, 12),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    import pandas as pd
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        win, cnt, adm, rej, tot = (
+            state.get if state.exists else (-1, 0, 0, 0, 0)
+        )
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"])
+        for ts_us in batch["ts_us"]:
+            w = int(ts_us) - int(ts_us) % 600_000_000
+            if w != win:
+                win, cnt = w, 0
+            tot += 1
+            if cnt < 3:
+                cnt += 1
+                adm += 1
+            else:
+                rej += 1
+        state.update((win, cnt, adm, rej, tot))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [tot],
+                "n_admitted": [adm],
+                "n_rejected": [rej],
+            }
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_events long, n_admitted long, n_rejected long"
+        ),
+        stateStructType="win long, cnt long, adm long, rej long, tot long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"rl_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = sorted(
+        spark.table(name).collect(), key=lambda r: r.n_events
+    )
+    final = rows[-1]
+    # window 1 saw 5 events (4 + 1 late in batch 2): 3 admitted;
+    # window 2 saw 2: both admitted -> 5 admitted, 2 rejected
+    assert (final.n_events, final.n_admitted, final.n_rejected) == (7, 5, 2)
