@@ -287,7 +287,6 @@ EXTRA = [
     "label_propagation_cc",
     "cem_matching_att",
     "qte_median",
-    "skyline_price_quantity",
     "stream_rate_limit_window",
 ]
 

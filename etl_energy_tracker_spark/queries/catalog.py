@@ -395,7 +395,6 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "label_propagation_cc",
     "cem_matching_att",
     "qte_median",
-    "skyline_price_quantity",
     "stream_rate_limit_window",
 )
 

@@ -1770,88 +1770,3 @@ def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(est_bytes DIV GREATEST(n_rows, 1) AS BIGINT)"
         ).alias("avg_row_bytes"),
     )
-
-
-# ------------------------------------------------ 2D skyline query
-
-# Pareto frontier (skyline): the lineitem offers where no other offer
-# has lower-or-equal price AND higher-or-equal quantity with one
-# strict — the classic multi-criteria operator relational engines
-# ship as SKYLINE OF. Two-phase distributed form: phase 1 collapses
-# to the per-price max quantity (one shuffle on price_cents — after
-# it, dominance only needs the price axis); phase 2 runs the
-# running-strict-predecessor-max scan over that HISTOGRAM, whose
-# cardinality is the price NDV — the documented bounded-
-# single-partition window (the ks_drift distinct-value-grid class),
-# NOT a scan over raw rows.
-
-
-@register(
-    "skyline_price_quantity",
-    oracle="""
-    WITH pts AS (
-        SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
-                   AS price_cents,
-               CAST(l_quantity AS BIGINT) AS qty
-        FROM lineitem
-    ),
-    hist AS (
-        SELECT price_cents, CAST(MAX(qty) AS BIGINT) AS max_qty
-        FROM pts GROUP BY price_cents
-    ),
-    scan AS (
-        SELECT price_cents, max_qty,
-               MAX(max_qty) OVER (
-                   ORDER BY price_cents
-                   RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ) AS prev_max
-        FROM hist
-    )
-    SELECT price_cents, max_qty AS qty
-    FROM scan
-    WHERE prev_max IS NULL OR max_qty > prev_max
-    ORDER BY price_cents
-    """,
-    tags=("relational", "window"),
-    doc="2D skyline (Pareto frontier) over lineitem offers: points "
-    "(price_cents lower-better, quantity higher-better) survive iff "
-    "no other point weakly dominates them — i.e., among per-price "
-    "max quantities, those strictly above every cheaper price's max. "
-    "Two-phase distributed shape: phase 1 is one groupBy(price) max "
-    "(map-side combine) collapsing raw rows to the price histogram; "
-    "phase 2's running strict-predecessor max (RANGE ... 1 "
-    "PRECEDING) scans ONLY that histogram — a bounded single "
-    "partition by the price-NDV argument (the ks_drift "
-    "distinct-value-grid class), never the raw table; at 100 TB the "
-    "histogram is still the price domain. Output is the frontier "
-    "itself, ordered. Ref parity: beyond-reference relational layer "
-    "(multi-criteria SKYLINE OF).",
-)
-def skyline_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, "lineitem", sf_dir)
-    pts = li.select(
-        F.floor(F.col("l_extendedprice") * 100)
-        .cast("long")
-        .alias("price_cents"),
-        F.col("l_quantity").cast("long").alias("qty"),
-    )
-    hist = pts.groupBy("price_cents").agg(
-        F.max("qty").cast("long").alias("max_qty")
-    )
-    w = (
-        W.orderBy("price_cents")
-        .rangeBetween(W.unboundedPreceding, -1)
-    )
-    scan = hist.select(
-        "price_cents",
-        "max_qty",
-        F.max("max_qty").over(w).alias("prev_max"),
-    )
-    return (
-        scan.where(
-            F.col("prev_max").isNull()
-            | (F.col("max_qty") > F.col("prev_max"))
-        )
-        .select("price_cents", F.col("max_qty").alias("qty"))
-        .orderBy("price_cents")
-    )

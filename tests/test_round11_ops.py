@@ -483,42 +483,3 @@ def test_qte_median_python_replay(spark):
             assert getattr(row, n_col) == len(vals)
             assert getattr(row, med_col) == vals[(len(vals) + 1) // 2 - 1][0]
         assert row.qte_cents == row.t_median_cents - row.c_median_cents
-
-
-# ------------------------------------------ 2D skyline
-
-
-def test_skyline_is_pareto_frontier(spark):
-    """Every emitted point is non-dominated; every non-emitted
-    per-price max is dominated by some emitted point (checked against
-    a brute-force frontier over the collected histogram)."""
-    from collections import defaultdict
-
-    from etl_energy_tracker_spark.queries.relational import (
-        skyline_price_quantity,
-    )
-    from etl_energy_tracker_spark.sources.registry import load_table
-
-    import math
-
-    got = [
-        (r.price_cents, r.qty)
-        for r in skyline_price_quantity(spark, SF_DIR).collect()
-    ]
-    li = load_table(spark, "lineitem", SF_DIR).select(
-        "l_extendedprice", "l_quantity"
-    ).collect()
-    hist = defaultdict(int)
-    for r in li:
-        p = math.floor(r.l_extendedprice * 100)
-        hist[p] = max(hist[p], int(r.l_quantity))
-    pts = sorted(hist.items())
-    frontier, best = [], -1
-    for p, q in pts:
-        if q > best:
-            frontier.append((p, q))
-            best = q
-    assert got == frontier
-    # strictly increasing qty along increasing price = non-domination
-    for (p1, q1), (p2, q2) in zip(got, got[1:]):
-        assert p1 < p2 and q1 < q2

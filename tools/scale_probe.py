@@ -248,8 +248,6 @@ OPS = [
     "cem_matching_att",
     # rank window per bounded (type, arm) group
     "qte_median",
-    # groupBy(price) collapse + price-NDV-bounded histogram scan
-    "skyline_price_quantity",
 ]
 
 
