@@ -90,6 +90,9 @@ BOUNDED_SINGLE_PARTITION: dict[str, str] = {
     "hilbert_layout_stats": "NTILE-over-hilbert-key = "
         "repartitionByRange + per-file stats at cluster scale (same "
         "documented exemption as zorder_layout_stats)",
+    "hill_tail_index": "rank window over the k+1-row TakeOrdered top "
+        "(<= 101 rows by construction — the limit precedes the "
+        "window)",
 }
 
 
