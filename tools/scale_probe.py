@@ -352,6 +352,13 @@ def build_users(spark, mult: int) -> str:
 
 def build(spark, replicas: int, ndv: bool = False) -> str:
     out = os.path.join(PROBE, f"x{replicas}{'_ndv' if ndv else ''}")
+    # --reuse: a prior --keep (or killed) run already built this scale
+    # — the build is deterministic, so reuse beats a 45-min rebuild
+    if "--reuse" in sys.argv and os.path.exists(
+        os.path.join(out, "events.parquet")
+    ):
+        print(f"reusing existing probe dir {out}", flush=True)
+        return out
     reps = spark.range(replicas).select(F.col("id").cast("int").alias("r"))
 
     docs = spark.read.parquet(f"{BASE}/documents.parquet").crossJoin(reps)
