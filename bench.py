@@ -288,6 +288,8 @@ EXTRA = [
     "cem_matching_att",
     "qte_median",
     "stream_rate_limit_window",
+    "offpolicy_ips_snips",
+    "eb_rate_shrinkage",
 ]
 
 

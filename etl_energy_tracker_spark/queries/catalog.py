@@ -396,6 +396,8 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "cem_matching_att",
     "qte_median",
     "stream_rate_limit_window",
+    "offpolicy_ips_snips",
+    "eb_rate_shrinkage",
 )
 
 

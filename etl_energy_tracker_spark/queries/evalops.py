@@ -2896,3 +2896,135 @@ def preference_cycle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV 6) AS BIGINT)"
         ).alias("transitivity_ppm"),
     )
+
+
+# --------------------------------------- off-policy evaluation (IPS)
+
+# The logged-bandit counterfactual question every ranking/agent data
+# pipeline eventually asks: what would a NEW policy's reward have
+# been, from logs collected under the OLD one? With a uniform logging
+# policy over the K observed actions (propensity 1/K — the synthetic
+# events table has no logged propensities, and uniform is the honest
+# model of its generator), IPS = K * mean(reward * match) and SNIPS =
+# sum(reward * match) / sum(match) * ... reduces to the matched-row
+# mean — both exact integer arithmetic over cents. The target policy
+# must be DETERMINISTIC and log-independent to keep the estimator
+# honest: pi(user) = the action maximizing the portable hash of
+# (user_id, action) — a fixed pseudo-random assignment, not a rule
+# trained on the same logs.
+
+
+def _ips_oracle() -> str:
+    from ..functions.hashing import duckdb_charhash
+
+    h = duckdb_charhash("CAST(user_id AS VARCHAR) || '|' || event_type")
+    return f"""
+    WITH logged AS (
+        SELECT user_id, event_type,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    k AS (
+        SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS k
+        FROM logged
+    ),
+    pi AS (
+        SELECT user_id, event_type AS target
+        FROM (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id
+                       ORDER BY {h} DESC, event_type
+                   ) AS rn
+            FROM (SELECT DISTINCT l.user_id, a.event_type
+                  FROM logged l CROSS JOIN
+                       (SELECT DISTINCT event_type FROM logged) a)
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT l.cents,
+               CASE WHEN l.event_type = pi.target THEN 1 ELSE 0 END
+                   AS m
+        FROM logged l JOIN pi ON pi.user_id = l.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_logged,
+           (SELECT k FROM k) AS k_actions,
+           CAST(SUM(m) AS BIGINT) AS n_matched,
+           CAST((SELECT k FROM k) * SUM(m * cents) * 1000 // COUNT(*)
+               AS BIGINT) AS ips_milli_cents,
+           CAST(SUM(m * cents) * 1000 // NULLIF(SUM(m), 0) AS BIGINT)
+               AS snips_milli_cents
+    FROM scored
+    """
+
+
+@register(
+    "offpolicy_ips_snips",
+    oracle=_ips_oracle(),
+    tags=("ml", "eval", "causal"),
+    doc="Off-policy evaluation of a deterministic target policy from "
+    "logged interactions: IPS value = K * mean(reward * match) and "
+    "SNIPS (self-normalized IPS) = matched-row mean reward, under "
+    "the uniform-over-K logging model (propensity 1/K — the honest "
+    "model of the synthetic generator; with logged propensities the "
+    "same plan divides per-row). The target policy pi(user) = argmax "
+    "over actions of the portable hash of (user, action) — "
+    "deterministic and log-independent, so the estimator is "
+    "unbiased by construction rather than self-fit. All arithmetic "
+    "is exact integer cents with truncating milli divisions. Scale: "
+    "the policy table is users x K hash evaluations collapsed by one "
+    "rank window per user (bounded K); scoring is one user-keyed "
+    "join; the estimators are one global rollup. Ref parity: "
+    "beyond-reference eval layer (the counterfactual complement to "
+    "the on-policy A/B kernels).",
+)
+def offpolicy_ips_snips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.hashing import spark_charhash
+
+    ev = load_table(spark, "events", sf_dir)
+    logged = ev.select(
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).localCheckpoint(eager=False)
+    k = logged.agg(
+        F.countDistinct("event_type").cast("long").alias("k")
+    )
+    actions = logged.select("event_type").distinct()
+    users = logged.select("user_id").distinct()
+    h = spark_charhash(
+        "concat(CAST(user_id AS STRING), '|', event_type)"
+    )
+    cand = users.crossJoin(F.broadcast(actions)).select(
+        "user_id", "event_type", F.expr(h).alias("hv")
+    )
+    w = W.partitionBy("user_id").orderBy(
+        F.desc("hv"), F.col("event_type")
+    )
+    pi = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("target"))
+    )
+    scored = logged.join(pi, "user_id").select(
+        "cents",
+        F.when(F.col("event_type") == F.col("target"), 1)
+        .otherwise(0)
+        .alias("m"),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_logged"),
+        F.sum("m").cast("long").alias("n_matched"),
+        F.sum(F.col("m") * F.col("cents")).cast("long").alias("msum"),
+    )
+    return agg.crossJoin(F.broadcast(k)).select(
+        "n_logged",
+        F.col("k").alias("k_actions"),
+        "n_matched",
+        F.expr(
+            "CAST(k * msum * 1000 DIV n_logged AS BIGINT)"
+        ).alias("ips_milli_cents"),
+        F.expr(
+            "CAST(msum * 1000 DIV NULLIF(n_matched, 0) AS BIGINT)"
+        ).alias("snips_milli_cents"),
+    )

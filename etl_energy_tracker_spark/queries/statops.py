@@ -3289,3 +3289,112 @@ def qte_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qte_cents"
         ),
     )
+
+
+# --------------------------------- empirical-Bayes rate shrinkage
+
+# Per-item conversion/return rates are the classic small-n trap: a
+# part seen 3 times with 2 returns is not a 67%-return part. The
+# beta-binomial empirical-Bayes fix shrinks each raw rate toward the
+# global mean with a strength estimated from the data itself
+# (method of moments: alpha+beta = m(1-m)/Var(r) - 1), so
+# high-volume items keep their own rate and low-volume items borrow
+# the prior — the standard CTR-smoothing recipe for ranking feature
+# prep. Every step is exact BIGINT ppm arithmetic with truncating
+# divisions mirrored on both engines; the degenerate cases (zero
+# rate variance, or MoM strength <= 0) emit NULL shrunk rates
+# identically.
+
+
+@register(
+    "eb_rate_shrinkage",
+    oracle="""
+    WITH per_item AS (
+        SELECT l_partkey AS item,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x
+        FROM lineitem GROUP BY l_partkey
+    ),
+    rates AS (
+        SELECT item, n, x, x * 1000000 // n AS r_ppm FROM per_item
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS i,
+               CAST(SUM(r_ppm) // COUNT(*) AS BIGINT) AS m_ppm
+        FROM rates
+    ),
+    var_ AS (
+        SELECT CAST(SUM((r_ppm - m_ppm) * (r_ppm - m_ppm)) // MAX(i)
+                    AS BIGINT) AS v_ppm2
+        FROM rates CROSS JOIN mom
+    ),
+    prior AS (
+        SELECT m_ppm,
+               (m_ppm * (1000000 - m_ppm)) // NULLIF(v_ppm2, 0) - 1
+                   AS s
+        FROM mom CROSS JOIN var_
+    )
+    SELECT item, n, x, r_ppm AS raw_ppm,
+           prior.m_ppm AS prior_mean_ppm,
+           CAST(prior.s AS BIGINT) AS prior_strength,
+           CAST(CASE WHEN prior.s > 0
+                THEN (x * 1000000 + prior.s * prior.m_ppm)
+                     // (n + prior.s)
+                ELSE NULL END AS BIGINT) AS shrunk_ppm
+    FROM rates CROSS JOIN prior
+    """,
+    tags=("stats", "ml"),
+    doc="Beta-binomial empirical-Bayes shrinkage of per-part return "
+    "rates (the CTR-smoothing recipe): raw rate x/n shrinks to "
+    "(x + s*m) / (n + s) with the prior mean m = mean of per-item "
+    "ppm rates and strength s = m(1-m)/Var(r) - 1 by method of "
+    "moments — high-volume parts keep their rate, 3-observation "
+    "parts borrow the prior. Exact BIGINT ppm arithmetic end to end "
+    "(truncating divisions mirrored; zero variance or s <= 0 emits "
+    "NULL shrunk rates on both engines). Scale: one part-keyed count "
+    "shuffle, a 1-row moments rollup broadcast back, map-side "
+    "shrinkage. Ref parity: beyond-reference stats layer.",
+)
+def eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    per_item = li.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("x"),
+    )
+    rates = per_item.withColumn(
+        "r_ppm", F.expr("x * 1000000 DIV n")
+    ).localCheckpoint(eager=False)
+    mom = rates.agg(
+        F.count(F.lit(1)).cast("long").alias("i"),
+        F.expr("CAST(SUM(r_ppm) DIV COUNT(*) AS BIGINT)").alias(
+            "m_ppm"
+        ),
+    )
+    var_ = rates.crossJoin(F.broadcast(mom)).agg(
+        F.expr(
+            "CAST(SUM((r_ppm - m_ppm) * (r_ppm - m_ppm)) DIV MAX(i)"
+            " AS BIGINT)"
+        ).alias("v_ppm2")
+    )
+    prior = mom.crossJoin(F.broadcast(var_)).select(
+        "m_ppm",
+        F.expr(
+            "(m_ppm * (1000000 - m_ppm)) DIV NULLIF(v_ppm2, 0) - 1"
+        ).alias("s"),
+    )
+    return rates.crossJoin(F.broadcast(prior)).select(
+        "item",
+        "n",
+        "x",
+        F.col("r_ppm").alias("raw_ppm"),
+        F.col("m_ppm").alias("prior_mean_ppm"),
+        F.col("s").cast("long").alias("prior_strength"),
+        F.expr(
+            "CAST(CASE WHEN s > 0"
+            " THEN (x * 1000000 + s * m_ppm) DIV (n + s)"
+            " ELSE NULL END AS BIGINT)"
+        ).alias("shrunk_ppm"),
+    )

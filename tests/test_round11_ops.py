@@ -483,3 +483,77 @@ def test_qte_median_python_replay(spark):
             assert getattr(row, n_col) == len(vals)
             assert getattr(row, med_col) == vals[(len(vals) + 1) // 2 - 1][0]
         assert row.qte_cents == row.t_median_cents - row.c_median_cents
+
+
+# ------------------------------------------ off-policy IPS/SNIPS
+
+
+def test_ips_snips_python_replay(spark):
+    """Exact replay: same portable-hash target policy, same integer
+    estimator arithmetic; IPS relates to SNIPS exactly through
+    K * n_matched / n_logged in the uniform-logging model."""
+    from collections import defaultdict
+
+    from etl_energy_tracker_spark.queries.evalops import (
+        offpolicy_ips_snips,
+    )
+    from etl_energy_tracker_spark.sources.registry import load_table
+
+    MOD = 1_000_000_007
+
+    def charhash(s: str, seed: int = 7) -> int:
+        acc = seed
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % MOD
+        return acc
+
+    import math
+
+    row = offpolicy_ips_snips(spark, SF_DIR).collect()[0]
+    ev = load_table(spark, "events", SF_DIR).select(
+        "user_id", "event_type", "value"
+    ).collect()
+    actions = sorted({r.event_type for r in ev})
+    users = {r.user_id for r in ev}
+    # tie-break in the op is (hv DESC, event_type ASC); replicate:
+    pi = {}
+    for u in users:
+        best = sorted(
+            actions, key=lambda a: (-charhash(f"{u}|{a}"), a)
+        )[0]
+        pi[u] = best
+    msum = n_match = 0
+    for r in ev:
+        if r.event_type == pi[r.user_id]:
+            n_match += 1
+            msum += math.floor(r.value * 100)
+    k = len(actions)
+    assert row.k_actions == k
+    assert row.n_matched == n_match
+    assert row.ips_milli_cents == (k * msum * 1000) // len(ev)
+    assert row.snips_milli_cents == (msum * 1000) // n_match
+
+
+# ------------------------------------------ EB rate shrinkage
+
+
+def test_eb_shrinkage_pulls_toward_prior(spark):
+    """Shrinkage invariants: every shrunk rate lies between its raw
+    rate and the prior mean (within 1 ppm of truncation), and
+    higher-n items move less (relative shrink weight n/(n+s))."""
+    from etl_energy_tracker_spark.queries.statops import (
+        eb_rate_shrinkage,
+    )
+
+    rows = eb_rate_shrinkage(spark, SF_DIR).collect()
+    assert rows
+    s = rows[0].prior_strength
+    m = rows[0].prior_mean_ppm
+    if s is None or s <= 0:
+        assert all(r.shrunk_ppm is None for r in rows)
+        return
+    for r in rows:
+        lo, hi = sorted((r.raw_ppm, m))
+        assert lo - 1 <= r.shrunk_ppm <= hi + 1, (r.item, r.raw_ppm, m, r.shrunk_ppm)
+        # exact formula replay
+        assert r.shrunk_ppm == (r.x * 1_000_000 + s * m) // (r.n + s)

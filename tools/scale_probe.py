@@ -248,6 +248,10 @@ OPS = [
     "cem_matching_att",
     # rank window per bounded (type, arm) group
     "qte_median",
+    # users x K policy table via bounded-K rank window + user join
+    "offpolicy_ips_snips",
+    # part-keyed counts + 1-row moments broadcast
+    "eb_rate_shrinkage",
 ]
 
 
