@@ -290,6 +290,8 @@ EXTRA = [
     "stream_rate_limit_window",
     "offpolicy_ips_snips",
     "eb_rate_shrinkage",
+    "bigram_entropy_rate",
+    "quantile_norm_map",
 ]
 
 

@@ -398,6 +398,8 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "stream_rate_limit_window",
     "offpolicy_ips_snips",
     "eb_rate_shrinkage",
+    "bigram_entropy_rate",
+    "quantile_norm_map",
 )
 
 

@@ -1978,3 +1978,108 @@ def lm_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_nll_micro"
         ),
     )
+
+
+# --------------------------------------- bigram conditional entropy
+
+# The in-corpus counterpart of lm_bigram_perplexity's held-out CE:
+# the conditional entropy rate H(w2|w1) = (1/N) * sum over bigrams
+# of c12 * ln(c1/c12) — how predictable the corpus is from one token
+# of context, the sequence-level redundancy signal (boilerplate and
+# templated text crater it; diverse prose raises it). c1/c12 is a
+# ratio of integers, so every ln runs through the portable
+# bit-length kernel in micro-nats; the weighted sum is exact BIGINT.
+
+
+def _entropy_oracle() -> str:
+    from ..functions.portable_math import ln_micro_rational
+
+    lnr = ln_micro_rational("c1", "c12", "duckdb")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    big AS (
+        SELECT source,
+               t[CAST(i.i AS INT)] AS w1, t[CAST(i.i AS INT) + 1] AS w2
+        FROM toks,
+             LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+    ),
+    c12t AS (
+        SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM big GROUP BY source, w1, w2
+    ),
+    c1t AS (
+        SELECT source, w1, CAST(SUM(c12) AS BIGINT) AS c1
+        FROM c12t GROUP BY source, w1
+    )
+    SELECT a.source,
+           CAST(SUM(a.c12) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+           CAST(SUM(a.c12 * ({lnr})) AS BIGINT) AS sum_h_micro,
+           CAST(SUM(a.c12 * ({lnr})) // SUM(a.c12) AS BIGINT)
+               AS entropy_micro_nats
+    FROM c12t a JOIN c1t b ON b.source = a.source AND b.w1 = a.w1
+    GROUP BY a.source
+    """
+
+
+@register(
+    "bigram_entropy_rate",
+    oracle=_entropy_oracle(),
+    tags=("text", "stats"),
+    doc="Per-source bigram conditional entropy rate H(w2|w1) = (1/N) "
+    "sum c12 * ln(c1/c12) in micro-nats — the in-corpus redundancy "
+    "signal complementing lm_bigram_perplexity's held-out "
+    "cross-entropy (templated/boilerplate text craters this; "
+    "diverse prose raises it; the GAP between the two is the "
+    "overfit indicator). Every ln is the portable bit-length kernel "
+    "on an integer ratio (c12 <= c1 so each term is >= 0); the "
+    "weighted accumulation is exact BIGINT micro-nats with one "
+    "truncating division at the end. Scale: two ngram-keyed count "
+    "shuffles (map-side combine), one join on (source, w1), one "
+    "per-source rollup — the count tables are corpus-bounded. Ref "
+    "parity: beyond-reference text-stats layer.",
+)
+def bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.portable_math import ln_micro_rational
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    big = (
+        docs.select(
+            "source", F.split(F.trim("text"), r"\s+").alias("t")
+        )
+        .where(F.size("t") >= 2)
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+                )
+            ).alias("bg"),
+        )
+        .select("source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    )
+    c12t = big.groupBy("source", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c12")
+    ).localCheckpoint(eager=False)
+    c1t = c12t.groupBy("source", "w1").agg(
+        F.sum("c12").cast("long").alias("c1")
+    )
+    lnr = ln_micro_rational("c1", "c12", "spark")
+    joined = c12t.join(c1t, ["source", "w1"])
+    return joined.groupBy("source").agg(
+        F.sum("c12").cast("long").alias("n_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_bigrams"),
+        F.expr(f"CAST(SUM(c12 * ({lnr})) AS BIGINT)").alias(
+            "sum_h_micro"
+        ),
+        F.expr(
+            f"CAST(SUM(c12 * ({lnr})) DIV SUM(c12) AS BIGINT)"
+        ).alias("entropy_micro_nats"),
+    )

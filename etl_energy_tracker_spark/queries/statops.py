@@ -3398,3 +3398,141 @@ def eb_rate_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE NULL END AS BIGINT)"
         ).alias("shrunk_ppm"),
     )
+
+
+# --------------------------------- quantile normalization map
+
+# Batch-effect correction: map each event_type's value distribution
+# onto the POOLED distribution by rank — the quantile-normalization
+# table (genomics' classic, equally the fix for per-source score
+# drift in ranking data). Per-type decile cut points come from exact
+# rank-select windows (partitioned per type); pooled cut points come
+# from the distinct-cents value HISTOGRAM cumsum — the ks_drift
+# documented grid class, bounded by the value domain, never a global
+# sort of raw rows.
+
+_QN_DECILES = 9
+
+
+@register(
+    "quantile_norm_map",
+    oracle=f"""
+    WITH c AS (
+        SELECT event_type, event_id,
+               CAST(FLOOR(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY cents, event_id
+               ) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM c
+    ),
+    ds AS (SELECT unnest(range(1, {_QN_DECILES + 1})) AS d),
+    type_cuts AS (
+        SELECT event_type, ds.d AS decile, cents AS cut_cents
+        FROM ranked, ds
+        WHERE rk = (ds.d * n + 9) // 10
+    ),
+    hist AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS cnt FROM c
+        GROUP BY cents
+    ),
+    cum AS (
+        SELECT cents, cnt,
+               SUM(cnt) OVER (ORDER BY cents
+                   ROWS UNBOUNDED PRECEDING) AS cum
+        FROM hist
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM hist),
+    pooled AS (
+        SELECT ds.d AS decile, cum.cents AS pooled_cut_cents
+        FROM cum CROSS JOIN tot, ds
+        WHERE cum.cum >= (ds.d * tot.n + 9) // 10
+          AND cum.cum - cum.cnt < (ds.d * tot.n + 9) // 10
+    )
+    SELECT t.event_type, t.decile,
+           t.cut_cents, p.pooled_cut_cents,
+           p.pooled_cut_cents - t.cut_cents AS shift_cents
+    FROM type_cuts t JOIN pooled p ON p.decile = t.decile
+    """,
+    tags=("stats", "window"),
+    doc="Quantile-normalization map: per-event_type decile cut points "
+    "(exact rank-select by (cents, event_id) — ceil(d*n/10)-th order "
+    "statistics, deterministic on ties) against the POOLED deciles, "
+    "with the per-decile shift the correction would apply — the "
+    "batch-effect fix for per-source score drift. Pooled cuts come "
+    "from the distinct-cents histogram cumsum (threshold falls "
+    "inside exactly one histogram cell: cum >= t AND cum - cnt < t), "
+    "NOT a global sort of raw rows — the bounded value-domain grid "
+    "(ks_drift's documented class, allowlisted). Scale: one rank "
+    "window per bounded type group + one histogram shuffle keyed by "
+    "cents; deciles join on a 9-row broadcast. Ref parity: "
+    "beyond-reference stats layer.",
+)
+def quantile_norm_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    c = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    ).localCheckpoint(eager=False)
+    grp = W.partitionBy("event_type")
+    ranked = c.select(
+        "event_type",
+        "cents",
+        F.row_number()
+        .over(grp.orderBy("cents", "event_id"))
+        .alias("rk"),
+        F.count(F.lit(1)).over(grp).alias("n"),
+    )
+    ds = spark.range(1, _QN_DECILES + 1).select(
+        F.col("id").cast("long").alias("d")
+    )
+    type_cuts = (
+        ranked.crossJoin(F.broadcast(ds))
+        .where(F.col("rk") == F.expr("(d * n + 9) DIV 10"))
+        .select(
+            "event_type",
+            F.col("d").alias("decile"),
+            F.col("cents").alias("cut_cents"),
+        )
+    )
+    hist = c.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    cum = hist.select(
+        "cents",
+        "cnt",
+        F.sum("cnt")
+        .over(
+            W.orderBy("cents").rowsBetween(
+                W.unboundedPreceding, W.currentRow
+            )
+        )
+        .alias("cum"),
+    )
+    tot = hist.agg(F.sum("cnt").cast("long").alias("n"))
+    pooled = (
+        cum.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ds))
+        .where(
+            (F.col("cum") >= F.expr("(d * n + 9) DIV 10"))
+            & (F.col("cum") - F.col("cnt") < F.expr("(d * n + 9) DIV 10"))
+        )
+        .select(
+            F.col("d").alias("decile"),
+            F.col("cents").alias("pooled_cut_cents"),
+        )
+    )
+    return type_cuts.join(pooled, "decile").select(
+        "event_type",
+        "decile",
+        "cut_cents",
+        "pooled_cut_cents",
+        (F.col("pooled_cut_cents") - F.col("cut_cents")).alias(
+            "shift_cents"
+        ),
+    )

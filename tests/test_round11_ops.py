@@ -557,3 +557,81 @@ def test_eb_shrinkage_pulls_toward_prior(spark):
         assert lo - 1 <= r.shrunk_ppm <= hi + 1, (r.item, r.raw_ppm, m, r.shrunk_ppm)
         # exact formula replay
         assert r.shrunk_ppm == (r.x * 1_000_000 + s * m) // (r.n + s)
+
+
+# ------------------------------------------ bigram entropy rate
+
+
+def test_bigram_entropy_python_replay(spark):
+    """Replay per source with double ln within 1 micro-nat per term;
+    entropy is bounded by ln(vocab) and non-negative."""
+    import math
+    from collections import Counter, defaultdict
+
+    from etl_energy_tracker_spark.queries.llmprep import (
+        bigram_entropy_rate,
+    )
+    from etl_energy_tracker_spark.sources.registry import load_table
+
+    got = {
+        r.source: r for r in bigram_entropy_rate(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, "documents", SF_DIR).select(
+        "source", "text"
+    ).collect()
+    c12 = defaultdict(Counter)
+    for r in docs:
+        t = r.text.strip().split()
+        for a, b in zip(t, t[1:]):
+            c12[r.source][(a, b)] += 1
+    for src, cc in c12.items():
+        c1 = Counter()
+        for (a, _), n in cc.items():
+            c1[a] += n
+        tot = sum(cc.values())
+        s = sum(
+            n * math.floor(math.log(c1[a] / n) * 1e6 + 0.5)
+            for (a, _), n in cc.items()
+        )
+        row = got[src]
+        assert row.n_bigrams == tot
+        assert row.n_distinct_bigrams == len(cc)
+        assert abs(row.sum_h_micro - s) <= len(cc)
+        assert row.entropy_micro_nats >= 0
+
+
+# ------------------------------------------ quantile normalization
+
+
+def test_quantile_norm_map_exact_ranks(spark):
+    """Each per-type cut is the exact ceil(d*n/10)-th order statistic
+    and each pooled cut is the exact pooled order statistic."""
+    from collections import defaultdict
+
+    from etl_energy_tracker_spark.queries.statops import (
+        quantile_norm_map,
+    )
+    from etl_energy_tracker_spark.sources.registry import load_table
+
+    import math
+
+    rows = quantile_norm_map(spark, SF_DIR).collect()
+    ev = load_table(spark, "events", SF_DIR).select(
+        "event_type", "event_id", "value"
+    ).collect()
+    by_type = defaultdict(list)
+    pooled = []
+    for r in ev:
+        c = math.floor(r.value * 100)
+        by_type[r.event_type].append((c, r.event_id))
+        pooled.append(c)
+    pooled.sort()
+    n_pool = len(pooled)
+    for r in rows:
+        vals = sorted(by_type[r.event_type])
+        n = len(vals)
+        rk = (r.decile * n + 9) // 10
+        assert r.cut_cents == vals[rk - 1][0]
+        prk = (r.decile * n_pool + 9) // 10
+        assert r.pooled_cut_cents == pooled[prk - 1]
+        assert r.shift_cents == r.pooled_cut_cents - r.cut_cents

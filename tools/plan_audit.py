@@ -93,6 +93,9 @@ BOUNDED_SINGLE_PARTITION: dict[str, str] = {
     "hill_tail_index": "rank window over the k+1-row TakeOrdered top "
         "(<= 101 rows by construction — the limit precedes the "
         "window)",
+    "quantile_norm_map": "cumsum window over the distinct-cents value "
+        "histogram (bounded value domain — the ks_drift documented "
+        "grid class)",
 }
 
 

@@ -252,6 +252,10 @@ OPS = [
     "offpolicy_ips_snips",
     # part-keyed counts + 1-row moments broadcast
     "eb_rate_shrinkage",
+    # two ngram-keyed count shuffles + (source, w1) join
+    "bigram_entropy_rate",
+    # per-type rank windows + value-histogram cumsum
+    "quantile_norm_map",
 ]
 
 
