@@ -292,6 +292,8 @@ EXTRA = [
     "eb_rate_shrinkage",
     "bigram_entropy_rate",
     "quantile_norm_map",
+    "degree_assortativity",
+    "successive_halving_suppliers",
 ]
 
 

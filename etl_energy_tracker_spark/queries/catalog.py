@@ -400,6 +400,8 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "eb_rate_shrinkage",
     "bigram_entropy_rate",
     "quantile_norm_map",
+    "degree_assortativity",
+    "successive_halving_suppliers",
 )
 
 

@@ -1055,3 +1055,119 @@ def label_propagation_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = stats if out is None else out.unionByName(stats)
         labels = new_labels.select("v", "lbl")
     return out.orderBy("round")
+
+
+# ------------------------------------------ degree assortativity
+
+# Newman's degree assortativity: do high-degree parts co-purchase
+# with other high-degree parts (hub-hub, r > 0) or with leaves
+# (hub-spoke, r < 0)? The sign decides whether degree-based
+# partitioning/salting will see hot-hot edge blocks at scale. Exact
+# integer sufficient statistics over edge-endpoint degrees reduce
+# Newman's formula to ONE integer ratio:
+#   r = (4M*S_jk - S_sum^2) / (2M*S_sq - S_sum^2)
+# with M edges, S_jk = sum(j*k), S_sum = sum(j+k), S_sq =
+# sum(j^2+k^2) — reported in truncating ppm (both engines truncate
+# toward zero identically, negative values included).
+
+
+@register(
+    "degree_assortativity",
+    oracle=f"""
+    WITH li96 AS (
+        SELECT l_orderkey, l_partkey FROM lineitem
+        WHERE l_shipdate >= DATE '{_TRUSS_WINDOW[0]}'
+          AND l_shipdate < DATE '{_TRUSS_WINDOW[1]}'
+    ),
+    pairs AS (
+        SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+        FROM li96 a JOIN li96 b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT lo AS v FROM pairs UNION ALL SELECT hi AS v FROM pairs
+        ) GROUP BY v
+    ),
+    ek AS (
+        SELECT dl.d AS j, dh.d AS k
+        FROM pairs JOIN deg dl ON dl.v = lo JOIN deg dh ON dh.v = hi
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(j * k) AS BIGINT) AS s_jk,
+               CAST(SUM(j + k) AS BIGINT) AS s_sum,
+               CAST(SUM(j * j + k * k) AS BIGINT) AS s_sq
+        FROM ek
+    )
+    SELECT m AS m_edges, s_jk, s_sum, s_sq,
+           CAST((4 * m * s_jk - s_sum * s_sum) * 1000000
+                // NULLIF(2 * m * s_sq - s_sum * s_sum, 0) AS BIGINT)
+               AS assortativity_ppm
+    FROM s
+    """,
+    tags=("graph", "stats"),
+    doc="Newman degree assortativity of the 1996 co-purchase graph in "
+    "exact integer ppm: endpoint degrees join onto each edge, four "
+    "BIGINT sufficient statistics (M, sum jk, sum j+k, sum j^2+k^2) "
+    "reduce the Pearson formula to one integer ratio (4M*S_jk - "
+    "S_sum^2) / (2M*S_sq - S_sum^2) — no float accumulation anywhere, "
+    "truncating division identical on both engines for either sign. "
+    "The SIGN is the operational payload: positive (hub-hub mixing) "
+    "means degree-ordered partitioning sees hot-hot edge blocks and "
+    "salting keys on BOTH endpoints; negative (hub-spoke) means "
+    "single-endpoint salting suffices. Scale: degree table via one "
+    "vertex-keyed count, two broadcast-joinable lookups per edge, one "
+    "scalar rollup. Ref parity: beyond-reference graph layer.",
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= F.lit(_TRUSS_WINDOW[0]).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_TRUSS_WINDOW[1]).cast("timestamp"))
+    ).select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("lo"),
+            F.col("b.l_partkey").alias("hi"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        pairs.select(F.col("lo").alias("v"))
+        .unionByName(pairs.select(F.col("hi").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    dl = deg.alias("dl")
+    dh = deg.alias("dh")
+    ek = (
+        pairs.join(dl, F.col("dl.v") == F.col("lo"))
+        .join(dh, F.col("dh.v") == F.col("hi"))
+        .select(F.col("dl.d").alias("j"), F.col("dh.d").alias("k"))
+    )
+    return ek.agg(
+        F.count(F.lit(1)).cast("long").alias("m_edges"),
+        F.sum(F.col("j") * F.col("k")).cast("long").alias("s_jk"),
+        F.sum(F.col("j") + F.col("k")).cast("long").alias("s_sum"),
+        F.sum(F.col("j") * F.col("j") + F.col("k") * F.col("k"))
+        .cast("long")
+        .alias("s_sq"),
+    ).select(
+        "m_edges",
+        "s_jk",
+        "s_sum",
+        "s_sq",
+        F.expr(
+            "CAST((4 * m_edges * s_jk - s_sum * s_sum) * 1000000"
+            " DIV NULLIF(2 * m_edges * s_sq - s_sum * s_sum, 0)"
+            " AS BIGINT)"
+        ).alias("assortativity_ppm"),
+    )

@@ -1350,3 +1350,149 @@ def dpo_pair_loss_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ipo_loss_micro"),
         "correct",
     )
+
+
+# --------------------------------- successive halving (tournament)
+
+# The Hyperband/ASHA building block as a data operator: a tournament
+# over candidates where each rung doubles the evaluation budget and
+# halves the field — here suppliers compete on CUMULATIVE 1996
+# revenue through month r (rung r sees r months of evidence), and
+# the top ceil(n/2) by (revenue, suppkey) survive to the next rung.
+# Decimal-exact cents, deterministic tie-breaks; the rank windows run
+# over the SUPPLIER dimension (bounded by construction — the same
+# bounded-dim argument as the tracking ops).
+
+_SH_RUNGS = 4
+
+
+def _sh_oracle() -> str:
+    parts = []
+    for r in range(1, _SH_RUNGS + 1):
+        parts.append(f"""cum{r} AS (
+        SELECT p.s,
+               COALESCE(SUM(CASE WHEN m.m <= {r} THEN m.c END), 0)
+                   AS cum
+        FROM sup{r - 1} p LEFT JOIN mrev m ON m.s = p.s
+        GROUP BY p.s
+    ),
+    rk{r} AS (
+        SELECT s, cum,
+               ROW_NUMBER() OVER (ORDER BY cum DESC, s) AS rn,
+               COUNT(*) OVER () AS n
+        FROM cum{r}
+    ),
+    sup{r} AS (SELECT s FROM rk{r} WHERE rn <= (n + 1) // 2)""")
+    rounds = ",\n    ".join(parts)
+    rows = "\n        UNION ALL\n        ".join(
+        f"""SELECT CAST({r} AS BIGINT) AS rung,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM sup{r - 1})
+                   AS n_in,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM sup{r})
+                   AS n_kept,
+               (SELECT CAST(MIN(cum) AS BIGINT) FROM rk{r}
+                 WHERE rn <= (n + 1) // 2) AS min_kept_cents"""
+        for r in range(1, _SH_RUNGS + 1)
+    )
+    return f"""
+    WITH sup0 AS (SELECT DISTINCT l_suppkey AS s FROM lineitem),
+    mrev AS (
+        SELECT l_suppkey AS s, month(l_shipdate) AS m,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                    AS BIGINT) AS c
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1996-05-01'
+        GROUP BY l_suppkey, month(l_shipdate)
+    ),
+    {rounds}
+    SELECT * FROM (
+        {rows}
+    ) ORDER BY rung
+    """
+
+
+@register(
+    "successive_halving_suppliers",
+    oracle=_sh_oracle(),
+    tags=("ml", "iterative", "window"),
+    doc="Successive halving (the Hyperband/ASHA rung loop) as a data "
+    "tournament: rung r ranks the surviving suppliers on cumulative "
+    "1996 revenue through month r (each rung doubles the evidence) "
+    "and keeps the top ceil(n/2) by (revenue DESC, suppkey) — exact "
+    "decimal cents, deterministic ties, per-rung "
+    "(n_in, n_kept, min_kept_cents) trace oracle-pinned rung by "
+    "rung. Scale: the monthly revenue table is one fact shuffle "
+    "keyed by (supplier, month); every rung is a rank window over "
+    "the SUPPLIER dimension (bounded by construction — the "
+    "tracking-dim argument) + a semi-join survivor filter. Ref "
+    "parity: beyond-reference ML-infra layer (the eval-scheduling "
+    "primitive next to pass_at_k/best_of_n).",
+)
+def successive_halving_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    sup = li.select(
+        F.col("l_suppkey").alias("s")
+    ).distinct().localCheckpoint(eager=False)
+    mrev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-05-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.col("l_suppkey").alias("s"),
+            F.month("l_shipdate").alias("m"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)") * 100
+            )
+            .cast("long")
+            .alias("c")
+        )
+        .localCheckpoint(eager=False)
+    )
+    out = None
+    survivors = sup
+    for r in range(1, _SH_RUNGS + 1):
+        cum = (
+            survivors.join(mrev, "s", "left")
+            .groupBy("s")
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("m") <= r, F.col("c"))), F.lit(0)
+                )
+                .cast("long")
+                .alias("cum")
+            )
+        )
+        w = W.orderBy(F.desc("cum"), F.col("s"))
+        rk = cum.select(
+            "s",
+            "cum",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+        ).localCheckpoint(eager=False)
+        kept = rk.where(F.col("rn") <= F.expr("(n + 1) DIV 2"))
+        stats = (
+            rk.agg(
+                F.lit(r).cast("long").alias("rung"),
+                F.max("n").cast("long").alias("n_in"),
+            )
+            .crossJoin(
+                F.broadcast(
+                    kept.agg(
+                        F.count(F.lit(1)).cast("long").alias("n_kept"),
+                        F.min("cum").cast("long").alias(
+                            "min_kept_cents"
+                        ),
+                    )
+                )
+            )
+            .select("rung", "n_in", "n_kept", "min_kept_cents")
+        )
+        out = stats if out is None else out.unionByName(stats)
+        survivors = kept.select("s").localCheckpoint(eager=False)
+    return out.orderBy("rung")

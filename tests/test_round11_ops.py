@@ -635,3 +635,83 @@ def test_quantile_norm_map_exact_ranks(spark):
         prk = (r.decile * n_pool + 9) // 10
         assert r.pooled_cut_cents == pooled[prk - 1]
         assert r.shift_cents == r.pooled_cut_cents - r.cut_cents
+
+
+# ------------------------------------------ degree assortativity
+
+
+def test_assortativity_python_replay(spark):
+    """Exact integer replay of Newman's formula over the collected
+    window graph; r in [-1, 1] scaled ppm."""
+    from collections import Counter, defaultdict
+
+    from etl_energy_tracker_spark.queries.graphops import (
+        _TRUSS_WINDOW,
+        degree_assortativity,
+    )
+    from etl_energy_tracker_spark.sources.registry import load_table
+
+    import datetime as dt
+
+    row = degree_assortativity(spark, SF_DIR).collect()[0]
+    li = load_table(spark, "lineitem", SF_DIR).select(
+        "l_orderkey", "l_partkey", "l_shipdate"
+    ).collect()
+    lo_d = dt.datetime.fromisoformat(_TRUSS_WINDOW[0])
+    hi_d = dt.datetime.fromisoformat(_TRUSS_WINDOW[1])
+    baskets = defaultdict(set)
+    for r in li:
+        if lo_d <= r.l_shipdate < hi_d:
+            baskets[r.l_orderkey].add(r.l_partkey)
+    edges = set()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                edges.add((a, b))
+    deg = Counter()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    m = len(edges)
+    s_jk = sum(deg[a] * deg[b] for a, b in edges)
+    s_sum = sum(deg[a] + deg[b] for a, b in edges)
+    s_sq = sum(deg[a] ** 2 + deg[b] ** 2 for a, b in edges)
+    assert (row.m_edges, row.s_jk, row.s_sum, row.s_sq) == (
+        m, s_jk, s_sum, s_sq,
+    )
+    den = 2 * m * s_sq - s_sum * s_sum
+    if den:
+        num = (4 * m * s_jk - s_sum * s_sum) * 1_000_000
+
+        def trunc_div(a: int, b: int) -> int:
+            q = abs(a) // abs(b)
+            return q if (a >= 0) == (b > 0) else -q
+
+        assert row.assortativity_ppm == trunc_div(num, den)
+        assert -1_000_000 <= row.assortativity_ppm <= 1_000_000
+
+
+# ------------------------------------------ successive halving
+
+
+def test_successive_halving_invariants(spark):
+    """Field halves each rung (ceil(n/2)); survivors chain (next
+    rung's n_in == this rung's n_kept); min kept revenue is
+    monotonically non-decreasing in the rung (more evidence can only
+    raise the cumulative cut for survivors of a shrinking field)."""
+    from etl_energy_tracker_spark.queries.mlops import (
+        _SH_RUNGS,
+        successive_halving_suppliers,
+    )
+
+    rows = sorted(
+        successive_halving_suppliers(spark, SF_DIR).collect(),
+        key=lambda r: r.rung,
+    )
+    assert len(rows) == _SH_RUNGS
+    for r in rows:
+        assert r.n_kept == (r.n_in + 1) // 2
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_in == prev.n_kept
+        assert cur.min_kept_cents >= prev.min_kept_cents

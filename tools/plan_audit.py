@@ -96,6 +96,9 @@ BOUNDED_SINGLE_PARTITION: dict[str, str] = {
     "quantile_norm_map": "cumsum window over the distinct-cents value "
         "histogram (bounded value domain — the ks_drift documented "
         "grid class)",
+    "successive_halving_suppliers": "per-rung rank windows over the "
+        "SUPPLIER dimension (bounded by construction — the "
+        "tracking-dim argument)",
 }
 
 

@@ -256,6 +256,10 @@ OPS = [
     "bigram_entropy_rate",
     # per-type rank windows + value-histogram cumsum
     "quantile_norm_map",
+    # edge-degree join + 4-BIGINT scalar rollup
+    "degree_assortativity",
+    # per-rung rank over the bounded supplier dim
+    "successive_halving_suppliers",
 ]
 
 
