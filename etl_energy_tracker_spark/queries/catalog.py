@@ -333,24 +333,38 @@ _R10_VERIFIED: frozenset[str] = frozenset({
     "stream_stream_left_outer", "weighted_jaccard_pairs",
 })
 
+_R11_VERIFIED: frozenset[str] = frozenset({
+    "bigram_entropy_rate", "bloom_prune_audit", "cem_matching_att",
+    "degree_assortativity", "dpo_pair_loss_stats", "eb_rate_shrinkage",
+    "hill_tail_index", "icws_weighted_lsh_pairs", "ktruss_decomposition",
+    "label_propagation_cc", "lm_bigram_perplexity", "lrs_cross_doc_exact",
+    "mlm_masking_plan", "offpolicy_ips_snips", "qte_median",
+    "quantile_norm_map", "stream_full_outer_asym_wm",
+    "stream_rate_limit_window", "successive_halving_suppliers",
+})
+
 # Queries whose Spark implementation changed AFTER their last green
 # driver CORRECTNESS row (VERDICT r3 "What's wrong" §1: a green row on
 # old code is not a green row on current code). These are pulled back
 # out of the verified-emit-last set and emitted FIRST so the capped
 # (~50/round) driver run re-checks the current code.
-# r11 queue — VERDICT r10 fixes, impl changed after the r10 green
-# rows (names appended as the fixes land):
-# dup_substring_maxlen: pre-fan-out repartition re-sized from the
-#   literal 32 to spark.sparkContext.defaultParallelism (VERDICT r10
-#   "What's wrong" §1) — result-neutral (partition count only), but
-#   the freeze ritual demands a fresh driver green on current code.
-# stream_dedup_within_watermark: drive re-shaped to the production
-#   append-mode emit of surviving rows (VERDICT r10 task 3) — the
-#   complete-mode verification aggregate that held one row per key
-#   forever is now a batch groupBy over the emitted memory table.
+# r12 queue — ADVICE r11 fixes, impl changed after the r11 green rows:
+# weighted_jaccard_pairs / icws_weighted_lsh_pairs: sub-3-token guard
+#   before the trigram explode (descending sequence() vs empty range()
+#   engine divergence) — result-neutral on the shipped corpus, but the
+#   freeze ritual demands a fresh driver green on current code.
+# hill_tail_index: NULLIF(kk, 0) zero-guard on both engines.
+# stream_rate_limit_window: state re-shaped from current-window-only
+#   to a bounded ring of _RL_KEEP recent windows (late-arrival fix).
+# lrs_cross_doc_exact: adaptive staged pass over the hashed prefix
+#   space (VERDICT r11 task 2) — B=1 lazy plan at shipped SFs, B
+#   bounded jobs past _LRS_STAGE_CHAR_BUDGET.
 _REVERIFY: tuple[str, ...] = (
-    "dup_substring_maxlen",
-    "stream_dedup_within_watermark",
+    "weighted_jaccard_pairs",
+    "icws_weighted_lsh_pairs",
+    "hill_tail_index",
+    "stream_rate_limit_window",
+    "lrs_cross_doc_exact",
 )
 
 # Queries driver-verified green in CORRECTNESS_r03.json whose code is
@@ -382,26 +396,7 @@ _R3_VERIFIED: frozenset[str] = frozenset({
 # frozen name and burn a cap slot
 # (test_frozen_names_pruned_from_priority closes the loophole).
 _PRIORITY: tuple[str, ...] = _REVERIFY + (
-    # r11 additions (never driver-checked) append here as they land
-    "ktruss_decomposition",
-    "icws_weighted_lsh_pairs",
-    "stream_full_outer_asym_wm",
-    "dpo_pair_loss_stats",
-    "lrs_cross_doc_exact",
-    "lm_bigram_perplexity",
-    "bloom_prune_audit",
-    "mlm_masking_plan",
-    "hill_tail_index",
-    "label_propagation_cc",
-    "cem_matching_att",
-    "qte_median",
-    "stream_rate_limit_window",
-    "offpolicy_ips_snips",
-    "eb_rate_shrinkage",
-    "bigram_entropy_rate",
-    "quantile_norm_map",
-    "degree_assortativity",
-    "successive_halving_suppliers",
+    # r12 additions (never driver-checked) append here as they land
 )
 
 
@@ -410,7 +405,7 @@ def _ordered() -> list[str]:
     verified = (
         _R1_VERIFIED | _R3_VERIFIED | _R4_VERIFIED | _R5_VERIFIED
         | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED | _R9_VERIFIED
-        | _R10_VERIFIED
+        | _R10_VERIFIED | _R11_VERIFIED
     ) - set(_PRIORITY)
     rank = {n: i for i, n in enumerate(_PRIORITY)}
     unverified = sorted(

@@ -1683,6 +1683,18 @@ def dup_substring_maxlen(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LRS_FLOOR = 16
 _LRS_TRUNC = 2 * _DSM_LEVELS[-1] - 1
 
+# Staged-pass budget (VERDICT r11 task 2): the x100 probe's suffix
+# volume (~141M suffixes, ~22e9 materialized chars) exceeds this
+# host's ~30 GB shuffle scratch in ONE window sort. The adjacency
+# argument is per-prefix-bucket, and buckets are independent — so the
+# prefix space partitions into B = ceil(suffix_chars / budget) stages
+# by pmod(xxhash64(pre), B), each stage sorts only its share, and the
+# global answer is the max of stage maxima (same trick as the capped
+# edge_triangle construction). 2e9 chars/stage ≈ 2 GB of shuffled
+# suffix bytes: B=1 at every shipped SF (the snapshot-pinned lazy
+# plan), ~4 at x30, ~11 at x100.
+_LRS_STAGE_CHAR_BUDGET = 2_000_000_000
+
 
 @register(
     "lrs_cross_doc_exact",
@@ -1758,8 +1770,15 @@ _LRS_TRUNC = 2 * _DSM_LEVELS[-1] - 1
     "suffix volume is corpus chars x truncation window (linear on "
     "the char axis, like the ladder op it validates); the bucket "
     "window is the standard distributed suffix-array LCP scan; hot "
-    "boilerplate prefixes are the documented skew caveat. Ref "
-    "parity: beyond-reference dedup layer.",
+    "boilerplate prefixes are the documented skew caveat. When the "
+    "estimated suffix-char volume exceeds _LRS_STAGE_CHAR_BUDGET the "
+    "op switches to a STAGED pass (VERDICT r11 task 2): the prefix "
+    "space splits into B hash buckets processed as B independent "
+    "jobs, each sorting only its share of the 511-char suffixes, and "
+    "the answer is the max of stage maxima — result-identical "
+    "because adjacency never crosses a prefix bucket (the same "
+    "scale-adaptive switch simhash_near_pairs uses for its keying). "
+    "Ref parity: beyond-reference dedup layer.",
 )
 def lrs_cross_doc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # load_table repartitions to defaultParallelism, so the explode
@@ -1776,42 +1795,86 @@ def lrs_cross_doc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible = docs.where(F.length("text") >= _LRS_FLOOR).select(
         "doc_id", "text"
     )
-    b = eligible.select(
-        "doc_id",
-        F.explode(
-            F.expr(f"sequence(1, length(text) - {_LRS_FLOOR - 1})")
-        ).alias("i"),
-        "text",
-    ).select(
-        "doc_id",
-        F.expr(f"substr(text, i, {_LRS_FLOOR})").alias("pre"),
-        F.expr(f"substr(text, i, {_LRS_TRUNC})").alias("s"),
+
+    def stage_max_lcp(n_stages: int, stage: int) -> DataFrame:
+        sfx = eligible.select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(1, length(text) - {_LRS_FLOOR - 1})")
+            ).alias("i"),
+            "text",
+        ).withColumn("pre", F.expr(f"substr(text, i, {_LRS_FLOOR})"))
+        if n_stages > 1:
+            # prefix-hash stage filter BEFORE the 511-char substring is
+            # projected — the wide suffixes of other stages never form
+            sfx = sfx.where(
+                F.expr(f"pmod(xxhash64(pre), {n_stages})") == stage
+            )
+        b = sfx.select(
+            "doc_id",
+            "pre",
+            F.expr(f"substr(text, i, {_LRS_TRUNC})").alias("s"),
+        )
+        w = W.partitionBy("pre").orderBy("s", "doc_id")
+        adj = b.select(
+            "pre",
+            "doc_id",
+            "s",
+            F.lag("doc_id").over(w).alias("prev_doc"),
+            F.lag("s").over(w).alias("prev_s"),
+        ).where(
+            F.col("prev_s").isNotNull()
+            & (F.col("prev_doc") != F.col("doc_id"))
+        )
+        lcp = F.expr(
+            "CASE WHEN p = 0 THEN least(length(s), length(prev_s)) "
+            "ELSE p - 1 END"
+        )
+        lcps = adj.select(
+            F.expr(
+                "array_position(zip_with(split(s, ''), split(prev_s, ''), "
+                "(x, y) -> x <=> y), false)"
+            ).alias("p"),
+            "s",
+            "prev_s",
+        ).select(lcp.alias("lcp"))
+        return lcps.agg(
+            F.coalesce(F.max("lcp"), F.lit(0)).cast("long").alias("lrs_len")
+        )
+
+    # estimate the materialized suffix-char volume from doc lengths
+    # alone (closed form of sum_i min(511, len-i+1) — one cheap scan,
+    # no explode): decides B. B=1 keeps the fully lazy single-window
+    # plan; B>1 runs B bounded jobs and folds their maxima driver-side
+    # (a B-row artifact, the kmeans_lloyd_refine collect convention).
+    cap_sum = _LRS_TRUNC * (_LRS_TRUNC + 1) // 2 - (
+        _LRS_FLOOR * (_LRS_FLOOR - 1) // 2
     )
-    w = W.partitionBy("pre").orderBy("s", "doc_id")
-    adj = b.select(
-        "pre",
-        "doc_id",
-        "s",
-        F.lag("doc_id").over(w).alias("prev_doc"),
-        F.lag("s").over(w).alias("prev_s"),
-    ).where(
-        F.col("prev_s").isNotNull() & (F.col("prev_doc") != F.col("doc_id"))
-    )
-    lcp = F.expr(
-        "CASE WHEN p = 0 THEN least(length(s), length(prev_s)) "
-        "ELSE p - 1 END"
-    )
-    lcps = adj.select(
-        F.expr(
-            "array_position(zip_with(split(s, ''), split(prev_s, ''), "
-            "(x, y) -> x <=> y), false)"
-        ).alias("p"),
-        "s",
-        "prev_s",
-    ).select(lcp.alias("lcp"))
-    max_lcp = lcps.agg(
-        F.coalesce(F.max("lcp"), F.lit(0)).cast("long").alias("lrs_len")
-    )
+    est = eligible.agg(
+        F.sum(
+            F.when(
+                F.length("text") <= _LRS_TRUNC,
+                (F.length("text") * (F.length("text") + 1) / 2)
+                - F.lit(_LRS_FLOOR * (_LRS_FLOOR - 1) // 2),
+            ).otherwise(
+                F.lit(cap_sum)
+                + (F.length("text") - _LRS_TRUNC) * F.lit(_LRS_TRUNC)
+            )
+        ).alias("chars")
+    ).collect()[0]["chars"]
+    n_stages = max(1, -(-int(est or 0) // _LRS_STAGE_CHAR_BUDGET))
+    if n_stages == 1:
+        max_lcp = stage_max_lcp(1, 0)
+    else:
+        best = 0
+        for stage in range(n_stages):
+            best = max(
+                best,
+                stage_max_lcp(n_stages, stage).collect()[0]["lrs_len"],
+            )
+        max_lcp = spark.range(1).select(
+            F.lit(best).cast("long").alias("lrs_len")
+        )
     # suffix count from doc lengths — no explode, no wide strings
     n_sfx = eligible.agg(
         F.sum(F.length("text") - (_LRS_FLOOR - 1))

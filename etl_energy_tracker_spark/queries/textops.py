@@ -1304,6 +1304,11 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
         )
+        # guard: sequence(1, n-2) with n < 3 is a DESCENDING sequence in
+        # Spark (sequence(1, -1) = [1, 0, -1]) yielding NULL grams, while
+        # the oracle's range(1, len-1) is empty — filter sub-trigram docs
+        # so both engines agree on any corpus, not just the shipped one
+        .where(F.size("t") >= 3)
         .select(
             "doc_id",
             F.explode(
@@ -1522,6 +1527,9 @@ def icws_weighted_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tri = (
         docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("t"))
+        # same sub-3-token guard as weighted_jaccard_pairs (descending
+        # sequence() vs empty range() engine divergence)
+        .where(F.size("t") >= 3)
         .select(
             "doc_id",
             F.explode(
@@ -1705,8 +1713,8 @@ def _hill_oracle() -> str:
     SELECT (SELECT kk FROM keff) AS k,
            (SELECT c_floor FROM floor_c) AS c_floor,
            CAST(SUM(lr_micro) AS BIGINT) AS sum_lr_micro,
-           CAST(SUM(lr_micro) // (SELECT kk FROM keff) AS BIGINT)
-               AS gamma_micro
+           CAST(SUM(lr_micro) // NULLIF((SELECT kk FROM keff), 0)
+               AS BIGINT) AS gamma_micro
     FROM terms
     """
 
@@ -1787,8 +1795,10 @@ def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("kk").alias("k"),
             "c_floor",
             "sum_lr_micro",
-            F.expr("CAST(sum_lr_micro DIV kk AS BIGINT)").alias(
-                "gamma_micro"
-            ),
+            # NULLIF: a 1-token vocabulary gives kk = 0 where DuckDB's
+            # // raises and Spark's DIV returns NULL — pin both to NULL
+            F.expr(
+                "CAST(sum_lr_micro DIV NULLIF(kk, 0) AS BIGINT)"
+            ).alias("gamma_micro"),
         )
     )

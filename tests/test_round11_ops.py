@@ -7,6 +7,8 @@ gate)."""
 
 from __future__ import annotations
 
+import datetime
+
 from conftest import SF_DIR
 
 
@@ -200,6 +202,22 @@ def test_lrs_closes_dup_substring_bracket(spark):
     for lvl, n in ladder.items():
         if lvl <= lrs:
             assert n > 0, f"level {lvl} should see the LRS's grams"
+
+
+def test_lrs_staged_pass_matches_single_window(spark, monkeypatch):
+    """The VERDICT r11 task-2 staged pass is result-identical to the
+    single-window plan: forcing a tiny stage budget makes the op run
+    B > 1 prefix-hash stages and fold their maxima driver-side, and
+    the full row (lrs_len, n_suffixes, n_crossdoc_buckets) must equal
+    the lazy B=1 result byte-for-byte."""
+    from etl_energy_tracker_spark.queries import llmprep
+
+    single = llmprep.lrs_cross_doc_exact(spark, SF_DIR).collect()[0]
+    # sf0.001 suffix-char volume is ~4e6 — a 1e6 budget forces B >= 4
+    monkeypatch.setattr(llmprep, "_LRS_STAGE_CHAR_BUDGET", 1_000_000)
+    staged = llmprep.lrs_cross_doc_exact(spark, SF_DIR).collect()[0]
+    assert staged.asDict() == single.asDict()
+    assert single.lrs_len >= 16  # the corpus does carry cross-doc repeats
 
 
 # ------------------------------------------ bloom filter audit
@@ -404,7 +422,11 @@ def test_cem_matching_python_replay(spark):
     ).collect()
     import math
 
-    us = [int(r.ts.timestamp() * 1_000_000) for r in ev]
+    us = [
+        int(r.ts.replace(tzinfo=datetime.timezone.utc).timestamp()
+            * 1_000_000)
+        for r in ev
+    ]  # tz-pinned replay: naive .timestamp() applies the host zone
     split = min(us) + (max(us) - min(us)) // 2
     per_user = defaultdict(lambda: [0, 0])  # (pre_cnt, y)
     for r, u in zip(ev, us):
@@ -463,7 +485,11 @@ def test_qte_median_python_replay(spark):
     ev = load_table(spark, "events", SF_DIR).select(
         "event_type", "user_id", "ts", "value"
     ).collect()
-    us = [int(r.ts.timestamp() * 1_000_000) for r in ev]
+    us = [
+        int(r.ts.replace(tzinfo=datetime.timezone.utc).timestamp()
+            * 1_000_000)
+        for r in ev
+    ]  # tz-pinned replay: naive .timestamp() applies the host zone
     split = min(us) + (max(us) - min(us)) // 2
     y = defaultdict(int)
     for r, u in zip(ev, us):

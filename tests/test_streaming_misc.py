@@ -708,22 +708,29 @@ def test_full_outer_asym_watermarks_min_policy(spark, tmp_path):
 
 
 def test_rate_limit_window_reset_and_cap(spark, tmp_path):
-    """Synthetic two-batch drive: 5 events inside one 10-min window
-    admit only 3; the next window resets the counter; a second
-    micro-batch continues the same window's count across batches."""
+    """Three-batch drive of the PRODUCTION update fn
+    (_make_rate_limit_update): 5 events inside one 10-min window admit
+    only 3; the next window resets the counter; and — the ADVICE r11
+    scenario — an event arriving for an ALREADY-PASSED window in a
+    later micro-batch resumes that window's true count (rejected here)
+    instead of resetting it (which would wrongly admit)."""
     import uuid
 
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from etl_energy_tracker_spark.streaming.jobs import (
+        _make_rate_limit_update,
+    )
 
     src = str(tmp_path / "rl_src")
     base = dt.datetime(2024, 1, 1, 10, 0)
     schema = "ts timestamp, user_id long, event_id long"
-    # batch 1: user 1 gets 4 events in window [10:00, 10:10)
+    # batch 1: user 1 gets 4 events in window A = [10:00, 10:10)
     spark.createDataFrame(
         [(base + dt.timedelta(minutes=m), 1, m) for m in range(4)], schema
     ).coalesce(1).write.mode("append").parquet(src)
-    # batch 2: 1 more in the same window (rejected: count persisted),
-    # then 2 in the next window (both admitted: counter reset)
+    # batch 2: 1 more in window A (rejected: count persisted), then 2
+    # in window B (both admitted: fresh window)
     spark.createDataFrame(
         [
             (base + dt.timedelta(minutes=9), 1, 9),
@@ -732,8 +739,13 @@ def test_rate_limit_window_reset_and_cap(spark, tmp_path):
         ],
         schema,
     ).coalesce(1).write.mode("append").parquet(src)
-
-    import pandas as pd
+    # batch 3: a LATE event for window A after window B already opened
+    # — the ring state still holds A's count of 3 admitted, so this is
+    # rejected; the old current-window-only state would have reset A
+    # to 0 and admitted it
+    spark.createDataFrame(
+        [(base + dt.timedelta(minutes=8), 1, 8)], schema
+    ).coalesce(1).write.mode("append").parquet(src)
 
     stream = (
         spark.readStream.schema(schema)
@@ -742,38 +754,15 @@ def test_rate_limit_window_reset_and_cap(spark, tmp_path):
         .select("user_id", F.unix_micros("ts").alias("ts_us"), "event_id")
     )
 
-    def update(key, pdfs, state: GroupState):
-        win, cnt, adm, rej, tot = (
-            state.get if state.exists else (-1, 0, 0, 0, 0)
-        )
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts_us", "event_id"])
-        for ts_us in batch["ts_us"]:
-            w = int(ts_us) - int(ts_us) % 600_000_000
-            if w != win:
-                win, cnt = w, 0
-            tot += 1
-            if cnt < 3:
-                cnt += 1
-                adm += 1
-            else:
-                rej += 1
-        state.update((win, cnt, adm, rej, tot))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [tot],
-                "n_admitted": [adm],
-                "n_rejected": [rej],
-            }
-        )
-
     out = stream.groupBy("user_id").applyInPandasWithState(
-        update,
+        _make_rate_limit_update(3, 600_000_000),
         outputStructType=(
             "user_id long, n_events long, n_admitted long, n_rejected long"
         ),
-        stateStructType="win long, cnt long, adm long, rej long, tot long",
+        stateStructType=(
+            "wins array<long>, cnts array<long>, "
+            "adm long, rej long, tot long"
+        ),
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -792,6 +781,57 @@ def test_rate_limit_window_reset_and_cap(spark, tmp_path):
         spark.table(name).collect(), key=lambda r: r.n_events
     )
     final = rows[-1]
-    # window 1 saw 5 events (4 + 1 late in batch 2): 3 admitted;
-    # window 2 saw 2: both admitted -> 5 admitted, 2 rejected
-    assert (final.n_events, final.n_admitted, final.n_rejected) == (7, 5, 2)
+    # window A saw 6 events (4 + 1 in batch 2 + 1 late in batch 3):
+    # 3 admitted; window B saw 2: both admitted -> 5 admitted, 3 rejected
+    assert (final.n_events, final.n_admitted, final.n_rejected) == (8, 5, 3)
+
+
+def test_rate_limit_ring_eviction_bounds_state():
+    """Direct replay of _make_rate_limit_update: the window ring never
+    exceeds _RL_KEEP entries, evicts the OLDEST window, and a late
+    event within the retained horizon resumes its true count."""
+    import pandas as pd
+
+    from etl_energy_tracker_spark.streaming.jobs import (
+        _RL_KEEP,
+        _make_rate_limit_update,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    upd = _make_rate_limit_update(2, 10)
+    st = FakeState()
+
+    def run(ts_list):
+        pdf = pd.DataFrame(
+            {"ts_us": ts_list, "event_id": list(range(len(ts_list)))}
+        )
+        return list(upd((1,), iter([pdf]), st))[0]
+
+    # fill window 0 to its cap
+    run([0, 1, 2])  # window 0: 2 admitted, 1 rejected
+    wins, cnts, adm, rej, tot = st.get
+    assert (adm, rej, tot) == (2, 1, 3)
+    # open _RL_KEEP more windows -> window 0 evicted, ring stays bounded
+    run([10 * (k + 1) for k in range(_RL_KEEP)])
+    wins, cnts, adm, rej, tot = st.get
+    assert len(wins) == _RL_KEEP and len(cnts) == _RL_KEEP
+    assert 0 not in wins and min(wins) == 10
+    # late event in window 10 (still retained): true count resumed,
+    # second event in that window admitted, third rejected
+    run([11, 12])
+    wins, cnts, adm, rej, tot = st.get
+    assert cnts[wins.index(10)] == 2
+    assert rej == 2  # the window-0 overflow + the window-10 overflow
+    assert len(wins) == _RL_KEEP
