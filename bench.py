@@ -294,6 +294,8 @@ EXTRA = [
     "quantile_norm_map",
     "degree_assortativity",
     "successive_halving_suppliers",
+    # round-12 additions
+    "icws_weighted_lsh_pairs_prod",
 ]
 
 

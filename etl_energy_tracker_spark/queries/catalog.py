@@ -397,6 +397,7 @@ _R3_VERIFIED: frozenset[str] = frozenset({
 # (test_frozen_names_pruned_from_priority closes the loophole).
 _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # r12 additions (never driver-checked) append here as they land
+    "icws_weighted_lsh_pairs_prod",
 )
 
 

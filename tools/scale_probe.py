@@ -229,6 +229,9 @@ OPS = [
     # exact verify
     "ktruss_decomposition",
     "icws_weighted_lsh_pairs",
+    # r12: production CWS pairs — hashed band keys + hot-bucket cap,
+    # candidate-only verify, no exact stage
+    "icws_weighted_lsh_pairs_prod",
     # bucketed suffix-adjacency scan — linear on the char axis like
     # the dup ladder it validates
     "lrs_cross_doc_exact",
