@@ -296,6 +296,8 @@ EXTRA = [
     "successive_halving_suppliers",
     # round-12 additions
     "icws_weighted_lsh_pairs_prod",
+    "nl_rolling_avg_price_24",
+    "nl_top_markets_by_volume",
 ]
 
 

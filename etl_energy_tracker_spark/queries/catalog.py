@@ -398,6 +398,8 @@ _R3_VERIFIED: frozenset[str] = frozenset({
 _PRIORITY: tuple[str, ...] = _REVERIFY + (
     # r12 additions (never driver-checked) append here as they land
     "icws_weighted_lsh_pairs_prod",
+    "nl_rolling_avg_price_24",
+    "nl_top_markets_by_volume",
 )
 
 

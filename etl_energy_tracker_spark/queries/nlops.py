@@ -266,3 +266,72 @@ def nl_total_volume_by_market(spark: SparkSession, sf_dir: str) -> DataFrame:
     return NLQueryGenerator(spark).execute_query(
         "suma de volumenes por mercado entre 2024-01-01 y 2024-01-31"
     )
+
+
+@register(
+    "nl_rolling_avg_price_24",
+    oracle=f"""
+    WITH {_DUCK_PRECIOS}
+    SELECT datetime_utc, precio,
+           ROUND(AVG(precio) OVER (PARTITION BY id_mercado
+               ORDER BY datetime_utc
+               ROWS BETWEEN 24 PRECEDING AND CURRENT ROW), 2)
+               AS rolling_avg_24h
+    FROM precios
+    WHERE id_mercado = 1
+      AND datetime_utc >= TIMESTAMP '2024-01-05 00:00:00'
+      AND datetime_utc < TIMESTAMP '2024-01-12 00:00:00' + INTERVAL 1 DAY
+    ORDER BY datetime_utc
+    """,
+    tags=("nl", "read", "window"),
+    doc="NL→SQL template path, rolling-window form (VERDICT r11 task "
+    "6): 'rolling 24h average price of Diario between 2024-01-05 and "
+    "2024-01-12' matches the grammar's new rolling branch, which "
+    "emits the reference system prompt's OWN optimization example — "
+    "AVG(precio) OVER (ORDER BY datetime_utc ROWS BETWEEN 24 "
+    "PRECEDING AND CURRENT ROW) (natlanguage_duckdb_queries.py:"
+    "246-252: 'window functions for running calculations instead of "
+    "self-joins') — partitioned by id_mercado so the sort shuffles on "
+    "the market key instead of collapsing to one global partition. "
+    "Ordering within the partition is unique (the view groups by "
+    "datetime_utc), so the frame is deterministic. Scale: pruned scan "
+    "+ one hash-partitioned window sort.",
+)
+def nl_rolling_avg_price_24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..read.nl2sql import NLQueryGenerator
+
+    _nl_views(spark, sf_dir)
+    return NLQueryGenerator(spark).execute_query(
+        "rolling 24h average price of Diario between 2024-01-05 and "
+        "2024-01-12"
+    )
+
+
+@register(
+    "nl_top_markets_by_volume",
+    oracle=f"""
+    WITH {_DUCK_VOLUMENES}
+    SELECT id_mercado, ROUND(SUM(volumenes), 2) AS total_volumenes
+    FROM volumenes_i90
+    WHERE datetime_utc >= TIMESTAMP '2024-01-01 00:00:00'
+      AND datetime_utc < TIMESTAMP '2024-01-31 00:00:00' + INTERVAL 1 DAY
+    GROUP BY id_mercado
+    ORDER BY total_volumenes DESC, id_mercado LIMIT 3
+    """,
+    tags=("nl", "read", "aggregate"),
+    doc="NL→SQL template path, top-k ranking form (VERDICT r11 task "
+    "6): 'top 3 markets by volume between 2024-01-01 and 2024-01-31' "
+    "— the grammar's _TOPK branch parses k from the question, groups "
+    "over every market in the window, and ranks by the metric with a "
+    "deterministic id_mercado tie-break. Same read-only safety gate "
+    "and execution path as the other NL rows. Scale: a pruned scan, "
+    "one grouped aggregate, and a k-row TakeOrdered — no full sort "
+    "materializes.",
+)
+def nl_top_markets_by_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..read.nl2sql import NLQueryGenerator
+
+    _nl_views(spark, sf_dir)
+    return NLQueryGenerator(spark).execute_query(
+        "top 3 markets by volume between 2024-01-01 and 2024-01-31"
+    )

@@ -63,6 +63,15 @@ _PRICE = re.compile(r"\bprecios?\b|\bprices?\b")
 _VOLUME = re.compile(r"\bvolumen(?:es)?\b|\bvolumes?\b")
 _TOTAL = re.compile(r"\btotal(?:es)?\b|\bsum\b|\bsuma\b")
 _BY_MARKET = re.compile(r"by market|per market|por mercado")
+# rolling 24-row average — the reference system prompt's own window
+# example (natlanguage_duckdb_queries.py:246-252: AVG(precio) OVER
+# (ORDER BY datetime_utc ROWS BETWEEN 24 PRECEDING AND CURRENT ROW))
+_ROLLING = re.compile(
+    r"rolling(?:\s+24h?| 24-hour)?\s+(?:average|avg)|media movil"
+)
+# top-k market ranking: 'top 3 markets by volume' / 'top 3 mercados
+# por volumen'
+_TOPK = re.compile(r"\btop\s+(\d+)\s+(?:markets?|mercados?)")
 
 
 def _find_market(q: str) -> object | None:
@@ -81,9 +90,13 @@ def match_template(question: str) -> str | None:
     if not (is_price or is_volume):
         return None
     by_market = bool(_TOTAL.search(q)) and bool(_BY_MARKET.search(q))
+    topk = _TOPK.search(q)
+    rolling = bool(_ROLLING.search(q))
     market = _find_market(q)
-    if market is None and not by_market:
+    if market is None and not by_market and not topk:
         return None
+    if rolling and market is None:
+        return None  # rolling needs one market's ordered series
 
     table = "precios" if is_price else "volumenes_i90"
     value = "precio" if is_price else "volumenes"
@@ -118,6 +131,29 @@ def match_template(question: str) -> str | None:
             )
     where = " AND ".join(conds) if conds else "1 = 1"
 
+    if topk:
+        # ranked breakdown: ORDER BY the metric, deterministic
+        # id_mercado tie-break, LIMIT k — same pruned-scan + one
+        # grouped aggregate plan as the by-market form
+        k = int(topk.group(1))
+        return (
+            f"SELECT id_mercado, ROUND(SUM({value}), 2) AS total_{value} "
+            f"FROM {table} WHERE {where} "
+            f"GROUP BY id_mercado "
+            f"ORDER BY total_{value} DESC, id_mercado LIMIT {k}"
+        )
+    if rolling:
+        # the reference prompt's window example, partitioned by market
+        # (the question names exactly one) so the sort never collapses
+        # to a single global partition at scale
+        return (
+            f"SELECT datetime_utc, {value}, "
+            f"ROUND(AVG({value}) OVER (PARTITION BY id_mercado "
+            f"ORDER BY datetime_utc "
+            f"ROWS BETWEEN 24 PRECEDING AND CURRENT ROW), 2) "
+            f"AS rolling_avg_24h "
+            f"FROM {table} WHERE {where} ORDER BY datetime_utc"
+        )
     if by_market:
         return (
             f"SELECT id_mercado, ROUND(SUM({value}), 2) AS total_{value} "

@@ -129,3 +129,37 @@ def test_total_by_market_latest_day(spark):
         "total price by market latest day"
     ).collect()
     assert [(r.id_mercado, r.total_precio) for r in out] == [(1, 99.0), (2, 10.0)]
+
+
+def test_rolling_average_branch():
+    sql = match_template(
+        "rolling 24h average price of Diario between 2024-01-05 and "
+        "2024-01-12"
+    )
+    assert sql is not None
+    assert "ROWS BETWEEN 24 PRECEDING AND CURRENT ROW" in sql
+    assert "PARTITION BY id_mercado" in sql
+    assert "id_mercado = 1" in sql
+    # Spanish phrasing reaches the same branch
+    sql_es = match_template("media movil del precio de Diario ultimo dia")
+    assert sql_es is not None and "24 PRECEDING" in sql_es
+
+
+def test_rolling_without_market_unmatched():
+    # a rolling window needs one market's ordered series; without a
+    # recognizable market the template must decline (LLM fallback)
+    assert match_template("rolling average price last week") is None
+
+
+def test_topk_markets_branch():
+    sql = match_template(
+        "top 3 markets by volume between 2024-01-01 and 2024-01-31"
+    )
+    assert sql is not None
+    assert "LIMIT 3" in sql
+    assert "ORDER BY total_volumenes DESC, id_mercado" in sql
+    assert "FROM volumenes_i90" in sql
+    # Spanish + price metric + parsed k
+    sql_es = match_template("top 5 mercados por precio")
+    assert sql_es is not None
+    assert "LIMIT 5" in sql_es and "FROM precios" in sql_es
