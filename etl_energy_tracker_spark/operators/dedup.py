@@ -61,9 +61,13 @@ def with_shingles(
     """Distinct word n-gram shingles as an array column."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     df = df.withColumn("_toks", toks)
+    # size gate, not greatest(...-k, 0): sequence(1, 0) DESCENDS in
+    # Spark, so a sub-n-token doc would hit slice(_toks, 0, n) — a
+    # runtime error — where DuckDB's range is simply empty
     expr = (
-        f"array_distinct(transform(sequence(1, greatest(size(_toks) - {n - 1}, 0)), "
-        f"i -> concat_ws(' ', slice(_toks, i, {n}))))"
+        f"IF(size(_toks) >= {n}, "
+        f"array_distinct(transform(sequence(1, size(_toks) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(_toks, i, {n})))), array())"
     )
     return df.withColumn(out, F.expr(expr)).drop("_toks")
 

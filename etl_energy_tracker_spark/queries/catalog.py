@@ -400,6 +400,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "icws_weighted_lsh_pairs_prod",
     "nl_rolling_avg_price_24",
     "nl_top_markets_by_volume",
+    "exact_substring_remove",
 )
 
 

@@ -130,10 +130,15 @@ def ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bip = (
         toks.select(
             "doc_id",
+            # size gate: structs with NULL fields are non-null, so the
+            # isNotNull filter would NOT drop the spurious bigrams a
+            # 1-token doc's descending sequence(1, 0) produces
             F.explode_outer(
                 F.expr(
-                    "transform(sequence(1, greatest(size(tokens) - 1, 0)), "
-                    "i -> struct(tokens[i-1] AS w1, tokens[i] AS w2))"
+                    "IF(size(tokens) >= 2, "
+                    "transform(sequence(1, size(tokens) - 1), "
+                    "i -> struct(tokens[i-1] AS w1, tokens[i] AS w2)), "
+                    "array())"
                 )
             ).alias("b"),
         )
@@ -228,15 +233,20 @@ def dup_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     # explode_outer + notnull: skip the synthesized size()>0 filter
     # that would run the window transform twice (elements are
-    # concat_ws strings, never null — identical row set)
+    # concat_ws strings, never null — identical row set). Size gate,
+    # not greatest(...-7, 0): sequence(1, 0) is DESCENDING in Spark
+    # (i=0 -> slice start-0 error on sub-window docs) while the
+    # oracle's range(1, 1) is empty — the r11-ADVICE footgun, latent
+    # here until a corpus ships a doc under _WIN tokens.
     wins = (
         _toks(docs)
         .select(
             "doc_id",
             F.explode_outer(
                 F.expr(
-                    f"transform(sequence(1, greatest(size(tokens) - {_WIN - 1}, 0)), "
-                    f"i -> concat_ws(' ', slice(tokens, i, {_WIN})))"
+                    f"IF(size(tokens) >= {_WIN}, "
+                    f"transform(sequence(1, size(tokens) - {_WIN - 1}), "
+                    f"i -> concat_ws(' ', slice(tokens, i, {_WIN}))), array())"
                 )
             ).alias("win"),
         )
@@ -260,6 +270,146 @@ def dup_window_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(frac, 6).alias("dup_frac"),
             F.when(frac >= _DUP_FRAC, 1).otherwise(0).alias("drop_doc"),
         )
+    )
+
+
+# ------------------------------------- exact-substring REMOVAL (r12)
+
+# dup_window_spans REPORTS duplication; this op REWRITES the corpus —
+# the RefinedWeb / Lee et al. 2022 ExactSubstr step that cuts the
+# duplicated spans out of every document (VERDICT r11 task 7). Window
+# width shares dup_window_spans' _WIN=8 so both ops see the same span
+# structure on the shipped corpus; production corpora use the papers'
+# 50-token width — one constant, same plan.
+
+_ESR_WINS_DUCK = f"""
+    SELECT doc_id, i AS s,
+           array_to_string(
+               tokens[CAST(i AS INT):CAST(i AS INT) + {_WIN - 1}],
+               ' ') AS win
+    FROM (SELECT doc_id, tokens,
+                 unnest(range(1, greatest(len(tokens) - {_WIN - 1}, 0)
+                              + 1)) AS i
+          FROM toks)
+"""
+
+
+@register(
+    "exact_substring_remove",
+    oracle=f"""
+    WITH toks AS ({_TOKS_DUCK}),
+    wins AS ({_ESR_WINS_DUCK}),
+    shared AS (
+        SELECT win FROM wins GROUP BY win
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    covered AS (
+        SELECT DISTINCT w.doc_id, w.s + d.d AS pos
+        FROM wins w
+        JOIN shared sh ON sh.win = w.win,
+             (SELECT unnest(range(0, {_WIN})) AS d) d
+    ),
+    tokpos AS (
+        SELECT doc_id, s.i AS pos, s.tok
+        FROM toks,
+             LATERAL (SELECT unnest(tokens) AS tok,
+                             generate_subscripts(tokens, 1) AS i) s
+    ),
+    kept AS (
+        SELECT t.doc_id, t.pos, t.tok
+        FROM tokpos t
+        ANTI JOIN covered c
+          ON c.doc_id = t.doc_id AND c.pos = t.pos
+    ),
+    kept_agg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS kept_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+           CAST(len(t.tokens) - COALESCE(k.n_kept, 0) AS BIGINT)
+               AS n_removed,
+           COALESCE(k.kept_text, '') AS kept_text
+    FROM toks t LEFT JOIN kept_agg k USING (doc_id)
+    """,
+    tags=("corpus", "dedup", "rewrite"),
+    doc="Exact-substring REMOVAL (RefinedWeb / Lee et al. 2022 "
+    "ExactSubstr, VERDICT r11 task 7): every token covered by any "
+    f"{_WIN}-token window that appears verbatim in >=2 documents is "
+    "cut from ALL documents; the output is the rewritten corpus "
+    "(doc_id, n_tokens, n_removed, kept_text) — dup_window_spans "
+    "reports the same structure, nothing rewrote until now. Plan: "
+    "windows shuffle on xxhash64 keys (dup_window_spans convention — "
+    "8-byte keys, string-keyed oracle doubles as the collision "
+    "check), covered positions form by exploding dup window starts "
+    "into (doc_id, pos) pairs (bounded by corpus tokens x 1 — "
+    "distinct-collapsed), the rewrite is a doc_id-keyed anti-join + "
+    "one per-doc ordered collect. Every shuffle keys on doc_id or a "
+    "hash — corpus-linear, no all-pairs stage; per-doc state is the "
+    "doc's own token list, the same bound a parquet row already "
+    "needs. Ref parity: beyond-reference dedup layer.",
+)
+def exact_substring_remove(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = _toks(docs)
+    wins = (
+        toks.select(
+            "doc_id",
+            # size gate, not greatest(...-7, 0): sequence(1, 0) is
+            # DESCENDING in Spark (yields i=0 -> slice start-0 error
+            # on sub-window docs) while DuckDB's range(1, 1) is empty
+            F.explode_outer(
+                F.expr(
+                    f"IF(size(tokens) >= {_WIN}, "
+                    f"transform(sequence(1, size(tokens) - {_WIN - 1}), "
+                    f"i -> struct(i AS s, "
+                    f"xxhash64(concat_ws(' ', slice(tokens, i, {_WIN}))) "
+                    f"AS wh)), array())"
+                )
+            ).alias("w"),
+        )
+        .where(F.col("w").isNotNull())
+        .select("doc_id", F.col("w.s").alias("s"), F.col("w.wh").alias("wh"))
+    )
+    shared = (
+        wins.groupBy("wh")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("wh")
+    )
+    covered = (
+        wins.join(shared, "wh")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(s, s + {_WIN - 1})")).alias("pos"),
+        )
+        .distinct()
+    )
+    tokpos = toks.select(
+        "doc_id", F.posexplode("tokens").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = tokpos.join(covered, ["doc_id", "pos"], "left_anti")
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, tok))), "
+                "x -> x.tok)"
+            ),
+        ).alias("kept_text"),
+    )
+    totals = toks.select(
+        "doc_id", F.size("tokens").cast("long").alias("n_tokens")
+    )
+    return totals.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
     )
 
 

@@ -394,9 +394,12 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
+    # size gate: sequence(1, 0) DESCENDS in Spark, so a 1-token doc
+    # would get two NULL grams counted into n_grams/dup ratio where
+    # DuckDB's range yields none
     grams = F.expr(
-        "transform(sequence(1, greatest(size(t) - 1, 0)), "
-        "i -> concat(t[i-1], ' ', t[i]))"
+        "IF(size(t) >= 2, transform(sequence(1, size(t) - 1), "
+        "i -> concat(t[i-1], ' ', t[i])), array())"
     )
     d = docs.select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
@@ -768,10 +771,16 @@ def collocation_lift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ucnt = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
     big = (
         toksrc.select(
+            # size gate: structs with NULL fields are themselves
+            # non-null, so the isNotNull filter below would NOT drop
+            # the spurious bigrams a 1-token doc's descending
+            # sequence(1, 0) produces
             F.explode_outer(
                 F.expr(
-                    "transform(sequence(1, greatest(size(toks) - 1, 0)), "
-                    "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                    "IF(size(toks) >= 2, "
+                    "transform(sequence(1, size(toks) - 1), "
+                    "i -> struct(toks[i - 1] AS w1, toks[i] AS w2)), "
+                    "array())"
                 )
             ).alias("b")
         )

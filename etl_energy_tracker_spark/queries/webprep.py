@@ -331,10 +331,14 @@ def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.split(F.trim("text"), r"\s+").alias("tokens")
     ).select(
         "source",
+        # size gate, not greatest(...-k, 0): sequence(1, 0) DESCENDS
+        # in Spark -> slice start-0 error on sub-window docs, where
+        # the oracle's range is empty
         F.explode(
             F.expr(
-                f"transform(sequence(1, greatest(size(tokens) - {_DBW - 1}, 0)), "
-                f"i -> concat_ws(' ', slice(tokens, i, {_DBW})))"
+                f"IF(size(tokens) >= {_DBW}, "
+                f"transform(sequence(1, size(tokens) - {_DBW - 1}), "
+                f"i -> concat_ws(' ', slice(tokens, i, {_DBW}))), array())"
             )
         ).alias("win"),
     ).select("source", F.xxhash64("win").alias("wh"))

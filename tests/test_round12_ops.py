@@ -268,3 +268,62 @@ def test_rate_limiter_state_rows_bounded_by_users(spark, tmp_path):
     )
     totals = {r.user_id: r.n for r in agg}
     assert totals == {1: 4 + _RL_KEEP + 2, 2: 4 + _RL_KEEP + 2}
+
+
+# --------------------- exact-substring removal (VERDICT r11 task 7)
+
+
+def test_exact_substring_remove_python_replay(spark, tmp_path):
+    """Independent re-derivation on a synthetic corpus: a pure-Python
+    replay of the ExactSubstr rule (cut every token covered by an
+    8-token window appearing verbatim in >=2 docs) must equal the op's
+    output, covering the semantics the shipped corpus may not show:
+    boundary coverage at span edges, a doc removed entirely, repeats
+    WITHIN one doc alone do not trigger removal."""
+    from etl_energy_tracker_spark.queries.hygieneops import (
+        _WIN,
+        exact_substring_remove,
+    )
+
+    span = " ".join(f"s{i}" for i in range(_WIN + 3))  # 11-token span
+    corpus = {
+        1: f"a b c {span} d e",           # shares span with doc 2
+        2: f"{span}",                      # removed entirely
+        3: "unique tokens only here doc three nothing shared",
+        4: ("r1 r2 r3 r4 r5 r6 r7 r8 " * 2).strip(),  # self-repeat only
+        5: "x1 x2 x3",                     # shorter than the window
+    }
+    sf = str(tmp_path / "esr_sf")
+    spark.createDataFrame(
+        [(k, v, "t") for k, v in corpus.items()],
+        "doc_id long, text string, source string",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    def replay(docs):
+        toks = {d: t.split() for d, t in docs.items()}
+        wins = {}  # window -> set of docs
+        for d, ts in toks.items():
+            for i in range(len(ts) - _WIN + 1):
+                wins.setdefault(tuple(ts[i:i + _WIN]), set()).add(d)
+        out = {}
+        for d, ts in toks.items():
+            cov = set()
+            for i in range(len(ts) - _WIN + 1):
+                if len(wins[tuple(ts[i:i + _WIN])]) >= 2:
+                    cov.update(range(i, i + _WIN))
+            kept = [t for j, t in enumerate(ts) if j not in cov]
+            out[d] = (len(ts), len(ts) - len(kept), " ".join(kept))
+        return out
+
+    expect = replay(corpus)
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.kept_text)
+        for r in exact_substring_remove(spark, sf).collect()
+    }
+    assert got == expect
+    # the scenario assertions the replay itself is built to cover
+    assert got[2][2] == ""            # fully removed doc still present
+    assert got[3][1] == 0             # unique doc untouched
+    assert got[4][1] == 0             # within-doc repeat alone: kept
+    assert got[5][1] == 0             # sub-window doc: kept
+    assert got[1][1] == _WIN + 3      # exactly the shared span cut

@@ -232,6 +232,9 @@ OPS = [
     # r12: production CWS pairs — hashed band keys + hot-bucket cap,
     # candidate-only verify, no exact stage
     "icws_weighted_lsh_pairs_prod",
+    # r12: ExactSubstr corpus rewrite — hash-keyed window count,
+    # doc_id-keyed anti-join + per-doc ordered collect
+    "exact_substring_remove",
     # bucketed suffix-adjacency scan — linear on the char axis like
     # the dup ladder it validates
     "lrs_cross_doc_exact",
