@@ -299,6 +299,7 @@ EXTRA = [
     "nl_rolling_avg_price_24",
     "nl_top_markets_by_volume",
     "exact_substring_remove",
+    "vinculacion_monitor_e2e",
 ]
 
 

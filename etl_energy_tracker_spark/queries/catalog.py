@@ -401,6 +401,7 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "nl_rolling_avg_price_24",
     "nl_top_markets_by_volume",
     "exact_substring_remove",
+    "vinculacion_monitor_e2e",
 )
 
 
