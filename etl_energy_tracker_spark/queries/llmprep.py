@@ -1690,10 +1690,15 @@ _LRS_TRUNC = 2 * _DSM_LEVELS[-1] - 1
 # prefix space partitions into B = ceil(suffix_chars / budget) stages
 # by pmod(xxhash64(pre), B), each stage sorts only its share, and the
 # global answer is the max of stage maxima (same trick as the capped
-# edge_triangle construction). 2e9 chars/stage ≈ 2 GB of shuffled
-# suffix bytes: B=1 at every shipped SF (the snapshot-pinned lazy
-# plan), ~4 at x30, ~11 at x100.
-_LRS_STAGE_CHAR_BUDGET = 2_000_000_000
+# edge_triangle construction). 4e9 chars/stage ≈ 4 GB of shuffled
+# suffix bytes per stage — released between stages by the explicit
+# GC below, so peak scratch is ~one stage, not B stages. B=1 at
+# every shipped SF (the snapshot-pinned lazy plan), ~2 at x30, ~6 at
+# x100. Each stage re-runs the NARROW (16-char-prefix) explode to
+# route its share, so B also multiplies that cheap scan — budget is
+# sized to keep B small enough that the narrow re-scan stays a
+# minority cost while one stage's sort still fits executor memory.
+_LRS_STAGE_CHAR_BUDGET = 4_000_000_000
 
 
 @register(
@@ -1872,6 +1877,15 @@ def lrs_cross_doc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 best,
                 stage_max_lcp(n_stages, stage).collect()[0]["lrs_len"],
             )
+            # release the finished stage's shuffle files NOW: the
+            # ContextCleaner only deletes them after a JVM GC notices
+            # the dropped shuffle-dependency refs, and B sequential
+            # window sorts in one session otherwise ACCUMULATE ~B x
+            # per-stage shuffle on local disk (the x100 probe filled
+            # 49 GB of scratch and died before this call existed —
+            # same role as spark.cleaner.periodicGC.interval, but
+            # deterministic at the only point that matters)
+            spark.sparkContext._jvm.System.gc()
         max_lcp = spark.range(1).select(
             F.lit(best).cast("long").alias("lrs_len")
         )
