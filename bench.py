@@ -300,6 +300,9 @@ EXTRA = [
     "nl_top_markets_by_volume",
     "exact_substring_remove",
     "vinculacion_monitor_e2e",
+    "lm_stupid_backoff_perplexity",
+    "fellegi_sunter_linkage",
+    "maxsim_multivector_topk",
 ]
 
 

@@ -402,6 +402,9 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "nl_top_markets_by_volume",
     "exact_substring_remove",
     "vinculacion_monitor_e2e",
+    "lm_stupid_backoff_perplexity",
+    "fellegi_sunter_linkage",
+    "maxsim_multivector_topk",
 )
 
 

@@ -339,7 +339,12 @@ _ESR_WINS_DUCK = f"""
     f"{_WIN}-token window that appears verbatim in >=2 documents is "
     "cut from ALL documents; the output is the rewritten corpus "
     "(doc_id, n_tokens, n_removed, kept_text) — dup_window_spans "
-    "reports the same structure, nothing rewrote until now. Plan: "
+    "reports the same structure and exact_substring_trim counts a "
+    "keep-first-occurrence variant, but neither emits the rewritten "
+    "text a downstream training pipeline consumes. Policy differs "
+    "from _trim deliberately: cross-doc windows cut EVERYWHERE "
+    "(symmetric, order-free — no first-occurrence tie-break needed) "
+    "and within-doc repeats alone are kept. Plan: "
     "windows shuffle on xxhash64 keys (dup_window_spans convention — "
     "8-byte keys, string-keyed oracle doubles as the collision "
     "check), covered positions form by exploding dup window starts "

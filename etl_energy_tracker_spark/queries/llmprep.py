@@ -2160,3 +2160,202 @@ def bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(SUM(c12 * ({lnr})) DIV SUM(c12) AS BIGINT)"
         ).alias("entropy_micro_nats"),
     )
+
+
+# --------------------------- stupid-backoff trigram LM perplexity
+
+# Brants et al. 2007 ("Large Language Models in Machine
+# Translation") — the backoff scheme DESIGNED for sharded MapReduce
+# LMs: no discount mass bookkeeping, just score with the longest
+# matched n-gram and multiply a fixed alpha per backoff step. That
+# makes it the canonical 100 TB LM scorer: every level is one count
+# table keyed by its n-gram, scoring is pure left joins. alpha = 2/5
+# (the paper's 0.4) enters as ln(5/2) micro-nats per backoff — an
+# integer constant from the same portable kernel, so the whole score
+# stays exact-BIGINT like lm_bigram_perplexity.
+
+
+def _sb_oracle() -> str:
+    from ..functions.portable_math import ln_micro_rational
+
+    lnr3 = ln_micro_rational("n12", "c123", "duckdb")
+    lnr2 = ln_micro_rational("n2", "c23", "duckdb")
+    lnr1 = ln_micro_rational("n + v", "COALESCE(c3, 0) + 1", "duckdb")
+    lna = ln_micro_rational("5", "2", "duckdb")
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(text), '\\s+') AS t
+        FROM documents
+    ),
+    tris AS (
+        SELECT doc_id, source,
+               t[CAST(i.i AS INT)] AS w1,
+               t[CAST(i.i AS INT) + 1] AS w2,
+               t[CAST(i.i AS INT) + 2] AS w3
+        FROM toks,
+             LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) i
+    ),
+    t3 AS (
+        SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123
+        FROM tris WHERE doc_id % 5 <> 0 GROUP BY w1, w2, w3
+    ),
+    ctx12 AS (
+        SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS n12
+        FROM t3 GROUP BY w1, w2
+    ),
+    b23 AS (
+        SELECT w2, w3, CAST(SUM(c123) AS BIGINT) AS c23
+        FROM t3 GROUP BY w2, w3
+    ),
+    ctx2 AS (
+        SELECT w2, CAST(SUM(c23) AS BIGINT) AS n2
+        FROM b23 GROUP BY w2
+    ),
+    uni AS (
+        SELECT w3, CAST(SUM(c123) AS BIGINT) AS c3
+        FROM t3 GROUP BY w3
+    ),
+    tot AS (
+        SELECT CAST(SUM(c3) AS BIGINT) AS n,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM uni
+    ),
+    scored AS (
+        SELECT e.source, e.doc_id,
+               CASE WHEN t3.c123 IS NOT NULL THEN 0
+                    WHEN b23.c23 IS NOT NULL THEN 1
+                    ELSE 2 END AS backoffs,
+               CASE WHEN t3.c123 IS NOT NULL THEN {lnr3}
+                    WHEN b23.c23 IS NOT NULL THEN {lnr2} + {lna}
+                    ELSE {lnr1} + 2 * {lna} END AS nll_micro
+        FROM (SELECT * FROM tris WHERE doc_id % 5 = 0) e
+        LEFT JOIN t3 ON t3.w1 = e.w1 AND t3.w2 = e.w2 AND t3.w3 = e.w3
+        LEFT JOIN ctx12 ON ctx12.w1 = e.w1 AND ctx12.w2 = e.w2
+        LEFT JOIN b23 ON b23.w2 = e.w2 AND b23.w3 = e.w3
+        LEFT JOIN ctx2 ON ctx2.w2 = e.w2
+        LEFT JOIN uni ON uni.w3 = e.w3
+        CROSS JOIN tot
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_eval_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_trigrams,
+           CAST(SUM(CASE WHEN backoffs = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_tri_hits,
+           CAST(SUM(CASE WHEN backoffs = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_big_backoff,
+           CAST(SUM(CASE WHEN backoffs = 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_uni_backoff,
+           CAST(SUM(nll_micro) AS BIGINT) AS sum_nll_micro,
+           CAST(SUM(nll_micro) // COUNT(*) AS BIGINT) AS mean_nll_micro
+    FROM scored
+    GROUP BY source
+    """
+
+
+@register(
+    "lm_stupid_backoff_perplexity",
+    oracle=_sb_oracle(),
+    tags=("text", "ml", "eval"),
+    doc="Stupid-backoff trigram LM scoring (Brants et al. 2007): "
+    "train counts on the deterministic 80% doc split, score held-out "
+    "trigrams with the LONGEST matched n-gram — P ~ c123/n12, else "
+    "0.4 * c23/n2, else 0.4^2 * (c3+1)/(N+V) — no discounting, the "
+    "scheme invented FOR sharded MapReduce LMs and therefore the "
+    "natural 100 TB scorer: three count tables keyed by their "
+    "n-gram, scoring = left joins, no state beyond counts. Every "
+    "log-prob is the portable bit-length ln on an integer ratio and "
+    "alpha enters as the integer constant ln(5/2) micro-nats per "
+    "backoff step, so sums are exact BIGINT (lm_bigram_perplexity "
+    "idiom). Per-source output adds the backoff-mix columns "
+    "(tri-hit / bigram / unigram counts) — the coverage signal that "
+    "tells you whether the corpus needs a bigger LM. Ref parity: "
+    "beyond-reference quality layer.",
+)
+def lm_stupid_backoff_perplexity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.portable_math import ln_micro_rational
+
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    tri = (
+        docs.select(
+            "doc_id", "source", F.split(F.trim("text"), r"\s+").alias("t")
+        )
+        .where(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 2), i -> "
+                    "struct(t[i - 1] AS w1, t[i] AS w2, t[i + 1] AS w3))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "source", "g.w1", "g.w2", "g.w3")
+        .localCheckpoint(eager=False)
+    )
+    t3 = (
+        tri.where(F.col("doc_id") % 5 != 0)
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c123"))
+        .localCheckpoint(eager=False)
+    )
+    ctx12 = t3.groupBy("w1", "w2").agg(
+        F.sum("c123").cast("long").alias("n12")
+    )
+    b23 = t3.groupBy("w2", "w3").agg(
+        F.sum("c123").cast("long").alias("c23")
+    ).localCheckpoint(eager=False)
+    ctx2 = b23.groupBy("w2").agg(F.sum("c23").cast("long").alias("n2"))
+    uni = t3.groupBy("w3").agg(F.sum("c123").cast("long").alias("c3"))
+    tot = uni.agg(
+        F.sum("c3").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    lnr3 = ln_micro_rational("n12", "c123", "spark")
+    lnr2 = ln_micro_rational("n2", "c23", "spark")
+    lnr1 = ln_micro_rational("n + v", "COALESCE(c3, 0) + 1", "spark")
+    lna = ln_micro_rational("5", "2", "spark")
+    scored = (
+        tri.where(F.col("doc_id") % 5 == 0)
+        .join(t3, ["w1", "w2", "w3"], "left")
+        .join(ctx12, ["w1", "w2"], "left")
+        .join(b23, ["w2", "w3"], "left")
+        .join(ctx2, ["w2"], "left")
+        .join(uni, ["w3"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "doc_id",
+            F.expr(
+                "CASE WHEN c123 IS NOT NULL THEN 0 "
+                "WHEN c23 IS NOT NULL THEN 1 ELSE 2 END"
+            ).alias("backoffs"),
+            F.expr(
+                f"CASE WHEN c123 IS NOT NULL THEN {lnr3} "
+                f"WHEN c23 IS NOT NULL THEN {lnr2} + {lna} "
+                f"ELSE {lnr1} + 2 * {lna} END"
+            ).alias("nll_micro"),
+        )
+    )
+    return scored.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_eval_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_eval_trigrams"),
+        F.sum(F.when(F.col("backoffs") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_tri_hits"),
+        F.sum(F.when(F.col("backoffs") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_big_backoff"),
+        F.sum(F.when(F.col("backoffs") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_uni_backoff"),
+        F.sum("nll_micro").cast("long").alias("sum_nll_micro"),
+        F.expr("CAST(SUM(nll_micro) DIV COUNT(*) AS BIGINT)").alias(
+            "mean_nll_micro"
+        ),
+    )

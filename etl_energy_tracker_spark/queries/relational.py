@@ -1770,3 +1770,262 @@ def shuffle_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(est_bytes DIV GREATEST(n_rows, 1) AS BIGINT)"
         ).alias("avg_row_bytes"),
     )
+
+
+# -------------------------- Fellegi–Sunter probabilistic linkage
+
+
+def _fs_oracle() -> str:
+    from ..functions.portable_math import ln_micro_rational
+
+    # evaluate the six heavy portable-ln weights ONCE on the 1-row
+    # gold x u frame; pattern scoring is then three tiny CASEs (the
+    # inlined form compiled the big Horner kernel 12x)
+    wts = ", ".join(
+        f"{ln_micro_rational(f'm_{f} * ud', f'gn * u_{f}', 'duckdb')}"
+        f" AS wa_{f}, "
+        f"{ln_micro_rational(f'(gn - m_{f}) * ud', f'gn * (ud - u_{f})', 'duckdb')}"
+        f" AS wd_{f}"
+        for f in ("name", "phone", "band")
+    )
+    score = " + ".join(
+        f"CASE WHEN g_{f} = 1 THEN wa_{f} ELSE wd_{f} END"
+        for f in ("name", "phone", "band")
+    )
+    return f"""
+    WITH a AS (
+        SELECT c_custkey AS k, c_name AS name,
+               lpad(CAST(c_custkey * 7919 % 100000 AS VARCHAR), 5, '0')
+                   AS phone,
+               CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT)
+                   AS band,
+               c_nationkey AS nk, c_mktsegment AS seg
+        FROM customer
+    ),
+    b AS (
+        SELECT k,
+               CASE WHEN k % 10 = 0 THEN name || 'X' ELSE name END
+                   AS name,
+               CASE WHEN k % 7 = 0 THEN '999' || substr(phone, 4)
+                    ELSE phone END AS phone,
+               band + CASE WHEN k % 5 = 0 THEN 1 ELSE 0 END AS band,
+               nk, seg
+        FROM a
+    ),
+    gold AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS gn,
+               CAST(SUM(CASE WHEN a.name = b.name THEN 1 ELSE 0 END)
+                    AS BIGINT) AS m_name,
+               CAST(SUM(CASE WHEN a.phone = b.phone THEN 1 ELSE 0 END)
+                    AS BIGINT) AS m_phone,
+               CAST(SUM(CASE WHEN a.band = b.band THEN 1 ELSE 0 END)
+                    AS BIGINT) AS m_band
+        FROM a JOIN b ON b.k = a.k
+    ),
+    u AS (
+        SELECT
+            (SELECT CAST(SUM(ca * cb) AS BIGINT) FROM
+                (SELECT name, COUNT(*) AS ca FROM a GROUP BY name) x
+                JOIN (SELECT name, COUNT(*) AS cb FROM b GROUP BY name)
+                  y USING (name)) AS u_name,
+            (SELECT CAST(SUM(ca * cb) AS BIGINT) FROM
+                (SELECT phone, COUNT(*) AS ca FROM a GROUP BY phone) x
+                JOIN (SELECT phone, COUNT(*) AS cb FROM b
+                      GROUP BY phone) y USING (phone)) AS u_phone,
+            (SELECT CAST(SUM(ca * cb) AS BIGINT) FROM
+                (SELECT band, COUNT(*) AS ca FROM a GROUP BY band) x
+                JOIN (SELECT band, COUNT(*) AS cb FROM b
+                      GROUP BY band) y USING (band)) AS u_band,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM a)
+                * (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS ud
+    ),
+    patterns AS (
+        SELECT CASE WHEN a.name = b.name THEN 1 ELSE 0 END AS g_name,
+               CASE WHEN a.phone = b.phone THEN 1 ELSE 0 END AS g_phone,
+               CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS g_band,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN a.k = b.k THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_true_match
+        FROM a JOIN b ON b.nk = a.nk AND b.seg = a.seg
+        GROUP BY 1, 2, 3
+    )
+    , weights AS (
+        SELECT {wts} FROM gold CROSS JOIN u
+    ),
+    scored AS (
+        SELECT g_name, g_phone, g_band, n_pairs, n_true_match,
+               {score} AS score_micro
+        FROM patterns CROSS JOIN weights
+    )
+    SELECT g_name, g_phone, g_band, n_pairs, n_true_match,
+           score_micro,
+           CASE WHEN score_micro >= 2000000 THEN 'link'
+                WHEN score_micro <= -2000000 THEN 'nonlink'
+                ELSE 'possible' END AS decision
+    FROM scored
+    """
+
+
+@register(
+    "fellegi_sunter_linkage",
+    oracle=_fs_oracle(),
+    tags=("linking", "stats", "join"),
+    doc="Fellegi-Sunter probabilistic record linkage (the 1969 "
+    "decision-theoretic model under every modern linker, Splink "
+    "included): two files — customers and a deterministically "
+    "perturbed copy (10% names, ~14% phones, 20% balance bands; the "
+    "phone is a key-derived surrogate — the shipped customer table "
+    "carries no phone column) — "
+    "compared on three fields within (nation, segment) blocks. "
+    "m-probabilities come from the golden same-key sample (the "
+    "clerical-review set), u-probabilities from the value-frequency "
+    "random-pair identity sum(cntA_v * cntB_v)/(|A|*|B|) — NO pair "
+    "enumeration on the u side. Each is an integer count ratio, so "
+    "agreement/disagreement weights ln(m/u), ln((1-m)/(1-u)) run "
+    "through the portable bit-length ln in micro-nats and the "
+    "pattern scores are exact BIGINT. Output is the classic 2^3 "
+    "comparison-vector pattern table with pair counts, golden truth "
+    "counts, pattern weight, and the link/possible/nonlink decision "
+    "at +-2 ln-units. Scale: the only pair-former is the blocked "
+    "join (the FS production shape); weights are 1-row broadcasts; "
+    "the pattern table is 8 rows regardless of corpus size. Ref "
+    "parity: beyond-reference linking layer (complements "
+    "linking_hash_match's deterministic profile matching with the "
+    "probabilistic scorer).",
+)
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.portable_math import ln_micro_rational
+
+    cust = load_table(spark, "customer", sf_dir)
+    a = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.expr(
+            "lpad(CAST(c_custkey * 7919 % 100000 AS STRING), 5, '0')"
+        ).alias("phone"),
+        F.expr(
+            "CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / 1000) AS BIGINT)"
+        ).alias("band"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    b = a.select(
+        "k",
+        F.when(F.col("k") % 10 == 0, F.concat("name", F.lit("X")))
+        .otherwise(F.col("name"))
+        .alias("name"),
+        F.when(
+            F.col("k") % 7 == 0,
+            F.concat(F.lit("999"), F.expr("substr(phone, 4)")),
+        )
+        .otherwise(F.col("phone"))
+        .alias("phone"),
+        (
+            F.col("band")
+            + F.when(F.col("k") % 5 == 0, 1).otherwise(0)
+        ).alias("band"),
+        "nk",
+        "seg",
+    )
+    aa, bb = a.alias("a"), b.alias("b")
+    gold = (
+        aa.join(bb, F.col("b.k") == F.col("a.k"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("gn"),
+            F.sum(
+                F.when(F.col("a.name") == F.col("b.name"), 1).otherwise(0)
+            ).cast("long").alias("m_name"),
+            F.sum(
+                F.when(F.col("a.phone") == F.col("b.phone"), 1).otherwise(0)
+            ).cast("long").alias("m_phone"),
+            F.sum(
+                F.when(F.col("a.band") == F.col("b.band"), 1).otherwise(0)
+            ).cast("long").alias("m_band"),
+        )
+    )
+
+    def ucount(col: str):
+        ca = a.groupBy(col).agg(F.count(F.lit(1)).alias("ca"))
+        cb = b.groupBy(col).agg(F.count(F.lit(1)).alias("cb"))
+        return ca.join(cb, col).agg(
+            F.sum(F.col("ca") * F.col("cb")).cast("long").alias(f"u_{col}")
+        )
+
+    na = a.agg(F.count(F.lit(1)).alias("na"))
+    nb = b.agg(F.count(F.lit(1)).alias("nb"))
+    u = (
+        ucount("name")
+        .crossJoin(F.broadcast(ucount("phone")))
+        .crossJoin(F.broadcast(ucount("band")))
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "u_name", "u_phone", "u_band",
+            (F.col("na").cast("long") * F.col("nb").cast("long")).alias("ud"),
+        )
+    )
+    patterns = (
+        aa.join(
+            bb,
+            (F.col("b.nk") == F.col("a.nk"))
+            & (F.col("b.seg") == F.col("a.seg")),
+        )
+        .groupBy(
+            F.when(F.col("a.name") == F.col("b.name"), 1)
+            .otherwise(0)
+            .alias("g_name"),
+            F.when(F.col("a.phone") == F.col("b.phone"), 1)
+            .otherwise(0)
+            .alias("g_phone"),
+            F.when(F.col("a.band") == F.col("b.band"), 1)
+            .otherwise(0)
+            .alias("g_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("a.k") == F.col("b.k"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_match"),
+        )
+    )
+
+    # six heavy portable-ln weights once, on the 1-row gold x u frame
+    # (inlining them into the pattern select compiled the Horner
+    # kernel 12x and dominated first-run codegen time)
+    weights = gold.crossJoin(F.broadcast(u)).select(
+        *[
+            F.expr(
+                ln_micro_rational(f"m_{f} * ud", f"gn * u_{f}", "spark")
+            ).alias(f"wa_{f}")
+            for f in ("name", "phone", "band")
+        ],
+        *[
+            F.expr(
+                ln_micro_rational(
+                    f"(gn - m_{f}) * ud", f"gn * (ud - u_{f})", "spark"
+                )
+            ).alias(f"wd_{f}")
+            for f in ("name", "phone", "band")
+        ],
+    )
+    score = " + ".join(
+        f"CASE WHEN g_{f} = 1 THEN wa_{f} ELSE wd_{f} END"
+        for f in ("name", "phone", "band")
+    )
+    return (
+        patterns.crossJoin(F.broadcast(weights))
+        .withColumn("score_micro", F.expr(f"CAST({score} AS BIGINT)"))
+        .select(
+            "g_name",
+            "g_phone",
+            "g_band",
+            "n_pairs",
+            "n_true_match",
+            "score_micro",
+            F.expr(
+                "CASE WHEN score_micro >= 2000000 THEN 'link' "
+                "WHEN score_micro <= -2000000 THEN 'nonlink' "
+                "ELSE 'possible' END"
+            ).alias("decision"),
+        )
+    )

@@ -2273,3 +2273,126 @@ def cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi_milli"),
         )
     )
+
+
+# ------------------- ColBERT-style MaxSim late-interaction retrieval
+
+_MS_TOKENS = 4   # token vectors per doc: 4 x 16-d slices of the 64-d
+_MS_SUB = 16     # dims per token vector
+_MS_QUERIES = 5
+_MS_TOPK = 10
+
+
+@register(
+    "maxsim_multivector_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT vec_id, t.t AS tok,
+               embedding[(t.t * {_MS_SUB} + 1):((t.t + 1) * {_MS_SUB})]
+                   AS v
+        FROM embeddings,
+             (SELECT unnest(range(0, {_MS_TOKENS})) AS t) t
+    ),
+    q AS (SELECT vec_id AS query_id, tok AS qt, v AS qv FROM tok
+          WHERE vec_id < {_MS_QUERIES}),
+    d AS (SELECT vec_id AS doc_id, tok AS dt, v AS dv FROM tok
+          WHERE vec_id >= {_MS_QUERIES}),
+    sims AS (
+        SELECT query_id, doc_id, qt,
+               CAST(FLOOR(
+                 list_sum(list_transform(range(1, {_MS_SUB} + 1),
+                     i -> CAST(qv[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(dv[CAST(i AS INT)] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, {_MS_SUB} + 1),
+                     i -> CAST(qv[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(qv[CAST(i AS INT)] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, {_MS_SUB} + 1),
+                     i -> CAST(dv[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(dv[CAST(i AS INT)] AS DOUBLE)))))
+                 * CAST(1000000 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+               AS BIGINT) AS cos_micro
+        FROM q CROSS JOIN d
+    ),
+    best AS (
+        SELECT query_id, doc_id, qt, MAX(cos_micro) AS m
+        FROM sims GROUP BY query_id, doc_id, qt
+    ),
+    score AS (
+        SELECT query_id, doc_id, CAST(SUM(m) AS BIGINT) AS maxsim_micro
+        FROM best GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, maxsim_micro FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY maxsim_micro DESC, doc_id) AS rn
+        FROM score
+    ) WHERE rn <= {_MS_TOPK}
+    """,
+    tags=("vector", "topk", "retrieval"),
+    doc="ColBERT-style late-interaction retrieval (Khattab & Zaharia "
+    "2020): documents and queries carry MULTI-vector representations "
+    f"(each 64-d embedding viewed as {_MS_TOKENS} token vectors of "
+    f"{_MS_SUB} dims — the deterministic stand-in for per-token "
+    "encoder output), scored by MaxSim = sum over query tokens of "
+    "the max cosine against any doc token — the interaction single-"
+    "vector cosine cannot express (a doc matching each query facet "
+    "with a DIFFERENT token outranks one with a mediocre all-round "
+    "vector). Per-token cosines quantize to micro-units via the "
+    "portable floor(x*1e6+0.5) so the max/sum reduction is exact "
+    "BIGINT — no float fold-order surface. Plan: token explode is a "
+    "map-side transform; the query side (Q x tokens rows) "
+    "broadcasts; max-then-sum is one partial-aggregating shuffle "
+    "keyed (query, doc); top-k is a per-query window cut. At 100 TB "
+    "the doc-token side stays partitioned, queries broadcast, and "
+    "the per-token max folds map-side — the same contract as "
+    "ann_cosine_topk with a 4x row fan-out; the IVF/LSH variants "
+    "bucket THIS op's token space the same way.",
+)
+def maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    tok = emb.select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {_MS_TOKENS - 1}), t -> "
+                f"struct(t AS tok, "
+                f"slice(embedding, t * {_MS_SUB} + 1, {_MS_SUB}) AS v))"
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.tok").alias("tok"), F.col("s.v").alias("v"))
+    q = tok.where(F.col("vec_id") < _MS_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("tok").alias("qt"),
+        F.col("v").alias("qv"),
+    )
+    d = tok.where(F.col("vec_id") >= _MS_QUERIES).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("tok").alias("dt"),
+        F.col("v").alias("dv"),
+    )
+    dot = _dot(F.col("qv"), F.col("dv"))
+    nq = F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    nd = F.sqrt(_dot(F.col("dv"), F.col("dv")))
+    cos_micro = F.expr(
+        "CAST(FLOOR(cos_d * CAST(1000000 AS DOUBLE) "
+        "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    )
+    sims = (
+        d.crossJoin(F.broadcast(q))
+        .withColumn("cos_d", dot / (nq * nd))
+        .select("query_id", "doc_id", "qt", cos_micro.alias("cos_micro"))
+    )
+    best = sims.groupBy("query_id", "doc_id", "qt").agg(
+        F.max("cos_micro").alias("m")
+    )
+    score = best.groupBy("query_id", "doc_id").agg(
+        F.sum("m").cast("long").alias("maxsim_micro")
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("maxsim_micro"), F.col("doc_id")
+    )
+    return (
+        score.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _MS_TOPK)
+        .select("query_id", "doc_id", "maxsim_micro")
+    )
