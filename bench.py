@@ -303,6 +303,8 @@ EXTRA = [
     "lm_stupid_backoff_perplexity",
     "fellegi_sunter_linkage",
     "maxsim_multivector_topk",
+    "holt_linear_forecast",
+    "stream_visit_ttl_timeout",
 ]
 
 

@@ -405,6 +405,8 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "lm_stupid_backoff_perplexity",
     "fellegi_sunter_linkage",
     "maxsim_multivector_topk",
+    "holt_linear_forecast",
+    "stream_visit_ttl_timeout",
 )
 
 

@@ -1693,11 +1693,12 @@ _LRS_TRUNC = 2 * _DSM_LEVELS[-1] - 1
 # edge_triangle construction). 4e9 chars/stage ≈ 4 GB of shuffled
 # suffix bytes per stage — released between stages by the explicit
 # GC below, so peak scratch is ~one stage, not B stages. B=1 at
-# every shipped SF (the snapshot-pinned lazy plan), ~2 at x30, ~6 at
-# x100. Each stage re-runs the NARROW (16-char-prefix) explode to
-# route its share, so B also multiplies that cheap scan — budget is
-# sized to keep B small enough that the narrow re-scan stays a
-# minority cost while one stage's sort still fits executor memory.
+# every shipped SF (the snapshot-pinned lazy plan); the x100 probe
+# corpus measures 71.7e9 suffix chars -> B=18, routed through ONE
+# explode into a stage-partitioned parquet scratch (the first draft
+# re-ran the narrow explode per stage: raw x100 ratio 290 vs 217
+# after the scratch restructure; char-normalized 0.82 — see
+# BASELINE.md r12).
 _LRS_STAGE_CHAR_BUDGET = 4_000_000_000
 
 
@@ -1801,25 +1802,24 @@ def lrs_cross_doc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
 
-    def stage_max_lcp(n_stages: int, stage: int) -> DataFrame:
-        sfx = eligible.select(
-            "doc_id",
-            F.explode(
-                F.expr(f"sequence(1, length(text) - {_LRS_FLOOR - 1})")
-            ).alias("i"),
-            "text",
-        ).withColumn("pre", F.expr(f"substr(text, i, {_LRS_FLOOR})"))
-        if n_stages > 1:
-            # prefix-hash stage filter BEFORE the 511-char substring is
-            # projected — the wide suffixes of other stages never form
-            sfx = sfx.where(
-                F.expr(f"pmod(xxhash64(pre), {n_stages})") == stage
+    def suffixes() -> DataFrame:
+        return (
+            eligible.select(
+                "doc_id",
+                F.explode(
+                    F.expr(f"sequence(1, length(text) - {_LRS_FLOOR - 1})")
+                ).alias("i"),
+                "text",
             )
-        b = sfx.select(
-            "doc_id",
-            "pre",
-            F.expr(f"substr(text, i, {_LRS_TRUNC})").alias("s"),
+            .withColumn("pre", F.expr(f"substr(text, i, {_LRS_FLOOR})"))
+            .select(
+                "doc_id",
+                "pre",
+                F.expr(f"substr(text, i, {_LRS_TRUNC})").alias("s"),
+            )
         )
+
+    def window_max_lcp(b: DataFrame) -> DataFrame:
         w = W.partitionBy("pre").orderBy("s", "doc_id")
         adj = b.select(
             "pre",
@@ -1869,23 +1869,48 @@ def lrs_cross_doc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]["chars"]
     n_stages = max(1, -(-int(est or 0) // _LRS_STAGE_CHAR_BUDGET))
     if n_stages == 1:
-        max_lcp = stage_max_lcp(1, 0)
+        max_lcp = window_max_lcp(suffixes())
     else:
-        best = 0
-        for stage in range(n_stages):
-            best = max(
-                best,
-                stage_max_lcp(n_stages, stage).collect()[0]["lrs_len"],
-            )
-            # release the finished stage's shuffle files NOW: the
-            # ContextCleaner only deletes them after a JVM GC notices
-            # the dropped shuffle-dependency refs, and B sequential
-            # window sorts in one session otherwise ACCUMULATE ~B x
-            # per-stage shuffle on local disk (the x100 probe filled
-            # 49 GB of scratch and died before this call existed —
-            # same role as spark.cleaner.periodicGC.interval, but
-            # deterministic at the only point that matters)
-            spark.sparkContext._jvm.System.gc()
+        # ONE explode routes every suffix to its prefix-hash stage
+        # in a stage-partitioned parquet scratch (no shuffle —
+        # partitionBy writes per-task); each stage job is then a
+        # partition-pruned read + window sort over its share. The
+        # first staged draft re-ran the full narrow explode per
+        # stage to filter its share, which multiplied the corpus
+        # scan B times (x100 probe: raw ratio 290 vs bound 150);
+        # materializing the routed relation once makes total work
+        # one explode + one write + the B sorts.
+        import os
+        import shutil
+        import tempfile
+        import uuid as _uuid
+
+        scratch = os.path.join(
+            tempfile.gettempdir(), f"lrs_stages_{_uuid.uuid4().hex[:8]}"
+        )
+        try:
+            suffixes().withColumn(
+                "stage", F.expr(f"pmod(xxhash64(pre), {n_stages})")
+            ).write.partitionBy("stage").parquet(scratch)
+            routed = spark.read.parquet(scratch)
+            best = 0
+            for stage in range(n_stages):
+                part = routed.where(F.col("stage") == stage).select(
+                    "doc_id", "pre", "s"
+                )
+                best = max(
+                    best,
+                    window_max_lcp(part).collect()[0]["lrs_len"],
+                )
+                # release the finished stage's sort shuffle NOW: the
+                # ContextCleaner only deletes shuffle files after a
+                # JVM GC notices the dropped refs, and B sequential
+                # window sorts in one session otherwise ACCUMULATE
+                # ~B x per-stage shuffle on local disk (the first
+                # x100 probe filled 49 GB of scratch and died)
+                spark.sparkContext._jvm.System.gc()
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
         max_lcp = spark.range(1).select(
             F.lit(best).cast("long").alias("lrs_len")
         )

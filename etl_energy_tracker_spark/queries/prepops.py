@@ -1537,3 +1537,116 @@ def mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_keep"),
     )
+
+
+# ---------------------------------------- Holt linear trend forecast
+
+_HOLT_H = 3  # forecast horizon (hours)
+
+
+@register(
+    "holt_linear_forecast",
+    oracle=f"""
+    WITH RECURSIVE hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT))
+                    AS DOUBLE) AS y
+        FROM events GROUP BY event_type, h
+    ),
+    s AS (
+        SELECT event_type, y,
+               row_number() OVER (PARTITION BY event_type ORDER BY h)
+                   AS rn
+        FROM hourly
+    ),
+    n AS (SELECT event_type, COUNT(*) AS t_max FROM s GROUP BY event_type),
+    rec AS (
+        SELECT s.event_type, 1 AS t, s.y AS l,
+               COALESCE(
+                   (SELECT s2.y FROM s s2
+                    WHERE s2.event_type = s.event_type AND s2.rn = 2)
+                   - s.y, CAST(0 AS DOUBLE)) AS b
+        FROM s WHERE s.rn = 1
+        UNION ALL
+        SELECT r.event_type, r.t + 1,
+               CAST(0.5 AS DOUBLE) * s.y
+                   + CAST(0.5 AS DOUBLE) * (r.l + r.b),
+               CAST(0.5 AS DOUBLE)
+                   * ((CAST(0.5 AS DOUBLE) * s.y
+                       + CAST(0.5 AS DOUBLE) * (r.l + r.b)) - r.l)
+                   + CAST(0.5 AS DOUBLE) * r.b
+        FROM rec r JOIN s ON s.event_type = r.event_type
+                         AND s.rn = r.t + 1
+    )
+    SELECT r.event_type,
+           CAST(n.t_max AS BIGINT) AS n_points,
+           CAST(FLOOR(r.l + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS level_micro,
+           CAST(FLOOR(r.b + CAST(0.5 AS DOUBLE)) AS BIGINT)
+               AS trend_micro,
+           {", ".join(
+               f"CAST(FLOOR(r.l + CAST({k} AS DOUBLE) * r.b "
+               f"+ CAST(0.5 AS DOUBLE)) AS BIGINT) AS fc{k}_micro"
+               for k in range(1, _HOLT_H + 1)
+           )}
+    FROM rec r JOIN n ON n.event_type = r.event_type AND r.t = n.t_max
+    """,
+    tags=("timeseries", "ml", "stateful"),
+    doc="Holt's linear-trend exponential smoothing (the two-parameter "
+    "workhorse between naive and Holt-Winters): level/trend "
+    "recurrence l_t = a*y_t + (1-a)(l+b), b_t = g*(l_t-l_prev) + "
+    "(1-g)*b with a = g = 1/2 over the hourly event-value series, "
+    "plus 1..3-step-ahead forecasts l + h*b. The recurrence is "
+    "inherently sequential PER SERIES, so Spark runs it as an "
+    "Arrow-batched applyInPandas over event_type groups — the "
+    "justified Python case (state = two doubles per series; series "
+    "length is time-bounded, never corpus-bound; keys partition "
+    "freely at 100 TB). Inputs are exact integer micro-sums "
+    "(seasonal_decompose_ma idiom) cast to double, both engines run "
+    "the identical IEEE op sequence in identical order (DuckDB "
+    "replays it as a recursive CTE), and outputs quantize via "
+    "floor(x+0.5) — no engine-divergent rounding. Ref parity: "
+    "beyond-reference forecasting layer.",
+)
+def holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    events = load_table(spark, "events", sf_dir)
+    hourly = (
+        events.select(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("h"),
+            F.expr("CAST(ROUND(value * 1000000) AS BIGINT)").alias("vm"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("vm").cast("double").alias("y"))
+    )
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("h")
+        y = pdf["y"].to_numpy()
+        level = float(y[0])
+        trend = float(y[1] - y[0]) if len(y) > 1 else 0.0
+        for t in range(1, len(y)):
+            prev = level
+            level = 0.5 * float(y[t]) + 0.5 * (level + trend)
+            trend = 0.5 * (level - prev) + 0.5 * trend
+        import math
+
+        q = lambda x: int(math.floor(x + 0.5))  # noqa: E731
+        row = {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_points": [len(y)],
+            "level_micro": [q(level)],
+            "trend_micro": [q(trend)],
+        }
+        for k in range(1, _HOLT_H + 1):
+            row[f"fc{k}_micro"] = [q(level + float(k) * trend)]
+        return pd.DataFrame(row)
+
+    schema = (
+        "event_type string, n_points long, level_micro long, "
+        "trend_micro long, "
+        + ", ".join(f"fc{k}_micro long" for k in range(1, _HOLT_H + 1))
+    )
+    return hourly.groupBy("event_type").applyInPandas(holt, schema=schema)

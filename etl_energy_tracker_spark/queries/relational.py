@@ -1887,8 +1887,16 @@ def _fs_oracle() -> str:
     "comparison-vector pattern table with pair counts, golden truth "
     "counts, pattern weight, and the link/possible/nonlink decision "
     "at +-2 ln-units. Scale: the only pair-former is the blocked "
-    "join (the FS production shape); weights are 1-row broadcasts; "
-    "the pattern table is 8 rows regardless of corpus size. Ref "
+    "join, and its volume is sum over blocks of |A_b|*|B_b| — the "
+    "inherent FS contract: production keeps block CARDINALITY "
+    "proportional to the corpus (content-derived keys, the "
+    "fuzzy_name_match_pairs pattern — sorted-neighborhood, phonetic, "
+    "name prefixes), so per-block membership stays bounded and pair "
+    "volume stays linear; the fixed (nation, segment) stand-in here "
+    "is chosen for oracle determinism, not as the 100 TB blocking "
+    "key. Everything else is provably linear: m/u are count "
+    "aggregates, weights are 1-row broadcasts, the pattern table is "
+    "8 rows regardless of corpus size. Ref "
     "parity: beyond-reference linking layer (complements "
     "linking_hash_match's deterministic profile matching with the "
     "probabilistic scorer).",

@@ -1142,3 +1142,114 @@ def rate_limit_fixed_window_stream(
         .where(F.col("_rn") == 1)
         .select("user_id", "n_events", "n_admitted", "n_rejected")
     )
+
+
+# ------------------------------- event-time TTL state timeout (r12)
+
+_TTL_VISIT_US = 1_800_000_000  # 30-min visit TTL (microseconds)
+_TTL_VISIT_MS = _TTL_VISIT_US // 1000
+
+
+def visit_ttl_timeout_stream(
+    spark: SparkSession, sf_dir: str, shuffle_partitions: int | None = 8
+) -> DataFrame:
+    """Per-user visit assembly with EVENT-TIME STATE TIMEOUT — the
+    GroupStateTimeout.EventTimeTimeout surface none of the other
+    stateful ops exercise: a user's open visit closes either when a
+    later event of the same user arrives more than the TTL after the
+    last one (in-data closure), or when the WATERMARK passes
+    last_event + TTL and the registered timer fires
+    (state.hasTimedOut) — emitting the visit and REMOVING the state,
+    so abandoned keys cannot accumulate (the manual-timer form of
+    what session_window does natively; production uses this shape
+    when the continuation logic is custom — carts, auth flows, rate
+    tiers). Timer semantics: Spark fires a timeout when the
+    watermark advances strictly beyond the registered timestamp, so
+    over the static drive the still-open last visit of a user emits
+    iff last_ms + TTL < max_ms - delay — the oracle replays exactly
+    that predicate. Values accumulate as exact integer micro-units
+    (seasonal_decompose_ma idiom); state per key is four longs."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    stream = _events_stream(spark, sf_dir)
+    # the watermarked column itself must survive the projection —
+    # event-time timeout requires a watermarked attribute in the
+    # stateful operator's child output
+    ev = stream.withWatermark("ts", "2 hours").select(
+        "ts",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr("CAST(ROUND(value * 1000000) AS BIGINT)").alias("vm"),
+        "event_id",
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, total, first_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_micro": [total],
+                    "visit_start_us": [first_us],
+                    "visit_end_us": [last_us],
+                }
+            )
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts_us", "event_id"]
+        )
+        if state.exists:
+            n, total, first_us, last_us = state.get
+        else:
+            n, total, first_us, last_us = 0, 0, -1, -1
+        closed = []
+        for r in batch.itertuples():
+            ts_us, vm = int(r.ts_us), int(r.vm)
+            if last_us >= 0 and ts_us - last_us > _TTL_VISIT_US:
+                closed.append((key[0], n, total, first_us, last_us))
+                n, total, first_us = 0, 0, -1
+            n += 1
+            total += vm
+            if first_us < 0:
+                first_us = ts_us
+            last_us = ts_us
+        state.update((n, total, first_us, last_us))
+        state.setTimeoutTimestamp(last_us // 1000 + _TTL_VISIT_MS)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "n_events": [c[1] for c in closed],
+                    "sum_micro": [c[2] for c in closed],
+                    "visit_start_us": [c[3] for c in closed],
+                    "visit_end_us": [c[4] for c in closed],
+                }
+            )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_events long, sum_micro long, "
+            "visit_start_us long, visit_end_us long"
+        ),
+        stateStructType=(
+            "n long, total long, first_us long, last_us long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    import uuid as _uuid
+
+    name = f"ttl_out_{_uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        _finish(q)
+    return spark.table(name)

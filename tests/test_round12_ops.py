@@ -327,3 +327,97 @@ def test_exact_substring_remove_python_replay(spark, tmp_path):
     assert got[4][1] == 0             # within-doc repeat alone: kept
     assert got[5][1] == 0             # sub-window doc: kept
     assert got[1][1] == _WIN + 3      # exactly the shared span cut
+
+
+def test_visit_ttl_timer_fires_and_evicts_state(spark, tmp_path):
+    """EventTimeTimeout semantics the static-corpus catalog drive
+    cannot isolate: a user with ONE event gets a timer at ts + TTL;
+    when a later batch advances the watermark past it, the timeout
+    branch EMITS the visit and REMOVES the state — numRowsTotal
+    drops to just the still-live keys instead of holding every user
+    ever seen."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from etl_energy_tracker_spark.streaming.jobs import (
+        _TTL_VISIT_MS,
+        _TTL_VISIT_US,
+    )
+
+    src = str(tmp_path / "ttl_src")
+    base = dt.datetime(2024, 1, 1, 10, 0)
+    schema = "ts timestamp, user_id long, value double, event_id long"
+    b1 = [(base, 1, 1.0, 11), (base + dt.timedelta(minutes=5), 2, 2.0, 12)]
+    spark.createDataFrame(b1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    ev = stream.withWatermark("ts", "2 hours").select(
+        "ts",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.expr("CAST(ROUND(value * 1000000) AS BIGINT)").alias("vm"),
+        "event_id",
+    )
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, total, first_us, last_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "closed": [1]}
+            )
+            return
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        n, total, first_us, last_us = (
+            state.get if state.exists else (0, 0, -1, -1)
+        )
+        for r in batch.sort_values(["ts_us", "event_id"]).itertuples():
+            n += 1
+            total += int(r.vm)
+            if first_us < 0:
+                first_us = int(r.ts_us)
+            last_us = int(r.ts_us)
+        state.update((n, total, first_us, last_us))
+        state.setTimeoutTimestamp(last_us // 1000 + _TTL_VISIT_MS)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "closed": [0]}
+        )
+
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, closed long",
+        stateStructType="n long, total long, first_us long, last_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"ttlst_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        state1 = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+        # batch 2: user 99 at 20:00 -> watermark 18:00, far past both
+        # users' 10:30-ish timers -> both time out and evict
+        b2 = [(base + dt.timedelta(hours=10), 99, 3.0, 13)]
+        spark.createDataFrame(b2, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        state2 = q.lastProgress["stateOperators"][0]["numRowsTotal"]
+    finally:
+        q.stop()
+    assert state1 == 2
+    assert state2 == 1, (state1, state2)  # users 1,2 evicted; 99 live
+    rows = spark.table(name).collect()
+    closed = {r.user_id for r in rows if r.closed == 1}
+    assert closed == {1, 2}  # timer emissions, not data-driven ones
+    assert _TTL_VISIT_US == 1_800_000_000

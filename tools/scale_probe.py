@@ -482,6 +482,46 @@ def build(spark, replicas: int, ndv: bool = False) -> str:
     return out
 
 
+# Ops whose work axis is CHARS, not rows: the replica build's token
+# suffixing (`_x{r}`) inflates characters ~1.7x per doc, and the
+# 511-cap suffix-volume regime amplifies it further (x100 measured
+# 264.5x suffix-volume at 100 replicas, r12). For these ops the raw
+# t-ratio vs the replicas*1.5 bound is the WRONG test; the probe
+# measures the suffix-volume inflation on the documents table and
+# reports ratio_per_char = t_ratio / char_inflation with the verdict
+# on <= 1.5.
+CHAR_AXIS_OPS = {"lrs_cross_doc_exact", "dup_substring_maxlen"}
+
+_SFX_FLOOR, _SFX_TRUNC = 16, 511
+
+
+def suffix_volume(spark, sf_dir: str) -> float:
+    """Closed-form sum_i min(TRUNC, len-i+1) over docs >= FLOOR chars
+    — the materialized-suffix-char work axis of the char-level dup
+    ops, from doc lengths alone (one cheap scan, no explode)."""
+    cap_sum = _SFX_TRUNC * (_SFX_TRUNC + 1) // 2 - (
+        _SFX_FLOOR * (_SFX_FLOOR - 1) // 2
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    row = (
+        docs.where(F.length("text") >= _SFX_FLOOR)
+        .agg(
+            F.sum(
+                F.when(
+                    F.length("text") <= _SFX_TRUNC,
+                    (F.length("text") * (F.length("text") + 1) / 2)
+                    - F.lit(_SFX_FLOOR * (_SFX_FLOOR - 1) // 2),
+                ).otherwise(
+                    F.lit(cap_sum)
+                    + (F.length("text") - _SFX_TRUNC) * F.lit(_SFX_TRUNC)
+                )
+            ).alias("chars")
+        )
+        .collect()[0]
+    )
+    return float(row["chars"] or 0.0)
+
+
 def time_op(spark, qs, name: str, sf_dir: str, runs: int = 2) -> float:
     best = float("inf")
     for _ in range(runs):
@@ -535,6 +575,17 @@ def main() -> None:
         # fixed per-stage overhead amortizing differently at each scale
         verdict = "linear-ok" if ratio is not None and ratio <= replicas * 1.5 else "SUPERLINEAR"
         results[name] = {"t_x1": t_small, f"t_x{replicas}": t_big, "ratio": ratio, "verdict": verdict}
+        if name in CHAR_AXIS_OPS and ratio is not None:
+            char_infl = suffix_volume(spark, probe_dir) / max(
+                suffix_volume(spark, BASE), 1.0
+            )
+            per_char = round(ratio / char_infl, 3)
+            results[name]["char_inflation"] = round(char_infl, 2)
+            results[name]["ratio_per_char"] = per_char
+            results[name]["verdict"] = (
+                "linear-ok(char-axis)" if per_char <= 1.5
+                else "SUPERLINEAR(char-axis)"
+            )
         print(json.dumps({"op": name, **results[name]}), flush=True)
     print(json.dumps({"replicas": replicas, "results": results}))
     if "--keep" not in sys.argv:
