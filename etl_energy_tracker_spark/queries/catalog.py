@@ -407,6 +407,10 @@ _PRIORITY: tuple[str, ...] = _REVERIFY + (
     "maxsim_multivector_topk",
     "holt_linear_forecast",
     "stream_visit_ttl_timeout",
+    "winnowing_fingerprints",
+    "stream_chained_window_rollup",
+    "incremental_join_maintenance",
+    "louvain_one_pass",
 )
 
 

@@ -717,3 +717,193 @@ def brand_month_movers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("mover_rank"),
     )
+
+
+# --------------------------------------- Louvain first sweep
+
+_LV_CONTRIB = (
+    "CAST(FLOOR(1000000.0 * (CAST(m_cc AS DOUBLE) / CAST(m AS DOUBLE) "
+    "- (CAST(deg_c AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))) "
+    "* (CAST(deg_c AS DOUBLE) / (2.0 * CAST(m AS DOUBLE))))) AS BIGINT)"
+)
+
+
+@register(
+    "louvain_one_pass",
+    oracle=f"""
+    WITH RECURSIVE li AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY p1, p2
+    ),
+    sym AS (
+        SELECT p1 AS i, p2 AS j, c FROM pairs
+        UNION ALL SELECT p2, p1, c FROM pairs
+    ),
+    deg AS (SELECT i, CAST(SUM(c) AS BIGINT) AS k FROM sym GROUP BY i),
+    total AS (SELECT CAST(SUM(c) AS BIGINT) AS m FROM pairs),
+    scored AS (
+        SELECT s.i, s.j,
+               2 * t.m * s.c - di.k * dj.k AS score
+        FROM sym s
+        JOIN deg di ON di.i = s.i
+        JOIN deg dj ON dj.i = s.j
+        CROSS JOIN total t
+    ),
+    choice AS (
+        SELECT i, j FROM (
+            SELECT i, j, score, row_number() OVER (
+                PARTITION BY i ORDER BY score DESC, j) AS rn
+            FROM scored WHERE score > 0
+        ) WHERE rn = 1
+    ),
+    edges AS (
+        SELECT i AS a, j AS b FROM choice
+        UNION ALL SELECT j, i FROM choice
+    ),
+    reach AS (
+        SELECT a AS node, a AS lab FROM edges
+        UNION
+        SELECT e.b AS node, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (
+        SELECT node, MIN(lab) AS community_id FROM reach GROUP BY node
+        UNION ALL
+        SELECT d.i AS node, d.i AS community_id FROM deg d
+        WHERE d.i NOT IN (SELECT node FROM reach)
+    ),
+    members AS (SELECT community_id, node FROM comp),
+    intra AS (
+        SELECT ca.community_id, CAST(SUM(p.c) AS BIGINT) AS m_cc
+        FROM pairs p
+        JOIN members ca ON ca.node = p.p1
+        JOIN members cb ON cb.node = p.p2
+         AND cb.community_id = ca.community_id
+        GROUP BY ca.community_id
+    ),
+    cdeg AS (
+        SELECT mm.community_id, CAST(SUM(d.k) AS BIGINT) AS deg_c,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM members mm JOIN deg d ON d.i = mm.node
+        GROUP BY mm.community_id
+    )
+    SELECT cd.community_id, cd.n_nodes,
+           CAST(COALESCE(i.m_cc, 0) AS BIGINT) AS intra_weight,
+           cd.deg_c AS degree_weight,
+           (SELECT {_LV_CONTRIB.replace("m_cc", "COALESCE(i.m_cc, 0)").replace("deg_c", "cd.deg_c")}
+            FROM total) AS contribution_ppm
+    FROM cdeg cd LEFT JOIN intra i ON i.community_id = cd.community_id
+    """,
+    tags=("graph", "iterative", "tpch"),
+    doc="Louvain community detection, first sweep (Blondel et al. "
+    "2008) over the weighted co-purchase graph: from singleton "
+    "communities, every node synchronously picks the neighbor whose "
+    "community maximizes the modularity gain — for singletons "
+    "proportional to 2m*w_ij - k_i*k_j, compared as EXACT BIGINTs "
+    "(no float surface), tie-break smallest neighbor, no move when "
+    "no positive gain — and the resulting choice graph's connected "
+    "components are the sweep's communities (the standard "
+    "distributed-Louvain formulation: synchronous argmax + CC "
+    "contraction per round). Output: per-community size, intra "
+    "weight, degree weight, and the Newman contribution in ppm "
+    "(graph_modularity_score's fixed-shape expression — comparing "
+    "its brand-partition Q against this sweep's Q measures how much "
+    "structure the data actually holds). Scale: scoring is one join "
+    "per edge endpoint on the degree table; argmax is a per-node "
+    "window; CC is the label-prop operator (per-round shuffle, "
+    "lineage-truncated); basket-bounded pair fan-out as in "
+    "copurchase_item_similarity. Ref parity: beyond-reference graph "
+    "layer.",
+)
+def louvain_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import dedup
+
+    li = (
+        load_table(spark, "lineitem", sf_dir)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    b = li.select("l_orderkey", F.col("l_partkey").alias("p2"))
+    pairs = (
+        li.join(b, "l_orderkey")
+        .where(F.col("l_partkey") < F.col("p2"))
+        .groupBy(F.col("l_partkey").alias("p1"), "p2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    sym = pairs.select(
+        F.col("p1").alias("i"), F.col("p2").alias("j"), "c"
+    ).unionByName(
+        pairs.select(
+            F.col("p2").alias("i"), F.col("p1").alias("j"), "c"
+        )
+    )
+    deg = sym.groupBy("i").agg(F.sum("c").cast("long").alias("k"))
+    total = pairs.agg(F.sum("c").cast("long").alias("m"))
+    scored = (
+        sym.join(deg.select(F.col("i"), F.col("k").alias("ki")), "i")
+        .join(
+            deg.select(F.col("i").alias("j"), F.col("k").alias("kj")),
+            "j",
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "i",
+            "j",
+            (2 * F.col("m") * F.col("c") - F.col("ki") * F.col("kj"))
+            .cast("long")
+            .alias("score"),
+        )
+    )
+    wch = W.partitionBy("i").orderBy(F.desc("score"), F.col("j"))
+    choice = (
+        scored.where(F.col("score") > 0)
+        .withColumn("rn", F.row_number().over(wch))
+        .where(F.col("rn") == 1)
+        .select("i", "j")
+    )
+    comp = dedup.connected_components(choice, "i", "j").select(
+        "node", F.col("component").alias("community_id")
+    )
+    singles = deg.join(
+        comp, deg.i == comp.node, "left_anti"
+    ).select(F.col("i").alias("node"), F.col("i").alias("community_id"))
+    members = comp.unionByName(singles).localCheckpoint(eager=False)
+    ma = members.select(
+        F.col("node").alias("p1"), F.col("community_id").alias("ca")
+    )
+    mb = members.select(
+        F.col("node").alias("p2"), F.col("community_id").alias("cb")
+    )
+    intra = (
+        pairs.join(ma, "p1")
+        .join(mb, "p2")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community_id"))
+        .agg(F.sum("c").cast("long").alias("m_cc"))
+    )
+    cdeg = (
+        members.join(deg, members.node == deg.i)
+        .groupBy("community_id")
+        .agg(
+            F.sum("k").cast("long").alias("deg_c"),
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        )
+    )
+    return (
+        cdeg.join(intra, "community_id", "left")
+        .withColumn("m_cc", F.coalesce("m_cc", F.lit(0)))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "community_id",
+            "n_nodes",
+            F.col("m_cc").alias("intra_weight"),
+            F.col("deg_c").alias("degree_weight"),
+            F.expr(_LV_CONTRIB).alias("contribution_ppm"),
+        )
+    )

@@ -1063,3 +1063,50 @@ def stream_visit_ttl_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import visit_ttl_timeout_stream
 
     return visit_ttl_timeout_stream(spark, sf_dir)
+
+
+@register(
+    "stream_chained_window_rollup",
+    oracle="""
+    WITH wm AS (
+        SELECT MAX(epoch_us(ts)) - 7200000000 AS wm_us FROM events
+    ),
+    h6 AS (
+        SELECT (epoch_us(ts) // 21600000000) * 21600000000
+                   AS win_start_us,
+               event_type,
+               CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+                   AS n_hours,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT win_start_us, event_type, n_hours, n_events, sum_value
+    FROM h6 CROSS JOIN wm
+    WHERE win_start_us + 21600000000 <= wm.wm_us
+    """,
+    tags=("streaming", "time", "aggregate", "stateful"),
+    doc="Chained stateful aggregation in append mode (VERDICT r12 "
+    "streaming-depth addition): a 1-hour tumbling aggregate feeds a "
+    "6-hour rollup inside ONE streaming query via the window-column "
+    "overload window(col('window'), '6 hours') — the multiple-"
+    "stateful-operator capability (Spark 3.4+) that replaces the "
+    "classic two-job + intermediate-topic architecture for "
+    "hierarchical rollups. Inner windows emit into the outer "
+    "operator when the watermark passes their end; outer rows emit "
+    "once and evict when it passes theirs, so the bounded-source "
+    "result equals the batch 6-hour rollup restricted to windows "
+    "with end <= max(ts) - 2h (stream_hourly_agg_append's inclusive "
+    "boundary, one level up). Both levels sum through "
+    "DECIMAL(38,6). State: one row per open (window, type) at each "
+    "level inside the watermark horizon. Ref parity: "
+    "beyond-reference streaming upgrade.",
+)
+def stream_chained_window_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..streaming.jobs import chained_window_rollup_stream
+
+    return chained_window_rollup_stream(spark, sf_dir)

@@ -1253,3 +1253,53 @@ def visit_ttl_timeout_stream(
         )
         _finish(q)
     return spark.table(name)
+
+
+def chained_window_rollup_stream(
+    spark: SparkSession, sf_dir: str, shuffle_partitions: int | None = 8
+) -> DataFrame:
+    """TWO chained stateful aggregations in ONE append-mode streaming
+    query — the multiple-stateful-operator capability (Spark 3.4+)
+    none of the other drives exercise: a 1-hour tumbling aggregate
+    feeds a 6-hour rollup via the window-column overload
+    F.window(col('window'), '6 hours'). The inner windows emit into
+    the outer operator when the watermark passes their end; the
+    outer 6-hour rows emit (once, state evicted) when it passes
+    THEIR end — so over the bounded source the result is the batch
+    6-hour rollup restricted to windows whose end <= max(ts) - 2h
+    (the stream_hourly_agg_append inclusive-boundary rule, one level
+    up). Value sums cross DECIMAL(38,6) at both levels so the final
+    double is partition-order-independent."""
+    import uuid as _uuid
+
+    stream = _events_stream(spark, sf_dir)
+    ev = stream.withWatermark("ts", "2 hours")
+    h1 = ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)")).alias("sv"),
+    )
+    h6 = (
+        h1.groupBy(F.window(F.col("window"), "6 hours"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("win_start_us"),
+            "event_type",
+            "n_hours",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"chain_out_{_uuid.uuid4().hex[:8]}"
+    with _scoped_shuffle_partitions(spark, shuffle_partitions):
+        q = (
+            h6.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        _finish(q)
+    return spark.table(name)

@@ -421,3 +421,92 @@ def test_visit_ttl_timer_fires_and_evicts_state(spark, tmp_path):
     closed = {r.user_id for r in rows if r.closed == 1}
     assert closed == {1, 2}  # timer emissions, not data-driven ones
     assert _TTL_VISIT_US == 1_800_000_000
+
+
+# --------------------- winnowing fingerprints (MOSS)
+
+
+def test_winnowing_python_replay(spark, tmp_path):
+    """Pure-Python replay of rightmost-min winnowing over synthetic
+    docs must equal the op's (n_grams, n_fingerprints, fp_checksum),
+    and every fully-in-range window must contain >= 1 selected
+    position (the MOSS coverage guarantee)."""
+    from etl_energy_tracker_spark.functions.hashing import MOD
+    from etl_energy_tracker_spark.queries.textops import (
+        _WF_K,
+        _WF_W,
+        winnowing_fingerprints,
+    )
+
+    corpus = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "aaaaaaaaaaaaaaaaaaaa",        # all-equal hashes: tie chains
+        3: "abcdefghijklmnopqrstuvwxyz0123456789",
+        4: "short",                        # under k chars: no grams
+        5: "exactly8",                     # exactly one gram
+    }
+    sf = str(tmp_path / "wf_sf")
+    spark.createDataFrame(
+        [(k, v, "t") for k, v in corpus.items()],
+        "doc_id long, text string, source string",
+    ).write.parquet(f"{sf}/documents.parquet")
+
+    def phash(s):
+        h = 7
+        for ch in s:
+            h = (h * 31 + ord(ch)) % MOD
+        return h
+
+    expect = {}
+    for d, t in corpus.items():
+        if len(t) < _WF_K:
+            continue
+        hs = [phash(t[i:i + _WF_K]) for i in range(len(t) - _WF_K + 1)]
+        n = len(hs)
+        selected = set()
+        for s0 in range(0, max(n - _WF_W + 1, 0) if n >= _WF_W else 0):
+            win = hs[s0:s0 + _WF_W]
+            m = min(win)
+            p = max(i for i, v in enumerate(win) if v == m) + s0
+            selected.add(p)
+        expect[d] = (
+            n,
+            len(selected),
+            sum(hs[p] for p in selected),
+        )
+        # coverage guarantee: every window holds a fingerprint
+        for s0 in range(0, max(n - _WF_W + 1, 0)):
+            assert any(s0 <= p <= s0 + _WF_W - 1 for p in selected)
+    got = {
+        r.doc_id: (r.n_grams, r.n_fingerprints, r.fp_checksum)
+        for r in winnowing_fingerprints(spark, sf).collect()
+    }
+    # docs under k chars produce no row (no grams); single-gram docs
+    # (n < w) produce a row with zero fingerprints under the
+    # fully-in-range window rule
+    assert 4 not in got
+    assert got[5] == (1, 0, 0)
+    for d, exp in expect.items():
+        if d == 5:
+            continue
+        assert got[d] == exp, (d, got[d], exp)
+
+
+def test_ivm_delta_identity(spark):
+    """The IVM algebraic identity the op's output carries: the three
+    delta joins sum to exactly the recompute delta (full view minus
+    base view) — counts and cent checksums both."""
+    from conftest import SF_DIR
+    from etl_energy_tracker_spark.queries.relational import (
+        incremental_join_maintenance,
+    )
+
+    rows = {
+        r.component: (r.n, r.cents)
+        for r in incremental_join_maintenance(spark, SF_DIR).collect()
+    }
+    assert rows["incremental_delta"] == rows["recompute_delta"]
+    assert rows["incremental_delta"][0] == (
+        rows["dR_join_S"][0] + rows["R_join_dS"][0] + rows["dR_join_dS"][0]
+    )
+    assert rows["dR_join_S"][0] > 0 and rows["R_join_dS"][0] > 0
