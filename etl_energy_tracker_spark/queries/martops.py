@@ -866,10 +866,25 @@ def louvain_one_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(wch))
         .where(F.col("rn") == 1)
         .select("i", "j")
+        # materialize once: the CC rounds re-reference this edge list
+        # and its lineage is the full pair+score+argmax job
+        .localCheckpoint(eager=True)
     )
-    comp = dedup.connected_components(choice, "i", "j").select(
-        "node", F.col("component").alias("community_id")
-    )
+    # choice graphs are argmax chains — diameter grows with chain
+    # length, so label-prop pays diameter rounds; the large/small-star
+    # variant converges in O(log^2 n) rounds regardless. The graph is
+    # tiny (<= one node per part), so the per-round floor is task
+    # overhead: scope the shuffle width down for the CC phase (the
+    # streaming-drive convention).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        comp = dedup.connected_components(
+            choice, "i", "j", algorithm="star"
+        ).select("node", F.col("component").alias("community_id"))
+        comp = comp.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     singles = deg.join(
         comp, deg.i == comp.node, "left_anti"
     ).select(F.col("i").alias("node"), F.col("i").alias("community_id"))
