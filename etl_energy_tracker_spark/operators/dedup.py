@@ -595,10 +595,16 @@ def connected_components(
                 (F.col("nmin") < F.col("comp")).alias("_chg"),
             )
         )
-        updated = updated.localCheckpoint(eager=True)  # truncate lineage per round
-        changed = updated.where(F.col("_chg")).limit(1).count()
+        # LAZY checkpoint: the convergence aggregate below is the
+        # action that materializes it, so each round costs ONE job
+        # (the eager form paid a separate materialization job per
+        # round before the convergence check — 2x the round floor).
+        updated = updated.localCheckpoint(eager=False)
+        changed = updated.agg(
+            F.sum(F.col("_chg").cast("int")).alias("n")
+        ).collect()[0]["n"]
         labels = updated.drop("_chg")
-        if changed == 0:
+        if not changed:
             break
     return labels.withColumnRenamed("comp", "component")
 
@@ -625,39 +631,51 @@ def _cc_star(
         .localCheckpoint(eager=True)
     )
     prev_fp = None
+    wu = W.partitionBy("u")
+    wuv = W.partitionBy("u").orderBy("v")
     for _ in range(max_iter):
         # large-star: over the symmetrized graph, for each node u with
         # local min m = min({u} ∪ N(u)), rewire every LARGER neighbor
         # v > u to m. Keeps every component connected, strictly shrinks
-        # long chains.
+        # long chains. The per-u min is a WINDOW over one exchange of
+        # the symmetrized edges — the groupBy+self-join form this
+        # replaced shuffled the edge list twice and paid a join.
         und = e.unionByName(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        mins = (
-            und.groupBy("u")
-            .agg(F.min("v").alias("mn"))
-            .select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
-        )
         large = (
-            und.join(mins, "u")
+            und.withColumn(
+                "m", F.least(F.col("u"), F.min("v").over(wu))
+            )
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star: orient edges large→small, then hang each node and
-        # all its smaller neighbors off the local minimum.
+        # all its smaller neighbors off the local minimum. Same window
+        # trick: min + row_number over one exchange of the canonical
+        # edge set; row 1 contributes the (u, m) anchor edge the
+        # groupBy side used to emit. (large's duplicates are absorbed
+        # by this distinct — its own pre-distinct was a pure extra
+        # shuffle of the same rows.)
         d = large.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         ).distinct()
-        mins2 = d.groupBy("u").agg(F.min("v").alias("m"))
+        dd = d.select(
+            "u", "v", F.min("v").over(wu).alias("m"),
+            F.row_number().over(wuv).alias("rn"),
+        )
         e = (
-            d.join(mins2, "u")
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            dd.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(
+                dd.where(F.col("rn") == 1).select("u", F.col("m").alias("v"))
+            )
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)  # truncate per-round lineage
+            # LAZY checkpoint: the fingerprint aggregate below is the
+            # materializing action, so a round is ONE job (eager paid
+            # a second, separate materialization job per round).
+            .localCheckpoint(eager=False)
         )
         row = e.agg(
             F.count(F.lit(1)).alias("n"),
