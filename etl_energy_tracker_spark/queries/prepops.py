@@ -915,29 +915,40 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.expr(f"{spark_charhash('g')} % {_DSIR_BUCKETS}").alias("b"),
     )
-    raw_b = grams.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
-    tgt_b = (
-        grams.where(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("t"))
+    # One gram-generation pass, not three: the explode+hash lineage
+    # above is the dominant cost, and the original shape recomputed it
+    # for raw_b, for tgt_b, and again for the final score join. Reduce
+    # once to per-(doc, lang, bucket) counts (<= 256 rows per doc) and
+    # derive every downstream table from that; the lazy localCheckpoint
+    # is materialized by the broadcast-build of `w`, so the corpus is
+    # scanned exactly once (guide §8: decide with small rows).
+    db = (
+        grams.groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
-    w = (
-        raw_b.join(tgt_b, "b", "left")
-        .select(
-            "b",
-            F.expr(
-                f"CAST(({il2.format(x='COALESCE(t, 0) + 1')}) - "
-                f"({il2.format(x='r + 1')}) AS BIGINT)"
-            ).alias("w"),
-        )
+    # raw_b/tgt_b fused into one aggregate; a bucket with no 'en'
+    # grams sums to t = 0, identical to the COALESCE(t, 0) of the
+    # former left join.
+    w = db.groupBy("b").agg(
+        F.sum("c").alias("r"),
+        F.sum(F.when(F.col("lang") == "en", F.col("c")).otherwise(0)).alias(
+            "t"
+        ),
+    ).select(
+        "b",
+        F.expr(
+            f"CAST(({il2.format(x='t + 1')}) - "
+            f"({il2.format(x='r + 1')}) AS BIGINT)"
+        ).alias("w"),
     )
     return (
-        grams.join(F.broadcast(w), "b")
+        db.join(F.broadcast(w), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum("w").cast("long").alias("score"),
-            (F.sum("w") > 0).alias("selected"),
+            F.sum("c").cast("long").alias("n_grams"),
+            F.sum(F.col("c") * F.col("w")).cast("long").alias("score"),
+            (F.sum(F.col("c") * F.col("w")) > 0).alias("selected"),
         )
     )
 

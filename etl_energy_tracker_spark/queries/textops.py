@@ -1341,6 +1341,14 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("g")
     )
     capped = tf.join(df_ok, "g")
+    return _wj_exact_pairs(capped, totals)
+
+
+def _wj_exact_pairs(capped: DataFrame, totals: DataFrame) -> DataFrame:
+    """Exact multiset-Jaccard pair set over a df-capped tf relation —
+    shared by weighted_jaccard_pairs and the ICWS eval harness so the
+    eval op can reuse an already-checkpointed tf instead of re-deriving
+    the corpus lineage a second time."""
     a = capped.alias("a")
     b = capped.alias("b")
     inter = (
@@ -1470,7 +1478,12 @@ def _cws_parts(
         .where(F.col("df") <= _WJ_DF_CAP)
         .select("g")
     )
-    capped = tf.join(df_ok, "g")
+    # capped and totals each feed several downstream consumers (the
+    # LSH-verify join, the exact ground-truth join, and their totals
+    # lookups); checkpoint so the df_ok aggregate + g-join run once,
+    # not once per consumer
+    capped = tf.join(df_ok, "g").localCheckpoint(eager=False)
+    totals = totals.localCheckpoint(eager=False)
     # expansion-CWS partial signature per (doc, gram): min over the c
     # copies, all 16 permutations as columns so the doc-level reduce
     # is 16 map-side-combining MIN aggregates in one shuffle
@@ -1654,7 +1667,11 @@ def icws_weighted_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
-    exact = weighted_jaccard_pairs(spark, sf_dir).select(
+    # ground truth from the SAME checkpointed tf the sketch side uses
+    # (formerly a weighted_jaccard_pairs() call that re-derived the
+    # whole docs -> trigram -> tf lineage a second time); formula
+    # identical via the shared helper
+    exact = _wj_exact_pairs(capped, totals).select(
         "doc_a", "doc_b"
     ).localCheckpoint(eager=False)
     n_exact = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))

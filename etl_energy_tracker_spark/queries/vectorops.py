@@ -1159,95 +1159,76 @@ def _kc_ctes(k: int) -> str:
     "this operator is agnostic to. Ref parity: beyond-reference.",
 )
 def kcenter_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     emb = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "embedding"
     ).localCheckpoint(eager=False)
-    seed = emb.orderBy("vec_id").limit(1)
-    chosen = seed.select(
-        F.lit(1).alias("pick_order"),
-        F.col("vec_id").alias("vid"),
-        F.col("embedding").alias("cv"),
-        F.lit(0).cast("long").alias("md"),
-    ).localCheckpoint(eager=False)
 
-    def scored(cho: DataFrame) -> DataFrame:
-        # min distance of every unchosen vector to the chosen set
-        return (
-            emb.join(
-                F.broadcast(cho.select("vid")),
-                emb.vec_id == F.col("vid"),
-                "left_anti",
-            )
-            .crossJoin(F.broadcast(cho.select("cv")))
-            .withColumn(
-                "s",
-                F.round(
-                    F.try_divide(
-                        _dot(F.col("embedding"), F.col("cv")),
-                        F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-                        * F.sqrt(_dot(F.col("cv"), F.col("cv"))),
-                    ),
-                    6,
-                ),
-            )
-            .select(
-                "vec_id",
-                (
-                    F.lit(1000000)
-                    - F.expr("CAST(ROUND(s * 1000000, 0) AS BIGINT)")
-                ).alias("dist"),
-            )
-            .groupBy("vec_id")
-            .agg(F.min("dist").alias("md"))
-        )
-
-    for i in range(2, _KC_PICKS + 1):
-        md = scored(chosen)
-        # deterministic argmax: max (md, -vec_id) struct, no global sort
-        pick = md.agg(
-            F.max(F.struct(F.col("md"), (-F.col("vec_id")).alias("nid")))
-            .alias("b")
-        ).select(
-            F.col("b.md").alias("md"),
-            (-F.col("b.nid")).alias("vec_id"),
-        )
-        new_row = pick.join(emb, "vec_id").select(
-            F.lit(i).alias("pick_order"),
-            F.col("vec_id").alias("vid"),
-            F.col("embedding").alias("cv"),
-            F.col("md").cast("long").alias("md"),
-        )
-        chosen = chosen.unionByName(new_row).localCheckpoint(eager=False)
-
-    radius = (
-        emb.crossJoin(F.broadcast(chosen.select("cv")))
-        .withColumn(
-            "s",
-            F.round(
-                F.try_divide(
-                    _dot(F.col("embedding"), F.col("cv")),
-                    F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-                    * F.sqrt(_dot(F.col("cv"), F.col("cv"))),
-                ),
-                6,
+    def dist_to(cv_list) -> F.Column:
+        # identical per-pair arithmetic to the former crossJoin shape:
+        # _dot is a left fold, so the Python-side norm (left-to-right
+        # sum of squares) reproduces sqrt(_dot(cv, cv)) bit-for-bit
+        # (the facility_location_select precedent).
+        cv = F.array(*[F.lit(float(x)) for x in cv_list])
+        cn = math.sqrt(sum(float(x) ** 2 for x in cv_list))
+        s = F.round(
+            F.try_divide(
+                _dot(F.col("embedding"), cv),
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                * F.lit(cn),
             ),
+            6,
         )
-        .select(
-            "vec_id",
-            (
-                F.lit(1000000)
-                - F.expr("CAST(ROUND(s * 1000000, 0) AS BIGINT)")
-            ).alias("dist"),
-        )
-        .groupBy("vec_id")
-        .agg(F.min("dist").alias("md"))
-        .agg(F.max("md").cast("long").alias("coverage_radius_micro"))
+        return F.lit(1000000) - F.round(s * 1000000, 0).cast("long")
+
+    # Incremental farthest-point sampling: keep each unchosen vector's
+    # running min distance `md` to the chosen set and fold in ONLY the
+    # newly-picked center each round (min over a set == incremental
+    # least), instead of re-scoring every vector against the whole
+    # chosen set — O(k·n) distance evaluations rather than O(k²·n),
+    # and one job per round (the argmax aggregate materializes the
+    # lazy checkpoint). The picked center's embedding rides along in
+    # the argmax struct (md, -vec_id are a unique key, so the trailing
+    # field never influences the comparison) — no extra join job.
+    seed_row = emb.orderBy("vec_id").limit(1).collect()[0]  # 1 x dim
+    picked = [(1, int(seed_row["vec_id"]), 0)]
+    state = (
+        emb.where(F.col("vec_id") != int(seed_row["vec_id"]))
+        .withColumn("md", dist_to(seed_row["embedding"]))
+        .localCheckpoint(eager=False)
     )
-    return chosen.select(
-        F.col("pick_order").cast("long").alias("pick_order"),
-        F.col("vid").cast("long").alias("vec_id"),
-        F.col("md").cast("long").alias("min_dist_micro"),
-    ).crossJoin(F.broadcast(radius))
+    for i in range(2, _KC_PICKS + 1):
+        b = state.agg(
+            F.max(
+                F.struct(
+                    F.col("md"),
+                    (-F.col("vec_id")).alias("nid"),
+                    F.col("embedding").alias("cv"),
+                )
+            ).alias("b")
+        ).collect()[0]["b"]  # bounded artifact: 1 x (2 + dim)
+        vid = -int(b["nid"])
+        picked.append((i, vid, int(b["md"])))
+        state = (
+            state.where(F.col("vec_id") != vid)
+            .withColumn("md", F.least(F.col("md"), dist_to(b["cv"])))
+            .localCheckpoint(eager=False)
+        )
+    # After the final fold, state.md is every unchosen vector's min
+    # distance to the full coreset; chosen vectors contribute exactly
+    # 0 (self-cosine rounds to 1.000000), so the coverage radius is
+    # max(0, max(md)) — one aggregate instead of the former
+    # n x k crossJoin + groupBy re-scan.
+    radius = state.agg(
+        F.greatest(F.max("md"), F.lit(0).cast("long"))
+        .cast("long")
+        .alias("coverage_radius_micro")
+    )
+    chosen = spark.createDataFrame(
+        picked, "pick_order long, vec_id long, min_dist_micro long"
+    )
+    return chosen.crossJoin(F.broadcast(radius))
 
 
 # ----------------------------------- facility-location diverse select
