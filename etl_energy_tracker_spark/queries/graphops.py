@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..sources.registry import load_table
 from .catalog import register
@@ -320,12 +321,13 @@ def _duck_core_rounds(rounds: int, k: int) -> str:
     "power-user detection. Each round drops every vertex whose degree "
     "in the surviving subgraph is below k, then re-filters the edge "
     "list to surviving endpoints; output is the surviving vertices "
-    "with their degree inside the peeled subgraph. Scale: each round "
-    "is one degree aggregate + two semi-joins against the vertex-"
-    "sized keep set (broadcastable; AQE decides), with the edge list "
-    "checkpointed per round to cut lineage — the standard bounded-"
-    "round Pregel-on-DataFrames shape; no step is ever "
-    "all-pairs or driver-side.",
+    "with their degree inside the peeled subgraph. Scale: the peel "
+    "runs on the ONE-directional (customer, supplier) pair table — "
+    "both endpoint degrees fall out of two window counts per round "
+    "(count over partition by each endpoint), so a round is two "
+    "exchanges of the pair list and ZERO joins (no vertex keep-set "
+    "to build or broadcast), with the pair list checkpointed per "
+    "round to cut lineage; no step is ever all-pairs or driver-side.",
 )
 def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir)
@@ -337,26 +339,34 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("s"),
         )
         .distinct()
+        .localCheckpoint(eager=False)
     )
-    edges = pairs.select(
-        F.col("c").alias("src"), F.col("s").alias("dst")
-    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
-    # each round reads the previous round's survivors three times
-    # (degree agg + two semi-joins); checkpoint so the join/distinct
-    # subtree is computed once, not re-derived per consumer per round
-    edges = edges.localCheckpoint(eager=False)
+    # The symmetric edge list is just both orientations of `pairs`, so
+    # a c-vertex's degree == its pair count and likewise for s. Each
+    # peel round therefore needs only the two per-endpoint window
+    # counts over the SAME surviving pair set — both computed before
+    # filtering — replacing the former degree groupBy + two semi-joins
+    # against a keep set (which at 100 TB is vertex-sized and NOT
+    # broadcastable: three full shuffles per round vs two here).
+    wc = F.count(F.lit(1)).over(W.partitionBy("c"))
+    ws = F.count(F.lit(1)).over(W.partitionBy("s"))
     for _ in range(_CORE_ROUNDS):
-        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-        keep = deg.where(F.col("deg") >= _CORE_K).select("src")
-        edges = (
-            edges.join(keep, "src", "left_semi")
-            .join(keep.withColumnRenamed("src", "dst"), "dst", "left_semi")
-            .select("src", "dst")
+        pairs = (
+            pairs.withColumn("_dc", wc)
+            .withColumn("_ds", ws)
+            .where(
+                (F.col("_dc") >= _CORE_K) & (F.col("_ds") >= _CORE_K)
+            )
+            .select("c", "s")
             .localCheckpoint(eager=False)
         )
-    return edges.groupBy(F.col("src").alias("v")).agg(
+    deg_c = pairs.groupBy(F.col("c").alias("v")).agg(
         F.count(F.lit(1)).alias("deg")
     )
+    deg_s = pairs.groupBy(F.col("s").alias("v")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    return deg_c.unionByName(deg_s)
 
 
 # ------------------------------------------------ k-hop reachability
@@ -481,24 +491,27 @@ def khop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=False)
         )
         visited = visited.unionByName(frontier).localCheckpoint(eager=False)
-        stats = (
-            frontier.groupBy("seed")
-            .agg(F.count(F.lit(1)).cast("long").alias("frontier_size"))
-            .join(
-                visited.groupBy("seed").agg(
-                    F.count(F.lit(1)).cast("long").alias("reachable_total")
-                ),
-                "seed",
-            )
-            .select(
-                "seed",
-                F.lit(hop).cast("long").alias("hop"),
-                "frontier_size",
-                "reachable_total",
-            )
-        )
+        stats = frontier.groupBy("seed").agg(
+            F.count(F.lit(1)).cast("long").alias("frontier_size")
+        ).select("seed", F.lit(hop).cast("long").alias("hop"), "frontier_size")
         out = stats if out is None else out.unionByName(stats)
-    return out.select("seed", "hop", "frontier_size", "reachable_total")
+    # frontiers are disjoint from the visited set by construction, so
+    # the cumulative reachable count is |vis0| (= 1, the seed itself)
+    # plus the running frontier-size sum — one window over the 9-row
+    # stats table replaces a per-hop count of the GROWING visited set
+    # + a per-hop join (3 fewer jobs; the visited set is still
+    # materialized, but only as anti-join state, never re-aggregated)
+    wcum = W.partitionBy("seed").orderBy("hop").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return out.select(
+        "seed",
+        "hop",
+        "frontier_size",
+        (F.lit(1) + F.sum("frontier_size").over(wcum))
+        .cast("long")
+        .alias("reachable_total"),
+    )
 
 
 # ------------------------------------ per-edge triangle support (truss)
