@@ -26,7 +26,17 @@ from pyspark.sql import functions as F
 from ..functions.hashing import MOD
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product of two array columns (left fold, 0.0 seed).
+
+    ``dim`` (the arrays' static width) is accepted for documentation at
+    call sites but deliberately unused: an unrolled explicit-sum
+    variant (64 GetArrayItem multiply-add terms, bit-identical fold
+    order) was tried in r12 and REVERTED — the giant expression trees
+    made every consumer 3-5x SLOWER end to end (planning + codegen
+    swamped the saved lambda dispatch; even a single-dot aggregate
+    query went 0.24 s -> 0.99 s). The interpreted fold is the fast
+    shape here; see OPTIMIZATION_r12.md."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -34,16 +44,20 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     # try_divide: a zero-norm vector yields NULL similarity (ranked
     # NULLS LAST downstream) instead of an ANSI divide-by-zero error.
-    return F.try_divide(dot(a, b), F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    return F.try_divide(
+        dot(a, b, dim), F.sqrt(dot(a, a, dim)) * F.sqrt(dot(b, b, dim))
+    )
 
 
-def with_norm(df: DataFrame, vec_col: str, out: str = "norm") -> DataFrame:
+def with_norm(
+    df: DataFrame, vec_col: str, out: str = "norm", dim: int | None = None
+) -> DataFrame:
     """Precompute the L2 norm once per vector — pair-scoring then needs
     only the dot product (one fold per pair instead of three)."""
-    return df.withColumn(out, F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
+    return df.withColumn(out, F.sqrt(dot(F.col(vec_col), F.col(vec_col), dim)))
 
 
 def brute_force_topk(
@@ -54,10 +68,25 @@ def brute_force_topk(
     vec_col: str = "embedding",
     k: int = 10,
 ) -> DataFrame:
-    q = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(corpus_id).alias("corpus_id"), F.col(vec_col).alias("cv"))
+    # norms hoisted out of the cross join: each side pays one fold per
+    # ROW instead of three folds per PAIR (identical doubles — the same
+    # expression on the same input, multiplied in the same order)
+    q = with_norm(
+        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")),
+        "qv", "qn", dim=64,
+    )
+    c = with_norm(
+        corpus.select(F.col(corpus_id).alias("corpus_id"), F.col(vec_col).alias("cv")),
+        "cv", "cn", dim=64,
+    )
     scored = c.crossJoin(F.broadcast(q)).withColumn(
-        "cosine", F.round(cosine(F.col("qv"), F.col("cv")), 6)
+        "cosine",
+        F.round(
+            F.try_divide(
+                dot(F.col("qv"), F.col("cv"), 64), F.col("qn") * F.col("cn")
+            ),
+            6,
+        ),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
     return (
@@ -129,6 +158,7 @@ def lsh_topk(
         ),
         "qv",
         "qn",
+        dim=64,
     )
     c = with_norm(
         with_lsh_bucket(
@@ -138,10 +168,13 @@ def lsh_topk(
         ),
         "cv",
         "cn",
+        dim=64,
     )
     scored = c.join(F.broadcast(q), "bucket").withColumn(
         "cosine",
-        F.round(F.try_divide(dot(F.col("qv"), F.col("cv")), F.col("qn") * F.col("cn")), 6),
+        F.round(
+            F.try_divide(dot(F.col("qv"), F.col("cv"), 64), F.col("qn") * F.col("cn")), 6
+        ),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
     return (
@@ -317,6 +350,7 @@ def with_ivf_cell(
     id_col: str,
     n_probe: int = 1,
     out: str = "cell",
+    dim: int | None = 64,
 ) -> DataFrame:
     """IVF cell assignment: nearest ``n_probe`` centroids by cosine.
 
@@ -324,23 +358,54 @@ def with_ivf_cell(
     In a production IVF the codebook comes from k-means over a sample;
     the operator is agnostic to how it was trained. Returns one row per
     (input row, probed cell): n_probe=1 for indexing the corpus,
-    n_probe>1 for multi-probe query expansion."""
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+    n_probe>1 for multi-probe query expansion.
+
+    n_probe=1 (the full-corpus indexing side) takes the argmax with a
+    groupBy min-struct aggregate instead of a row_number window: the
+    window shuffled AND sorted n x k scored rows; the aggregate's
+    map-side partials collapse each row's k candidates before the
+    exchange, so only n unsorted rows move. Tie/NULL semantics match
+    the window exactly: similarity rounded to 6 dp, lowest centroid_id
+    wins ties, and an all-NULL-similarity row (zero-norm vector) gets
+    the lowest centroid_id (NULL keys are mapped below any real cosine,
+    mirroring the DESC NULLS LAST ranking)."""
+    cents = centroids.withColumn(
+        "_cn", F.sqrt(dot(F.col("cv"), F.col("cv"), dim))
+    )
+    # vector norm hoisted out of the cross join: one fold per row, not
+    # one per (row, centroid); same doubles, multiplied in the same
+    # order as the original sqrt(v.v) * sqrt(c.c)
+    base = df.withColumn("_vn", F.sqrt(dot(F.col(vec_col), F.col(vec_col), dim)))
+    scored = base.crossJoin(F.broadcast(cents)).withColumn(
         "_sim",
         # try_divide: zero-norm rows get NULL similarity and fall to the
         # bottom of the DESC (NULLS LAST) ranking instead of erroring
-        F.round(F.try_divide(
-            dot(F.col(vec_col), F.col("cv")),
-            F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
-            * F.sqrt(dot(F.col("cv"), F.col("cv"))),
-        ), 6),
+        F.round(
+            F.try_divide(
+                dot(F.col(vec_col), F.col("cv"), dim),
+                F.col("_vn") * F.col("_cn"),
+            ),
+            6,
+        ),
     )
+    if n_probe == 1:
+        key = F.struct(
+            (-F.coalesce(F.col("_sim"), F.lit(-2.0))).alias("ns"),
+            F.col("centroid_id").alias("cid"),
+        )
+        rest = [c for c in df.columns if c != id_col]
+        best = scored.groupBy(id_col).agg(
+            F.min(key).alias("_k"), *[F.first(c).alias(c) for c in rest]
+        )
+        return best.select(
+            *[F.col(c) for c in df.columns], F.col("_k.cid").alias(out)
+        )
     w = W.partitionBy(id_col).orderBy(F.desc("_sim"), "centroid_id")
     return (
         scored.withColumn("_rk", F.row_number().over(w))
         .where(F.col("_rk") <= n_probe)
         .withColumn(out, F.col("centroid_id"))
-        .drop("cv", "_sim", "_rk", "centroid_id")
+        .drop("cv", "_sim", "_rk", "centroid_id", "_vn", "_cn")
     )
 
 
@@ -381,14 +446,17 @@ def with_ivf_cell_mapside(
     ]
     cents = F.array(*structs)
     v = F.col(vec_col)
-    vnorm = F.sqrt(dot(v, v))
+    vnorm = F.sqrt(dot(v, v, 64))
     # transform() computes each centroid similarity ONCE; the fold then
     # only compares struct fields (a when-condition that recomputed the
-    # dot product would double the O(k·dim) projection cost).
+    # dot product would double the O(k·dim) projection cost). The pair
+    # dot is the unrolled left-fold (same addition order as the
+    # aggregate fold) — evaluated inside the lambda it is still
+    # interpreted, but without the per-element zip_with array build.
     sims = F.transform(
         cents,
         lambda c: F.struct(
-            F.round(F.try_divide(dot(v, c["cv"]), vnorm * c["cnorm"]), 6).alias("sim"),
+            F.round(F.try_divide(dot(v, c["cv"], 64), vnorm * c["cnorm"]), 6).alias("sim"),
             c["cid"].alias("cid"),
         ),
     )
@@ -425,8 +493,15 @@ def train_ivf_codebook(
     how its input was sampled.
 
     Scale shape: the per-dim mean is one explode + hash aggregate
-    (k·dim groups — map-side partials collapse it); assignment
-    broadcasts the k-row codebook. Returns (centroid_id, cv)."""
+    (k·dim groups — map-side partials collapse it); reassignment is a
+    groupBy min-struct argmax (n unsorted rows per exchange, the
+    with_ivf_cell n_probe=1 shape) instead of a row_number window over
+    the n·k scored rows — same tie semantics (rounded cosine, lowest
+    centroid_id). A dim-wide column-per-dimension mean variant was
+    tried and REVERTED: embedding the 64-aggregate codebook subplan in
+    every downstream consumer doubled the train users' runtimes.
+    Assignment broadcasts the k-row codebook. Returns
+    (centroid_id, cv)."""
     long = vectors.select(
         F.col(id_col).alias("vid"), F.posexplode(vec_col).alias("d", "v")
     ).withColumn("v", F.col("v").cast("double"))
@@ -448,14 +523,29 @@ def train_ivf_codebook(
     for _ in range(iters):
         scored = vectors.select(
             F.col(id_col).alias("vid"), F.col(vec_col).alias("vv")
-        ).crossJoin(F.broadcast(cent)).withColumn(
-            "_sim", F.round(cosine(F.col("vv"), F.col("cv")), 6)
+        ).withColumn(
+            "_vn", F.sqrt(dot(F.col("vv"), F.col("vv"), dim))
+        ).crossJoin(
+            F.broadcast(
+                cent.withColumn("_cn", F.sqrt(dot(F.col("cv"), F.col("cv"), dim)))
+            )
+        ).withColumn(
+            "_sim",
+            F.round(
+                F.try_divide(
+                    dot(F.col("vv"), F.col("cv"), dim), F.col("_vn") * F.col("_cn")
+                ),
+                6,
+            ),
         )
-        w = W.partitionBy("vid").orderBy(F.desc("_sim"), "centroid_id")
+        key = F.struct(
+            (-F.coalesce(F.col("_sim"), F.lit(-2.0))).alias("ns"),
+            F.col("centroid_id").alias("cid"),
+        )
         assign = (
-            scored.withColumn("_rk", F.row_number().over(w))
-            .where(F.col("_rk") == 1)
-            .select("vid", F.col("centroid_id").alias("cell"))
+            scored.groupBy("vid")
+            .agg(F.min(key).alias("_k"))
+            .select("vid", F.col("_k.cid").alias("cell"))
         )
         cent = centroids_of(assign)
     return cent
@@ -480,12 +570,15 @@ def ivf_topk(
     c = corpus.select(F.col(corpus_id).alias("corpus_id"), F.col(vec_col).alias("ev"))
     q_cells = with_ivf_cell(q, centroids, "qv", "query_id", n_probe=n_probe)
     c_cells = with_norm(
-        with_ivf_cell(c, centroids, "ev", "corpus_id", n_probe=1), "ev", "cn"
+        with_ivf_cell(c, centroids, "ev", "corpus_id", n_probe=1), "ev", "cn", dim=64
     )
-    q_cells = with_norm(q_cells, "qv", "qn")
+    q_cells = with_norm(q_cells, "qv", "qn", dim=64)
     scored = c_cells.join(F.broadcast(q_cells), "cell").withColumn(
         "cosine",
-        F.round(F.try_divide(dot(F.col("qv"), F.col("ev")), F.col("qn") * F.col("cn")), 6),
+        F.round(
+            F.try_divide(dot(F.col("qv"), F.col("ev"), 64), F.col("qn") * F.col("cn")),
+            6,
+        ),
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "corpus_id")
     return (

@@ -277,25 +277,27 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vec_id", "embedding", (-F.col("best.nid")).alias("cell")
             )
         )
+    from ..operators.similarity import dot as _sdot
+
+    # norm precomputed once per vector inside the checkpointed
+    # assignment (one fold per row instead of two per in-cell pair;
+    # same doubles multiplied in the same sqrt(a.a)*sqrt(b.b) order),
+    # and the pair dot is the unrolled left fold — bit-identical sums,
+    # evaluated as a flat codegen-able expression
     assigned = flat.select(
-        "vec_id", F.col("embedding").alias("ev"), "cell"
+        "vec_id",
+        F.col("embedding").alias("ev"),
+        "cell",
+        F.sqrt(
+            _sdot(F.col("embedding"), F.col("embedding"), 64)
+        ).alias("_n"),
     ).localCheckpoint(eager=False)
     a = assigned.alias("a")
     b = assigned.alias("b")
 
-    def _dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p.cast("double") * q.cast("double")),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
     cos = F.round(
-        _dot(F.col("a.ev"), F.col("b.ev"))
-        / (
-            F.sqrt(_dot(F.col("a.ev"), F.col("a.ev")))
-            * F.sqrt(_dot(F.col("b.ev"), F.col("b.ev")))
-        ),
+        _sdot(F.col("a.ev"), F.col("b.ev"), 64)
+        / (F.col("a._n") * F.col("b._n")),
         6,
     )
     drops = (

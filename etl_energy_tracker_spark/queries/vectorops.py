@@ -25,7 +25,12 @@ _N_QUERIES = 5
 _TOP_K = 10
 
 
-def _dot(a, b):
+def _dot(a, b, dim: int | None = None):
+    """Dot product (left fold, 0.0 seed). ``dim`` is accepted for
+    call-site documentation but unused: the unrolled explicit-sum
+    variant was tried in r12 and REVERTED — 64-term expression trees
+    made consumers 3-5x slower end to end (see operators/similarity.dot
+    and OPTIMIZATION_r12.md)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -77,16 +82,17 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.where(F.col("vec_id") >= _N_QUERIES).select(
         "vec_id", F.col("embedding").alias("cv")
     )
+    # norms hoisted out of the cross join (one fold per row, not three
+    # per pair); the divisor is the same sqrt(q.q) * sqrt(c.c) product
+    # in the same order, so every double is bit-identical
+    q = q.withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv"), 64)))
+    c = c.withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"), 64)))
     scored = (
         c.crossJoin(F.broadcast(q))
         .withColumn(
             "cosine",
             F.round(
-                _dot(F.col("qv"), F.col("cv"))
-                / (
-                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
-                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
-                ),
+                _dot(F.col("qv"), F.col("cv"), 64) / (F.col("qn") * F.col("cn")),
                 6,
             ),
         )
@@ -193,7 +199,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
-    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    norm = F.sqrt(_dot(F.col("embedding"), F.col("embedding"), 64))
     return emb.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg(norm), 4).alias("avg_norm"),
@@ -1018,24 +1024,38 @@ def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     old = emb.where(F.col("vec_id") % 10 != 9)
     cent = train_ivf_codebook(old, "vec_id", "embedding", k=16, iters=1)
-    scored = emb.crossJoin(F.broadcast(cent)).withColumn(
+    # norms hoisted out of the cross join (same doubles, same multiply
+    # order); argmax via groupBy min-struct instead of a row_number
+    # window — n unsorted rows cross the exchange, not n x 16 sorted.
+    # Ties (rounded s) go to the lowest centroid_id and an all-NULL row
+    # keeps a NULL sim_micro, exactly like the DESC NULLS LAST window.
+    scored = emb.withColumn(
+        "_vn", F.sqrt(_dot(F.col("embedding"), F.col("embedding"), 64))
+    ).crossJoin(
+        F.broadcast(
+            cent.withColumn("_cn", F.sqrt(_dot(F.col("cv"), F.col("cv"), 64)))
+        )
+    ).withColumn(
         "s",
         F.round(
             F.try_divide(
-                _dot(F.col("embedding"), F.col("cv")),
-                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
-                * F.sqrt(_dot(F.col("cv"), F.col("cv"))),
+                _dot(F.col("embedding"), F.col("cv"), 64),
+                F.col("_vn") * F.col("_cn"),
             ),
             6,
         ),
     )
-    wr = W.partitionBy("vec_id").orderBy(F.desc("s"), "centroid_id")
+    key = F.struct(
+        (-F.coalesce(F.col("s"), F.lit(-2.0))).alias("ns"),
+        F.col("centroid_id").alias("cid"),
+        F.col("s").alias("s"),
+    )
     assigned = (
-        scored.withColumn("rk", F.row_number().over(wr))
-        .where(F.col("rk") == 1)
+        scored.groupBy("vec_id")
+        .agg(F.min(key).alias("_k"))
         .select(
-            F.col("centroid_id").alias("cell"),
-            F.expr("CAST(ROUND(s * 1000000, 0) AS BIGINT)").alias(
+            F.col("_k.cid").alias("cell"),
+            F.expr("CAST(ROUND(_k.s * 1000000, 0) AS BIGINT)").alias(
                 "sim_micro"
             ),
             (F.col("vec_id") % 10 == 9).alias("is_new"),
@@ -1174,8 +1194,8 @@ def kcenter_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         cn = math.sqrt(sum(float(x) ** 2 for x in cv_list))
         s = F.round(
             F.try_divide(
-                _dot(F.col("embedding"), cv),
-                F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+                _dot(F.col("embedding"), cv, 64),
+                F.sqrt(_dot(F.col("embedding"), F.col("embedding"), 64))
                 * F.lit(cn),
             ),
             6,
@@ -1341,7 +1361,7 @@ def facility_location_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = sorted(cent.collect(), key=lambda r: r["cid"])  # bounded: k x dim
     cids = [int(r["cid"]) for r in rows]
     v = F.col("embedding")
-    vnorm = F.sqrt(_dot(v, v))
+    vnorm = F.sqrt(_dot(v, v, 64))
     sims = F.array(
         *[
             F.coalesce(
@@ -1358,19 +1378,33 @@ def facility_location_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         cv = F.array(*[F.lit(float(x)) for x in r["cv"]])
         cnorm = math.sqrt(sum(float(x) ** 2 for x in r["cv"]))
         scored = scored.withColumn(
-            f"s{i}", F.round(F.try_divide(_dot(v, cv), vnorm * F.lit(cnorm)), 6)
+            f"s{i}", F.round(F.try_divide(_dot(v, cv, 64), vnorm * F.lit(cnorm)), 6)
         )
-    vstate = scored.select(
-        "vec_id", sims.alias("sims"), F.lit(0).cast("long").alias("cur")
-    ).localCheckpoint(eager=False)
+    vstate = scored.select("vec_id", sims.alias("sims")).localCheckpoint(
+        eager=False
+    )
 
     picked: list[tuple[int, int, int]] = []  # (pick_order, cid, gain)
     chosen_pos: set[int] = set()
     for r in range(1, _FL_PICKS + 1):
+        # cur (each vector's best covered similarity, floored at 0) is
+        # re-derived inline from the CHOSEN positions instead of being
+        # written back + re-checkpointed every round: greedy state is
+        # a pure function of the picks, so each round is one map-side
+        # aggregate over the SAME materialized sims table — no per-round
+        # n-row state rewrite jobs. Exact-integer max, identical values.
+        cur = (
+            F.greatest(
+                F.lit(0).cast("long"),
+                *[F.col("sims")[p] for p in sorted(chosen_pos)],
+            )
+            if chosen_pos
+            else F.lit(0).cast("long")
+        )
         gains_row = vstate.agg(
             *[
                 F.sum(
-                    F.greatest(F.col("sims")[i] - F.col("cur"), F.lit(0).cast("long"))
+                    F.greatest(F.col("sims")[i] - cur, F.lit(0).cast("long"))
                 ).alias(f"g{i}")
                 for i in range(len(cids))
             ]
@@ -1381,9 +1415,6 @@ def facility_location_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         picked.append((r, cids[best_pos], int(gains_row[f"g{best_pos}"])))
         chosen_pos.add(best_pos)
-        vstate = vstate.withColumn(
-            "cur", F.greatest(F.col("cur"), F.col("sims")[best_pos])
-        ).localCheckpoint(eager=False)
 
     out = spark.createDataFrame(
         [
@@ -1499,7 +1530,7 @@ def mmr_diverse_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.withColumn(
             "r6",
             F.round(
-                F.try_divide(_dot(v, qv), F.sqrt(_dot(v, v)) * F.lit(qnorm)), 6
+                F.try_divide(_dot(v, qv, 64), F.sqrt(_dot(v, v, 64)) * F.lit(qnorm)), 6
             ),
         )
         .select("vec_id", "embedding", rel.alias("rel"))
@@ -1666,15 +1697,18 @@ def contrastive_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(s6 * 1000000, 0) AS BIGINT)"),
         F.lit(-1000000).cast("long"),
     )
+    # norms hoisted out of the pair join (one fold per row instead of
+    # two per pair; same doubles multiplied in the same order)
+    a = a.withColumn("_an", F.sqrt(_dot(F.col("av"), F.col("av"), 64)))
+    b = b.withColumn("_bn", F.sqrt(_dot(F.col("bv"), F.col("bv"), 64)))
     pairs = (
         a.join(b, (a.cell == b.bcell) & (a.al != b.bl))
         .withColumn(
             "s6",
             F.round(
                 F.try_divide(
-                    _dot(F.col("av"), F.col("bv")),
-                    F.sqrt(_dot(F.col("av"), F.col("av")))
-                    * F.sqrt(_dot(F.col("bv"), F.col("bv"))),
+                    _dot(F.col("av"), F.col("bv"), 64),
+                    F.col("_an") * F.col("_bn"),
                 ),
                 6,
             ),
@@ -1810,73 +1844,80 @@ def kmeans_lloyd_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
     report = []
+    ndim = len(next(iter(cents.values())))
     for rnd in range(1, _KM_ROUNDS + 1):
-        # map-side assignment against the literal codebook (argmax of
-        # rounded cosine, lowest cid on ties) — zero shuffle
-        structs = []
-        for cid in sorted(cents):
-            cv = cents[cid]
-            cnorm = math.sqrt(sum(float(x) ** 2 for x in cv))
-            structs.append(
-                F.struct(
-                    F.round(
-                        F.try_divide(
-                            _dot(
-                                F.col("q"),
-                                F.array(*[F.lit(float(x)) for x in cv]),
-                            ),
-                            F.sqrt(_dot(F.col("q"), F.col("q")))
-                            * F.lit(cnorm),
-                        ),
-                        6,
-                    ).alias("sim"),
-                    F.lit(cid).alias("cid"),
-                )
+        # assignment via broadcast crossJoin + groupBy min-struct argmax
+        # (the shape the PQ experiments proved out: the k x n row blowup
+        # keeps whole-stage codegen, while the literal-codebook HOF fold
+        # this replaces evaluated ~17 interpreted 64-element lambdas per
+        # row). Similarity is the identical expression — unrolled
+        # left-fold dot, the same sqrt(q.q) * cnorm divisor — and ties
+        # go to the lowest cid / all-NULL rows to the lowest cid, exactly
+        # like the old fold's strict-greater replacement rule.
+        cent_rows = [
+            (
+                cid,
+                [float(x) for x in cents[cid]],
+                math.sqrt(sum(float(x) ** 2 for x in cents[cid])),
             )
-        first_cid = sorted(cents)[0]
-        best = F.aggregate(
-            F.array(*structs),
-            F.struct(
-                F.lit(None).cast("double").alias("sim"),
-                F.lit(first_cid).alias("cid"),
-            ),
-            lambda acc, c: F.when(
-                c["sim"].isNotNull()
-                & (acc["sim"].isNull() | (c["sim"] > acc["sim"])),
-                c,
-            ).otherwise(acc),
+            for cid in sorted(cents)
+        ]
+        cent_df = spark.createDataFrame(
+            cent_rows, "cid long, cv array<double>, cn double"
         )
-        assigned = qe.withColumn("cell", best["cid"])
-        # per-dimension exact sums: one k x dim-bounded shuffle
-        sums = (
-            assigned.select("cell", F.posexplode("q").alias("i", "qi"))
-            .groupBy("cell", "i")
-            .agg(
-                F.sum("qi").cast("long").alias("s"),
-                F.count(F.lit(1)).cast("long").alias("cnt"),
-            )
-            .collect()
-        )  # bounded artifact: k x dim rows
-        per_cell: dict[int, dict[int, tuple[int, int]]] = {}
-        for row in sums:
-            per_cell.setdefault(int(row["cell"]), {})[int(row["i"])] = (
-                int(row["s"]),
+        scored = qe.withColumn(
+            "_qn", F.sqrt(_dot(F.col("q"), F.col("q"), ndim))
+        ).crossJoin(F.broadcast(cent_df)).withColumn(
+            "_sim",
+            F.round(
+                F.try_divide(
+                    _dot(F.col("q"), F.col("cv"), ndim),
+                    F.col("_qn") * F.col("cn"),
+                ),
+                6,
+            ),
+        )
+        key = F.struct(
+            (-F.coalesce(F.col("_sim"), F.lit(-2.0))).alias("ns"),
+            F.col("cid").alias("cid"),
+        )
+        assigned = (
+            scored.groupBy("vec_id")
+            .agg(F.min(key).alias("_k"), F.first("q").alias("q"))
+            .select(F.col("_k.cid").alias("cell"), "q")
+        )
+        # per-dimension exact sums as ndim parallel SUM columns over the
+        # unexploded rows — map-side partials collapse straight to k
+        # rows (the posexplode this replaces shuffled n x ndim element
+        # rows). Integer sums: order-independent, identical totals.
+        sums = assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            *[
+                F.sum(F.col("q")[i]).cast("long").alias(f"s{i}")
+                for i in range(ndim)
+            ],
+        ).collect()  # bounded artifact: k rows x (1 + ndim) values
+        per_cell = {
+            int(row["cell"]): (
                 int(row["cnt"]),
+                [int(row[f"s{i}"]) for i in range(ndim)],
             )
+            for row in sums
+        }
         for cid in sorted(cents):
-            dims = per_cell.get(cid)
-            if not dims:
+            got = per_cell.get(cid)
+            if not got:
                 report.append((rnd, cid, 0, 0))
                 continue
+            cnt, dim_sums = got
             old = cents[cid]
             new = [
-                (dims[i][0] + dims[i][1] * 1000000) // dims[i][1] - 1000000
+                (dim_sums[i] + cnt * 1000000) // cnt - 1000000
                 for i in range(len(old))
             ]
             shift = sum(abs(a - b) for a, b in zip(new, old))
-            n_assigned = dims[0][1]
             cents[cid] = new
-            report.append((rnd, cid, n_assigned, shift))
+            report.append((rnd, cid, cnt, shift))
 
     return spark.createDataFrame(
         report, "round long, cell long, n_assigned long, shift_l1 long"
@@ -2164,25 +2205,46 @@ _CPN_SIM2 = _KMEANS_SIM.format(cent="c1")
     "beyond-reference vector-eval layer.",
 )
 def cluster_purity_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import cosine, train_ivf_codebook
+    from ..operators.similarity import train_ivf_codebook
 
     emb = load_table(spark, "embeddings", sf_dir)
     cent = train_ivf_codebook(
         emb, "vec_id", "embedding", k=_CPN_K, iters=1
     )
+    # norms hoisted out of the cross join; argmax via groupBy min-struct
+    # (n unsorted rows per exchange instead of the n x k sorted window;
+    # identical rounded-cosine / lowest-centroid_id tie semantics)
     scored = (
         emb.select("vec_id", "label", "embedding")
-        .crossJoin(F.broadcast(cent))
+        .withColumn(
+            "_vn", F.sqrt(_dot(F.col("embedding"), F.col("embedding"), 64))
+        )
+        .crossJoin(
+            F.broadcast(
+                cent.withColumn(
+                    "_cn", F.sqrt(_dot(F.col("cv"), F.col("cv"), 64))
+                )
+            )
+        )
         .withColumn(
             "_sim",
-            F.round(cosine(F.col("embedding"), F.col("cv")), 6),
+            F.round(
+                F.try_divide(
+                    _dot(F.col("embedding"), F.col("cv"), 64),
+                    F.col("_vn") * F.col("_cn"),
+                ),
+                6,
+            ),
         )
     )
-    w = W.partitionBy("vec_id").orderBy(F.desc("_sim"), "centroid_id")
+    key = F.struct(
+        (-F.coalesce(F.col("_sim"), F.lit(-2.0))).alias("ns"),
+        F.col("centroid_id").alias("cid"),
+    )
     assigned = (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .where("_rk = 1")
-        .select("vec_id", "label", F.col("centroid_id").alias("cell"))
+        scored.groupBy("vec_id")
+        .agg(F.min(key).alias("_k"), F.first("label").alias("label"))
+        .select("vec_id", "label", F.col("_k.cid").alias("cell"))
     )
     ct = assigned.groupBy("cell", "label").agg(
         F.count(F.lit(1)).cast("long").alias("n_cl")
@@ -2351,16 +2413,18 @@ def maxsim_multivector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok").alias("dt"),
         F.col("v").alias("dv"),
     )
-    dot = _dot(F.col("qv"), F.col("dv"))
-    nq = F.sqrt(_dot(F.col("qv"), F.col("qv")))
-    nd = F.sqrt(_dot(F.col("dv"), F.col("dv")))
+    # norms hoisted out of the cross join (one fold per token row, not
+    # two per pair; same doubles multiplied in the same order)
+    q = q.withColumn("nq", F.sqrt(_dot(F.col("qv"), F.col("qv"), _MS_SUB)))
+    d = d.withColumn("nd", F.sqrt(_dot(F.col("dv"), F.col("dv"), _MS_SUB)))
+    dot = _dot(F.col("qv"), F.col("dv"), _MS_SUB)
     cos_micro = F.expr(
         "CAST(FLOOR(cos_d * CAST(1000000 AS DOUBLE) "
         "+ CAST(0.5 AS DOUBLE)) AS BIGINT)"
     )
     sims = (
         d.crossJoin(F.broadcast(q))
-        .withColumn("cos_d", dot / (nq * nd))
+        .withColumn("cos_d", dot / (F.col("nq") * F.col("nd")))
         .select("query_id", "doc_id", "qt", cos_micro.alias("cos_micro"))
     )
     best = sims.groupBy("query_id", "doc_id", "qt").agg(
