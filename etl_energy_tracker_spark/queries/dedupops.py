@@ -823,10 +823,22 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # whole shingle transform there serially (and then again after the
     # exchange) — explode_outer generates no such filter, so the
     # transform runs once, post-exchange, in parallel
+    # 8-byte shingle keys instead of ~20-char strings (the
+    # ngram_jaccard_pairs trick): the df groupBy, the prefix self-join
+    # and the verify arrays all move/compare int64s. The prefix-filter
+    # losslessness proof holds under ANY fixed total order, so ranking
+    # by (df, hash) instead of (df, string) changes only the candidate
+    # set, never the verified output; intersection counts are unchanged
+    # barring a 64-bit collision (~1e-8 at 1e5 distinct shingles), so
+    # the string-keyed brute-force oracle still matches.
     tok = (
         dedup.with_shingles(docs.select("doc_id", "text"), "text")
-        .select("doc_id", F.explode_outer("shingles").alias("t"))
-        .where(F.col("t").isNotNull())
+        .select("doc_id", F.explode_outer("shingles").alias("_ts"))
+        .where(F.col("_ts").isNotNull())
+        .select("doc_id", F.xxhash64("_ts").alias("t"))
+        # two consumers (df counts + the df join-back) — materialize the
+        # tokenize/shingle subtree once instead of scanning it twice
+        .localCheckpoint(eager=False)
     )
     dfreq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
     # per-doc token array sorted rarest-first by (df, token): the

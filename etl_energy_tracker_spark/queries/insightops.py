@@ -1242,19 +1242,37 @@ def shapley_channel_attribution(
             F.when(F.col("event_type") == "purchase", F.col("pos"))
         ).over(W.partitionBy("user_id")),
     )
-    touch = (
-        fp.where(
-            (F.col("event_type") != "purchase")
-            & (
-                F.col("first_purchase").isNull()
-                | (F.col("pos") < F.col("first_purchase"))
-            )
+    # ONE corpus pass: the window output is already partitioned by
+    # user_id, so this aggregate needs no further exchange, and it
+    # folds the former three event-table consumers together — the
+    # per-user converted flag (previously a SECOND scan + shuffle of
+    # events), the distinct pre-first-purchase channel set (previously
+    # a separate distinct), and — via the checkpoint — the shared input
+    # of usermask's two downstream consumers, which each re-derived the
+    # whole two-window lineage. collect_set ignores the NULLs the
+    # when() emits for purchase/post-purchase rows, so chset is exactly
+    # the old `touch` relation per user.
+    touch_pre = (
+        (F.col("event_type") != "purchase")
+        & (
+            F.col("first_purchase").isNull()
+            | (F.col("pos") < F.col("first_purchase"))
         )
-        .select("user_id", "event_type")
-        .distinct()
+    )
+    peruser = (
+        fp.groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("converted"),
+            F.collect_set(
+                F.when(touch_pre, F.col("event_type"))
+            ).alias("chset"),
+        )
+        .localCheckpoint(eager=False)
     )
     chans = (
-        touch.select("event_type")
+        peruser.select(F.explode("chset").alias("event_type"))
         .distinct()
         .select(
             F.col("event_type").alias("channel"),
@@ -1273,20 +1291,13 @@ def shapley_channel_attribution(
     chanbits = chans.join(bits, "idx").select("channel", "bit")
     chanbits = chanbits.localCheckpoint(eager=False)
     usermask = (
-        touch.join(
-            F.broadcast(chanbits),
-            touch.event_type == chanbits.channel,
-        )
+        peruser.select("user_id", F.explode("chset").alias("channel"))
+        .join(F.broadcast(chanbits), "channel")
         .groupBy("user_id")
         .agg(F.sum("bit").cast("long").alias("mask"))
     )
-    conv = ev.groupBy("user_id").agg(
-        F.max(
-            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
-        ).alias("converted")
-    )
     mstats = (
-        conv.join(usermask, "user_id", "left")
+        peruser.join(usermask, "user_id", "left")
         .select(
             F.coalesce(F.col("mask"), F.lit(0)).alias("mask"), "converted"
         )
