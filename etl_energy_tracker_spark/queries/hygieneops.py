@@ -1075,9 +1075,13 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # map-side partials shrink the shuffle); per-source distinct
     # counts AND pair formation both derive from that list, so the
     # corpus is scanned once and never self-joined.
+    # lists feeds BOTH the per-source counts and the pair expansion —
+    # without materialization the corpus window-explode + wh exchange
+    # runs once per consumer. Lazy checkpoint: the n-branch action
+    # materializes it, the pairs branch reuses the partitions.
     lists = sw.groupBy("wh").agg(
         F.sort_array(F.collect_set("source")).alias("ss")
-    )
+    ).localCheckpoint(eager=False)
     # n is joined on BOTH pair sides; without the cut Spark clones its
     # subtree per join and scans the corpus three times (same diamond
     # triangle_count cuts). localCheckpoint materializes the S-row

@@ -885,69 +885,55 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("1000000 * c DIV SUM(c) OVER (PARTITION BY src)").alias(
             "p_ppm"
         ),
-    ).localCheckpoint(eager=False)
-    chan = p.where(F.col("src") != "__start__").select(
-        F.col("src").alias("ch")
-    ).distinct()
-    scen = chan.select(F.col("ch").alias("scenario")).unionByName(
-        spark.createDataFrame([("__base__",)], "scenario string")
     )
-    m = (
-        F.broadcast(scen)
-        .join(p, F.col("src") != F.col("scenario"))
-        .groupBy(
-            "scenario",
-            "src",
-            F.when(F.col("dst") == F.col("scenario"), F.lit("__null__"))
-            .otherwise(F.col("dst"))
-            .alias("mdst"),
-        )
-        .agg(F.sum("p_ppm").alias("p_ppm"))
-        .withColumnRenamed("mdst", "dst")
-        # the scenario matrix is (channels+1) x states^2 — a bounded
-        # artifact; one partition keeps each of the 8 iteration stages
-        # at one task instead of spraying ~40 rows over 32 partitions
-        .coalesce(1)
-        .localCheckpoint(eager=False)
+    # The transition matrix is states^2 rows (a bounded artifact —
+    # channels are a bounded dimension, same precedent as the IVF
+    # codebook collect). The former formulation kept the 8 fixed-point
+    # iterations on-engine: each was a broadcast join + aggregate +
+    # coalesce(1) + localCheckpoint — ten-odd scheduled jobs over
+    # ~40-row tables. The iterations are truncating-integer ppm
+    # arithmetic, so the identical values fall out of plain Python
+    # ints over the collected matrix: one job instead of ten, zero
+    # change in any output bit (sums are order-independent integers;
+    # // matches DIV on these non-negative operands).
+    p_rows = [(r["src"], r["dst"], int(r["p_ppm"])) for r in p.collect()]
+    chans = sorted({s for s, _, _ in p_rows if s != "__start__"})
+    from collections import defaultdict
+
+    def solve(scenario: str) -> dict[str, int]:
+        # scenario matrix: drop the channel's outgoing rows, redirect
+        # edges INTO it to __null__ (merged by summation, as the former
+        # groupBy did)
+        mat: dict[str, dict[str, int]] = defaultdict(lambda: defaultdict(int))
+        for src, dst, ppm in p_rows:
+            if src == scenario:
+                continue
+            mat[src]["__null__" if dst == scenario else dst] += ppm
+        u = {
+            src: sum(
+                ppm * 1000000 for dst, ppm in row.items() if dst == "__conv__"
+            ) // 1000000
+            for src, row in mat.items()
+        }
+        for _ in range(_MAR_ITERS - 1):
+            u = {
+                src: sum(
+                    ppm * 1000000
+                    if dst == "__conv__"
+                    else (0 if dst == "__null__" else ppm * u.get(dst, 0))
+                    for dst, ppm in row.items()
+                ) // 1000000
+                for src, row in mat.items()
+            }
+        return u
+
+    base_u = solve("__base__")["__start__"]
+    rem_rows = [(ch, solve(ch)["__start__"]) for ch in chans]
+    base = spark.createDataFrame(
+        [(base_u,)], "base_conv_ppm long"
     )
-    # u1: only the direct-to-conversion mass
-    u = m.groupBy("scenario", F.col("src").alias("state")).agg(
-        F.expr(
-            "SUM(CASE WHEN dst = '__conv__' THEN p_ppm * 1000000"
-            " ELSE 0 END) DIV 1000000"
-        ).alias("u")
-    ).coalesce(1).localCheckpoint(eager=False)
-    for _ in range(_MAR_ITERS - 1):
-        prev = u.select(
-            F.col("scenario").alias("p_scen"),
-            F.col("state").alias("p_state"),
-            F.col("u").alias("p_u"),
-        )
-        u = (
-            m.join(
-                F.broadcast(prev),
-                (F.col("p_scen") == F.col("scenario"))
-                & (F.col("p_state") == F.col("dst")),
-                "left",
-            )
-            .groupBy("scenario", F.col("src").alias("state"))
-            .agg(
-                F.expr(
-                    "SUM(CASE WHEN dst = '__conv__' THEN p_ppm * 1000000"
-                    " WHEN dst = '__null__' THEN 0"
-                    " ELSE p_ppm * COALESCE(p_u, 0) END) DIV 1000000"
-                ).alias("u")
-            )
-            .coalesce(1)
-            .localCheckpoint(eager=False)
-        )
-    conv = u.where(F.col("state") == "__start__").select("scenario", "u")
-    base = conv.where(F.col("scenario") == "__base__").select(
-        F.col("u").alias("base_conv_ppm")
-    )
-    rem = conv.where(F.col("scenario") != "__base__").select(
-        F.col("scenario").alias("channel"),
-        F.col("u").alias("removed_conv_ppm"),
+    rem = spark.createDataFrame(
+        rem_rows, "channel string, removed_conv_ppm long"
     )
     touches = path.where(F.col("event_type") != "purchase").groupBy(
         F.col("event_type").alias("channel")
