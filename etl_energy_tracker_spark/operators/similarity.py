@@ -389,16 +389,25 @@ def with_ivf_cell(
         ),
     )
     if n_probe == 1:
-        key = F.struct(
-            (-F.coalesce(F.col("_sim"), F.lit(-2.0))).alias("ns"),
-            F.col("centroid_id").alias("cid"),
-        )
+        # Payload columns ride INSIDE the min-struct key (ADVICE r12):
+        # (ns, cid) is already unique per group — every candidate row
+        # of one input row has a distinct centroid_id — so the trailing
+        # payload fields never influence the ordering, and the winner
+        # is one COHERENT source row even if a caller passes duplicate
+        # id_col values (F.first() could mix columns across rows).
         rest = [c for c in df.columns if c != id_col]
-        best = scored.groupBy(id_col).agg(
-            F.min(key).alias("_k"), *[F.first(c).alias(c) for c in rest]
+        key = F.struct(
+            (-F.coalesce(F.col("_sim"), F.lit(-2.0))).alias("_ns"),
+            F.col("centroid_id").alias("_cid"),
+            *[F.col(c).alias(c) for c in rest],
         )
+        best = scored.groupBy(id_col).agg(F.min(key).alias("_k"))
         return best.select(
-            *[F.col(c) for c in df.columns], F.col("_k.cid").alias(out)
+            *[
+                F.col(c) if c == id_col else F.col(f"_k.{c}").alias(c)
+                for c in df.columns
+            ],
+            F.col("_k._cid").alias(out),
         )
     w = W.partitionBy(id_col).orderBy(F.desc("_sim"), "centroid_id")
     return (
@@ -450,9 +459,9 @@ def with_ivf_cell_mapside(
     # transform() computes each centroid similarity ONCE; the fold then
     # only compares struct fields (a when-condition that recomputed the
     # dot product would double the O(k·dim) projection cost). The pair
-    # dot is the unrolled left-fold (same addition order as the
-    # aggregate fold) — evaluated inside the lambda it is still
-    # interpreted, but without the per-element zip_with array build.
+    # dot stays the aggregate(zip_with) left fold — same addition order
+    # as everywhere else; the unrolled-expression variant was tried and
+    # REVERTED in r12 (3-5x slower; see dot()'s docstring).
     sims = F.transform(
         cents,
         lambda c: F.struct(

@@ -343,28 +343,58 @@ _R11_VERIFIED: frozenset[str] = frozenset({
     "stream_rate_limit_window", "successive_halving_suppliers",
 })
 
+# Queries driver-verified green in CORRECTNESS_r12.json (50/50 green on
+# the final r12 commit): the 5 r12 _REVERIFY names (ADVICE r11 fixes),
+# all 14 r12 additions, the 22 TPC-H queries and the filter/join parity
+# rows the sample rotated in. After this freeze: every green name in
+# the newest driver CORRECTNESS file is frozen into a _RN_VERIFIED set.
+_R12_VERIFIED: frozenset[str] = frozenset({
+    "anti_join_errors", "broadcast_dim_join", "classify_when_otherwise",
+    "exact_substring_remove", "fellegi_sunter_linkage",
+    "filter_conditional", "filter_date_between", "filter_isin",
+    "filter_latest_day", "filter_nonzero_notnull", "hill_tail_index",
+    "holt_linear_forecast", "icws_weighted_lsh_pairs",
+    "icws_weighted_lsh_pairs_prod", "incremental_join_maintenance",
+    "lm_stupid_backoff_perplexity", "louvain_one_pass",
+    "lrs_cross_doc_exact", "maxsim_multivector_topk",
+    "nl_rolling_avg_price_24", "nl_top_markets_by_volume",
+    "q10_returned_items", "q11_important_stock", "q12_shipping_modes",
+    "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_part_counts",
+    "q17_small_quantity_revenue", "q18_large_volume_customers",
+    "q19_disjunctive_predicates", "q1_pricing_summary",
+    "q20_potential_promotion", "q21_waiting_orders",
+    "q22_global_sales_opportunity", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q4_order_priority",
+    "q5_local_supplier_volume", "q6_forecast_revenue",
+    "q7_volume_shipping", "q8_market_share", "q9_product_profit",
+    "semi_join_dim", "stream_chained_window_rollup",
+    "stream_rate_limit_window", "stream_visit_ttl_timeout",
+    "vinculacion_monitor_e2e", "weighted_jaccard_pairs",
+    "winnowing_fingerprints",
+})
+
 # Queries whose Spark implementation changed AFTER their last green
 # driver CORRECTNESS row (VERDICT r3 "What's wrong" §1: a green row on
 # old code is not a green row on current code). These are pulled back
 # out of the verified-emit-last set and emitted FIRST so the capped
 # (~50/round) driver run re-checks the current code.
-# r12 queue — ADVICE r11 fixes, impl changed after the r11 green rows:
-# weighted_jaccard_pairs / icws_weighted_lsh_pairs: sub-3-token guard
-#   before the trigram explode (descending sequence() vs empty range()
-#   engine divergence) — result-neutral on the shipped corpus, but the
-#   freeze ritual demands a fresh driver green on current code.
-# hill_tail_index: NULLIF(kk, 0) zero-guard on both engines.
-# stream_rate_limit_window: state re-shaped from current-window-only
-#   to a bounded ring of _RL_KEEP recent windows (late-arrival fix).
-# lrs_cross_doc_exact: adaptive staged pass over the hashed prefix
-#   space (VERDICT r11 task 2) — B=1 lazy plan at shipped SFs, B
-#   bounded jobs past _LRS_STAGE_CHAR_BUDGET.
+# r13 queue — optimization-round plan changes, impl changed after the
+# last green driver rows (every one re-proven against the local DuckDB
+# oracle at sf0.01 AND sf0.1 before landing; the queue just routes the
+# capped driver run at fresh greens on current code):
+# markov_attribution_removal: empty-events .get() guard + bounded-state
+#   assert around the collected transition matrix (ADVICE r12).
+# IVF-assignment family: with_ivf_cell(n_probe=1) carries payload
+#   columns inside the min-struct key instead of F.first() (ADVICE r12
+#   coherent-row fix) — touches every n_probe=1 assignment consumer.
 _REVERIFY: tuple[str, ...] = (
-    "weighted_jaccard_pairs",
-    "icws_weighted_lsh_pairs",
-    "hill_tail_index",
-    "stream_rate_limit_window",
-    "lrs_cross_doc_exact",
+    "markov_attribution_removal",
+    "ann_ivf_topk",
+    "ann_ivf_trained",
+    "ann_recall_mrr_eval",
+    "cluster_balanced_sample",
+    "hard_negative_mining",
 )
 
 # Queries driver-verified green in CORRECTNESS_r03.json whose code is
@@ -396,21 +426,7 @@ _R3_VERIFIED: frozenset[str] = frozenset({
 # frozen name and burn a cap slot
 # (test_frozen_names_pruned_from_priority closes the loophole).
 _PRIORITY: tuple[str, ...] = _REVERIFY + (
-    # r12 additions (never driver-checked) append here as they land
-    "icws_weighted_lsh_pairs_prod",
-    "nl_rolling_avg_price_24",
-    "nl_top_markets_by_volume",
-    "exact_substring_remove",
-    "vinculacion_monitor_e2e",
-    "lm_stupid_backoff_perplexity",
-    "fellegi_sunter_linkage",
-    "maxsim_multivector_topk",
-    "holt_linear_forecast",
-    "stream_visit_ttl_timeout",
-    "winnowing_fingerprints",
-    "stream_chained_window_rollup",
-    "incremental_join_maintenance",
-    "louvain_one_pass",
+    # r13 additions (never driver-checked) append here as they land
 )
 
 
@@ -419,7 +435,7 @@ def _ordered() -> list[str]:
     verified = (
         _R1_VERIFIED | _R3_VERIFIED | _R4_VERIFIED | _R5_VERIFIED
         | _R6_VERIFIED | _R7_VERIFIED | _R8_VERIFIED | _R9_VERIFIED
-        | _R10_VERIFIED | _R11_VERIFIED
+        | _R10_VERIFIED | _R11_VERIFIED | _R12_VERIFIED
     ) - set(_PRIORITY)
     rank = {n: i for i, n in enumerate(_PRIORITY)}
     unverified = sorted(

@@ -809,7 +809,13 @@ _PFX_DEN = 5
     "generation is keyed on the RAREST shingles of each document "
     "(prefix fan-out is bounded by low-df keys by construction — the "
     "opposite skew profile of a naive shared-token join), "
-    "verification touches only candidates; no all-pairs stage.",
+    "verification touches only candidates; no all-pairs stage. "
+    "Collision contract: shingles are keyed by xxhash64, so a 64-bit "
+    "collision would merge two shingles and inflate an intersection "
+    "count — negligible at bench scale (~1e-8 at 1e5 distinct "
+    "shingles) but a real bound near ~2^32 DISTINCT shingles "
+    "(birthday regime), i.e. a 100 TB corpus should widen the key or "
+    "re-verify flagged pairs on strings.",
 )
 def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)

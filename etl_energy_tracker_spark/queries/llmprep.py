@@ -281,9 +281,10 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # norm precomputed once per vector inside the checkpointed
     # assignment (one fold per row instead of two per in-cell pair;
-    # same doubles multiplied in the same sqrt(a.a)*sqrt(b.b) order),
-    # and the pair dot is the unrolled left fold — bit-identical sums,
-    # evaluated as a flat codegen-able expression
+    # same doubles multiplied in the same sqrt(a.a)*sqrt(b.b) order);
+    # the pair dot stays the aggregate(zip_with) left fold — the
+    # unrolled-expression variant was tried and REVERTED in r12
+    # (3-5x slower; see dot()'s docstring)
     assigned = flat.select(
         "vec_id",
         F.col("embedding").alias("ev"),

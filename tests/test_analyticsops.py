@@ -8,6 +8,8 @@ both engines)."""
 
 from __future__ import annotations
 
+import pytest
+
 from collections import defaultdict
 from decimal import ROUND_HALF_UP, Decimal
 from itertools import combinations
@@ -114,6 +116,7 @@ def _is_valid_chat(initials: str) -> bool:
     )
 
 
+@pytest.mark.slow
 def test_triangle_count_matches_bruteforce(spark):
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").collect()
     by_order = defaultdict(set)
@@ -334,6 +337,7 @@ def test_vocab_oov_coverage_matches_python(spark):
         assert abs(rows[lang].oov_rate - oov / n) < 2e-6
 
 
+@pytest.mark.slow
 def test_entity_resolution_transitive_and_covering(spark):
     from etl_energy_tracker_spark.queries.relational import (
         entity_resolution_golden,
@@ -380,6 +384,7 @@ def test_transition_matrix_rows_are_stochastic(spark):
         assert abs(total - 1.0) < 1e-4, src
 
 
+@pytest.mark.slow
 def test_stream_ewma_equals_batch(spark):
     from etl_energy_tracker_spark.queries.streamops import stream_ewma_anomaly
 
@@ -463,6 +468,7 @@ def test_sequence_support_matches_python(spark):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_span_corruption_masks_are_consistent(spark):
     import re
 
@@ -557,6 +563,7 @@ def test_grid_gap_interpolation_matches_python(spark):
         assert abs(got[k][0] - vm_exp) <= 1, k
 
 
+@pytest.mark.slow
 def test_lsh_recall_eval_invariants(spark):
     from etl_energy_tracker_spark.queries.dedupops import lsh_recall_eval
     from etl_energy_tracker_spark.queries.textops import ngram_jaccard_pairs

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from collections import Counter, defaultdict
 
 from etl_energy_tracker_spark.queries.behaviorops import (
@@ -218,6 +220,7 @@ def test_event_pattern_match_matches_python_regex(spark):
     assert got == expected and got
 
 
+@pytest.mark.slow
 def test_value_outlier_mad_zero_mad_group_excluded_not_crash(spark):
     """A majority-constant group (MAD = 0) must be excluded, not raise
     ANSI divide-by-zero: exercised via the operator's own building

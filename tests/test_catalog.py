@@ -118,7 +118,27 @@ def test_frozen_names_pruned_from_priority():
     )
 
 
-@pytest.mark.parametrize("name", sorted(QUERIES))
+# Fast-tier smoke set for the per-query build-and-run check: the
+# headline bench queries (they span every operator family: TPC-H,
+# dedup, windows, text, ANN, streaming drives, parity pipelines,
+# multimodal). The other ~355 query runs are `slow` — they re-run in
+# the full tier and the full catalog is oracle-checked by
+# tools/check_correctness.py anyway, so the fast tier loses no
+# verification the driver's gate doesn't already provide.
+import bench as _bench  # noqa: E402  (repo root is on sys.path)
+
+_FAST_QUERY_RUNS = frozenset(_bench.HEADLINE)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(
+            n, marks=() if n in _FAST_QUERY_RUNS else (pytest.mark.slow,)
+        )
+        for n in sorted(QUERIES)
+    ],
+)
 def test_query_runs(spark, name):
     df = QUERIES[name](spark, SF_DIR)
     assert df.columns, name

@@ -3,6 +3,8 @@ and vectors with planted near-duplicates."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import random
 
@@ -73,6 +75,7 @@ def test_lsh_hot_bucket_cap(spark):
     } == got_all
 
 
+@pytest.mark.slow
 def test_simhash(spark):
     sh = dedup.with_simhash(_docs(spark), "text").collect()
     vals = {r["doc_id"]: r["simhash"] for r in sh}
@@ -117,6 +120,7 @@ def test_brute_force_topk_matches_python(spark):
         assert {(qid, cid) for _, cid in scored} == {p for p in got if p[0] == qid}
 
 
+@pytest.mark.slow
 def test_lsh_topk_recall(spark):
     df = _vectors(spark, n=100)
     q = df.where(F.col("vec_id") < 3)

@@ -9,6 +9,8 @@ engines.
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import re
 from collections import Counter, defaultdict
@@ -504,6 +506,7 @@ def test_neyman_allocation_replay(spark):
     assert sum(k_h.values()) == _NEY_K
 
 
+@pytest.mark.slow
 def test_degenerate_inputs_do_not_crash(spark):
     """The guards added for single-language corpora (chi2 margins),
     zero-variance strata (Neyman w_tot=0), zero-norm centroids, and

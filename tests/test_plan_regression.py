@@ -14,6 +14,8 @@ from __future__ import annotations
 import json
 import sys
 
+import pytest
+
 sys.path.insert(0, "/root/repo/tools")
 
 from plan_audit import (  # noqa: E402
@@ -24,6 +26,7 @@ from plan_audit import (  # noqa: E402
 )
 
 
+@pytest.mark.slow
 def test_plans_match_snapshot(spark):
     with open(SNAPSHOT_PATH) as f:
         pinned = json.load(f)

@@ -7,6 +7,8 @@ max_examples stays small while case coverage stays wide."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 from zoneinfo import ZoneInfo
 
@@ -132,6 +134,7 @@ _sim_texts = st.text(
 
 @settings(max_examples=6, deadline=None)
 @given(st.lists(_sim_texts, min_size=1, max_size=20))
+@pytest.mark.slow
 def test_simhash_vectorized_matches_scalar_fold(spark, texts_in):
     """The numpy UCS4-matrix Horner kernel must agree with the naive
     per-token scalar fold on arbitrary unicode — the oracle matrix only
@@ -185,6 +188,7 @@ _cc_edges = st.lists(
 
 @settings(max_examples=6, deadline=None)
 @given(_cc_edges)
+@pytest.mark.slow
 def test_cc_star_matches_label_prop(spark, edge_list):
     """The alternating large-star/small-star algorithm must produce the
     SAME (node, component-min) labeling as min-label propagation on

@@ -7,6 +7,8 @@ just the driver's fixed datasets."""
 
 from __future__ import annotations
 
+import pytest
+
 import duckdb
 from hypothesis import given, settings, strategies as st
 from pyspark.sql import functions as F
@@ -194,6 +196,7 @@ _trim_corpus = st.lists(
 
 @settings(max_examples=4, deadline=None)
 @given(_trim_corpus)
+@pytest.mark.slow
 def test_exact_substring_trim_generated(spark, tok_lists):
     """A tiny two-letter alphabet forces duplicated windows, intra-doc
     repeats, and OVERLAPPING removal spans — the arbitration edge cases
@@ -259,6 +262,7 @@ _tpm_groups = st.lists(
 
 @settings(max_examples=4, deadline=None)
 @given(_tpm_groups)
+@pytest.mark.slow
 def test_twopass_median_generated(spark, groups):
     """Generated multisets hit the refinement edge cases the fixed
     corpus may not: median exactly on a 128-cent bin boundary, all

@@ -7,6 +7,8 @@ gate)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from conftest import SF_DIR
@@ -174,6 +176,7 @@ def test_icws_expansion_signature_identity(spark):
 # -------------------------- exact cross-doc LRS / bracket reconciliation
 
 
+@pytest.mark.slow
 def test_lrs_closes_dup_substring_bracket(spark):
     """The doubling-bracket claim, closed end-to-end: if L is the
     largest ladder level where dup_substring_maxlen found a cross-doc
@@ -204,6 +207,7 @@ def test_lrs_closes_dup_substring_bracket(spark):
             assert n > 0, f"level {lvl} should see the LRS's grams"
 
 
+@pytest.mark.slow
 def test_lrs_staged_pass_matches_single_window(spark, monkeypatch):
     """The VERDICT r11 task-2 staged pass is result-identical to the
     single-window plan: forcing a tiny stage budget makes the op run
@@ -721,6 +725,7 @@ def test_assortativity_python_replay(spark):
 # ------------------------------------------ successive halving
 
 
+@pytest.mark.slow
 def test_successive_halving_invariants(spark):
     """Field halves each rung (ceil(n/2)); survivors chain (next
     rung's n_in == this rung's n_kept); min kept revenue is

@@ -7,12 +7,15 @@ limiter ring (test_round11_ops.py / test_streaming_misc.py).
 
 from __future__ import annotations
 
+import pytest
+
 from conftest import SF_DIR
 
 
 # --------------------- ICWS production op vs its eval harness
 
 
+@pytest.mark.slow
 def test_icws_prod_matches_eval_verified_set(spark):
     """The production op's pair list is exactly the eval harness's
     verified set: same candidates (hashed keys collide iff the digit
@@ -92,6 +95,7 @@ import uuid
 from pyspark.sql import functions as F
 
 
+@pytest.mark.slow
 def test_full_outer_asym_state_evicts_on_watermark_advance(
     spark, tmp_path
 ):
@@ -184,6 +188,7 @@ def test_full_outer_asym_state_evicts_on_watermark_advance(
     assert {(21, None), (22, None), (23, None)} <= got
 
 
+@pytest.mark.slow
 def test_rate_limiter_state_rows_bounded_by_users(spark, tmp_path):
     """The rate limiter's GroupState is one row per DISTINCT USER —
     never per event and never per window: a second batch with 40 more
@@ -329,6 +334,7 @@ def test_exact_substring_remove_python_replay(spark, tmp_path):
     assert got[1][1] == _WIN + 3      # exactly the shared span cut
 
 
+@pytest.mark.slow
 def test_visit_ttl_timer_fires_and_evicts_state(spark, tmp_path):
     """EventTimeTimeout semantics the static-corpus catalog drive
     cannot isolate: a user with ONE event gets a timer at ts + TTL;

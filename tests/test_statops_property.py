@@ -8,6 +8,8 @@ recomputation on a temporary parquet lake."""
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import tempfile
 from collections import Counter, defaultdict
@@ -64,6 +66,7 @@ def _mid_ranks_x2(vals):
         max_size=40,
     )
 )
+@pytest.mark.slow
 def test_spearman_generated(spark, triples):
     rows = [
         (i, datetime(2024, 1, 1, h), i % 3, t, v, "{}")
@@ -109,6 +112,7 @@ def test_spearman_generated(spark, triples):
         max_size=40,
     ).filter(lambda xs: len({t for t, _ in xs}) >= 2)
 )
+@pytest.mark.slow
 def test_ks_generated(spark, pairs):
     rows = [
         (i, datetime(2024, 1, 1) + timedelta(minutes=i), i % 3, t, v, "{}")
@@ -153,6 +157,7 @@ def test_ks_generated(spark, pairs):
         max_size=40,
     )
 )
+@pytest.mark.slow
 def test_weighted_percentile_generated(spark, rows_in):
     rows = [
         (f, c / 100.0, float(w)) for f, c, w in rows_in
@@ -193,6 +198,7 @@ def test_weighted_percentile_generated(spark, rows_in):
         max_size=8,
     )
 )
+@pytest.mark.slow
 def test_markov_generated(spark, sequences):
     rows = []
     eid = 0

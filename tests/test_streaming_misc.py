@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from conftest import SF_DIR
@@ -14,6 +16,7 @@ from etl_energy_tracker_spark.schemas import validate
 from etl_energy_tracker_spark.streaming.jobs import incremental_upsert_stream
 
 
+@pytest.mark.slow
 def test_batch_and_stream_share_timestamp_contract(spark, tmp_path):
     """Batch ``load_table`` and streaming ``_events_stream`` must decode
     the SAME parquet bytes to the SAME instants under BOTH timestamp
@@ -88,6 +91,7 @@ def test_batch_and_stream_share_timestamp_contract(spark, tmp_path):
     assert results["us"][2] == instants[2]
 
 
+@pytest.mark.slow
 def test_incremental_upsert_stream(spark, tmp_path):
     src = str(tmp_path / "raw_in")
     lake = Lake(spark, str(tmp_path / "lake"))
@@ -147,6 +151,7 @@ def test_latest_raw_period(spark, tmp_path):
     assert latest_raw_period(lake, "diario", "volumenes_i90") == (2024, 3)
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_data(spark, tmp_path):
     """Append-mode windowed agg with a watermark: a second micro-batch
     carrying an event far behind the advanced watermark is excluded
@@ -299,6 +304,7 @@ def test_stream_topk_trending_ranks_and_bounds(spark):
             assert max(others) <= ns[-1]
 
 
+@pytest.mark.slow
 def test_session_window_append_evicts_and_drops_late(spark, tmp_path):
     """Append-mode session windows (VERDICT r9 task 5): the watermark
     (1) closes and emits a finished session exactly once — including
@@ -404,6 +410,7 @@ def test_session_window_append_evicts_and_drops_late(spark, tmp_path):
     assert not any(t[1] == base - dt.timedelta(minutes=60) for t in u1)
 
 
+@pytest.mark.slow
 def test_left_outer_join_global_watermark_strict(spark, tmp_path):
     """Stream-stream LEFT OUTER null emission (VERDICT r9 task 8):
     an unmatched left row emits its NULL-extended result only when
@@ -479,6 +486,7 @@ def test_left_outer_join_global_watermark_strict(spark, tmp_path):
     assert got == [(3, None)]
 
 
+@pytest.mark.slow
 def test_dedup_within_watermark_eviction(spark, tmp_path):
     """dropDuplicatesWithinWatermark semantics the unique-id catalog
     source cannot show: a duplicate key arriving while its state is
@@ -559,6 +567,7 @@ def test_dedup_within_watermark_drive_is_append(spark):
     )
 
 
+@pytest.mark.slow
 def test_full_outer_join_own_window_end_rule(spark, tmp_path):
     """Full-outer stream-stream null emission: ONE uniform rule for
     both sides — a buffered row emits null-extended when its OWN
@@ -633,6 +642,7 @@ def test_full_outer_join_own_window_end_rule(spark, tmp_path):
     assert got == [(-1, 2), (5, -1)]
 
 
+@pytest.mark.slow
 def test_full_outer_asym_watermarks_min_policy(spark, tmp_path):
     """Asymmetric per-side watermark delays (clicks 2 h, purchases 30
     min): the GLOBAL watermark is the MIN of the two side-specific
@@ -707,6 +717,7 @@ def test_full_outer_asym_watermarks_min_policy(spark, tmp_path):
     assert got == [(-1, 2), (-1, 4), (5, -1)]
 
 
+@pytest.mark.slow
 def test_rate_limit_window_reset_and_cap(spark, tmp_path):
     """Three-batch drive of the PRODUCTION update fn
     (_make_rate_limit_update): 5 events inside one 10-min window admit

@@ -5,6 +5,8 @@ vinculacion/_vinculacion_monitoring.py, vinculacion_main.py)."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from pyspark.sql import functions as F
@@ -184,6 +186,7 @@ def test_outcome_log_retry_loop(spark):
     assert links2 == {"UP_A": "UOF_A", "UP_B": "UOF_B"}
 
 
+@pytest.mark.slow
 def test_retired_link_round_after_retirement(spark):
     """Regression: a retired link is stored as a UOF = NULL row; the
     next monitoring round must NOT re-classify it as a first-time

@@ -30,8 +30,9 @@ def main() -> int:
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--explain", default=None,
-                    help="dump explain('formatted') to plans/r12/<q>_<TAG>.txt")
+                    help="dump explain('formatted') to plans/<round>/<q>_<TAG>.txt")
     ap.add_argument("--no-warm", action="store_true")
+    ap.add_argument("--plandir", default="r13", help="plans/<plandir>/ for --explain dumps")
     args = ap.parse_args()
 
     spark = get_spark("profile")
@@ -44,12 +45,12 @@ def main() -> int:
     for name in args.queries:
         fn = qs[name]
         if args.explain:
-            os.makedirs("/root/repo/plans/r12", exist_ok=True)
+            os.makedirs(f"/root/repo/plans/{args.plandir}", exist_ok=True)
             df = fn(spark, args.sf)
             txt = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
-            with open(f"/root/repo/plans/r12/{name}_{args.explain}.txt", "w") as f:
+            with open(f"/root/repo/plans/{args.plandir}/{name}_{args.explain}.txt", "w") as f:
                 f.write(txt)
         runs = []
         for _ in range(args.runs):
