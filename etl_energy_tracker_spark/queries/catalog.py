@@ -388,6 +388,11 @@ _R12_VERIFIED: frozenset[str] = frozenset({
 # IVF-assignment family: with_ivf_cell(n_probe=1) carries payload
 #   columns inside the min-struct key instead of F.first() (ADVICE r12
 #   coherent-row fix) — touches every n_probe=1 assignment consumer.
+# doremi_domain_weights: iterations moved to a bounded driver-side
+#   integer fixed point (markov precedent).
+# loo_source_influence: window argmax -> min-struct aggregate.
+# lsh_recall_eval: one shared checkpointed shingle lineage feeds both
+#   the exact-truth and the candidate sides.
 _REVERIFY: tuple[str, ...] = (
     "markov_attribution_removal",
     "ann_ivf_topk",
@@ -395,6 +400,9 @@ _REVERIFY: tuple[str, ...] = (
     "ann_recall_mrr_eval",
     "cluster_balanced_sample",
     "hard_negative_mining",
+    "doremi_domain_weights",
+    "loo_source_influence",
+    "lsh_recall_eval",
 )
 
 # Queries driver-verified green in CORRECTNESS_r03.json whose code is

@@ -1656,6 +1656,14 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("a"),
         (F.lit(_WF_MAX_EPOCHS) * F.sum("n_tok")).cast("long").alias("cap"),
     )
+    # doms feeds three lineages (ranked -> cand, tot -> cand, the
+    # fallback max-cap aggregate), so a localCheckpoint looks right —
+    # but it measured SLOWER at sf0.1 (r13 A/B, 3 alternations: old
+    # minima 1.14/1.62/1.63 vs checkpointed 1.50/2.58/1.64): the
+    # space-count scan is cheap and the parallel branches overlap,
+    # while the checkpoint serializes a blocking materialization job.
+    # Tried and reverted; re-try only if the per-domain scan itself
+    # becomes the measured bottleneck.
     tot = doms.agg(
         F.count(F.lit(1)).alias("n"),
         (F.lit(_WF_BUDGET_EPOCHS) * F.sum("a")).cast("long").alias("b"),

@@ -568,12 +568,11 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_minhash_signature,
         with_shingles,
     )
-    from .textops import ngram_jaccard_pairs
+    from .textops import jaccard_pairs_from_stats, shingle_pair_stats
 
     docs = load_table(spark, "documents", sf_dir).repartition(
         spark.sparkContext.defaultParallelism
     )
-    truth = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
     # token-count pre-filter instead of where(size(shingles) > 0):
     # same row set (3-gram shingles exist iff >= 3 tokens) without
     # re-evaluating the shingle transform in a pushed-down filter
@@ -581,7 +580,16 @@ def lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.size(F.split(F.trim("text"), r"\s+")) >= 3)
         .select("doc_id", "text"),
         "text",
-    )
+    ).localCheckpoint(eager=False)
+    # ONE tokenize/shingle pass feeds BOTH lineages (VERDICT r12 item
+    # 3): the exact ground-truth side re-derived the whole corpus
+    # shingle build inside ngram_jaccard_pairs while the candidate
+    # side built the identical shingle table again for signatures —
+    # the checkpointed `sh` now backs both; threshold/rounding are the
+    # shared jaccard_pairs_from_stats, so truth is value-identical.
+    truth = jaccard_pairs_from_stats(
+        shingle_pair_stats(spark, sf_dir, shingles=sh)
+    ).select("doc_a", "doc_b")
     sig = with_minhash_signature(sh, k=_K)
     cand = lsh_candidate_pairs(
         sig, "doc_id", bands=_BANDS, rows_per_band=_K // _BANDS

@@ -2156,20 +2156,27 @@ def loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
-    wloo = W.partitionBy("doc_id", "s").orderBy(
-        F.col("score").desc(), F.col("c").asc()
+    # argmax class per (doc, left-out source) via the min-struct
+    # aggregate (the r12 IVF-assignment shape, VERDICT r12 item 7):
+    # min(struct(-score, c)) selects exactly the row_number()=1 row of
+    # ORDER BY score DESC, c ASC — scores are exact integers, so
+    # negation is lossless — with map-side partial aggregation instead
+    # of the window's full shuffle + sort of the scored relation.
+    best_loo = scored_loo.groupBy(
+        "doc_id", "s", "actual"
+    ).agg(
+        F.min(
+            F.struct(
+                (-F.col("score")).alias("_ns"), F.col("c").alias("_c")
+            )
+        ).alias("_b")
     )
-    acc_loo = (
-        scored_loo.withColumn("rn", F.row_number().over(wloo))
-        .where("rn = 1")
-        .groupBy("s")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_eval"),
-            F.expr(
-                "CAST(1000000 * SUM(CASE WHEN actual = c THEN 1 ELSE 0"
-                " END) DIV COUNT(*) AS BIGINT)"
-            ).alias("loo_acc_ppm"),
-        )
+    acc_loo = best_loo.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN actual = _b._c THEN 1 ELSE 0"
+            " END) DIV COUNT(*) AS BIGINT)"
+        ).alias("loo_acc_ppm"),
     )
     scored_full = (
         ev.crossJoin(F.broadcast(classes))
@@ -2187,18 +2194,18 @@ def loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
-    wfull = W.partitionBy("doc_id").orderBy(
-        F.col("score").desc(), F.col("c").asc()
+    best_full = scored_full.groupBy("doc_id", "actual").agg(
+        F.min(
+            F.struct(
+                (-F.col("score")).alias("_ns"), F.col("c").alias("_c")
+            )
+        ).alias("_b")
     )
-    acc_full = (
-        scored_full.withColumn("rn", F.row_number().over(wfull))
-        .where("rn = 1")
-        .agg(
-            F.expr(
-                "CAST(1000000 * SUM(CASE WHEN actual = c THEN 1 ELSE 0"
-                " END) DIV COUNT(*) AS BIGINT)"
-            ).alias("full_acc_ppm")
-        )
+    acc_full = best_full.agg(
+        F.expr(
+            "CAST(1000000 * SUM(CASE WHEN actual = _b._c THEN 1 ELSE 0"
+            " END) DIV COUNT(*) AS BIGINT)"
+        ).alias("full_acc_ppm")
     )
     train = docs.groupBy(F.col("source").alias("s")).agg(
         F.count(F.lit(1)).cast("long").alias("n_train_docs")

