@@ -153,6 +153,16 @@ def lsh_candidate_pairs(
     practice for web-scale MinHash dedup; size the cap so
     cap² × n_hot_buckets stays within one executor's shuffle budget."""
     banded = with_band_hashes(df, id_col, signature_col, bands, rows_per_band)
+    # The self-join below consumes `banded` on BOTH sides (plus the
+    # hot-bucket groupBy when the cap is on), and the two sides cannot
+    # share an exchange: AQE broadcasts one side, so the whole
+    # docs -> shingle -> k-permutation-signature lineage executed
+    # TWICE (plans/r13/lsh_edit_distance_verify_before.txt shows the
+    # signature subtree streamed AND under BroadcastExchange). One lazy
+    # localCheckpoint materializes the banded table (bands rows/doc of
+    # (id, sig, band, bhash) — far smaller than re-running the
+    # signature transform over the corpus) for every consumer.
+    banded = banded.localCheckpoint(eager=False)
     if max_bucket is not None:
         # one groupBy on the same (band, bhash) key the self-join
         # shuffles on; the anti-join against the (tiny) hot-bucket set

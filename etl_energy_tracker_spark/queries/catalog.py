@@ -403,6 +403,15 @@ _REVERIFY: tuple[str, ...] = (
     "doremi_domain_weights",
     "loo_source_influence",
     "lsh_recall_eval",
+    # lsh_candidate_pairs: banded table checkpointed so the bucket
+    #   self-join no longer re-runs the signature lineage per side —
+    #   touches every MinHash-LSH candidate consumer:
+    "minhash_lsh_pairs",
+    "minhash_lsh_pairs_capped",
+    "minhash_lsh_pairs_k32",
+    "lsh_edit_distance_verify",
+    "jaccard_knn_topk",
+    "minhash_estimate_error",
 )
 
 # Queries driver-verified green in CORRECTNESS_r03.json whose code is
