@@ -412,6 +412,9 @@ _REVERIFY: tuple[str, ...] = (
     "lsh_edit_distance_verify",
     "jaccard_knn_topk",
     "minhash_estimate_error",
+    # lrs_cross_doc_exact: cross-doc bucket count folded into the
+    #   suffix window pass (second corpus explode removed).
+    "lrs_cross_doc_exact",
 )
 
 # Queries driver-verified green in CORRECTNESS_r03.json whose code is

@@ -1822,32 +1822,58 @@ def lrs_cross_doc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    def window_max_lcp(b: DataFrame) -> DataFrame:
+    def window_stats(b: DataFrame) -> DataFrame:
+        """One row: (lrs_len, n_crossdoc_buckets) from ONE pass over
+        the suffix relation. The cross-doc bucket count used to be a
+        SEPARATE corpus 16-gram explode + groupBy(countDistinct)
+        branch (a second scan and a 16-char-key shuffle); it falls out
+        of the same window exchange instead via min/max(doc_id) over
+        each pre-partition (r13, guide §2.4). Both aggregates fold in
+        ONE final aggregate so the wide suffix relation has exactly
+        one consumer — no checkpoint of 511-char rows (the documented
+        OOM lesson)."""
         w = W.partitionBy("pre").orderBy("s", "doc_id")
-        adj = b.select(
+        wp = W.partitionBy("pre")
+        rows = b.select(
             "pre",
             "doc_id",
             "s",
             F.lag("doc_id").over(w).alias("prev_doc"),
             F.lag("s").over(w).alias("prev_s"),
-        ).where(
+            F.min("doc_id").over(wp).alias("_mnd"),
+            F.max("doc_id").over(wp).alias("_mxd"),
+        )
+        # candidate (cross-doc adjacent) pairs get an LCP; other rows
+        # NULL. first-of-bucket rows (prev_s IS NULL) carry the
+        # bucket's cross-doc flag — a bucket with >=2 distinct docs is
+        # counted exactly once.
+        p = F.when(
             F.col("prev_s").isNotNull()
-            & (F.col("prev_doc") != F.col("doc_id"))
-        )
-        lcp = F.expr(
-            "CASE WHEN p = 0 THEN least(length(s), length(prev_s)) "
-            "ELSE p - 1 END"
-        )
-        lcps = adj.select(
+            & (F.col("prev_doc") != F.col("doc_id")),
             F.expr(
                 "array_position(zip_with(split(s, ''), split(prev_s, ''), "
                 "(x, y) -> x <=> y), false)"
-            ).alias("p"),
+            ),
+        )
+        scored = rows.select(
             "s",
             "prev_s",
-        ).select(lcp.alias("lcp"))
-        return lcps.agg(
-            F.coalesce(F.max("lcp"), F.lit(0)).cast("long").alias("lrs_len")
+            p.alias("p"),
+            (F.col("prev_s").isNull() & (F.col("_mnd") != F.col("_mxd")))
+            .cast("long")
+            .alias("_newb"),
+        ).select(
+            F.expr(
+                "CASE WHEN p = 0 THEN least(length(s), length(prev_s)) "
+                "WHEN p IS NOT NULL THEN p - 1 END"
+            ).alias("lcp"),
+            "_newb",
+        )
+        return scored.agg(
+            F.coalesce(F.max("lcp"), F.lit(0)).cast("long").alias("lrs_len"),
+            F.coalesce(F.sum("_newb"), F.lit(0))
+            .cast("long")
+            .alias("n_crossdoc_buckets"),
         )
 
     # estimate the materialized suffix-char volume from doc lengths
@@ -1872,7 +1898,7 @@ def lrs_cross_doc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]["chars"]
     n_stages = max(1, -(-int(est or 0) // _LRS_STAGE_CHAR_BUDGET))
     if n_stages == 1:
-        max_lcp = window_max_lcp(suffixes())
+        stats = window_stats(suffixes())
     else:
         # ONE explode routes every suffix to its prefix-hash stage
         # in a stage-partitioned parquet scratch (no shuffle —
@@ -1896,15 +1922,16 @@ def lrs_cross_doc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "stage", F.expr(f"pmod(xxhash64(pre), {n_stages})")
             ).write.partitionBy("stage").parquet(scratch)
             routed = spark.read.parquet(scratch)
-            best = 0
+            best, total_buckets = 0, 0
             for stage in range(n_stages):
                 part = routed.where(F.col("stage") == stage).select(
                     "doc_id", "pre", "s"
                 )
-                best = max(
-                    best,
-                    window_max_lcp(part).collect()[0]["lrs_len"],
-                )
+                # buckets partition cleanly by stage (stage = hash of
+                # pre), so stage bucket counts sum to the global count
+                row = window_stats(part).collect()[0]
+                best = max(best, row["lrs_len"])
+                total_buckets += row["n_crossdoc_buckets"]
                 # release the finished stage's sort shuffle NOW: the
                 # ContextCleaner only deletes shuffle files after a
                 # JVM GC notices the dropped refs, and B sequential
@@ -1914,8 +1941,9 @@ def lrs_cross_doc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.sparkContext._jvm.System.gc()
         finally:
             shutil.rmtree(scratch, ignore_errors=True)
-        max_lcp = spark.range(1).select(
-            F.lit(best).cast("long").alias("lrs_len")
+        stats = spark.range(1).select(
+            F.lit(best).cast("long").alias("lrs_len"),
+            F.lit(total_buckets).cast("long").alias("n_crossdoc_buckets"),
         )
     # suffix count from doc lengths — no explode, no wide strings
     n_sfx = eligible.agg(
@@ -1923,24 +1951,8 @@ def lrs_cross_doc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_suffixes")
     )
-    # bucket stats from a 16-char-gram-only projection (narrow keys)
-    grams16 = eligible.select(
-        "doc_id",
-        F.explode(
-            F.expr(f"sequence(1, length(text) - {_LRS_FLOOR - 1})")
-        ).alias("i"),
-        "text",
-    ).select(
-        "doc_id", F.expr(f"substr(text, i, {_LRS_FLOOR})").alias("pre")
-    )
-    n_buckets = (
-        grams16.groupBy("pre")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where("nd >= 2")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_crossdoc_buckets"))
-    )
-    return max_lcp.crossJoin(F.broadcast(n_sfx)).crossJoin(
-        F.broadcast(n_buckets)
+    return stats.crossJoin(F.broadcast(n_sfx)).select(
+        "lrs_len", "n_suffixes", "n_crossdoc_buckets"
     )
 
 
