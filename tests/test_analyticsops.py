@@ -28,6 +28,7 @@ from etl_energy_tracker_spark.queries.timeops import (
 from conftest import SF_DIR
 
 
+@pytest.mark.slow
 def test_ewma_anomaly_matches_python(spark):
     events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
     series = defaultdict(list)
@@ -54,6 +55,7 @@ def test_ewma_anomaly_matches_python(spark):
         assert abs(got[eid][1] - ewma) < 1e-6
 
 
+@pytest.mark.slow
 def test_snapshot_diff_classes_are_exact(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
     expect = {}
@@ -158,6 +160,7 @@ def _round6(x: float) -> float:
     )
 
 
+@pytest.mark.slow
 def test_content_defined_chunks_matches_python(spark):
     import re
 
@@ -203,6 +206,7 @@ def test_content_defined_chunks_matches_python(spark):
         assert abs(rows[did].dup_char_frac - dup_chars / total) < 2e-6, did
 
 
+@pytest.mark.slow
 def test_hard_negatives_are_valid_and_top_ranked(spark):
     import numpy as np
 
@@ -399,6 +403,7 @@ def test_stream_ewma_equals_batch(spark):
     assert stream == batch
 
 
+@pytest.mark.slow
 def test_collocation_lift_matches_python(spark):
     import re
     from collections import Counter
@@ -518,6 +523,7 @@ def test_span_corruption_masks_are_consistent(spark):
         assert r.n_masked + len([w for i, w in enumerate(words) if not masked[i]]) == r.n_tokens
 
 
+@pytest.mark.slow
 def test_grid_gap_interpolation_matches_python(spark):
     from etl_energy_tracker_spark.queries.timeops import (
         grid_gap_interpolation,
@@ -649,6 +655,7 @@ def test_attribution_credits_sum_to_one_million(spark):
             )
 
 
+@pytest.mark.slow
 def test_time_to_convert_exact_quantiles(spark):
     from etl_energy_tracker_spark.queries.behaviorops import (
         time_to_convert_cohorts,

@@ -18,6 +18,7 @@ from etl_energy_tracker_spark.queries.searchops import (
 from conftest import SF_DIR
 
 
+@pytest.mark.slow
 def test_funnel_stage_ordering(spark):
     rows = funnel_conversion(spark, SF_DIR).collect()
     events = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
@@ -102,6 +103,7 @@ def test_fuzzy_name_match_blocking_and_threshold(spark):
         assert r.lev <= 4
 
 
+@pytest.mark.slow
 def test_value_outlier_mad_matches_python(spark):
     """Flags must equal an independent Python median/MAD recompute and
     be invariant to the outliers themselves (robustness property)."""
@@ -132,6 +134,7 @@ def test_value_outlier_mad_matches_python(spark):
     assert got  # the screen fires on the fixture corpus
 
 
+@pytest.mark.slow
 def test_hybrid_rrf_fusion_consistent_with_component_rankings(spark):
     """Fused rows must carry ranks consistent with independently
     recomputed lexical and semantic rankings, and rrf_micro must be

@@ -149,6 +149,7 @@ def test_connected_components_known_graph(spark):
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+@pytest.mark.slow
 def test_connected_components_long_chain(spark):
     """A 12-node path needs multiple propagation rounds — exercises the
     fixpoint loop, not just one iteration."""
@@ -162,6 +163,7 @@ def test_connected_components_long_chain(spark):
     assert set(got.values()) == {100} and len(got) == 12
 
 
+@pytest.mark.slow
 def test_keep_corpus_retains_exactly_keepers(spark):
     """Dropped docs are precisely the non-keeper cluster members; every
     dropped doc's cluster representative survives."""

@@ -399,6 +399,7 @@ def test_twopass_median_replay(spark):
         )
 
 
+@pytest.mark.slow
 def test_auc_degenerate_single_class_yields_null(spark):
     """All-one-class labels make n_pos*n_neg = 0; the guarded integer
     division must yield NULL auc_ppm (not crash) on the Spark side,
@@ -623,6 +624,7 @@ def _oracle_rows(name, tmpdir):
     return con.sql(catalog.CATALOG[name].oracle).fetchall()
 
 
+@pytest.mark.slow
 def test_auc_small_corpus_engine_parity(spark):
     """n=7 docs (< 10 deciles, tied scores): Spark and the DuckDB
     oracle must agree bit-for-bit on the ntile edge behavior."""
@@ -656,6 +658,7 @@ def test_auc_small_corpus_engine_parity(spark):
     assert len(srows) == 7  # ntile(10) over 7 rows yields 7 deciles
 
 
+@pytest.mark.slow
 def test_acf_gapped_series_engine_parity(spark):
     """Hour gaps: time-lag join must drop pairs identically on both
     engines (a row-lag formulation would silently misalign)."""

@@ -194,6 +194,7 @@ def test_partition_tree_validation(spark, tmp_path):
 # ----------------------------------------------- tracking-dim sources
 
 
+@pytest.mark.slow
 def test_up_list_source_feeds_change_detection(spark):
     """UP-list CSV source (descarga_UP_list.py + UP_tracking.py parse)
     wired into detect_changes / up_change_log: injectable fetcher, no

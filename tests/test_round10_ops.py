@@ -28,6 +28,7 @@ def _duck_rows(sql: str):
 # ------------------------------------------ best-of-n small groups
 
 
+@pytest.mark.slow
 def test_best_of_n_small_groups(spark, tmp_path):
     # ADVICE r9: the per-rank weight product (i-j)/(n_s-j) is evaluated
     # per row inside SUM(), so the CASE WHEN MAX(n_s) >= n guard did

@@ -7,6 +7,8 @@ identity decompositions, independent Python recomputations).
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import re
 from collections import defaultdict
@@ -311,6 +313,7 @@ def test_adc_topk_vs_exact_pq_distance(spark):
         assert all(d >= 0 for d in ds)
 
 
+@pytest.mark.slow
 def test_quality_keeper_beats_cluster_peers(spark):
     from etl_energy_tracker_spark.queries.dedupops import near_dup_clusters
     from etl_energy_tracker_spark.queries.prepops import (

@@ -8,6 +8,8 @@ misconception can't pass silently.
 
 from __future__ import annotations
 
+import pytest
+
 import re
 from collections import Counter, defaultdict
 
@@ -408,6 +410,7 @@ def test_source_lexical_distance_python_replay(spark):
 # ------------------------------------------------- k-center coreset
 
 
+@pytest.mark.slow
 def test_kcenter_coreset_python_replay(spark):
     import math
 
@@ -594,6 +597,7 @@ def test_token_budget_waterfill_python_replay(spark):
 # ------------------------------------------------ join cardinality audit
 
 
+@pytest.mark.slow
 def test_join_cardinality_audit_python_replay(spark):
     from etl_energy_tracker_spark.queries.mlops import (
         _JCA_JOINS,

@@ -10,6 +10,8 @@ sorted-neighborhood candidate bound, the DoReMi weight invariants.
 
 from __future__ import annotations
 
+import pytest
+
 import re
 from collections import Counter
 
@@ -173,6 +175,7 @@ def test_doremi_python_replay(spark):
 # ------------------------------------------------- LSH parameter plan
 
 
+@pytest.mark.slow
 def test_lsh_parameter_plan_replay(spark):
     rows = {
         (r.bands, r.rows_per_band): r
@@ -368,6 +371,7 @@ def test_fim_transform_python_replay(spark):
     assert n_fim > 0.3 * len(want)
 
 
+@pytest.mark.slow
 def test_fim_transform_degenerate_docs(spark, tmp_path):
     # ADVICE r8: '% (n - 1)' was unguarded — an empty or single-token
     # doc made it modulo-by-zero (REMAINDER_BY_ZERO under Spark 4 ANSI

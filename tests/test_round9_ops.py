@@ -47,6 +47,7 @@ def _cos_micro(a, b) -> int:
 # ------------------------------------------ facility location
 
 
+@pytest.mark.slow
 def test_facility_location_python_replay(spark):
     from etl_energy_tracker_spark.queries.vectorops import (
         _FL_CANDS,
@@ -185,6 +186,7 @@ def test_mann_whitney_python_replay(spark):
 # ---------------------------------------- logistic regression GD
 
 
+@pytest.mark.slow
 def test_logistic_gd_learns_separable_corpus(spark, tmp_path):
     """The driver-facing run on the signal-free synthetic corpus
     converges to the class prior (documented); this builds a corpus
@@ -230,6 +232,7 @@ def test_logistic_gd_weights_bounded_and_deterministic(spark):
 # ------------------------------------ contrastive hard negatives
 
 
+@pytest.mark.slow
 def test_hard_negatives_python_replay(spark):
     from etl_energy_tracker_spark.queries.vectorops import (
         _CHN_CELLS,
@@ -274,6 +277,7 @@ def test_hard_negatives_python_replay(spark):
 # ------------------------------------------- k-means Lloyd
 
 
+@pytest.mark.slow
 def test_kmeans_lloyd_python_replay(spark):
     from etl_energy_tracker_spark.queries.vectorops import (
         _KM_CELLS,

@@ -234,6 +234,7 @@ def test_validate_strict_nulls(spark):
     assert "null in required column datetime_utc" in str(e.value)
 
 
+@pytest.mark.slow
 def test_stream_stream_join_is_watermarked(spark):
     """Both join sides carry event-time watermarks and the range
     condition is present — the state-eviction contract for unbounded

@@ -144,6 +144,7 @@ def test_apply_link_updates(spark):
     }
 
 
+@pytest.mark.slow
 def test_outcome_log_retry_loop(spark):
     """The close-the-loop semantics: an eligible-but-unmatched UP is
     recorded 'retry' and comes back the next round; once a round
