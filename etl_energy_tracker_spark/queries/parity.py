@@ -562,7 +562,13 @@ def pipeline_omie_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = tg.dst_dim(spark, 2023, 2026)
     out = omie.transform_volumenes(raw, dim)
     # float sum in the pipeline is partition-order dependent; re-sum
-    # decimal-exact for the oracle compare (the lake stores float32)
+    # decimal-exact for the oracle compare (the lake stores float32).
+    # This second exchange of the (small, already-aggregated) output
+    # cannot be elided: validate() inside transform_volumenes casts
+    # datetime_utc to the schema type AFTER the pipeline aggregate, so
+    # the re-sum keys are derived attributes and Catalyst cannot prove
+    # the partitioning carries over (checked r13 — key reordering does
+    # not help; the cast is the pipeline's schema contract).
     return (
         out.groupBy("datetime_utc", "uof", "id_mercado")
         .agg(
