@@ -415,6 +415,10 @@ _REVERIFY: tuple[str, ...] = (
     # lrs_cross_doc_exact: cross-doc bucket count folded into the
     #   suffix window pass (second corpus explode removed).
     "lrs_cross_doc_exact",
+    # _cws_parts: the checkpointed capped tf relation now carries
+    #   xxhash64 int64 gram keys for the exact/verify joins.
+    "icws_weighted_lsh_pairs",
+    "icws_weighted_lsh_pairs_prod",
 )
 
 # Queries driver-verified green in CORRECTNESS_r03.json whose code is

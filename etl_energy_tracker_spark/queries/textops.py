@@ -1344,6 +1344,13 @@ def weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size("t") >= 3)
         .select(
             "doc_id",
+            # NOTE (r13): hashing grams to int64 right after this
+            # explode was tried and measured SLOWER at sf0.1 (old
+            # faster in 4/6 interleaved alternations, minima 3.26 vs
+            # 3.71 s): the per-OCCURRENCE xxhash64 costs more than the
+            # narrowed keys save while the df-capped self-join stays
+            # small. The icws ops hash once per distinct (doc, gram)
+            # inside _cws_parts' checkpoint instead — that form wins.
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(t) - 2),"
@@ -1505,8 +1512,17 @@ def _cws_parts(
     # capped and totals each feed several downstream consumers (the
     # LSH-verify join, the exact ground-truth join, and their totals
     # lookups); checkpoint so the df_ok aggregate + g-join run once,
-    # not once per consumer
-    capped = tf.join(df_ok, "g").localCheckpoint(eager=False)
+    # not once per consumer. No consumer needs the gram STRING — the
+    # signature build hashes from tf directly — so the checkpointed
+    # rows carry xxhash64 int64 keys: the exact pair self-join and
+    # both verify joins shuffle/compare 8 bytes instead of ~20-char
+    # trigrams (collision bound as documented in
+    # weighted_jaccard_pairs; a collision merges two grams' counts).
+    capped = (
+        tf.join(df_ok, "g")
+        .select("doc_id", F.xxhash64("g").alias("g"), "c")
+        .localCheckpoint(eager=False)
+    )
     totals = totals.localCheckpoint(eager=False)
     # expansion-CWS partial signature per (doc, gram): min over the c
     # copies, all 16 permutations as columns so the doc-level reduce
